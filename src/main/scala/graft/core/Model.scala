@@ -1,0 +1,120 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Error descriptor carried on the invalid side of a record envelope.
+  *
+  * Mirrors the reference's error sum-type payload
+  * (/root/reference/src/main/java/fr/barbicane/maston/error/KafkaError.java:13-24):
+  * message, code, throwable (split here into class/message/stacktrace since a
+  * live Throwable does not belong in a row), targetClass, optional raw bytes.
+  * `rawBytes` preserves the never-lose-a-record contract: on deserialization
+  * failure the original payload travels with the error.
+  */
+case class GraftError(
+    message: String,
+    code: String,
+    exceptionClass: String,
+    exceptionMessage: String,
+    stackTrace: String,
+    targetClass: String,
+    rawBytes: Array[Byte])
+
+object GraftError {
+  def fromThrowable(
+      t: Throwable,
+      code: String,
+      message: String,
+      targetClass: String,
+      rawBytes: Array[Byte] = null): GraftError = {
+    val sw = new java.io.StringWriter()
+    t.printStackTrace(new java.io.PrintWriter(sw))
+    GraftError(message, code, t.getClass.getName, t.getMessage, sw.toString,
+      targetClass, rawBytes)
+  }
+
+  /** Schema of the error struct when represented as a DataFrame column. */
+  val schema: StructType = StructType(Seq(
+    StructField("message", StringType),
+    StructField("code", StringType),
+    StructField("exceptionClass", StringType),
+    StructField("exceptionMessage", StringType),
+    StructField("stackTrace", StringType),
+    StructField("targetClass", StringType),
+    StructField("rawBytes", BinaryType)))
+}
+
+/** A Kafka-shaped record envelope: metadata + decoded value + optional error.
+  *
+  * This is the typed encoding of the reference's in-flight
+  * `KStream[String, Validation[KafkaError[T], T]]`
+  * (/root/reference/src/main/java/fr/barbicane/maston/topology/TopologyBuilder.java:36-37):
+  * `error == None` is the valid side, `error == Some(_)` the invalid side.
+  * `rawValue` carries the original bytes so the error sink can emit them
+  * verbatim (VavrSafeSerializer.java:26-41 semantics).
+  */
+case class Envelope[T](
+    key: String,
+    value: Option[T],
+    error: Option[GraftError],
+    rawValue: Array[Byte],
+    topic: String,
+    partition: Int,
+    offset: Long,
+    timestamp: java.sql.Timestamp) {
+  def isValid: Boolean = error.isEmpty
+  def isInvalid: Boolean = error.nonEmpty
+  def withError(e: GraftError): Envelope[T] = copy(error = Some(e))
+}
+
+/** Error codes of the reference
+  * (KafkaErrorToHeaderBuilder.java:28-34). */
+object ErrorCodes {
+  val FailedToDeserializeRecord = "FAILED_TO_DESERIALIZE_RECORD"
+  val FailedToProcessRecord = "FAILED_TO_PROCESS_RECORD"
+  val FailedToReadOrWriteStateStore = "FAILED_TO_READ_OR_WRITE_STATE_STORE"
+}
+
+/** The 11 diagnostic header names written onto error-topic records
+  * (KafkaErrorToHeaderBuilder.java:16-26). */
+object ErrorHeaderNames {
+  val ApplicationId = "error.source.application.id"
+  val Timestamp = "error.source.timestamp"
+  val Topic = "error.source.topic"
+  val Partition = "error.source.partition"
+  val Offset = "error.source.partition.offset"
+  val ApplicationCode = "error.source.application.code"
+  val ApplicationMessage = "error.source.application.message"
+  val TargetClass = "error.source.target.class"
+  val ExceptionStackTrace = "error.source.exception.stack.trace"
+  val ExceptionMessage = "error.source.exception.message"
+  val ExceptionClass = "error.source.exception.class"
+
+  val all: Seq[String] = Seq(ApplicationId, Timestamp, Topic, Partition,
+    Offset, ApplicationCode, ApplicationMessage, TargetClass,
+    ExceptionStackTrace, ExceptionMessage, ExceptionClass)
+
+  /** The 8 headers the reference's Connect SMT lifts to struct fields
+    * (HeaderTo.java:73-82). */
+  val liftedByHeaderTo: Seq[String] = Seq(ApplicationId, Timestamp, Topic,
+    Partition, Offset, ApplicationCode, ApplicationMessage, ExceptionClass)
+}
+
+/** Pipeline configuration, the Spark-side analog of the reference's
+  * KafkaCommonProperties / KafkaConsumerProperties / KafkaPropertiesBuilder
+  * (under src/main/java/fr/barbicane/maston/properties/). Kafka-security
+  * knobs become `kafka.`-prefixed source
+  * options; the "1 stream thread, die fast" philosophy becomes one
+  * StreamingQuery with a fail-fast listener.
+  */
+case class GraftConf(
+    applicationId: String,
+    bootstrapServers: String = "",
+    topic: String = "",
+    errorTopic: String = "",
+    outputTopic: String = "",
+    startFromEarliest: Boolean = true,
+    checkpointLocation: String = "",
+    extraSourceOptions: Map[String, String] = Map.empty) {
+  def startingOffsets: String = if (startFromEarliest) "earliest" else "latest"
+}

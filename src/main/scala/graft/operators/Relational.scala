@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch relational operators over the star schema — the §2.8 extension
+  * surface (joins, aggregations, window functions, sorts/limits, set ops,
+  * scalar functions, grouping sets), written so Catalyst keeps them
+  * pushdown-friendly and shuffle-minimal:
+  *
+  * - dimension joins take `broadcast()` hints (region/nation/customer/part
+  *   stay small relative to facts at every scale factor, including 100 TB
+  *   where lineitem dominates);
+  * - aggregates go through exact DECIMAL accumulation (order-independent —
+  *   a parallel double sum is nondeterministic across partitionings, which
+  *   both breaks oracle comparison and makes results layout-dependent);
+  * - no collect(), no driver-side loops; every operator is a single
+  *   declarative plan.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a double expression: accumulate as
+    * DECIMAL(38,6), surface as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Exact average: decimal sum / count, divided in double. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(38, 6))).cast("double") / count(c)).cast("double")
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    * Partial (map-side) aggregation halves the shuffle; 6 groups total. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Broadcast hash join fact↔dimension + aggregate: revenue by brand.
+    * `part` is a classic broadcast dimension — no shuffle of lineitem. */
+  def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q3-style: 3-way join, aggregate, top-N by revenue. customer is
+    * broadcast; orders↔lineitem shuffle on orderkey (co-partitioned). */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Left-semi join: customers that have at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-outer join + aggregate: customer count and balance per nation,
+    * keeping empty nations. Dimension side broadcast. */
+  def customersPerNation(nation: DataFrame, customer: DataFrame): DataFrame =
+    broadcast(nation)
+      .join(customer, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(
+        count(col("c_custkey")).as("n_customers"),
+        dsum(coalesce(col("c_acctbal"), lit(0.0))).as("total_acctbal"))
+
+  /** Window ranking: top-N orders per customer by totalprice.
+    * One shuffle on custkey; rank evaluated streaming per partition. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+  }
+
+  /** Window analytics: running order-count and cumulative spend per customer
+    * over order date — rowsBetween frame, single shuffle. */
+  def runningCustomerSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("orderdate"),
+      row_number().over(w).as("order_seq"),
+      sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w)
+        .cast("double").as("cum_spend"))
+  }
+
+  /** Global top-K by sort: TakeOrderedAndProject, no full sort shuffle. */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Set operations over two customer segments. */
+  def segmentKeys(customer: DataFrame, segment: String): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+
+  def setUnion(a: DataFrame, b: DataFrame): DataFrame = a.union(b).distinct()
+  def setIntersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def setExcept(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
+  /** Distinct aggregates: exact + approximate cardinalities per order
+    * priority. approx_count_distinct (HLL++) is the 100 TB path — exact
+    * distinct of a high-cardinality key is a full shuffle of that key. */
+  def orderStats(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_items"))
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals. */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** CUBE over (orderstatus, orderpriority): all subtotal combinations. */
+  def cubeSummary(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+
+  /** Scalar string/date/math functions — row-level projection, fully
+    * codegen'd, pushdown-transparent. */
+  def scalarFunctions(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 4).as("name_pfx"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), "widget", "gizmo").as("name_sub"),
+      (col("p_size") % 7).as("size_mod"),
+      round(col("p_retailprice") * 1.1, 2).as("price_up"),
+      when(col("p_size") >= 25, "large").otherwise("small").as("size_class"))
+
+  /** Pivot via conditional aggregation: order count per status × priority
+    * (columns fixed so schema is static — the scalable form of pivot). */
+  def statusByPriority(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+
+  /** Tumbling event-time window aggregate (batch form of the streaming
+    * window; identical semantics in readStream). Output keyed by epoch
+    * seconds so comparison is representation-stable. */
+  def eventsPerHour(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,253 @@
+package graft.streaming
+
+import graft.core.{Envelope, ErrorCodes, GraftConf, GraftError}
+import graft.errors.ErrorHeaders
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The two consume pipelines of the reference, re-expressed on Structured
+  * Streaming, plus the stream lifecycle decorator.
+  *
+  * - simple: source → safe decode → branch(valid → user processor; invalid →
+  *   error sink) with processing failures re-routed to the error sink
+  *   (/root/reference/src/main/java/fr/barbicane/maston/topology/TopologyBuilder.java:30-50).
+  *   Note the reference's simple topology has NO output topic — the user
+  *   processor's side effects are the output; only errors are produced
+  *   (TopologyBuilder.java:42,48).
+  * - delta: source → safe decode → re-key → stateful delta/dedup → valid →
+  *   output sink, errors → error sink (TopologyBuilder.java:53-90).
+  *
+  * Sinks are pluggable `DataFrame => Unit` writers invoked inside
+  * `foreachBatch`: the branch-to-two-sinks topology needs one pass over the
+  * decoded micro-batch (persist once, write both branches), which the Kafka
+  * sink alone cannot express. In production both writers are
+  * `df.write.format("kafka")`; tests use in-memory collectors.
+  */
+object GraftStream extends Logging {
+
+  /** Kafka-source column layout (what spark.readStream.format("kafka")
+    * produces with includeHeaders=true). MemoryStream test inputs use the
+    * same shape. */
+  val kafkaSourceSchema: StructType = StructType.fromDDL(
+    """key binary, value binary,
+      |headers array<struct<key: string, value: binary>>,
+      |topic string, partition int, offset bigint, timestamp timestamp""".stripMargin)
+
+  /** Build the Kafka streaming source for a conf — S1
+    * (TopologyBuilder.java:36; offset policy SimpleAvroStreamConsumer.java:42-45). */
+  def kafkaSource(spark: SparkSession, conf: GraftConf): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", conf.bootstrapServers)
+      .option("subscribe", conf.topic)
+      .option("startingOffsets", conf.startingOffsets)
+      .option("includeHeaders", "true")
+      .option("kafka.isolation.level", "read_committed")
+    conf.extraSourceOptions.foldLeft(base) { case (b, (k, v)) =>
+      b.option(if (k.startsWith("kafka.")) k else s"kafka.$k", v)
+    }.load()
+  }
+
+  /** A Kafka sink writer for foreachBatch routing — S2. The producer
+    * partitions by the `key` column, which is how the reference's re-keying
+    * repartitions without an internal topic (RecordKeyProcessor.java:9). */
+  def kafkaSink(conf: GraftConf, topic: String): DataFrame => Unit = { df =>
+    df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", conf.bootstrapServers)
+      .option("topic", topic)
+      .option("includeHeaders", "true")
+      .save()
+  }
+
+  /** Decode a Kafka-shaped DataFrame into `Dataset[Envelope[T]]` with a
+    * caller-supplied safe decoder (JSON: SafeJson.decode column; Avro:
+    * SafeAvro.decode). `decodeFn` must never throw — return Left(error).
+    */
+  def decodeEnvelope[T](df: DataFrame)(
+      decodeFn: Array[Byte] => Either[GraftError, T])(
+      implicit enc: Encoder[Envelope[T]]): Dataset[Envelope[T]] = {
+    import df.sparkSession.implicits._
+    df.select($"key".cast("string").as("key"), $"value", $"topic",
+        $"partition", $"offset", $"timestamp")
+      .as[(String, Array[Byte], String, Int, Long, java.sql.Timestamp)]
+      .map { case (key, raw, topic, part, off, ts) =>
+        decodeFn(raw) match {
+          case Right(v) => Envelope[T](key, Some(v), None, raw, topic, part, off, ts)
+          case Left(e)  => Envelope[T](key, None, Some(e), raw, topic, part, off, ts)
+        }
+      }
+  }
+
+  /** Run the user's record processor over the valid side — T1
+    * (TransformerBuilder.java:34-73). The processor's side effects are the
+    * output; a thrown exception or returned error flips the envelope to the
+    * invalid side with sourceRecord semantics (error carries no raw bytes →
+    * the safe serializer will re-serialize the source record).
+    */
+  def processValid[T](ds: Dataset[Envelope[T]])(
+      process: T => Option[GraftError])(
+      implicit enc: Encoder[Envelope[T]]): Dataset[Envelope[T]] =
+    ds.map { env =>
+      env.value match {
+        case Some(v) if env.isValid =>
+          try process(v) match {
+            case Some(err) => env.withError(err)
+            case None      => env
+          } catch {
+            case t: Throwable =>
+              env.withError(GraftError.fromThrowable(t,
+                ErrorCodes.FailedToProcessRecord,
+                s"Failed to process record: ${t.getMessage}",
+                v.getClass.getName))
+          }
+        case _ => env
+      }
+    }
+
+  /** Project an invalid envelope to the error-sink record: key, value bytes
+    * per the never-lose-a-record fallback chain (VavrSafeSerializer.java:26-41
+    * — raw bytes, else re-serialized source, else empty), 11 diagnostic
+    * headers (KafkaErrorToHeaderBuilder.java:39-66).
+    */
+  def toErrorRecords[T](
+      ds: Dataset[Envelope[T]],
+      applicationId: String,
+      reserialize: Option[Column => Column] = None): DataFrame = {
+    val df = ds.toDF()
+    val err = col("error")
+    val reserialized = reserialize
+      .map(f => f(col("value")).cast("binary"))
+      .getOrElse(lit(null).cast("binary"))
+    df.filter(err.isNotNull).select(
+      col("key"),
+      coalesce(err.getField("rawBytes"), col("rawValue"), reserialized,
+        lit(Array.emptyByteArray)).as("value"),
+      ErrorHeaders.build(applicationId, err, col("topic"), col("partition"),
+        col("offset"), col("timestamp").cast("timestamp")).as("headers"))
+  }
+
+  type Column = org.apache.spark.sql.Column
+
+  /** The simple pipeline (§3.1): decode → process → route errors.
+    * One pass per micro-batch; the batch is persisted once and both branches
+    * written from it — the Spark form of the reference's branch topology.
+    */
+  def simple[T](
+      source: DataFrame,
+      conf: GraftConf,
+      decodeFn: Array[Byte] => Either[GraftError, T],
+      process: T => Option[GraftError],
+      errorSink: DataFrame => Unit)(
+      implicit enc: Encoder[Envelope[T]]): StreamingQuery = {
+    source.writeStream
+      .queryName(s"${conf.applicationId}-simple")
+      .option("checkpointLocation", checkpointOrTemp(conf))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val decoded = decodeEnvelope(batch)(decodeFn)
+          val processed = processValid(decoded)(process)
+          errorSink(toErrorRecords(processed, conf.applicationId))
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** The delta pipeline (§3.2): decode → re-key → stateful dedup → valid to
+    * output sink, errors to error sink. State-store failures become
+    * FAILED_TO_READ_OR_WRITE_STATE_STORE errors in the reference
+    * (TransformerBuilder.java:145-154); in Spark a state-store failure fails
+    * the task (retried, then fail-fast) — key-extraction failures are the
+    * user-code error path we route.
+    */
+  def delta[T](
+      source: DataFrame,
+      conf: GraftConf,
+      decodeFn: Array[Byte] => Either[GraftError, T],
+      keyFn: T => String,
+      seqFn: Envelope[T] => Long,
+      isUpdated: (T, T) => Boolean,
+      outputSink: DataFrame => Unit,
+      errorSink: DataFrame => Unit,
+      trigger: Trigger = Trigger.ProcessingTime(0L))(
+      implicit enc: Encoder[Envelope[T]],
+      pairEnc: Encoder[(String, Envelope[T])]): StreamingQuery = {
+    import source.sparkSession.implicits._
+    val decoded = decodeEnvelope(source)(decodeFn)
+    // Re-key on the business key (T3); key-extraction exceptions flip the
+    // envelope invalid, like the reference's catch-all (TransformerBuilder.java:145).
+    val rekeyed = decoded.map { env =>
+      env.value match {
+        case Some(v) if env.isValid =>
+          try env.copy(key = keyFn(v))
+          catch {
+            case t: Throwable => env.withError(GraftError.fromThrowable(t,
+              ErrorCodes.FailedToReadOrWriteStateStore,
+              "Something went wrong while reading or writing to state store: " +
+                t.getMessage,
+              v.getClass.getName))
+          }
+        case _ => env
+      }
+    }
+    val valid = rekeyed.filter((e: Envelope[T]) => e.isValid)
+    val invalid = rekeyed.filter((e: Envelope[T]) => e.isInvalid)
+    val deduped = DeltaDedup.stream[Envelope[T], String](valid)(
+      _.key, seqFn, (old, nw) => isUpdated(old.value.get, nw.value.get))
+      .map { case (k, env) => env.copy(key = k) }
+
+    val errQ = invalid.writeStream
+      .queryName(s"${conf.applicationId}-delta-errors")
+      .option("checkpointLocation", checkpointOrTemp(conf) + "/errors")
+      .foreachBatch { (b: Dataset[Envelope[T]], _: Long) =>
+        errorSink(toErrorRecords(b, conf.applicationId)); ()
+      }.trigger(trigger).start()
+    logInfo(s"started error branch ${errQ.name}")
+
+    deduped.writeStream
+      .queryName(s"${conf.applicationId}-delta")
+      .option("checkpointLocation", checkpointOrTemp(conf) + "/main")
+      .foreachBatch { (b: Dataset[Envelope[T]], _: Long) =>
+        outputSink(b.toDF()); ()
+      }.trigger(trigger).start()
+  }
+
+  private def checkpointOrTemp(conf: GraftConf): String =
+    if (conf.checkpointLocation.nonEmpty) conf.checkpointLocation
+    else java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+
+  /** Lifecycle decorator — S3 (KafkaStreamsDecorator.java:24-37): log the
+    * plan, fail fast on query failure (the reference kills the JVM so the
+    * orchestrator reschedules, README.md:123), close on shutdown.
+    */
+  def startAndAwait(query: StreamingQuery, exitOnFailure: Boolean = true): Unit = {
+    logInfo(s"streaming query started: ${query.name}\n${query.explain()}")
+    sys.addShutdownHook { if (query.isActive) query.stop() }
+    try query.awaitTermination()
+    catch {
+      case t: Throwable =>
+        logError(s"streaming query ${query.name} failed", t)
+        if (exitOnFailure) sys.exit(1) else throw t
+    }
+  }
+
+  /** Fail-fast + logging listener — S3/S4/S5 analog: logs progress (consumed
+    * and produced row counts) and terminates the JVM on query failure. */
+  def failFastListener(exitOnFailure: Boolean = true): StreamingQueryListener =
+    new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        logInfo(s"query started: ${e.name} (${e.id})")
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        logInfo(s"query progress: ${e.progress.name} rows=${e.progress.numInputRows}")
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        e.exception.foreach { ex =>
+          logError(s"query ${e.id} died: $ex")
+          if (exitOnFailure) sys.exit(1)
+        }
+    }
+}
