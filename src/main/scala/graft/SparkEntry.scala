@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{PipelineOps, Relational => R, Tables => T}
+import graft.operators.{Dedup, LlmText, Multimodal, PipelineOps,
+  Relational => R, Similarity, Tables => T}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -52,6 +53,23 @@ object SparkEntry {
     "m_headers_roundtrip" -> ((s, d) =>
       PipelineOps.headersRoundTrip(T.events(s, d), "graft-app")),
     "m_delta_dedup" -> ((s, d) => PipelineOps.deltaDedup(s, T.events(s, d))),
+    // -- LLM-data-pipeline ops: text analysis --
+    "x1_token_stats" -> ((s, d) => LlmText.tokenStats(T.documents(s, d))),
+    "x2_lang_id" -> ((s, d) => LlmText.langId(T.documents(s, d))),
+    "x3_quality_score" -> ((s, d) => LlmText.qualityScore(T.documents(s, d))),
+    "x4_fingerprint" -> ((s, d) => LlmText.fingerprint(T.documents(s, d))),
+    // -- LLM-data-pipeline ops: deduplication --
+    "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
+    "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
+    "d3_simhash" -> ((s, d) => Dedup.simhash(T.documents(s, d))),
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(T.documents(s, d))),
+    "d5_embed_dedup" -> ((s, d) => Dedup.embeddingDedup(T.embeddings(s, d))),
+    // -- LLM-data-pipeline ops: similarity search --
+    "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
+    "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
+    // -- LLM-data-pipeline ops: multimodal columns --
+    "mm1_media_features" -> ((s, d) =>
+      Multimodal.mediaFeatures(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -192,5 +210,158 @@ object SparkEntry {
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
         |  FROM events)
         |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+    "x1_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "x2_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS score_en,
+        |  len(list_filter(w, x -> list_contains(['le','la','les','de','et','un','une','est'], x))) AS score_fr,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','eine','von'], x))) AS score_de,
+        |  len(list_filter(w, x -> list_contains(['el','los','las','de','y','un','una','es'], x))) AS score_es
+        | FROM t)
+        |SELECT doc_id, score_en, score_fr, score_de, score_es,
+        |  CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es THEN 'en'
+        |       WHEN score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+        |       WHEN score_de >= score_es THEN 'de'
+        |       ELSE 'es' END AS pred_lang
+        |FROM s""".stripMargin,
+    "x3_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, n_chars, n,
+        |  CAST(length(text) - (n - 1) AS DOUBLE) / n AS mwl,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n AS sr,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1) AS pr
+        | FROM t)
+        |SELECT doc_id, n_chars, n AS n_tokens, mwl AS avg_token_len,
+        |  sr AS stopword_ratio, pr AS punct_ratio,
+        |  0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0) AS quality_score,
+        |  (0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0)) >= 0.5 AS is_quality
+        |FROM m""".stripMargin,
+    "x4_fingerprint" ->
+      """WITH ws AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, text,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |h AS (SELECT doc_id, text,
+        |  list_sort(list_transform(s, x -> md5('f:' || x))) AS hs FROM sh)
+        |SELECT doc_id, md5(text) AS content_md5, hs[1] AS min_shingle_hash,
+        |  array_to_string(hs[1:4], '|') AS bottom4_sketch
+        |FROM h""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_lsh" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |mh AS (SELECT doc_id, k, min(md5(k || ':' || shingle)) AS mh
+        |  FROM tok, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band, string_agg(mh, '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7""".stripMargin,
+    "d3_simhash" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |h AS (SELECT doc_id, md5('w:' || word) AS hx FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |  CASE WHEN ((CASE WHEN ascii(substr(hx, b // 4 + 1, 1)) <= 57
+        |              THEN ascii(substr(hx, b // 4 + 1, 1)) - 48
+        |              ELSE ascii(substr(hx, b // 4 + 1, 1)) - 87 END)
+        |             >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM h, range(60) t(b)),
+        |agg AS (SELECT doc_id, b, sum(v) AS sb FROM bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sb > 0 THEN power(2, b)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+        |FROM agg GROUP BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |sk AS (SELECT doc_id,
+        |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |g AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g3
+        |  FROM documents WHERE length(text) >= 3),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.g3, y.g3)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.g3, y.g3))) AS jaccard3
+        |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard3 FROM jac WHERE jaccard3 >= 0.6""".stripMargin,
+    "d5_embed_dedup" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_transform(range(1,65), i -> a.x[i] * b.x[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.x[i] * a.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> b.x[i] * b.x[i]), (p,q) -> p + q))) AS cos
+        | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+    "s1_knn_brute" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p) WHERE rank <= 10""".stripMargin,
+    "s2_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |dots AS (SELECT vec_id, i,
+        |  list_reduce(list_transform(range(1,65), d ->
+        |    x[d] * (CASE WHEN (CASE WHEN ascii(substr(md5(i || ':' || (d-1)), 1, 1)) <= 57
+        |                       THEN ascii(substr(md5(i || ':' || (d-1)), 1, 1)) - 48
+        |                       ELSE ascii(substr(md5(i || ':' || (d-1)), 1, 1)) - 87 END) % 2 = 1
+        |            THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b) AS dot
+        |  FROM v, range(16) t(i)),
+        |sig AS (SELECT vec_id,
+        |  CAST(sum(CASE WHEN i < 8 AND dot > 0 THEN power(2, i) ELSE 0 END) AS INT) AS band0,
+        |  CAST(sum(CASE WHEN i >= 8 AND dot > 0 THEN power(2, i - 8) ELSE 0 END) AS INT) AS band1
+        |  FROM dots GROUP BY vec_id),
+        |cand AS (SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id
+        |  FROM sig q JOIN sig s ON (q.band0 = s.band0 OR q.band1 = s.band1)
+        |  WHERE q.vec_id % 100 = 0 AND s.vec_id <> q.vec_id GROUP BY 1, 2),
+        |p AS (SELECT query_id, neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v c ON c.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin,
+    "mm1_media_features" ->
+      """SELECT doc_id,
+        |  (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
+        |  md5(text) AS media_md5,
+        |  md5(substr(text, 1, 64)) AS thumb_md5,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table: token statistics, n-gram/stopword language ID, quality
+  * scoring, and content fingerprinting.
+  *
+  * Every operator here is a single narrow projection — no shuffle, no UDF,
+  * no driver-side state — so it scales linearly with input splits at 100 TB
+  * and stays inside Catalyst (higher-order functions on arrays). All
+  * arithmetic is integer or single-division double so results are
+  * bit-identical to the DuckDB oracle regardless of partitioning.
+  */
+object LlmText {
+
+  /** Whitespace tokens of `text`. Uses a literal single-space split like the
+    * corpus layout; both the Spark and oracle sides derive every measure from
+    * the same split so the definitions stay in lockstep. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenizer: letter runs, digit runs, single other non-space
+    * chars (CJK text falls through to char-level, like byte-fallback BPE). */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Word 3-gram shingles (distinct), the unit of all n-gram dedup ops.
+    * Empty for docs under 3 words (mirrored by the oracle's WHERE). */
+  def shingles(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct character 3-grams — the finer-grained similarity unit used by
+    * n-gram Jaccard verification. */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(sequence(lit(1), length(text) - 2), i =>
+        text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token counting (x1): whitespace tokens, distinct tokens, BPE-ish
+    * tokens, and mean token length. Mean length is derived from char count
+    * minus separators — one double division, order-independent. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val n = size(ws)
+    documents.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      size(array_distinct(ws)).as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+        .as("n_bpe_tokens"),
+      ((length(col("text")) - (n - 1)).cast("double") / n)
+        .as("avg_token_len"))
+  }
+
+  // Tiny per-language stopword lists for the n-gram-free heuristic scorer.
+  // Deliberately overlapping (de/la/un appear in several Romance lists) —
+  // the argmax with a fixed tie-break order resolves them deterministically.
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val StopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine", "von")
+  val StopEs = Seq("el", "los", "las", "de", "y", "un", "una", "es")
+
+  private def stopHits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stop)))
+
+  /** Language ID (x2): count stopword occurrences per language, argmax with
+    * tie-break order en > fr > de > es. Pure projection — the 100 TB form of
+    * fastText-style lang ID where the model is a broadcast lookup. */
+  def langId(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val sEn = stopHits(ws, StopEn)
+    val sFr = stopHits(ws, StopFr)
+    val sDe = stopHits(ws, StopDe)
+    val sEs = stopHits(ws, StopEs)
+    documents.select(
+      col("doc_id"),
+      sEn.as("score_en"), sFr.as("score_fr"),
+      sDe.as("score_de"), sEs.as("score_es"),
+      when(sEn >= sFr && sEn >= sDe && sEn >= sEs, "en")
+        .when(sFr >= sDe && sFr >= sEs, "fr")
+        .when(sDe >= sEs, "de")
+        .otherwise("es").as("pred_lang"))
+  }
+
+  /** Quality scoring (x3): length/punctuation/stopword heuristics composed
+    * into one [0,1] score. Only +,*,/ on doubles in a fixed expression tree
+    * — no transcendentals, so the value is bit-stable across engines. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val n = size(ws)
+    val mwl = (length(col("text")) - (n - 1)).cast("double") / n
+    val stopRatio = stopHits(ws, StopEn).cast("double") / n
+    val nBpe = greatest(
+      size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))),
+      lit(1))
+    val punctRatio =
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("double") / nBpe
+    val score = lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * (least(mwl, lit(8.0)) / lit(8.0))
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      n.as("n_tokens"),
+      mwl.as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      punctRatio.as("punct_ratio"),
+      score.as("quality_score"),
+      (score >= 0.5).as("is_quality"))
+  }
+
+  /** Document fingerprinting (x4): whole-content md5, min-hashed shingle
+    * (winnowing-style min-sample), and a bottom-4 shingle sketch — the join
+    * key family for near-dup candidate generation at scale. */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val sh = shingles(col("text"))
+    val hashes = transform(sh, s => md5(concat(lit("f:"), s).cast("binary")))
+    documents
+      .filter(size(words(col("text"))) >= 3)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        array_min(hashes).as("min_shingle_hash"),
+        array_join(slice(array_sort(hashes), 1, 4), "|").as("bottom4_sketch"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus decode / feature-extract / frame-sample over them.
+  *
+  * The container has no image/audio codecs, so [[MediaDecoder]] is the
+  * pluggable decode seam and [[FakeDecoder]] a deterministic stand-in; the
+  * Spark-side contract — binary column + metadata struct, mapPartitions
+  * batch shape, one decoder instance per partition (never per row) — is the
+  * real, tested part. At 100 TB the binary column stays columnar in parquet,
+  * scans prune to (id, meta) unless `media` is selected, and decode
+  * parallelism is just input splits.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata, the multimodal analog of
+    * the documents table. */
+  case class MediaRecord(
+      media_id: Long,
+      media: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      n_frames: Long,
+      mean_byte: Double,
+      first_byte: Int)
+
+  /** Decode seam: real deployments plug a codec; one instance is created per
+    * partition inside mapPartitions so native handles are reused across the
+    * batch, not per record. */
+  trait MediaDecoder extends Serializable {
+    def decode(m: MediaRecord): MediaFeatures
+  }
+
+  /** Deterministic fake decoder (no codecs in this environment): features
+    * are pure functions of the bytes so tests have exact expectations. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(m: MediaRecord): MediaFeatures = {
+      val n = m.media.length.toLong
+      val sum = m.media.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(m.media_id, m.format, n, (n + 255) / 256,
+        if (n == 0) 0.0 else sum.toDouble / n,
+        if (n == 0) -1 else m.media(0) & 0xff)
+    }
+  }
+
+  /** Distributed decode: one decoder per partition, streaming iterator in /
+    * iterator out (no per-partition materialization). */
+  def decodeFeatures(ds: Dataset[MediaRecord], mk: () => MediaDecoder)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val dec = mk()
+      it.map(dec.decode)
+    }
+  }
+
+  /** Frame sampling: every `stride`-th byte as a "frame" payload — the
+    * plumbing shape of video frame extraction (explode to one row per
+    * frame, order index attached). */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.flatMap { m =>
+      m.media.indices.by(stride).map(i =>
+        (m.media_id, i / stride, m.media(i) & 0xff))
+    }.toDF("media_id", "frame_idx", "frame_byte")
+  }
+
+  /** Documents table lifted into a media catalog (deterministic fake
+    * payload = UTF-8 bytes), with decode-free column-level features the
+    * DuckDB oracle can mirror: byte length, content md5, char-slice
+    * thumbnail md5, frame count. */
+  def mediaFeatures(documents: DataFrame): DataFrame = {
+    val media = col("text").cast("binary")
+    val mediaLen = length(media)
+    documents.select(
+      col("doc_id"),
+      element_at(typedlit(Seq("png", "jpeg", "wav", "mp4")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("format"),
+      mediaLen.cast("long").as("media_len"),
+      md5(media).as("media_md5"),
+      md5(substring(col("text"), 1, 64).cast("binary")).as("thumb_md5"),
+      floor((mediaLen + lit(255)) / lit(256)).cast("long").as("n_frames"))
+  }
+}
