@@ -267,9 +267,22 @@ object SparkEntry {
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
         |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |mh AS (SELECT doc_id, k, min(md5(k || ':' || shingle)) AS mh
-        |  FROM tok, range(12) t(k) GROUP BY doc_id, k),
-        |band AS (SELECT doc_id, k // 3 AS band, string_agg(mh, '|' ORDER BY k) AS bkey
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM band a JOIN band b

@@ -32,16 +32,42 @@ object Dedup {
   val MinHashK = 12
   val BandRows = 3
 
+  /** Fixed affine constants for the 12 minhash functions
+    * h_k(x) = (A(k)·x + B(k)) mod P. One md5 per shingle provides the
+    * uniform base; the affine family derives the remaining hashes with
+    * integer-only math (A(k)·x < 2^59, no overflow in either engine). */
+  val HashP = 1000000007L
+  val HashA: Seq[Long] = Seq(1299721, 2750161, 4256233, 5800079, 7368787,
+    8960453, 10570841, 12195257, 13834103, 15485863, 17624813, 19654991)
+  val HashB: Seq[Long] = Seq(15487469, 32452843, 49979687, 67867967,
+    86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
+    198491317, 217645177)
+
+  /** Uniform integer base hash of a shingle: the first 7 hex chars of
+    * md5("m:" + s) as a 28-bit int, built by per-char arithmetic that plain
+    * SQL reproduces exactly. */
+  private def shingleBase(s: Column): Column = {
+    val hx = md5(concat(lit("m:"), s).cast("binary"))
+    def hv(c: Int): Column = {
+      val a = ascii(hx.substr(lit(c), lit(1)))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    (1 to 7).map(hv).reduce((acc, v) => acc * 16 + v).cast("long")
+  }
+
+  /** The documents' distinct word-3-gram shingle sets, bracketed by two
+    * doc_id exchanges that are both load-bearing: the one BELOW the
+    * projection spreads compute across the cluster even when the source
+    * arrives as few splits; the one ABOVE is an optimizer barrier so the
+    * shingle arrays are referenced as materialized columns downstream
+    * instead of CollapseProject re-inlining the expensive expression into
+    * every join side and band reference. */
   private def docShingles(documents: DataFrame): DataFrame =
     documents
+      .transform(Partitioning.spread(_, col("doc_id")))
       .select(col("doc_id"), LlmText.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-
-  /** MinHash signature: for hash k, min over shingles of md5("k:" + s). */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinHashK - 1)), k =>
-      array_min(transform(sh, s =>
-        md5(concat(k.cast("string"), lit(":"), s).cast("binary")))))
+      .transform(Partitioning.spread(_, col("doc_id")))
 
   /** MinHash + LSH near-dup pairs (d2): shingle → 12 min-hashes → 4 band
     * keys → band-bucket equi-join for candidates → exact Jaccard ≥ 0.7.
@@ -51,9 +77,27 @@ object Dedup {
     * and no n² product ever materializes. Verification re-joins shingle sets
     * for candidate pairs only. */
   def minhashLsh(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    // Shingle sets (and their base hashes) are read by several consumers:
+    // the 12 minhash functions, the two band-join sides, and the two
+    // Jaccard-verify sides. Spark's exchange reuse is unreliable under AQE
+    // for these self-join shapes (observed: 3 ReusedExchange with AQE off,
+    // 0 with AQE on), and CollapseProject would otherwise re-inline the
+    // md5 hashing into every one of those references (12× the work — the
+    // affine family reads `bases` as data precisely so md5 runs once per
+    // shingle). An explicit persist is the robust barrier: MEMORY_AND_DISK
+    // spills rather than OOMs, and the footprint is O(corpus shingles) —
+    // the same data a shuffle would have written anyway.
     val sh = docShingles(documents)
-    val sig = sh.select(col("doc_id"), minhashSig(col("sh")).as("mhs"))
-    val bands = sig.select(
+      .withColumn("bases", transform(col("sh"), s => shingleBase(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val siged = sh
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(MinHashK - 1)), k =>
+          array_min(transform(col("bases"), b =>
+            pmod(element_at(typedlit(HashA), (k + 1).cast("int")) * b +
+              element_at(typedlit(HashB), (k + 1).cast("int")), lit(HashP)))))
+          .as("mhs"))
+    val bands = siged.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
         struct(j.as("band"),
@@ -115,18 +159,24 @@ object Dedup {
     * character-3-gram Jaccard ≥ 0.6. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.6): DataFrame = {
     val sk = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
       .filter(size(LlmText.words(col("text"))) >= 3)
       .select(col("doc_id"),
         explode(slice(array_sort(transform(LlmText.shingles(col("text")),
           s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = sk.as("a")
       .join(sk.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val g = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), LlmText.charTrigrams(col("text")).as("g3"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(g.as("x"), col("doc_a") === col("x.doc_id"))
       .join(g.as("y"), col("doc_b") === col("y.doc_id"))
@@ -136,19 +186,38 @@ object Dedup {
       .filter(col("jaccard3") >= threshold)
   }
 
+  /** Salt fan-out for the label-blocked join below: parallelism becomes
+    * #labels × SaltBuckets instead of #labels. */
+  val SaltBuckets = 8
+
   /** Embedding-cosine near-dup pairs (d5): label-blocked self-join (the
     * cluster-id analog of ANN bucketing — at 100 TB the block key would come
-    * from s2's LSH signature instead), exact in-order cosine ≥ threshold. */
+    * from s2's LSH signature instead), exact in-order cosine ≥ threshold.
+    *
+    * The block key is low-cardinality (10 labels), so a plain equi-join
+    * would collapse onto 10 tasks regardless of cluster size. Classic
+    * salting fixes the skew: the left side gets salt = vec_id mod S, the
+    * right side is replicated across all S salts, and the join key becomes
+    * (label, salt) — S× replication of one side buys S× parallelism. */
   def embeddingDedup(embeddings: DataFrame,
       threshold: Double = 0.4): DataFrame = {
-    val v = embeddings.select(col("vec_id"), col("label"),
-      VectorOps.asDouble(col("embedding")).as("x"))
-    v.as("a")
-      .join(v.as("b"),
-        col("a.label") === col("b.label") &&
+    // Norms are precomputed per vector (not per pair — that would triple the
+    // pair-stage flops) and materialized behind an exchange.
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+      .transform(Partitioning.spread(_, col("vec_id")))
+    val left = v.withColumn("salt", pmod(col("vec_id"), lit(SaltBuckets)))
+    val right = v.withColumn("salt",
+      explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    left.as("a")
+      .join(right.as("b"),
+        col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        VectorOps.cosine(col("a.x"), col("b.x")).as("cos"))
+        (VectorOps.dot(col("a.x"), col("b.x")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

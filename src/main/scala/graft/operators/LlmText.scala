@@ -25,13 +25,23 @@ object LlmText {
   val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   /** Word 3-gram shingles (distinct), the unit of all n-gram dedup ops.
-    * Empty for docs under 3 words (mirrored by the oracle's WHERE). */
+    * Empty for docs under 3 words (mirrored by the oracle's WHERE).
+    *
+    * Built as zip_with over three shifted slices rather than per-index
+    * element_at: a lambda body re-evaluates everything inside it per
+    * element, so indexing into `split(text)` from within the lambda re-runs
+    * the split 3× per shingle (~7× slower measured); the slice form
+    * evaluates the split once per row. */
   def shingles(text: Column): Column = {
     val ws = words(text)
+    val n = size(ws) - 2
     when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
+      array_distinct(
+        zip_with(
+          zip_with(slice(ws, lit(1), n), slice(ws, lit(2), n),
+            (x, y) => concat(x, lit(" "), y)),
+          slice(ws, lit(3), n),
+          (xy, z) => concat(xy, lit(" "), z))))
       .otherwise(array().cast("array<string>"))
   }
 

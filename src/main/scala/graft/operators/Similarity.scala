@@ -40,19 +40,29 @@ object Similarity {
     }
   }
 
+  /** Vectors with the norm precomputed per vector (not per pair) and
+    * materialized behind an exchange — the exchange doubles as the optimizer
+    * barrier that stops CollapseProject from inlining the norm computation
+    * into every pair-stage reference. */
   private def vecs(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      VectorOps.asDouble(col("embedding")).as("x"))
+    embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"),
+        VectorOps.asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+      .transform(Partitioning.spread(_, col("vec_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Brute-force cosine top-k (s1): queries = vec_id % 100 == 0. */
   def knnBruteForce(embeddings: DataFrame, k: Int = 10): DataFrame = {
     val v = vecs(embeddings)
     val q = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("x").as("qx"))
+      .select(col("vec_id").as("query_id"), col("x").as("qx"),
+        col("nrm").as("qnrm"))
     val scored = broadcast(q)
       .join(v, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VectorOps.cosine(col("qx"), col("x")).as("cos"))
+        (VectorOps.dot(col("qx"), col("x")) /
+          (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -68,8 +78,11 @@ object Similarity {
       (from until from + BandBits).map(i =>
         when(dots(i) > 0, lit(1 << (i - from))).otherwise(lit(0)))
         .reduce(_ + _)
-    v.select(col("vec_id"), col("x"),
+    // Materialized: the 16 hyperplane dots are computed once per vector,
+    // not re-inlined into each band reference / join side.
+    v.select(col("vec_id"), col("x"), col("nrm"),
       pack(0).as("band0"), pack(BandBits).as("band1"))
+      .transform(Partitioning.spread(_, col("vec_id")))
   }
 
   /** LSH-bucketed ANN top-k (s2): candidates share at least one band bucket
@@ -90,12 +103,13 @@ object Similarity {
       .distinct()
     val v = vecs(embeddings)
     val scored = cand
-      .join(v.select(col("vec_id").as("query_id"), col("x").as("qx")),
-        "query_id")
-      .join(v.select(col("vec_id").as("neighbor_id"), col("x").as("nx")),
-        "neighbor_id")
+      .join(v.select(col("vec_id").as("query_id"), col("x").as("qx"),
+        col("nrm").as("qnrm")), "query_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("x").as("nx"),
+        col("nrm").as("nnrm")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("qx"), col("nx")).as("cos"))
+        (VectorOps.dot(col("qx"), col("nx")) /
+          (col("qnrm") * col("nnrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
