@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toDF("doc_id", "text")
+
+  private val base =
+    "spark table scan filter join group agg sort window batch stream merge " +
+      "hash value key row column part order data query fast slow big small"
+
+  test("exactDedup keeps the smallest doc_id per distinct text") {
+    val out = Dedup.exactDedup(docs(1L -> "aaa", 2L -> "bbb", 5L -> "aaa"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhashLsh finds identical and near-identical docs, skips distinct ones") {
+    val nearDup = base.replace("window", "windowpane")
+    val distinct = base.split(" ").reverse.mkString(" ")
+    val out = Dedup.minhashLsh(docs(
+      1L -> base, 2L -> base, 3L -> nearDup, 4L -> distinct), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), "identical pair must be found")
+    assert(out.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "reversed-word doc shares no 3-gram shingles")
+  }
+
+  test("simhash: equal texts hash equal, disjoint vocab differs, 60-bit range") {
+    val out = Dedup.simhash(docs(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "epsilon zeta eta theta iota kappa"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
+  test("ngramJaccard verifies candidates from the bottom-k sketch join") {
+    val nearDup = base + " extra"
+    val out = Dedup.ngramJaccard(docs(1L -> base, 2L -> nearDup), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 2L)
+    assert(out.head._3 > 0.9)
+  }
+
+  test("embeddingDedup: cosine pairs within label blocks, each pair once") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1),
+      (1L, Array(1f, 0f, 0f, 0f), 1),   // identical to 0, same label
+      (2L, Array(0f, 1f, 0f, 0f), 1),   // orthogonal, same label
+      (3L, Array(1f, 0f, 0f, 0f), 2))   // identical but different label
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingDedup(e, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert((out.head._1, out.head._2) == (0L, 1L))
+    assert(math.abs(out.head._3 - 1.0) < 1e-12)
+  }
+}

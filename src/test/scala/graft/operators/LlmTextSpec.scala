@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+class LlmTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("shingles: word 3-grams, distinct, empty under 3 words") {
+    val out = Seq("a b c d", "x y", "p p p p")
+      .toDF("text")
+      .select(LlmText.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("p p p"), "duplicate shingles deduped")
+  }
+
+  test("tokenStats counts ws/distinct/BPE tokens and mean length") {
+    val r = Seq((1L, "ab ab cde, 12"))
+      .toDF("doc_id", "text")
+      .transform(LlmText.tokenStats(_)).head()
+    assert(r.getInt(r.fieldIndex("n_tokens")) == 4)
+    assert(r.getInt(r.fieldIndex("n_distinct_tokens")) == 3)
+    // BPE-ish: [ab][ab][cde][,][12]
+    assert(r.getInt(r.fieldIndex("n_bpe_tokens")) == 5)
+    // (13 chars - 3 separators) / 4 tokens
+    assert(r.getDouble(r.fieldIndex("avg_token_len")) == 10.0 / 4)
+  }
+
+  test("langId scores stopwords and argmaxes with fixed tie-break") {
+    val out = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "le chat et la maison de un chien"),
+      (3L, "der hund und die katze ist ein tier"))
+      .toDF("doc_id", "text")
+      .transform(LlmText.langId(_))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("pred_lang")))
+      .toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "de")
+  }
+
+  test("qualityScore composes ratios with fixed arithmetic") {
+    val text = "the of and in is to a that" // 8 tokens, all en stopwords
+    val r = Seq((1L, text, text.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .transform(LlmText.qualityScore(_)).head()
+    assert(r.getDouble(r.fieldIndex("stopword_ratio")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("punct_ratio")) == 0.0)
+    val mwl = (text.length - 7).toDouble / 8
+    val expected = 0.4 * 1.0 + 0.3 * (1.0 - 0.0) + 0.3 * (math.min(mwl, 8.0) / 8.0)
+    assert(r.getDouble(r.fieldIndex("quality_score")) == expected)
+    assert(r.getBoolean(r.fieldIndex("is_quality")))
+  }
+
+  test("fingerprint: content md5 matches MessageDigest; sketch is stable") {
+    val text = "alpha beta gamma delta epsilon"
+    val r = Seq((1L, text)).toDF("doc_id", "text")
+      .transform(LlmText.fingerprint(_)).head()
+    assert(r.getString(r.fieldIndex("content_md5")) == md5hex(text))
+    val shingleHashes = Seq("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon").map(s => md5hex("f:" + s))
+    assert(r.getString(r.fieldIndex("min_shingle_hash")) == shingleHashes.min)
+    assert(r.getString(r.fieldIndex("bottom4_sketch")) ==
+      shingleHashes.sorted.mkString("|"))
+  }
+}

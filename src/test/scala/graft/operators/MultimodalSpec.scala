@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+import graft.operators.Multimodal.{FakeDecoder, MediaRecord}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def md5hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  private val rec = MediaRecord(7L, Array[Byte](0, 10, 20, 30), "png", 2, 2)
+
+  test("FakeDecoder features are exact functions of the bytes") {
+    val f = FakeDecoder.decode(rec)
+    assert(f.media_id == 7L)
+    assert(f.n_bytes == 4L)
+    assert(f.n_frames == 1L)
+    assert(f.mean_byte == 15.0)
+    assert(f.first_byte == 0)
+  }
+
+  test("decodeFeatures maps partitions with one decoder per partition") {
+    implicit val s = spark
+    import s.implicits._
+    val ds = Seq(rec, rec.copy(media_id = 8L, media = Array.fill(600)(1: Byte)))
+      .toDS().repartition(2)
+    val out = Multimodal.decodeFeatures(ds, () => FakeDecoder)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(7L, 8L))
+    assert(out(1).n_frames == 3L) // ceil(600/256)
+    assert(out(1).mean_byte == 1.0)
+  }
+
+  test("sampleFrames explodes every stride-th byte with frame index") {
+    implicit val s = spark
+    import s.implicits._
+    val ds = Seq(MediaRecord(1L, Array[Byte](5, 6, 7, 8, 9), "wav", 0, 0)).toDS()
+    val frames = Multimodal.sampleFrames(ds, stride = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(frames.toSeq == Seq((0, 5), (1, 7), (2, 9)))
+  }
+
+  test("mediaFeatures: oracle-mirrored projection over documents") {
+    import spark.implicits._
+    val text = "x" * 300
+    val df = Seq((2L, text)).toDF("doc_id", "text")
+    val r = Multimodal.mediaFeatures(df).head()
+    assert(r.getString(r.fieldIndex("format")) == "wav") // (2 % 4) + 1 → 3rd
+    assert(r.getLong(r.fieldIndex("media_len")) == 300L)
+    assert(r.getString(r.fieldIndex("media_md5")) == md5hex(text.getBytes("UTF-8")))
+    assert(r.getString(r.fieldIndex("thumb_md5")) ==
+      md5hex(("x" * 64).getBytes("UTF-8")))
+    assert(r.getLong(r.fieldIndex("n_frames")) == 2L) // (300+255)/256
+  }
+}
