@@ -83,14 +83,26 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
 
   /** Left-outer join + aggregate: customer count and balance per nation,
-    * keeping empty nations. Dimension side broadcast. */
-  def customersPerNation(nation: DataFrame, customer: DataFrame): DataFrame =
-    broadcast(nation)
-      .join(customer, col("n_nationkey") === col("c_nationkey"), "left_outer")
-      .groupBy(col("n_nationkey"), col("n_name"))
+    * keeping empty nations.
+    *
+    * Aggregate-before-join: a LeftOuter join can only broadcast-build its
+    * right side, so joining raw customers would broadcast the FACT table —
+    * fatal at scale. Pre-aggregating customer first shrinks the right side
+    * to one row per nation (map-side partial agg does most of the work),
+    * and the join becomes dimension × tiny aggregate. */
+  def customersPerNation(nation: DataFrame, customer: DataFrame): DataFrame = {
+    val perNation = customer.groupBy(col("c_nationkey"))
       .agg(
-        count(col("c_custkey")).as("n_customers"),
-        dsum(coalesce(col("c_acctbal"), lit(0.0))).as("total_acctbal"))
+        count(col("c_custkey")).as("cnt"),
+        dsum(coalesce(col("c_acctbal"), lit(0.0))).as("tot"))
+    nation
+      .join(broadcast(perNation),
+        col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .select(
+        col("n_nationkey"), col("n_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_customers"),
+        coalesce(col("tot"), lit(0.0)).as("total_acctbal"))
+  }
 
   /** Window ranking: top-N orders per customer by totalprice.
     * One shuffle on custkey; rank evaluated streaming per partition. */
