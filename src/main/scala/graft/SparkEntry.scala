@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, LlmText, Multimodal, PipelineOps,
-  Relational => R, Similarity, Tables => T}
+  Relational => R, Similarity, Tables => T, Temporal}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -47,6 +47,10 @@ object SparkEntry {
     "q16_scalar_funcs" -> ((s, d) => R.scalarFunctions(T.part(s, d))),
     "q17_pivot_conditional" -> ((s, d) => R.statusByPriority(T.orders(s, d))),
     "q18_event_window" -> ((s, d) => R.eventsPerHour(T.events(s, d))),
+    "q19_sessionize" -> ((s, d) => Temporal.sessionize(T.events(s, d))),
+    "q20_exact_median" -> ((s, d) => Temporal.exactMedian(T.orders(s, d))),
+    "q21_asof_join" -> ((s, d) =>
+      Temporal.asofJoin(T.events(s, d), T.orders(s, d))),
     // -- reference pipeline parity ops (SURVEY §2.1-§2.5) --
     "m_safe_json_decode" -> ((s, d) => PipelineOps.safeJsonDecode(T.events(s, d))),
     "m_error_routing" -> ((s, d) => PipelineOps.errorRouting(T.events(s, d))),
@@ -184,6 +188,47 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q19_sessionize" ->
+      """WITH b AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT user_id, event_id, ts, sec,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, sec,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(sec) AS session_start, max(sec) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q20_exact_median" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS median_price,
+        |  max(cnt) AS n_orders
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q21_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    1 AS side, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT),
+        |    0, NULL, o_orderkey
+        |  FROM orders),
+        |m AS (SELECT event_id, k, side,
+        |  last_value(o_orderkey IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY t, side, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_order
+        |  FROM u)
+        |SELECT event_id, k AS user_id, matched_order
+        |FROM m WHERE side = 1""".stripMargin,
     "m_safe_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |  CAST(NULL AS VARCHAR) AS error_code

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: sessionization, exact quantiles, and an as-of join.
+  *
+  * These are the batch forms of capabilities the streaming side gets from
+  * `session_window`/watermarks; written with window functions so the only
+  * shuffle is the partition-by key, and every result is integer/decimal
+  * deterministic for the DuckDB oracle.
+  */
+object Temporal {
+
+  /** Sessionize events per user with an inactivity gap (q19): a session
+    * starts at the first event or after `gapSeconds` of silence. The
+    * classic lag-flag + running-sum formulation: one shuffle on user_id,
+    * two windows over it, then a hash aggregate — scales as events/user,
+    * never materializes per-session state. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sec = unix_timestamp(col("ts"))
+    val newSession = when(
+      lag(sec, 1).over(byUser).isNull ||
+        sec - lag(sec, 1).over(byUser) > gapSeconds, 1).otherwise(0)
+    events
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(sec).as("session_start"),
+        max(sec).as("session_end"))
+  }
+
+  /** Exact median of order totalprice per priority (q20). Approximate
+    * percentiles (HLL-style sketches) are the 100 TB default, but their
+    * values are engine-specific; this is the deterministic exact form:
+    * rank with row_number, average the middle one or two values through
+    * DECIMAL so the result is bit-stable. */
+  def exactMedian(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val n = Window.partitionBy(col("o_orderpriority"))
+    val ranked = orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+    ranked
+      .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long") ||
+        col("rn") === floor((col("cnt") + 2) / 2).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (Relational.dsum(col("o_totalprice")) / count(lit(1)))
+          .as("median_price"),
+        first(col("cnt")).as("n_orders"))
+  }
+
+  /** As-of join (q21): for each event, the most recent order of the same
+    * customer with o_orderdate <= ts. Spark has no native ASOF JOIN; the
+    * scalable composition is the union trick — tag both sides, union,
+    * sort within the key partition by (time, side), and carry the last
+    * non-null order id forward. One shuffle on the key, no range
+    * explosion, no per-key loop: this survives arbitrarily skewed key
+    * frequencies because it's a window, not a join product. */
+  def asofJoin(events: DataFrame, orders: DataFrame): DataFrame = {
+    val e = events.select(
+      col("user_id").as("k"), unix_timestamp(col("ts")).as("t"),
+      lit(1).as("side"), col("event_id"),
+      lit(null).cast("long").as("o_orderkey"))
+    val o = orders.select(
+      col("o_custkey").as("k"), unix_timestamp(col("o_orderdate")).as("t"),
+      lit(0).as("side"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey"))
+    // order rows sort before event rows at equal time → <= semantics;
+    // o_orderkey desc-tie-break keeps "latest order" deterministic when a
+    // customer has several orders on the same timestamp (later key wins,
+    // matching the oracle's ORDER BY).
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("matched_order", last(col("o_orderkey"), ignoreNulls = true)
+        .over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("matched_order"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("sessionize splits on the inactivity gap and counts per session") {
+    val events = Seq(
+      (1L, 10L, ts(0)), (1L, 11L, ts(100)),        // session 1
+      (1L, 12L, ts(100 + 1801)),                   // gap > 1800 → session 2
+      (2L, 20L, ts(50)))                           // other user
+      .toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionize(events, gapSeconds = 1800)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out((1L, 1L)) == (2L, 0L, 100L))
+    assert(out((1L, 2L)) == (1L, 1901L, 1901L))
+    assert(out((2L, 1L)) == (1L, 50L, 50L))
+  }
+
+  test("exactMedian averages the middle pair for even counts") {
+    val orders = Seq(
+      ("HIGH", 10.0, 1L), ("HIGH", 20.0, 2L), ("HIGH", 30.0, 3L), ("HIGH", 40.0, 4L),
+      ("LOW", 5.0, 5L), ("LOW", 7.0, 6L), ("LOW", 100.0, 7L))
+      .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+    val out = Temporal.exactMedian(orders).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("HIGH") == (25.0, 4L)) // avg(20, 30)
+    assert(out("LOW") == (7.0, 3L))   // middle of 3
+  }
+
+  test("asofJoin picks the latest order at or before each event") {
+    val events = Seq((1L, 100L, ts(50)), (1L, 101L, ts(9)), (2L, 102L, ts(50)))
+      .toDF("user_id", "event_id", "ts")
+    val orders = Seq(
+      (1L, 11L, ts(10)), (1L, 12L, ts(40)), (1L, 13L, ts(60)),  // after evt
+      (3L, 31L, ts(0)))                                          // other key
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val out = Temporal.asofJoin(events, orders).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(100L) == 12L, "latest order at t<=50 is 12 (t=40)")
+    assert(out(101L) == -1L, "no order at or before t=9")
+    assert(out(102L) == -1L, "user 2 has no orders")
+  }
+
+  test("asofJoin: order exactly at event time matches (<= semantics)") {
+    val events = Seq((1L, 100L, ts(10))).toDF("user_id", "event_id", "ts")
+    val orders = Seq((1L, 11L, ts(10))).toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val out = Temporal.asofJoin(events, orders).collect()
+    assert(out.head.getLong(2) == 11L)
+  }
+}
