@@ -201,6 +201,7 @@ object Dedup {
     * (label, salt) — S× replication of one side buys S× parallelism. */
   def embeddingDedup(embeddings: DataFrame,
       threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // Norms are precomputed per vector (not per pair — that would triple the
     // pair-stage flops) and materialized behind an exchange.
     val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
@@ -216,7 +217,7 @@ object Dedup {
         col("a.label") === col("b.label") && col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (VectorOps.dot(col("a.x"), col("b.x")) /
+        (graft.functions.GraftFunctions.dot(col("a.x"), col("b.x")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
+import graft.functions.GraftFunctions
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,13 +46,15 @@ object Similarity {
     * materialized behind an exchange — the exchange doubles as the optimizer
     * barrier that stops CollapseProject from inlining the norm computation
     * into every pair-stage reference. */
-  private def vecs(embeddings: DataFrame): DataFrame =
+  private def vecs(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     embeddings.transform(Partitioning.spread(_, col("vec_id")))
       .select(col("vec_id"),
         VectorOps.asDouble(col("embedding")).as("x"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
       .transform(Partitioning.spread(_, col("vec_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Brute-force cosine top-k (s1): queries = vec_id % 100 == 0. */
   def knnBruteForce(embeddings: DataFrame, k: Int = 10): DataFrame = {
@@ -61,7 +65,7 @@ object Similarity {
     val scored = broadcast(q)
       .join(v, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (VectorOps.dot(col("qx"), col("x")) /
+        (GraftFunctions.dot(col("qx"), col("x")) /
           (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -108,7 +112,7 @@ object Similarity {
       .join(v.select(col("vec_id").as("neighbor_id"), col("x").as("nx"),
         col("nrm").as("nnrm")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (VectorOps.dot(col("qx"), col("nx")) /
+        (GraftFunctions.dot(col("qx"), col("nx")) /
           (col("qnrm") * col("nnrm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
