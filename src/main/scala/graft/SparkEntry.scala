@@ -68,6 +68,7 @@ object SparkEntry {
     "d3_simhash" -> ((s, d) => Dedup.simhash(T.documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(T.documents(s, d))),
     "d5_embed_dedup" -> ((s, d) => Dedup.embeddingDedup(T.embeddings(s, d))),
+    "d6_source_sketch" -> ((s, d) => Dedup.sourceSketch(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
@@ -377,6 +378,16 @@ object SparkEntry {
         |   sqrt(list_reduce(list_transform(range(1,65), i -> b.x[i] * b.x[i]), (p,q) -> p + q))) AS cos
         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+    "d6_source_sketch" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |h AS (SELECT DISTINCT source, md5('f:' || unnest(s)) AS h FROM sh),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+        |SELECT source, string_agg(h, '|' ORDER BY h) AS sketch
+        |FROM r WHERE rn <= 4 GROUP BY source""".stripMargin,
     "s1_knn_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -186,6 +186,22 @@ object Dedup {
       .filter(col("jaccard3") >= threshold)
   }
 
+  /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
+    * shingle hashes per group via the typed BottomKSketch Aggregator —
+    * partial aggregation keeps the shuffle at k values per group, the
+    * scalable way to estimate cross-source overlap without pairwise work. */
+  def sourceSketch(documents: DataFrame, k: Int = 4): DataFrame = {
+    val sketch = udaf(graft.functions.BottomKSketch(k))
+    documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(LlmText.words(col("text"))) >= 3)
+      .select(col("source"),
+        explode(transform(LlmText.shingles(col("text")),
+          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+      .groupBy(col("source"))
+      .agg(sketch(col("h")).as("sketch"))
+  }
+
   /** Salt fan-out for the label-blocked join below: parallelism becomes
     * #labels × SaltBuckets instead of #labels. */
   val SaltBuckets = 8
