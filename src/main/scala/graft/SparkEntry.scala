@@ -51,6 +51,9 @@ object SparkEntry {
     "q20_exact_median" -> ((s, d) => Temporal.exactMedian(T.orders(s, d))),
     "q21_asof_join" -> ((s, d) =>
       Temporal.asofJoin(T.events(s, d), T.orders(s, d))),
+    // sketch-valued → no SQL oracle; driver records a rows-only check
+    "q22_approx_stats" -> ((s, d) =>
+      R.approxStats(T.orders(s, d), T.lineitem(s, d))),
     // -- reference pipeline parity ops (SURVEY §2.1-§2.5) --
     "m_safe_json_decode" -> ((s, d) => PipelineOps.safeJsonDecode(T.events(s, d))),
     "m_error_routing" -> ((s, d) => PipelineOps.errorRouting(T.events(s, d))),

@@ -181,6 +181,22 @@ object Relational {
       round(col("p_retailprice") * 1.1, 2).as("price_up"),
       when(col("p_size") >= 25, "large").otherwise("small").as("size_class"))
 
+  /** Approximate distinct counts + percentiles (q22): the sketch-based
+    * forms that replace exact distinct/median at 100 TB —
+    * approx_count_distinct is HyperLogLog++ (fixed-size mergeable sketch,
+    * map-side combined), approx_percentile a mergeable quantile summary.
+    * Values are engine-specific, so the driver records a rows-only check
+    * (no DuckDB oracle); the exact twins q13/q20 carry the value check. */
+  def approxStats(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+
   /** Pivot via conditional aggregation: order count per status × priority
     * (columns fixed so schema is static — the scalable form of pivot). */
   def statusByPriority(orders: DataFrame): DataFrame =
