@@ -65,6 +65,8 @@ object SparkEntry {
     "x2_lang_id" -> ((s, d) => LlmText.langId(T.documents(s, d))),
     "x3_quality_score" -> ((s, d) => LlmText.qualityScore(T.documents(s, d))),
     "x4_fingerprint" -> ((s, d) => LlmText.fingerprint(T.documents(s, d))),
+    "x5_rolling_fingerprint" -> ((s, d) =>
+      LlmText.rollingFingerprint(T.documents(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -75,6 +77,7 @@ object SparkEntry {
     // -- LLM-data-pipeline ops: similarity search --
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
+    "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
@@ -306,6 +309,22 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS content_md5, hs[1] AS min_shingle_hash,
         |  array_to_string(hs[1:4], '|') AS bottom4_sketch
         |FROM h""".stripMargin,
+    "x5_rolling_fingerprint" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(md5('r:' || x), c, 1)) <= 57
+        |           THEN ascii(substr(md5('r:' || x), c, 1)) - 48
+        |           ELSE ascii(substr(md5('r:' || x), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT)) AS varr
+        |  FROM ws WHERE len(w) >= 4),
+        |r AS (SELECT doc_id, list_transform(range(1, len(varr) - 2), i ->
+        |    ((((varr[i] * 131 + varr[i+1]) % 1000000007) * 131 + varr[i+2])
+        |      % 1000000007 * 131 + varr[i+3]) % 1000000007) AS roll
+        |  FROM f)
+        |SELECT doc_id, len(roll) AS n_windows, list_min(roll) AS min_window_hash,
+        |  len(list_distinct(roll)) AS n_distinct_windows
+        |FROM r""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies
@@ -418,6 +437,34 @@ object SparkEntry {
         |cand AS (SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id
         |  FROM sig q JOIN sig s ON (q.band0 = s.band0 OR q.band1 = s.band1)
         |  WHERE q.vec_id % 100 = 0 AND s.vec_id <> q.vec_id GROUP BY 1, 2),
+        |p AS (SELECT query_id, neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        |  FROM cand JOIN v q ON q.vec_id = query_id JOIN v c ON c.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin,
+    "s3_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, x AS cx FROM v WHERE vec_id % 50 = 0),
+        |ac AS (SELECT a.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> a.x[i] * c.cx[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.x[i] * a.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.cx[i] * c.cx[i]), (p,q) -> p + q))) AS ccos
+        |  FROM v a, cent c),
+        |asg AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM ac) WHERE rn <= 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM ac WHERE vec_id % 100 = 0) WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, s.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg s ON p.cent_id = s.cent_id
+        |  WHERE s.vec_id <> p.query_id GROUP BY 1, 2),
         |p AS (SELECT query_id, neighbor_id,
         |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
         |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *

@@ -126,6 +126,48 @@ object LlmText {
       (score >= 0.5).as("is_quality"))
   }
 
+  /** Rabin–Karp rolling-hash parameters: H(w1..w4) = ((v1·B + v2)·B + v3)·B
+    * + v4 (mod P), each step reduced mod P so the widest product is
+    * (P-1)·B + 2^28 < 2^38 — overflow-free in both engines. */
+  val RollB = 131L
+  val RollP = 1000000007L
+  val RollK = 4
+
+  /** 28-bit word value from md5("r:" + word) — same per-hex-char arithmetic
+    * the DuckDB oracle reproduces. */
+  private def wordVal(w: Column): Column = {
+    val hx = md5(concat(lit("r:"), w).cast("binary"))
+    def hv(c: Int): Column = {
+      val a = ascii(hx.substr(lit(c), lit(1)))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    (1 to 7).map(hv).reduce((acc, v) => acc * 16 + v).cast("long")
+  }
+
+  /** Rolling-hash document fingerprint (x5): Rabin–Karp over 4-word
+    * windows, winnowing-style min sample + distinct-window count. Built
+    * with zip_with over shifted slices (one pass per row, no per-element
+    * re-evaluation) — a pure projection at any scale. */
+  def rollingFingerprint(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val varr = transform(ws, w => wordVal(w))
+    val m = size(ws) - (RollK - 1)
+    def shifted(i: Int): Column = slice(varr, lit(i), m)
+    val roll = zip_with(
+      zip_with(
+        zip_with(shifted(1), shifted(2),
+          (a, b) => pmod(a * RollB + b, lit(RollP))),
+        shifted(3), (ab, c) => pmod(ab * RollB + c, lit(RollP))),
+      shifted(4), (abc, d) => pmod(abc * RollB + d, lit(RollP)))
+    documents
+      .filter(size(ws) >= RollK)
+      .select(
+        col("doc_id"),
+        size(roll).as("n_windows"),
+        array_min(roll).as("min_window_hash"),
+        size(array_distinct(roll)).as("n_distinct_windows"))
+  }
+
   /** Document fingerprinting (x4): whole-content md5, min-hashed shingle
     * (winnowing-style min-sample), and a bottom-4 shingle sketch — the join
     * key family for near-dup candidate generation at scale. */

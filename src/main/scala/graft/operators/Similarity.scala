@@ -89,6 +89,55 @@ object Similarity {
       .transform(Partitioning.spread(_, col("vec_id")))
   }
 
+  /** IVF-style ANN (s3): data-sampled centroids (vec_id % CentroidEvery ==
+    * 0), every vector assigned to its best cell by cosine, queries probe
+    * their NProbe best cells, exact re-rank inside the probed cells.
+    *
+    * Scale shape: the centroid set is small and broadcast, so assignment
+    * is a map-side n×k scoring pass (no shuffle of the corpus beyond the
+    * cell grouping), and search cost drops from n to n·(nprobe/k). At
+    * 100 TB the centroid sample would come from k-means — the plumbing
+    * (broadcast assign → cell equi-join → re-rank) is identical. */
+  val CentroidEvery = 50
+  val NProbe = 2
+
+  def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val v = vecs(embeddings)
+    val cent = v.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("x").as("cx"),
+        col("nrm").as("cnrm"))
+    def bestCells(side: DataFrame, n: Int): DataFrame = {
+      val scored = side
+        .join(broadcast(cent))
+        .select(col("vec_id"), col("cent_id"),
+          (GraftFunctions.dot(col("x"), col("cx")) /
+            (col("nrm") * col("cnrm"))).as("ccos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col("vec_id"), col("cent_id"))
+    }
+    val cells = bestCells(v, 1)
+    val probes = bestCells(v.filter(col("vec_id") % 100 === 0), NProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = probes.join(cells, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(v.select(col("vec_id").as("query_id"), col("x").as("qx"),
+        col("nrm").as("qnrm")), "query_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("x").as("nx"),
+        col("nrm").as("nnrm")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.dot(col("qx"), col("nx")) /
+          (col("qnrm") * col("nnrm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k (s2): candidates share at least one band bucket
     * with the query; exact cosine re-rank, top-k per query. */
   def annLsh(embeddings: DataFrame, k: Int = 5): DataFrame = {
