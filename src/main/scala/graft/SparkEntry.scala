@@ -81,6 +81,9 @@ object SparkEntry {
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
+    // byte-level decode features → no SQL oracle; rows-only check
+    "mm2_decoded_features" -> ((s, d) =>
+      Multimodal.decodedFeatures(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are

@@ -75,6 +75,35 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_byte")
   }
 
+  /** "Resize": stride-sampled thumbnail bytes — the byte-level stand-in for
+    * image downscaling (same plumbing shape: binary in, smaller binary out,
+    * pure function, no shuffle). */
+  def resize(media: Array[Byte], stride: Int): Array[Byte] =
+    if (media == null) null
+    else media.indices.by(stride).map(media).toArray
+
+  /** Typed decode pipeline over the documents table: text → MediaRecord
+    * (utf-8 payload, deterministic fake metadata) → FakeDecoder features.
+    * The mapPartitions batch shape is the real contract — swap FakeDecoder
+    * for a codec-backed MediaDecoder in production. Sketch-free numeric
+    * output, but byte-level features aren't SQL-expressible in the oracle,
+    * so the driver records a rows-only check. */
+  def decodedFeatures(documents: DataFrame): DataFrame = {
+    implicit val spark: SparkSession = documents.sparkSession
+    import spark.implicits._
+    val records = documents
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(4)).cast("int").as("f"))
+      .as[(Long, String, Int)]
+      .map { case (id, text, f) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRecord(id, bytes, Seq("png", "jpeg", "wav", "mp4")(f),
+          width = bytes.length, height = 1)
+      }
+    decodeFeatures(records, () => FakeDecoder)
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+  }
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

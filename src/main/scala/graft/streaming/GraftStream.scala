@@ -201,19 +201,22 @@ object GraftStream extends Logging {
       _.key, seqFn, (old, nw) => isUpdated(old.value.get, nw.value.get))
       .map { case (k, env) => env.copy(key = k) }
 
-    val errQ = invalid.writeStream
-      .queryName(s"${conf.applicationId}-delta-errors")
-      .option("checkpointLocation", checkpointOrTemp(conf) + "/errors")
-      .foreachBatch { (b: Dataset[Envelope[T]], _: Long) =>
-        errorSink(toErrorRecords(b, conf.applicationId)); ()
-      }.trigger(trigger).start()
-    logInfo(s"started error branch ${errQ.name}")
-
-    deduped.writeStream
+    // ONE streaming query, like the reference's one topology: the stateless
+    // invalid branch is unioned with the stateful dedup output and routed in
+    // a single foreachBatch. Two separate queries would each consume the
+    // Kafka source independently — double the broker reads and two
+    // divergent offset trackers.
+    deduped.union(invalid).writeStream
       .queryName(s"${conf.applicationId}-delta")
-      .option("checkpointLocation", checkpointOrTemp(conf) + "/main")
+      .option("checkpointLocation", checkpointOrTemp(conf))
       .foreachBatch { (b: Dataset[Envelope[T]], _: Long) =>
-        outputSink(b.toDF()); ()
+        b.persist()
+        try {
+          outputSink(b.filter((e: Envelope[T]) => e.isValid).toDF())
+          errorSink(toErrorRecords(
+            b.filter((e: Envelope[T]) => e.isInvalid), conf.applicationId))
+        } finally b.unpersist()
+        ()
       }.trigger(trigger).start()
   }
 

@@ -42,6 +42,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq == Seq((0, 5), (1, 7), (2, 9)))
   }
 
+  test("resize stride-samples the payload deterministically") {
+    assert(Multimodal.resize(Array[Byte](1, 2, 3, 4, 5), 2).toSeq ==
+      Seq[Byte](1, 3, 5))
+    assert(Multimodal.resize(null, 2) == null)
+  }
+
+  test("decodedFeatures runs the typed decode pipeline over documents") {
+    import spark.implicits._
+    val docs = Seq((0L, "hello"), (1L, "x" * 300)).toDF("doc_id", "text")
+    val out = Multimodal.decodedFeatures(docs)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getString(r.fieldIndex("format")), r.getLong(r.fieldIndex("n_bytes")),
+          r.getLong(r.fieldIndex("n_frames")))).toMap
+    assert(out(0L) == ("png", 5L, 1L))
+    assert(out(1L) == ("jpeg", 300L, 2L))
+  }
+
   test("mediaFeatures: oracle-mirrored projection over documents") {
     import spark.implicits._
     val text = "x" * 300
