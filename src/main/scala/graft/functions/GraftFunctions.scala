@@ -27,6 +27,11 @@ object GraftFunctions {
           new ExpressionInfo(classOf[DotProduct].getName, name), builder)
       }
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteVectorHof)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorHof
+    }
   }
 
   /** Column API over the native expressions (requires registration —
@@ -45,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (cs: Seq[Expression]) => CosineSimilarity(cs(0), cs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHof)
   }
 }
