@@ -4,6 +4,7 @@ import graft.operators.{Dedup, LlmText, Multimodal, PipelineOps,
   Relational => R, Similarity, Tables => T, Temporal}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +55,15 @@ object SparkEntry {
     // sketch-valued → no SQL oracle; driver records a rows-only check
     "q22_approx_stats" -> ((s, d) =>
       R.approxStats(T.orders(s, d), T.lineitem(s, d))),
+    // custom LogicalPlan+Strategy+SparkPlan: heap-based per-key top-k
+    "q23_topk_custom" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.plans.TopK.perKey(
+        T.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    }),
     // -- reference pipeline parity ops (SURVEY §2.1-§2.5) --
     "m_safe_json_decode" -> ((s, d) => PipelineOps.safeJsonDecode(T.events(s, d))),
     "m_error_routing" -> ((s, d) => PipelineOps.errorRouting(T.events(s, d))),
@@ -239,6 +249,12 @@ object SparkEntry {
         |  FROM u)
         |SELECT event_id, k AS user_id, matched_order
         |FROM m WHERE side = 1""".stripMargin,
+    "q23_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "m_safe_json_decode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |  CAST(NULL AS VARCHAR) AS error_code

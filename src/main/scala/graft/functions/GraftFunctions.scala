@@ -32,6 +32,11 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorHof
     }
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
   }
 
   /** Column API over the native expressions (requires registration —
@@ -51,5 +56,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (cs: Seq[Expression]) => CosineSimilarity(cs(0), cs(1))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteVectorHof)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
