@@ -52,6 +52,7 @@ object SparkEntry {
     "q20_exact_median" -> ((s, d) => Temporal.exactMedian(T.orders(s, d))),
     "q21_asof_join" -> ((s, d) =>
       Temporal.asofJoin(T.events(s, d), T.orders(s, d))),
+    "q24_range_join" -> ((s, d) => Temporal.rangeJoinCount(T.events(s, d))),
     // sketch-valued → no SQL oracle; driver records a rows-only check
     "q22_approx_stats" -> ((s, d) =>
       R.approxStats(T.orders(s, d), T.lineitem(s, d))),
@@ -249,6 +250,11 @@ object SparkEntry {
         |  FROM u)
         |SELECT event_id, k AS user_id, matched_order
         |FROM m WHERE side = 1""".stripMargin,
+    "q24_range_join" ->
+      """SELECT a.event_id, count(*) - 1 AS n_close
+        |FROM events a JOIN events b ON a.event_type = b.event_type
+        |  AND b.value >= a.value AND b.value < a.value + 0.5
+        |GROUP BY a.event_id""".stripMargin,
     "q23_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -59,6 +59,35 @@ object Temporal {
         first(col("cnt")).as("n_orders"))
   }
 
+  /** Range join (q24): for each event, how many events of the same type
+    * have a value in [v, v + width).
+    *
+    * A naive range join is a nested-loop product; the scalable form
+    * bucketizes the range dimension: targets land in bucket floor(v/width),
+    * each probe explodes to its own and the next bucket (an interval of
+    * length `width` spans at most one boundary), the join is an equi-join
+    * on (type, bucket), and the exact range predicate filters the
+    * candidates. Work scales with true pair density, not n². The probe row
+    * always matches itself, so `count - 1` also covers zero-neighbor events
+    * without a left join back. */
+  def rangeJoinCount(events: DataFrame, width: Double = 0.5): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"), col("value"))
+    val probes = e.withColumn("bucket",
+      explode(array(floor(col("value") / width),
+        floor(col("value") / width) + 1)))
+    val targets = e.select(
+      col("event_type").as("t_type"), col("value").as("t_value"),
+      floor(col("value") / width).as("bucket"))
+    probes
+      .join(targets,
+        col("event_type") === col("t_type") &&
+          probes("bucket") === targets("bucket") &&
+          col("t_value") >= col("value") &&
+          col("t_value") < col("value") + width)
+      .groupBy(col("event_id"))
+      .agg((count(lit(1)) - 1).as("n_close"))
+  }
+
   /** As-of join (q21): for each event, the most recent order of the same
     * customer with o_orderdate <= ts. Spark has no native ASOF JOIN; the
     * scalable composition is the union trick — tag both sides, union,
