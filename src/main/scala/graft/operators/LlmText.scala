@@ -150,22 +150,26 @@ object LlmText {
     * re-evaluation) — a pure projection at any scale. */
   def rollingFingerprint(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val varr = transform(ws, w => wordVal(w))
-    val m = size(ws) - (RollK - 1)
-    def shifted(i: Int): Column = slice(varr, lit(i), m)
+    // word values materialized behind an exchange: the rolling combine
+    // references the array via four shifted slices, which would otherwise
+    // re-inline the md5 chain 4× per row (see Dedup's shingle hashing).
+    val based = documents
+      .filter(size(ws) >= RollK)
+      .select(col("doc_id"), transform(ws, w => wordVal(w)).as("varr"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    val m = size(col("varr")) - (RollK - 1)
+    def shifted(i: Int): Column = slice(col("varr"), lit(i), m)
     val roll = zip_with(
       zip_with(
         zip_with(shifted(1), shifted(2),
           (a, b) => pmod(a * RollB + b, lit(RollP))),
         shifted(3), (ab, c) => pmod(ab * RollB + c, lit(RollP))),
       shifted(4), (abc, d) => pmod(abc * RollB + d, lit(RollP)))
-    documents
-      .filter(size(ws) >= RollK)
-      .select(
-        col("doc_id"),
-        size(roll).as("n_windows"),
-        array_min(roll).as("min_window_hash"),
-        size(array_distinct(roll)).as("n_distinct_windows"))
+    based.select(
+      col("doc_id"),
+      size(roll).as("n_windows"),
+      array_min(roll).as("min_window_hash"),
+      size(array_distinct(roll)).as("n_distinct_windows"))
   }
 
   /** Document fingerprinting (x4): whole-content md5, min-hashed shingle
