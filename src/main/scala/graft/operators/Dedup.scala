@@ -122,6 +122,49 @@ object Dedup {
     jac.filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup cluster decisions (d7): connected components over the
+    * MinHash-LSH pair graph, each doc labeled with its component's minimum
+    * doc_id and a keep/drop decision (keep = the representative).
+    *
+    * Iterative min-label propagation: every round each node takes the min
+    * of its own and its neighbors' labels; converged when nothing changes
+    * (detected with a count per round), which is exactly the transitive-
+    * closure minimum the oracle computes with a recursive CTE. Rounds are
+    * bounded by component diameter — near-dup clusters are tiny (pairs to
+    * dozens), so a handful of shuffle rounds; truly giant components would
+    * use the large-star/small-star variant with the same join shapes. */
+  def nearDupComponents(documents: DataFrame,
+      threshold: Double = 0.7, maxIter: Int = 15): DataFrame = {
+    val pairs = minhashLsh(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lab", col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(comp, edges("dst") === comp("doc"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val next = comp.join(neighborMin, comp("doc") === neighborMin("src"),
+          "left_outer")
+        .select(comp("doc"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(comp.as("c"), col("n.doc") === col("c.doc"))
+        .filter(col("n.lab") =!= col("c.lab")).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      i += 1
+    }
+    comp.select(col("doc").as("doc_id"), col("lab").as("cluster_rep"),
+      (col("doc") === col("lab")).as("keep"))
+  }
+
   /** Hex-char value (0..15) at 1-based position c of a hex string. */
   private def hexVal(hx: Column, c: Column): Column = {
     val a = ascii(hx.substr(c, lit(1)))

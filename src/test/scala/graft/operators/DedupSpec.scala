@@ -63,4 +63,20 @@ class DedupSpec extends SparkSpec {
     assert((out.head._1, out.head._2) == (0L, 1L))
     assert(math.abs(out.head._3 - 1.0) < 1e-12)
   }
+
+  test("nearDupComponents: clusters get the min doc_id as representative") {
+    // 1≈2≈3 via chained near-dup edits, 4 unrelated
+    val nearA = base
+    val nearB = base.replace("window", "windowpane")
+    val nearC = base.replace("window", "windowpane").replace("slow", "slower")
+    val distinct = base.split(" ").reverse.mkString(" ")
+    val out = Dedup.nearDupComponents(
+      docs(1L -> nearA, 2L -> nearB, 3L -> nearC, 4L -> distinct), 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet.subsetOf(Set(1L, 2L, 3L)), "doc 4 joins no pairs")
+    assert(out(1L) == (1L, true))
+    out.get(2L).foreach(v => assert(v == (1L, false)))
+    out.get(3L).foreach(v => assert(v._2 == false))
+  }
 }
