@@ -165,6 +165,19 @@ object Dedup {
       (col("doc") === col("lab")).as("keep"))
   }
 
+  /** Apply dedup decisions (d8): drop every non-representative member of a
+    * near-dup cluster and report the surviving corpus per source — the
+    * left-anti join against the (small) drop list is the standard shape for
+    * applying a dedup pass to a 100 TB corpus. */
+  def dedupApply(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val drops = nearDupComponents(documents, threshold)
+      .filter(!col("keep")).select(col("doc_id"))
+    documents
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"))
+  }
+
   /** Hex-char value (0..15) at 1-based position c of a hex string. */
   private def hexVal(hx: Column, c: Column): Column = {
     val a = ascii(hx.substr(c, lit(1)))
