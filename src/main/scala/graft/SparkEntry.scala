@@ -78,6 +78,7 @@ object SparkEntry {
     "x4_fingerprint" -> ((s, d) => LlmText.fingerprint(T.documents(s, d))),
     "x5_rolling_fingerprint" -> ((s, d) =>
       LlmText.rollingFingerprint(T.documents(s, d))),
+    "x6_text_clean" -> ((s, d) => LlmText.cleanText(T.documents(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -353,6 +354,19 @@ object SparkEntry {
         |SELECT doc_id, len(roll) AS n_windows, list_min(roll) AS min_window_hash,
         |  len(list_distinct(roll)) AS n_distinct_windows
         |FROM r""".stripMargin,
+    "x6_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS clean_text,
+        |  length(text) AS len_raw,
+        |  length(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS len_clean,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS DOUBLE) / length(text) AS retained_ratio
+        |FROM documents""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

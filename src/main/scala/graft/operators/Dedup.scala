@@ -236,6 +236,13 @@ object Dedup {
     cand
       .join(g.as("x"), col("doc_a") === col("x.doc_id"))
       .join(g.as("y"), col("doc_b") === col("y.doc_id"))
+      // length-ratio prefilter: j >= t implies |A| >= t·|B| and vice versa
+      // (|A∩B| <= |A|, |A∪B| >= |B|), so this prunes candidates with a
+      // cheap size comparison before the expensive set intersection without
+      // changing the result set.
+      .filter(
+        size(col("x.g3")).cast("double") >= lit(threshold) * size(col("y.g3")) &&
+          size(col("y.g3")).cast("double") >= lit(threshold) * size(col("x.g3")))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("x.g3"), col("y.g3"))).cast("double") /
           size(array_union(col("x.g3"), col("y.g3")))).as("jaccard3"))

@@ -172,6 +172,23 @@ object LlmText {
       size(array_distinct(roll)).as("n_distinct_windows"))
   }
 
+  /** Text cleaning (x6): the normalization pass that precedes dedup and
+    * tokenization in a training-data pipeline — lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim.
+    * Pure regexp projection; emits before/after lengths so filtering rules
+    * ("cleaning removed >50% of the doc") compose downstream. */
+  def cleanText(documents: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents.select(
+      col("doc_id"),
+      cleaned.as("clean_text"),
+      length(col("text")).as("len_raw"),
+      length(cleaned).as("len_clean"),
+      (length(cleaned).cast("double") / length(col("text")))
+        .as("retained_ratio"))
+  }
+
   /** Document fingerprinting (x4): whole-content md5, min-hashed shingle
     * (winnowing-style min-sample), and a bottom-4 shingle sketch — the join
     * key family for near-dup candidate generation at scale. */
