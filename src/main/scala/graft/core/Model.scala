@@ -61,7 +61,8 @@ case class Envelope[T](
     topic: String,
     partition: Int,
     offset: Long,
-    timestamp: java.sql.Timestamp) {
+    timestamp: java.sql.Timestamp,
+    headers: Seq[(String, Array[Byte])] = Seq.empty) {
   def isValid: Boolean = error.isEmpty
   def isInvalid: Boolean = error.nonEmpty
   def withError(e: GraftError): Envelope[T] = copy(error = Some(e))

@@ -49,6 +49,8 @@ case class DotProduct(left: Expression, right: Expression)
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        // null element → null result, matching zip_with+aggregate exactly
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getDouble(i) * y.getDouble(i)
         i += 1
       }
@@ -68,9 +70,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -97,6 +100,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getDouble(i)
         val yv = y.getDouble(i)
         dot += xv * yv
@@ -124,11 +128,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $xv = $x.getDouble($i);
          |    final double $yv = $y.getDouble($i);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -66,6 +66,8 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     child.execute().mapPartitions { it =>
+      if (limit <= 0) Iterator.empty
+      else {
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
       // max-heap by the output ordering: head = current worst of the kept k
@@ -84,6 +86,7 @@ case class TopKPerKeyExec(
       }
       heaps.iterator.flatMap { case (_, heap) =>
         heap.dequeueAll.reverseIterator
+      }
       }
     }
   }

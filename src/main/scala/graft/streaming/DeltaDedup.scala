@@ -43,8 +43,13 @@ object DeltaDedup {
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
       ttlMs: Long = -1L)(
       implicit pairEnc: Encoder[(K, T)]): Dataset[(K, T)] = {
+    // ttlMs implies processing-time timeouts — deriving the mode here keeps
+    // the API from permitting ttl + NoTimeout, which would throw at runtime
+    // on the first setTimeoutDuration call.
+    val effectiveTimeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else timeout
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState[T, (K, T)](OutputMode.Append, timeout) {
+      .flatMapGroupsWithState[T, (K, T)](OutputMode.Append, effectiveTimeout) {
         (key: K, it: Iterator[T], state: GroupState[T]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -52,10 +57,11 @@ object DeltaDedup {
           } else {
             val out = foldGroup(key, it, seqFn, isUpdated,
               if (state.exists) Some(state.get) else None,
-              (v: T) => {
-                state.update(v)
-                if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-              })
+              (v: T) => state.update(v))
+            // TTL re-arms on EVERY batch that touches the key — including
+            // batches of suppressed duplicates — so a hot key's state never
+            // expires mid-stream (expiry would re-emit its next duplicate).
+            if (ttlMs > 0 && state.exists) state.setTimeoutDuration(ttlMs)
             out.iterator
           }
       }

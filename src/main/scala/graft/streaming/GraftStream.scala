@@ -46,8 +46,12 @@ object GraftStream extends Logging {
       .option("startingOffsets", conf.startingOffsets)
       .option("includeHeaders", "true")
       .option("kafka.isolation.level", "read_committed")
+    // Options pass through verbatim: Spark-level source options
+    // (maxOffsetsPerTrigger, failOnDataLoss, minPartitions, …) have no
+    // prefix, Kafka consumer configs are written with their `kafka.` prefix
+    // by the caller — auto-prefixing would make the former unreachable.
     conf.extraSourceOptions.foldLeft(base) { case (b, (k, v)) =>
-      b.option(if (k.startsWith("kafka.")) k else s"kafka.$k", v)
+      b.option(k, v)
     }.load()
   }
 
@@ -71,13 +75,25 @@ object GraftStream extends Logging {
       decodeFn: Array[Byte] => Either[GraftError, T])(
       implicit enc: Encoder[Envelope[T]]): Dataset[Envelope[T]] = {
     import df.sparkSession.implicits._
-    df.select($"key".cast("string").as("key"), $"value", $"topic",
-        $"partition", $"offset", $"timestamp")
-      .as[(String, Array[Byte], String, Int, Long, java.sql.Timestamp)]
-      .map { case (key, raw, topic, part, off, ts) =>
+    // Carry the source record's own Kafka headers through the envelope —
+    // the error sink merges its diagnostics ONTO them (flush semantics,
+    // KafkaErrorToHeaderBuilder.java:68-80) instead of discarding them.
+    val headersCol =
+      if (df.columns.contains("headers"))
+        transform(col("headers"), h => struct(
+          h.getField("key").as("_1"), h.getField("value").as("_2")))
+      else array().cast("array<struct<_1:string,_2:binary>>")
+    df.select(col("key").cast("string").as("key"), col("value"), col("topic"),
+        col("partition"), col("offset"), col("timestamp"),
+        headersCol.as("headers"))
+      .as[(String, Array[Byte], String, Int, Long, java.sql.Timestamp,
+        Seq[(String, Array[Byte])])]
+      .map { case (key, raw, topic, part, off, ts, hs) =>
         decodeFn(raw) match {
-          case Right(v) => Envelope[T](key, Some(v), None, raw, topic, part, off, ts)
-          case Left(e)  => Envelope[T](key, None, Some(e), raw, topic, part, off, ts)
+          case Right(v) =>
+            Envelope[T](key, Some(v), None, raw, topic, part, off, ts, hs)
+          case Left(e) =>
+            Envelope[T](key, None, Some(e), raw, topic, part, off, ts, hs)
         }
       }
   }
@@ -98,7 +114,9 @@ object GraftStream extends Logging {
             case Some(err) => env.withError(err)
             case None      => env
           } catch {
-            case t: Throwable =>
+            // NonFatal only: fatal JVM errors and task-cancellation
+            // interrupts must propagate, not become error-topic records
+            case scala.util.control.NonFatal(t) =>
               env.withError(GraftError.fromThrowable(t,
                 ErrorCodes.FailedToProcessRecord,
                 s"Failed to process record: ${t.getMessage}",
@@ -122,13 +140,29 @@ object GraftStream extends Logging {
     val reserialized = reserialize
       .map(f => f(col("value")).cast("binary"))
       .getOrElse(lit(null).cast("binary"))
+    val existing = transform(col("headers"), h => struct(
+      h.getField("_1").as("key"), h.getField("_2").as("value")))
     df.filter(err.isNotNull).select(
       col("key"),
       coalesce(err.getField("rawBytes"), col("rawValue"), reserialized,
         lit(Array.emptyByteArray)).as("value"),
-      ErrorHeaders.build(applicationId, err, col("topic"), col("partition"),
-        col("offset"), col("timestamp").cast("timestamp")).as("headers"))
+      ErrorHeaders.mergeOnto(existing,
+        ErrorHeaders.build(applicationId, err, col("topic"), col("partition"),
+          col("offset"), col("timestamp").cast("timestamp"))).as("headers"))
   }
+
+  /** Project the valid side to Kafka sink records: string key, serialized
+    * value bytes, original headers — the output-topic counterpart of
+    * [[toErrorRecords]] (kafkaSink consumes exactly this shape). */
+  def toOutputRecords[T](
+      ds: Dataset[Envelope[T]],
+      serialize: Column => Column): DataFrame =
+    ds.toDF().filter(col("error").isNull).select(
+      col("key"),
+      serialize(col("value")).cast("binary").as("value"),
+      transform(col("headers"), h => struct(
+        h.getField("_1").as("key"), h.getField("_2").as("value")))
+        .as("headers"))
 
   type Column = org.apache.spark.sql.Column
 
@@ -186,7 +220,8 @@ object GraftStream extends Logging {
         case Some(v) if env.isValid =>
           try env.copy(key = keyFn(v))
           catch {
-            case t: Throwable => env.withError(GraftError.fromThrowable(t,
+            case scala.util.control.NonFatal(t) =>
+              env.withError(GraftError.fromThrowable(t,
               ErrorCodes.FailedToReadOrWriteStateStore,
               "Something went wrong while reading or writing to state store: " +
                 t.getMessage,
@@ -222,14 +257,22 @@ object GraftStream extends Logging {
 
   private def checkpointOrTemp(conf: GraftConf): String =
     if (conf.checkpointLocation.nonEmpty) conf.checkpointLocation
-    else java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    else {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+      logWarning(s"no checkpointLocation configured for " +
+        s"${conf.applicationId}; using temp dir $tmp — offsets and dedup " +
+        "state will NOT survive a restart (fine for tests, wrong for " +
+        "production)")
+      tmp
+    }
 
   /** Lifecycle decorator — S3 (KafkaStreamsDecorator.java:24-37): log the
     * plan, fail fast on query failure (the reference kills the JVM so the
     * orchestrator reschedules, README.md:123), close on shutdown.
     */
   def startAndAwait(query: StreamingQuery, exitOnFailure: Boolean = true): Unit = {
-    logInfo(s"streaming query started: ${query.name}\n${query.explain()}")
+    logInfo(s"streaming query started: ${query.name} (id=${query.id})")
+    query.explain() // prints the physical plan (returns Unit)
     sys.addShutdownHook { if (query.isActive) query.stop() }
     try query.awaitTermination()
     catch {

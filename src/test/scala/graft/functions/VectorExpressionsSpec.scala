@@ -38,6 +38,16 @@ class VectorExpressionsSpec extends SparkSpec {
       lit(null).cast("array<double>"))).head().isNullAt(0))
   }
 
+  test("null ELEMENTS yield null, exactly like the HOF form") {
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(2.0), Some(4.0), Some(6.0))))
+      .toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("nd"),
+      VectorOps.dot(col("a"), col("b")).as("hd"),
+      GraftFunctions.cosine(col("a"), col("b")).as("nc")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val expected = 24.0

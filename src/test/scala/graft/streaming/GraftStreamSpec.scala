@@ -111,6 +111,21 @@ class GraftStreamSpec extends SparkSpec {
     assert(out.error.get.stackTrace.contains("IllegalArgumentException"))
   }
 
+  test("toErrorRecords merges diagnostics onto the record's own headers") {
+    import org.apache.spark.sql.Row
+    val err = GraftError("m", ErrorCodes.FailedToProcessRecord,
+      "java.io.IOException", "x", null, "Dummy", null)
+    val env = Envelope[Dummy]("k", None, Some(err), "raw".getBytes, "t", 0, 1L,
+      new Timestamp(0), Seq("trace.id" -> "abc".getBytes("UTF-8"),
+        H.Topic -> "stale-topic".getBytes("UTF-8")))
+    val out = GraftStream.toErrorRecords(Seq(env).toDS(), "app").head()
+    val hs = out.getSeq[Row](out.fieldIndex("headers")).map(h =>
+      h.getString(0) -> new String(h.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(hs("trace.id") == "abc", "user headers survive")
+    assert(hs(H.Topic) == "t", "stale error header flushed and rewritten")
+    assert(hs(H.ApplicationCode) == ErrorCodes.FailedToProcessRecord)
+  }
+
   test("delta pipeline end-to-end: dedup + re-key + error routing") {
     GraftStreamSpec.errorRows.clear()
     val outRows = new ConcurrentLinkedQueue[Row]()
