@@ -60,4 +60,9 @@ class TopKPerKeySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaTopK == viaWindow)
   }
+
+  test("k <= 0 yields an empty result like row_number() <= 0") {
+    assert(TopK.perKey(orders, Seq(col("cust")),
+      Seq(col("price").desc), 0).count() == 0)
+  }
 }
