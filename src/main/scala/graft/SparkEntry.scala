@@ -221,8 +221,8 @@ object SparkEntry {
         |       THEN 1 ELSE 0 END AS is_new
         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, event_id, sec,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(sec) AS session_start, max(sec) AS session_end

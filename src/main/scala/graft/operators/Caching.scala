@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cache-lifecycle bracket for operators whose pipeline reads a shared
+  * intermediate several times (shingle sets, normalized vectors) but whose
+  * result is orders of magnitude smaller (candidate pairs, top-k lists).
+  *
+  * The intermediates are persisted for the duration of the operator, the
+  * result is materialized eagerly — `localCheckpoint` truncates lineage so
+  * the result no longer references the intermediates — and the intermediates
+  * are released in a `finally`. Operator calls therefore leave no cached
+  * blocks behind: repeated calls in a long-lived session (or a 47-query
+  * bench run) do not accumulate storage memory, and no plan can silently
+  * recompute the expensive intermediate because the cache was dropped early.
+  *
+  * The checkpointed result blocks themselves are owned by the returned
+  * DataFrame's RDD and are reclaimed by the ContextCleaner once the caller
+  * drops the reference — unlike `CacheManager` entries, they hold no strong
+  * root.
+  *
+  * Contract: use only when the operator's OUTPUT is small relative to the
+  * intermediates (dedup pair lists, per-query top-k, per-group sketches).
+  * `localCheckpoint` is not fault-tolerant to executor loss; for a
+  * multi-tenant 100 TB job prefer `spark.sparkContext.setCheckpointDir` +
+  * reliable `checkpoint` via [[Caching.reliable]].
+  */
+object Caching {
+
+  /** Persist `intermediates`, evaluate `result`, eagerly materialize it with
+    * lineage truncation, release the intermediates. */
+  def withPersisted(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
+    intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    try result.localCheckpoint(true)
+    finally intermediates.foreach(_.unpersist(false))
+  }
+
+  /** Same bracket with a reliable (checkpoint-dir) materialization — survives
+    * executor loss, for long multi-stage jobs on real clusters. Requires
+    * `spark.sparkContext.setCheckpointDir` to have been called. */
+  def reliable(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
+    intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    try result.checkpoint(true)
+    finally intermediates.foreach(_.unpersist(false))
+  }
+}

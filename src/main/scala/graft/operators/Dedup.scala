@@ -86,10 +86,11 @@ object Dedup {
     // affine family reads `bases` as data precisely so md5 runs once per
     // shingle). An explicit persist is the robust barrier: MEMORY_AND_DISK
     // spills rather than OOMs, and the footprint is O(corpus shingles) —
-    // the same data a shuffle would have written anyway.
+    // the same data a shuffle would have written anyway. The persist lives
+    // only for the duration of this call (Caching bracket).
     val sh = docShingles(documents)
       .withColumn("bases", transform(col("sh"), s => shingleBase(s)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caching.withPersisted(sh) {
     val siged = sh
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(MinHashK - 1)), k =>
@@ -120,6 +121,7 @@ object Dedup {
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
           size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
     jac.filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Near-dup cluster decisions (d7): connected components over the
@@ -135,6 +137,8 @@ object Dedup {
     * use the large-star/small-star variant with the same join shapes. */
   def nearDupComponents(documents: DataFrame,
       threshold: Double = 0.7, maxIter: Int = 15): DataFrame = {
+    // minhashLsh returns an eagerly materialized pair list, so the loop's
+    // repeated actions never re-run the LSH pipeline.
     val pairs = minhashLsh(documents, threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
@@ -161,8 +165,23 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    comp.select(col("doc").as("doc_id"), col("lab").as("cluster_rep"),
-      (col("doc") === col("lab")).as("keep"))
+    if (!converged) {
+      // Labels are still correct per-round minimums but NOT the component
+      // minimum: a chain with diameter > maxIter yields labels that diverge
+      // from the transitive closure. Surface it loudly — a silent wrong
+      // answer in a dedup pass drops the wrong documents.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupComponents did NOT converge within $maxIter rounds; " +
+          "component labels are incomplete. Raise maxIter or switch to the " +
+          "large-star/small-star formulation for giant components.")
+    }
+    val result = comp.select(col("doc").as("doc_id"),
+        col("lab").as("cluster_rep"),
+        (col("doc") === col("lab")).as("keep"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    comp.unpersist(false)
+    result
   }
 
   /** Apply dedup decisions (d8): drop every non-representative member of a
@@ -221,18 +240,17 @@ object Dedup {
         explode(slice(array_sort(transform(LlmText.shingles(col("text")),
           s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
       .transform(Partitioning.spread(_, col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = sk.as("a")
-      .join(sk.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val g = documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), LlmText.charTrigrams(col("text")).as("g3"))
       .transform(Partitioning.spread(_, col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caching.withPersisted(sk, g) {
+    val cand = sk.as("a")
+      .join(sk.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     cand
       .join(g.as("x"), col("doc_a") === col("x.doc_id"))
       .join(g.as("y"), col("doc_b") === col("y.doc_id"))
@@ -247,6 +265,7 @@ object Dedup {
         (size(array_intersect(col("x.g3"), col("y.g3"))).cast("double") /
           size(array_union(col("x.g3"), col("y.g3")))).as("jaccard3"))
       .filter(col("jaccard3") >= threshold)
+    }
   }
 
   /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import graft.functions.GraftFunctions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * product. Hyperplane entries are ±1 derived from md5 parity so the DuckDB
   * oracle reproduces the identical signature (shared public randomness
   * instead of a seeded RNG).
+  *
+  * Re-ranks go through the heap-based [[graft.plans.TopK.perKey]] operator
+  * (O(n log k) per partition, no full sort of the losers); the `rank` column
+  * is added by a window over the ALREADY-REDUCED k·q rows, which reuses the
+  * top-k exec's hash clustering — so the expensive sort the window
+  * formulation would have done over all scored pairs never happens.
+  *
+  * Cache lifecycle: each operator persists the normalized-vector frame for
+  * its own duration only (Caching.withPersisted) and returns an eagerly
+  * materialized result — no cached blocks outlive the call.
   */
 object Similarity {
 
@@ -45,7 +55,8 @@ object Similarity {
   /** Vectors with the norm precomputed per vector (not per pair) and
     * materialized behind an exchange — the exchange doubles as the optimizer
     * barrier that stops CollapseProject from inlining the norm computation
-    * into every pair-stage reference. */
+    * into every pair-stage reference. NOT persisted here: operators bracket
+    * it with Caching.withPersisted for their own duration. */
   private def vecs(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     embeddings.transform(Partitioning.spread(_, col("vec_id")))
@@ -53,32 +64,39 @@ object Similarity {
         VectorOps.asDouble(col("embedding")).as("x"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
       .transform(Partitioning.spread(_, col("vec_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Heap top-k per query + rank column over the reduced k·q rows. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("neighbor_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
   }
 
   /** Brute-force cosine top-k (s1): queries = vec_id % 100 == 0. */
   def knnBruteForce(embeddings: DataFrame, k: Int = 10): DataFrame = {
     val v = vecs(embeddings)
-    val q = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("x").as("qx"),
-        col("nrm").as("qnrm"))
-    val scored = broadcast(q)
-      .join(v, col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (GraftFunctions.dot(col("qx"), col("x")) /
-          (col("qnrm") * col("nrm"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Caching.withPersisted(v) {
+      val q = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm"))
+      val scored = broadcast(q)
+        .join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      topKPerQuery(scored, k)
+    }
   }
 
-  /** Per-vector LSH band buckets: band 0 packs sign bits of planes 0..7,
-    * band 1 planes 8..15. Exposed for reuse/testing. */
-  def withBands(embeddings: DataFrame): DataFrame = {
-    val v = vecs(embeddings)
+  /** LSH band buckets for a prepared vector frame: band 0 packs sign bits of
+    * planes 0..7, band 1 planes 8..15. */
+  private def bandsOf(v: DataFrame): DataFrame = {
     val dots = (0 until NumPlanes).map(i =>
       VectorOps.dot(col("x"), typedlit(planeSigns(i))))
-    def pack(from: Int): org.apache.spark.sql.Column =
+    def pack(from: Int): Column =
       (from until from + BandBits).map(i =>
         when(dots(i) > 0, lit(1 << (i - from))).otherwise(lit(0)))
         .reduce(_ + _)
@@ -88,6 +106,9 @@ object Similarity {
       pack(0).as("band0"), pack(BandBits).as("band1"))
       .transform(Partitioning.spread(_, col("vec_id")))
   }
+
+  /** Per-vector LSH band buckets. Exposed for reuse/testing. */
+  def withBands(embeddings: DataFrame): DataFrame = bandsOf(vecs(embeddings))
 
   /** IVF-style ANN (s3): data-sampled centroids (vec_id % CentroidEvery ==
     * 0), every vector assigned to its best cell by cosine, queries probe
@@ -103,59 +124,34 @@ object Similarity {
 
   def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val v = vecs(embeddings)
-    val cent = v.filter(col("vec_id") % CentroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("x").as("cx"),
-        col("nrm").as("cnrm"))
-    def bestCells(side: DataFrame, n: Int): DataFrame = {
-      val scored = side
-        .join(broadcast(cent))
-        .select(col("vec_id"), col("cent_id"),
-          (GraftFunctions.dot(col("x"), col("cx")) /
-            (col("nrm") * col("cnrm"))).as("ccos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .select(col("vec_id"), col("cent_id"))
+    Caching.withPersisted(v) {
+      val cent = v.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cent_id"), col("x").as("cx"),
+          col("nrm").as("cnrm"))
+      def bestCells(side: DataFrame, n: Int): DataFrame = {
+        val scored = side
+          .join(broadcast(cent))
+          .select(col("vec_id"), col("cent_id"),
+            (GraftFunctions.dot(col("x"), col("cx")) /
+              (col("nrm") * col("cnrm"))).as("ccos"))
+        graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+          Seq(col("ccos").desc, col("cent_id")), n)
+          .select(col("vec_id"), col("cent_id"))
+      }
+      val cells = bestCells(v, 1)
+      val probes = bestCells(v.filter(col("vec_id") % 100 === 0), NProbe)
+        .withColumnRenamed("vec_id", "query_id")
+      val cand = probes.join(cells, "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      topKPerQuery(rescored(cand, v), k)
     }
-    val cells = bestCells(v, 1)
-    val probes = bestCells(v.filter(col("vec_id") % 100 === 0), NProbe)
-      .withColumnRenamed("vec_id", "query_id")
-    val cand = probes.join(cells, "cent_id")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-    val scored = cand
-      .join(v.select(col("vec_id").as("query_id"), col("x").as("qx"),
-        col("nrm").as("qnrm")), "query_id")
-      .join(v.select(col("vec_id").as("neighbor_id"), col("x").as("nx"),
-        col("nrm").as("nnrm")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        (GraftFunctions.dot(col("qx"), col("nx")) /
-          (col("qnrm") * col("nnrm"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN top-k (s2): candidates share at least one band bucket
-    * with the query; exact cosine re-rank, top-k per query. */
-  def annLsh(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val sig = withBands(embeddings)
-    val bands = sig.select(col("vec_id"),
-      explode(array(
-        struct(lit(0).as("bi"), col("band0").as("bucket")),
-        struct(lit(1).as("bi"), col("band1").as("bucket")))).as("b"))
-      .select(col("vec_id"), col("b.bi").as("bi"), col("b.bucket").as("bucket"))
-    val qb = bands.filter(col("vec_id") % 100 === 0)
-      .withColumnRenamed("vec_id", "query_id")
-    val cand = qb.join(bands,
-        qb("bi") === bands("bi") && qb("bucket") === bands("bucket") &&
-          col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-    val v = vecs(embeddings)
-    val scored = cand
+  /** Exact cosine for a candidate-pair frame against the vector frame. */
+  private def rescored(cand: DataFrame, v: DataFrame): DataFrame =
+    cand
       .join(v.select(col("vec_id").as("query_id"), col("x").as("qx"),
         col("nrm").as("qnrm")), "query_id")
       .join(v.select(col("vec_id").as("neighbor_id"), col("x").as("nx"),
@@ -163,8 +159,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (GraftFunctions.dot(col("qx"), col("nx")) /
           (col("qnrm") * col("nnrm"))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+
+  /** LSH-bucketed ANN top-k (s2): candidates share at least one band bucket
+    * with the query; exact cosine re-rank, top-k per query. One vector frame
+    * is threaded through the band build AND the re-rank (single persist). */
+  def annLsh(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val v = vecs(embeddings)
+    Caching.withPersisted(v) {
+      val bands = bandsOf(v).select(col("vec_id"),
+        explode(array(
+          struct(lit(0).as("bi"), col("band0").as("bucket")),
+          struct(lit(1).as("bi"), col("band1").as("bucket")))).as("b"))
+        .select(col("vec_id"), col("b.bi").as("bi"),
+          col("b.bucket").as("bucket"))
+      // Explicit aliases on BOTH sides: `bands` appears twice, and
+      // dataframe-reference conditions (qb("bi") === bands("bi")) resolve to
+      // a trivially-true self-comparison under plan changes. The string-path
+      // form is the only robust self-join condition.
+      val qb = bands.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("bi"), col("bucket"))
+      val cand = qb.as("q").join(bands.as("c"),
+          col("q.bi") === col("c.bi") &&
+            col("q.bucket") === col("c.bucket") &&
+            col("q.query_id") =!= col("c.vec_id"))
+        .select(col("q.query_id").as("query_id"),
+          col("c.vec_id").as("neighbor_id"))
+        .distinct()
+      topKPerQuery(rescored(cand, v), k)
+    }
   }
 }
