@@ -23,7 +23,12 @@ object Bench {
     // machinery) so the first measured query isn't charged for JVM startup.
     SparkEntry.queries.get("q1_agg").foreach(fn =>
       try run(fn) catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional subset for local iteration: SPARK_GRAFT_ONLY=d3_simhash,q1_agg
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

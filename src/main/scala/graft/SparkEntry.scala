@@ -274,14 +274,17 @@ object SparkEntry {
         |  COUNT(CASE WHEN value < 10.0 THEN 1 END) AS n_invalid,
         |  COUNT(CASE WHEN NOT (value < 10.0) THEN 1 END) AS n_valid
         |FROM events GROUP BY event_type""".stripMargin,
+    // The lifted set is the reference's HeaderTo 8 (HeaderTo.java:73-82):
+    // target class, application code/id, exception message/stacktrace,
+    // topic, application message, exception class.
     "m_headers_roundtrip" ->
       """SELECT event_id,
-        |  'graft-app' AS error_source_application_id,
-        |  CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS error_source_timestamp,
-        |  'events' AS error_source_topic,
-        |  CAST(event_id % 4 AS VARCHAR) AS error_source_partition,
-        |  CAST(event_id AS VARCHAR) AS "error_source_partition_offset",
+        |  'graft.operators.EventRow' AS error_source_target_class,
         |  'FAILED_TO_PROCESS_RECORD' AS error_source_application_code,
+        |  'graft-app' AS error_source_application_id,
+        |  'boom' AS error_source_exception_message,
+        |  CAST(NULL AS VARCHAR) AS error_source_exception_stack_trace,
+        |  'events' AS error_source_topic,
         |  'Failed to process event ' || event_id AS error_source_application_message,
         |  'java.io.IOException' AS error_source_exception_class
         |FROM events WHERE event_type = 'error'""".stripMargin,

@@ -95,10 +95,13 @@ object ErrorHeaderNames {
     Offset, ApplicationCode, ApplicationMessage, TargetClass,
     ExceptionStackTrace, ExceptionMessage, ExceptionClass)
 
-  /** The 8 headers the reference's Connect SMT lifts to struct fields
-    * (HeaderTo.java:73-82). */
-  val liftedByHeaderTo: Seq[String] = Seq(ApplicationId, Timestamp, Topic,
-    Partition, Offset, ApplicationCode, ApplicationMessage, ExceptionClass)
+  /** The 8 headers the reference's Connect SMT lifts to struct fields, in
+    * the reference's declaration order (HeaderTo.java:73-82): target class,
+    * application code/id, exception message/stacktrace, topic, application
+    * message, exception class. Timestamp/partition/offset are NOT lifted. */
+  val liftedByHeaderTo: Seq[String] = Seq(TargetClass, ApplicationCode,
+    ApplicationId, ExceptionMessage, ExceptionStackTrace, Topic,
+    ApplicationMessage, ExceptionClass)
 }
 
 /** Pipeline configuration, the Spark-side analog of the reference's
@@ -116,6 +119,45 @@ case class GraftConf(
     outputTopic: String = "",
     startFromEarliest: Boolean = true,
     checkpointLocation: String = "",
+    // Kafka security plumbing, first-class like the reference's
+    // (KafkaPropertiesBuilder.java:43-67, KafkaCommonProperties.java:11-16) —
+    // every production consumer of the reference sets these. Empty = unset.
+    securityProtocol: String = "",
+    saslMechanism: String = "",
+    saslJaasConfig: String = "",
+    sslEndpointIdentificationAlgorithm: String = "",
+    // Schema-registry governance (KafkaPropertiesBuilder.java:44-55). These
+    // configure the Avro serde resolver (graft.serde.SafeAvro), not the Kafka
+    // transport — carried here so ONE conf object configures the whole
+    // pipeline, like the reference's property POJOs.
+    schemaRegistryUrl: String = "",
+    schemaRegistryBasicAuthUserInfo: String = "",
+    basicAuthCredentialsSource: String = "",
+    schemaAutoRegister: Boolean = false,
+    // Per-record logging interceptor analogs, off by default like the
+    // reference's enable flags (KafkaPropertiesBuilder.java:77-82).
+    enabledConsumerRecordLogging: Boolean = false,
+    enabledProducerRecordLogging: Boolean = false,
+    // Producer tuning with the reference's defaults applied when unset
+    // (KafkaPropertiesBuilder.java:93-104).
+    requestTimeoutMs: Option[Int] = None,
+    connectionsMaxIdleMs: Option[Int] = None,
     extraSourceOptions: Map[String, String] = Map.empty) {
   def startingOffsets: String = if (startFromEarliest) "earliest" else "latest"
+
+  /** The `kafka.`-prefixed client options derived from the security fields;
+    * applied to both the source and the sink (the reference sets them on the
+    * shared common properties). Unset fields are omitted entirely so Spark's
+    * Kafka connector never sees an empty-string config. */
+  def kafkaClientOptions: Map[String, String] =
+    Seq(
+      "kafka.security.protocol" -> securityProtocol,
+      "kafka.sasl.mechanism" -> saslMechanism,
+      "kafka.sasl.jaas.config" -> saslJaasConfig,
+      "kafka.ssl.endpoint.identification.algorithm" ->
+        sslEndpointIdentificationAlgorithm)
+      .filter(_._2.nonEmpty).toMap ++
+      requestTimeoutMs.map(v => "kafka.request.timeout.ms" -> v.toString) ++
+      connectionsMaxIdleMs.map(v =>
+        "kafka.connections.max.idle.ms" -> v.toString)
 }

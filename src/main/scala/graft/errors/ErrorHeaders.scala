@@ -40,7 +40,10 @@ object ErrorHeaders {
       timestamp: Column): Column = {
     val hs = Seq(
       header(ApplicationId, lit(applicationId)),
-      header(Timestamp, timestamp.cast("long").cast("string")),
+      // epoch MILLIS, matching the reference's ctx.timestamp()
+      // (KafkaErrorToHeaderBuilder.java:47) — downstream error-topic
+      // consumers parse this as a Kafka record timestamp.
+      header(Timestamp, unix_millis(timestamp).cast("string")),
       header(Topic, topic.cast("string")),
       header(Partition, partition.cast("string")),
       header(Offset, offset.cast("string")),
@@ -64,10 +67,13 @@ object ErrorHeaders {
     concat(kept, errorHeaders)
   }
 
-  /** Extract one header's (last) value as a string column. */
+  /** Extract one header's (last) value as a string column; null when the
+    * header is absent (`element_at(arr, -1)` THROWS on an empty array —
+    * `lastWithName` in the SMT returns null, HeaderTo.java:60-63). */
   def headerValue(headers: Column, name: String): Column = {
     val matches = filter(headers, h => h.getField("key") === lit(name))
-    element_at(matches, -1).getField("value").cast("string")
+    when(size(matches) > 0, element_at(matches, -1).getField("value"))
+      .cast("string")
   }
 
   /** The `HeaderTo`-equivalent projection (HeaderTo.java:34-98): lift the 8
@@ -85,5 +91,22 @@ object ErrorHeaders {
       headerValue(col(headersCol), n).as(n.replace('.', '_'))
     }
     df.select(col("*") +: lifted: _*).drop(headersCol)
+  }
+
+  /** The `HeaderTo$Key` variant (HeaderTo.java:123-151): extend a STRUCT
+    * column (the record key in Connect) with the 8 header-derived fields
+    * instead of the top level, then drop the consumed headers column. The
+    * reference operates on the key Struct; here any struct column can be
+    * the target. */
+  def headersToStructColumn(
+      df: DataFrame,
+      structCol: String,
+      headersCol: String = "headers",
+      names: Seq[String] = liftedByHeaderTo): DataFrame = {
+    val lifted = names.map { n =>
+      headerValue(col(headersCol), n).as(n.replace('.', '_'))
+    }
+    df.withColumn(structCol, struct(col(s"$structCol.*") +: lifted: _*))
+      .drop(headersCol)
   }
 }

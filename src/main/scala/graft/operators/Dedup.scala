@@ -203,24 +203,32 @@ object Dedup {
     when(a <= 57, a - 48).otherwise(a - 87)
   }
 
-  /** ±1 contribution of each of the 60 bits of md5("w:" + word) (first 15
-    * hex chars; bit b lives at hex char b/4, bit-in-char b%4). */
-  private def wordBits(w: Column): Column =
-    flatten(transform(sequence(lit(1), lit(15)), c => {
-      val v = hexVal(md5(concat(lit("w:"), w).cast("binary")), c)
-      array((0 to 3).map(j =>
-        shiftright(v, j).bitwiseAND(lit(1)) * 2 - 1): _*)
-    }))
+  /** The 16 possible ±1 vote vectors of a hex char's 4 bits, as a constant
+    * lookup table — votes(v)(j) = 2·bit_j(v) − 1. */
+  private val hexVotes: Seq[Seq[Int]] =
+    (0 to 15).map(v => (0 to 3).map(j => ((v >> j) & 1) * 2 - 1))
+
+  /** ±1 contribution of each of the 60 bits of an md5 hex string (first 15
+    * hex chars; bit b lives at hex char b/4, bit-in-char b%4). Takes the
+    * ALREADY-COMPUTED hex column: HOF lambdas re-evaluate their body per
+    * element with no common-subexpression elimination, so computing the md5
+    * inside this function would hash every word 15 times. */
+  private def hexBits(hx: Column): Column =
+    flatten(transform(sequence(lit(1), lit(15)), c =>
+      element_at(typedlit(hexVotes), (hexVal(hx, c) + 1).cast("int"))))
 
   /** SimHash fingerprint (d3): 60-bit signature per document, computed in a
     * single projection — per-word ±1 bit votes accumulated with
     * aggregate/zip_with, then packed into a long. Integer-only arithmetic →
-    * bit-exact across engines; no shuffle at any scale. */
+    * bit-exact across engines; no shuffle at any scale. One md5 per word
+    * (hashed in a first transform pass), bit votes via constant-table
+    * lookup. */
   def simhash(documents: DataFrame): DataFrame = {
-    val ws = LlmText.words(col("text"))
-    val counts = aggregate(ws,
+    val hexes = transform(LlmText.words(col("text")),
+      w => md5(concat(lit("w:"), w).cast("binary")))
+    val counts = aggregate(hexes,
       array_repeat(lit(0), 60),
-      (acc, w) => zip_with(acc, wordBits(w), (x, y) => x + y))
+      (acc, hx) => zip_with(acc, hexBits(hx), (x, y) => x + y))
     val packed = aggregate(
       zip_with(counts, sequence(lit(0), lit(59)), (cnt, b) =>
         when(cnt > 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))),

@@ -84,4 +84,71 @@ object SafeAvro {
       new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
     case _ => java.math.BigDecimal.ZERO
   }
+
+  /** Spark's DecimalType caps precision at 38 digits. */
+  val SparkMaxDecimalPrecision = 38
+
+  /** Decimal-overflow policy for Avro logical decimals whose declared
+    * precision exceeds Spark's cap — e.g. the reference's `decimal(64,0)`
+    * field (dummy-avro-record.avsc:26-38), which Java's unbounded BigDecimal
+    * represents but a Spark row cannot.
+    *
+    * POLICY (documented per SURVEY §7.4.3): values that FIT in 38 digits
+    * decode exactly to DecimalType(38, scale); values that need more digits
+    * are NOT silently truncated or rounded — the decode returns Left and the
+    * pipeline routes the record to the error topic with its raw bytes, per
+    * the never-lose-a-record contract. Truncation would corrupt data
+    * silently; a string-carry side channel would fork the schema. Callers
+    * that genuinely need >38-digit identifiers should model them as strings
+    * at the schema level.
+    */
+  def decimalCapped(v: Any, scale: Int,
+      targetClass: String): Either[GraftError, java.math.BigDecimal] = {
+    val d = byteBufferToBigDecimal(v, scale)
+    if (d.precision <= SparkMaxDecimalPrecision) Right(d)
+    else Left(GraftError(
+      s"Decimal value exceeds Spark's ${SparkMaxDecimalPrecision}-digit cap " +
+        s"(precision ${d.precision}); refusing to truncate",
+      ErrorCodes.FailedToDeserializeRecord,
+      classOf[ArithmeticException].getName,
+      s"decimal overflow: precision ${d.precision} > $SparkMaxDecimalPrecision",
+      null, targetClass, null))
+  }
+
+  /** D3 analog — the Avro member of the serde-pair builder family
+    * (VavrSafeSerdesBuilder.buildForAvro, VavrSafeSerdesBuilder.java:17-23):
+    * compose the never-throw decode (D1) and the wire-format encode (D2) for
+    * one record type. `decodeFn` plugs straight into
+    * `GraftStream.decodeEnvelope`, `encodeFn` into
+    * `GraftStream.toOutputRecordsTyped` (and doubles as the sourceRecord
+    * re-serializer of the error path's fallback chain).
+    *
+    * @param fromRecord map the GenericRecord to the pipeline's case class
+    *                   (the analog of SpecificRecord codegen); a throw here
+    *                   is caught into the invalid side
+    * @param toRecord   inverse mapping for the output path
+    */
+  final case class SerdePair[T](
+      decodeFn: Array[Byte] => Either[GraftError, T],
+      encodeFn: T => Array[Byte])
+
+  def serdePair[T](
+      resolver: SchemaResolver,
+      readerSchemaJson: String,
+      writeSchemaId: Int,
+      targetClass: String,
+      fromRecord: GenericRecord => Either[GraftError, T],
+      toRecord: T => GenericRecord): SerdePair[T] = SerdePair(
+    decodeFn = bytes =>
+      decode(bytes, resolver, readerSchemaJson, targetClass).flatMap { rec =>
+        try fromRecord(rec).left.map(e =>
+          if (e.rawBytes == null) e.copy(rawBytes = bytes) else e)
+        catch {
+          case t: Throwable =>
+            Left(GraftError.fromThrowable(t,
+              ErrorCodes.FailedToDeserializeRecord,
+              s"Failed to map record to $targetClass", targetClass, bytes))
+        }
+      },
+    encodeFn = t => encode(toRecord(t), writeSchemaId))
 }

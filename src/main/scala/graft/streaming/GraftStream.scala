@@ -46,26 +46,30 @@ object GraftStream extends Logging {
       .option("startingOffsets", conf.startingOffsets)
       .option("includeHeaders", "true")
       .option("kafka.isolation.level", "read_committed")
-    // Options pass through verbatim: Spark-level source options
+    // First-class SASL/SSL plumbing (KafkaPropertiesBuilder.java:43-67),
+    // then verbatim passthrough: Spark-level source options
     // (maxOffsetsPerTrigger, failOnDataLoss, minPartitions, …) have no
     // prefix, Kafka consumer configs are written with their `kafka.` prefix
     // by the caller — auto-prefixing would make the former unreachable.
-    conf.extraSourceOptions.foldLeft(base) { case (b, (k, v)) =>
-      b.option(k, v)
-    }.load()
+    (conf.kafkaClientOptions ++ conf.extraSourceOptions)
+      .foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+      .load()
   }
 
   /** A Kafka sink writer for foreachBatch routing — S2. The producer
     * partitions by the `key` column, which is how the reference's re-keying
     * repartitions without an internal topic (RecordKeyProcessor.java:9). */
-  def kafkaSink(conf: GraftConf, topic: String): DataFrame => Unit = { df =>
-    df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")
-      .write.format("kafka")
-      .option("kafka.bootstrap.servers", conf.bootstrapServers)
-      .option("topic", topic)
-      .option("includeHeaders", "true")
-      .save()
-  }
+  def kafkaSink(conf: GraftConf, topic: String): DataFrame => Unit =
+    RecordLog.producerLogging(topic, conf.enabledProducerRecordLogging) { df =>
+      val base = df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", conf.bootstrapServers)
+        .option("topic", topic)
+        .option("includeHeaders", "true")
+      conf.kafkaClientOptions.foldLeft(base) { case (b, (k, v)) =>
+        b.option(k, v)
+      }.save()
+    }
 
   /** Decode a Kafka-shaped DataFrame into `Dataset[Envelope[T]]` with a
     * caller-supplied safe decoder (JSON: SafeJson.decode column; Avro:
@@ -164,6 +168,23 @@ object GraftStream extends Logging {
         h.getField("_1").as("key"), h.getField("_2").as("value")))
         .as("headers"))
 
+  /** Typed twin of [[toOutputRecords]] for serializers that are Scala
+    * functions rather than column expressions — the Avro wire-format encode
+    * (SafeAvro.SerdePair.encodeFn) needs the 5-byte Confluent prefix that no
+    * built-in column function writes. */
+  def toOutputRecordsTyped[T](
+      ds: Dataset[Envelope[T]],
+      encodeFn: T => Array[Byte]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter((e: Envelope[T]) => e.isValid)
+      .map(env => (env.key, encodeFn(env.value.get), env.headers))
+      .toDF("key", "value", "headers")
+      .select(col("key"), col("value"),
+        transform(col("headers"), h => struct(
+          h.getField("_1").as("key"), h.getField("_2").as("value")))
+          .as("headers"))
+  }
+
   type Column = org.apache.spark.sql.Column
 
   /** The simple pipeline (§3.1): decode → process → route errors.
@@ -183,7 +204,8 @@ object GraftStream extends Logging {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
         try {
-          val decoded = decodeEnvelope(batch)(decodeFn)
+          val decoded = RecordLog.consumerLogging(
+            conf.enabledConsumerRecordLogging)(decodeEnvelope(batch)(decodeFn))
           val processed = processValid(decoded)(process)
           errorSink(toErrorRecords(processed, conf.applicationId))
         } finally batch.unpersist()
@@ -212,7 +234,8 @@ object GraftStream extends Logging {
       implicit enc: Encoder[Envelope[T]],
       pairEnc: Encoder[(String, Envelope[T])]): StreamingQuery = {
     import source.sparkSession.implicits._
-    val decoded = decodeEnvelope(source)(decodeFn)
+    val decoded = RecordLog.consumerLogging(
+      conf.enabledConsumerRecordLogging)(decodeEnvelope(source)(decodeFn))
     // Re-key on the business key (T3); key-extraction exceptions flip the
     // envelope invalid, like the reference's catch-all (TransformerBuilder.java:145).
     val rekeyed = decoded.map { env =>

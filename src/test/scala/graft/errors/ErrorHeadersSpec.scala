@@ -35,7 +35,8 @@ class ErrorHeadersSpec extends SparkSpec {
     assert(m(H.Topic) == "topic-a")
     assert(m(H.Partition) == "3")
     assert(m(H.Offset) == "42")
-    assert(m(H.Timestamp) == "1704164645")
+    // epoch MILLIS like ctx.timestamp() (KafkaErrorToHeaderBuilder.java:47)
+    assert(m(H.Timestamp) == "1704164645000")
     assert(m(H.ApplicationCode) == "FAILED_TO_PROCESS_RECORD")
     assert(m(H.ApplicationMessage) == "boom msg")
     assert(m(H.TargetClass) == "graft.Dummy")
@@ -61,18 +62,44 @@ class ErrorHeadersSpec extends SparkSpec {
     assert(keys.count(_ == H.Topic) == 1, "stale copy must be flushed")
   }
 
-  test("headersToColumns lifts 8 headers to underscore columns and drops headers") {
+  test("headersToColumns lifts the reference's 8 headers and drops headers") {
     val fresh = ErrorHeaders.build("app-1", errStruct,
       lit("t"), lit(0), lit(7L), lit("2024-01-01 00:00:00").cast("timestamp"))
     val df = Seq(1).toDF("x").select(lit(5L).as("event_id"), fresh.as("headers"))
     val lifted = ErrorHeaders.headersToColumns(df)
     assert(!lifted.columns.contains("headers"))
-    assert(lifted.columns.toSet.contains("error_source_application_id"))
+    // exactly the HeaderTo.java:73-82 set: no timestamp/partition/offset
+    assert(lifted.columns.toSet == Set("event_id",
+      "error_source_target_class", "error_source_application_code",
+      "error_source_application_id", "error_source_exception_message",
+      "error_source_exception_stack_trace", "error_source_topic",
+      "error_source_application_message", "error_source_exception_class"))
     val row = lifted.select("error_source_application_id", "error_source_topic",
-      "error_source_partition_offset", "error_source_exception_class").head()
+      "error_source_target_class", "error_source_exception_class",
+      "error_source_exception_stack_trace").head()
     assert(row.getString(0) == "app-1")
     assert(row.getString(1) == "t")
-    assert(row.getString(2) == "7")
+    assert(row.getString(2) == "graft.Dummy")
     assert(row.getString(3) == "java.io.IOException")
+    assert(row.isNullAt(4), "absent header lifts as null")
+  }
+
+  test("headersToStructColumn (Key variant) extends the struct, keeps value") {
+    val fresh = ErrorHeaders.build("app-1", errStruct,
+      lit("t"), lit(0), lit(7L), lit("2024-01-01 00:00:00").cast("timestamp"))
+    val df = Seq(1).toDF("x").select(
+      struct(lit("k-9").as("business_key")).as("key"),
+      lit("payload").as("value"),
+      fresh.as("headers"))
+    val lifted = ErrorHeaders.headersToStructColumn(df, "key")
+    assert(!lifted.columns.contains("headers"))
+    assert(lifted.columns.toSeq == Seq("key", "value"))
+    val keyRow = lifted.select("key.*").head()
+    val fields = lifted.select("key.*").columns
+    assert(fields.head == "business_key")
+    assert(fields.contains("error_source_application_id"))
+    assert(keyRow.getString(0) == "k-9")
+    assert(keyRow.getString(fields.indexOf("error_source_topic")) == "t")
+    assert(lifted.select("value").head().getString(0) == "payload")
   }
 }
