@@ -576,9 +576,47 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p) WHERE rank <= 5""".stripMargin,
+    // Mirrors Similarity.kmeansCentroids exactly: seeds = vec_id%50 sample,
+    // training set = vec_id%5 sample, KMeansIters=2 unrolled Lloyd steps
+    // (a0/g0/m1/c1 then a1/g1/m2/c2), per-dim means as DECIMAL(38,12) sums
+    // divided in double, empty cells keep the previous centroid.
     "s3_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-        |cent AS (SELECT vec_id AS cent_id, x AS cx FROM v WHERE vec_id % 50 = 0),
+        |dims AS (SELECT UNNEST(range(1,65)) AS i),
+        |samp AS (SELECT vec_id, x FROM v WHERE vec_id % 5 = 0),
+        |c0 AS (SELECT vec_id AS cent_id, x AS cx FROM v WHERE vec_id % 50 = 0),
+        |a0 AS (SELECT s.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> s.x[i] * c.cx[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> s.x[i] * s.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.cx[i] * c.cx[i]), (p,q) -> p + q))) AS ccos
+        |  FROM samp s, c0 c),
+        |g0 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM a0) WHERE rn <= 1),
+        |m1 AS (SELECT cent_id, list(m ORDER BY i) AS mx FROM (
+        |  SELECT g.cent_id, d.i,
+        |    CAST(SUM(CAST(s.x[d.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM samp s JOIN g0 g ON s.vec_id = g.vec_id CROSS JOIN dims d
+        |  GROUP BY g.cent_id, d.i) GROUP BY cent_id),
+        |c1 AS (SELECT c.cent_id, COALESCE(m.mx, c.cx) AS cx
+        |  FROM c0 c LEFT JOIN m1 m ON c.cent_id = m.cent_id),
+        |a1 AS (SELECT s.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> s.x[i] * c.cx[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> s.x[i] * s.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.cx[i] * c.cx[i]), (p,q) -> p + q))) AS ccos
+        |  FROM samp s, c1 c),
+        |g1 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM a1) WHERE rn <= 1),
+        |m2 AS (SELECT cent_id, list(m ORDER BY i) AS mx FROM (
+        |  SELECT g.cent_id, d.i,
+        |    CAST(SUM(CAST(s.x[d.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM samp s JOIN g1 g ON s.vec_id = g.vec_id CROSS JOIN dims d
+        |  GROUP BY g.cent_id, d.i) GROUP BY cent_id),
+        |cent AS (SELECT c.cent_id, COALESCE(m.mx, c.cx) AS cx
+        |  FROM c1 c LEFT JOIN m2 m ON c.cent_id = m.cent_id),
         |ac AS (SELECT a.vec_id, c.cent_id,
         |  list_reduce(list_transform(range(1,65), i -> a.x[i] * c.cx[i]), (p,q) -> p + q) /
         |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.x[i] * a.x[i]), (p,q) -> p + q)) *

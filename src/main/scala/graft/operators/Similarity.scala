@@ -110,24 +110,72 @@ object Similarity {
   /** Per-vector LSH band buckets. Exposed for reuse/testing. */
   def withBands(embeddings: DataFrame): DataFrame = bandsOf(vecs(embeddings))
 
-  /** IVF-style ANN (s3): data-sampled centroids (vec_id % CentroidEvery ==
-    * 0), every vector assigned to its best cell by cosine, queries probe
-    * their NProbe best cells, exact re-rank inside the probed cells.
+  /** IVF-style ANN (s3): k-means centroids (see [[kmeansCentroids]]), every
+    * vector assigned to its best cell by cosine, queries probe their NProbe
+    * best cells, exact re-rank inside the probed cells.
     *
     * Scale shape: the centroid set is small and broadcast, so assignment
     * is a map-side n×k scoring pass (no shuffle of the corpus beyond the
-    * cell grouping), and search cost drops from n to n·(nprobe/k). At
-    * 100 TB the centroid sample would come from k-means — the plumbing
-    * (broadcast assign → cell equi-join → re-rank) is identical. */
+    * cell grouping), and search cost drops from n to n·(nprobe/k). The
+    * k-means training pass touches only a 1/KMeansSampleEvery sample, so
+    * quantizer cost stays a fixed fraction of one corpus pass at 100 TB. */
   val CentroidEvery = 50
   val NProbe = 2
+  val KMeansIters = 2
+  val KMeansSampleEvery = 5
+
+  /** Lloyd k-means coarse quantizer, fully deterministic so the DuckDB
+    * oracle can unroll the identical iterations:
+    *
+    *   - seeds: the `vec_id % CentroidEvery == 0` data points
+    *   - training set: the `vec_id % KMeansSampleEvery == 0` sample
+    *     (seeds ⊂ sample since CentroidEvery % KMeansSampleEvery == 0)
+    *   - exactly KMeansIters assignment→mean steps; assignment by cosine
+    *     with ties broken by cent_id
+    *   - per-dimension means accumulate as DECIMAL(38,12) before the double
+    *     division, so the result is independent of partition/merge order
+    *   - a cell that loses all members keeps its previous centroid
+    *
+    * Each step broadcasts the (tiny) centroid table for assignment; only the
+    * sample is shuffled for the mean recompute (posexplode → 64·|sample|
+    * rows, grouped by (cell, dim)). Returns (cent_id, cx, cnrm). */
+  private[operators] def kmeansCentroids(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    GraftFunctions.register(v.sparkSession)
+    val samp = v.filter(col("vec_id") % KMeansSampleEvery === 0)
+    val seeds = v.filter(col("vec_id") % CentroidEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("x").as("cx"),
+        col("nrm").as("cnrm"))
+    (1 to KMeansIters).foldLeft(seeds) { (cent, _) =>
+      val scored = samp.join(broadcast(cent))
+        .select(col("vec_id"), col("cent_id"),
+          (GraftFunctions.dot(col("x"), col("cx")) /
+            (col("nrm") * col("cnrm"))).as("ccos"))
+      val asg = graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+          Seq(col("ccos").desc, col("cent_id")), 1)
+        .select(col("vec_id"), col("cent_id"))
+      val means = samp.join(asg, "vec_id")
+        .select(col("cent_id"), posexplode(col("x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), p => p.getField("m")).as("mx"))
+      cent.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("mx"), col("cx")).as("cx"))
+        .withColumn("cnrm", sqrt(VectorOps.norm2(col("cx"))))
+    }
+  }
 
   def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val v = vecs(embeddings)
     Caching.withPersisted(v) {
-      val cent = v.filter(col("vec_id") % CentroidEvery === 0)
-        .select(col("vec_id").as("cent_id"), col("x").as("cx"),
-          col("nrm").as("cnrm"))
+      // Materialized eagerly: the centroid table is referenced by both the
+      // corpus assignment and the query probes — without this each broadcast
+      // would re-run the Lloyd iterations.
+      val cent = kmeansCentroids(v).localCheckpoint(true)
       def bestCells(side: DataFrame, n: Int): DataFrame = {
         val scored = side
           .join(broadcast(cent))

@@ -55,6 +55,50 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("kmeansCentroids: Lloyd steps move seeds to the cluster means") {
+    import org.apache.spark.sql.functions._
+    // Two tight clusters around e0 and e1. Seeds (vec_id % 50 == 0) are ids
+    // 0 and 50; the training sample (vec_id % 5 == 0) is all of them.
+    def cluster(base: Int, dim: Int, n: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { i =>
+        val a = Array.fill(64)(0f)
+        a(dim) = 1f
+        a(dim + 2) = 0.05f * i // small spread inside the cluster
+        (base + 5L * i, a)
+      }
+    val v = (cluster(0, 0, 4) ++ cluster(50, 1, 4))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      .withColumn("nrm", sqrt(graft.operators.VectorOps.norm2(col("x"))))
+    val cents = Similarity.kmeansCentroids(v)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    assert(cents.keySet == Set(0L, 50L))
+    // each centroid is the mean of its own cluster: dominant dim 1.0,
+    // spread dim = mean of the float-valued spreads (float repr carried
+    // exactly into double, so compute the expectation the same way)
+    val spread = (0 until 4).map(i => (0.05f * i).toDouble).sum / 4
+    assert(math.abs(cents(0L)(0) - 1.0) < 1e-9)
+    assert(math.abs(cents(0L)(2) - spread) < 1e-9)
+    assert(math.abs(cents(50L)(1) - 1.0) < 1e-9)
+    assert(math.abs(cents(50L)(3) - spread) < 1e-9)
+    assert(cents(0L)(1) == 0.0 && cents(50L)(0) == 0.0)
+  }
+
+  test("annIvf recall vs exact brute force on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.knnBruteForce(emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.annIvf(emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    info(s"annIvf recall@5 = $recall ($hits/$total)")
+    assert(recall >= 0.5, s"k-means IVF recall@5 $recall below floor")
+  }
+
   test("withBands: collinear vectors share both band buckets") {
     val bands = Similarity.withBands(emb)
       .select("vec_id", "band0", "band1").collect()
