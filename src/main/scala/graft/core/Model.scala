@@ -160,4 +160,28 @@ case class GraftConf(
       requestTimeoutMs.map(v => "kafka.request.timeout.ms" -> v.toString) ++
       connectionsMaxIdleMs.map(v =>
         "kafka.connections.max.idle.ms" -> v.toString)
+
+  /** Producer durability for the sink, mirroring the reference's
+    * exactly-once-leaning defaults (KafkaPropertiesBuilder.java:73,89-104):
+    * idempotent producer, acks=all, unbounded retries, block (never drop)
+    * when the broker is unreachable, and the reference's timeout defaults
+    * when the tuning fields are unset.
+    *
+    * Delivery-semantics delta vs the reference, stated here because it is a
+    * real behavioral difference: Kafka Streams pairs these with a
+    * transactional producer + read_committed for EOS; Spark's Kafka sink has
+    * no transactional writer, so a failed micro-batch can replay — the
+    * pipeline is AT-LEAST-ONCE into Kafka (idempotence only dedups broker
+    * retries, not batch replays). Downstream consumers needing
+    * exactly-once must dedup on the business key, e.g. with
+    * [[graft.streaming.DeltaDedup]]. */
+  def kafkaProducerOptions: Map[String, String] = Map(
+    "kafka.enable.idempotence" -> "true",
+    "kafka.acks" -> "all",
+    "kafka.retries" -> Int.MaxValue.toString,
+    "kafka.max.block.ms" -> Long.MaxValue.toString,
+    "kafka.request.timeout.ms" ->
+      requestTimeoutMs.getOrElse(300000).toString,
+    "kafka.connections.max.idle.ms" ->
+      connectionsMaxIdleMs.getOrElse(540000).toString)
 }

@@ -27,6 +27,14 @@ import org.apache.spark.sql.graftinternal.Bridge
   * inserts the same hash shuffle the window would have used — only the
   * per-partition algorithm changes. Rows within a key are emitted in sort
   * order (like the sorted window output); no rank column is produced.
+  *
+  * Memory bound: the heap map retains at most (#distinct keys in the
+  * partition) · k rows and does NOT spill — the window-sort formulation
+  * spills but sorts everything. The exec counts retained rows and warns
+  * once per partition past [[TopKPerKeyExec.RetainedRowsWarnThreshold]];
+  * if a workload genuinely has billions of keys per partition, raise
+  * `spark.sql.shuffle.partitions` (more, smaller partitions) or fall back
+  * to the window formulation.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -74,12 +82,24 @@ case class TopKPerKeyExec(
       val heapOrd: Ordering[InternalRow] = ord
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
         mutable.PriorityQueue[InternalRow]]
+      var retained = 0L
+      var warned = false
       it.foreach { r =>
         val key = keyProj(r)
         val heap = heaps.getOrElseUpdate(key.copy(),
           mutable.PriorityQueue.empty[InternalRow](heapOrd))
-        if (heap.size < limit) heap.enqueue(r.copy())
-        else if (ord.compare(r, heap.head) < 0) {
+        if (heap.size < limit) {
+          heap.enqueue(r.copy())
+          retained += 1
+          if (!warned && retained > TopKPerKeyExec.RetainedRowsWarnThreshold) {
+            warned = true
+            org.slf4j.LoggerFactory.getLogger(classOf[TopKPerKeyExec])
+              .warn(s"TopKPerKey retains $retained rows (unspillable heap " +
+                s"map) in one partition — high key cardinality × k=$limit. " +
+                "Raise spark.sql.shuffle.partitions or use the window-sort " +
+                "formulation if this approaches executor memory.")
+          }
+        } else if (ord.compare(r, heap.head) < 0) {
           heap.dequeue()
           heap.enqueue(r.copy())
         }
@@ -93,6 +113,13 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+object TopKPerKeyExec {
+  /** Retained-row count per partition past which the exec logs a memory
+    * warning: 4M rows · ~100 B/row ≈ 400 MB of heap — loud well before a
+    * realistic executor OOMs. */
+  val RetainedRowsWarnThreshold: Long = 4L << 20
 }
 
 /** Column-API facade. */

@@ -58,7 +58,11 @@ object GraftStream extends Logging {
 
   /** A Kafka sink writer for foreachBatch routing — S2. The producer
     * partitions by the `key` column, which is how the reference's re-keying
-    * repartitions without an internal topic (RecordKeyProcessor.java:9). */
+    * repartitions without an internal topic (RecordKeyProcessor.java:9).
+    * Writes with the reference's durability posture
+    * ([[graft.core.GraftConf.kafkaProducerOptions]]: idempotent, acks=all,
+    * unbounded retries/blocking) — see that scaladoc for the documented
+    * at-least-once delta vs Kafka Streams EOS. */
   def kafkaSink(conf: GraftConf, topic: String): DataFrame => Unit =
     RecordLog.producerLogging(topic, conf.enabledProducerRecordLogging) { df =>
       val base = df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")
@@ -66,9 +70,9 @@ object GraftStream extends Logging {
         .option("kafka.bootstrap.servers", conf.bootstrapServers)
         .option("topic", topic)
         .option("includeHeaders", "true")
-      conf.kafkaClientOptions.foldLeft(base) { case (b, (k, v)) =>
-        b.option(k, v)
-      }.save()
+      (conf.kafkaProducerOptions ++ conf.kafkaClientOptions)
+        .foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+        .save()
     }
 
   /** Decode a Kafka-shaped DataFrame into `Dataset[Envelope[T]]` with a

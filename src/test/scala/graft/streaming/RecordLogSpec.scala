@@ -53,4 +53,18 @@ class RecordLogSpec extends SparkSpec {
     assert(!opts.contains("kafka.ssl.endpoint.identification.algorithm"))
     assert(!opts.contains("kafka.connections.max.idle.ms"))
   }
+
+  test("kafkaProducerOptions carries the reference durability defaults") {
+    val opts = GraftConf("app").kafkaProducerOptions
+    assert(opts("kafka.enable.idempotence") == "true")
+    assert(opts("kafka.acks") == "all")
+    assert(opts("kafka.retries") == Int.MaxValue.toString)
+    assert(opts("kafka.max.block.ms") == Long.MaxValue.toString)
+    // reference timeout defaults apply when the tuning fields are unset
+    // (KafkaPropertiesBuilder.java:96-104), caller values win otherwise
+    assert(opts("kafka.request.timeout.ms") == "300000")
+    assert(opts("kafka.connections.max.idle.ms") == "540000")
+    val tuned = GraftConf("app", requestTimeoutMs = Some(30000))
+    assert(tuned.kafkaProducerOptions("kafka.request.timeout.ms") == "30000")
+  }
 }
