@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, LlmText, Multimodal, PipelineOps,
+import graft.operators.{Curation, Dedup, LlmText, Multimodal, PipelineOps,
   Relational => R, Similarity, Tables => T, Temporal}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -79,6 +79,17 @@ object SparkEntry {
     "x5_rolling_fingerprint" -> ((s, d) =>
       LlmText.rollingFingerprint(T.documents(s, d))),
     "x6_text_clean" -> ((s, d) => LlmText.cleanText(T.documents(s, d))),
+    "x7_tfidf" -> ((s, d) => LlmText.tfidf(T.documents(s, d))),
+    "x8_repetition" -> ((s, d) => LlmText.repetitionSignals(T.documents(s, d))),
+    // -- LLM-data-pipeline ops: corpus curation --
+    "c1_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(T.documents(s, d), Map("en" -> 50), 25)),
+    "c2_domain_mix" -> ((s, d) => Curation.domainMix(T.documents(s, d))),
+    "c3_leakage_split" -> ((s, d) => Curation.leakageSafeSplit(T.documents(s, d))),
+    // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
+    "q25_salted_join" -> ((s, d) =>
+      R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
+    "q26_salted_distinct" -> ((s, d) => R.saltedDistinctAgg(T.events(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -370,6 +381,125 @@ object SparkEntry {
         |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |    ' +', ' ', 'g'))) AS DOUBLE) / length(text) AS retained_ratio
         |FROM documents""".stripMargin,
+    "x7_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term, tf.tf, df.df,
+        |  tf.tf * (CAST(n_docs AS DOUBLE) / df.df) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "x8_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  [array_to_string(w[i:i+1],' ') for i in range(1, len(w))] AS g2,
+        |  [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] AS g3
+        | FROM t),
+        |m AS (SELECT doc_id, len(w) AS n_words,
+        |  CASE WHEN len(w) > 0
+        |       THEN CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+        |       ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(g2) > 0
+        |       THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+        |       ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(g3) > 0
+        |       THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |       ELSE 0.0 END AS dup_trigram_frac
+        | FROM g)
+        |SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac, dup_trigram_frac,
+        |  (dup_word_frac > 0.30 OR dup_bigram_frac > 0.20
+        |    OR dup_trigram_frac > 0.18) AS is_repetitive
+        |FROM m""".stripMargin,
+    "c1_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('smp:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('smp:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('smp:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id, lang, source, bucket FROM h
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 25 END""".stripMargin,
+    "c2_domain_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n_total) AS min_n FROM counts),
+        |rates AS (SELECT lang, (min_n * 10000) // n_total AS keep_per_10k
+        |  FROM counts CROSS JOIN mn),
+        |h AS (SELECT doc_id, source, d.lang,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('mix:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('mix:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('mix:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 10000 AS b
+        | FROM documents d)
+        |SELECT doc_id, source, h.lang FROM h JOIN rates ON h.lang = rates.lang
+        |WHERE b < keep_per_10k""".stripMargin,
+    "c3_leakage_split" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
+        |dec AS (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc),
+        |r AS (SELECT d.doc_id, COALESCE(dec.rep, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN dec ON d.doc_id = dec.doc),
+        |hh AS (SELECT doc_id, rep,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('sp:' || rep), c, 1)) <= 57
+        |         THEN ascii(substr(md5('sp:' || rep), c, 1)) - 48
+        |         ELSE ascii(substr(md5('sp:' || rep), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 100 AS b
+        | FROM r)
+        |SELECT doc_id, rep,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM hh""".stripMargin,
+    "q25_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q26_salted_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

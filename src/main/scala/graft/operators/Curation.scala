@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-curation operators for assembling a training corpus: deterministic
+  * stratified sampling, domain mixing to a target distribution, and a
+  * leakage-safe train/val/test split.
+  *
+  * All sampling decisions are pure functions of stable row identity (md5 of
+  * the document id) — never `rand()` — so a 100 TB job is reproducible across
+  * retries, speculative tasks, and re-partitioning, and the DuckDB oracle can
+  * replay every decision bit-exactly. Each operator is a narrow projection
+  * plus at most one tiny aggregate that broadcasts back; nothing here
+  * shuffles the corpus itself.
+  */
+object Curation {
+
+  /** 28-bit sampling hash: first 7 hex chars of md5(prefix + id), built with
+    * per-char arithmetic that plain SQL reproduces exactly. Uniform enough
+    * for percentage gates and independent across prefixes, so composed
+    * sampling stages (sample → mix → split) never correlate. */
+  private def hash28(prefix: String, v: Column): Column = {
+    val hx = md5(concat(lit(prefix), v.cast("string")).cast("binary"))
+    def hv(c: Int): Column = {
+      val a = ascii(hx.substr(lit(c), lit(1)))
+      when(a <= 57, a - 48).otherwise(a - 87)
+    }
+    (1 to 7).map(hv).reduce((acc, x) => acc * 16 + x).cast("long")
+  }
+
+  /** Stratified sample (c1): keep `pct(lang)` percent of each language
+    * stratum (default `defaultPct` for unlisted strata), gating on a
+    * deterministic per-document hash bucket. A pure filter — no shuffle, no
+    * driver state — so it runs at input-scan speed on any corpus size. */
+  def stratifiedSample(documents: DataFrame,
+      pct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = pct.foldLeft(lit(defaultPct)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, p).otherwise(acc)
+    }
+    val bucket = pmod(hash28("smp:", col("doc_id")), lit(100))
+    documents
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+  }
+
+  /** Domain mixing (c2): re-balance the corpus so every domain (default:
+    * language) contributes equally — each domain is down-sampled to
+    * (approximately) the size of the smallest one, the standard move when one
+    * crawl or language dominates the mix.
+    *
+    * Plan shape at 100 TB: per-domain counts are one map-side-combined
+    * aggregate whose output is #domains rows; the acceptance-rate table
+    * broadcasts back onto the corpus and the keep decision is a narrow
+    * filter. The corpus is never shuffled. Rates use integer
+    * per-ten-thousand arithmetic (`min_n·10⁴ div n_domain`) so both engines
+    * floor identically with no float in the gate. */
+  def domainMix(documents: DataFrame, domain: String = "lang"): DataFrame = {
+    val counts = documents.groupBy(col(domain))
+      .agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min(col("n_total")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(domain),
+        expr("min_n * 10000 DIV n_total").as("keep_per_10k"))
+    documents
+      .join(broadcast(rates), Seq(domain))
+      .filter(pmod(hash28("mix:", col("doc_id")), lit(10000)) <
+        col("keep_per_10k"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** Leakage-safe train/val/test split (c3): every document is assigned a
+    * split by hashing its near-dup cluster representative (its own id when
+    * it has no near-dups), so near-duplicate documents can never straddle
+    * the train/test boundary — the contamination mode a naive per-document
+    * split is blind to.
+    *
+    * The component labels come from [[Dedup.nearDupComponents]] (MinHash+LSH
+    * pair graph → min-label propagation); that frame is O(near-dup docs),
+    * tiny next to the corpus, so the label join is broadcast-shaped and the
+    * split itself is a narrow projection. */
+  def leakageSafeSplit(documents: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = Dedup.nearDupComponents(documents)
+      .select(col("doc_id"), col("cluster_rep"))
+    val rep = documents
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+    val h = pmod(hash28("sp:", col("rep")), lit(100))
+    rep.select(col("doc_id"), col("rep"),
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+}

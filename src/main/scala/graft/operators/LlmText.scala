@@ -203,4 +203,75 @@ object LlmText {
         array_min(hashes).as("min_shingle_hash"),
         array_join(slice(array_sort(hashes), 1, 4), "|").as("bottom4_sketch"))
   }
+
+  /** Non-distinct word k-grams via zip_with over shifted slices (the same
+    * one-pass-per-row shape as [[shingles]], minus the dedup). */
+  private def wordNgrams(ws: Column, k: Int): Column = {
+    val n = size(ws) - (k - 1)
+    val joined = (2 to k).foldLeft(slice(ws, lit(1), n)) { (acc, i) =>
+      zip_with(acc, slice(ws, lit(i), n), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(ws) >= k, joined).otherwise(array().cast("array<string>"))
+  }
+
+  /** Repetition signals (x8): Gopher-style duplicate-n-gram fractions at the
+    * word, bigram, and trigram level, plus a composite repetition flag — the
+    * filter that removes boilerplate/looping documents from a training mix.
+    * One narrow projection per row (array ops only, no shuffle), integer
+    * counts with a single final division, so values are bit-stable across
+    * engines at any partitioning. */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    def dupFrac(grams: Column): Column = {
+      val n = size(grams)
+      when(n > 0, (n - size(array_distinct(grams))).cast("double") / n)
+        .otherwise(lit(0.0))
+    }
+    val dupW = dupFrac(ws)
+    val dup2 = dupFrac(wordNgrams(ws, 2))
+    val dup3 = dupFrac(wordNgrams(ws, 3))
+    documents.select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      dupW.as("dup_word_frac"),
+      dup2.as("dup_bigram_frac"),
+      dup3.as("dup_trigram_frac"),
+      (dupW > 0.30 || dup2 > 0.20 || dup3 > 0.18).as("is_repetitive"))
+  }
+
+  /** TF-IDF top-k terms per document (x7). IDF is the rational form
+    * `N / df` (one double division, no transcendental) so the score is
+    * bit-identical across engines; the re-rank goes through the heap-based
+    * [[graft.plans.TopK.perKey]] operator instead of a full per-doc sort.
+    *
+    * Plan shape at 100 TB: explode is narrow; the (doc, term) term-frequency
+    * aggregate and the document-frequency aggregate both benefit from
+    * map-side partial aggregation, which absorbs the stopword hot keys
+    * before the shuffle; the tf⋈df join shuffles on term where AQE's skew
+    * splitting handles the residual head terms; the corpus-size scalar is a
+    * broadcast. The tf frame feeds both df and the join, so it is persisted
+    * for the duration of the call (Caching bracket). */
+  def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val tf = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    Caching.withPersisted(tf) {
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = documents.agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * (col("n_docs").cast("double") / col("df")))
+            .as("tfidf"))
+      val top = graft.plans.TopK.perKey(scored, Seq(col("doc_id")),
+        Seq(col("tfidf").desc, col("term")), k)
+      top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+    }
+  }
 }

@@ -216,4 +216,49 @@ object Relational {
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Salted skew join (q25): events fact ⋈ customer dimension on a skewed
+    * key, revenue per market segment. The fact side gets a deterministic
+    * salt; the dimension side is replicated across all `buckets` salts and
+    * the join key becomes (key, salt), splitting each hot key's rows over
+    * `buckets` tasks. Semantics are identical to the plain join (the oracle
+    * is the unsalted SQL) — salting is purely a physical rewrite.
+    *
+    * Use when BOTH sides exceed the broadcast threshold and the fact key is
+    * skewed (a broadcast-able dimension should just be broadcast, and AQE's
+    * skew-join split handles sort-merge skew when statistics surface it);
+    * explicit salting is the deterministic fallback that works even where
+    * AQE cannot see the skew, e.g. under a user-specified partitioning. */
+  def saltedSegmentRevenue(events: DataFrame, customer: DataFrame,
+      buckets: Int = 8): DataFrame = {
+    val fact = events.withColumn("salt", pmod(col("event_id"), lit(buckets)))
+    val dim = customer.select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(buckets - 1))))
+    fact.join(dim,
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+
+  /** Salted two-phase distinct aggregation (q26): per-event-type distinct
+    * users, row count, and exact value sum over a hot-keyed group-by
+    * (event_type has a handful of values — the canonical hot-key shape).
+    *
+    * COUNT(DISTINCT) is the aggregate that genuinely needs this rewrite at
+    * scale: plain sum/count already get map-side partial aggregation, but a
+    * distinct forces every row of a hot key through one task's dedup set.
+    * Salting by `pmod(user_id, buckets)` partitions each key's user space
+    * into disjoint buckets, so phase 1 holds 1/buckets of the distinct set
+    * per task and phase 2 just sums bucket cardinalities — exact, because
+    * the buckets partition the distinct domain. */
+  def saltedDistinctAgg(events: DataFrame, buckets: Int = 32): DataFrame = {
+    val partial = events
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(buckets)).as("salt"))
+      .agg(count_distinct(col("user_id")).as("pu"),
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(38, 6))).as("pv"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("pu")).as("n_users"), sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("sum_value"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("stratifiedSample is a deterministic per-stratum gate") {
+    val d = docs((0L until 200L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "fr", s"src${i % 4}")): _*)
+    val out = Curation.stratifiedSample(d, Map("en" -> 50), 25)
+    val again = Curation.stratifiedSample(d.repartition(7), Map("en" -> 50), 25)
+    // identical decisions regardless of partitioning
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    // every bucket respects its stratum's rate
+    val bad = out.filter(
+      (col("lang") === "en" && col("bucket") >= 50) ||
+        (col("lang") =!= "en" && col("bucket") >= 25)).count()
+    assert(bad == 0)
+    // rates land near 50% / 25% of each stratum (hash uniformity)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") > 30 && kept("en") < 70, s"en kept ${kept("en")}/100")
+    assert(kept("fr") > 10 && kept("fr") < 40, s"fr kept ${kept("fr")}/100")
+  }
+
+  test("domainMix downsamples every domain toward the smallest") {
+    // 160 en vs 40 fr: en should come down to roughly fr's size
+    val d = docs((0L until 200L).map(i =>
+      (i, s"doc $i", if (i % 5 == 0) "fr" else "en", "src0")): _*)
+    val kept = Curation.domainMix(d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 40, "smallest domain is fully kept")
+    assert(kept("en") > 20 && kept("en") < 60,
+      s"dominant domain downsampled to ~40, got ${kept("en")}")
+  }
+
+  test("leakageSafeSplit keeps near-dup clusters in one split") {
+    // two exact near-dup families plus unrelated docs
+    val family = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight"
+    val d = docs(
+      (1L, family, "en", "a"), (2L, family, "en", "b"),
+      (3L, family + " iota", "en", "c"),
+      (10L, other, "en", "a"), (11L, other, "en", "b"),
+      (20L, "totally unrelated text with many unique words here", "en", "c"))
+    val out = Curation.leakageSafeSplit(d)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = rows.map(t => t._1 -> t._3).toMap
+    // same cluster → same split, by construction of the rep hash
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(10L) == byDoc(11L))
+    // singleton keeps its own id as rep
+    assert(rows.find(_._1 == 20L).get._2 == 20L)
+    // all three split labels are legal
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+}

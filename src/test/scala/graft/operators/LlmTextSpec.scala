@@ -73,4 +73,48 @@ class LlmTextSpec extends SparkSpec {
     assert(r.getString(r.fieldIndex("bottom4_sketch")) ==
       shingleHashes.sorted.mkString("|"))
   }
+
+  test("repetitionSignals: duplicate n-gram fractions and flag") {
+    val out = Seq(
+      (1L, "spam spam spam spam"),      // all dup words/bigrams/trigrams
+      (2L, "all words fully distinct"), // nothing repeats
+      (3L, "x"))                        // 1 word: no n-grams, fracs 0
+      .toDF("doc_id", "text")
+      .transform(LlmText.repetitionSignals(_))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getDouble(r1.fieldIndex("dup_word_frac")) == 3.0 / 4)
+    assert(r1.getDouble(r1.fieldIndex("dup_bigram_frac")) == 2.0 / 3)
+    assert(r1.getDouble(r1.fieldIndex("dup_trigram_frac")) == 1.0 / 2)
+    assert(r1.getBoolean(r1.fieldIndex("is_repetitive")))
+    val r2 = out(2L)
+    assert(r2.getDouble(r2.fieldIndex("dup_word_frac")) == 0.0)
+    assert(!r2.getBoolean(r2.fieldIndex("is_repetitive")))
+    val r3 = out(3L)
+    assert(r3.getInt(r3.fieldIndex("n_words")) == 1)
+    assert(r3.getDouble(r3.fieldIndex("dup_bigram_frac")) == 0.0)
+  }
+
+  test("tfidf ranks rare terms above common ones, top-k per doc") {
+    val out = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3"))
+      .toDF("doc_id", "text")
+      .transform(LlmText.tfidf(_, k = 2))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("rank"))) ->
+        (r.getString(r.fieldIndex("term")),
+          r.getLong(r.fieldIndex("tf")), r.getLong(r.fieldIndex("df")),
+          r.getDouble(r.fieldIndex("tfidf"))))
+      .toMap
+    // doc 1: rare1 tf=1 df=1 → 3.0; common tf=2 df=3 → 2.0
+    assert(out((1L, 1)) == ("rare1", 1L, 1L, 3.0))
+    assert(out((1L, 2)) == ("common", 2L, 3L, 2.0))
+    // doc 2: rare2 3.0 beats common 1.0
+    assert(out((2L, 1))._1 == "rare2")
+    assert(out((2L, 2))._1 == "common")
+    assert(out.size == 6)
+  }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+/** Salting is a physical rewrite: results must be row-identical to the
+  * plain formulation under any bucket count. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    (1L, 10L, "click", 5.0), (2L, 10L, "click", 7.0),
+    (3L, 10L, "view", 1.0), (4L, 20L, "click", 2.0),
+    (5L, 30L, "view", 9.0), (6L, 10L, "click", 4.0))
+    .toDF("event_id", "user_id", "event_type", "value")
+
+  private val customer = Seq(
+    (10L, "BUILDING"), (20L, "MACHINERY"), (30L, "BUILDING"))
+    .toDF("c_custkey", "c_mktsegment")
+
+  test("saltedSegmentRevenue equals the plain join for any bucket count") {
+    val plain = events.join(customer,
+        events("user_id") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    for (b <- Seq(1, 3, 8)) {
+      val salted = Relational.saltedSegmentRevenue(events, customer, b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(salted == plain, s"buckets=$b")
+    }
+  }
+
+  test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
+    val plain = events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    for (b <- Seq(1, 2, 32)) {
+      val salted = Relational.saltedDistinctAgg(events, b)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(salted == plain, s"buckets=$b")
+    }
+  }
+}
