@@ -43,11 +43,13 @@ object Dedup {
     86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
     198491317, 217645177)
 
-  /** Uniform integer base hash of a shingle: the first 7 hex chars of
-    * md5("m:" + s) as a 28-bit int, built by per-char arithmetic that plain
-    * SQL reproduces exactly. */
-  private def shingleBase(s: Column): Column = {
-    val hx = md5(concat(lit("m:"), s).cast("binary"))
+  /** 28-bit base hash from an ALREADY-COMPUTED md5("m:"+shingle) hex column,
+    * by per-char arithmetic that plain SQL reproduces exactly. Takes the
+    * hex, not the shingle: HOF lambdas have no common-subexpression
+    * elimination, so computing the md5 inside this arithmetic would hash
+    * every shingle 7× (once per hex char). Hash in one transform pass,
+    * combine in the next — re-referencing the lambda variable is free. */
+  private def baseFromHex(hx: Column): Column = {
     def hv(c: Int): Column = {
       val a = ascii(hx.substr(lit(c), lit(1)))
       when(a <= 57, a - 48).otherwise(a - 87)
@@ -89,7 +91,9 @@ object Dedup {
     // the same data a shuffle would have written anyway. The persist lives
     // only for the duration of this call (Caching bracket).
     val sh = docShingles(documents)
-      .withColumn("bases", transform(col("sh"), s => shingleBase(s)))
+      .withColumn("bases", transform(
+        transform(col("sh"), s => md5(concat(lit("m:"), s).cast("binary"))),
+        hx => baseFromHex(hx)))
     Caching.withPersisted(sh) {
     val siged = sh
       .select(col("doc_id"),

@@ -133,10 +133,13 @@ object LlmText {
   val RollP = 1000000007L
   val RollK = 4
 
-  /** 28-bit word value from md5("r:" + word) — same per-hex-char arithmetic
-    * the DuckDB oracle reproduces. */
-  private def wordVal(w: Column): Column = {
-    val hx = md5(concat(lit("r:"), w).cast("binary"))
+  /** 28-bit value from the first 7 hex chars of an ALREADY-COMPUTED md5 hex
+    * column. Takes the hex, not the word: HOF lambdas have no common-
+    * subexpression elimination, so building the md5 inside this arithmetic
+    * would re-hash the word once per hex char (7× — measured as the
+    * dominant cost of x5 before the split). Re-referencing a lambda
+    * variable is free; hash in one transform pass, combine in the next. */
+  private def hexVal7(hx: Column): Column = {
     def hv(c: Int): Column = {
       val a = ascii(hx.substr(lit(c), lit(1)))
       when(a <= 57, a - 48).otherwise(a - 87)
@@ -155,7 +158,10 @@ object LlmText {
     // re-inline the md5 chain 4× per row (see Dedup's shingle hashing).
     val based = documents
       .filter(size(ws) >= RollK)
-      .select(col("doc_id"), transform(ws, w => wordVal(w)).as("varr"))
+      .select(col("doc_id"),
+        transform(
+          transform(ws, w => md5(concat(lit("r:"), w).cast("binary"))),
+          hx => hexVal7(hx)).as("varr"))
       .transform(Partitioning.spread(_, col("doc_id")))
     val m = size(col("varr")) - (RollK - 1)
     def shifted(i: Int): Column = slice(col("varr"), lit(i), m)
