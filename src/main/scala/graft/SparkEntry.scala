@@ -86,6 +86,9 @@ object SparkEntry {
       Curation.stratifiedSample(T.documents(s, d), Map("en" -> 50), 25)),
     "c2_domain_mix" -> ((s, d) => Curation.domainMix(T.documents(s, d))),
     "c3_leakage_split" -> ((s, d) => Curation.leakageSafeSplit(T.documents(s, d))),
+    "c4_pack_sequences" -> ((s, d) => Curation.packSequences(T.documents(s, d))),
+    "c5_curation_pipeline" -> ((s, d) =>
+      Curation.curationPipeline(T.documents(s, d))),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -490,6 +493,91 @@ object SparkEntry {
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM hh""".stripMargin,
+    "c4_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('pk:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('pk:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('pk:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 32 AS shard
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS start_offset
+        |FROM c""".stripMargin,
+    "c5_curation_pipeline" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
+        |dec AS (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc),
+        |drops AS (SELECT doc FROM dec WHERE doc <> rep),
+        |m AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(length(d.text) - (len(ws.w) - 1) AS DOUBLE) / len(ws.w) AS mwl,
+        |  CAST(len(list_filter(ws.w,
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE)
+        |    / len(ws.w) AS sr,
+        |  CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1) AS pr,
+        |  CASE WHEN len(ws.w) > 0
+        |       THEN CAST(len(ws.w) - len(list_distinct(ws.w)) AS DOUBLE) / len(ws.w)
+        |       ELSE 0.0 END AS dw,
+        |  CASE WHEN len(ws.w) >= 2
+        |       THEN CAST(len(ws.w) - 1 - len(list_distinct(
+        |         [array_to_string(ws.w[i:i+1],' ') for i in range(1, len(ws.w))])) AS DOUBLE)
+        |         / (len(ws.w) - 1)
+        |       ELSE 0.0 END AS d2f,
+        |  CASE WHEN len(ws.w) >= 3
+        |       THEN CAST(len(ws.w) - 2 - len(list_distinct(
+        |         [array_to_string(ws.w[i:i+2],' ') for i in range(1, len(ws.w)-1)])) AS DOUBLE)
+        |         / (len(ws.w) - 2)
+        |       ELSE 0.0 END AS d3f
+        | FROM documents d JOIN ws ON d.doc_id = ws.doc_id),
+        |sel AS (SELECT doc_id, lang, n_chars FROM m
+        |  WHERE (0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0)) >= 0.5
+        |    AND NOT (dw > 0.30 OR d2f > 0.20 OR d3f > 0.18)
+        |    AND doc_id NOT IN (SELECT doc FROM drops))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM sel GROUP BY lang""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value

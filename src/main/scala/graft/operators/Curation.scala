@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-curation operators for assembling a training corpus: deterministic
@@ -67,6 +68,56 @@ object Curation {
       .filter(pmod(hash28("mix:", col("doc_id")), lit(10000)) <
         col("keep_per_10k"))
       .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** Sequence packing (c4): concat-and-chunk documents into fixed
+    * token-budget training sequences — each document is placed at the
+    * running token offset of its shard and belongs to the pack where it
+    * starts, the GPT-style "concatenate everything, cut every B tokens"
+    * layout.
+    *
+    * The corpus is first split into `shards` deterministic hash shards and
+    * packed independently within each — a single global running sum would
+    * serialize 100 TB through one window partition, while per-shard packing
+    * runs `shards`-wide and is exactly how per-worker packing behaves on a
+    * real cluster. Integer token counts, BIGINT running sum, integer
+    * div/mod — bit-stable across engines. */
+  def packSequences(documents: DataFrame,
+      budget: Int = 512, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"),
+        size(LlmText.words(col("text"))).cast("long").as("n_tokens"),
+        pmod(hash28("pk:", col("doc_id")), lit(shards)).as("shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) DIV $budget").as("pack_id"),
+        pmod(col("cum") - col("n_tokens"), lit(budget)).as("start_offset"))
+  }
+
+  /** End-to-end curation pipeline (c5): the composition a training-data
+    * job actually runs — quality gate, repetition gate, near-dup drop,
+    * per-language corpus accounting — expressed so the expensive parts
+    * stay cheap at 100 TB:
+    *
+    *  - quality + repetition are inline narrow filters (the same expression
+    *    trees x3/x8 verify), NOT semi-joins against O(corpus) keep-lists —
+    *    they run at scan speed and Catalyst folds them into one predicate;
+    *  - the near-dup drop list is O(duplicates) and applied with the d8
+    *    anti-join shape;
+    *  - the final per-language aggregate is a handful of groups with
+    *    map-side combine. */
+  def curationPipeline(documents: DataFrame): DataFrame = {
+    val drops = Dedup.nearDupComponents(documents)
+      .filter(!col("keep")).select(col("doc_id"))
+    documents
+      .filter(LlmText.qualityScoreExpr(col("text")) >= 0.5)
+      .filter(!LlmText.isRepetitiveExpr(col("text")))
+      .join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
   }
 
   /** Leakage-safe train/val/test split (c3): every document is assigned a

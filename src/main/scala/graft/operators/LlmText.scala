@@ -99,6 +99,24 @@ object LlmText {
         .otherwise("es").as("pred_lang"))
   }
 
+  /** The x3 quality score as a standalone column expression over a text
+    * column — the exact tree [[qualityScore]] emits, so composed pipelines
+    * (c5) filter on bit-identical values without a keep-list join. */
+  def qualityScoreExpr(text: Column): Column = {
+    val ws = words(text)
+    val n = size(ws)
+    val mwl = (length(text) - (n - 1)).cast("double") / n
+    val stopRatio = stopHits(ws, StopEn).cast("double") / n
+    val nBpe = greatest(
+      size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))),
+      lit(1))
+    val punctRatio =
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("double") / nBpe
+    lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * (least(mwl, lit(8.0)) / lit(8.0))
+  }
+
   /** Quality scoring (x3): length/punctuation/stopword heuristics composed
     * into one [0,1] score. Only +,*,/ on doubles in a fixed expression tree
     * — no transcendentals, so the value is bit-stable across engines. */
@@ -220,6 +238,21 @@ object LlmText {
     when(size(ws) >= k, joined).otherwise(array().cast("array<string>"))
   }
 
+  /** Fraction of duplicate elements in a gram array (0.0 when empty). */
+  private def dupFrac(grams: Column): Column = {
+    val n = size(grams)
+    when(n > 0, (n - size(array_distinct(grams))).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** The x8 repetition flag as a standalone column expression — the exact
+    * tree [[repetitionSignals]] emits, for inline pipeline filters (c5). */
+  def isRepetitiveExpr(text: Column): Column = {
+    val ws = words(text)
+    dupFrac(ws) > 0.30 || dupFrac(wordNgrams(ws, 2)) > 0.20 ||
+      dupFrac(wordNgrams(ws, 3)) > 0.18
+  }
+
   /** Repetition signals (x8): Gopher-style duplicate-n-gram fractions at the
     * word, bigram, and trigram level, plus a composite repetition flag — the
     * filter that removes boilerplate/looping documents from a training mix.
@@ -228,11 +261,6 @@ object LlmText {
     * engines at any partitioning. */
   def repetitionSignals(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    def dupFrac(grams: Column): Column = {
-      val n = size(grams)
-      when(n > 0, (n - size(array_distinct(grams))).cast("double") / n)
-        .otherwise(lit(0.0))
-    }
     val dupW = dupFrac(ws)
     val dup2 = dupFrac(wordNgrams(ws, 2))
     val dup3 = dupFrac(wordNgrams(ws, 3))

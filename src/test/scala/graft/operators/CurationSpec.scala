@@ -43,6 +43,43 @@ class CurationSpec extends SparkSpec {
       s"dominant domain downsampled to ~40, got ${kept("en")}")
   }
 
+  test("packSequences: per-shard running offsets, stable under repartition") {
+    val d = docs((0L until 100L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), "en", "src0")): _*)
+    val out = Curation.packSequences(d, budget = 10, shards = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    // within a shard, pack_id/start_offset follow the doc_id-ordered
+    // running sum: offset = cumulative-before mod budget
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (_, _, n, packId, off) =>
+        assert(packId == cum / 10)
+        assert(off == cum % 10)
+        cum += n
+      }
+    }
+    // deterministic under a different input partitioning
+    val again = Curation.packSequences(d.repartition(13), 10, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sorted
+    assert(again.toSeq ==
+      rows.map(r => (r._1, r._4, r._5)).sorted.toSeq)
+  }
+
+  test("curationPipeline composes gates and near-dup drop") {
+    val good = "the cat and the dog of a house is that one there now"
+    val d = docs(
+      (1L, good, "en", "a"),
+      (2L, good, "en", "b"),                    // exact near-dup of 1 → dropped
+      (3L, "spam spam spam spam spam spam", "en", "a"), // repetitive → dropped
+      (4L, "zz qq ww", "fr", "a"))              // no stopwords → low quality
+    val out = Curation.curationPipeline(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("en"))
+    assert(out("en")._1 == 1L, "only the cluster representative survives")
+    assert(out("en")._2 == good.length.toLong)
+  }
+
   test("leakageSafeSplit keeps near-dup clusters in one split") {
     // two exact near-dup families plus unrelated docs
     val family = "alpha beta gamma delta epsilon zeta eta theta"
