@@ -64,9 +64,12 @@ object Curation {
       .select(col(domain),
         expr("min_n * 10000 DIV n_total").as("keep_per_10k"))
     documents
+      // the gate hash is projected BEFORE the join: a filter referencing
+      // both sides becomes the join condition, where the md5 chain would
+      // re-evaluate once per hex char (no CSE outside Project codegen)
+      .withColumn("mix_bucket", pmod(hash28("mix:", col("doc_id")), lit(10000)))
       .join(broadcast(rates), Seq(domain))
-      .filter(pmod(hash28("mix:", col("doc_id")), lit(10000)) <
-        col("keep_per_10k"))
+      .filter(col("mix_bucket") < col("keep_per_10k"))
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
