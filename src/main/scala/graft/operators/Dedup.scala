@@ -140,51 +140,75 @@ object Dedup {
     * dozens), so a handful of shuffle rounds; truly giant components would
     * use the large-star/small-star variant with the same join shapes. */
   def nearDupComponents(documents: DataFrame,
-      threshold: Double = 0.7, maxIter: Int = 15): DataFrame = {
+      threshold: Double = 0.7, maxIter: Int = 25): DataFrame = {
     // minhashLsh returns an eagerly materialized pair list, so the loop's
     // repeated actions never re-run the LSH pipeline.
     val pairs = minhashLsh(documents, threshold)
       .select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs, maxIter)
+      .select(col("doc").as("doc_id"), col("lab").as("cluster_rep"),
+        (col("doc") === col("lab")).as("keep"))
+  }
+
+  /** Connected components over an undirected pair list → (doc, lab) where
+    * lab is the component's minimum id — the transitive closure the oracle
+    * computes with a recursive CTE.
+    *
+    * Min-label propagation WITH pointer jumping: each round a node takes
+    * the least of its own label, its neighbors' labels, and its label's
+    * label (path doubling). The jump halves every label chain per round, so
+    * convergence is O(log diameter) instead of O(diameter) — a 1000-link
+    * chain (the giant-component shape that breaks plain propagation)
+    * settles in ~10 rounds. Labels only decrease and never leave the
+    * component (neighbor labels share the component by the edge; lab's
+    * label shares it by the doc→lab invariant), so the fixpoint is exactly
+    * the component minimum. Per round: two equi-joins + one aggregate, all
+    * on the (doc) key — the same shuffle family a real cluster co-locates;
+    * convergence is one count() action on the changed set. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round references comp FOUR times (neighbor-min, both jump sides,
+    // changed-count), so a persist-only loop grows the logical plan ~4^i —
+    // the string alone OOMs the driver past ~10 rounds. localCheckpoint
+    // materializes AND truncates lineage, keeping every round's plan flat;
+    // superseded checkpoint blocks are reclaimed by the ContextCleaner.
     var comp = edges.select(col("src").as("doc")).distinct()
       .withColumn("lab", col("doc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(comp, edges("dst") === comp("doc"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      val next = comp.join(neighborMin, comp("doc") === neighborMin("src"),
-          "left_outer")
+      val jump = comp.as("a")
+        .join(comp.as("b"), col("a.lab") === col("b.doc"))
+        .select(col("a.doc").as("jdoc"), col("b.lab").as("jlab"))
+      val next = comp
+        .join(neighborMin, comp("doc") === neighborMin("src"), "left_outer")
+        .join(jump, comp("doc") === col("jdoc"), "left_outer")
         .select(comp("doc"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          least(col("lab"), coalesce(col("nlab"), col("lab")),
+            coalesce(col("jlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(comp.as("c"), col("n.doc") === col("c.doc"))
         .filter(col("n.lab") =!= col("c.lab")).count()
-      comp.unpersist()
       comp = next
       converged = changed == 0
       i += 1
     }
     if (!converged) {
       // Labels are still correct per-round minimums but NOT the component
-      // minimum: a chain with diameter > maxIter yields labels that diverge
-      // from the transitive closure. Surface it loudly — a silent wrong
-      // answer in a dedup pass drops the wrong documents.
+      // minimum. With pointer jumping this takes a component of diameter
+      // > 2^maxIter — surface it loudly rather than silently mislabel.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"nearDupComponents did NOT converge within $maxIter rounds; " +
-          "component labels are incomplete. Raise maxIter or switch to the " +
-          "large-star/small-star formulation for giant components.")
+        s"connectedComponents did NOT converge within $maxIter rounds; " +
+          "component labels are incomplete. Raise maxIter.")
     }
-    val result = comp.select(col("doc").as("doc_id"),
-        col("lab").as("cluster_rep"),
-        (col("doc") === col("lab")).as("keep"))
-      .localCheckpoint(true)
+    val result = comp.select(col("doc"), col("lab")).localCheckpoint(true)
     edges.unpersist(false)
-    comp.unpersist(false)
     result
   }
 

@@ -79,4 +79,18 @@ class DedupSpec extends SparkSpec {
     out.get(2L).foreach(v => assert(v == (1L, false)))
     out.get(3L).foreach(v => assert(v._2 == false))
   }
+
+  test("connectedComponents: pointer jumping resolves a diameter-100 chain") {
+    // a 101-node chain (diameter 100) plus a separate triangle — plain
+    // min-label propagation would need 100 rounds; path doubling must
+    // settle well inside the default 25
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val pairs = (chain ++ tri).toDF("doc_a", "doc_b")
+    val labs = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 100L).forall(labs(_) == 0L), "whole chain labeled 0")
+    assert(Seq(200L, 201L, 202L).forall(labs(_) == 200L))
+    assert(labs.size == 104)
+  }
 }
