@@ -25,4 +25,36 @@ class SourcesSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.schema.fieldNames.contains("value"))
   }
+
+  test("co-bucketed tables join and aggregate with no shuffle exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val left = (0L until 1000L).map(i => (i % 97, i, s"o$i"))
+      .toDF("k", "id", "tag")
+    val right = (0L until 3000L).map(i => (i % 97, i * 2))
+      .toDF("k", "amount")
+    Sources.writeBucketed(left, "b_left", s"$dir/left", "k", 4)
+    Sources.writeBucketed(right, "b_right", s"$dir/right", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Sources.bucketedTable(spark, "b_left")
+        .join(Sources.bucketedTable(spark, "b_right"), Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join+agg must not shuffle:\n$plan")
+      // and the result is the same as the plain (shuffled) join
+      val expected = left.join(right, Seq("k")).groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+    }
+  }
 }
