@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the ingest-time twin of the batch
+  * `Dedup.exactDedup` (d1): drop records whose key (or content hash) was
+  * already seen, keeping state only within the watermark.
+  *
+  * `dropDuplicatesWithinWatermark` is the scale-correct primitive: per-key
+  * state is evicted once the watermark passes, so state size is bounded by
+  * (arrival rate × watermark), not stream length — the difference between
+  * a dedup that survives a year of 100 TB/day ingest and one that OOMs.
+  * The trade is the standard one: a duplicate arriving after its
+  * original's state expired is re-emitted, which downstream batch dedup
+  * (d1) mops up. Rows pass through immediately (no aggregation barrier).
+  */
+object StreamDedup {
+
+  /** Dedup on explicit key columns within the watermark. */
+  def exact(df: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Dedup a document stream by content hash: the md5 gate d1 applies in
+    * batch, computed as a narrow projection before the stateful operator
+    * so the dedup state holds one 32-char hash per document, not the
+    * document itself. */
+  def byContent(df: DataFrame, tsCol: String, watermark: String,
+      contentCol: String): DataFrame =
+    df.withColumn("content_md5", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_md5"))
+}

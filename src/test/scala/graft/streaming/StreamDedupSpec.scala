@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Watermarked streaming dedup: duplicates inside the watermark are
+  * dropped; once state is evicted a re-arrival is re-emitted (the
+  * documented at-least-once trade, mopped up by batch d1). */
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+
+  test("byContent drops in-watermark duplicates, re-emits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamDedup.byContent(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "10 seconds", "text")
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts(100), 1L, "same text"), (ts(102), 3L, "other text")))
+      q.processAllAvailable()
+      // duplicate arrives in a LATER batch (within a batch, which copy
+      // survives is partition-order-dependent — not part of the contract)
+      input.addData(Seq((ts(101), 2L, "same text")))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+        "duplicate doc 2 suppressed inside the watermark")
+
+      // advance the watermark far past the originals, evicting their state
+      input.addData(Seq((ts(1000), 4L, "fresh text")))
+      q.processAllAvailable()
+      input.addData(Seq((ts(1001), 5L, "same text")))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L),
+        "post-eviction duplicate re-emitted (at-least-once trade)")
+    } finally q.stop()
+  }
+
+  test("exact dedups on explicit keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamDedup.exact(
+      input.toDF().toDF("ts", "event_id", "payload"),
+      "ts", "1 minute", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("sdedup_keys")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (ts(100), 10L, "a"), (ts(101), 10L, "retry"), (ts(102), 11L, "b")))
+      q.processAllAvailable()
+      assert(spark.table("sdedup_keys").count() == 2)
+    } finally q.stop()
+  }
+}
