@@ -4,7 +4,7 @@ import graft.operators.{Curation, Dedup, LlmText, Multimodal, PipelineOps,
   Relational => R, Similarity, Tables => T, Temporal}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -89,6 +89,12 @@ object SparkEntry {
     "c4_pack_sequences" -> ((s, d) => Curation.packSequences(T.documents(s, d))),
     "c5_curation_pipeline" -> ((s, d) =>
       Curation.curationPipeline(T.documents(s, d))),
+    "c6_decontaminate" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -578,6 +584,20 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM sel GROUP BY lang""".stripMargin,
+    "c6_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |cor AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS shared
+        |  FROM cor JOIN bench USING(g) GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(ov.shared, 0) AS n_shared,
+        |  COALESCE(ov.shared, 0) >= 3 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value

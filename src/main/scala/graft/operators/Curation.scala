@@ -123,6 +123,34 @@ object Curation {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Eval-set decontamination (c6): count, per corpus document, the
+    * distinct word-3-gram shingles it shares with ANY document of the
+    * benchmark set, and flag docs at or above `minShared` — the standard
+    * guard against training on eval data.
+    *
+    * Plan shape at 100 TB: the benchmark side (eval suites — thousands of
+    * docs) collapses to a distinct shingle set that BROADCASTS; the corpus
+    * side is a narrow explode into that broadcast hash join, so only
+    * matching shingles ever reach the per-doc count shuffle, which is
+    * O(contaminated overlap), not O(corpus). The overlap counts then join
+    * back to the corpus on doc_id where AQE broadcasts the small side. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int = 3): DataFrame = {
+    val bsh = benchmark
+      .select(explode(LlmText.shingles(col("text"))).as("sh"))
+      .distinct()
+    val overlap = corpus
+      .select(col("doc_id"), explode(LlmText.shingles(col("text"))).as("sh"))
+      .join(broadcast(bsh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Leakage-safe train/val/test split (c3): every document is assigned a
     * split by hashing its near-dup cluster representative (its own id when
     * it has no near-dups), so near-duplicate documents can never straddle

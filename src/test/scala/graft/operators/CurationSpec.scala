@@ -80,6 +80,23 @@ class CurationSpec extends SparkSpec {
     assert(out("en")._2 == good.length.toLong)
   }
 
+  test("decontaminate counts shared shingles against the benchmark union") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon", "en", "a"), // 3 shingles, all shared
+      (2L, "alpha beta gamma nothing else here", "en", "a"), // 1 shared
+      (3L, "completely different words entirely now", "en", "a"), // 0
+      (4L, "xy", "en", "a")) // no shingles at all
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta", "en", "b"))
+    val out = Curation.decontaminate(corpus, bench, minShared = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (3L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L) == (0L, false))
+    assert(out(4L) == (0L, false), "shingle-less docs still reported clean")
+    assert(out.size == 4)
+  }
+
   test("leakageSafeSplit keeps near-dup clusters in one split") {
     // two exact near-dup families plus unrelated docs
     val family = "alpha beta gamma delta epsilon zeta eta theta"
