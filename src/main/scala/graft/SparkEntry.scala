@@ -99,6 +99,7 @@ object SparkEntry {
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
     "q26_salted_distinct" -> ((s, d) => R.saltedDistinctAgg(T.events(s, d))),
+    "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -608,6 +609,15 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q27_sliding_window" ->
+      """WITH e AS (SELECT event_type, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |w AS (SELECT event_type, value,
+        |  (sec // 1800) * 1800 - s.k AS win_start
+        |  FROM e, (SELECT unnest([0, 1800]) AS k) s)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
         |  count(*) AS n_copies

@@ -217,6 +217,19 @@ object Relational {
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows (q27): 1-hour windows every 30 minutes —
+    * each event lands in exactly length/slide = 2 windows. Spark's window()
+    * generates the window memberships as a narrow projection before the
+    * aggregate, so the cost is slide-factor × the tumbling aggregate, with
+    * the same map-side combine; state/groups stay (windows × keys). */
+  def slidingEventCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Salted skew join (q25): events fact ⋈ customer dimension on a skewed
     * key, revenue per market segment. The fact side gets a deterministic
     * salt; the dimension side is replicated across all `buckets` salts and
