@@ -89,6 +89,7 @@ object SparkEntry {
     "c4_pack_sequences" -> ((s, d) => Curation.packSequences(T.documents(s, d))),
     "c5_curation_pipeline" -> ((s, d) =>
       Curation.curationPipeline(T.documents(s, d))),
+    "c7_group_sample" -> ((s, d) => Curation.groupSample(T.documents(s, d))),
     "c6_decontaminate" -> ((s, d) => {
       val docs = T.documents(s, d)
       Curation.decontaminate(
@@ -111,6 +112,8 @@ object SparkEntry {
       Dedup.nearDupComponents(T.documents(s, d))),
     "d8_dedup_apply" -> ((s, d) => Dedup.dedupApply(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
+    "e1_label_centroids" -> ((s, d) =>
+      graft.operators.VectorOps.groupCentroids(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
@@ -585,6 +588,18 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM sel GROUP BY lang""".stripMargin,
+    "c7_group_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('gs:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('gs:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('gs:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 1000000 AS h
+        | FROM documents)
+        |SELECT doc_id, lang, h FROM (
+        |  SELECT doc_id, lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM t) WHERE rn <= 10""".stripMargin,
     "c6_decontaminate" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
@@ -788,6 +803,15 @@ object SparkEntry {
         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
         |WHERE drops.doc IS NULL
         |GROUP BY d.source""".stripMargin,
+    "e1_label_centroids" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
+        |dims AS (SELECT UNNEST(range(0, 64)) AS dim)
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |  CAST(SUM(CAST(round(x[dim + 1] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1.0e9) AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM v CROSS JOIN dims
+        |GROUP BY label, dim""".stripMargin,
     "s1_knn_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -123,6 +123,22 @@ object Curation {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Deterministic per-group sample (c7): the k documents with the
+    * smallest sampling hash per group — the distributed, re-runnable
+    * analog of per-group reservoir sampling (a uniform hash order is a
+    * uniform random order, but stable across retries and partitionings).
+    * Runs on the heap-based [[graft.plans.TopK.perKey]] operator:
+    * O(k) state per group per partition with map-side pre-reduction, no
+    * full sort, no per-group shuffle of losers. */
+  def groupSample(documents: DataFrame, k: Int = 10,
+      by: String = "lang"): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    graft.plans.TopK.perKey(
+      documents.select(col("doc_id"), col(by),
+        pmod(hash28("gs:", col("doc_id")), lit(1000000)).as("h")),
+      Seq(col(by)), Seq(col("h"), col("doc_id")), k)
+  }
+
   /** Eval-set decontamination (c6): count, per corpus document, the
     * distinct word-3-gram shingles it shares with ANY document of the
     * benchmark set, and flag docs at or above `minShared` — the standard

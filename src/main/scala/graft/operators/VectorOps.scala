@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Dense-vector column math over `array<double>` columns, built from
   * Catalyst higher-order functions (zip_with/transform/aggregate) — no UDFs,
@@ -32,4 +33,32 @@ object VectorOps {
 
   /** Float-array column → exact double array (f32→f64 is lossless). */
   def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Exact distributed per-group vector mean (e1): centroid of the
+    * embedding column per group, in long form (group, dim, centroid value,
+    * member count) — the aggregation at the heart of IVF training,
+    * mean-pooled source embeddings, and cluster profiling.
+    *
+    * posexplode turns the n×d array column into n·d (group, dim, value)
+    * rows, then one hash aggregate on (group, dim) with map-side combine —
+    * shuffle rows = groups × dims, not corpus size. Long form keeps every
+    * output cell a scalar double, so oracle comparison is
+    * representation-stable (no array-of-double canonicalization).
+    *
+    * Components are quantized to a 1e-9 grid BEFORE accumulation
+    * (`round(v·1e9)` → integer, summed as DECIMAL(38,0) so 10¹² vectors
+    * cannot overflow): a direct double→DECIMAL cast rounds arbitrary
+    * floats differently across engines (HALF_UP vs HALF_EVEN at the last
+    * decimal digit), whereas the scaled round is the same IEEE product and
+    * away-from-zero rounding everywhere. The mean is exact on the grid —
+    * error ≤ 5e-10 per component, far inside f32 input noise. */
+  def groupCentroids(embeddings: DataFrame, by: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(by), posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col(by), col("dim"))
+      .agg(
+        (sum(round(col("v") * lit(1.0e9)).cast(DecimalType(38, 0)))
+          .cast("double") / (count(col("v")) * lit(1.0e9))).as("centroid"),
+        count(col("v")).as("n_vecs"))
 }
