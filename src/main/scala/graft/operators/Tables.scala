@@ -33,4 +33,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** All star-schema tables by name (events with the timestamp fix-up). */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> (region _), "nation" -> (nation _),
+    "customer" -> (customer _), "supplier" -> (supplier _),
+    "part" -> (part _), "orders" -> (orders _), "lineitem" -> (lineitem _),
+    "events" -> (events _), "documents" -> (documents _),
+    "embeddings" -> (embeddings _))
+
+  /** Register every table as a session temp view so ad-hoc `spark.sql`
+    * works against the schema — the SQL entry point of the library
+    * (Catalyst parses/optimizes/plans for free; SURVEY §2.8). Also
+    * registers the graft SQL functions (dot product, cosine). */
+  def createViews(s: SparkSession, d: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    all.foreach { case (name, fn) => fn(s, d).createOrReplaceTempView(name) }
+  }
 }
