@@ -75,6 +75,25 @@ object GraftStream extends Logging {
         .save()
     }
 
+  /** Partitioned parquet lake sink: the landing pattern for a training-data
+    * firehose — append-only files under `path`, directory-partitioned by
+    * `partitionCols` (date/source/lang) so downstream batch curation prunes
+    * partitions at the scan.
+    *
+    * Used inside foreachBatch, each micro-batch append is atomic per task
+    * file and the streaming checkpoint makes re-delivery idempotent at the
+    * batch level (a replayed batch overwrites by batchId only when the
+    * caller keys files that way — the default posture here is append +
+    * at-least-once, mopped up by d1 exact dedup downstream, same trade as
+    * [[StreamDedup]]). Partition count = input partitions; callers
+    * repartition(partitionCols) first when file-per-partition matters. */
+  def parquetLakeSink(path: String,
+      partitionCols: Seq[String]): DataFrame => Unit = { df =>
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
   /** Decode a Kafka-shaped DataFrame into `Dataset[Envelope[T]]` with a
     * caller-supplied safe decoder (JSON: SafeJson.decode column; Avro:
     * SafeAvro.decode). `decodeFn` must never throw — return Left(error).
