@@ -126,10 +126,13 @@ case class GraftConf(
     saslMechanism: String = "",
     saslJaasConfig: String = "",
     sslEndpointIdentificationAlgorithm: String = "",
-    // Schema-registry governance (KafkaPropertiesBuilder.java:44-55). These
-    // configure the Avro serde resolver (graft.serde.SafeAvro), not the Kafka
-    // transport — carried here so ONE conf object configures the whole
-    // pipeline, like the reference's property POJOs.
+    // Schema-registry governance (KafkaPropertiesBuilder.java:44-55),
+    // carried so ONE conf object configures the whole pipeline like the
+    // reference's property POJOs. NOTE: SafeAvro resolves schemas through a
+    // caller-supplied SchemaResolver; a registry-backed resolver would read
+    // these fields, but this build ships only FixedResolver (no registry
+    // client dependency in the sandbox), so they are config-surface parity,
+    // not live wiring — setting them does not change resolution by itself.
     schemaRegistryUrl: String = "",
     schemaRegistryBasicAuthUserInfo: String = "",
     basicAuthCredentialsSource: String = "",

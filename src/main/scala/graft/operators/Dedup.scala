@@ -43,19 +43,10 @@ object Dedup {
     86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
     198491317, 217645177)
 
-  /** 28-bit base hash from an ALREADY-COMPUTED md5("m:"+shingle) hex column,
-    * by per-char arithmetic that plain SQL reproduces exactly. Takes the
-    * hex, not the shingle: HOF lambdas have no common-subexpression
-    * elimination, so computing the md5 inside this arithmetic would hash
-    * every shingle 7× (once per hex char). Hash in one transform pass,
-    * combine in the next — re-referencing the lambda variable is free. */
-  private def baseFromHex(hx: Column): Column = {
-    def hv(c: Int): Column = {
-      val a = ascii(hx.substr(lit(c), lit(1)))
-      when(a <= 57, a - 48).otherwise(a - 87)
-    }
-    (1 to 7).map(hv).reduce((acc, v) => acc * 16 + v).cast("long")
-  }
+  /** 28-bit base hash from an ALREADY-COMPUTED md5("m:"+shingle) hex
+    * column — the shared [[PortableHash.nibbleFold7]] (hash in one
+    * transform pass, fold in the next; see that scaladoc). */
+  private def baseFromHex(hx: Column): Column = PortableHash.nibbleFold7(hx)
 
   /** The documents' distinct word-3-gram shingle sets, bracketed by two
     * doc_id exchanges that are both load-bearing: the one BELOW the

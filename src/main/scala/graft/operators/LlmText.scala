@@ -151,19 +151,10 @@ object LlmText {
   val RollP = 1000000007L
   val RollK = 4
 
-  /** 28-bit value from the first 7 hex chars of an ALREADY-COMPUTED md5 hex
-    * column. Takes the hex, not the word: HOF lambdas have no common-
-    * subexpression elimination, so building the md5 inside this arithmetic
-    * would re-hash the word once per hex char (7× — measured as the
-    * dominant cost of x5 before the split). Re-referencing a lambda
-    * variable is free; hash in one transform pass, combine in the next. */
-  private def hexVal7(hx: Column): Column = {
-    def hv(c: Int): Column = {
-      val a = ascii(hx.substr(lit(c), lit(1)))
-      when(a <= 57, a - 48).otherwise(a - 87)
-    }
-    (1 to 7).map(hv).reduce((acc, v) => acc * 16 + v).cast("long")
-  }
+  /** 28-bit value from an ALREADY-COMPUTED md5 hex column — the shared
+    * [[PortableHash.nibbleFold7]] (hashing inside the fold would re-hash
+    * once per hex char in a HOF lambda; measured 7× on x5). */
+  private def hexVal7(hx: Column): Column = PortableHash.nibbleFold7(hx)
 
   /** Rolling-hash document fingerprint (x5): Rabin–Karp over 4-word
     * windows, winnowing-style min sample + distinct-window count. Built

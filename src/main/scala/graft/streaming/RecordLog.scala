@@ -46,9 +46,19 @@ object RecordLog {
         Encoders.row(df.schema)
       val keyIdx = df.schema.fieldNames.indexOf("key")
       inner(df.map { r =>
-        logger.info("onSend topic={} key={}", topic,
-          if (keyIdx >= 0) String.valueOf(r.get(keyIdx)) else "<none>")
+        logger.info("onSend topic={} key={}", topic, keyText(r, keyIdx))
         r
       })
+    }
+
+  /** Printable key: binary Kafka keys decode as UTF-8 (the reference's
+    * interceptor logs the string key) — String.valueOf on Array[Byte]
+    * would print a JVM reference like "[B@1a2b3c". */
+  private def keyText(r: org.apache.spark.sql.Row, keyIdx: Int): String =
+    if (keyIdx < 0) "<none>"
+    else r.get(keyIdx) match {
+      case null => "<null>"
+      case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case v => String.valueOf(v)
     }
 }

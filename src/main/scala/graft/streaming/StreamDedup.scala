@@ -32,4 +32,7 @@ object StreamDedup {
     df.withColumn("content_md5", md5(col(contentCol).cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("content_md5"))
+      // pass-through contract: the helper hash must not leak into the
+      // caller's stream schema (schema-sensitive sinks would reject it)
+      .drop("content_md5")
 }
