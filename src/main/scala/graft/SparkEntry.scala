@@ -81,6 +81,8 @@ object SparkEntry {
     "x6_text_clean" -> ((s, d) => LlmText.cleanText(T.documents(s, d))),
     "x7_tfidf" -> ((s, d) => LlmText.tfidf(T.documents(s, d))),
     "x8_repetition" -> ((s, d) => LlmText.repetitionSignals(T.documents(s, d))),
+    // vocabSize 16 < the corpus's distinct-word count so OOV is exercised
+    "x9_vocab_oov" -> ((s, d) => LlmText.vocabOov(T.documents(s, d), 16)),
     // -- LLM-data-pipeline ops: corpus curation --
     "c1_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(T.documents(s, d), Map("en" -> 50), 25)),
@@ -427,6 +429,17 @@ object SparkEntry {
         |  (dup_word_frac > 0.30 OR dup_bigram_frac > 0.20
         |    OR dup_trigram_frac > 0.18) AS is_repetitive
         |FROM m""".stripMargin,
+    "x9_vocab_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |vocab AS (SELECT term FROM cnt ORDER BY cnt DESC, term LIMIT 16),
+        |iv AS (SELECT doc_id, count(*) AS n_in FROM toks JOIN vocab USING(term) GROUP BY 1),
+        |t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT t.doc_id, n_tokens,
+        |  n_tokens - COALESCE(n_in, 0) AS n_oov,
+        |  CAST(n_tokens - COALESCE(n_in, 0) AS DOUBLE) / n_tokens AS oov_rate
+        |FROM t LEFT JOIN iv ON t.doc_id = iv.doc_id""".stripMargin,
     "c1_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
         |  CAST(list_reduce(list_transform(range(1, 8), c ->

@@ -264,6 +264,36 @@ object LlmText {
       (dupW > 0.30 || dup2 > 0.20 || dup3 > 0.18).as("is_repetitive"))
   }
 
+  /** Vocabulary coverage / OOV stats (x9): build the corpus top-`vocabSize`
+    * vocabulary (count desc, term asc — deterministic at the cutoff) and
+    * report per-document out-of-vocabulary counts and rate — the signal a
+    * tokenizer-bound pipeline uses to spot domain drift and junk before
+    * training.
+    *
+    * Plan shape at 100 TB: the vocabulary is a TakeOrdered over the
+    * map-side-combined term counts and BROADCASTS; membership counting is
+    * the explode joined against that broadcast, so the only corpus-keyed
+    * shuffle is the per-doc count. */
+  def vocabOov(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    Caching.withPersisted(toks) {
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+        .select(col("term"))
+      val inVocab = toks.join(broadcast(vocab), Seq("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in_vocab"))
+      val oov = col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))
+      documents
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .join(inVocab, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"), oov.as("n_oov"),
+          (oov.cast("double") / col("n_tokens")).as("oov_rate"))
+    }
+  }
+
   /** TF-IDF top-k terms per document (x7). IDF is the rational form
     * `N / df` (one double division, no transcendental) so the score is
     * bit-identical across engines; the re-rank goes through the heap-based

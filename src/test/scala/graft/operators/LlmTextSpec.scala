@@ -95,6 +95,22 @@ class LlmTextSpec extends SparkSpec {
     assert(r3.getDouble(r3.fieldIndex("dup_bigram_frac")) == 0.0)
   }
 
+  test("vocabOov counts out-of-vocabulary tokens against the corpus top-k") {
+    val out = Seq(
+      (1L, "aa aa aa bb"),   // aa x3, bb x1
+      (2L, "aa bb cc"),      // cc is rank 3 → OOV at vocabSize 2
+      (3L, "dd dd"))         // dd x2 ties bb(2)... dd wins? see below
+      .toDF("doc_id", "text")
+      .transform(LlmText.vocabOov(_, vocabSize = 2))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // counts: aa=4, dd=2, bb=2, cc=1 → vocab (count desc, term asc) = {aa, bb}
+    assert(out(1L) == (4L, 0L, 0.0))
+    assert(out(2L) == (3L, 1L, 1.0 / 3))
+    assert(out(3L) == (2L, 2L, 1.0), "dd loses the tie to bb alphabetically")
+  }
+
   test("tfidf ranks rare terms above common ones, top-k per doc") {
     val out = Seq(
       (1L, "common rare1 common"),

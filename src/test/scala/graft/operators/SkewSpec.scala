@@ -35,6 +35,33 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("property: salted rewrites equal plain forms on random event tables") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val eventsGen = Gen.listOfN(60, for {
+      id <- Gen.choose(0L, 500L)
+      user <- Gen.choose(0L, 8L)       // few users → every key is hot
+      et <- Gen.oneOf("click", "view") // 2 group keys → hot aggregation
+      v <- Gen.choose(0, 10000).map(_ / 100.0)
+    } yield (id, user, et, v))
+    val prop = forAll(eventsGen, Gen.oneOf(1, 2, 5, 32)) { (rows, buckets) =>
+      val ev = rows.toDF("event_id", "user_id", "event_type", "value")
+      val plain = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          Relational.dsum(col("value")).as("sum_value"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val salted = Relational.saltedDistinctAgg(ev, buckets)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      Prop(salted == plain)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
     val plain = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"),
