@@ -3,6 +3,7 @@ package graft.sources
 import graft.core.GraftConf
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Source facade: the batch and streaming entry points of the library in
   * one place, plus the session configuration we recommend for production
@@ -21,6 +22,22 @@ object Sources {
     * module (S1). */
   def kafka(spark: SparkSession, conf: GraftConf): DataFrame =
     graft.streaming.GraftStream.kafkaSource(spark, conf)
+
+  /** JSON-lines source with a REQUIRED schema: schema inference reads the
+    * whole dataset once before the real scan — at 100 TB that doubles the
+    * job. Malformed lines follow `mode` (PERMISSIVE keeps them as nulls
+    * with `_corrupt_record` when the schema carries that column — the
+    * batch cousin of the never-throw serde contract). */
+  def json(spark: SparkSession, path: String, schema: StructType,
+      mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema).option("mode", mode).json(path)
+
+  /** CSV source with a REQUIRED schema — same no-inference rationale as
+    * [[json]] (CSV inference also scans everything to type columns). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, mode: String = "PERMISSIVE"): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString).option("mode", mode).csv(path)
 
   /** Deterministic-rate synthetic stream — useful for soak tests of the
     * pipelines without Kafka. */

@@ -26,6 +26,31 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema.fieldNames.contains("value"))
   }
 
+  test("json/csv sources read with explicit schemas, malformed rows kept") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-src")
+    val jsonFile = dir.resolve("d.jsonl")
+    java.nio.file.Files.writeString(jsonFile,
+      """{"id": 1, "name": "a"}
+        |not json at all
+        |{"id": 3, "name": "c"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    // Spark refuses queries touching ONLY _corrupt_record on raw scans;
+    // materialize all columns first (the documented cache/save pattern)
+    val rows = Sources.json(spark, jsonFile.toString, schema).collect()
+    assert(rows.length == 3, "malformed line kept, not dropped")
+    assert(rows.count(!_.isNullAt(2)) == 1)
+
+    val csvFile = dir.resolve("d.csv")
+    java.nio.file.Files.writeString(csvFile, "id,name\n1,a\n2,b\n")
+    val c = Sources.csv(spark, csvFile.toString,
+      StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+    assert(c.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("co-bucketed tables join and aggregate with no shuffle exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
