@@ -89,6 +89,8 @@ object SparkEntry {
     "c2_domain_mix" -> ((s, d) => Curation.domainMix(T.documents(s, d))),
     "c3_leakage_split" -> ((s, d) => Curation.leakageSafeSplit(T.documents(s, d))),
     "c4_pack_sequences" -> ((s, d) => Curation.packSequences(T.documents(s, d))),
+    "c8_pack_materialize" -> ((s, d) =>
+      Curation.materializePacks(T.documents(s, d))),
     "c5_curation_pipeline" -> ((s, d) =>
       Curation.curationPipeline(T.documents(s, d))),
     "c7_group_sample" -> ((s, d) => Curation.groupSample(T.documents(s, d))),
@@ -533,6 +535,26 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS start_offset
         |FROM c""".stripMargin,
+    "c8_pack_materialize" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('pk:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('pk:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('pk:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 32 AS shard
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM t),
+        |p AS (SELECT doc_id, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id FROM c)
+        |SELECT p.shard, p.pack_id, count(*) AS n_docs,
+        |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(d.text, ' ' ORDER BY d.doc_id) AS pack_text
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "c5_curation_pipeline" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Results must not depend on adaptive execution: AQE re-plans joins and
+  * coalesces shuffles at runtime, which is exactly the plan movement that
+  * once turned an ambiguous self-join condition trivially true. Pin the
+  * self-join-heavy operators to identical output with AQE on and off. */
+class AqeInvarianceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, base), (2L, base.replace("dog", "cat")),
+      (3L, base.replace("quick", "slow").replace("dog", "cat")),
+      (4L, "completely unrelated words forming another tiny document here"),
+      (5L, base)).toDF("doc_id", "text")
+  }
+
+  private def withAqe[A](enabled: Boolean)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", enabled.toString)
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("minhashLsh and nearDupComponents are AQE-invariant") {
+    def pairs() = Dedup.minhashLsh(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def comps() = Dedup.nearDupComponents(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    val (pOn, cOn) = withAqe(true) { (pairs(), comps()) }
+    val (pOff, cOff) = withAqe(false) { (pairs(), comps()) }
+    assert(pOn == pOff, "pair set must not depend on AQE")
+    assert(cOn == cOff, "component labels must not depend on AQE")
+    assert(pOn.nonEmpty, "fixture actually produces near-dup pairs")
+  }
+
+  test("annLsh is AQE-invariant (aliased self-join)") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => ((i % 7) + d % 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.annLsh(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty)
+  }
+}
