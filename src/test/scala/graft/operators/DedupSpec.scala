@@ -80,6 +80,37 @@ class DedupSpec extends SparkSpec {
     out.get(3L).foreach(v => assert(v._2 == false))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      val n = 300
+      val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v =>
+        // component rep = min node id in the component
+        val root = find(v.toInt)
+        val minLab = nodes.filter(u => find(u.toInt) == root).min
+        v -> minLab
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("connectedComponents: pointer jumping resolves a diameter-100 chain") {
     // a 101-node chain (diameter 100) plus a separate triangle — plain
     // min-label propagation would need 100 rounds; path doubling must
