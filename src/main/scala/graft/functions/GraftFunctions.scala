@@ -16,7 +16,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (cs => DotProduct(cs(0), cs(1))),
-    "graft_cosine" -> (cs => CosineSimilarity(cs(0), cs(1))))
+    "graft_cosine" -> (cs => CosineSimilarity(cs(0), cs(1))),
+    "graft_hexfold7" -> (cs => HexFold7(cs(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -19,8 +19,20 @@ object PortableHash {
     * hex column. Takes the hex, not the input: HOF lambdas have no
     * common-subexpression elimination, so callers hash in one pass and
     * fold from the (free to re-reference) lambda variable or projected
-    * column in the next. */
-  def nibbleFold7(hx: Column): Column = {
+    * column in the next.
+    *
+    * Runs on the native [[graft.functions.HexFold7]] codegen expression
+    * (one byte loop instead of a 28-node substr/ascii/CASE tree); the
+    * Column-tree twin below is kept as the bit-equality reference. */
+  def nibbleFold7(hx: Column): Column =
+    org.apache.spark.sql.graftinternal.Bridge.column(
+      graft.functions.HexFold7(
+        org.apache.spark.sql.graftinternal.Bridge.expression(hx)))
+
+  /** The portable Column-tree form of [[nibbleFold7]] — the exact
+    * arithmetic the DuckDB oracle mirrors, pinned bit-equal to the native
+    * expression by PortableHashSpec. */
+  private[graft] def nibbleFold7Reference(hx: Column): Column = {
     def hv(c: Int): Column = {
       val a = ascii(hx.substr(lit(c), lit(1)))
       when(a <= 57, a - 48).otherwise(a - 87)

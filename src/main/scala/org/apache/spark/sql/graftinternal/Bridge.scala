@@ -17,6 +17,9 @@ object Bridge {
   def expr(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[CSparkSession].expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+  /** Session-free Column → Expression (for expression builders usable
+    * inside HOF lambdas, where no session is at hand). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 }
