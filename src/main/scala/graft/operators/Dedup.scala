@@ -86,13 +86,14 @@ object Dedup {
         transform(col("sh"), s => md5(concat(lit("m:"), s).cast("binary"))),
         hx => baseFromHex(hx)))
     Caching.withPersisted(sh) {
+    // all 12 affine minimums in one native pass over the bases (the HOF
+    // twin walks the array 12×); bit-equality pinned by MinHashSigSpec
     val siged = sh
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(MinHashK - 1)), k =>
-          array_min(transform(col("bases"), b =>
-            pmod(element_at(typedlit(HashA), (k + 1).cast("int")) * b +
-              element_at(typedlit(HashB), (k + 1).cast("int")), lit(HashP)))))
-          .as("mhs"))
+        org.apache.spark.sql.graftinternal.Bridge.column(
+          graft.functions.MinHashSig(
+            org.apache.spark.sql.graftinternal.Bridge.expression(col("bases")),
+            HashA, HashB, HashP)).as("mhs"))
     val bands = siged.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
