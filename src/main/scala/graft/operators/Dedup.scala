@@ -238,12 +238,25 @@ object Dedup {
       element_at(typedlit(hexVotes), (hexVal(hx, c) + 1).cast("int"))))
 
   /** SimHash fingerprint (d3): 60-bit signature per document, computed in a
-    * single projection — per-word ±1 bit votes accumulated with
-    * aggregate/zip_with, then packed into a long. Integer-only arithmetic →
-    * bit-exact across engines; no shuffle at any scale. One md5 per word
-    * (hashed in a first transform pass), bit votes via constant-table
-    * lookup. */
+    * single projection — per-word ±1 bit votes accumulated and packed into
+    * a long by the native [[graft.functions.SimHashPack]] expression (one
+    * generated loop; the HOF twin below built two 60-element arrays per
+    * word). Integer-only arithmetic → bit-exact across engines; no shuffle
+    * at any scale. One md5 per word, hashed in a first transform pass. */
   def simhash(documents: DataFrame): DataFrame = {
+    val hexes = transform(LlmText.words(col("text")),
+      w => md5(concat(lit("w:"), w).cast("binary")))
+    documents.select(col("doc_id"),
+      org.apache.spark.sql.graftinternal.Bridge.column(
+        graft.functions.SimHashPack(
+          org.apache.spark.sql.graftinternal.Bridge.expression(hexes)))
+        .as("simhash"))
+  }
+
+  /** The HOF formulation of [[simhash]]'s vote-and-pack — the portable
+    * form the DuckDB oracle mirrors, pinned bit-equal to the native
+    * expression by SimHashPackSpec. */
+  private[graft] def simhashReference(documents: DataFrame): DataFrame = {
     val hexes = transform(LlmText.words(col("text")),
       w => md5(concat(lit("w:"), w).cast("binary")))
     val counts = aggregate(hexes,
