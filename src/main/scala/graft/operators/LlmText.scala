@@ -236,21 +236,47 @@ object LlmText {
       .otherwise(lit(0.0))
   }
 
+  /** The three duplicate fractions as one native one-pass struct
+    * ([[graft.functions.DupNgramFracs]]); the HOF twin is
+    * [[repetitionSignalsReference]], pinned bit-equal by spec. */
+  private def dupStruct(text: Column): Column =
+    org.apache.spark.sql.graftinternal.Bridge.column(
+      graft.functions.DupNgramFracs(
+        org.apache.spark.sql.graftinternal.Bridge.expression(words(text))))
+
   /** The x8 repetition flag as a standalone column expression — the exact
-    * tree [[repetitionSignals]] emits, for inline pipeline filters (c5). */
+    * arithmetic [[repetitionSignals]] emits, for inline pipeline filters
+    * (c5). */
   def isRepetitiveExpr(text: Column): Column = {
-    val ws = words(text)
-    dupFrac(ws) > 0.30 || dupFrac(wordNgrams(ws, 2)) > 0.20 ||
-      dupFrac(wordNgrams(ws, 3)) > 0.18
+    val d = dupStruct(text)
+    d.getField("dup_word_frac") > 0.30 ||
+      d.getField("dup_bigram_frac") > 0.20 ||
+      d.getField("dup_trigram_frac") > 0.18
   }
 
   /** Repetition signals (x8): Gopher-style duplicate-n-gram fractions at the
     * word, bigram, and trigram level, plus a composite repetition flag — the
     * filter that removes boilerplate/looping documents from a training mix.
-    * One narrow projection per row (array ops only, no shuffle), integer
-    * counts with a single final division, so values are bit-stable across
-    * engines at any partitioning. */
+    * One narrow projection per row (single-pass native struct, no shuffle),
+    * integer counts with a single final division, so values are bit-stable
+    * across engines at any partitioning. */
   def repetitionSignals(documents: DataFrame): DataFrame = {
+    val d = dupStruct(col("text"))
+    val dupW = d.getField("dup_word_frac")
+    val dup2 = d.getField("dup_bigram_frac")
+    val dup3 = d.getField("dup_trigram_frac")
+    documents.select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_words"),
+      dupW.as("dup_word_frac"),
+      dup2.as("dup_bigram_frac"),
+      dup3.as("dup_trigram_frac"),
+      (dupW > 0.30 || dup2 > 0.20 || dup3 > 0.18).as("is_repetitive"))
+  }
+
+  /** HOF formulation of [[repetitionSignals]] — the portable form the
+    * DuckDB oracle mirrors, kept as the bit-equality reference. */
+  private[graft] def repetitionSignalsReference(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val dupW = dupFrac(ws)
     val dup2 = dupFrac(wordNgrams(ws, 2))

@@ -23,4 +23,21 @@ class SimHashPackSpec extends SparkSpec {
     assert(native == ref)
     assert(native.values.forall(v => v >= 0 && v < (1L << 60)))
   }
+
+  test("native dup-ngram fractions == HOF reference on random documents") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "b", "spam", "words", "x")
+    val docs = (1L to 150L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))) ++ Seq((151L, "solo"), (152L, "two words"))
+    val df = docs.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5))
+    val native = graft.operators.LlmText.repetitionSignals(df)
+      .collect().map(key).toMap
+    val ref = graft.operators.LlmText.repetitionSignalsReference(df)
+      .collect().map(key).toMap
+    assert(native == ref)
+  }
 }
