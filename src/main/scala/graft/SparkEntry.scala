@@ -105,12 +105,14 @@ object SparkEntry {
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
     "q26_salted_distinct" -> ((s, d) => R.saltedDistinctAgg(T.events(s, d))),
     "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
+    "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
     "d3_simhash" -> ((s, d) => Dedup.simhash(T.documents(s, d))),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(T.documents(s, d))),
     "d5_embed_dedup" -> ((s, d) => Dedup.embeddingDedup(T.embeddings(s, d))),
+    "d9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
     "d6_source_sketch" -> ((s, d) => Dedup.sourceSketch(T.documents(s, d))),
     "d7_neardup_components" -> ((s, d) =>
       Dedup.nearDupComponents(T.documents(s, d))),
@@ -649,6 +651,12 @@ object SparkEntry {
         |  COALESCE(ov.shared, 0) >= 3 AS contaminated
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
@@ -718,6 +726,29 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN sb > 0 THEN power(2, b)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
         |FROM agg GROUP BY doc_id""".stripMargin,
+    "d9_simhash_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |h AS (SELECT doc_id, md5('w:' || word) AS hx FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |  CASE WHEN ((CASE WHEN ascii(substr(hx, b // 4 + 1, 1)) <= 57
+        |              THEN ascii(substr(hx, b // 4 + 1, 1)) - 48
+        |              ELSE ascii(substr(hx, b // 4 + 1, 1)) - 87 END)
+        |             >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM h, range(60) t(b)),
+        |agg AS (SELECT doc_id, b, sum(v) AS sb FROM bits GROUP BY doc_id, b),
+        |s AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN sb > 0 THEN power(2, b)::BIGINT ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM agg GROUP BY doc_id),
+        |bnd AS (SELECT doc_id, simhash, j,
+        |  (simhash >> (15 * j)) & 32767 AS bv FROM s, range(4) t(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM bnd a JOIN bnd b
+        |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sa, sb)::BIT) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)::BIT) <= 4""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

@@ -269,6 +269,38 @@ object Dedup {
     documents.select(col("doc_id"), packed.as("simhash"))
   }
 
+  /** SimHash near-dup pairs (d9): banded hamming search over the d3
+    * signatures — 60 bits split into 4 bands of 15; two docs are candidates
+    * iff they share ANY band value (pigeonhole: hamming ≤ 3 guarantees a
+    * shared band; wider radii trade recall), verified by exact
+    * `bit_count(xor)` ≤ maxHamming.
+    *
+    * The same scale shape as MinHash LSH: candidates come from an
+    * equi-join on (band index, 15-bit band value) — never an all-pairs
+    * product — and the exact verify touches only candidate pairs, with
+    * integer-only arithmetic both engines reproduce. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val sigs = simhash(documents)
+      .transform(Partitioning.spread(_, col("doc_id")))
+    Caching.withPersisted(sigs) {
+      val bands = sigs
+        .select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bv", expr("shiftright(simhash, 15 * j) & 32767"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
+  }
+
   /** Bottom-k n-gram Jaccard near-dup (d4): candidates share one of the 4
     * smallest shingle hashes (bottom-k sketch equi-join — content-based
     * blocking that survives cross-source/cross-lang near-dups), verified by

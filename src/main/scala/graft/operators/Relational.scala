@@ -217,6 +217,18 @@ object Relational {
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Explicit GROUPING SETS (q28): per-status totals, per-priority totals,
+    * and the grand total in one aggregate pass with a grouping_id
+    * discriminator — the general form rollup/cube (q14/q15) specialize.
+    * One shuffle; each input row expands only to its |sets| memberships. */
+  def groupingSetsSummary(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        grouping_id().as("gid"))
+
   /** Sliding event-time windows (q27): 1-hour windows every 30 minutes —
     * each event lands in exactly length/slide = 2 windows. Spark's window()
     * generates the window memberships as a narrow projection before the
