@@ -208,9 +208,14 @@ object Dedup {
     * near-dup cluster and report the surviving corpus per source — the
     * left-anti join against the (small) drop list is the standard shape for
     * applying a dedup pass to a 100 TB corpus. */
-  def dedupApply(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val drops = nearDupComponents(documents, threshold)
-      .filter(!col("keep")).select(col("doc_id"))
+  def dedupApply(documents: DataFrame, threshold: Double = 0.7): DataFrame =
+    dedupApply(documents, nearDupComponents(documents, threshold))
+
+  /** [[dedupApply]] over PRECOMPUTED component decisions — the form a real
+    * pipeline uses so one LSH+components pass feeds dedup, splits, and
+    * accounting instead of recomputing per consumer. */
+  def dedupApply(documents: DataFrame, components: DataFrame): DataFrame = {
+    val drops = components.filter(!col("keep")).select(col("doc_id"))
     documents
       .join(drops, Seq("doc_id"), "left_anti")
       .groupBy(col("source"))
