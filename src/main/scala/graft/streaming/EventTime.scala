@@ -36,6 +36,29 @@ object EventTime {
         col(s"window.end").as("win_end"),
         col(keyCol), col("n_events"), col("sum_value"))
 
+  /** Sliding event-time windows: length `windowDuration`, advancing every
+    * `slideDuration` — each event enters length/slide windows via a narrow
+    * pre-aggregate expansion; state is still bounded by (open windows ×
+    * keys) and evicted by the watermark.
+    * Batch twin: Relational.slidingEventCounts (q27). */
+  def sliding(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
   /** Session windows with an inactivity gap per key.
     * Batch twin: Temporal.sessionize (q19). */
   def session(

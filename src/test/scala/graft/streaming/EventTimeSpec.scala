@@ -70,4 +70,29 @@ class EventTimeSpec extends SparkSpec {
       assert(sessions.sortBy(_._1).toSeq == Seq((0L, 40L, 2L), (500L, 530L, 1L)))
     } finally q.stop()
   }
+
+  test("sliding windows put each event in length/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = EventTime.sliding(
+      input.toDF().toDF("ts", "etype", "value"),
+      "ts", "etype", "value", "1 minute", "30 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sliding_out")
+      .outputMode("append").start()
+    try {
+      // event at t=100 belongs to windows [60,120) and [90,150)
+      input.addData(Seq((ts(100), "a", 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(400), "a", 1.0))) // watermark past both windows
+      q.processAllAvailable()
+      input.addData(Seq((ts(401), "a", 0.0)))
+      q.processAllAvailable()
+      val wins = spark.table("sliding_out")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000,
+          r.getTimestamp(1).getTime / 1000, r.getLong(3), r.getDouble(4)))
+        .filter(_._3 > 0).sortBy(_._1)
+      assert(wins.count(w => w._1 == 60 && w._2 == 120 && w._4 == 2.0) == 1)
+      assert(wins.count(w => w._1 == 90 && w._2 == 150 && w._4 == 2.0) == 1)
+    } finally q.stop()
+  }
 }
