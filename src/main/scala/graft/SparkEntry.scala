@@ -748,7 +748,7 @@ object SparkEntry {
         |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
         |  CAST(bit_count(xor(sa, sb)::BIT) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)::BIT) <= 4""".stripMargin,
+        |FROM cand WHERE bit_count(xor(sa, sb)::BIT) <= 3""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

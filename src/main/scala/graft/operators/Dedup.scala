@@ -276,15 +276,20 @@ object Dedup {
 
   /** SimHash near-dup pairs (d9): banded hamming search over the d3
     * signatures — 60 bits split into 4 bands of 15; two docs are candidates
-    * iff they share ANY band value (pigeonhole: hamming ≤ 3 guarantees a
-    * shared band; wider radii trade recall), verified by exact
-    * `bit_count(xor)` ≤ maxHamming.
+    * iff they share ANY band value, verified by exact `bit_count(xor)` ≤
+    * maxHamming.
+    *
+    * Recall contract: with 4 bands, the pigeonhole principle guarantees a
+    * shared band only for hamming ≤ 3 — the default. A larger maxHamming
+    * returns MORE pairs but becomes approximate (a radius-4 pair with one
+    * differing bit per band shares no band and is missed); for guaranteed
+    * recall at radius r, band into r+1 pieces instead.
     *
     * The same scale shape as MinHash LSH: candidates come from an
     * equi-join on (band index, 15-bit band value) — never an all-pairs
     * product — and the exact verify touches only candidate pairs, with
     * integer-only arithmetic both engines reproduce. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 4): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhash(documents)
       .transform(Partitioning.spread(_, col("doc_id")))
     Caching.withPersisted(sigs) {

@@ -307,14 +307,14 @@ object LlmText {
     Caching.withPersisted(toks) {
       val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
-        .select(col("term"))
-      val inVocab = toks.join(broadcast(vocab), Seq("term"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in_vocab"))
-      val oov = col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L))
-      documents
-        .select(col("doc_id"),
-          size(words(col("text"))).cast("long").as("n_tokens"))
-        .join(inVocab, Seq("doc_id"), "left_outer")
+        .select(col("term"), lit(1).as("in_v"))
+      // one pass over toks yields BOTH counts (split() emits ≥1 token per
+      // doc, so every doc appears): no second corpus scan, no re-join on
+      // doc_id — count(in_v) counts only vocabulary hits
+      val oov = col("n_tokens") - col("n_in_vocab")
+      toks.join(broadcast(vocab), Seq("term"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), count(col("in_v")).as("n_in_vocab"))
         .select(col("doc_id"), col("n_tokens"), oov.as("n_oov"),
           (oov.cast("double") / col("n_tokens")).as("oov_rate"))
     }

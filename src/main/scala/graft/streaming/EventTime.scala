@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object EventTime {
 
-  /** Tumbling event-time counts/sums per window × key.
+  /** Tumbling event-time counts/sums per window × key — the slide ==
+    * length special case of [[sliding]].
     * Batch twin: Relational.eventsPerHour (q18). */
   def tumbling(
       events: DataFrame,
@@ -26,15 +27,8 @@ object EventTime {
       valueCol: String,
       windowDuration: String,
       watermark: String): DataFrame =
-    events
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol)).as("sum_value"))
-      .select(
-        col(s"window.start").as("win_start"),
-        col(s"window.end").as("win_end"),
-        col(keyCol), col("n_events"), col("sum_value"))
+    sliding(events, tsCol, keyCol, valueCol,
+      windowDuration, windowDuration, watermark)
 
   /** Sliding event-time windows: length `windowDuration`, advancing every
     * `slideDuration` — each event enters length/slide windows via a narrow
