@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.operators.{Curation, Dedup, LlmText, Similarity, Tables}
+
+import org.apache.spark.sql.SparkSession
+
+/** Compiled form of the README quick start — the batch curation pipeline a
+  * training-data job runs, end to end on the sample data. Keeping it a
+  * runnable main means the documented API cannot silently drift from the
+  * real one.
+  *
+  * Usage: sbt "runMain graft.tools.PipelineExample [sfDir]"
+  */
+object PipelineExample {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, dir)
+
+    // one LSH + connected-components pass feeds every downstream consumer
+    val components = Dedup.nearDupComponents(docs)
+    val cleanedBySource = Dedup.dedupApply(docs, components)
+    val splits = Curation.leakageSafeSplit(docs, components, 80, 10)
+
+    val quality = LlmText.qualityScore(docs)
+    val mix = Curation.domainMix(docs)
+    val curated = Curation.curationPipeline(docs)
+    val packs = Curation.packSequences(docs)
+    val neighbors = Similarity.annIvf(Tables.embeddings(spark, dir))
+
+    println(s"docs=${docs.count()}")
+    println(s"near-dup clusters=${components.filter("NOT keep").count()} drops")
+    println(s"kept per source rows=${cleanedBySource.count()}")
+    println("splits: " + splits.groupBy("split").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+    println(s"quality-pass=${quality.filter("is_quality").count()}")
+    println(s"domain-mixed=${mix.count()}")
+    println(s"curated rows=${curated.count()}")
+    println(s"packs=${packs.select("shard", "pack_id").distinct().count()}")
+    println(s"ann rows=${neighbors.count()}")
+    spark.stop()
+  }
+}
