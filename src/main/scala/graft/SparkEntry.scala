@@ -106,6 +106,7 @@ object SparkEntry {
     "q26_salted_distinct" -> ((s, d) => R.saltedDistinctAgg(T.events(s, d))),
     "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
+    "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -657,6 +658,12 @@ object SparkEntry {
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q29_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(*)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value

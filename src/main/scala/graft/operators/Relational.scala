@@ -217,6 +217,22 @@ object Relational {
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Correlated scalar subquery (q29): parts priced above their brand's
+    * average — runs through `spark.sql` to exercise the SQL surface end to
+    * end (Catalyst decorrelates the subquery into an aggregate + join; no
+    * per-row re-execution). The average uses the DECIMAL-accumulate /
+    * divide-once tree on BOTH engines so boundary rows cannot flip on
+    * float summation order. */
+  def aboveBrandAverage(part: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("q29_part")
+    part.sparkSession.sql(
+      """SELECT p_partkey, p_brand, p_retailprice FROM q29_part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+        |           / COUNT(*)
+        |  FROM q29_part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (q28): per-status totals, per-priority totals,
     * and the grand total in one aggregate pass with a grouping_id
     * discriminator — the general form rollup/cube (q14/q15) specialize.
