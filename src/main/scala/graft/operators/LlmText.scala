@@ -46,8 +46,17 @@ object LlmText {
   }
 
   /** Distinct character 3-grams — the finer-grained similarity unit used by
-    * n-gram Jaccard verification. */
+    * n-gram Jaccard verification. Native one-pass byte walk
+    * ([[graft.functions.CharTrigramSet]]); the HOF twin re-seeks the
+    * code-point offset per trigram (quadratic on CJK text). */
   def charTrigrams(text: Column): Column =
+    org.apache.spark.sql.graftinternal.Bridge.column(
+      graft.functions.CharTrigramSet(
+        org.apache.spark.sql.graftinternal.Bridge.expression(text)))
+
+  /** HOF formulation of [[charTrigrams]] — the portable form the DuckDB
+    * oracle mirrors, kept as the bit-equality reference. */
+  private[graft] def charTrigramsReference(text: Column): Column =
     when(length(text) >= 3,
       array_distinct(transform(sequence(lit(1), length(text) - 2), i =>
         text.substr(i, lit(3)))))

@@ -24,6 +24,22 @@ class SimHashPackSpec extends SparkSpec {
     assert(native.values.forall(v => v >= 0 && v < (1L << 60)))
   }
 
+  test("native char-trigram set == HOF reference incl. multibyte text") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val pool = "abcdef语言模型データ 日本語处理"
+    val texts = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.length))).mkString) ++
+      Seq("", "ab", "abc", "aaaa", "语言模", "语言模型语言模型")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      graft.operators.LlmText.charTrigrams(col("text")).as("n"),
+      graft.operators.LlmText.charTrigramsReference(col("text")).as("r"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("native dup-ngram fractions == HOF reference on random documents") {
     val rnd = new scala.util.Random(11)
     val vocab = Seq("a", "b", "spam", "words", "x")
