@@ -17,7 +17,14 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (cs => DotProduct(cs(0), cs(1))),
     "graft_cosine" -> (cs => CosineSimilarity(cs(0), cs(1))),
-    "graft_hexfold7" -> (cs => HexFold7(cs(0))))
+    "graft_hexfold7" -> (cs => HexFold7(cs(0))),
+    // the library's standard 12-function affine family (Dedup.HashA/B/P)
+    "graft_minhash_sig" -> (cs => MinHashSig(cs(0),
+      graft.operators.Dedup.HashA, graft.operators.Dedup.HashB,
+      graft.operators.Dedup.HashP)),
+    "graft_simhash_pack" -> (cs => SimHashPack(cs(0))),
+    "graft_dup_ngram_fracs" -> (cs => DupNgramFracs(cs(0))),
+    "graft_char_trigram_set" -> (cs => CharTrigramSet(cs(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

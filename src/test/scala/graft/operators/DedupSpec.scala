@@ -80,6 +80,19 @@ class DedupSpec extends SparkSpec {
     out.get(3L).foreach(v => assert(v._2 == false))
   }
 
+  test("simhashPairs finds close signatures within the pigeonhole radius") {
+    // one-word edit of a long doc → tiny hamming distance; unrelated doc
+    // shares no band
+    val a = base
+    val b = base.replace("window", "windows")
+    val far = base.split(" ").map(_.reverse).mkString(" ")
+    val out = Dedup.simhashPairs(docs(1L -> a, 2L -> b, 3L -> far))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3),
+      s"near pair found: ${out.toSeq}")
+    assert(!out.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rnd = new scala.util.Random(20260812)
     for (trial <- 1 to 3) {
