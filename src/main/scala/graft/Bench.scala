@@ -20,9 +20,12 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Warm up the session (codegen compiler, parquet footer reads, shuffle
-    // machinery) so the first measured query isn't charged for JVM startup.
-    SparkEntry.queries.get("q1_agg").foreach(fn =>
-      try run(fn) catch { case _: Throwable => () })
+    // machinery) so the first measured query isn't charged for JVM startup:
+    // one relational representative and one cheap hash-family representative
+    // (the md5/HOF/native-kernel code paths the d/x/c families share).
+    Seq("q1_agg", "d3_simhash").foreach(name =>
+      SparkEntry.queries.get(name).foreach(fn =>
+        try run(fn) catch { case _: Throwable => () }))
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=d3_simhash,q1_agg
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
