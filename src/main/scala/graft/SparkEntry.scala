@@ -83,6 +83,8 @@ object SparkEntry {
     "x8_repetition" -> ((s, d) => LlmText.repetitionSignals(T.documents(s, d))),
     // vocabSize 16 < the corpus's distinct-word count so OOV is exercised
     "x9_vocab_oov" -> ((s, d) => LlmText.vocabOov(T.documents(s, d), 16)),
+    "x10_bm25" -> ((s, d) =>
+      LlmText.bm25(T.documents(s, d), Seq("data", "query", "fast"))),
     // -- LLM-data-pipeline ops: corpus curation --
     "c1_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(T.documents(s, d), Map("en" -> 50), 25)),
@@ -445,6 +447,27 @@ object SparkEntry {
         |  n_tokens - COALESCE(n_in, 0) AS n_oov,
         |  CAST(n_tokens - COALESCE(n_in, 0) AS DOUBLE) / n_tokens AS oov_rate
         |FROM t LEFT JOIN iv ON t.doc_id = iv.doc_id""".stripMargin,
+    "x10_bm25" ->
+      """WITH n AS (SELECT count(*) AS n_docs,
+        |  CAST(SUM(CAST(len(string_split(text,' ')) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*) AS avgdl FROM documents),
+        |t AS (SELECT doc_id, len(string_split(text,' ')) AS dl,
+        |  unnest(string_split(text,' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM t
+        |  WHERE term IN ('data', 'query', 'fast') GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM q GROUP BY 1),
+        |s AS (SELECT doc_id, q.term,
+        |  (CAST(n_docs AS DOUBLE) / df) * (tf * CAST(2.2 AS DOUBLE))
+        |    / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS s
+        |  FROM q JOIN d ON q.term = d.term CROSS JOIN n),
+        |p AS (SELECT doc_id,
+        |  COALESCE(max(CASE WHEN term = 'data' THEN s END), 0.0)
+        |  + COALESCE(max(CASE WHEN term = 'query' THEN s END), 0.0)
+        |  + COALESCE(max(CASE WHEN term = 'fast' THEN s END), 0.0) AS score
+        | FROM s GROUP BY doc_id)
+        |SELECT doc_id, score FROM p
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "c1_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
         |  CAST(list_reduce(list_transform(range(1, 8), c ->

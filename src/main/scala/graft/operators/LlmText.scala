@@ -329,6 +329,52 @@ object LlmText {
     }
   }
 
+  /** BM25 relevance scoring (x10): rank documents against a fixed query
+    * term set — the relevance-based selection pass of a curation pipeline
+    * ("keep documents that look like the target domain"). Uses the
+    * rational idf `N/df` (like x7) and fixed-order per-term summation, so
+    * every value is a deterministic double expression both engines
+    * reproduce; k1/b are the standard 1.2/0.75.
+    *
+    * Plan shape at 100 TB: the token explode filters to query terms
+    * IMMEDIATELY (narrow, corpus never shuffled wide), tf/df aggregates are
+    * map-side combined over the tiny filtered stream, corpus stats and df
+    * broadcast, and the global top-k compiles to TakeOrderedAndProject. */
+  def bm25(documents: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dl = size(words(col("text")))
+    val stats = documents.agg(count(lit(1)).as("n_docs"),
+      (sum(dl.cast(DecimalType(38, 6))).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val tf = documents
+      .select(col("doc_id"), dl.as("dl"),
+        explode(words(col("text"))).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val s = (col("n_docs").cast("double") / col("df")) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val perTerm = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), s.as("s"))
+    // fixed-order summation over the (small, fixed) term set: a plain
+    // sum(double) would be partition-order-dependent
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s$i")
+    }
+    val score = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduce(_ + _)
+    perTerm.groupBy(col("doc_id"))
+      .agg(parts.head, parts.tail: _*)
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** TF-IDF top-k terms per document (x7). IDF is the rational form
     * `N / df` (one double division, no transcendental) so the score is
     * bit-identical across engines; the re-rank goes through the heap-based

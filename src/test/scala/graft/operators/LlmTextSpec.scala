@@ -111,6 +111,23 @@ class LlmTextSpec extends SparkSpec {
     assert(out(3L) == (2L, 2L, 1.0), "dd loses the tie to bb alphabetically")
   }
 
+  test("bm25 favors rare query terms and shorter docs") {
+    val out = Seq(
+      (1L, "data data data data"),          // high tf, short
+      (2L, "data other words here about things and more stuff too"), // low tf, long
+      (3L, "rareterm only appears here"),   // rare term → high idf
+      (4L, "nothing relevant at all"))
+      .toDF("doc_id", "text")
+      .transform(LlmText.bm25(_, Seq("data", "rareterm"), k = 10))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val scores = out.toMap
+    assert(!scores.contains(4L), "docs without query terms absent")
+    assert(scores(3L) > scores(2L), "rare term (df=1) outweighs common hit")
+    assert(scores(1L) > scores(2L), "higher tf + shorter doc scores higher")
+    // descending, deterministic order
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("tfidf ranks rare terms above common ones, top-k per doc") {
     val out = Seq(
       (1L, "common rare1 common"),
