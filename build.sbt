@@ -14,6 +14,10 @@ Test / fork := true
 // queries — keep suites sequential.
 Test / parallelExecution := false
 run / fork := true
+// The bench/verify harness parses the forked main's JSON line from raw
+// stdout; sbt's default LoggedOutput would prefix every line with "[info] "
+// and break that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
