@@ -85,6 +85,12 @@ object SparkEntry {
     "x9_vocab_oov" -> ((s, d) => LlmText.vocabOov(T.documents(s, d), 16)),
     "x10_bm25" -> ((s, d) =>
       LlmText.bm25(T.documents(s, d), Seq("data", "query", "fast"))),
+    "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
+    "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
+    "x13_char_diversity" -> ((s, d) =>
+      LlmText.charDiversity(T.documents(s, d))),
+    "x14_url_normalize" -> ((s, d) =>
+      LlmText.urlNormalize(T.documents(s, d))),
     // -- LLM-data-pipeline ops: corpus curation --
     "c1_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(T.documents(s, d), Map("en" -> 50), 25)),
@@ -96,6 +102,9 @@ object SparkEntry {
     "c5_curation_pipeline" -> ((s, d) =>
       Curation.curationPipeline(T.documents(s, d))),
     "c7_group_sample" -> ((s, d) => Curation.groupSample(T.documents(s, d))),
+    "c9_chunk_overlap" -> ((s, d) => Curation.chunkOverlap(T.documents(s, d))),
+    "c10_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(T.documents(s, d))),
     "c6_decontaminate" -> ((s, d) => {
       val docs = T.documents(s, d)
       Curation.decontaminate(
@@ -109,6 +118,7 @@ object SparkEntry {
     "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
+    "q30_window_nav" -> ((s, d) => R.windowNavigation(T.orders(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -126,6 +136,7 @@ object SparkEntry {
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
+    "s4_range_search" -> ((s, d) => Similarity.rangeSearch(T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
@@ -468,6 +479,118 @@ object SparkEntry {
         | FROM s GROUP BY doc_id)
         |SELECT doc_id, score FROM p
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x11_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com'
+        |    || ' backup admin@corp' || (doc_id % 7) || '.org'
+        |    || ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 256)
+        |    || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        | FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted_text
+        |FROM p""".stripMargin,
+    "x12_line_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |l AS (SELECT doc_id,
+        |  [w[i:i+7] for i in range(1, len(w)+1, 8)] AS lines FROM t),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, x -> len(x) >= 5
+        |    AND len(list_filter(x, y -> length(y) >= 4)) > 0) AS kept
+        | FROM l)
+        |SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+        |  CAST(len(kept) AS DOUBLE) / len(lines) AS kept_ratio,
+        |  array_to_string(list_transform(kept, x -> array_to_string(x, ' ')),
+        |    ' | ') AS kept_text
+        |FROM k""".stripMargin,
+    "x13_char_diversity" ->
+      """WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents),
+        |g AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+        |  count(*) AS n_distinct_chars,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS s2, max(cnt) AS mx
+        | FROM g GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars_counted, n_distinct_chars,
+        |  CAST(s2 AS DOUBLE) / (n * n) AS collision_prob,
+        |  CAST(mx AS DOUBLE) / n AS max_char_frac
+        |FROM a""".stripMargin,
+    "x14_url_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+        |  || source || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |  || '/p/' || (doc_id % 7)
+        |  || '?utm_source=feed&id=' || (doc_id % 13)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END)
+        |  || '#sec' AS url
+        | FROM documents),
+        |n AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_replace(
+        |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+        |    ':[0-9]+$', '')), '^www\.', '') AS host,
+        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |  array_to_string(list_filter(
+        |    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    q -> NOT starts_with(q, 'utm_')), '&') AS nq
+        | FROM p),
+        |h AS (SELECT doc_id, url, scheme, host, path, nq,
+        |  string_split(host, '.') AS hp FROM n)
+        |SELECT doc_id, url, scheme, host,
+        |  array_to_string(hp[-2:], '.') AS registered_domain,
+        |  scheme || '://' || host || path
+        |    || (CASE WHEN nq = '' THEN '' ELSE '?' || nq END) AS norm_url
+        |FROM h""".stripMargin,
+    "c9_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |e AS (SELECT doc_id, w,
+        |  unnest(range(1, len(w) + 1, 48)) AS start FROM t)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_token,
+        |  CAST(len(w[start:start+63]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[start:start+63], ' ') AS chunk_text
+        |FROM e""".stripMargin,
+    "c10_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n_total) AS min_n FROM counts),
+        |rates AS (SELECT lang,
+        |  CAST(floor(10000.0 * sqrt(CAST(min_n AS DOUBLE) / n_total)) AS BIGINT)
+        |    AS keep_per_10k
+        |  FROM counts CROSS JOIN mn),
+        |h AS (SELECT doc_id, source, d.lang,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('tmp:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('tmp:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('tmp:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 10000 AS b
+        | FROM documents d)
+        |SELECT doc_id, source, h.lang FROM h JOIN rates ON h.lang = rates.lang
+        |WHERE b < keep_per_10k""".stripMargin,
+    "q30_window_nav" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "s4_range_search" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos FROM p WHERE cos >= 0.3""".stripMargin,
     "c1_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
         |  CAST(list_reduce(list_transform(range(1, 8), c ->

@@ -224,4 +224,62 @@ object Curation {
           .when(col("h") < trainPct + valPct, "val")
           .otherwise("test").as("split"))
   }
+
+  /** Sliding-window chunking with overlap (c9): cut each document into
+    * `chunk`-token windows every `stride` tokens (overlap = chunk − stride)
+    * — the RAG/embedding-prep operator that turns documents into unit-sized
+    * passages without losing cross-boundary context.
+    *
+    * The token array is materialized ONCE per document before the explode
+    * (slicing from inside a post-explode lambda would re-run the split once
+    * per chunk), then every chunk is a narrow slice — no shuffle at all, so
+    * the operator runs at scan speed on any corpus size. */
+  def chunkOverlap(documents: DataFrame,
+      chunk: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunk >= stride,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    val t = documents
+      .select(col("doc_id"), LlmText.words(col("text")).as("w"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    val piece = slice(col("w"), col("start"), lit(chunk))
+    t.select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        size(piece).cast("long").as("n_tokens"),
+        array_join(piece, " ").as("chunk_text"))
+  }
+
+  /** Temperature-based domain mixing (c10): up-weight the tail instead of
+    * flattening the mix — each domain keeps `sqrt(min_n / n_domain)` of its
+    * rows (α = 0.5 temperature re-sampling), the multilingual-corpus
+    * compromise between natural proportions (α=1, head domains dominate)
+    * and uniform (α=0, [[domainMix]], tail over-repeated).
+    *
+    * Same 100 TB shape as [[domainMix]]: one tiny aggregate broadcasts
+    * rates back, the keep decision is a narrow hash-gate filter, and the
+    * corpus is never shuffled. `sqrt` is IEEE-exact (correctly rounded in
+    * every implementation, unlike `pow`/`ln`), so the floored per-10k rate
+    * is bit-stable across engines. */
+  def temperatureMix(documents: DataFrame, domain: String = "lang")
+      : DataFrame = {
+    val dkey = coalesce(col(domain).cast("string"), lit("\u0000null"))
+    val keyed = documents.withColumn("mix_domain", dkey)
+    val counts = keyed.groupBy(col("mix_domain"))
+      .agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min(col("n_total")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("mix_domain"),
+        floor(lit(10000.0) *
+          sqrt(col("min_n").cast("double") / col("n_total")))
+          .as("keep_per_10k"))
+    keyed
+      .withColumn("mix_bucket",
+        pmod(hash28("tmp:", col("doc_id")), lit(10000)))
+      .join(broadcast(rates), Seq("mix_domain"))
+      .filter(col("mix_bucket") < col("keep_per_10k"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
 }

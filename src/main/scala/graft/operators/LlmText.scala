@@ -375,6 +375,159 @@ object LlmText {
       .limit(k)
   }
 
+  /** PII patterns (x11). Deliberately in the RE2 ∩ java.util.regex common
+    * subset — `\b`, bounded repetition, and character classes only — so the
+    * Spark plan and the DuckDB oracle compile the SAME pattern. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** The synthetic-PII enrichment both engines apply before detection: the
+    * test corpus carries no real PII, so each doc gets a deterministic
+    * email/second email domain/IPv4/phone derived from its id. This keeps
+    * the detection and redaction paths genuinely exercised while staying
+    * reproducible (no fixture files, no rand()). */
+  def withSyntheticPii(text: Column, docId: Column): Column = concat(
+    text,
+    lit(" contact user"), docId.cast("string"), lit("@mail.example.com"),
+    lit(" backup admin@corp"), pmod(docId, lit(7)).cast("string"),
+    lit(".org from 10."), pmod(docId, lit(200)).cast("string"),
+    lit(".0."), pmod(docId, lit(256)).cast("string"),
+    lit(" call +1-555-"),
+    lpad(pmod(docId, lit(10000)).cast("string"), 4, "0"))
+
+  /** PII detection + redaction (x11): count emails / IPv4s / phone numbers
+    * and replace each with a typed placeholder — the compliance pass every
+    * training-data pipeline runs before releasing a corpus. Counts are
+    * taken on the raw text; redaction applies email → IP → phone in a fixed
+    * order so the passes cannot partially rewrite each other's matches.
+    * Pure regexp projection: no shuffle, scales with input splits. */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val enriched = withSyntheticPii(col("text"), col("doc_id"))
+    val docs = documents.select(col("doc_id"), enriched.as("pii_text"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    val t = col("pii_text")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).as("n_phones"),
+      redacted.as("redacted_text"))
+  }
+
+  /** Line-level boilerplate filtering (x12), C4-style: segment the document
+    * into fixed-width pseudo-lines (the corpus has no newlines), keep lines
+    * with at least `minWords` words and at least one word of
+    * `minLongChars`+ characters, and re-join the survivors. The rules are
+    * the shape of C4's "3+ words, ends in punctuation" line filters; the
+    * plumbing (segment → per-line predicate → rejoin, all inside one row)
+    * is exactly what a newline-delimited 100 TB corpus needs — a pure
+    * projection with no shuffle. */
+  def lineFilter(documents: DataFrame, lineLen: Int = 8,
+      minWords: Int = 5, minLongChars: Int = 4): DataFrame = {
+    val ws = words(col("text"))
+    val t = documents.select(col("doc_id"), ws.as("w"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    val lines = transform(
+      sequence(lit(1), size(col("w")), lit(lineLen)),
+      i => slice(col("w"), i, lit(lineLen)))
+    val kept = filter(lines, l =>
+      size(l) >= minWords && exists(l, wd => length(wd) >= minLongChars))
+    t.select(
+      col("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      (size(kept).cast("double") / size(lines)).as("kept_ratio"),
+      array_join(transform(kept, l => array_join(l, " ")), " | ")
+        .as("kept_text"))
+  }
+
+  /** Character-diversity signals (x13): distinct-character count, Rényi-2
+    * collision probability (Σp²), and max-character frequency — the
+    * gibberish/low-entropy detector of a quality pipeline. Deliberately
+    * AVOIDS log-based Shannon entropy: Σcnt² and max(cnt) are exact
+    * integers and the two final divisions are single double ops, so values
+    * are bit-identical across engines, where `ln` differs by ulps between
+    * libm implementations.
+    *
+    * Plan shape at 100 TB: explode is narrow, the (doc, char) count gets
+    * map-side combine (alphabet-bounded groups), and the per-doc reduce is
+    * the only shuffle — keyed by doc_id, perfectly partitionable. */
+  def charDiversity(documents: DataFrame): DataFrame = {
+    val chars = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+    val perChar = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    perChar.groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("cnt") * col("cnt")).as("s2"),
+        max(col("cnt")).as("mx"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_chars_counted"),
+        col("n_distinct_chars"),
+        (col("s2").cast("double") / (col("n") * col("n")))
+          .as("collision_prob"),
+        (col("mx").cast("double") / col("n")).as("max_char_frac"))
+  }
+
+  /** The synthetic URL both engines attach to each document (the corpus has
+    * no URL column): scheme/host casing, a default port, `www.`, tracking
+    * params, and a fragment — every case the normalizer must handle. */
+  def withSyntheticUrl(docId: Column, source: Column): Column = concat(
+    when(pmod(docId, lit(2)) === 0, "HTTPS://WWW.").otherwise("http://"),
+    source, lit(".Example.COM"),
+    when(pmod(docId, lit(2)) === 0, ":443").otherwise(""),
+    lit("/p/"), pmod(docId, lit(7)).cast("string"),
+    lit("?utm_source=feed&id="), pmod(docId, lit(13)).cast("string"),
+    when(pmod(docId, lit(3)) === 0, "&utm_campaign=x").otherwise(""),
+    lit("#sec"))
+
+  /** URL normalization + domain extraction (x14): lowercase scheme and
+    * host, strip default ports / `www.` / `utm_*` tracking params / the
+    * fragment, and surface the registered domain — the canonical key for
+    * URL-level dedup and per-site aggregation in a crawl pipeline. Pure
+    * regexp/array projection, no shuffle. */
+  def urlNormalize(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"),
+        withSyntheticUrl(col("doc_id"), col("source")).as("url"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    val u = col("url")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_replace(
+        regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1),
+        ":[0-9]+$", "")),
+      "^www\\.", "")
+    val path = regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val keptParams = filter(
+      split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => !p.startsWith("utm_"))
+    val normQuery = array_join(keptParams, "&")
+    val hostParts = split(host, "\\.")
+    docs.select(
+      col("doc_id"),
+      u.as("url"),
+      scheme.as("scheme"),
+      host.as("host"),
+      array_join(slice(hostParts, size(hostParts) - 1, lit(2)), ".")
+        .as("registered_domain"),
+      concat(scheme, lit("://"), host, path,
+        when(normQuery === "", "").otherwise(concat(lit("?"), normQuery)))
+        .as("norm_url"))
+  }
+
   /** TF-IDF top-k terms per document (x7). IDF is the rational form
     * `N / df` (one double division, no transcendental) so the score is
     * bit-identical across engines; the re-rank goes through the heap-based

@@ -129,6 +129,26 @@ object Relational {
         .cast("double").as("cum_spend"))
   }
 
+  /** Window navigation family (q30): lag / lead / ntile / first_value over
+    * one customer-keyed sort — all four share the same window spec, so
+    * Catalyst evaluates them in a single Window operator behind ONE
+    * shuffle+sort (verify with explain: one Window node, one Exchange).
+    * ntile and the navigation offsets move no values across partitions, so
+    * the operator scales with the per-customer group size, not the table. */
+  def windowNavigation(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("orderdate"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).as("quartile"),
+      first(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("first_price"))
+  }
+
   /** Global top-K by sort: TakeOrderedAndProject, no full sort shuffle. */
   def topOrders(orders: DataFrame, k: Int): DataFrame =
     orders

@@ -91,6 +91,29 @@ object Similarity {
     }
   }
 
+  /** Cosine range search (s4): ALL neighbors within a similarity threshold,
+    * not a fixed k — the retrieval mode for "find every near-duplicate of
+    * these seed documents" where the neighbor count per query is unknown.
+    * Exact baseline: broadcast query side × streamed corpus, narrow filter,
+    * no re-rank stage at all (threshold semantics need no sort). At 100 TB
+    * the same call composes with the LSH band blocking ([[annLsh]]'s
+    * candidate stage) to prune the corpus side first; the exact form here is
+    * the recall yardstick those candidates are measured against. */
+  def rangeSearch(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
+    val v = vecs(embeddings)
+    Caching.withPersisted(v) {
+      val q = v.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm"))
+      broadcast(q)
+        .join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+        .filter(col("cos") >= minCos)
+    }
+  }
+
   /** LSH band buckets for a prepared vector frame: band 0 packs sign bits of
     * planes 0..7, band 1 planes 8..15. */
   private def bandsOf(v: DataFrame): DataFrame = {

@@ -118,4 +118,35 @@ class CurationSpec extends SparkSpec {
     // all three split labels are legal
     assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("chunkOverlap windows every stride tokens with overlap") {
+    val d = docs((0L, Seq.tabulate(100)(i => s"w${i + 1}").mkString(" "),
+      "en", "src0"))
+    val out = Curation.chunkOverlap(d, chunk = 64, stride = 48)
+      .collect().map(r => (r.getLong(r.fieldIndex("chunk_id")),
+        r.getLong(r.fieldIndex("start_token")),
+        r.getLong(r.fieldIndex("n_tokens")),
+        r.getString(r.fieldIndex("chunk_text")))).sortBy(_._1)
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 1L, 64L), (1L, 49L, 52L), (2L, 97L, 4L)))
+    assert(out(0)._4.startsWith("w1 ") && out(0)._4.endsWith(" w64"))
+    // overlap: chunk 1 re-covers tokens 49..64
+    assert(out(1)._4.startsWith("w49 ") && out(1)._4.endsWith(" w100"))
+    assert(out(2)._4 == "w97 w98 w99 w100")
+  }
+
+  test("temperatureMix keeps sqrt-scaled shares, tail kept fully") {
+    // 160 en vs 40 fr: fr rate = 1.0 (all 40), en rate = sqrt(40/160) = 0.5
+    val d = docs((0L until 200L).map(i =>
+      (i, s"doc $i", if (i % 5 == 0) "fr" else "en", "src0")): _*)
+    val kept = Curation.temperatureMix(d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 40, "smallest domain fully kept")
+    assert(kept("en") > 60 && kept("en") < 100,
+      s"head domain at ~50%, got ${kept("en")}")
+    // temperature keeps MORE of the head than uniform mixing does
+    val uniform = Curation.domainMix(d).filter(col("lang") === "en").count()
+    assert(kept("en") > uniform,
+      s"sqrt temperature (${kept("en")}) should exceed uniform ($uniform)")
+  }
 }

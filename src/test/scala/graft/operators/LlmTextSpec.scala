@@ -150,4 +150,74 @@ class LlmTextSpec extends SparkSpec {
     assert(out((2L, 2))._1 == "common")
     assert(out.size == 6)
   }
+
+  test("piiRedact counts and redacts emails, IPs, phones") {
+    val r = Seq((42L, "write to bob@test.io or 192.168.1.1 now"))
+      .toDF("doc_id", "text")
+      .transform(LlmText.piiRedact(_)).head()
+    // 1 email + 1 IP in the text, plus the 2 synthetic emails / 1 IP /
+    // 1 phone the enrichment appends
+    assert(r.getInt(r.fieldIndex("n_emails")) == 3)
+    assert(r.getInt(r.fieldIndex("n_ips")) == 2)
+    assert(r.getInt(r.fieldIndex("n_phones")) == 1)
+    val red = r.getString(r.fieldIndex("redacted_text"))
+    assert(!red.contains("@"), s"emails survived: $red")
+    assert(!red.contains("192.168.1.1") && !red.contains("10."), red)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+      red.contains("<PHONE>"))
+  }
+
+  test("lineFilter keeps lines with enough words and one long word") {
+    // line 1 (8 words) has a 4+-char word → kept; line 2 (8 short words)
+    // → dropped; a 3-word doc has one under-length line → dropped
+    val out = Seq(
+      (1L, "alpha b c d e f g h" + " a b c d e f g h"),
+      (2L, "x y z"))
+      .toDF("doc_id", "text")
+      .transform(LlmText.lineFilter(_))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(r.fieldIndex("n_lines")), r.getInt(r.fieldIndex("n_kept")),
+          r.getString(r.fieldIndex("kept_text")))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "alpha b c d e f g h")
+    assert(out(2L) == ((1, 0, "")))
+  }
+
+  test("lineFilter segments in fixed windows, stable under repartition") {
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(i + 1)(j => s"word$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = LlmText.lineFilter(d).collect().map(r => (r.getLong(0),
+      r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val b = LlmText.lineFilter(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    // ceil(n/8) lines
+    assert(a.forall { case (id, nl, _) => nl == (id + 1 + 7) / 8 })
+  }
+
+  test("charDiversity: exact integer collision stats") {
+    val r = Seq((1L, "aaab")).toDF("doc_id", "text")
+      .transform(LlmText.charDiversity(_)).head()
+    assert(r.getLong(r.fieldIndex("n_chars_counted")) == 4)
+    assert(r.getLong(r.fieldIndex("n_distinct_chars")) == 2)
+    // (3² + 1²) / 4² and 3/4
+    assert(r.getDouble(r.fieldIndex("collision_prob")) == 10.0 / 16.0)
+    assert(r.getDouble(r.fieldIndex("max_char_frac")) == 3.0 / 4.0)
+  }
+
+  test("urlNormalize lowercases, strips port/www/utm/fragment") {
+    val out = Seq((0L, "t", "src0"), (1L, "t", "src1"))
+      .toDF("doc_id", "text", "source")
+      .transform(LlmText.urlNormalize(_))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(r.fieldIndex("scheme")),
+          r.getString(r.fieldIndex("host")),
+          r.getString(r.fieldIndex("registered_domain")),
+          r.getString(r.fieldIndex("norm_url")))).toMap
+    assert(out(0L) == (("https", "src0.example.com", "example.com",
+      "https://src0.example.com/p/0?id=0")))
+    assert(out(1L) == (("http", "src1.example.com", "example.com",
+      "http://src1.example.com/p/1?id=1")))
+  }
 }

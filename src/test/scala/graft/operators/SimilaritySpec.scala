@@ -107,4 +107,16 @@ class SimilaritySpec extends SparkSpec {
     assert(bands(0L)._1 == (bands(4L)._1 ^ 0xff),
       "opposite vector has complementary band bits")
   }
+
+  test("rangeSearch returns every neighbor above the threshold, no more") {
+    val out = Similarity.rangeSearch(emb, minCos = 0.3)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos"))))
+      .sortBy(_._1)
+    // cos(1)=1, cos(2)=0.707 pass; cos(3)=0, cos(4)=-1 fail
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 1.0)
+    assert(math.abs(out(1)._2 - math.sqrt(0.5)) < 1e-12)
+  }
 }
