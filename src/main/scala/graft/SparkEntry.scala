@@ -130,9 +130,12 @@ object SparkEntry {
     "d7_neardup_components" -> ((s, d) =>
       Dedup.nearDupComponents(T.documents(s, d))),
     "d8_dedup_apply" -> ((s, d) => Dedup.dedupApply(T.documents(s, d))),
+    "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
     "e1_label_centroids" -> ((s, d) =>
       graft.operators.VectorOps.groupCentroids(T.embeddings(s, d))),
+    "e2_int8_quantize" -> ((s, d) =>
+      graft.operators.VectorOps.int8Quantize(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
@@ -1022,6 +1025,49 @@ object SparkEntry {
         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
         |WHERE drops.doc IS NULL
         |GROUP BY d.source""".stripMargin,
+    "d10_span_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(md5('r:' || x), c, 1)) <= 57
+        |           THEN ascii(substr(md5('r:' || x), c, 1)) - 48
+        |           ELSE ascii(substr(md5('r:' || x), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT)) AS varr
+        |  FROM ws WHERE len(w) >= 4),
+        |r AS (SELECT doc_id, list_transform(range(1, len(varr) - 2), i ->
+        |    ((((varr[i] * 131 + varr[i+1]) % 1000000007) * 131 + varr[i+2])
+        |      % 1000000007 * 131 + varr[i+3]) % 1000000007) AS roll
+        |  FROM f),
+        |e AS (SELECT doc_id, unnest(roll) AS h FROM r),
+        |sh AS (SELECT h, 1 AS is_shared FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS nd FROM e GROUP BY h)
+        |  WHERE nd >= 2),
+        |a AS (SELECT e.doc_id, count(*) AS n_windows,
+        |  count(sh.is_shared) AS n_shared_windows
+        | FROM e LEFT JOIN sh ON e.h = sh.h GROUP BY e.doc_id)
+        |SELECT doc_id, n_windows, n_shared_windows,
+        |  CAST(n_shared_windows AS DOUBLE) / n_windows AS shared_frac,
+        |  CAST(n_shared_windows AS DOUBLE) / n_windows > 0.5 AS is_dup_heavy
+        |FROM a""".stripMargin,
+    "e2_int8_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |m AS (SELECT vec_id, x,
+        |  list_max(list_transform(x, a -> abs(a))) AS maxabs FROM v),
+        |q AS (SELECT vec_id, x, maxabs,
+        |  CASE WHEN maxabs = 0
+        |       THEN list_transform(x, a -> 0.0)
+        |       ELSE list_transform(x, a -> floor(a * (127.0 / maxabs) + 0.5))
+        |  END AS qv
+        | FROM m)
+        |SELECT vec_id, maxabs / 127.0 AS scale,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+        |    (x[i] - qv[i] * (maxabs / 127.0)) * (x[i] - qv[i] * (maxabs / 127.0)))),
+        |    (a, b) -> a + b) AS l2_err_sq,
+        |  list_max(list_transform(range(1, 65), i ->
+        |    abs(x[i] - qv[i] * (maxabs / 127.0)))) AS max_abs_err
+        |FROM q""".stripMargin,
     "e1_label_centroids" ->
       """WITH v AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
         |dims AS (SELECT UNNEST(range(0, 64)) AS dim)

@@ -165,11 +165,10 @@ object LlmText {
     * once per hex char in a HOF lambda; measured 7× on x5). */
   private def hexVal7(hx: Column): Column = PortableHash.nibbleFold7(hx)
 
-  /** Rolling-hash document fingerprint (x5): Rabin–Karp over 4-word
-    * windows, winnowing-style min sample + distinct-window count. Built
-    * with zip_with over shifted slices (one pass per row, no per-element
-    * re-evaluation) — a pure projection at any scale. */
-  def rollingFingerprint(documents: DataFrame): DataFrame = {
+  /** Per-document Rabin–Karp window hashes: `(doc_id, roll)` where `roll`
+    * is the array of 4-word rolling hashes in position order — the shared
+    * span unit of [[rollingFingerprint]] (x5) and [[spanDedup]] (d10). */
+  private[operators] def rolledWindows(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
     // word values materialized behind an exchange: the rolling combine
     // references the array via four shifted slices, which would otherwise
@@ -189,11 +188,51 @@ object LlmText {
           (a, b) => pmod(a * RollB + b, lit(RollP))),
         shifted(3), (ab, c) => pmod(ab * RollB + c, lit(RollP))),
       shifted(4), (abc, d) => pmod(abc * RollB + d, lit(RollP)))
-    based.select(
+    based.select(col("doc_id"), roll.as("roll"))
+  }
+
+  /** Rolling-hash document fingerprint (x5): Rabin–Karp over 4-word
+    * windows, winnowing-style min sample + distinct-window count. Built
+    * with zip_with over shifted slices (one pass per row, no per-element
+    * re-evaluation) — a pure projection at any scale. */
+  def rollingFingerprint(documents: DataFrame): DataFrame =
+    rolledWindows(documents).select(
       col("doc_id"),
-      size(roll).as("n_windows"),
-      array_min(roll).as("min_window_hash"),
-      size(array_distinct(roll)).as("n_distinct_windows"))
+      size(col("roll")).as("n_windows"),
+      array_min(col("roll")).as("min_window_hash"),
+      size(array_distinct(col("roll"))).as("n_distinct_windows"))
+
+  /** Span-level duplication (d10): which 4-word spans of each document also
+    * appear in OTHER documents — the scalable stand-in for exact-substring
+    * dedup (suffix-array dedup à la "Deduplicating Training Data"): a span
+    * shared across documents is boilerplate/copied text even when whole-doc
+    * similarity is low.
+    *
+    * Plan shape at 100 TB: the window explode is narrow (corpus token
+    * scale); the per-hash distinct-doc count gets map-side partial
+    * aggregation (duplicated spans are exactly the hot keys it absorbs);
+    * the shared-hash table is O(duplicated spans) — joined back on the
+    * hash where AQE picks broadcast when it is small and a shuffle join
+    * when a pathological corpus makes it large; the per-doc roll-up is a
+    * doc-keyed aggregate. No driver-side state anywhere. */
+  def spanDedup(documents: DataFrame, minDocs: Int = 2): DataFrame = {
+    val e = rolledWindows(documents)
+      .select(col("doc_id"), explode(col("roll")).as("h"))
+    Caching.withPersisted(e) {
+      val shared = e.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h"), lit(1).as("is_shared"))
+      val frac =
+        col("n_shared_windows").cast("double") / col("n_windows")
+      e.join(shared, Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("is_shared")).as("n_shared_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_shared_windows"),
+          frac.as("shared_frac"),
+          (frac > 0.5).as("is_dup_heavy"))
+    }
   }
 
   /** Text cleaning (x6): the normalization pass that precedes dedup and

@@ -61,4 +61,43 @@ object VectorOps {
         (sum(round(col("v") * lit(1.0e9)).cast(DecimalType(38, 0)))
           .cast("double") / (count(col("v")) * lit(1.0e9))).as("centroid"),
         count(col("v")).as("n_vecs"))
+
+  /** Symmetric int8 quantization with round-trip error stats (e2): the
+    * compression pass an embedding store runs before ANN serving — scale =
+    * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero
+    * at .5 for positives; FIXED tie behavior because floor is exact — a
+    * library `round()` would HALF_UP in one engine and HALF_EVEN in the
+    * other), errors from the dequantized values.
+    *
+    * Pure per-row array math — no shuffle — and every op (division, fused
+    * multiply-free products, floor, in-order aggregate sum) is IEEE-exact
+    * and order-fixed, so values are bit-identical across engines.
+    * Zero vectors pass through with scale 0 and zero error. */
+  def int8Quantize(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val x = col("x")
+    val maxAbs = array_max(transform(x, abs(_)))
+    val prepared = embeddings
+      .select(col("vec_id"), asDouble(col(vecCol)).as("x"))
+      .transform(Partitioning.spread(_, col("vec_id")))
+      // maxabs materialized once: every q/err reference below would
+      // otherwise re-scan the array per use (no cross-op CSE)
+      .select(col("vec_id"), x, maxAbs.as("maxabs"))
+    val up = lit(127.0) / col("maxabs")
+    val down = col("maxabs") / lit(127.0)
+    val q = when(col("maxabs") === 0.0,
+      transform(x, _ => lit(0.0)))
+      .otherwise(transform(x, v => floor(v * up + 0.5)))
+    val err = zip_with(x, col("q"), (v, qi) => abs(v - qi * down))
+    prepared
+      .select(col("vec_id"), x, col("maxabs"), q.as("q"))
+      .select(
+        col("vec_id"),
+        (col("maxabs") / 127.0).as("scale"),
+        array_min(col("q")).cast("long").as("q_min"),
+        array_max(col("q")).cast("long").as("q_max"),
+        asum(zip_with(x, col("q"),
+          (v, qi) => (v - qi * down) * (v - qi * down))).as("l2_err_sq"),
+        array_max(err).as("max_abs_err"))
+  }
 }

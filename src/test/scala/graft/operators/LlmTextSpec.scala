@@ -206,6 +206,24 @@ class LlmTextSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("max_char_frac")) == 3.0 / 4.0)
   }
 
+  test("spanDedup flags 4-word spans shared across documents") {
+    val out = Seq(
+      (1L, "a b c d e"),   // windows: abcd, bcde
+      (2L, "a b c d x"),   // windows: abcd, bcdx — shares abcd with doc 1
+      (3L, "p q r s"),     // unique window
+      (4L, "x y z"))       // under 4 words → no windows, absent
+      .toDF("doc_id", "text")
+      .transform(LlmText.spanDedup(_))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_windows")),
+          r.getLong(r.fieldIndex("n_shared_windows")),
+          r.getBoolean(r.fieldIndex("is_dup_heavy")))).toMap
+    assert(out(1L) == ((2L, 1L, false)))
+    assert(out(2L) == ((2L, 1L, false)))
+    assert(out(3L) == ((1L, 0L, false)))
+    assert(!out.contains(4L))
+  }
+
   test("urlNormalize lowercases, strips port/www/utm/fragment") {
     val out = Seq((0L, "t", "src0"), (1L, "t", "src1"))
       .toDF("doc_id", "text", "source")

@@ -25,4 +25,31 @@ class VectorOpsSpec extends SparkSpec {
         (r.getDouble(2), r.getLong(3))).toMap
     assert(again == out)
   }
+
+  test("int8Quantize: symmetric scale, floor(+0.5) ties, exact errors") {
+    // the engine sees the f32-rounded values (0.254f != 0.254) — replicate
+    // the same float->double widening the column cast performs
+    val xs = Array(1.0f, -0.5f, 0.0f, 0.254f).map(_.toDouble)
+    val e = Seq(
+      (1L, xs.map(_.toFloat)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.int8Quantize(e).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // replicate the exact IEEE expression tree
+    val maxabs = 1.0
+    val up = 127.0 / maxabs
+    val down = maxabs / 127.0
+    val q = xs.map(v => math.floor(v * up + 0.5))
+    val l2 = xs.zip(q).map { case (v, qi) =>
+      val d = v - qi * down; d * d
+    }.foldLeft(0.0)(_ + _)
+    val maxErr = xs.zip(q).map { case (v, qi) =>
+      math.abs(v - qi * down)
+    }.max
+    assert(out(1L) == ((maxabs / 127.0, -63L, 127L, l2, maxErr)))
+    // zero vector: scale 0, quantized to zeros, zero error
+    assert(out(2L) == ((0.0, 0L, 0L, 0.0, 0.0)))
+  }
 }
