@@ -105,6 +105,8 @@ object SparkEntry {
     "c9_chunk_overlap" -> ((s, d) => Curation.chunkOverlap(T.documents(s, d))),
     "c10_temperature_mix" -> ((s, d) =>
       Curation.temperatureMix(T.documents(s, d))),
+    "c11_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetSelect(T.documents(s, d))),
     "c6_decontaminate" -> ((s, d) => {
       val docs = T.documents(s, d)
       Curation.decontaminate(
@@ -119,6 +121,10 @@ object SparkEntry {
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
     "q30_window_nav" -> ((s, d) => R.windowNavigation(T.orders(s, d))),
+    "q31_latest_upsert" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      R.latestPerKey(T.events(s, d))
+    }),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -586,6 +592,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q31_latest_upsert" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "c11_token_budget" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0) AS q
+        | FROM t),
+        |c AS (SELECT doc_id, lang AS domain, n_tokens, q,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM m)
+        |SELECT doc_id, domain, n_tokens, q AS quality_score, cum_tokens
+        |FROM c WHERE cum_tokens <= 3000""".stripMargin,
     "s4_range_search" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -252,6 +252,35 @@ object Curation {
         array_join(piece, " ").as("chunk_text"))
   }
 
+  /** Token-budget best-first selection (c11): per domain, keep the
+    * highest-quality documents until a token budget fills — "give me the
+    * best N tokens of each language", the selection rule when compute (not
+    * data) is the binding constraint on a training run. Quality is the
+    * exact x3 score expression, so the ranking is bit-stable across
+    * engines; ties break on doc_id.
+    *
+    * Scale note: the running token sum needs a per-domain sort — the one
+    * inherent cost of best-first semantics. It parallelizes across domains
+    * (each partition sorts independently), and when one domain dominates a
+    * 100 TB corpus the practical form pre-filters on a quality threshold
+    * from an approx-quantile pass first, then only sorts the shortlist;
+    * this operator is that shortlist's exact final step. */
+  def tokenBudgetSelect(documents: DataFrame,
+      budgetPerDomain: Long = 3000, domain: String = "lang"): DataFrame = {
+    val n = size(LlmText.words(col("text"))).cast("long")
+    val scored = documents.select(
+      col("doc_id"), col(domain).as("domain"), n.as("n_tokens"),
+      LlmText.qualityScoreExpr(col("text")).as("q"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerDomain)
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        col("q").as("quality_score"), col("cum_tokens"))
+  }
+
   /** Temperature-based domain mixing (c10): up-weight the tail instead of
     * flattening the mix — each domain keeps `sqrt(min_n / n_domain)` of its
     * rows (α = 0.5 temperature re-sampling), the multilingual-corpus

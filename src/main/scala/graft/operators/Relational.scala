@@ -149,6 +149,22 @@ object Relational {
         .as("first_price"))
   }
 
+  /** Latest-record compaction (q31): reduce a changelog to the newest
+    * record per key — the upsert/CDC-merge read path of a lakehouse table.
+    * Runs on the custom heap top-k operator with k = 1
+    * ([[graft.plans.TopK.perKey]]): one shuffle on the key, O(1) state per
+    * key per partition, and map-side partial reduction absorbs hot keys —
+    * where the window-function formulation sorts every key's whole history
+    * to keep one row. */
+  def latestPerKey(events: DataFrame): DataFrame =
+    graft.plans.TopK.perKey(
+      events.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts")),
+      Seq(col("user_id")),
+      Seq(col("ts").desc, col("event_id").desc), 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+
   /** Global top-K by sort: TakeOrderedAndProject, no full sort shuffle. */
   def topOrders(orders: DataFrame, k: Int): DataFrame =
     orders

@@ -135,6 +135,26 @@ class CurationSpec extends SparkSpec {
     assert(out(2)._4 == "w97 w98 w99 w100")
   }
 
+  test("tokenBudgetSelect fills each domain best-first up to the budget") {
+    // quality rises with stopword share; 10 docs of 10 tokens per lang
+    val mk = (i: Long, lang: String, nStop: Int) =>
+      (i, (Seq.fill(nStop)("the") ++ Seq.fill(10 - nStop)("zz")).mkString(" "),
+        lang, "src0")
+    val d = docs((0L until 10L).map(i => mk(i, "en", (i % 5).toInt + 1)) ++
+      (10L until 20L).map(i => mk(i, "fr", (i % 5).toInt + 1)): _*)
+    val out = Curation.tokenBudgetSelect(d, budgetPerDomain = 30)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(r.fieldIndex("cum_tokens"))))
+    // 3 docs of 10 tokens fit per domain
+    assert(out.count(_._2 == "en") == 3)
+    assert(out.count(_._2 == "fr") == 3)
+    assert(out.forall(_._3 <= 30))
+    // best-first: every selected doc has 5 stopwords (quality argmax),
+    // tie-broken by doc_id — ids 4, 9 then 3 (4 stopwords) for en
+    val en = out.filter(_._2 == "en").map(_._1).sorted.toSeq
+    assert(en == Seq(3L, 4L, 9L), s"got $en")
+  }
+
   test("temperatureMix keeps sqrt-scaled shares, tail kept fully") {
     // 160 en vs 40 fr: fr rate = 1.0 (all 40), en rate = sqrt(40/160) = 0.5
     val d = docs((0L until 200L).map(i =>

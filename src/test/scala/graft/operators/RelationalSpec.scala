@@ -34,4 +34,23 @@ class RelationalSpec extends SparkSpec {
     assert("(?s)Window".r.findAllIn(plan).size == 1,
       s"expected a single Window node:\n$plan")
   }
+
+  test("latestPerKey compacts a changelog to the newest row per key") {
+    val ts = (s: Int) => Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val events = Seq(
+      (1L, 100L, "create", 1.0, ts(1)),
+      (1L, 101L, "update", 2.0, ts(2)),
+      (1L, 102L, "update", 3.0, ts(3)),
+      // same timestamp as 102 → higher event_id wins
+      (1L, 103L, "delete", 4.0, ts(3)),
+      (2L, 200L, "create", 9.0, ts(1)))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+    graft.functions.GraftFunctions.register(spark)
+    val out = Relational.latestPerKey(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) == ((103L, "delete", 4.0)))
+    assert(out(2L) == ((200L, "create", 9.0)))
+    assert(out.size == 2)
+  }
 }
