@@ -29,10 +29,15 @@ object Bench {
     // same clean storage state, like a fresh session would.
     // blocking = true: removal runs outside the timed region, and an async
     // unpersist could still be evicting blocks when the next timer starts.
+    // The explicit GC lets ContextCleaner reclaim accumulated broadcast
+    // blocks NOW — otherwise a major collection (plus the cleanup work it
+    // triggers) lands inside some later query's timed region, which showed
+    // up as a 6x outlier on whichever join ran ~70 queries in.
     def dropLeftoverBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
     }
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=d3_simhash,q1_agg
     val only = sys.env.get("SPARK_GRAFT_ONLY")
