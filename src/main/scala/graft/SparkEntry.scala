@@ -125,6 +125,8 @@ object SparkEntry {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
     }),
+    "q32_histogram" -> ((s, d) => R.valueHistogram(T.events(s, d))),
+    "q33_group_corr" -> ((s, d) => R.groupCorrelation(T.lineitem(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -592,6 +594,34 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q32_histogram" ->
+      """WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+        |b AS (SELECT CASE WHEN vmax = vmin THEN 0
+        |    ELSE least(CAST(floor((value - vmin) / ((vmax - vmin) / 20)) AS BIGINT), 19)
+        |  END AS bucket
+        | FROM events CROSS JOIN s),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+        |SELECT bucket,
+        |  vmin + bucket * ((vmax - vmin) / 20) AS bucket_lo,
+        |  vmin + (bucket + 1) * ((vmax - vmin) / 20) AS bucket_hi,
+        |  n
+        |FROM c CROSS JOIN s""".stripMargin,
+    // decimal→double goes through VARCHAR: DuckDB's direct DECIMAL→DOUBLE
+    // cast is not correctly rounded once the unscaled value needs int128
+    // (observed 1-ulp-high on the Σy² sums), while its string→double parse
+    // and Spark's BigDecimal.doubleValue both round correctly.
+    "q33_group_corr" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |  CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM a""".stripMargin,
     "q31_latest_upsert" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT user_id, event_id, event_type, value,

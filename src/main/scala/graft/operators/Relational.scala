@@ -149,6 +149,51 @@ object Relational {
         .as("first_price"))
   }
 
+  /** Equi-width histogram (q32): bucket a measure into `buckets` equal
+    * ranges between its observed min and max — the profiling/data-quality
+    * pass before choosing filter thresholds. Two aggregates: a 2-row
+    * min/max broadcast back over the scan, then a map-side-combined count
+    * per bucket (≤ `buckets` groups). All bucket math is the same double
+    * expression on both engines (floor of one division), so edges bin
+    * identically. */
+  def valueHistogram(events: DataFrame, buckets: Int = 20): DataFrame = {
+    val stats = events.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
+    val w = (col("vmax") - col("vmin")) / buckets
+    val bucket = when(col("vmax") === col("vmin"), lit(0L))
+      .otherwise(least(floor((col("value") - col("vmin")) / w),
+        lit((buckets - 1).toLong)))
+    events.select(col("value"))
+      .crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(stats))
+      .select(col("bucket"),
+        (col("vmin") + col("bucket") * w).as("bucket_lo"),
+        (col("vmin") + (col("bucket") + 1) * w).as("bucket_hi"),
+        col("n"))
+  }
+
+  /** Per-group Pearson correlation (q33) from exact decimal power sums:
+    * Σx, Σy, Σxy, Σx², Σy² accumulate as DECIMAL(38,6) (order-independent,
+    * so correct under any partitioning and bit-identical to the oracle) and
+    * combine into r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) in
+    * one fixed double expression. A library corr() would sum doubles in
+    * partition order — non-deterministic at scale. One map-side-combined
+    * aggregate, shuffle rows = #groups. */
+  def groupCorrelation(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val r = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+        sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"), r.as("corr_qty_price"))
+  }
+
   /** Latest-record compaction (q31): reduce a changelog to the newest
     * record per key — the upsert/CDC-merge read path of a lakehouse table.
     * Runs on the custom heap top-k operator with k = 1

@@ -35,6 +35,36 @@ class RelationalSpec extends SparkSpec {
       s"expected a single Window node:\n$plan")
   }
 
+  test("valueHistogram bins into equal widths, edges clamp to the top bucket") {
+    val events = Seq(0.0, 0.5, 1.0, 5.0, 9.99, 10.0).map(v => (1L, v))
+      .toDF("event_id", "value")
+    val out = Relational.valueHistogram(events, buckets = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // width 1.0 over [0,10]: 0.0/0.5 → b0, 1.0 → b1, 5.0 → b5,
+    // 9.99 → b9, and the max itself clamps into b9
+    assert(out(0L) == ((0.0, 1.0, 2L)))
+    assert(out(1L) == ((1.0, 2.0, 1L)))
+    assert(out(5L) == ((5.0, 6.0, 1L)))
+    assert(out(9L) == ((9.0, 10.0, 2L)))
+    assert(out.values.map(_._3).sum == 6L)
+  }
+
+  test("groupCorrelation: exact decimal moments, partition-stable") {
+    // y = 2x exactly in one group → r = 1; anti-correlated in the other
+    val li = (Seq.tabulate(50)(i => ("A", i.toDouble, 2.0 * i)) ++
+      Seq.tabulate(50)(i => ("B", i.toDouble, -3.0 * i + 1000)))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = Relational.groupCorrelation(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("A")._1 == 50L && math.abs(out("A")._2 - 1.0) < 1e-12)
+    assert(math.abs(out("B")._2 + 1.0) < 1e-12)
+    // bit-identical under repartition (decimal sums are order-independent)
+    val again = Relational.groupCorrelation(li.repartition(13)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == out)
+  }
+
   test("latestPerKey compacts a changelog to the newest row per key") {
     val ts = (s: Int) => Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
     val events = Seq(
