@@ -99,4 +99,26 @@ object Sources {
     * survives through the catalog, not through `read.parquet(path)`). */
   def bucketedTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Compact a parquet directory's small files into ~`targetBytes` outputs
+    * at `outDir`, returning the file count written. Streaming sinks and
+    * over-parallel writers leave thousands of tiny files whose per-file
+    * open/footer cost dominates later scans; nightly compaction is the
+    * standard lake-maintenance fix. Sizing comes from the ACTUAL on-disk
+    * byte total (filesystem metadata, no data read), and the rewrite is one
+    * round-robin repartition — at 100 TB this runs per partition directory
+    * (date=.../lang=...), each an independent job sized to its own bytes.
+    * Writes to a fresh directory rather than swapping in place: the swap is
+    * the table-format layer's job (atomic commit), not the engine's. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

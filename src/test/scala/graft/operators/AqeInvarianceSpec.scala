@@ -36,6 +36,15 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(pOn.nonEmpty, "fixture actually produces near-dup pairs")
   }
 
+  test("spanDedup is AQE-invariant (shared-hash join may flip strategy)") {
+    def run() = LlmText.spanDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.exists(_._3 > 0), "fixture actually shares spans")
+  }
+
   test("annLsh is AQE-invariant (aliased self-join)") {
     val vecs = (0L until 200L).map { i =>
       (i, Array.tabulate(64)(d => ((i % 7) + d % 3).toFloat))

@@ -51,6 +51,25 @@ class SourcesSpec extends SparkSpec {
     assert(c.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("compact rewrites a many-file directory into size-targeted files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    // 64 partitions → 64 tiny files
+    (0L until 2000L).toDF("id").repartition(64).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val n = Sources.compact(spark, in, out, targetBytes = 16L * 1024)
+    val outFiles = new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == n && n < 16, s"expected few files, got $n")
+    // data survives the rewrite intact
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+      (0L until 2000L))
+  }
+
   test("co-bucketed tables join and aggregate with no shuffle exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
