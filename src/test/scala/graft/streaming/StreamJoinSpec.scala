@@ -45,4 +45,32 @@ class StreamJoinSpec extends SparkSpec {
       assert(rows == Set((1L, 9.99)), "only the in-window payment matches")
     } finally q.stop()
   }
+
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Double)]
+    // static dimension: stays on the executors, re-joined per micro-batch
+    // with no streaming state at all — the 100 TB enrichment pattern for
+    // slowly-changing reference data
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val enriched = events.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+    val q = enriched.writeStream.format("memory").queryName("sstatic_out")
+      .outputMode("append").start()
+    try {
+      events.addData(Seq((1L, 5.0), (3L, 7.0)))
+      q.processAllAvailable()
+      events.addData(Seq((2L, 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("sstatic_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)))).toSet
+      assert(rows == Set(
+        (1L, 5.0, Some("gold")),
+        (3L, 7.0, None),          // unmatched key survives the outer join
+        (2L, 1.0, Some("basic"))))
+      // no stateful operator: the static side is not streaming state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
