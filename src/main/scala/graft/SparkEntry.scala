@@ -126,6 +126,7 @@ object SparkEntry {
       R.latestPerKey(T.events(s, d))
     }),
     "q32_histogram" -> ((s, d) => R.valueHistogram(T.events(s, d))),
+    "q34_date_funcs" -> ((s, d) => R.dateFunctions(T.orders(s, d))),
     "q33_group_corr" -> ((s, d) => R.groupCorrelation(T.lineitem(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
@@ -594,6 +595,19 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q34_date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        |  CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mth,
+        |  CAST(day(CAST(o_orderdate AS DATE)) AS INT) AS dom,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+        |    AS days_to_eoy,
+        |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start
+        |FROM orders""".stripMargin,
     "q32_histogram" ->
       """WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
         |b AS (SELECT CASE WHEN vmax = vmin THEN 0

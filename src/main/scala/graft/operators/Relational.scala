@@ -262,6 +262,29 @@ object Relational {
       round(col("p_retailprice") * 1.1, 2).as("price_up"),
       when(col("p_size") >= 25, "large").otherwise("small").as("size_class"))
 
+  /** Date/time scalar family (q34): extraction, arithmetic, truncation,
+    * and boundary functions over the order date — the calendar toolkit of
+    * every reporting query. Pure projection; all results are integers or
+    * DATEs, so cross-engine equality is exact (the one semantic trap,
+    * day-of-week numbering, is pinned by the oracle: Spark counts
+    * Sunday = 1 where DuckDB counts Sunday = 0). */
+  def dateFunctions(orders: DataFrame): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    orders.select(
+      col("o_orderkey"),
+      d.as("orderdate"),
+      year(d).as("yr"),
+      quarter(d).as("qtr"),
+      month(d).as("mth"),
+      dayofmonth(d).as("dom"),
+      dayofweek(d).as("dow"),
+      date_add(d, 30).as("due_date"),
+      last_day(d).as("month_end"),
+      datediff(lit(java.sql.Date.valueOf("1998-12-31")), d)
+        .as("days_to_eoy"),
+      date_trunc("quarter", d).cast("date").as("quarter_start"))
+  }
+
   /** Approximate distinct counts + percentiles (q22): the sketch-based
     * forms that replace exact distinct/median at 100 TB —
     * approx_count_distinct is HyperLogLog++ (fixed-size mergeable sketch,

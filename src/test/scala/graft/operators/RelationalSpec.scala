@@ -35,6 +35,23 @@ class RelationalSpec extends SparkSpec {
       s"expected a single Window node:\n$plan")
   }
 
+  test("dateFunctions: extraction, arithmetic, truncation, boundaries") {
+    // 2024-02-15 is a Thursday in a leap February
+    val orders = Seq((1L, Timestamp.valueOf("2024-02-15 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val r = Relational.dateFunctions(orders).head()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(r.getInt(r.fieldIndex("yr")) == 2024)
+    assert(r.getInt(r.fieldIndex("qtr")) == 1)
+    assert(r.getInt(r.fieldIndex("mth")) == 2)
+    assert(r.getInt(r.fieldIndex("dom")) == 15)
+    assert(r.getInt(r.fieldIndex("dow")) == 5, "Thursday, Sunday = 1")
+    assert(r.getDate(r.fieldIndex("due_date")) == d("2024-03-16"))
+    assert(r.getDate(r.fieldIndex("month_end")) == d("2024-02-29"),
+      "leap-year February")
+    assert(r.getDate(r.fieldIndex("quarter_start")) == d("2024-01-01"))
+  }
+
   test("valueHistogram bins into equal widths, edges clamp to the top bucket") {
     val events = Seq(0.0, 0.5, 1.0, 5.0, 9.99, 10.0).map(v => (1L, v))
       .toDF("event_id", "value")
