@@ -53,6 +53,8 @@ object SparkEntry {
     "q21_asof_join" -> ((s, d) =>
       Temporal.asofJoin(T.events(s, d), T.orders(s, d))),
     "q24_range_join" -> ((s, d) => Temporal.rangeJoinCount(T.events(s, d))),
+    "q35_interval_join" -> ((s, d) =>
+      Temporal.intervalOverlapCount(T.events(s, d))),
     // sketch-valued → no SQL oracle; driver records a rows-only check
     "q22_approx_stats" -> ((s, d) =>
       R.approxStats(T.orders(s, d), T.lineitem(s, d))),
@@ -107,6 +109,8 @@ object SparkEntry {
       Curation.temperatureMix(T.documents(s, d))),
     "c11_token_budget" -> ((s, d) =>
       Curation.tokenBudgetSelect(T.documents(s, d))),
+    "c12_quality_sample" -> ((s, d) =>
+      Curation.qualitySample(T.documents(s, d))),
     "c6_decontaminate" -> ((s, d) => {
       val docs = T.documents(s, d)
       Curation.decontaminate(
@@ -315,6 +319,35 @@ object SparkEntry {
         |FROM events a JOIN events b ON a.event_type = b.event_type
         |  AND b.value >= a.value AND b.value < a.value + 0.5
         |GROUP BY a.event_id""".stripMargin,
+    "q35_interval_join" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + 60 +
+        |    ((CAST(floor(value) AS BIGINT) * 17) % 240 + 240) % 240 AS e
+        | FROM events)
+        |SELECT a.event_id, count(*) - 1 AS n_overlaps
+        |FROM b a JOIN b b2 ON a.event_type = b2.event_type
+        |  AND a.s <= b2.e AND b2.s <= a.e
+        |GROUP BY a.event_id""".stripMargin,
+    "c12_quality_sample" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0) AS qs
+        | FROM t),
+        |h AS (SELECT doc_id, lang, qs,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('qs:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('qs:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('qs:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 10000 AS gate
+        | FROM m)
+        |SELECT doc_id, lang, qs AS quality_score FROM h
+        |WHERE gate < CAST(floor(qs * 10000) AS BIGINT)""".stripMargin,
     "q23_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

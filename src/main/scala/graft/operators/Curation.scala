@@ -252,6 +252,21 @@ object Curation {
         array_join(piece, " ").as("chunk_text"))
   }
 
+  /** Quality-proportional sampling (c12): keep each document with
+    * probability equal to its quality score — the CCNet-style soft filter
+    * that trades a hard threshold for a smooth gradient (borderline docs
+    * survive at reduced rate, junk almost never). The decision gate is
+    * `hash(doc) mod 10⁴ < ⌊quality·10⁴⌋`: the quality expression is the
+    * exact x3 tree and the hash is the shared 28-bit fold, so every
+    * decision replays identically across engines, retries, and
+    * partitionings. Pure narrow filter — scan speed at any corpus size. */
+  def qualitySample(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("qs", LlmText.qualityScoreExpr(col("text")))
+      .withColumn("gate", pmod(hash28("qs:", col("doc_id")), lit(10000)))
+      .filter(col("gate") < floor(col("qs") * 10000))
+      .select(col("doc_id"), col("lang"), col("qs").as("quality_score"))
+
   /** Token-budget best-first selection (c11): per domain, keep the
     * highest-quality documents until a token budget fills — "give me the
     * best N tokens of each language", the selection rule when compute (not

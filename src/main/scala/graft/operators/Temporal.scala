@@ -88,6 +88,43 @@ object Temporal {
       .agg((count(lit(1)) - 1).as("n_close"))
   }
 
+  /** Interval-overlap join (q35): for each event's derived time interval,
+    * count the OTHER same-type events whose interval overlaps it — the
+    * concurrent-sessions / conflicting-bookings query. The corpus has no
+    * interval columns, so both engines derive [s, s + 60 + (17·⌊value⌋ mod
+    * 240)] deterministically from the row.
+    *
+    * Scalable shape: with interval length bounded by `width`, an interval
+    * spans at most two `width`-buckets; each side explodes to its (≤2)
+    * buckets and the join is an equi-join on (type, bucket). A pair could
+    * then meet in TWO buckets, so the canonical-bucket predicate (`a`'s
+    * bucket must be the bucket of the overlap START, max(a.s, b.s)) keeps
+    * exactly one instance per pair — no distinct pass. Work scales with
+    * true overlap density, never n². Self-overlap is always counted and
+    * subtracted, which covers zero-neighbor events without a left join. */
+  def intervalOverlapCount(events: DataFrame, width: Long = 512): DataFrame = {
+    val s = unix_timestamp(col("ts"))
+    val base = events.select(
+      col("event_id"), col("event_type"), s.as("s"),
+      (s + 60 + pmod(floor(col("value")).cast("long") * 17, lit(240)))
+        .as("e"))
+    val exploded = base.select(
+      col("event_id"), col("event_type"), col("s"), col("e"),
+      explode(array_distinct(array(
+        floor(col("s") / lit(width)), floor(col("e") / lit(width)))))
+        .as("bucket"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.event_type") === col("b.event_type") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
+          col("a.bucket") ===
+            floor(greatest(col("a.s"), col("b.s")) / lit(width)))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg((count(lit(1)) - 1).as("n_overlaps"))
+  }
+
   /** As-of join (q21): for each event, the most recent order of the same
     * customer with o_orderdate <= ts. Spark has no native ASOF JOIN; the
     * scalable composition is the union trick — tag both sides, union,

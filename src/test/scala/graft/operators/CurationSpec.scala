@@ -155,6 +155,26 @@ class CurationSpec extends SparkSpec {
     assert(en == Seq(3L, 4L, 9L), s"got $en")
   }
 
+  test("qualitySample keeps docs with probability equal to their quality") {
+    // all-stopword docs score ~0.4+0.3+small; junk-punct docs score low
+    val good = (0L until 100L).map(i =>
+      (i, "the a of and to in is that", "en", "src0"))
+    val junk = (100L until 200L).map(i =>
+      (i, "!!! ??? *** $$$ %%% ###", "en", "src0"))
+    val out = Curation.qualitySample(docs(good ++ junk: _*))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val goodKept = out.count(_._1 < 100)
+    val junkKept = out.count(_._1 >= 100)
+    // quality ≈ 0.78 for the stopword docs → ~78/100 kept
+    assert(goodKept > 60 && goodKept < 95, s"goodKept=$goodKept")
+    // punct-only docs score ≈ 0.3·(1−1) + … ≈ 0.075 → almost none survive
+    assert(junkKept < 25, s"junkKept=$junkKept")
+    // decisions are deterministic
+    val again = Curation.qualitySample(docs(good ++ junk: _*))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("temperatureMix keeps sqrt-scaled shares, tail kept fully") {
     // 160 en vs 40 fr: fr rate = 1.0 (all 40), en rate = sqrt(40/160) = 0.5
     val d = docs((0L until 200L).map(i =>

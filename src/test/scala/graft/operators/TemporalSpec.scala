@@ -56,4 +56,27 @@ class TemporalSpec extends SparkSpec {
     val out = Temporal.asofJoin(events, orders).collect()
     assert(out.head.getLong(2) == 11L)
   }
+
+  test("intervalOverlapCount: bucketized join counts true overlaps once") {
+    // value=0 → every interval is [s, s+60]
+    val events = Seq(
+      (1L, "a", ts(1000), 0.0),   // [1000,1060] overlaps 2, 3
+      (2L, "a", ts(1050), 0.0),   // [1050,1110] overlaps 1, 3
+      (3L, "a", ts(1060), 0.0),   // [1060,1120] touches 1 (<=), overlaps 2
+      (4L, "a", ts(5000), 0.0),   // far away → 0
+      (5L, "b", ts(1000), 0.0))   // other type → 0
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Temporal.intervalOverlapCount(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 0L, 5L -> 0L))
+    // straddle a bucket boundary (width 512): the canonical-bucket rule
+    // must count the pair exactly once even though both buckets match
+    val straddle = Seq(
+      (10L, "a", ts(500), 0.0),   // [500,560] spans buckets 0 and 1
+      (11L, "a", ts(520), 0.0))   // [520,580] spans buckets 1 and 1
+      .toDF("event_id", "event_type", "ts", "value")
+    val s = Temporal.intervalOverlapCount(straddle).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == Map(10L -> 1L, 11L -> 1L))
+  }
 }
