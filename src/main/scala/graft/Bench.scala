@@ -70,19 +70,26 @@ object Bench {
     }
     // The harness that collects this output keeps only the last ~2000 chars
     // of the run log and the JSON line must fit there INTACT (sbt appends a
-    // "[success] Total time..." line after it). Round per-query seconds to
-    // fixed precision and step precision down if the line would still
-    // overflow the window.
+    // ~80-char "[success] Total time..." line after it → ~1900 usable).
+    // Round per-query seconds to fixed precision, stepping down if the line
+    // would overflow; the sf field is the directory basename to buy ~20
+    // chars of precision. The full-precision form goes to BENCH_LOCAL.json
+    // in the working directory for round-over-round analysis.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val sfName = new java.io.File(sfDir).getName
     def fmt(prec: Int, v: Double): String =
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
-    def line(prec: Int): String = {
+    def line(prec: Int, sf: String): String = {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1850).getOrElse(line(0))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_LOCAL.json"), line(3, sfDir) + "\n")
+    catch { case _: Throwable => () }
+    val out = Seq(3, 2, 1).map(line(_, sfName)).find(_.length <= 1900)
+      .getOrElse(line(0, sfName))
     println(out)
     spark.stop()
   }
