@@ -140,6 +140,7 @@ object SparkEntry {
     "d5_embed_dedup" -> ((s, d) => Dedup.embeddingDedup(T.embeddings(s, d))),
     "d9_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(T.documents(s, d))),
     "d6_source_sketch" -> ((s, d) => Dedup.sourceSketch(T.documents(s, d))),
+    "d11_source_overlap" -> ((s, d) => Dedup.sourceOverlap(T.documents(s, d))),
     "d7_neardup_components" -> ((s, d) =>
       Dedup.nearDupComponents(T.documents(s, d))),
     "d8_dedup_apply" -> ((s, d) => Dedup.dedupApply(T.documents(s, d))),
@@ -1045,6 +1046,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
         |SELECT source, string_agg(h, '|' ORDER BY h) AS sketch
         |FROM r WHERE rn <= 4 GROUP BY source""".stripMargin,
+    "d11_source_overlap" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |h AS (SELECT DISTINCT source, md5('f:' || unnest(s)) AS h FROM sh),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |kk AS (SELECT source, h FROM r WHERE rn <= 16),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_common
+        |  FROM kk a JOIN kk b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT source, count(*) AS n FROM kk GROUP BY 1)
+        |SELECT source_a, source_b, n_common,
+        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard_est
+        |FROM p JOIN sz sa ON sa.source = source_a
+        |JOIN sz sb ON sb.source = source_b""".stripMargin,
     "d7_neardup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

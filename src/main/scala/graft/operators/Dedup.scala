@@ -371,6 +371,49 @@ object Dedup {
       .agg(sketch(col("h")).as("sketch"))
   }
 
+  /** Corpus-overlap matrix (d11): estimated Jaccard between every pair of
+    * sources from their bottom-k shingle-hash sketches — the diagnostic
+    * that tells a mixing pipeline which crawls/dumps duplicate each other
+    * BEFORE paying for document-level dedup between them. Estimation is
+    * |sketchA ∩ sketchB| / |sketchA ∪ sketchB| over the bottom-k sets (a
+    * consistent MinHash-style estimator; k bounds both cost and variance).
+    *
+    * Scale shape: per-source distinct hashing map-side combines; bottom-k
+    * per source runs on the heap TopK operator (k values of state per
+    * source); the pair join touches k·#sources rows — independent of
+    * corpus size. Pairs sharing no sketch hash are omitted (their estimate
+    * is 0). */
+  def sourceOverlap(documents: DataFrame, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val hashes = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(LlmText.words(col("text"))) >= 3)
+      // per-doc pre-reduction as in sourceSketch: exact for bottom-k
+      .select(col("source"),
+        explode(slice(array_sort(transform(LlmText.shingles(col("text")),
+          s => md5(concat(lit("f:"), s).cast("binary")))), 1, k)).as("h"))
+      .distinct()
+    val bottomK = graft.plans.TopK.perKey(hashes,
+      Seq(col("source")), Seq(col("h")), k)
+    Caching.withPersisted(bottomK) {
+      val sizes = bottomK.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val common = bottomK.as("a")
+        .join(bottomK.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("na"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common"))).as("jaccard_est"))
+    }
+  }
+
   /** Salt fan-out for the label-blocked join below: parallelism becomes
     * #labels × SaltBuckets instead of #labels. */
   val SaltBuckets = 8

@@ -100,6 +100,27 @@ object Sources {
   def bucketedTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Directory-partitioned lake write with DYNAMIC overwrite: only the
+    * partition directories present in `df` are replaced; every other
+    * partition survives untouched. This is the idempotent backfill
+    * primitive — re-running yesterday's job rewrites yesterday's
+    * directories only, where static overwrite mode would wipe the whole
+    * table root. Partition columns become directory keys, so downstream
+    * readers get partition pruning for free. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read a parquet directory whose files carry EVOLVED schemas, unioning
+    * the fields (absent columns read as null). Schema merge costs a footer
+    * read per file, so it is opt-in here rather than a session default. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Compact a parquet directory's small files into ~`targetBytes` outputs
     * at `outDir`, returning the file count written. Streaming sinks and
     * over-parallel writers leave thousands of tiny files whose per-file

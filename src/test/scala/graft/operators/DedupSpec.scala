@@ -137,4 +137,20 @@ class DedupSpec extends SparkSpec {
     assert(Seq(200L, 201L, 202L).forall(labs(_) == 200L))
     assert(labs.size == 104)
   }
+
+  test("sourceOverlap: identical sources estimate 1.0, disjoint are absent") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine"
+    val d = Seq(
+      (1L, text, "en", "srcA"), (2L, text, "en", "srcB"),   // identical
+      (3L, other, "en", "srcC"))                            // disjoint
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.sourceOverlap(d, k = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // srcA and srcB share every sketch hash → Jaccard estimate 1.0
+    assert(out((("srcA", "srcB")))._2 == 1.0)
+    // srcC shares nothing → its pairs are omitted entirely
+    assert(out.keySet == Set(("srcA", "srcB")))
+  }
 }

@@ -70,6 +70,34 @@ class SourcesSpec extends SparkSpec {
       (0L until 2000L))
   }
 
+  test("writePartitioned replaces only the partitions present in the frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynpart")
+    val path = s"$dir/t"
+    Sources.writePartitioned(
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day"), path, "day")
+    // backfill day d2 only — d1 must survive, d2 must be replaced
+    Sources.writePartitioned(
+      Seq((99L, "d2")).toDF("id", "day"), path, "day")
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "d1"), (99L, "d2")))
+  }
+
+  test("parquetMerged unions evolved file schemas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge")
+    val path = s"$dir/t"
+    Seq(1L, 2L).toDF("id").write.parquet(s"$path/v=1")
+    Seq((3L, "x")).toDF("id", "extra").write.parquet(s"$path/v=2")
+    val merged = Sources.parquetMerged(spark, path)
+    assert(merged.columns.toSet == Set("id", "extra", "v"))
+    val byId = merged.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        Option(r.get(r.fieldIndex("extra")))).toMap
+    assert(byId(1L).isEmpty && byId(3L).contains("x"))
+  }
+
   test("co-bucketed tables join and aggregate with no shuffle exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
