@@ -24,7 +24,8 @@ object GraftFunctions {
       graft.operators.Dedup.HashP)),
     "graft_simhash_pack" -> (cs => SimHashPack(cs(0))),
     "graft_dup_ngram_fracs" -> (cs => DupNgramFracs(cs(0))),
-    "graft_char_trigram_set" -> (cs => CharTrigramSet(cs(0))))
+    "graft_char_trigram_set" -> (cs => CharTrigramSet(cs(0))),
+    "graft_char_diversity_stats" -> (cs => CharDiversityStats(cs(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

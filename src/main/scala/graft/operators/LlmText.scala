@@ -495,12 +495,34 @@ object LlmText {
     * are bit-identical across engines, where `ln` differs by ulps between
     * libm implementations.
     *
-    * Plan shape at 100 TB: explode is narrow, the (doc, char) count gets
-    * map-side combine (alphabet-bounded groups), and the per-doc reduce is
-    * the only shuffle — keyed by doc_id, perfectly partitionable. */
+    * Plan shape at 100 TB: one narrow projection — the per-row stats come
+    * from the one-pass native kernel
+    * ([[graft.functions.CharDiversityStats]]); the explode/groupBy twin
+    * below would shuffle a row PER CHARACTER. Docs with zero countable
+    * characters are filtered to match the reference shape (their explode
+    * emits nothing). */
   def charDiversity(documents: DataFrame): DataFrame = {
-    val chars = documents
+    val stats = org.apache.spark.sql.graftinternal.Bridge.column(
+      graft.functions.CharDiversityStats(
+        org.apache.spark.sql.graftinternal.Bridge.expression(col("text"))))
+    documents
       .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), stats.as("st"))
+      .filter(col("st.n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("st.n_chars").as("n_chars_counted"),
+        col("st.n_distinct").as("n_distinct_chars"),
+        (col("st.sum_sq").cast("double") /
+          (col("st.n_chars") * col("st.n_chars"))).as("collision_prob"),
+        (col("st.max_cnt").cast("double") / col("st.n_chars"))
+          .as("max_char_frac"))
+  }
+
+  /** Explode/groupBy formulation of [[charDiversity]] — the portable form
+    * the DuckDB oracle mirrors, kept as the bit-equality reference. */
+  private[graft] def charDiversityReference(documents: DataFrame): DataFrame = {
+    val chars = documents
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
     val perChar = chars.groupBy(col("doc_id"), col("ch"))

@@ -206,6 +206,24 @@ class LlmTextSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("max_char_frac")) == 3.0 / 4.0)
   }
 
+  test("charDiversity native kernel is bit-equal to the explode twin") {
+    val d = Seq(
+      (1L, "aaab"),
+      (2L, "héllo wörld héllo"),        // multibyte, repeats
+      (3L, "日本語 日本語 かな"),        // CJK
+      (4L, "x"),
+      (5L, "a\nb\rc"))                  // line terminators skipped by '.'
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val native = rows(LlmText.charDiversity(d))
+    val ref = rows(LlmText.charDiversityReference(d))
+    assert(native == ref)
+    // the line-terminator doc counts only a, b, c
+    assert(native.find(_._1 == 5L).get._2 == 3L)
+  }
+
   test("spanDedup flags 4-word spans shared across documents") {
     val out = Seq(
       (1L, "a b c d e"),   // windows: abcd, bcde
