@@ -111,6 +111,8 @@ object SparkEntry {
       Curation.tokenBudgetSelect(T.documents(s, d))),
     "c12_quality_sample" -> ((s, d) =>
       Curation.qualitySample(T.documents(s, d))),
+    "c13_source_report" -> ((s, d) =>
+      Curation.sourceReport(T.documents(s, d))),
     "c6_decontaminate" -> ((s, d) => {
       val docs = T.documents(s, d)
       Curation.decontaminate(
@@ -330,6 +332,23 @@ object SparkEntry {
         |FROM b a JOIN b b2 ON a.event_type = b2.event_type
         |  AND a.s <= b2.e AND b2.s <= a.e
         |GROUP BY a.event_id""".stripMargin,
+    "c13_source_report" ->
+      """WITH t AS (SELECT doc_id, source, n_chars, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, source, n_chars, n,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0) AS q
+        | FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CAST(round(q * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (count(*) * 1000000.0) AS mean_quality,
+        |  CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean_tokens,
+        |  CAST(COUNT(CASE WHEN q >= 0.5 THEN 1 END) AS DOUBLE) / count(*) AS quality_rate,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM m GROUP BY source""".stripMargin,
     "c12_quality_sample" ->
       """WITH t AS (SELECT doc_id, lang, text,
         |    len(string_split(text,' ')) AS n FROM documents),

@@ -252,6 +252,37 @@ object Curation {
         array_join(piece, " ").as("chunk_text"))
   }
 
+  /** Per-source corpus health report (c13): document counts, exact mean
+    * quality and token length, quality-pass rate, and total characters per
+    * source — the daily dashboard a data-engineering team watches to catch
+    * a crawl going bad. One map-side-combined aggregate over scan-speed
+    * expressions (the x3 quality tree inline); means accumulate as
+    * DECIMAL(38,6) then divide once, so every cell is bit-stable under any
+    * partitioning. */
+  def sourceReport(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = LlmText.qualityScoreExpr(col("text"))
+    val ntok = size(LlmText.words(col("text")))
+    documents.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // quality is an arbitrary double: a direct DECIMAL(38,6) cast hits
+        // the engines' differing tie-rounding, so quantize to a 1e-6 grid
+        // with round() (away-from-zero in both) BEFORE accumulating — the
+        // e1 grid trick
+        (sum(round(q * lit(1.0e6)).cast(DecimalType(38, 0))).cast("double")
+          / (count(lit(1)) * lit(1.0e6))).as("mean_quality"),
+        (sum(ntok.cast(DecimalType(38, 6))).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        count(when(q >= 0.5, 1)).as("n_quality"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("mean_quality"),
+        col("mean_tokens"),
+        (col("n_quality").cast("double") / col("n_docs"))
+          .as("quality_rate"),
+        col("total_chars"))
+  }
+
   /** Quality-proportional sampling (c12): keep each document with
     * probability equal to its quality score — the CCNet-style soft filter
     * that trades a hard threshold for a smooth gradient (borderline docs

@@ -155,6 +155,27 @@ class CurationSpec extends SparkSpec {
     assert(en == Seq(3L, 4L, 9L), s"got $en")
   }
 
+  test("sourceReport aggregates exact per-source health stats") {
+    val d = docs(
+      (1L, "the a of and", "en", "srcA"),
+      (2L, "the a of and", "en", "srcA"),
+      (3L, "!!! ???", "en", "srcB"))
+    val out = Curation.sourceReport(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(r.fieldIndex("mean_quality")),
+        r.getDouble(r.fieldIndex("mean_tokens")),
+        r.getDouble(r.fieldIndex("quality_rate")))).toMap
+    assert(out("srcA")._1 == 2 && out("srcB")._1 == 1)
+    assert(out("srcA")._3 == 4.0 && out("srcB")._3 == 2.0)
+    assert(out("srcA")._4 == 1.0, "all-stopword docs pass the gate")
+    assert(out("srcB")._4 == 0.0, "punct-only docs fail the gate")
+    assert(out("srcA")._2 > 0.7 && out("srcB")._2 < 0.2)
+    // decimal-grid accumulation → identical under repartition
+    val again = Curation.sourceReport(d.repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (s, v) => again(s) == v._2 })
+  }
+
   test("qualitySample keeps docs with probability equal to their quality") {
     // all-stopword docs score ~0.4+0.3+small; junk-punct docs score low
     val good = (0L until 100L).map(i =>
