@@ -79,11 +79,13 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     def fmt(prec: Int, v: Double): String =
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+    // the total — the headline metric — always keeps full precision; only
+    // the per-query map steps down (its full form is in BENCH_LOCAL.json)
     def line(prec: Int, sf: String): String = {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(prec, total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_LOCAL.json"), line(3, sfDir) + "\n")

@@ -61,6 +61,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q24/q35: bucketized range/interval joins never fall back to NLJ") {
+    for (q <- Seq("q24_range_join", "q35_interval_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi-join on the bucket key:\n$p")
+    }
+  }
+
   test("c2: mixing rates broadcast back; the corpus side has no exchange") {
     val p = plan("c2_domain_mix")
     assert(p.contains("BroadcastHashJoin"), p)
