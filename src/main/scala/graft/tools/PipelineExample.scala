@@ -36,6 +36,12 @@ object PipelineExample {
     val packs = Curation.packSequences(docs)
     val neighbors = Similarity.annIvf(Tables.embeddings(spark, dir))
 
+    // compliance + retrieval prep over the same corpus
+    val redacted = LlmText.piiRedact(docs)
+    val chunks = Curation.chunkOverlap(docs)
+    val report = Curation.sourceReport(docs)
+    val overlap = Dedup.sourceOverlap(docs)
+
     println(s"docs=${docs.count()}")
     println(s"near-dup clusters=${components.filter("NOT keep").count()} drops")
     println(s"kept per source rows=${cleanedBySource.count()}")
@@ -46,6 +52,10 @@ object PipelineExample {
     println(s"curated rows=${curated.count()}")
     println(s"packs=${packs.select("shard", "pack_id").distinct().count()}")
     println(s"ann rows=${neighbors.count()}")
+    println(s"docs with PII found=${redacted.filter("n_emails > 0").count()}")
+    println(s"rag chunks=${chunks.count()}")
+    println(s"sources reported=${report.count()}, " +
+      s"overlapping source pairs=${overlap.count()}")
     spark.stop()
   }
 }
