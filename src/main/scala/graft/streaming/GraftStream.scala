@@ -94,6 +94,41 @@ object GraftStream extends Logging {
       .parquet(path)
   }
 
+  /** Upsert lake sink: per micro-batch, merge the batch's changes into the
+    * parquet table at `path`, keeping only the newest record per key
+    * (ordered by `orderCols` descending, via the heap top-k operator with
+    * k = 1) — a changelog stream materializes as current state, the
+    * CDC-merge sink.
+    *
+    * Each batch rewrites table = latestPerKey(existing ∪ batch). Without a
+    * transactional table format that is the honest primitive: the rewrite
+    * cost is the table, not the stream, so at 100 TB this sink pairs with
+    * directory partitioning (rewrite only partitions the batch touches —
+    * [[graft.sources.Sources.writePartitioned]]) or a format with row-level
+    * merge; the semantics here are the contract those deployments keep.
+    * Batch-level replays re-merge idempotently: merging the same changes
+    * twice yields the same state. */
+  def upsertLakeSink(path: String,
+      keyCols: Seq[String], orderCols: Seq[String]): DataFrame => Unit = {
+    batch =>
+      // foreachBatch frames live in a CLONED session — the custom top-k
+      // strategy must be registered there, not (only) on the outer session
+      val session = batch.sparkSession
+      graft.functions.GraftFunctions.register(session)
+      val existing =
+        try session.read.parquet(path)
+        catch { case _: org.apache.spark.sql.AnalysisException => null }
+      val all = if (existing == null) batch else batch.unionByName(existing)
+      val latest = graft.plans.TopK.perKey(
+        all, keyCols.map(col),
+        orderCols.map(c => col(c).desc), 1)
+      // two-phase write: latest is computed FROM the old files, so the
+      // overwrite must not clobber its own input mid-scan
+      val tmp = path + ".staging"
+      latest.write.mode("overwrite").parquet(tmp)
+      session.read.parquet(tmp).write.mode("overwrite").parquet(path)
+  }
+
   /** Decode a Kafka-shaped DataFrame into `Dataset[Envelope[T]]` with a
     * caller-supplied safe decoder (JSON: SafeJson.decode column; Avro:
     * SafeAvro.decode). `decodeFn` must never throw — return Left(error).

@@ -30,4 +30,32 @@ class LakeSinkSpec extends SparkSpec {
       dirs.exists(_.startsWith("lang=fr")), s"saw $dirs")
     assert(back.filter($"lang" === "en").count() == 2)
   }
+
+  test("upsertLakeSink materializes the newest record per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert")
+      .toString + "/t"
+    val input = MemoryStream[(Long, Long, String)]
+    val sink = GraftStream.upsertLakeSink(dir,
+      keyCols = Seq("id"), orderCols = Seq("ver"))
+    val q = input.toDF().toDF("id", "ver", "state").writeStream
+      .foreachBatch((b: DataFrame, _: Long) => sink(b))
+      .start()
+    try {
+      input.addData(Seq((1L, 1L, "created"), (2L, 1L, "created")))
+      q.processAllAvailable()
+      // batch 2 updates key 1, inserts key 3
+      input.addData(Seq((1L, 2L, "updated"), (3L, 1L, "created")))
+      q.processAllAvailable()
+      // replayed change (same key+ver) must not change the state
+      input.addData(Seq((1L, 2L, "updated")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(state == Map(
+      1L -> ((2L, "updated")),
+      2L -> ((1L, "created")),
+      3L -> ((1L, "created"))))
+  }
 }
