@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE-off sweep: results must be plan-movement-invariant
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // events.ts is parquet TIMESTAMP(NANOS); read as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
