@@ -152,6 +152,8 @@ object SparkEntry {
       graft.operators.VectorOps.groupCentroids(T.embeddings(s, d))),
     "e2_int8_quantize" -> ((s, d) =>
       graft.operators.VectorOps.int8Quantize(T.embeddings(s, d))),
+    "e3_zscore_normalize" -> ((s, d) =>
+      graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
@@ -1211,6 +1213,23 @@ object SparkEntry {
         |  list_max(list_transform(range(1, 65), i ->
         |    abs(x[i] - qv[i] * (maxabs / 127.0)))) AS max_abs_err
         |FROM q""".stripMargin,
+    // sums of squared grid values exceed int64 → decimal→double goes
+    // through VARCHAR (same DuckDB int128-cast quirk as q33)
+    "e3_zscore_normalize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |dims AS (SELECT UNNEST(range(0, 64)) AS dim),
+        |e AS (SELECT vec_id, CAST(dim AS INT) AS dim,
+        |  x[dim + 1] AS v FROM v CROSS JOIN dims),
+        |st AS (SELECT dim,
+        |  CAST(CAST(SUM(CAST(round(v * 1.0e9) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sg,
+        |  CAST(CAST(SUM(CAST(round(v * 1.0e9) * round(v * 1.0e9) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sg2,
+        |  count(*) AS n
+        | FROM e GROUP BY dim),
+        |m AS (SELECT dim, sg / n / 1.0e9 AS mu, sg2 / (n * 1.0e18) AS ex2
+        | FROM st),
+        |s AS (SELECT dim, mu, ex2 - mu * mu AS vr FROM m)
+        |SELECT vec_id, e.dim, (v - mu) / sqrt(vr + 1.0e-9) AS zscore
+        |FROM e JOIN s ON e.dim = s.dim""".stripMargin,
     "e1_label_centroids" ->
       """WITH v AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
         |dims AS (SELECT UNNEST(range(0, 64)) AS dim)

@@ -62,6 +62,40 @@ object VectorOps {
           .cast("double") / (count(col("v")) * lit(1.0e9))).as("centroid"),
         count(col("v")).as("n_vecs"))
 
+  /** Per-dimension z-score normalization (e3): center and scale every
+    * embedding dimension by its corpus mean and standard deviation — the
+    * whitening-lite preprocessing that stops high-variance dimensions from
+    * dominating cosine/L2 retrieval. Long-form output (vec_id, dim, z)
+    * keeps every cell a scalar double for representation-stable oracle
+    * comparison (e1 precedent); production callers re-assemble the array.
+    *
+    * Moments are exact on a 1e-9 grid: components quantize with round()
+    * (away-from-zero in both engines) and Σg / Σg² accumulate as
+    * DECIMAL(38,0) — order-independent, overflow-free, bit-identical
+    * across engines (g² above 2^53 is still exact: doubles there are all
+    * integers). The 64-row stats table broadcasts back over the explode;
+    * the corpus itself is never shuffled. */
+  def zscoreNormalize(embeddings: DataFrame, eps: Double = 1e-9,
+      vecCol: String = "embedding"): DataFrame = {
+    val expl = embeddings
+      .select(col("vec_id"), posexplode(asDouble(col(vecCol)))
+        .as(Seq("dim", "v")))
+    val g = round(col("v") * lit(1.0e9))
+    val stats = expl.groupBy(col("dim"))
+      .agg(
+        sum(g.cast(DecimalType(38, 0))).cast("double").as("sg"),
+        sum((g * g).cast(DecimalType(38, 0))).cast("double").as("sg2"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        (col("sg") / col("n") / lit(1.0e9)).as("mu"),
+        (col("sg2") / (col("n") * lit(1.0e18))).as("ex2"))
+      .select(col("dim"), col("mu"),
+        (col("ex2") - col("mu") * col("mu")).as("vr"))
+    expl.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        ((col("v") - col("mu")) / sqrt(col("vr") + lit(eps))).as("zscore"))
+  }
+
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =
     * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero

@@ -26,6 +26,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("zscoreNormalize centers and scales each dimension") {
+    // dim 0: values 0, 2 → mu 1, var 1; dim 1: constant → var 0 (eps guards)
+    val e = Seq(
+      (1L, Array(0.0f, 5.0f)),
+      (2L, Array(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.zscoreNormalize(e).collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getInt(r.fieldIndex("dim"))) ->
+        r.getDouble(r.fieldIndex("zscore"))).toMap
+    assert(math.abs(out((1L, 0)) + 1.0) < 1e-6)
+    assert(math.abs(out((2L, 0)) - 1.0) < 1e-6)
+    // constant dimension maps to ~0, not NaN/Inf
+    assert(math.abs(out((1L, 1))) < 1e-3 && !out((1L, 1)).isNaN)
+    // partition-stable (grid-exact moments)
+    val again = VectorOps.zscoreNormalize(e.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
   test("int8Quantize: symmetric scale, floor(+0.5) ties, exact errors") {
     // the engine sees the f32-rounded values (0.254f != 0.254) — replicate
     // the same float->double widening the column cast performs
