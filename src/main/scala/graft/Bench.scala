@@ -81,8 +81,9 @@ object Bench {
       s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
     // the total — the headline metric — always keeps full precision; only
     // the per-query map steps down (its full form is in BENCH_LOCAL.json)
-    def line(prec: Int, sf: String): String = {
-      val qs = results
+    def line(prec: Int, sf: String,
+        subset: Map[String, Double] = results): String = {
+      val qs = subset
         .map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
@@ -90,8 +91,19 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_LOCAL.json"), line(3, sfDir) + "\n")
     catch { case _: Throwable => () }
-    val out = Seq(3, 2, 1).map(line(_, sfName)).find(_.length <= 1900)
-      .getOrElse(line(0, sfName))
+    // Last resort when even 0-decimal precision overflows the window: keep
+    // the SLOWEST queries at 1 decimal and drop the fastest from the map —
+    // the total stays exact and the informative tail survives.
+    def slowestThatFits: String = {
+      val bySlowest = results.toSeq.sortBy(-_._2)
+      Iterator.from(results.size, -5)
+        .takeWhile(_ > 0)
+        .map(n => line(1, sfName, bySlowest.take(n).toMap))
+        .find(_.length <= 1900)
+        .getOrElse(line(1, sfName, Map.empty))
+    }
+    val out = Seq(3, 2, 1, 0).map(line(_, sfName)).find(_.length <= 1900)
+      .getOrElse(slowestThatFits)
     println(out)
     spark.stop()
   }

@@ -134,6 +134,9 @@ object SparkEntry {
     "q32_histogram" -> ((s, d) => R.valueHistogram(T.events(s, d))),
     "q34_date_funcs" -> ((s, d) => R.dateFunctions(T.orders(s, d))),
     "q33_group_corr" -> ((s, d) => R.groupCorrelation(T.lineitem(s, d))),
+    "q36_bloom_join" -> ((s, d) =>
+      R.urgentOrderRevenue(T.lineitem(s, d), T.orders(s, d))),
+    "q37_snapshot_diff" -> ((s, d) => R.orderSnapshotDiff(T.orders(s, d))),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -147,6 +150,8 @@ object SparkEntry {
       Dedup.nearDupComponents(T.documents(s, d))),
     "d8_dedup_apply" -> ((s, d) => Dedup.dedupApply(T.documents(s, d))),
     "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
+    "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
+    "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
     "e1_label_centroids" -> ((s, d) =>
       graft.operators.VectorOps.groupCentroids(T.embeddings(s, d))),
@@ -154,6 +159,8 @@ object SparkEntry {
       graft.operators.VectorOps.int8Quantize(T.embeddings(s, d))),
     "e3_zscore_normalize" -> ((s, d) =>
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
+    "e4_random_projection" -> ((s, d) =>
+      graft.operators.VectorOps.randomProjection(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
@@ -1126,6 +1133,49 @@ object SparkEntry {
         |SELECT doc AS doc_id, min(lab) AS cluster_rep,
         |  doc = min(lab) AS keep
         |FROM reach GROUP BY doc""".stripMargin,
+    // d12 computes the SAME decisions as d7 through the star-contraction
+    // scale path — one oracle definition, two engine algorithms.
+    "d12_cc_star" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc)
+        |SELECT doc AS doc_id, min(lab) AS cluster_rep,
+        |  doc = min(lab) AS keep
+        |FROM reach GROUP BY doc""".stripMargin,
     "d8_dedup_apply" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
@@ -1230,6 +1280,57 @@ object SparkEntry {
         |s AS (SELECT dim, mu, ex2 - mu * mu AS vr FROM m)
         |SELECT vec_id, e.dim, (v - mu) / sqrt(vr + 1.0e-9) AS zscore
         |FROM e JOIN s ON e.dim = s.dim""".stripMargin,
+    // Bloom pre-filtering is a physical rewrite (false positives are removed
+    // by the join) — the oracle is the plain join.
+    "q36_bloom_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q37_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |new AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+        |  CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+        |       WHEN new.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  old.o_totalprice AS old_o_totalprice,
+        |  new.o_totalprice AS new_o_totalprice
+        |FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        |WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+        |   OR old.o_totalprice IS DISTINCT FROM new.o_totalprice""".stripMargin,
+    "e4_random_projection" ->
+      """WITH sgn AS (SELECT j, i,
+        |  CASE WHEN CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('rp:' || j || ':' || i), c, 1)) <= 57
+        |         THEN ascii(substr(md5('rp:' || j || ':' || i), c, 1)) - 48
+        |         ELSE ascii(substr(md5('rp:' || j || ':' || i), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM range(16) t1(j), range(64) t2(i)),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |e AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |  CAST(round(x[i + 1] * 1.0e9) AS BIGINT) AS g
+        |  FROM v CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i))
+        |SELECT vec_id, CAST(j AS INT) AS out_dim,
+        |  CAST(SUM(g * s) AS DOUBLE) / 1.0e9 AS proj
+        |FROM e JOIN sgn ON e.i = sgn.i
+        |GROUP BY vec_id, j""".stripMargin,
+    "x15_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('fh:' || tok), c, 1)) <= 57
+        |         THEN ascii(substr(md5('fh:' || tok), c, 1)) - 48
+        |         ELSE ascii(substr(md5('fh:' || tok), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 64 AS bucket FROM t)
+        |SELECT doc_id, bucket, COUNT(*) AS tf
+        |FROM h GROUP BY doc_id, bucket""".stripMargin,
     "e1_label_centroids" ->
       """WITH v AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
         |dims AS (SELECT UNNEST(range(0, 64)) AS dim)

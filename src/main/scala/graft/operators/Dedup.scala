@@ -204,6 +204,98 @@ object Dedup {
     result
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (the MapReduce-native algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the giant-component scale path
+    * [[connectedComponents]] documents: label propagation does O(diameter)
+    * rounds each touching EVERY edge, while star contraction rewires edges
+    * toward per-neighborhood minima and converges in O(log² n) rounds with
+    * the edge set SHRINKING toward one star per component.
+    *
+    * large-star: every node u links its larger neighbors to
+    * m = min(N(u) ∪ {u}); small-star: u links its smaller-or-equal
+    * neighbors and itself to m. Both are one groupBy(min) + one equi-join
+    * on the same key — the co-partitioned shuffle family — plus a distinct
+    * to keep the edge set canonical. Fixpoint: edges form stars centered on
+    * component minima, read off directly as (doc, lab).
+    *
+    * Same output contract as [[connectedComponents]]; DedupSpec pins the
+    * two equivalent on randomized graphs against a local union-find. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym0 = pairs.toDF("a", "b")
+    val nodes = sym0.select(col("a").as("doc"))
+      .union(sym0.select(col("b").as("doc"))).distinct()
+      .localCheckpoint(true)
+    // Canonical undirected edge set, self-loops dropped.
+    var edges = sym0.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def neighborhoodMin(sym: DataFrame): DataFrame =
+      sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    // One star round: rewire each u's selected neighbors to u's
+    // neighborhood minimum. large keeps v > u; small takes v <= u plus u
+    // itself (dropping the self-pair m–m).
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val m = neighborhoodMin(sym)
+      val joined = sym.join(m, "u")
+      val rewired =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v"), col("m"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v"), col("m"))
+          .union(m.select(col("u").as("v"), col("m")))
+      rewired.filter(col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("a"),
+          greatest(col("v"), col("m")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    // Converged when the canonical edge set is unchanged: same size and an
+    // order-independent XOR checksum (overflow-free under ANSI arithmetic,
+    // collision-safe on a distinct edge set) — one aggregate action per
+    // round; the previous round's signature is remembered, not recomputed.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sig(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = star(star(edges, large = true), large = false)
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar did NOT converge within $maxIter rounds; " +
+          "component labels are incomplete. Raise maxIter.")
+    // Fixpoint edges are stars (min, member): member → min, minima and
+    // isolated nodes → themselves.
+    nodes.join(edges, nodes("doc") === edges("b"), "left_outer")
+      .select(col("doc"), coalesce(col("a"), col("doc")).as("lab"))
+  }
+
+  /** [[nearDupComponents]] computed through the star-contraction scale path
+    * (d12) — identical decisions, giant-component-safe rounds. */
+  def nearDupComponentsStar(documents: DataFrame,
+      threshold: Double = 0.7, maxIter: Int = 25): DataFrame = {
+    val pairs = minhashLsh(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponentsStar(pairs, maxIter)
+      .select(col("doc").as("doc_id"), col("lab").as("cluster_rep"),
+        (col("doc") === col("lab")).as("keep"))
+  }
+
   /** Apply dedup decisions (d8): drop every non-representative member of a
     * near-dup cluster and report the surviving corpus per source — the
     * left-anti join against the (small) drop list is the standard shape for

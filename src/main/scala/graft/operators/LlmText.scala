@@ -601,6 +601,26 @@ object LlmText {
     * splitting handles the residual head terms; the corpus-size scalar is a
     * broadcast. The tf frame feeds both df and the join, so it is persisted
     * for the duration of the call (Caching bracket). */
+  /** Feature hashing (x15): the hashing-trick bag-of-words — every token
+    * maps to one of `buckets` indices via the shared portable hash, and the
+    * per-doc bucket counts ARE the fixed-width sparse feature vector (the
+    * collision-tolerant vectorization classic linear classifiers and
+    * fastText-style models train on, no vocabulary pass needed).
+    *
+    * Long-form output (doc_id, bucket, tf): explode → one hash aggregate
+    * keyed (doc_id, bucket) with map-side combine, so shuffle rows are
+    * bounded by docs × buckets regardless of document length. No vocab
+    * broadcast, no driver state — the hash IS the vocabulary. */
+  def featureHash(documents: DataFrame, buckets: Int = 64): DataFrame =
+    documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(PortableHash.hash28("fh:", col("tok")), lit(buckets))
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
   def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val tf = documents

@@ -385,6 +385,97 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
   }
 
+  /** Bloom-prefiltered fact⋈dim join (q36): when the dimension's selective
+    * subset is too large to broadcast as ROWS but its key fingerprint fits
+    * in a Bloom filter, ship the filter instead and drop non-matching fact
+    * rows BEFORE the shuffle — the manual form of Spark's row-level runtime
+    * filtering, built from the same internal pair it uses
+    * (`BloomFilterAggregate` to build, `BloomFilterMightContain` to probe,
+    * both codegen'd; the updater/probe agree on raw-long put/might-contain).
+    *
+    * Scale shape: the ~1 MB sketch is the only thing that crosses the
+    * cluster (embedded as a literal → broadcast with the task binary), the
+    * fact table is filtered at scan parallelism with no shuffle, and only
+    * survivors enter the join. False positives are removed by the join
+    * itself, so results are EXACT — the oracle is the plain join SQL.
+    * Returns the filtered fact joined to the dim subset. */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedKeys: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftinternal.Bridge
+    val spark = dim.sparkSession
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedKeys, fpp)
+    val agg = new BloomFilterAggregate(
+      Bridge.expr(spark, col(dimKey).cast("long")),
+      Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
+    // One driver-side action to materialize the SKETCH (not the data) —
+    // the same round trip Spark's own runtime-filter rewrite performs via
+    // a scalar subquery.
+    val bytes = dim.select(Bridge.column(agg)).head().getAs[Array[Byte]](0)
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(bytes), Bridge.expr(spark, col(factKey).cast("long"))))
+    fact.filter(might).join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** q36: revenue of lineitems belonging to URGENT orders, bloom-pruned.
+    * The urgent subset is ~20% of orders — too big to broadcast at 100 TB,
+    * selective enough that pre-filtering lineitem pays for the sketch. */
+  def urgentOrderRevenue(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    bloomPrefilteredJoin(
+      lineitem,
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Snapshot/CDC diff (q37): classify every key of two table snapshots as
+    * insert / delete / update, dropping unchanged rows — the incremental
+    * pass that turns periodic full snapshots into a change feed.
+    *
+    * One full-outer sort-merge join on the key (both sides hash-partitioned
+    * alike — co-located for free on bucketed snapshots), null-safe value
+    * compare, and only changed rows survive the filter, so output is
+    * O(churn) not O(snapshot). No broadcast assumption: both sides are
+    * fact-sized. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, cmpCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(keyCol) +: cmpCols.map(col): _*).as("o")
+    val n = newSnap.select(col(keyCol) +: cmpCols.map(col): _*).as("n")
+    val changed = cmpCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduce(_ || _)
+    o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"o.$keyCol").isNull, "insert")
+          .when(col(s"n.$keyCol").isNull, "delete")
+          .otherwise("update"))
+      .filter(col("change_type") =!= "update" || changed)
+      .select(
+        coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol) +:
+          col("change_type") +:
+          cmpCols.flatMap(c =>
+            Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
+  }
+
+  /** q37 fixture: two deterministic snapshots derived from orders — the old
+    * one missing every 7th key, the new one missing every 5th and bumping
+    * every 3rd price — diffed on o_totalprice. */
+  def orderSnapshotDiff(orders: DataFrame): DataFrame = {
+    val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val newSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    snapshotDiff(oldSnap, newSnap, "o_orderkey", Seq("o_totalprice"))
+  }
+
   /** Salted two-phase distinct aggregation (q26): per-event-type distinct
     * users, row count, and exact value sum over a hot-keyed group-by
     * (event_type has a handful of values — the canonical hot-key shape).

@@ -96,6 +96,53 @@ object VectorOps {
         ((col("v") - col("mu")) / sqrt(col("vr") + lit(eps))).as("zscore"))
   }
 
+  /** Johnson–Lindenstrauss random projection (e4): project every embedding
+    * onto `outDims` ±1 hyperplanes — the dimensionality-reduction pass that
+    * shrinks ANN index footprint while approximately preserving pairwise
+    * distances (Achlioptas-style sign projections). Long-form output
+    * (vec_id, out_dim, proj) for representation-stable oracle comparison.
+    *
+    * The sign matrix is a SEEDED CONSTANT — sign(j,i) from the md5 nibble
+    * fold this library uses everywhere (here evaluated once on the driver,
+    * k×d ints folded into the plan as a literal lookup table; the oracle
+    * re-derives the same signs with SQL md5) — so the whole operator is one
+    * narrow projection: no shuffle, no explode×k row blowup, and the
+    * aggregate runs inside the row over the grid-quantized components
+    * (round(v·1e9) longs; ±1 products summed exactly → bit-identical
+    * across engines, e1/e3 precedent). */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 16,
+      inDims: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val signs: Seq[Seq[Long]] =
+      (0 until outDims).map(j => (0 until inDims).map(i => rpSign(j, i)))
+    val g = transform(asDouble(col(vecCol)),
+      v => round(v * lit(1.0e9)).cast("long"))
+    val projections = transform(
+      sequence(lit(0), lit(outDims - 1)),
+      j => {
+        val signRow = element_at(typedlit(signs), (j + 1).cast("int"))
+        aggregate(
+          zip_with(col("g"), signRow, (x, s) => x * s),
+          lit(0L), (acc, x) => acc + x)
+      })
+    embeddings
+      .select(col("vec_id"), g.as("g"))
+      .select(col("vec_id"), posexplode(projections).as(Seq("out_dim", "p")))
+      .select(col("vec_id"), col("out_dim"),
+        (col("p").cast("double") / lit(1.0e9)).as("proj"))
+  }
+
+  /** ±1 sign for projection row j, input dim i: parity of the 28-bit md5
+    * nibble fold of "rp:j:i" — the exact arithmetic of
+    * [[graft.operators.PortableHash.nibbleFold7]], evaluated on the driver
+    * (a constant matrix, not per-row work). */
+  private def rpSign(j: Int, i: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val folded = java.lang.Long.parseLong(hex.take(7), 16)
+    if (folded % 2 == 0) 1L else -1L
+  }
+
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =
     * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero

@@ -124,6 +124,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar matches connectedComponents on a random graph") {
+    // One seeded trial (each algorithm is a multi-round Spark loop — more
+    // trials belong to the local union-find stress above, not here)
+    val rnd = new scala.util.Random(20260813)
+    val n = 150
+    val edges = Seq.fill(130)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val viaProp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
+  test("connectedComponentsStar contracts a long chain and keeps singletons") {
+    // diameter-100 chain + a triangle + an isolated self-pair: star rounds
+    // are O(log² n); the self-loop edge is dropped but its node keeps its
+    // own label
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val extra = Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 300L))
+    val labs = Dedup.connectedComponentsStar((chain ++ extra).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 100L).forall(labs(_) == 0L), "whole chain labeled 0")
+    assert(Seq(200L, 201L, 202L).forall(labs(_) == 200L))
+    assert(labs(300L) == 300L)
+    assert(labs.size == 105)
+  }
+
   test("connectedComponents: pointer jumping resolves a diameter-100 chain") {
     // a 101-node chain (diameter 100) plus a separate triangle — plain
     // min-label propagation would need 100 rounds; path doubling must

@@ -256,4 +256,20 @@ class LlmTextSpec extends SparkSpec {
     assert(out(1L) == (("http", "src1.example.com", "example.com",
       "http://src1.example.com/p/1?id=1")))
   }
+
+  test("featureHash: portable buckets, counts partition the token stream") {
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex("fh:" + tok).take(7), 16) % 64
+    val out = LlmText.featureHash(
+      Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // same token → same bucket, counted; distinct tokens may collide but
+    // totals always partition the token stream
+    val (ba, bb, bg) = (bucket("alpha"), bucket("beta"), bucket("gamma"))
+    assert(out((1L, ba)) == (if (ba == bb) 3L else 2L))
+    if (ba != bb) assert(out((1L, bb)) == 1L)
+    assert(out((2L, bg)) == 1L)
+    assert(out.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    assert(out.collect { case ((d, _), n) if d == 1L => n }.sum == 3L)
+  }
 }

@@ -75,4 +75,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"rate join must broadcast:\n$p")
   }
+
+  test("q36: the bloom probe filters the fact scan stage, before the join") {
+    val p = plan("q36_bloom_join")
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("HashJoin")
+    assert(probeAt >= 0, s"bloom probe survived planning:\n$p")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe must sit below the join in the plan tree:\n$p")
+  }
 }

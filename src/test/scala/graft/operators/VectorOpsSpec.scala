@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.security.MessageDigest
+
 import graft.SparkSpec
 
 class VectorOpsSpec extends SparkSpec {
@@ -71,5 +73,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1L) == ((maxabs / 127.0, -63L, 127L, l2, maxErr)))
     // zero vector: scale 0, quantized to zeros, zero error
     assert(out(2L) == ((0.0, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("randomProjection: seeded signs, grid-exact sums, long form") {
+    // 4-dim input, 2 output dims: the expected projection is the local
+    // replay of the same md5-derived ±1 signs over the same 1e-9 grid
+    def sign(j: Int, i: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(7), 16) % 2 == 0) 1L else -1L
+    }
+    val vec = Array(0.5f, -1.25f, 2.0f, 0.125f)
+    val out = VectorOps.randomProjection(
+      Seq((7L, vec)).toDF("vec_id", "embedding"), outDims = 2, inDims = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    for (j <- 0 until 2) {
+      val expected = vec.zipWithIndex.map { case (v, i) =>
+        math.round(v.toDouble * 1e9) * sign(j, i)
+      }.sum.toDouble / 1e9
+      assert(out(j) == expected, s"out_dim $j")
+    }
+    assert(out.size == 2)
   }
 }
