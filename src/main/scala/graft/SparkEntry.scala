@@ -137,6 +137,14 @@ object SparkEntry {
     "q36_bloom_join" -> ((s, d) =>
       R.urgentOrderRevenue(T.lineitem(s, d), T.orders(s, d))),
     "q37_snapshot_diff" -> ((s, d) => R.orderSnapshotDiff(T.orders(s, d))),
+    "q38_equidepth" -> ((s, d) => R.equiDepthHistogram(T.events(s, d))),
+    "q39_funnel" -> ((s, d) => R.conversionFunnel(T.events(s, d))),
+    "q40_zorder" -> ((s, d) => {
+      import org.apache.spark.sql.functions.hour
+      T.events(s, d).select(col("event_id"),
+        graft.sources.Sources.zvalue(
+          pmod(col("user_id"), lit(1024)), hour(col("ts"))).as("zv"))
+    }),
     // -- LLM-data-pipeline ops: deduplication --
     "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(T.documents(s, d))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(T.documents(s, d))),
@@ -152,6 +160,7 @@ object SparkEntry {
     "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
+    "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
     "e1_label_centroids" -> ((s, d) =>
       graft.operators.VectorOps.groupCentroids(T.embeddings(s, d))),
@@ -1321,6 +1330,48 @@ object SparkEntry {
         |  CAST(SUM(g * s) AS DOUBLE) / 1.0e9 AS proj
         |FROM e JOIN sgn ON e.i = sgn.i
         |GROUP BY vec_id, j""".stripMargin,
+    // NTILE semantics are rank-arithmetic (no float boundaries) — the
+    // distributed two-phase rank must reproduce ntile() exactly.
+    "q38_equidepth" ->
+      """WITH b AS (SELECT value,
+        |  ntile(8) OVER (ORDER BY value, event_id) AS bucket FROM events)
+        |SELECT bucket, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+        |FROM b GROUP BY bucket""".stripMargin,
+    "q39_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    "q40_zorder" ->
+      """WITH d AS (SELECT event_id, user_id % 1024 AS a,
+        |  CAST(hour(ts) AS BIGINT) AS b FROM events)
+        |SELECT event_id,
+        |  list_reduce(list_transform(range(0, 10), i ->
+        |    (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))),
+        |    (x, y) -> x | y) AS zv
+        |FROM d""".stripMargin,
+    "x16_token_zipf" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |top AS (SELECT tok, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        |  FROM c ORDER BY cnt DESC, tok LIMIT 100)
+        |SELECT rank, tok, cnt,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt,
+        |  CAST(CAST(sum(cnt) OVER w AS BIGINT) AS DOUBLE) / total AS cum_share
+        |FROM top, tot
+        |WINDOW w AS (ORDER BY rank ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "x15_feature_hash" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

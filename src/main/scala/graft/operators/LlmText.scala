@@ -611,6 +611,35 @@ object LlmText {
     * keyed (doc_id, bucket) with map-side combine, so shuffle rows are
     * bounded by docs × buckets regardless of document length. No vocab
     * broadcast, no driver state — the hash IS the vocabulary. */
+  /** Zipf head of the corpus vocabulary (x16): the `k` most frequent
+    * tokens with rank, count, running count, and running share of the
+    * token stream — the curve a corpus-health check reads to spot
+    * boilerplate floods (too-heavy head) or tokenizer bugs (too-flat).
+    *
+    * Global token counts aggregate with map-side combine; the head is a
+    * TakeOrdered top-k (no full sort), and the running totals are a window
+    * over only those k rows — so nothing global-single-task touches the
+    * corpus itself. The share divides two exact longs in double, identical
+    * in both engines. */
+  def tokenZipf(documents: DataFrame, k: Int = 100): DataFrame = {
+    val counts = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(explode(words(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val W = org.apache.spark.sql.expressions.Window
+    val order = Seq(col("cnt").desc, col("tok").asc)
+    val w = W.orderBy(order: _*).rowsBetween(W.unboundedPreceding, 0)
+    counts.orderBy(order: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(W.orderBy(order: _*)).as("rank"),
+        col("tok"), col("cnt"),
+        sum(col("cnt")).over(w).as("cum_cnt"),
+        (sum(col("cnt")).over(w).cast("double") / col("total"))
+          .as("cum_share"))
+  }
+
   def featureHash(documents: DataFrame, buckets: Int = 64): DataFrame =
     documents
       .transform(Partitioning.spread(_, col("doc_id")))

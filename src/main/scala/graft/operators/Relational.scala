@@ -362,6 +362,86 @@ object Relational {
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Equi-depth histogram (q38): `buckets` quantile buckets of the value
+    * column with exact NTILE semantics, built WITHOUT a global single-task
+    * window. Global rank = two-phase distributed ranking: range-repartition
+    * on the sort key, per-partition row_number (parallel windows keyed by
+    * partition id), then add per-partition offsets — the only driver-side
+    * data is one row count per partition. The NTILE bucket falls out of the
+    * rank in closed form (first N%K buckets hold ⌈N/K⌉ rows), so the
+    * result is bit-identical to the oracle's ntile() while every stage
+    * stays parallel at 100 TB.
+    *
+    * (event_id tiebreaks value so the total order — and therefore every
+    * bucket boundary — is unique and partitioning-independent.) */
+  def equiDepthHistogram(events: DataFrame, buckets: Int = 8,
+      partitions: Int = 32): DataFrame = {
+    val sortKeys = Seq(col("value"), col("event_id"))
+    val parted = events.select(col("value"), col("event_id"))
+      .repartitionByRange(partitions, sortKeys: _*)
+      .withColumn("pid", spark_partition_id())
+    // Exact integer division on long columns (Spark's `/` is double): the
+    // double quotient is exact-floored for our magnitudes (operands far
+    // below 2^53, and exact multiples divide exactly in IEEE).
+    def idiv(a: Column, b: Long): Column =
+      floor(a.cast("double") / lit(b.toDouble)).cast("long")
+    Caching.withPersisted(parted) {
+      val perPart = parted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = {
+        var acc = 0L
+        (0 until partitions).map { p =>
+          val o = p -> acc; acc += perPart.getOrElse(p, 0L); o
+        }
+      }
+      val offDf = broadcast(
+        parted.sparkSession.createDataFrame(offsets).toDF("pid", "off"))
+      val n = perPart.values.sum
+      val base = n / buckets
+      val rem = n % buckets
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(sortKeys.map(_.asc): _*)
+      val rnk = col("off") + row_number().over(w)
+      // NTILE closed form over the 1-based global rank
+      val headRows = lit(rem * (base + 1))
+      val bucket =
+        if (base == 0) rnk
+        else when(rnk <= headRows, idiv(rnk - 1, base + 1) + 1)
+          .otherwise(lit(rem) + idiv(rnk - 1 - headRows, base) + 1)
+      parted.join(offDf, "pid")
+        .select(col("value"), bucket.cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+    }
+  }
+
+  /** Conversion funnel (q39): per-stage user counts for the ordered
+    * journey view → click → purchase, each stage's timestamp strictly
+    * after the previous stage's first occurrence. Three filtered
+    * aggregates chained by inner joins — all keyed on user_id, so the
+    * whole funnel is one co-partitioned shuffle family and each stage's
+    * frame only shrinks. */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click"))
+      .unionAll(stage(p, 3, "purchase"))
+  }
+
   /** Salted skew join (q25): events fact ⋈ customer dimension on a skewed
     * key, revenue per market segment. The fact side gets a deterministic
     * salt; the dimension side is replicated across all `buckets` salts and

@@ -2,7 +2,8 @@ package graft.sources
 
 import graft.core.GraftConf
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
 import org.apache.spark.sql.types.StructType
 
 /** Source facade: the batch and streaming entry points of the library in
@@ -142,4 +143,31 @@ object Sources {
       .write.mode("overwrite").parquet(outDir)
     n
   }
+
+  /** Morton/Z-order value of two non-negative int columns: the low `bits`
+    * bits of `a` and `b` interleaved (a even positions, b odd) — one long
+    * whose ordering clusters rows that are close in BOTH dimensions. Pure
+    * integer bit arithmetic (shift/and/or), mirrored exactly by the oracle
+    * SQL. */
+  def zvalue(a: Column, b: Column, bits: Int = 10): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-order layout write: cluster the table on the Morton value of two
+    * query dimensions so parquet row-group/file min-max stats prune scans
+    * that filter on EITHER dimension — the multi-column answer to
+    * single-column sort layouts. `repartitionByRange` on the z-value gives
+    * disjoint z-ranges per file; the within-partition sort tightens each
+    * row group's stats. At 100 TB this is the nightly layout job that turns
+    * needle queries from full scans into a handful of file reads. */
+  def zorderWrite(df: DataFrame, path: String, a: Column, b: Column,
+      files: Int = 16, bits: Int = 10): Unit =
+    df.withColumn("zv", zvalue(a, b, bits))
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
 }

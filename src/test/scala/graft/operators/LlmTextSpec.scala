@@ -257,6 +257,20 @@ class LlmTextSpec extends SparkSpec {
       "http://src1.example.com/p/1?id=1")))
   }
 
+  test("tokenZipf ranks the head by count desc then token, with running share") {
+    val out = LlmText.tokenZipf(
+      Seq((1L, "b b b a a c"), (2L, "a b d")).toDF("doc_id", "text"), k = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // counts: b=4, a=3, c=1, d=1 over 9 tokens; c beats d on the tie by
+    // token order
+    assert(out.toSeq == Seq(
+      (1, "b", 4L, 4L, 4.0 / 9),
+      (2, "a", 3L, 7L, 7.0 / 9),
+      (3, "c", 1L, 8L, 8.0 / 9)))
+  }
+
   test("featureHash: portable buckets, counts partition the token stream") {
     def bucket(tok: String): Long =
       java.lang.Long.parseLong(md5hex("fh:" + tok).take(7), 16) % 64

@@ -117,6 +117,36 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom probe in plan:\n$plan")
   }
 
+  test("equiDepthHistogram reproduces ntile over a distributed rank") {
+    // 10 rows into 4 buckets → sizes 3,3,2,2 by NTILE; values 1..10 with
+    // shuffled ids so the rank really derives from value order
+    val rows = Seq(7, 3, 9, 1, 5, 10, 2, 8, 4, 6).zipWithIndex
+      .map { case (v, i) => (v.toDouble, i.toLong) }
+    val out = Relational.equiDepthHistogram(
+      rows.toDF("value", "event_id"), buckets = 4, partitions = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1) == ((3L, 1.0, 3.0)))
+    assert(out(2) == ((3L, 4.0, 6.0)))
+    assert(out(3) == ((2L, 7.0, 8.0)))
+    assert(out(4) == ((2L, 9.0, 10.0)))
+  }
+
+  test("conversionFunnel: stage timestamps must strictly follow the prior stage") {
+    val ts = (s: Int) => Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val events = Seq(
+      // user 1 completes the whole funnel in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2 clicks BEFORE viewing → click stage not reached
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      // user 3 views only
+      (3L, "view", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Relational.conversionFunnel(events)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("snapshotDiff classifies insert/delete/update and drops unchanged") {
     val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
     val newSnap = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "p")

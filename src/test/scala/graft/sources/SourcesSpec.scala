@@ -98,6 +98,38 @@ class SourcesSpec extends SparkSpec {
     assert(byId(1L).isEmpty && byId(3L).contains("x"))
   }
 
+  test("zvalue interleaves bits; zorderWrite clusters both dimensions per file") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // bit-interleave unit check: a=0b101 (evens), b=0b011 (odds)
+    //   → z = 1·1 + 0·4 + 1·16 (a) + 1·2 + 1·8 + 0·32 (b) = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Sources.zvalue(col("a"), col("b")).as("z"))
+      .head().getLong(0)
+    assert(z == 27L)
+    // layout: the full 64×64 grid z-ordered into 16 files. The property a
+    // lake reader exploits is file-level min/max pruning on BOTH
+    // dimensions: a 16×16 needle rectangle must live in a small handful of
+    // files (row-order or single-column-sort layouts smear it across most
+    // of them).
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val grid = (0 until 4096).map(i => (i % 64, i / 64)).toDF("xa", "xb")
+    Sources.zorderWrite(grid, s"$dir/z", col("xa"), col("xb"), files = 16)
+    val files = new java.io.File(s"$dir/z").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 16)
+    val hit = files.count { f =>
+      spark.read.parquet(f.getPath)
+        .filter(col("xa") < 16 && col("xb") < 16).limit(1).count() > 0
+    }
+    // the [0,16)² tile is one contiguous Morton range (z < 256 of 4096) —
+    // at most 2 of the 16 range-partitioned files, +1 slack for sampled
+    // partition boundaries
+    assert(hit <= 3, s"needle tile touched $hit of 16 files")
+    // the layout is a permutation of the input, nothing lost
+    assert(spark.read.parquet(s"$dir/z").count() == 4096)
+  }
+
   test("co-bucketed tables join and aggregate with no shuffle exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
