@@ -139,6 +139,8 @@ object SparkEntry {
     "q37_snapshot_diff" -> ((s, d) => R.orderSnapshotDiff(T.orders(s, d))),
     "q38_equidepth" -> ((s, d) => R.equiDepthHistogram(T.events(s, d))),
     "q39_funnel" -> ((s, d) => R.conversionFunnel(T.events(s, d))),
+    "q41_transitions" -> ((s, d) => Temporal.eventTransitions(T.events(s, d))),
+    "q42_retention" -> ((s, d) => Temporal.cohortRetention(T.events(s, d))),
     "q40_zorder" -> ((s, d) => {
       import org.apache.spark.sql.functions.hour
       T.events(s, d).select(col("event_id"),
@@ -1351,6 +1353,25 @@ object SparkEntry {
         |SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT 2, 'click', count(*) FROM c
         |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    "q41_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY from_type, event_type""".stripMargin,
+    "q42_retention" ->
+      """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date
+        |  FROM events)
+        |SELECT cohort_date,
+        |  datediff('day', cohort_date, active_date) AS day_offset,
+        |  count(DISTINCT act.user_id) AS n_active
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |WHERE datediff('day', cohort_date, active_date) BETWEEN 0 AND 7
+        |GROUP BY 1, 2""".stripMargin,
     "q40_zorder" ->
       """WITH d AS (SELECT event_id, user_id % 1024 AS a,
         |  CAST(hour(ts) AS BIGINT) AS b FROM events)

@@ -155,4 +155,40 @@ object Temporal {
       .select(col("event_id"), col("k").as("user_id"),
         col("matched_order"))
   }
+
+  /** Event-type transition matrix (q41): counts of consecutive
+    * (from → to) event-type pairs per user journey — the Markov-chain
+    * summary behavioral analytics reads for drop-off/loop detection.
+    * One lag window partitioned by user (parallel across users — no global
+    * window), then a hash aggregate on the 25-cell pair space.
+    * (event_id tiebreaks equal timestamps so journeys are total-ordered
+    * and the matrix is partitioning-independent.) */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        lag(col("event_type"), 1).over(w).as("from_type"),
+        col("event_type").as("to_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Cohort retention (q42): users grouped by first-activity date; for
+    * each cohort × day-offset, how many distinct users were active again.
+    * The cohort assignment is one min-aggregate on user_id; activity joins
+    * back on the same key (co-partitioned, no second shuffle family); the
+    * output is cohorts × offsets — tiny at any corpus scale. */
+  def cohortRetention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    events.select(col("user_id"), to_date(col("ts")).as("active_date"))
+      .distinct()
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("active_date"), col("cohort_date")))
+      .filter(col("day_offset").between(0, maxDays))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+  }
 }

@@ -57,6 +57,39 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getLong(2) == 11L)
   }
 
+  test("eventTransitions counts consecutive pairs per user journey") {
+    val events = Seq(
+      (1L, 1L, "view", ts(1)), (1L, 2L, "click", ts(2)),
+      (1L, 3L, "view", ts(3)), (1L, 4L, "click", ts(4)),
+      // user 2: equal timestamps — event_id orders the journey
+      (2L, 5L, "view", ts(9)), (2L, 6L, "purchase", ts(9)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Temporal.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 2L,
+      ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L))
+  }
+
+  test("cohortRetention counts distinct users per cohort and day offset") {
+    def day(d: Int, h: Int = 0) =
+      Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = Seq(
+      // user 1: cohort Jan 1, active again on day 2 (twice — counted once)
+      (1L, day(1)), (1L, day(3)), (1L, day(3, 12)),
+      // user 2: same cohort, only day 0
+      (2L, day(1, 5)),
+      // user 3: cohort Jan 2, active day 0 and day 1
+      (3L, day(2)), (3L, day(3)))
+      .toDF("user_id", "ts")
+    val out = Temporal.cohortRetention(events).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
+  }
+
   test("intervalOverlapCount: bucketized join counts true overlaps once") {
     // value=0 → every interval is [s, s+60]
     val events = Seq(
