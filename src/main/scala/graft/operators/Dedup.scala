@@ -177,17 +177,19 @@ object Dedup {
       val jump = comp.as("a")
         .join(comp.as("b"), col("a.lab") === col("b.doc"))
         .select(col("a.doc").as("jdoc"), col("b.lab").as("jlab"))
+      val newLab = least(col("lab"), coalesce(col("nlab"), col("lab")),
+        coalesce(col("jlab"), col("lab")))
+      // the changed flag rides the round's own projection, so convergence
+      // detection is a filter+count over the checkpointed blocks — no
+      // extra join against the previous state per round
       val next = comp
         .join(neighborMin, comp("doc") === neighborMin("src"), "left_outer")
         .join(jump, comp("doc") === col("jdoc"), "left_outer")
-        .select(comp("doc"),
-          least(col("lab"), coalesce(col("nlab"), col("lab")),
-            coalesce(col("jlab"), col("lab"))).as("lab"))
+        .select(comp("doc"), newLab.as("lab"),
+          (newLab =!= col("lab")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(comp.as("c"), col("n.doc") === col("c.doc"))
-        .filter(col("n.lab") =!= col("c.lab")).count()
-      comp = next
+      val changed = next.filter(col("chg")).count()
+      comp = next.select(col("doc"), col("lab"))
       converged = changed == 0
       i += 1
     }
