@@ -172,6 +172,8 @@ object SparkEntry {
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
     "e4_random_projection" -> ((s, d) =>
       graft.operators.VectorOps.randomProjection(T.embeddings(s, d))),
+    "e5_pq_encode" -> ((s, d) =>
+      graft.operators.VectorOps.pqEncode(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
@@ -1291,6 +1293,39 @@ object SparkEntry {
         |s AS (SELECT dim, mu, ex2 - mu * mu AS vr FROM m)
         |SELECT vec_id, e.dim, (v - mu) / sqrt(vr + 1.0e-9) AS zscore
         |FROM e JOIN s ON e.dim = s.dim""".stripMargin,
+    "e5_pq_encode" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx
+        |  FROM v CROSS JOIN (SELECT UNNEST(range(0, 4)) AS s)),
+        |seeds AS (SELECT s, sx AS cx,
+        |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) AS INT)
+        |      AS code
+        |  FROM sub WHERE vec_id % 61 = 0),
+        |d0 AS (SELECT u.vec_id, u.s, se.code, u.sx,
+        |  list_reduce(list_transform(range(1, 17), i ->
+        |    (u.sx[i] - se.cx[i]) * (u.sx[i] - se.cx[i])), (a, b) -> a + b)
+        |    AS d2
+        |  FROM sub u JOIN seeds se ON u.s = se.s),
+        |a0 AS (SELECT vec_id, s, code, sx FROM (SELECT vec_id, s, code, sx,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+        |      AS rn FROM d0) WHERE rn = 1),
+        |m1 AS (SELECT s, code, list(m ORDER BY i) AS mx FROM (
+        |  SELECT a.s, a.code, d.i,
+        |    CAST(SUM(CAST(round(a.sx[d.i] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS m
+        |  FROM a0 a CROSS JOIN (SELECT UNNEST(range(1, 17)) AS i) d
+        |  GROUP BY a.s, a.code, d.i) GROUP BY s, code),
+        |cb AS (SELECT se.s, se.code, COALESCE(m1.mx, se.cx) AS cx
+        |  FROM seeds se LEFT JOIN m1 ON se.s = m1.s AND se.code = m1.code),
+        |df AS (SELECT u.vec_id, u.s, c.code,
+        |  list_reduce(list_transform(range(1, 17), i ->
+        |    (u.sx[i] - c.cx[i]) * (u.sx[i] - c.cx[i])), (a, b) -> a + b)
+        |    AS d2
+        |  FROM sub u JOIN cb c ON u.s = c.s)
+        |SELECT vec_id, CAST(s AS INT) AS subspace, code, d2 AS err2
+        |FROM (SELECT vec_id, s, code, d2,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+        |      AS rn FROM df) WHERE rn = 1""".stripMargin,
     // Bloom pre-filtering is a physical rewrite (false positives are removed
     // by the join) — the oracle is the plain join.
     "q36_bloom_join" ->

@@ -96,6 +96,60 @@ object VectorOps {
         ((col("v") - col("mu")) / sqrt(col("vr") + lit(eps))).as("zscore"))
   }
 
+  /** Product quantization encode (e5): split each embedding into
+    * `subspaces` contiguous sub-vectors, learn a small per-subspace
+    * codebook (deterministic seeds → one Lloyd step → grid-exact means,
+    * the [[graft.operators.Similarity]] IVF recipe per subspace), and emit
+    * each vector's nearest code per subspace with its reconstruction
+    * error — the compression that turns a 64-float embedding into
+    * `subspaces` bytes for memory-resident ANN at corpus scale.
+    *
+    * Scale shape: codebooks are tiny and BROADCAST to both assignment
+    * passes; the corpus is touched by narrow projections plus one
+    * (subspace-sliced) explode for the Lloyd mean — shuffle rows bounded
+    * by codes × dims, never corpus size. Distances are in-order IEEE sums
+    * over exact (grid-mean) centroids, so codes and errors are
+    * bit-identical to the oracle. Seeds that lose every member keep their
+    * position (e1/IVF empty-cell convention). */
+  def pqEncode(embeddings: DataFrame, subspaces: Int = 4, subDim: Int = 16,
+      seedMod: Int = 61, vecCol: String = "embedding"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sub = embeddings
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(asDouble(col(vecCol)), s * subDim + 1, lit(subDim))))
+        .as(Seq("s", "sx")))
+    def d2(a: Column, b: Column): Column =
+      asum(zip_with(a, b, (p, q) => (p - q) * (p - q)))
+    // deterministic seeds; the code index orders by vec_id within the
+    // (tiny, seeds-only) subspace partition
+    val seeds = sub.filter(pmod(col("vec_id"), lit(seedMod)) === 0)
+      .withColumn("code",
+        row_number().over(W.partitionBy(col("s")).orderBy(col("vec_id"))))
+      .select(col("s"), col("code"), col("sx").as("cx"))
+    def nearest(codebook: DataFrame): DataFrame =
+      sub.join(broadcast(codebook), "s")
+        .withColumn("d2", d2(col("sx"), col("cx")))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("vec_id"), col("s"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("rn") === 1)
+    // one Lloyd step: grid-exact member means per (subspace, code, dim)
+    val means = nearest(seeds)
+      .select(col("s"), col("code"), posexplode(col("sx")).as(Seq("i", "v")))
+      .groupBy(col("s"), col("code"), col("i"))
+      .agg((sum(round(col("v") * lit(1.0e9)).cast(DecimalType(38, 0)))
+        .cast("double") / (count(lit(1)) * lit(1.0e9))).as("m"))
+      .groupBy(col("s"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        e => e.getField("m")).as("mx"))
+    val codebook = seeds.join(means, Seq("s", "code"), "left_outer")
+      .select(col("s"), col("code"), coalesce(col("mx"), col("cx")).as("cx"))
+    nearest(codebook)
+      .select(col("vec_id"), col("s").as("subspace"), col("code"),
+        col("d2").as("err2"))
+  }
+
   /** Johnson–Lindenstrauss random projection (e4): project every embedding
     * onto `outDims` ±1 hyperplanes — the dimensionality-reduction pass that
     * shrinks ANN index footprint while approximately preserving pairwise

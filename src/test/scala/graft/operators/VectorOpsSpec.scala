@@ -75,6 +75,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("pqEncode assigns Lloyd-refined codes per subspace with exact errors") {
+    // 4-dim vectors, 2 subspaces of 2 dims; seeds = vec_id % 3 == 0
+    // (vecs 0 and 3). Two tight clusters around (0,0)/(10,10) per
+    // subspace → after one Lloyd step the codebook is each cluster's mean
+    // and members code to their own cluster.
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.2f, 0.0f, 0.2f, 0.0f)),
+      (2L, Array(0.4f, 0.0f, 0.4f, 0.0f)),
+      (3L, Array(10.0f, 10.0f, 10.0f, 10.0f)),
+      (4L, Array(10.2f, 10.0f, 10.2f, 10.0f)),
+      (5L, Array(10.4f, 10.0f, 10.4f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.pqEncode(vecs, subspaces = 2, subDim = 2, seedMod = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getDouble(3)))
+      .toMap
+    assert(out.size == 12)
+    // cluster membership: vecs 0-2 → code of seed 0, vecs 3-5 → seed 3's
+    for (s <- 0 to 1) {
+      assert(Seq(0L, 1L, 2L).map(v => out((v, s))._1).distinct == Seq(1))
+      assert(Seq(3L, 4L, 5L).map(v => out((v, s))._1).distinct == Seq(2))
+    }
+    // Lloyd centroid of cluster 1 in each subspace is ((0+0.2+0.4)/3, 0)
+    // on the 1e-9 grid; vec 1 sits near it with the exact squared distance
+    val c0 = Seq(0.0, 0.2, 0.4).map(v =>
+      math.round(v.toFloat.toDouble * 1e9)).sum.toDouble / 3 / 1e9
+    val x1 = 0.2f.toDouble
+    val expected = (x1 - c0) * (x1 - c0) + (0.0 - 0.0) * (0.0 - 0.0)
+    assert(out((1L, 0))._2 == expected)
+  }
+
   test("randomProjection: seeded signs, grid-exact sums, long form") {
     // 4-dim input, 2 output dims: the expected projection is the local
     // replay of the same md5-derived ±1 signs over the same 1e-9 grid
