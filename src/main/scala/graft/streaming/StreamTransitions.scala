@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of `Temporal.eventTransitions` (q41): per-user
+  * consecutive event-type pairs extracted from an unbounded stream, with
+  * the LAST event of each user carried as per-key state so journeys stitch
+  * across micro-batch boundaries.
+  *
+  * Ordering: within a batch a user's events are sorted by (ts, event_id)
+  * before the pairwise fold — same contract as [[DeltaDedup]] (a
+  * micro-batch hands the whole group over at once). Across batches the
+  * stored last event precedes everything in the next batch; out-of-order
+  * ARRIVAL across batch boundaries is the ingest pipeline's watermark
+  * problem, documented rather than buffered here.
+  *
+  * Scale: state is one (ts, event_id, type) triple per user — O(1) per
+  * key, RocksDB-backable, TTL-boundable via `timeout`; the shuffle is the
+  * same groupBy(user) family the batch twin uses. Downstream counting is a
+  * plain aggregation on the emitted pair stream.
+  */
+object StreamTransitions {
+
+  case class Event(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
+  case class LastEvent(tsMillis: Long, eventId: Long, eventType: String)
+
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** (from → to) pair per consecutive event of each user's journey. */
+  def pairs(spark: SparkSession, events: DataFrame,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[Transition] = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          val ordered = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val prior = state.getOption.map(l =>
+            Event(user, l.eventId, l.eventType,
+              new java.sql.Timestamp(l.tsMillis))).toSeq
+          val chain = prior ++ ordered
+          if (ordered.nonEmpty) {
+            val last = ordered.last
+            state.update(LastEvent(last.ts.getTime, last.event_id,
+              last.event_type))
+          }
+          chain.iterator.sliding(2).withPartial(false).map(w =>
+            Transition(user, w(0).event_type, w(1).event_type))
+      }
+  }
+}
