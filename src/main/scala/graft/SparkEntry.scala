@@ -141,6 +141,7 @@ object SparkEntry {
     "q39_funnel" -> ((s, d) => R.conversionFunnel(T.events(s, d))),
     "q41_transitions" -> ((s, d) => Temporal.eventTransitions(T.events(s, d))),
     "q42_retention" -> ((s, d) => Temporal.cohortRetention(T.events(s, d))),
+    "q43_group_quantiles" -> ((s, d) => Temporal.groupQuantiles(T.events(s, d))),
     "q40_zorder" -> ((s, d) => {
       import org.apache.spark.sql.functions.hour
       T.events(s, d).select(col("event_id"),
@@ -1396,6 +1397,15 @@ object SparkEntry {
         |SELECT from_type, event_type AS to_type, count(*) AS n_transitions
         |FROM s WHERE from_type IS NOT NULL
         |GROUP BY from_type, event_type""".stripMargin,
+    "q43_group_quantiles" ->
+      """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rnk
+        |  FROM events),
+        |t AS (SELECT event_type, p, CAST(ceil(p * n) AS BIGINT) AS tr
+        |  FROM n CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS p))
+        |SELECT t.event_type, p, r.value AS q_value
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.rnk = t.tr""".stripMargin,
     "q42_retention" ->
       """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY user_id),

@@ -156,6 +156,32 @@ object Temporal {
         col("matched_order"))
   }
 
+  /** Exact per-group discrete quantiles (q43): the order statistic at rank
+    * ⌈p·n⌉ for each probability — generalizes [[exactMedian]] to arbitrary
+    * quantile vectors with NO interpolation (returned values are actual
+    * data points, so results are bit-identical across engines by
+    * construction, tie-order-independent).
+    *
+    * One per-group rank window (parallel across groups) + a broadcast of
+    * the tiny (group × p) target table. Groups too large for a single
+    * task's sort take the [[Relational.equiDepthHistogram]] two-phase
+    * rank instead — same arithmetic, split windows. */
+  def groupQuantiles(events: DataFrame,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val counts = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val targets = counts
+      .select(col("event_type"), col("n"), explode(typedlit(ps)).as("p"))
+      .select(col("event_type"), col("p"),
+        ceil(col("p") * col("n")).cast("int").as("rnk"))
+    val ranked = events
+      .select(col("event_type"), col("value"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+    ranked.join(broadcast(targets), Seq("event_type", "rnk"))
+      .select(col("event_type"), col("p"), col("value").as("q_value"))
+  }
+
   /** Event-type transition matrix (q41): counts of consecutive
     * (from → to) event-type pairs per user journey — the Markov-chain
     * summary behavioral analytics reads for drop-off/loop detection.

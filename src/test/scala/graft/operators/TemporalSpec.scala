@@ -57,6 +57,21 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getLong(2) == 11L)
   }
 
+  test("groupQuantiles returns the ceil(p*n) order statistic per group") {
+    // group a: values 1..4 → p25 at rank 1, p50 at rank 2, p75 at rank 3,
+    // p95 at rank ceil(3.8)=4; group b: one value serves every p
+    val events = (Seq.tabulate(4)(i => ("a", (i + 1).toDouble)) :+
+      (("b", 9.0))).toDF("event_type", "value")
+    val out = Temporal.groupQuantiles(events)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(out == Map(
+      ("a", 0.25) -> 1.0, ("a", 0.5) -> 2.0,
+      ("a", 0.75) -> 3.0, ("a", 0.95) -> 4.0,
+      ("b", 0.25) -> 9.0, ("b", 0.5) -> 9.0,
+      ("b", 0.75) -> 9.0, ("b", 0.95) -> 9.0))
+  }
+
   test("eventTransitions counts consecutive pairs per user journey") {
     val events = Seq(
       (1L, 1L, "view", ts(1)), (1L, 2L, "click", ts(2)),
