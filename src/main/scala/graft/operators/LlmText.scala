@@ -611,6 +611,29 @@ object LlmText {
     * keyed (doc_id, bucket) with map-side combine, so shuffle rows are
     * bounded by docs × buckets regardless of document length. No vocab
     * broadcast, no driver state — the hash IS the vocabulary. */
+  /** Model-scoring seam: run an expensive text scorer (quality classifier,
+    * perplexity model, toxicity head) over the corpus with the MODEL LOADED
+    * ONCE PER PARTITION, not per row — the same amortization seam
+    * [[Multimodal]] uses for codecs. `makeScorer` is the model load; it
+    * runs inside `mapPartitions` on the executor, so nothing
+    * non-serializable crosses the driver boundary and partition count is
+    * the concurrency knob for model memory.
+    *
+    * Typed `mapPartitions` is deliberately opaque to Catalyst (like every
+    * model call); keep it LAST in the plan after filters/projections have
+    * pruned the scan — the scored frame joins back on doc_id. */
+  def scoreWithModel(documents: DataFrame,
+      makeScorer: () => String => Double): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val scorer = makeScorer()
+        it.map { case (id, text) => (id, scorer(text)) }
+      }
+      .toDF("doc_id", "model_score")
+  }
+
   /** Zipf head of the corpus vocabulary (x16): the `k` most frequent
     * tokens with rank, count, running count, and running share of the
     * token stream — the curve a corpus-health check reads to spot

@@ -257,6 +257,19 @@ class LlmTextSpec extends SparkSpec {
       "http://src1.example.com/p/1?id=1")))
   }
 
+  test("scoreWithModel loads the scorer once per partition, not per row") {
+    val loads = spark.sparkContext.longAccumulator("scorer-loads")
+    val docs = (1L to 40L).map(i => (i, s"doc number $i"))
+      .toDF("doc_id", "text").repartition(4)
+    val out = LlmText.scoreWithModel(docs, () => {
+      loads.add(1) // the expensive model load
+      (text: String) => text.length.toDouble
+    }).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 40)
+    assert(out(7L) == "doc number 7".length.toDouble)
+    assert(loads.value == 4, s"one load per partition, got ${loads.value}")
+  }
+
   test("tokenZipf ranks the head by count desc then token, with running share") {
     val out = LlmText.tokenZipf(
       Seq((1L, "b b b a a c"), (2L, "a b d")).toDF("doc_id", "text"), k = 3)

@@ -76,6 +76,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"rate join must broadcast:\n$p")
   }
 
+  test("q43: per-group quantile windows shuffle by group, never single-partition") {
+    val p = plan("q43_group_quantiles")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"rank window must partition by group:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no global single-task stage allowed:\n$p")
+  }
+
   test("q36: the bloom probe filters the fact scan stage, before the join") {
     val p = plan("q36_bloom_join")
     val probeAt = p.indexOf("might_contain")
