@@ -56,4 +56,18 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on == off)
     assert(on.nonEmpty)
   }
+
+  test("connectedComponentsStar is AQE-invariant (derived self-joins + distinct)") {
+    // star rounds join a frame against its own groupBy-min — exactly the
+    // derived-self-join shape AQE re-plans; labels must not move
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    def run() = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty)
+  }
 }

@@ -147,6 +147,62 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("equiDepthHistogram equals a local ntile on random data (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      vals <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_ / 7.0))
+      k <- Gen.choose(1, 9)
+    } yield (vals, k)
+    val prop = Prop.forAll(gen) { case (vals, k) =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      // local NTILE: sort, first n%k buckets take ceil(n/k) rows
+      val sorted = rows.sortBy(r => (r._1, r._2)).map(_._1)
+      val (n, base, rem) = (rows.size, rows.size / k, rows.size % k)
+      val local = (1 to k).flatMap { b =>
+        val sz = if (b <= rem) base + 1 else base
+        val off = if (b <= rem) (b - 1) * (base + 1)
+          else rem * (base + 1) + (b - 1 - rem) * base
+        val slice = sorted.slice(off, off + sz)
+        if (slice.isEmpty) None
+        else Some(b -> ((slice.size.toLong, slice.min, slice.max)))
+      }.toMap
+      val got = Relational.equiDepthHistogram(
+        rows.toDF("value", "event_id"), buckets = k, partitions = 3)
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      got == local
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("snapshotDiff equals a local diff on random snapshots (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val snapGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 25L)
+      v <- Gen.choose(0, 5).map(_.toDouble)
+    } yield (k, v)).map(_.toMap)
+    val prop = Prop.forAll(snapGen, snapGen) { (o, n) =>
+      val local = (o.keySet ++ n.keySet).flatMap { k =>
+        (o.get(k), n.get(k)) match {
+          case (Some(_), None) => Some(k -> "delete")
+          case (None, Some(_)) => Some(k -> "insert")
+          case (Some(a), Some(b)) if a != b => Some(k -> "update")
+          case _ => None
+        }
+      }.toMap
+      val got = Relational.snapshotDiff(
+        o.toSeq.toDF("k", "p"), n.toSeq.toDF("k", "p"), "k", Seq("p"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == local
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("snapshotDiff classifies insert/delete/update and drops unchanged") {
     val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
     val newSnap = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "p")

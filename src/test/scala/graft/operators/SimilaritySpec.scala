@@ -99,6 +99,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"k-means IVF recall@5 $recall below floor")
   }
 
+  test("annLsh recall on planted near-duplicates is total") {
+    // Hyperplane-band LSH's contract is HIGH-similarity retrieval: a
+    // near-identical vector shares all 16 sign bits w.h.p. and therefore
+    // both band buckets. (On weak-similarity neighbors — random corpus
+    // vectors — low recall is the designed trade; annIvf covers that
+    // regime, see its recall test.) Plant a near-copy for every query id
+    // and require each one retrieved at rank 1.
+    val base = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(64)((rnd.nextInt(13) - 6).toFloat))
+    }.toMap
+    val planted = Seq(0L, 100L, 200L).map { q =>
+      val copy = base(q).clone()
+      copy(0) = copy(0) + 0.01f
+      (q + 1, copy)
+    }
+    val emb = (base - 1L - 101L - 201L).toSeq.++(planted)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annLsh(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    for (q <- Seq(0L, 100L, 200L))
+      assert(out.contains((q, q + 1, 1)),
+        s"planted near-dup of $q at rank 1; got ${out.filter(_._1 == q).toSeq}")
+  }
+
   test("withBands: collinear vectors share both band buckets") {
     val bands = Similarity.withBands(emb)
       .select("vec_id", "band0", "band1").collect()
