@@ -162,6 +162,12 @@ object SparkEntry {
     "d8_dedup_apply" -> ((s, d) => Dedup.dedupApply(T.documents(s, d))),
     "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
+    "d13_incremental_dedup" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+    }),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -1147,6 +1153,41 @@ object SparkEntry {
         |SELECT doc AS doc_id, min(lab) AS cluster_rep,
         |  doc = min(lab) AS keep
         |FROM reach GROUP BY doc""".stripMargin,
+    "d13_incremental_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bkey = b.bkey
+        |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |FROM cand JOIN sh x ON x.doc_id = cand.doc_id
+        |  JOIN sh y ON y.doc_id = cand.dup_of
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) >= 0.7""".stripMargin,
     // d12 computes the SAME decisions as d7 through the star-contraction
     // scale path — one oracle definition, two engine algorithms.
     "d12_cc_star" ->

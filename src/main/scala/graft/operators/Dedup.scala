@@ -69,6 +69,38 @@ object Dedup {
     * an identical 3-hash band, so the shuffle key is (band index, band key)
     * and no n² product ever materializes. Verification re-joins shingle sets
     * for candidate pairs only. */
+  /** Shingle sets with their per-shingle base hashes — the persisted
+    * intermediate every minhash consumer (signatures, band joins, exact
+    * Jaccard verify) reads. */
+  private def shinglesWithBases(documents: DataFrame): DataFrame =
+    docShingles(documents)
+      .withColumn("bases", transform(
+        transform(col("sh"), s => md5(concat(lit("m:"), s).cast("binary"))),
+        hx => baseFromHex(hx)))
+
+  /** LSH band table of a [[shinglesWithBases]] frame: (doc_id, band,
+    * bkey) — all 12 affine minimums in one native pass over the bases
+    * (the HOF twin walks the array 12×; bit-equality pinned by
+    * MinHashSigSpec), grouped into MinHashK/BandRows band keys. */
+  private def bandTable(sh: DataFrame): DataFrame = {
+    val siged = sh
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftinternal.Bridge.column(
+          graft.functions.MinHashSig(
+            org.apache.spark.sql.graftinternal.Bridge.expression(col("bases")),
+            HashA, HashB, HashP)).as("mhs"))
+    siged.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
+        struct(j.as("band"),
+          concat_ws("|",
+            element_at(col("mhs"), j * BandRows + 1),
+            element_at(col("mhs"), j * BandRows + 2),
+            element_at(col("mhs"), j * BandRows + 3)).as("bkey"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
   def minhashLsh(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
     // Shingle sets (and their base hashes) are read by several consumers:
     // the 12 minhash functions, the two band-join sides, and the two
@@ -81,29 +113,9 @@ object Dedup {
     // spills rather than OOMs, and the footprint is O(corpus shingles) —
     // the same data a shuffle would have written anyway. The persist lives
     // only for the duration of this call (Caching bracket).
-    val sh = docShingles(documents)
-      .withColumn("bases", transform(
-        transform(col("sh"), s => md5(concat(lit("m:"), s).cast("binary"))),
-        hx => baseFromHex(hx)))
+    val sh = shinglesWithBases(documents)
     Caching.withPersisted(sh) {
-    // all 12 affine minimums in one native pass over the bases (the HOF
-    // twin walks the array 12×); bit-equality pinned by MinHashSigSpec
-    val siged = sh
-      .select(col("doc_id"),
-        org.apache.spark.sql.graftinternal.Bridge.column(
-          graft.functions.MinHashSig(
-            org.apache.spark.sql.graftinternal.Bridge.expression(col("bases")),
-            HashA, HashB, HashP)).as("mhs"))
-    val bands = siged.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
-        struct(j.as("band"),
-          concat_ws("|",
-            element_at(col("mhs"), j * BandRows + 1),
-            element_at(col("mhs"), j * BandRows + 2),
-            element_at(col("mhs"), j * BandRows + 3)).as("bkey"))))
-        .as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val bands = bandTable(sh)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -204,6 +216,37 @@ object Dedup {
     val result = comp.select(col("doc"), col("lab")).localCheckpoint(true)
     edges.unpersist(false)
     result
+  }
+
+  /** Incremental near-dup detection (d13): match an INCOMING batch against
+    * an already-ingested corpus without re-pairing the corpus with itself —
+    * the nightly-ingest shape at 100 TB, where the historical side's band
+    * table is a stored index that only ever gets appended to.
+    *
+    * Candidates come from the cross-set band equi-join only (incoming ×
+    * known, never known × known), so per-ingest cost scales with the BATCH,
+    * not the corpus; the exact-Jaccard verify then touches only candidate
+    * pairs. Emits every (incoming doc, known doc) pair at or above the
+    * threshold — the drop/keep policy stays with the caller
+    * ([[dedupApply]]-style anti-join on the doc_id side). */
+  def incrementalDedup(incoming: DataFrame, known: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val shI = shinglesWithBases(incoming)
+    val shK = shinglesWithBases(known)
+    Caching.withPersisted(shI, shK) {
+      val cand = bandTable(shI).as("a")
+        .join(bandTable(shK).as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+        .distinct()
+      cand.as("c")
+        .join(shI.as("x"), col("c.doc_id") === col("x.doc_id"))
+        .join(shK.as("y"), col("c.dup_of") === col("y.doc_id"))
+        .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Connected components via alternating large-star / small-star rounds

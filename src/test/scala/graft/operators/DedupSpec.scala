@@ -124,6 +124,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup matches incoming docs against the known set only") {
+    val nearDup = base.replace("window", "windowpane")
+    val distinct = base.split(" ").reverse.mkString(" ")
+    // known corpus holds base twice (an internal dup the incremental pass
+    // must NOT re-report) and one distinct doc; the incoming batch has a
+    // near-dup of base and an unrelated doc
+    val known = docs(10L -> base, 11L -> base, 12L -> distinct)
+    val incoming = docs(20L -> nearDup, 21L -> "totally different words here")
+    val out = Dedup.incrementalDedup(incoming, known, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((20L, 10L), (20L, 11L)),
+      s"incoming near-dup pairs only, got $out")
+  }
+
   test("connectedComponentsStar matches connectedComponents on a random graph") {
     // One seeded trial (each algorithm is a multi-round Spark loop — more
     // trials belong to the local union-find stress above, not here)
