@@ -42,6 +42,17 @@ object PipelineExample {
     val report = Curation.sourceReport(docs)
     val overlap = Dedup.sourceOverlap(docs)
 
+    // nightly-ingest shape: the newest batch dedups against the ingested
+    // corpus (cross-set band join), never corpus × corpus
+    val batch = docs.filter("doc_id % 10 = 0")
+    val corpus = docs.filter("doc_id % 10 <> 0")
+    val ingestDups = Dedup.incrementalDedup(batch, corpus)
+
+    // corpus-health: vocabulary head + hashed features + PQ compression
+    val zipfHead = LlmText.tokenZipf(docs, k = 10)
+    val features = LlmText.featureHash(docs)
+    val pq = graft.operators.VectorOps.pqEncode(Tables.embeddings(spark, dir))
+
     println(s"docs=${docs.count()}")
     println(s"near-dup clusters=${components.filter("NOT keep").count()} drops")
     println(s"kept per source rows=${cleanedBySource.count()}")
@@ -56,6 +67,11 @@ object PipelineExample {
     println(s"rag chunks=${chunks.count()}")
     println(s"sources reported=${report.count()}, " +
       s"overlapping source pairs=${overlap.count()}")
+    println(s"ingest batch dups vs corpus=${ingestDups.count()}")
+    println("zipf head: " + zipfHead.collect()
+      .map(r => s"${r.getString(1)}:${r.getLong(2)}").take(3).mkString(" "))
+    println(s"hashed feature cells=${features.count()}, " +
+      s"pq codes=${pq.count()}")
     spark.stop()
   }
 }
