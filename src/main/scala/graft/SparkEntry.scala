@@ -1342,7 +1342,7 @@ object SparkEntry {
         |seeds AS (SELECT s, sx AS cx,
         |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) AS INT)
         |      AS code
-        |  FROM sub WHERE vec_id % 61 = 0),
+        |  FROM sub WHERE vec_id % 61 = 0 AND vec_id < 61 * 256),
         |d0 AS (SELECT u.vec_id, u.s, se.code, u.sx,
         |  list_reduce(list_transform(range(1, 17), i ->
         |    (u.sx[i] - se.cx[i]) * (u.sx[i] - se.cx[i])), (a, b) -> a + b)

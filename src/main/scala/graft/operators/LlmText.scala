@@ -589,28 +589,6 @@ object LlmText {
         .as("norm_url"))
   }
 
-  /** TF-IDF top-k terms per document (x7). IDF is the rational form
-    * `N / df` (one double division, no transcendental) so the score is
-    * bit-identical across engines; the re-rank goes through the heap-based
-    * [[graft.plans.TopK.perKey]] operator instead of a full per-doc sort.
-    *
-    * Plan shape at 100 TB: explode is narrow; the (doc, term) term-frequency
-    * aggregate and the document-frequency aggregate both benefit from
-    * map-side partial aggregation, which absorbs the stopword hot keys
-    * before the shuffle; the tf⋈df join shuffles on term where AQE's skew
-    * splitting handles the residual head terms; the corpus-size scalar is a
-    * broadcast. The tf frame feeds both df and the join, so it is persisted
-    * for the duration of the call (Caching bracket). */
-  /** Feature hashing (x15): the hashing-trick bag-of-words — every token
-    * maps to one of `buckets` indices via the shared portable hash, and the
-    * per-doc bucket counts ARE the fixed-width sparse feature vector (the
-    * collision-tolerant vectorization classic linear classifiers and
-    * fastText-style models train on, no vocabulary pass needed).
-    *
-    * Long-form output (doc_id, bucket, tf): explode → one hash aggregate
-    * keyed (doc_id, bucket) with map-side combine, so shuffle rows are
-    * bounded by docs × buckets regardless of document length. No vocab
-    * broadcast, no driver state — the hash IS the vocabulary. */
   /** Model-scoring seam: run an expensive text scorer (quality classifier,
     * perplexity model, toxicity head) over the corpus with the MODEL LOADED
     * ONCE PER PARTITION, not per row — the same amortization seam
@@ -645,24 +623,40 @@ object LlmText {
     * corpus itself. The share divides two exact longs in double, identical
     * in both engines. */
   def tokenZipf(documents: DataFrame, k: Int = 100): DataFrame = {
+    // counts feeds both the total scalar and the top-k head — persist for
+    // the duration of the call so the corpus token stream is aggregated
+    // once, not once per consumer (tfidf precedent; exchange reuse is
+    // unreliable under AQE for these shapes)
     val counts = documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .select(explode(words(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    val W = org.apache.spark.sql.expressions.Window
-    val order = Seq(col("cnt").desc, col("tok").asc)
-    val w = W.orderBy(order: _*).rowsBetween(W.unboundedPreceding, 0)
-    counts.orderBy(order: _*).limit(k)
-      .crossJoin(broadcast(total))
-      .select(
-        row_number().over(W.orderBy(order: _*)).as("rank"),
-        col("tok"), col("cnt"),
-        sum(col("cnt")).over(w).as("cum_cnt"),
-        (sum(col("cnt")).over(w).cast("double") / col("total"))
-          .as("cum_share"))
+    Caching.withPersisted(counts) {
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val W = org.apache.spark.sql.expressions.Window
+      val order = Seq(col("cnt").desc, col("tok").asc)
+      val w = W.orderBy(order: _*).rowsBetween(W.unboundedPreceding, 0)
+      counts.orderBy(order: _*).limit(k)
+        .crossJoin(broadcast(total))
+        .select(
+          row_number().over(W.orderBy(order: _*)).as("rank"),
+          col("tok"), col("cnt"),
+          sum(col("cnt")).over(w).as("cum_cnt"),
+          (sum(col("cnt")).over(w).cast("double") / col("total"))
+            .as("cum_share"))
+    }
   }
 
+  /** Feature hashing (x15): the hashing-trick bag-of-words — every token
+    * maps to one of `buckets` indices via the shared portable hash, and the
+    * per-doc bucket counts ARE the fixed-width sparse feature vector (the
+    * collision-tolerant vectorization classic linear classifiers and
+    * fastText-style models train on, no vocabulary pass needed).
+    *
+    * Long-form output (doc_id, bucket, tf): explode → one hash aggregate
+    * keyed (doc_id, bucket) with map-side combine, so shuffle rows are
+    * bounded by docs × buckets regardless of document length. No vocab
+    * broadcast, no driver state — the hash IS the vocabulary. */
   def featureHash(documents: DataFrame, buckets: Int = 64): DataFrame =
     documents
       .transform(Partitioning.spread(_, col("doc_id")))
@@ -673,6 +667,18 @@ object LlmText {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** TF-IDF top-k terms per document (x7). IDF is the rational form
+    * `N / df` (one double division, no transcendental) so the score is
+    * bit-identical across engines; the re-rank goes through the heap-based
+    * [[graft.plans.TopK.perKey]] operator instead of a full per-doc sort.
+    *
+    * Plan shape at 100 TB: explode is narrow; the (doc, term) term-frequency
+    * aggregate and the document-frequency aggregate both benefit from
+    * map-side partial aggregation, which absorbs the stopword hot keys
+    * before the shuffle; the tf⋈df join shuffles on term where AQE's skew
+    * splitting handles the residual head terms; the corpus-size scalar is a
+    * broadcast. The tf frame feeds both df and the join, so it is persisted
+    * for the duration of the call (Caching bracket). */
   def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val tf = documents

@@ -45,4 +45,14 @@ object PortableHash {
     * there, hash first and fold via [[nibbleFold7]]. */
   def hash28(prefix: String, v: Column): Column =
     nibbleFold7(md5(concat(lit(prefix), v.cast("string")).cast("binary")))
+
+  /** The SAME fold evaluated on the driver JVM — for seeded constants
+    * (e.g. the e4 random-projection sign matrix) that the oracle re-derives
+    * with the SQL form of this arithmetic. Keeping it here, next to the
+    * Column form, preserves the one-copy rule this object exists for. */
+  def hash28Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(7), 16)
+  }
 }

@@ -104,15 +104,20 @@ object VectorOps {
     * error — the compression that turns a 64-float embedding into
     * `subspaces` bytes for memory-resident ANN at corpus scale.
     *
-    * Scale shape: codebooks are tiny and BROADCAST to both assignment
-    * passes; the corpus is touched by narrow projections plus one
-    * (subspace-sliced) explode for the Lloyd mean — shuffle rows bounded
-    * by codes × dims, never corpus size. Distances are in-order IEEE sums
-    * over exact (grid-mean) centroids, so codes and errors are
-    * bit-identical to the oracle. Seeds that lose every member keep their
-    * position (e1/IVF empty-cell convention). */
+    * Scale shape: the codebook is HARD-BOUNDED at `maxCodes` codes per
+    * subspace (seeds come from the id gate `vec_id % seedMod == 0 AND
+    * vec_id < seedMod·maxCodes`, so both the seed frame and its
+    * code-numbering window are ≤ maxCodes rows regardless of corpus
+    * size) and BROADCAST to both assignment passes; the corpus is touched
+    * by narrow projections plus one (subspace-sliced) explode for the
+    * Lloyd mean — shuffle rows bounded by codes × dims, never corpus
+    * size. Distances are in-order IEEE sums over exact (grid-mean)
+    * centroids, so codes and errors are bit-identical to the oracle.
+    * Seeds that lose every member keep their position (e1/IVF empty-cell
+    * convention). */
   def pqEncode(embeddings: DataFrame, subspaces: Int = 4, subDim: Int = 16,
-      seedMod: Int = 61, vecCol: String = "embedding"): DataFrame = {
+      seedMod: Int = 61, maxCodes: Int = 256,
+      vecCol: String = "embedding"): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val sub = embeddings
       .select(col("vec_id"), posexplode(
@@ -121,9 +126,12 @@ object VectorOps {
         .as(Seq("s", "sx")))
     def d2(a: Column, b: Column): Column =
       asum(zip_with(a, b, (p, q) => (p - q) * (p - q)))
-    // deterministic seeds; the code index orders by vec_id within the
-    // (tiny, seeds-only) subspace partition
-    val seeds = sub.filter(pmod(col("vec_id"), lit(seedMod)) === 0)
+    // deterministic seeds, bounded before the window: the id gate caps the
+    // frame at maxCodes rows per subspace, so the code-numbering window
+    // never sees more than maxCodes rows in its single partition
+    val seeds = sub
+      .filter(pmod(col("vec_id"), lit(seedMod)) === 0 &&
+        col("vec_id") < lit(seedMod.toLong * maxCodes))
       .withColumn("code",
         row_number().over(W.partitionBy(col("s")).orderBy(col("vec_id"))))
       .select(col("s"), col("code"), col("sx").as("cx"))
@@ -185,17 +193,12 @@ object VectorOps {
         (col("p").cast("double") / lit(1.0e9)).as("proj"))
   }
 
-  /** ±1 sign for projection row j, input dim i: parity of the 28-bit md5
-    * nibble fold of "rp:j:i" — the exact arithmetic of
-    * [[graft.operators.PortableHash.nibbleFold7]], evaluated on the driver
-    * (a constant matrix, not per-row work). */
-  private def rpSign(j: Int, i: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"rp:$j:$i".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val folded = java.lang.Long.parseLong(hex.take(7), 16)
-    if (folded % 2 == 0) 1L else -1L
-  }
+  /** ±1 sign for projection row j, input dim i: parity of the shared
+    * 28-bit md5 nibble fold ([[PortableHash.hash28Jvm]] — the one-copy
+    * driver form of the arithmetic the oracle mirrors in SQL), evaluated
+    * once to build the constant matrix, not per row. */
+  private def rpSign(j: Int, i: Int): Long =
+    if (PortableHash.hash28Jvm(s"rp:$j:$i") % 2 == 0) 1L else -1L
 
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =

@@ -29,6 +29,15 @@ class PortableHashSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("driver-JVM fold == the Column form on the same strings") {
+    val inputs = (0 until 64).map(i => s"rp:3:$i") ++ Seq("", "x", "rp:0:0")
+    val viaColumn = inputs.toDF("s")
+      .select(col("s"), PortableHash.hash28("", col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach(s =>
+      assert(PortableHash.hash28Jvm(s) == viaColumn(s), s"input '$s'"))
+  }
+
   test("native fold works inside HOF lambdas (transform)") {
     val out = Seq(Seq("alpha", "beta")).toDF("ws")
       .select(transform(col("ws"), w =>
