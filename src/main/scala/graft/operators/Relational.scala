@@ -525,23 +525,39 @@ object Relational {
     * O(churn) not O(snapshot). No broadcast assumption: both sides are
     * fact-sized. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-      keyCol: String, cmpCols: Seq[String]): DataFrame = {
-    val o = oldSnap.select(col(keyCol) +: cmpCols.map(col): _*).as("o")
-    val n = newSnap.select(col(keyCol) +: cmpCols.map(col): _*).as("n")
+      keyCol: String, cmpCols: Seq[String]): DataFrame =
+    snapshotDiff(oldSnap, newSnap, Seq(keyCol), cmpCols)
+
+  /** Composite-key form of [[snapshotDiff]] — the usual shape of real
+    * snapshot tables (tenant, entity) or (date, id). Keys join null-safe
+    * so a null key component matches itself rather than silently dropping
+    * the row from both sides' classification. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keyCols ++ cmpCols).map(col): _*).as("o")
+    val n = newSnap.select((keyCols ++ cmpCols).map(col): _*).as("n")
     val changed = cmpCols
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduce(_ || _)
-    o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    val joinCond = keyCols
+      .map(k => col(s"o.$k") <=> col(s"n.$k"))
+      .reduce(_ && _)
+    // presence flags, not key nullability: with null-safe key equality a
+    // legitimately-null key component must not read as "row absent"
+    val oPresent = keyCols.map(k => col(s"o.$k").isNotNull).reduce(_ || _)
+    val nPresent = keyCols.map(k => col(s"n.$k").isNotNull).reduce(_ || _)
+    o.join(n, joinCond, "full_outer")
       .withColumn("change_type",
-        when(col(s"o.$keyCol").isNull, "insert")
-          .when(col(s"n.$keyCol").isNull, "delete")
+        when(!oPresent, "insert")
+          .when(!nPresent, "delete")
           .otherwise("update"))
       .filter(col("change_type") =!= "update" || changed)
       .select(
-        coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol) +:
-          col("change_type") +:
-          cmpCols.flatMap(c =>
-            Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
+        keyCols.map(k =>
+          coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++
+          (col("change_type") +:
+            cmpCols.flatMap(c =>
+              Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c")))): _*)
   }
 
   /** q37 fixture: two deterministic snapshots derived from orders — the old

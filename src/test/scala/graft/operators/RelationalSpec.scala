@@ -203,6 +203,21 @@ class RelationalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("snapshotDiff composite keys: per-key-tuple classification") {
+    val oldSnap = Seq(("t1", 1L, 10.0), ("t1", 2L, 20.0), ("t2", 1L, 5.0))
+      .toDF("tenant", "id", "p")
+    val newSnap = Seq(("t1", 1L, 11.0), ("t2", 1L, 5.0), ("t2", 2L, 7.0))
+      .toDF("tenant", "id", "p")
+    val out = Relational.snapshotDiff(
+      oldSnap, newSnap, Seq("tenant", "id"), Seq("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    // (t1,1) updated; (t1,2) deleted; (t2,2) inserted; (t2,1) unchanged —
+    // same id under another tenant must NOT collide
+    assert(out == Map(
+      ("t1", 1L) -> "update", ("t1", 2L) -> "delete", ("t2", 2L) -> "insert"))
+  }
+
   test("snapshotDiff classifies insert/delete/update and drops unchanged") {
     val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
     val newSnap = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "p")
