@@ -33,8 +33,16 @@ object Bench {
     // blocks NOW — otherwise a major collection (plus the cleanup work it
     // triggers) lands inside some later query's timed region, which showed
     // up as a 6x outlier on whichever join ran ~70 queries in.
+    // Locally-checkpointed RDDs (operators' materialized results) are
+    // exempt from the explicit sweep: unpersisting truncated lineage draws
+    // a loud Spark warning, and their blocks are tiny result frames whose
+    // references die with the query — the GC below hands them to the
+    // ContextCleaner. The explicit unpersist targets the big persisted
+    // INTERMEDIATES, which the operators' own brackets already released;
+    // this is the belt-and-suspenders pass for anything that escaped.
     def dropLeftoverBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.isCheckpointed)
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
       System.gc()

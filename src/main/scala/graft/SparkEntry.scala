@@ -28,7 +28,11 @@ object SparkEntry {
     "q3_join_topn" -> ((s, d) =>
       R.shippingPriority(T.customer(s, d), T.orders(s, d), T.lineitem(s, d), "BUILDING")),
     "q4_semi_join" -> ((s, d) => R.customersWithOrders(T.customer(s, d), T.orders(s, d))),
-    "q5_anti_join" -> ((s, d) => R.customersWithoutOrders(T.customer(s, d), T.orders(s, d))),
+    // anti-join against the URGENT subset so the expected output is
+    // NONEMPTY — an all-customers anti-join returns 0 rows on this data,
+    // and a 0-row oracle match is vacuous
+    "q5_anti_join" -> ((s, d) => R.customersWithoutOrders(T.customer(s, d),
+      T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"))),
     "q6_outer_join_agg" -> ((s, d) => R.customersPerNation(T.nation(s, d), T.customer(s, d))),
     "q7_window_rank" -> ((s, d) => R.topOrdersPerCustomer(T.orders(s, d), 3)),
     "q8_window_running" -> ((s, d) => R.runningCustomerSpend(T.orders(s, d))),
@@ -39,9 +43,13 @@ object SparkEntry {
     "q11_set_intersect" -> ((s, d) => R.setIntersect(
       R.segmentKeys(T.customer(s, d), "BUILDING"),
       R.segmentKeys(T.customer(s, d), "MACHINERY"))),
+    // EXCEPT at customer granularity — every segment spans all 25 nations,
+    // so the nationkey-level difference was vacuously empty
     "q12_set_except" -> ((s, d) => R.setExcept(
-      R.segmentKeys(T.customer(s, d), "BUILDING"),
-      R.segmentKeys(T.customer(s, d), "MACHINERY"))),
+      T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")).distinct(),
+      T.orders(s, d).filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey").as("custkey")).distinct())),
     "q13_distinct_agg" -> ((s, d) => R.orderStats(T.orders(s, d), T.lineitem(s, d))),
     "q14_rollup" -> ((s, d) => R.rollupSummary(T.lineitem(s, d))),
     "q15_cube" -> ((s, d) => R.cubeSummary(T.orders(s, d))),
@@ -188,7 +196,6 @@ object SparkEntry {
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
-    // byte-level decode features → no SQL oracle; rows-only check
     "mm2_decoded_features" -> ((s, d) =>
       Multimodal.decodedFeatures(T.documents(s, d))),
   )
@@ -231,7 +238,8 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q6_outer_join_agg" ->
       """SELECT n_nationkey, n_name,
         |  COUNT(c_custkey) AS n_customers,
@@ -263,9 +271,9 @@ object SparkEntry {
         |INTERSECT
         |SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
     "q12_set_except" ->
-      """SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |EXCEPT
-        |SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
     "q13_distinct_agg" ->
       """SELECT o_orderpriority,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
@@ -1608,5 +1616,27 @@ object SparkEntry {
         |  md5(substr(text, 1, 64)) AS thumb_md5,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // FakeDecoder is a pure function of the UTF-8 bytes, so the oracle
+    // reproduces it from the hex dump: byte i = 16·hi + lo nibble.
+    "mm2_decoded_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (['png','jpeg','wav','mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS format,
+        |  n AS n_bytes,
+        |  CAST((n + 255) // 256 AS BIGINT) AS n_frames,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(generate_series(1, CAST(n AS INT)),
+        |      i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))) AS DOUBLE) / n
+        |  END AS mean_byte,
+        |  CAST(CASE WHEN n = 0 THEN -1 ELSE
+        |    (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
+        |  END AS INT) AS first_byte
+        |FROM b""".stripMargin,
   )
 }

@@ -28,11 +28,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
+  /** Eager materialization with lineage truncation, fault-tolerance chosen
+    * by session posture: a RELIABLE `checkpoint()` when the session has a
+    * checkpoint directory (the 100 TB cluster setting — a lost executor
+    * recomputes from the checkpoint files instead of killing the job),
+    * `localCheckpoint` otherwise (local/dev, where executor loss means the
+    * JVM is gone anyway and the extra write job buys nothing). Iterative
+    * operators (connected components) and cache brackets all materialize
+    * through this one policy point. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Persist `intermediates`, evaluate `result`, eagerly materialize it with
     * lineage truncation, release the intermediates. */
   def withPersisted(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-    try result.localCheckpoint(true)
+    try materialize(result)
     finally intermediates.foreach(_.unpersist(false))
   }
 

@@ -175,12 +175,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each round references comp FOUR times (neighbor-min, both jump sides,
     // changed-count), so a persist-only loop grows the logical plan ~4^i —
-    // the string alone OOMs the driver past ~10 rounds. localCheckpoint
-    // materializes AND truncates lineage, keeping every round's plan flat;
-    // superseded checkpoint blocks are reclaimed by the ContextCleaner.
-    var comp = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lab", col("doc"))
-      .localCheckpoint(true)
+    // the string alone OOMs the driver past ~10 rounds. Caching.materialize
+    // truncates lineage every round (reliable checkpoint when the session
+    // has a checkpoint dir — survives executor loss on a preemptible
+    // cluster — localCheckpoint otherwise), keeping every round's plan
+    // flat; superseded blocks are reclaimed by the ContextCleaner.
+    //
+    // Labels are SEEDED with the neighborhood minimum — one aggregate over
+    // the symmetrized edges replaces the identity init AND the whole first
+    // propagation round, so isolated pairs (the dominant near-dup cluster
+    // shape) converge on the first changed-count check.
+    var comp = Caching.materialize(
+      edges.groupBy(col("src").as("doc"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("doc"), least(col("doc"), col("nmin")).as("lab")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -199,9 +207,9 @@ object Dedup {
         .join(jump, comp("doc") === col("jdoc"), "left_outer")
         .select(comp("doc"), newLab.as("lab"),
           (newLab =!= col("lab")).as("chg"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("chg")).count()
-      comp = next.select(col("doc"), col("lab"))
+      val nextM = Caching.materialize(next)
+      val changed = nextM.filter(col("chg")).count()
+      comp = nextM.select(col("doc"), col("lab"))
       converged = changed == 0
       i += 1
     }
@@ -213,9 +221,11 @@ object Dedup {
         s"connectedComponents did NOT converge within $maxIter rounds; " +
           "component labels are incomplete. Raise maxIter.")
     }
-    val result = comp.select(col("doc"), col("lab")).localCheckpoint(true)
+    // comp is materialization-backed on every path (the seed and each
+    // round's frame go through Caching.materialize), so the result needs no
+    // further copy — its plan is a projection over checkpointed blocks.
     edges.unpersist(false)
-    result
+    comp.select(col("doc"), col("lab"))
   }
 
   /** Incremental near-dup detection (d13): match an INCOMING batch against
@@ -268,15 +278,15 @@ object Dedup {
     * two equivalent on randomized graphs against a local union-find. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym0 = pairs.toDF("a", "b")
-    val nodes = sym0.select(col("a").as("doc"))
-      .union(sym0.select(col("b").as("doc"))).distinct()
-      .localCheckpoint(true)
+    val nodes = Caching.materialize(
+      sym0.select(col("a").as("doc"))
+        .union(sym0.select(col("b").as("doc"))).distinct())
     // Canonical undirected edge set, self-loops dropped.
-    var edges = sym0.filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    var edges = Caching.materialize(
+      sym0.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct())
     def neighborhoodMin(sym: DataFrame): DataFrame =
       sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
         .select(col("u"), least(col("u"), col("nmin")).as("m"))
@@ -294,11 +304,11 @@ object Dedup {
         else joined.filter(col("v") <= col("u"))
           .select(col("v"), col("m"))
           .union(m.select(col("u").as("v"), col("m")))
-      rewired.filter(col("v") =!= col("m"))
-        .select(least(col("v"), col("m")).as("a"),
-          greatest(col("v"), col("m")).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+      Caching.materialize(
+        rewired.filter(col("v") =!= col("m"))
+          .select(least(col("v"), col("m")).as("a"),
+            greatest(col("v"), col("m")).as("b"))
+          .distinct())
     }
     // Converged when the canonical edge set is unchanged: same size and an
     // order-independent XOR checksum (overflow-free under ANSI arithmetic,
@@ -325,9 +335,15 @@ object Dedup {
         s"connectedComponentsStar did NOT converge within $maxIter rounds; " +
           "component labels are incomplete. Raise maxIter.")
     // Fixpoint edges are stars (min, member): member → min, minima and
-    // isolated nodes → themselves.
+    // isolated nodes → themselves. The read-off AGGREGATES rather than
+    // projects: at the fixpoint each node is `b` of at most one edge and
+    // the min is a no-op, but if maxIter ran out unconverged a node can
+    // still sit in several non-star edges — groupBy(min) keeps the
+    // one-row-per-doc contract (with best-effort labels) instead of
+    // emitting conflicting duplicates.
     nodes.join(edges, nodes("doc") === edges("b"), "left_outer")
-      .select(col("doc"), coalesce(col("a"), col("doc")).as("lab"))
+      .groupBy(col("doc"))
+      .agg(min(coalesce(col("a"), col("doc"))).as("lab"))
   }
 
   /** [[nearDupComponents]] computed through the star-contraction scale path

@@ -209,26 +209,34 @@ object LlmText {
     * similarity is low.
     *
     * Plan shape at 100 TB: the window explode is narrow (corpus token
-    * scale); the per-hash distinct-doc count gets map-side partial
-    * aggregation (duplicated spans are exactly the hot keys it absorbs);
-    * the shared-hash table is O(duplicated spans) — joined back on the
-    * hash where AQE picks broadcast when it is small and a shuffle join
-    * when a pathological corpus makes it large; the per-doc roll-up is a
-    * doc-keyed aggregate. No driver-side state anywhere. */
+    * scale) and is immediately reduced to ONE ROW PER (doc, span-hash) —
+    * every downstream step works on that deduplicated frame, so a
+    * boilerplate span occurring millions of times contributes one row per
+    * document it appears in, never one per occurrence. The per-hash
+    * distinct-doc count becomes a plain count over the pre-aggregate
+    * (map-side partial aggregation absorbs the hot keys); the shared-hash
+    * table is O(duplicated spans) and joins back against the (doc, hash)
+    * frame, where AQE broadcasts it when small and skew-splits the
+    * residual shuffle otherwise — the residual hot-key partition holds a
+    * bounded row per document, not per occurrence. The per-doc roll-up is
+    * a doc-keyed aggregate. No driver-side state anywhere. */
   def spanDedup(documents: DataFrame, minDocs: Int = 2): DataFrame = {
-    val e = rolledWindows(documents)
+    val g = rolledWindows(documents)
       .select(col("doc_id"), explode(col("roll")).as("h"))
-    Caching.withPersisted(e) {
-      val shared = e.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    Caching.withPersisted(g) {
+      val shared = g.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= minDocs)
         .select(col("h"), lit(1).as("is_shared"))
       val frac =
         col("n_shared_windows").cast("double") / col("n_windows")
-      e.join(shared, Seq("h"), "left_outer")
+      g.join(shared, Seq("h"), "left_outer")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          count(col("is_shared")).as("n_shared_windows"))
+        .agg(sum(col("cnt")).as("n_windows"),
+          coalesce(sum(when(col("is_shared").isNotNull, col("cnt"))),
+            lit(0L)).as("n_shared_windows"))
         .select(col("doc_id"), col("n_windows"), col("n_shared_windows"),
           frac.as("shared_frac"),
           (frac > 0.5).as("is_dup_heavy"))

@@ -488,15 +488,20 @@ object Relational {
     val spark = dim.sparkSession
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedKeys, fpp)
+    // The bloom is built and probed over a TOTAL hash of the key, not a
+    // cast: cast("long") yields null for non-numeric key types and
+    // might_contain(null) is null, which would silently filter out every
+    // matching fact row. xxhash64 is total over any atomic type, so the
+    // generic API stays exact for string/date/decimal keys too.
     val agg = new BloomFilterAggregate(
-      Bridge.expr(spark, col(dimKey).cast("long")),
+      Bridge.expr(spark, xxhash64(col(dimKey))),
       Literal(expectedKeys), Literal(numBits)).toAggregateExpression()
     // One driver-side action to materialize the SKETCH (not the data) —
     // the same round trip Spark's own runtime-filter rewrite performs via
     // a scalar subquery.
     val bytes = dim.select(Bridge.column(agg)).head().getAs[Array[Byte]](0)
     val might = Bridge.column(BloomFilterMightContain(
-      Literal(bytes), Bridge.expr(spark, col(factKey).cast("long"))))
+      Literal(bytes), Bridge.expr(spark, xxhash64(col(factKey)))))
     fact.filter(might).join(dim, col(factKey) === col(dimKey))
   }
 
@@ -534,18 +539,23 @@ object Relational {
     * the row from both sides' classification. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
-    val o = oldSnap.select((keyCols ++ cmpCols).map(col): _*).as("o")
-    val n = newSnap.select((keyCols ++ cmpCols).map(col): _*).as("n")
+    // Literal presence markers, not key nullability: with null-safe key
+    // equality an ALL-null key is a legitimate join key, so "row absent on
+    // this side" must be read off the full-outer join's own null extension
+    // — a constant column that is null exactly when the side contributed
+    // no row — never inferred from the key values.
+    val o = oldSnap.select((keyCols ++ cmpCols).map(col) :+
+      lit(true).as("_o_present"): _*).as("o")
+    val n = newSnap.select((keyCols ++ cmpCols).map(col) :+
+      lit(true).as("_n_present"): _*).as("n")
     val changed = cmpCols
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduce(_ || _)
     val joinCond = keyCols
       .map(k => col(s"o.$k") <=> col(s"n.$k"))
       .reduce(_ && _)
-    // presence flags, not key nullability: with null-safe key equality a
-    // legitimately-null key component must not read as "row absent"
-    val oPresent = keyCols.map(k => col(s"o.$k").isNotNull).reduce(_ || _)
-    val nPresent = keyCols.map(k => col(s"n.$k").isNotNull).reduce(_ || _)
+    val oPresent = col("o._o_present").isNotNull
+    val nPresent = col("n._n_present").isNotNull
     o.join(n, joinCond, "full_outer")
       .withColumn("change_type",
         when(!oPresent, "insert")

@@ -172,8 +172,11 @@ object Temporal {
       .agg(count(lit(1)).as("n"))
     val targets = counts
       .select(col("event_type"), col("n"), explode(typedlit(ps)).as("p"))
+      // long rank: the per-group row_number window is the real size
+      // ceiling and an int cast would overflow (ANSI error) before the
+      // caller ever reaches it; row_number's int joins fine against long
       .select(col("event_type"), col("p"),
-        ceil(col("p") * col("n")).cast("int").as("rnk"))
+        ceil(col("p") * col("n")).cast("long").as("rnk"))
     val ranked = events
       .select(col("event_type"), col("value"))
       .withColumn("rnk", row_number().over(
