@@ -33,19 +33,35 @@ object Bench {
     // blocks NOW — otherwise a major collection (plus the cleanup work it
     // triggers) lands inside some later query's timed region, which showed
     // up as a 6x outlier on whichever join ran ~70 queries in.
-    // Locally-checkpointed RDDs (operators' materialized results) are
-    // exempt from the explicit sweep: unpersisting truncated lineage draws
-    // a loud Spark warning, and their blocks are tiny result frames whose
-    // references die with the query — the GC below hands them to the
-    // ContextCleaner. The explicit unpersist targets the big persisted
-    // INTERMEDIATES, which the operators' own brackets already released;
-    // this is the belt-and-suspenders pass for anything that escaped.
+    // Only RELIABLY-checkpointed RDDs are exempt from the explicit sweep:
+    // their blocks are backed by checkpoint files, and unpersisting them
+    // mid-bench would force re-reads. Locally-checkpointed result frames
+    // must NOT be exempt — isCheckpointed is true for localCheckpoint too,
+    // and leaving them pinned reproduces the exact 13× storage pollution
+    // documented above (measured again r5: d4 20.9s polluted vs 3.6s
+    // isolated). The "removing RDD with truncated lineage" warning this
+    // draws is cosmetic: the frames were already computed and consumed.
+    // (isLocallyCheckpointed is private[spark]; getCheckpointFile is the
+    // public discriminator — defined only for reliable checkpoints.)
     def dropLeftoverBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
-        .filterNot(_.isCheckpointed)
+        .filterNot(_.getCheckpointFile.isDefined)
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
       System.gc()
+    }
+    // Seat-belt: two consecutive bench rounds were burned by sweep bugs that
+    // silently re-pinned blocks. Track the persistent-RDD count after every
+    // sweep; if it grows round-over-round the sweep has regressed — fail
+    // loudly NOW instead of shipping a polluted BENCH json.
+    var sweptFloor = -1
+    def assertNoBlockLeak(after: String): Unit = {
+      val n = spark.sparkContext.getPersistentRDDs.size
+      if (sweptFloor < 0) sweptFloor = n
+      else if (n > sweptFloor + 2)
+        throw new IllegalStateException(
+          s"block leak after $after: $n persistent RDDs survive the sweep " +
+          s"(floor was $sweptFloor) — Bench.dropLeftoverBlocks has regressed")
     }
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=d3_simhash,q1_agg
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -74,6 +90,7 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       dropLeftoverBlocks()
+      assertNoBlockLeak(name)
       name -> dt
     }
     // The harness that collects this output keeps only the last ~2000 chars

@@ -35,11 +35,26 @@ object Caching {
     * `localCheckpoint` otherwise (local/dev, where executor loss means the
     * JVM is gone anyway and the extra write job buys nothing). Iterative
     * operators (connected components) and cache brackets all materialize
-    * through this one policy point. */
+    * through this one policy point.
+    *
+    * The reliable path persists before checkpointing: a bare
+    * `df.checkpoint(true)` computes the plan twice — once for the eager
+    * action and again when `ReliableCheckpointRDD` writes the files — so
+    * every CC round on the very cluster posture this exists for would cost
+    * 2×. Persist makes the checkpoint write read cached blocks; the persist
+    * is released once the checkpoint files own the data.
+    *
+    * Checkpoint-file lifecycle: Spark deletes a reliable checkpoint's files
+    * only when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (default false) AND the driver GCs the RDD. Iterative callers on a real
+    * cluster should set that conf, or clear the checkpoint dir between jobs
+    * — otherwise per-round checkpoints accumulate unboundedly. */
   def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(true)
+      finally df.unpersist(false)
+    } else df.localCheckpoint(true)
 
   /** Persist `intermediates`, evaluate `result`, eagerly materialize it with
     * lineage truncation, release the intermediates. */
@@ -51,10 +66,16 @@ object Caching {
 
   /** Same bracket with a reliable (checkpoint-dir) materialization — survives
     * executor loss, for long multi-stage jobs on real clusters. Requires
-    * `spark.sparkContext.setCheckpointDir` to have been called. */
+    * `spark.sparkContext.setCheckpointDir` to have been called. The result
+    * is persisted across the action + checkpoint-write pair (see
+    * [[materialize]]) so the plan is computed exactly once. */
   def reliable(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-    try result.checkpoint(true)
-    finally intermediates.foreach(_.unpersist(false))
+    try {
+      val r = result
+      r.persist(StorageLevel.MEMORY_AND_DISK)
+      try r.checkpoint(true)
+      finally r.unpersist(false)
+    } finally intermediates.foreach(_.unpersist(false))
   }
 }

@@ -181,6 +181,42 @@ class DedupSpec extends SparkSpec {
     assert(labs.size == 104)
   }
 
+  test("materialize on the reliable path computes the plan exactly once") {
+    // With a checkpoint dir set, Caching.materialize must persist before
+    // checkpoint(true): a bare checkpoint runs the plan twice (eager action
+    // + ReliableCheckpointRDD file write). The accumulator counts how many
+    // times each source row is computed.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val acc = sc.longAccumulator("computes")
+      val src = sc.parallelize(1 to 100, 4).map { i => acc.add(1); i }.toDF("n")
+      val out = Caching.materialize(src)
+      assert(out.count() == 100)
+      assert(acc.value == 100L,
+        s"plan computed ${acc.value / 100.0}x — reliable path must be single-compute")
+    } finally {
+      sc.setCheckpointDir(null) // Option(null) → None: restore local-checkpoint posture
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("connectedComponents is green under a reliable checkpoint dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val labs = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("sourceOverlap: identical sources estimate 1.0, disjoint are absent") {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val other = "one two three four five six seven eight nine"
