@@ -128,11 +128,10 @@ case class GraftConf(
     sslEndpointIdentificationAlgorithm: String = "",
     // Schema-registry governance (KafkaPropertiesBuilder.java:44-55),
     // carried so ONE conf object configures the whole pipeline like the
-    // reference's property POJOs. NOTE: SafeAvro resolves schemas through a
-    // caller-supplied SchemaResolver; a registry-backed resolver would read
-    // these fields, but this build ships only FixedResolver (no registry
-    // client dependency in the sandbox), so they are config-surface parity,
-    // not live wiring — setting them does not change resolution by itself.
+    // reference's property POJOs. Live wiring:
+    // graft.serde.RegistryResolver.fromConf(this) builds the HTTP resolver
+    // (REST GET /schemas/ids/{id} + basic auth + per-executor cache) that
+    // plugs into SafeAvro.decode / SafeAvro.serdePair.
     schemaRegistryUrl: String = "",
     schemaRegistryBasicAuthUserInfo: String = "",
     basicAuthCredentialsSource: String = "",

@@ -1,0 +1,112 @@
+package graft.serde
+
+import graft.core.GraftConf
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import scala.collection.concurrent.TrieMap
+
+/** Schema-registry-backed [[SafeAvro.SchemaResolver]] over the Confluent
+  * Schema Registry REST API — the live wiring for the registry fields the
+  * reference configures
+  * (/root/reference/src/main/java/fr/barbicane/maston/properties/KafkaPropertiesBuilder.java:43-55,
+  * KafkaCommonProperties.java:11-16): registry URL, basic-auth user info,
+  * and subject auto-registration.
+  *
+  * Endpoints used (public REST API):
+  *   - `GET /schemas/ids/{id}` → `{"schema": "<avro json>"}` (resolve)
+  *   - `POST /subjects/{subject}/versions` → `{"id": N}` (auto-register)
+  *
+  * Resolution THROWS on network/HTTP/parse failure — by design: the only
+  * caller is [[SafeAvro.decode]], whose catch-all turns the throw into the
+  * error side with the raw bytes preserved (the never-lose-a-record
+  * contract). Callers outside a decode path should wrap `resolve`.
+  *
+  * Executor-side behavior: the class is Serializable (closed over by
+  * `Dataset.map` decode lambdas); the HTTP client and the id→schema cache
+  * are `@transient lazy`, so each executor JVM builds its own client and
+  * warms its own cache. Schema ids are immutable in the registry, so the
+  * cache needs no TTL or invalidation — each id is fetched at most once per
+  * executor lifetime, and a 1000-executor job issues at most
+  * `executors × distinct-ids` requests total, not one per record.
+  */
+final class RegistryResolver(
+    baseUrl: String,
+    basicAuthUserInfo: String = "",
+    requestTimeoutMs: Long = 30000L) extends SafeAvro.SchemaResolver {
+
+  require(baseUrl != null && baseUrl.nonEmpty, "schema registry URL is empty")
+  private val root = baseUrl.stripSuffix("/")
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(requestTimeoutMs))
+    .build()
+  @transient private lazy val cache = TrieMap.empty[Int, Schema]
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def resolve(schemaId: Int): Schema =
+    cache.getOrElseUpdate(schemaId, fetchById(schemaId))
+
+  private def request(path: String): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(URI.create(root + path))
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .header("Accept",
+        "application/vnd.schemaregistry.v1+json, application/json")
+    if (basicAuthUserInfo.nonEmpty)
+      b.header("Authorization", "Basic " + Base64.getEncoder.encodeToString(
+        basicAuthUserInfo.getBytes(StandardCharsets.UTF_8)))
+    else b
+  }
+
+  private def send(req: HttpRequest, what: String): String = {
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"schema registry $what returned HTTP ${resp.statusCode()}: " +
+          resp.body().take(200))
+    resp.body()
+  }
+
+  private def fetchById(schemaId: Int): Schema = {
+    val body = send(request(s"/schemas/ids/$schemaId").GET().build(),
+      s"GET /schemas/ids/$schemaId")
+    val schemaJson = mapper.readTree(body).path("schema").asText(null)
+    if (schemaJson == null)
+      throw new IllegalStateException(
+        s"schema registry response for id $schemaId has no 'schema' field")
+    new Schema.Parser().parse(schemaJson)
+  }
+
+  /** Register `schemaJson` under `subject`, returning the registry-assigned
+    * schema id (idempotent server-side: re-registering an identical schema
+    * returns the existing id). The producer-path analog of the reference's
+    * `auto.register.schemas` (KafkaPropertiesBuilder.java:52-55). */
+  def register(subject: String, schemaJson: String): Int = {
+    val payload = mapper.createObjectNode()
+    payload.put("schema", schemaJson)
+    val body = send(request(s"/subjects/$subject/versions")
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(payload)))
+      .build(), s"POST /subjects/$subject/versions")
+    val id = mapper.readTree(body).path("id").asInt(-1)
+    if (id < 0)
+      throw new IllegalStateException(
+        s"schema registry register response for $subject has no 'id' field")
+    id
+  }
+}
+
+object RegistryResolver {
+  /** Wire a resolver from the pipeline conf's registry fields — one conf
+    * object configures the whole pipeline, like the reference's property
+    * POJOs (KafkaPropertiesBuilder.java:43-55). */
+  def fromConf(conf: GraftConf): RegistryResolver =
+    new RegistryResolver(conf.schemaRegistryUrl,
+      conf.schemaRegistryBasicAuthUserInfo)
+}
