@@ -168,6 +168,13 @@ object SparkEntry {
     "d7_neardup_components" -> ((s, d) =>
       Dedup.nearDupComponents(T.documents(s, d))),
     "d8_dedup_apply" -> ((s, d) => Dedup.dedupApply(T.documents(s, d))),
+    // the pipeline form: ONE components pass feeds the apply via the
+    // precomputed-decisions overload — the shape a real corpus pipeline
+    // uses so dedup, splits, and accounting share a single LSH+CC pass
+    "d8b_dedup_pipeline" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.dedupApply(docs, Dedup.nearDupComponents(docs, 0.7))
+    }),
     "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "d13_incremental_dedup" -> ((s, d) => {
@@ -205,7 +212,12 @@ object SparkEntry {
     * identical on both engines); averages divide the exact decimal sum by the
     * count in double; timestamps surface as epoch seconds or DATE.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // d8b is the pipeline-form twin of d8 (precomputed-components overload);
+    // both must be bit-identical to the same SQL.
+    ("d8b_dedup_pipeline" -> oracleSqlBase("d8_dedup_apply"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
@@ -405,6 +417,19 @@ object SparkEntry {
         | FROM m)
         |SELECT doc_id, lang, qs AS quality_score FROM h
         |WHERE gate < CAST(floor(qs * 10000) AS BIGINT)""".stripMargin,
+    // q22: exact columns value-checked; sketch columns carved out as
+    // within-tolerance booleans the oracle pins to literal true (a sketch
+    // drifting outside its accuracy contract flips the flag → hash fail)
+    "q22_approx_stats" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_rows,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  true AS approx_orders_ok,
+        |  true AS approx_parts_ok,
+        |  true AS approx_median_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q23_topk_custom" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -85,9 +85,9 @@ object Multimodal {
   /** Typed decode pipeline over the documents table: text → MediaRecord
     * (utf-8 payload, deterministic fake metadata) → FakeDecoder features.
     * The mapPartitions batch shape is the real contract — swap FakeDecoder
-    * for a codec-backed MediaDecoder in production. Sketch-free numeric
-    * output, but byte-level features aren't SQL-expressible in the oracle,
-    * so the driver records a rows-only check. */
+    * for a codec-backed MediaDecoder in production. Fully oracle-checked:
+    * the mm2 oracle reconstructs every byte from a hex dump
+    * (nibble-by-nibble) in SQL, so the decoded features hash-match. */
   def decodedFeatures(documents: DataFrame): DataFrame = {
     implicit val spark: SparkSession = documents.sparkSession
     import spark.implicits._

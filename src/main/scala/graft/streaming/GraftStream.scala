@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.StructType
   * decoded micro-batch (persist once, write both branches), which the Kafka
   * sink alone cannot express. In production both writers are
   * `df.write.format("kafka")`; tests use in-memory collectors.
+  *
+  * Delivery semantics: exactly-once for offsets + state, at-least-once for
+  * Kafka and append sinks, idempotent upsert — the full per-component
+  * contract is DELIVERY.md at the repo root.
   */
 object GraftStream extends Logging {
 

@@ -62,6 +62,45 @@ class SkewSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("spanDedup pre-aggregate bounds a hot span by doc count, not occurrences") {
+    // Boilerplate skew: ONE span in 50% of docs, repeated 10x within each.
+    // Without the (doc_id, h) pre-aggregate, the shared-span join would see
+    // every occurrence of the hot hash (hotDocs x ~10 repeats) on a single
+    // shuffle key; with it, the hot key's join input is one row per doc.
+    val boiler = "alpha beta gamma delta"
+    val docs = ((0 until 50).map(i =>
+        (i.toLong, (Seq.fill(10)(boiler).mkString(" ")) +
+          s" u${i}w u${i}x u${i}y u${i}z")) ++
+      (50 until 100).map(i =>
+        (i.toLong, s"c${i}a c${i}b c${i}c c${i}d c${i}e c${i}f c${i}g c${i}h")))
+      .toDF("doc_id", "text")
+
+    val rolled = LlmText.rolledWindows(docs)
+      .select(col("doc_id"), explode(col("roll")).as("h"))
+    val pre = rolled.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      // exactly one row per (doc, h) — the hot partition is bounded by docs
+      assert(pre.count() ==
+        pre.select(col("doc_id"), col("h")).distinct().count())
+      val rawHot = rolled.groupBy(col("h")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val preHot = pre.groupBy(col("h")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(preHot <= 50, s"hot span rows after pre-agg = $preHot (docs=50)")
+      assert(rawHot >= 9 * preHot,
+        s"fixture must be genuinely skewed: raw=$rawHot pre=$preHot")
+    } finally pre.unpersist()
+
+    // end-to-end: boilerplate-heavy docs flagged, unique docs untouched
+    val flags = LlmText.spanDedup(docs)
+      .select(col("doc_id"), col("is_dup_heavy"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 50L).forall(flags(_)), "all boilerplate docs dup-heavy")
+    assert((50L until 100L).forall(!flags(_)), "unique docs are clean")
+  }
+
   test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
     val plain = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"),
