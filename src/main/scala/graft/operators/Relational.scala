@@ -298,34 +298,73 @@ object Relational {
     * outside its accuracy contract fails the hash check. The exact twins
     * q13/q20 carry the full value checks; this query pins the sketches'
     * error bounds. */
-  def approxStats(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    lineitem
+  def approxStats(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val joined = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price"),
-        approx_count_distinct(col("l_orderkey")).as("ao"),
-        count_distinct(col("l_orderkey")).as("eo"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        count_distinct(col("l_partkey")).as("ep"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"),
-        expr("percentile(o_totalprice, 0.5)").as("em"))
+      .select(col("o_orderpriority"), col("l_orderkey"), col("l_partkey"),
+        col("o_totalprice"))
+    // Separate passes over one persisted frame, joined on the 5-row group
+    // key: mixing exact `percentile` + two count_distincts + sketches in
+    // ONE aggregate plans a non-codegen sort aggregate over the distinct
+    // expand (measured 74 s at sf0.1); split, each pass is a plain
+    // partial-agg (or window-rank) plan and the query is a few seconds.
+    Caching.withPersisted(joined) {
+      val sketches = joined.groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+            .as("am"))
+      // exact distinct counts via two-level aggregation (dedup pass, then
+      // count) — no distinct-expand, partial aggregation on both levels
+      def exactDistinct(c: String, as: String) = joined
+        .groupBy(col("o_orderpriority"), col(c)).agg(count(lit(1)))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as(as))
+      val eo = exactDistinct("l_orderkey", "eo")
+      val ep = exactDistinct("l_partkey", "ep")
+      // Quantile contract checked by RANK, not by value: percentile_approx
+      // guarantees rank error ≤ n/accuracy, so count how many rows fall on
+      // each side of the returned value and require the true median rank
+      // inside [c_lt, c_le] up to 0.005·n (5× the 1/1000-accuracy bound).
+      // This is a plain codegen'd aggregate — unlike a per-group window
+      // sort, whose parallelism equals the group count (5 sort tasks at
+      // 100 TB) and which was the one non-scalable stage in this query.
+      // sk is materialized (5 rows) so referencing `am` twice doesn't
+      // re-run the sketch pass.
+      val sk = Caching.materialize(sketches)
+      val medCheck = joined
+        .join(broadcast(sk.select(col("o_orderpriority"), col("am"))),
+          Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_totalprice") < col("am"), 1)).as("c_lt"),
+          count(when(col("o_totalprice") <= col("am"), 1)).as("c_le"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          (col("c_lt") <= col("n") * 0.505 &&
+            col("c_le") >= col("n") * 0.495).as("median_rank_ok"))
       // Tolerances are 3× each sketch's rsd (HLL++ default 0.05 → 0.15;
-      // explicit 0.01 → 0.03) and 0.02 for the quantile summary — measured
-      // max deviations across sf0.001/0.01/0.1 are 0.107 / 0.009 / 0.006,
-      // so each bound holds with ≥39% headroom while still failing on a
-      // genuinely broken sketch.
-      .select(col("o_orderpriority"), col("n_rows"),
-        col("min_price"), col("max_price"),
-        (abs(col("ao") - col("eo")) <= col("eo") * 0.15)
-          .as("approx_orders_ok"),
-        (abs(col("ap") - col("ep")) <= col("ep") * 0.03)
-          .as("approx_parts_ok"),
-        (col("am").between(col("min_price"), col("max_price")) &&
-          abs(col("am") - col("em")) <= col("em") * 0.02)
-          .as("approx_median_ok"))
+      // explicit 0.01 → 0.03) — measured max deviations across
+      // sf0.001/0.01/0.1 are 0.107 / 0.009, so each bound holds with ≥39%
+      // headroom while still failing on a genuinely broken sketch.
+      sk
+        .join(eo, Seq("o_orderpriority"))
+        .join(ep, Seq("o_orderpriority"))
+        .join(medCheck, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("min_price"), col("max_price"),
+          (abs(col("ao") - col("eo")) <= col("eo") * 0.15)
+            .as("approx_orders_ok"),
+          (abs(col("ap") - col("ep")) <= col("ep") * 0.03)
+            .as("approx_parts_ok"),
+          (col("am").between(col("min_price"), col("max_price")) &&
+            col("median_rank_ok"))
+            .as("approx_median_ok"))
+    }
+  }
 
   /** Pivot via conditional aggregation: order count per status × priority
     * (columns fixed so schema is static — the scalable form of pivot). */
