@@ -51,17 +51,20 @@ object Bench {
       System.gc()
     }
     // Seat-belt: two consecutive bench rounds were burned by sweep bugs that
-    // silently re-pinned blocks. Track the persistent-RDD count after every
-    // sweep; if it grows round-over-round the sweep has regressed — fail
-    // loudly NOW instead of shipping a polluted BENCH json.
-    var sweptFloor = -1
+    // silently re-pinned blocks. The bound is ABSOLUTE, not relative to the
+    // first query (a first-query baseline would mask a regression present
+    // from query 1): after a sweep, zero non-reliably-checkpointed RDDs may
+    // remain registered — unpersist(blocking) removes entries from the
+    // registry synchronously, and no bench query reliably checkpoints.
+    // Fail loudly NOW instead of shipping a polluted BENCH json.
     def assertNoBlockLeak(after: String): Unit = {
-      val n = spark.sparkContext.getPersistentRDDs.size
-      if (sweptFloor < 0) sweptFloor = n
-      else if (n > sweptFloor + 2)
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.getCheckpointFile.isDefined)
+      if (leaked.nonEmpty)
         throw new IllegalStateException(
-          s"block leak after $after: $n persistent RDDs survive the sweep " +
-          s"(floor was $sweptFloor) — Bench.dropLeftoverBlocks has regressed")
+          s"block leak after $after: ${leaked.size} persistent RDDs survive " +
+          s"the sweep (ids ${leaked.map(_.id).take(5).mkString(",")}) — " +
+          "Bench.dropLeftoverBlocks has regressed")
     }
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=d3_simhash,q1_agg
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -4,14 +4,16 @@ import graft.operators.{Curation, Dedup, LlmText, Multimodal, PipelineOps,
   Relational => R, Similarity, Tables => T, Temporal}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{abs, broadcast, col, count, lit, pmod, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in `queries` has a DuckDB twin in `oracleSql` (same column
-  * names, exact-match arithmetic via DECIMAL accumulation) unless the
-  * operator is not SQL-expressible, in which case the driver records a
-  * rows-only check.
+  * names, exact-match arithmetic via DECIMAL accumulation) — currently ALL
+  * entries, including the sketch query q22 (verified via oracle-pinned
+  * tolerance booleans) and the multimodal mm2 (byte-level hex
+  * reconstruction). If a future operator is genuinely not SQL-expressible,
+  * omitting its oracle key downgrades it to a rows-only check.
   */
 object SparkEntry {
 
@@ -63,9 +65,63 @@ object SparkEntry {
     "q24_range_join" -> ((s, d) => Temporal.rangeJoinCount(T.events(s, d))),
     "q35_interval_join" -> ((s, d) =>
       Temporal.intervalOverlapCount(T.events(s, d))),
-    // sketch-valued → no SQL oracle; driver records a rows-only check
-    "q22_approx_stats" -> ((s, d) =>
-      R.approxStats(T.orders(s, d), T.lineitem(s, d))),
+    // q22 verification harness around the sketch operator: sketch VALUES
+    // are engine-specific, so the query surfaces them as within-tolerance
+    // booleans against exact twins and the oracle pins the booleans to
+    // `true` — a sketch drifting outside its accuracy contract fails the
+    // hash check. The harness (exact distinct passes, rank-bound median
+    // check) is oracle plumbing, NOT part of the production operator —
+    // R.approxStats returns the raw sketch values in one mergeable pass.
+    "q22_approx_stats" -> ((s, d) => {
+      val joined = T.lineitem(s, d)
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_orderkey"),
+          col("l_partkey"), col("o_totalprice"))
+      graft.operators.Caching.withPersisted(joined) {
+        // the operator pass and its exact twins share one persisted join
+        val sk = graft.operators.Caching.materialize(R.approxStatsOf(joined))
+        // exact distinct counts via two-level aggregation (dedup pass,
+        // then count) — no distinct-expand, partial agg on both levels
+        def exactDistinct(c: String, as: String) = joined
+          .groupBy(col("o_orderpriority"), col(c)).agg(count(lit(1)))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as(as))
+        val eo = exactDistinct("l_orderkey", "eo")
+        val ep = exactDistinct("l_partkey", "ep")
+        // quantile contract checked by RANK: percentile_approx guarantees
+        // rank error ≤ n/accuracy; count rows on each side of the returned
+        // value and require the true median rank within 0.005·n (5× the
+        // 1/1000-accuracy bound). A plain codegen'd aggregate — a
+        // per-group window sort would run one task per group at scale.
+        val medCheck = joined
+          .join(broadcast(sk.select(col("o_orderpriority"),
+            col("approx_median_price").as("am"))), Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(when(col("o_totalprice") < col("am"), 1)).as("c_lt"),
+            count(when(col("o_totalprice") <= col("am"), 1)).as("c_le"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderpriority"),
+            (col("c_lt") <= col("n") * 0.505 &&
+              col("c_le") >= col("n") * 0.495).as("median_rank_ok"))
+        // tolerances are 3× each sketch's rsd (default 0.05 → 0.15;
+        // explicit 0.01 → 0.03); measured max deviations across
+        // sf0.001/0.01/0.1 are 0.107 / 0.009 — ≥39% headroom while still
+        // failing on a genuinely broken sketch
+        sk.join(eo, Seq("o_orderpriority"))
+          .join(ep, Seq("o_orderpriority"))
+          .join(medCheck, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n_rows"),
+            col("min_price"), col("max_price"),
+            (abs(col("approx_orders") - col("eo")) <= col("eo") * 0.15)
+              .as("approx_orders_ok"),
+            (abs(col("approx_parts") - col("ep")) <= col("ep") * 0.03)
+              .as("approx_parts_ok"),
+            (col("approx_median_price")
+              .between(col("min_price"), col("max_price")) &&
+              col("median_rank_ok"))
+              .as("approx_median_ok"))
+      }
+    }),
     // custom LogicalPlan+Strategy+SparkPlan: heap-based per-key top-k
     "q23_topk_custom" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)

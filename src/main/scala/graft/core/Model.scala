@@ -130,7 +130,8 @@ case class GraftConf(
     // carried so ONE conf object configures the whole pipeline like the
     // reference's property POJOs. Live wiring:
     // graft.serde.RegistryResolver.fromConf(this) builds the HTTP resolver
-    // (REST GET /schemas/ids/{id} + basic auth + per-executor cache) that
+    // (REST GET /schemas/ids/{id}, per-executor cache, basic auth honoring
+    // basicAuthCredentialsSource = USER_INFO | URL | SASL_INHERIT) that
     // plugs into SafeAvro.decode / SafeAvro.serdePair.
     schemaRegistryUrl: String = "",
     schemaRegistryBasicAuthUserInfo: String = "",

@@ -220,11 +220,19 @@ object LlmText {
     * residual shuffle otherwise — the residual hot-key partition holds a
     * bounded row per document, not per occurrence. The per-doc roll-up is
     * a doc-keyed aggregate. No driver-side state anywhere. */
-  def spanDedup(documents: DataFrame, minDocs: Int = 2): DataFrame = {
-    val g = rolledWindows(documents)
+  /** spanDedup's join input: one row per (doc, span-hash) with the
+    * occurrence count folded in. This pre-aggregate is the skew guard — a
+    * boilerplate span occurring millions of times in hot docs costs one
+    * row per doc on the shared-span join key, not one per occurrence
+    * (SkewSpec pins this bound on the exact frame spanDedup joins). */
+  private[operators] def spanWindowCounts(documents: DataFrame): DataFrame =
+    rolledWindows(documents)
       .select(col("doc_id"), explode(col("roll")).as("h"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"))
+
+  def spanDedup(documents: DataFrame, minDocs: Int = 2): DataFrame = {
+    val g = spanWindowCounts(documents)
     Caching.withPersisted(g) {
       val shared = g.groupBy(col("h"))
         .agg(count(lit(1)).as("nd"))

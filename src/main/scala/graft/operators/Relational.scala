@@ -290,81 +290,38 @@ object Relational {
     * approx_count_distinct is HyperLogLog++ (fixed-size mergeable sketch,
     * map-side combined), approx_percentile a mergeable quantile summary.
     *
-    * Approx-column carve-out: raw sketch VALUES are engine-specific, so
-    * they cannot hash-match a DuckDB oracle. The exact columns (row count,
-    * min/max price) ARE oracle-checkable, and each sketch is surfaced as a
-    * within-tolerance boolean against its exact twin computed in the same
-    * aggregate — the oracle asserts literal `true`, so a sketch drifting
-    * outside its accuracy contract fails the hash check. The exact twins
-    * q13/q20 carry the full value checks; this query pins the sketches'
-    * error bounds. */
-  def approxStats(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val joined = lineitem
+    * One partial-aggregated pass: every aggregate is a mergeable sketch or
+    * a plain count/min/max, so map-side combine shrinks the shuffle to one
+    * row per (partition, priority). Do NOT add exact `percentile` or
+    * `count_distinct` here: mixing them in plans a non-codegen sort
+    * aggregate over the distinct-expand (measured 74 s vs ~2 s at sf0.1).
+    *
+    * Sketch VALUES are engine-specific, so the driver's q22 entry wraps
+    * this operator in a verification harness — exact twins + rank-bound
+    * checks surfaced as booleans the DuckDB oracle pins to `true`; see
+    * `SparkEntry.queries("q22_approx_stats")`. The exact value checks live
+    * in q13/q20. */
+  def approxStats(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    approxStatsOf(lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"), col("l_orderkey"), col("l_partkey"),
-        col("o_totalprice"))
-    // Separate passes over one persisted frame, joined on the 5-row group
-    // key: mixing exact `percentile` + two count_distincts + sketches in
-    // ONE aggregate plans a non-codegen sort aggregate over the distinct
-    // expand (measured 74 s at sf0.1); split, each pass is a plain
-    // partial-agg (or window-rank) plan and the query is a few seconds.
-    Caching.withPersisted(joined) {
-      val sketches = joined.groupBy(col("o_orderpriority"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"),
-          approx_count_distinct(col("l_orderkey")).as("ao"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-            .as("am"))
-      // exact distinct counts via two-level aggregation (dedup pass, then
-      // count) — no distinct-expand, partial aggregation on both levels
-      def exactDistinct(c: String, as: String) = joined
-        .groupBy(col("o_orderpriority"), col(c)).agg(count(lit(1)))
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as(as))
-      val eo = exactDistinct("l_orderkey", "eo")
-      val ep = exactDistinct("l_partkey", "ep")
-      // Quantile contract checked by RANK, not by value: percentile_approx
-      // guarantees rank error ≤ n/accuracy, so count how many rows fall on
-      // each side of the returned value and require the true median rank
-      // inside [c_lt, c_le] up to 0.005·n (5× the 1/1000-accuracy bound).
-      // This is a plain codegen'd aggregate — unlike a per-group window
-      // sort, whose parallelism equals the group count (5 sort tasks at
-      // 100 TB) and which was the one non-scalable stage in this query.
-      // sk is materialized (5 rows) so referencing `am` twice doesn't
-      // re-run the sketch pass.
-      val sk = Caching.materialize(sketches)
-      val medCheck = joined
-        .join(broadcast(sk.select(col("o_orderpriority"), col("am"))),
-          Seq("o_orderpriority"))
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          count(when(col("o_totalprice") < col("am"), 1)).as("c_lt"),
-          count(when(col("o_totalprice") <= col("am"), 1)).as("c_le"),
-          count(lit(1)).as("n"))
-        .select(col("o_orderpriority"),
-          (col("c_lt") <= col("n") * 0.505 &&
-            col("c_le") >= col("n") * 0.495).as("median_rank_ok"))
-      // Tolerances are 3× each sketch's rsd (HLL++ default 0.05 → 0.15;
-      // explicit 0.01 → 0.03) — measured max deviations across
-      // sf0.001/0.01/0.1 are 0.107 / 0.009, so each bound holds with ≥39%
-      // headroom while still failing on a genuinely broken sketch.
-      sk
-        .join(eo, Seq("o_orderpriority"))
-        .join(ep, Seq("o_orderpriority"))
-        .join(medCheck, Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("n_rows"),
-          col("min_price"), col("max_price"),
-          (abs(col("ao") - col("eo")) <= col("eo") * 0.15)
-            .as("approx_orders_ok"),
-          (abs(col("ap") - col("ep")) <= col("ep") * 0.03)
-            .as("approx_parts_ok"),
-          (col("am").between(col("min_price"), col("max_price")) &&
-            col("median_rank_ok"))
-            .as("approx_median_ok"))
-    }
-  }
+        col("o_totalprice")))
+
+  /** [[approxStats]] over a PRE-JOINED frame — the pipeline form for
+    * callers that already materialized the orders⋈lineitem join (q22's
+    * verification harness shares one persisted join across this pass and
+    * its exact twins). */
+  def approxStatsOf(joined: DataFrame): DataFrame =
+    joined
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
 
   /** Pivot via conditional aggregation: order count per status × priority
     * (columns fixed so schema is static — the scalable form of pivot). */

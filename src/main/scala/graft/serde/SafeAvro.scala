@@ -28,6 +28,17 @@ object SafeAvro {
 
   val MagicByte: Byte = 0x0
 
+  /** Parsed-reader-schema cache, keyed by schema JSON. `decode` runs once
+    * per RECORD on the executor hot path; re-parsing the identical reader
+    * JSON per record would dominate decode cost at stream rates. Per-JVM
+    * (object state), so each executor parses each reader schema once. */
+  private val readerSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+
+  private def parsedReader(json: String): Schema =
+    readerSchemaCache.computeIfAbsent(json,
+      j => new Schema.Parser().parse(j))
+
   /** Resolve a writer schema from a Confluent schema id. */
   trait SchemaResolver extends Serializable {
     def resolve(schemaId: Int): Schema
@@ -50,7 +61,7 @@ object SafeAvro {
       require(bytes(0) == MagicByte, s"unknown magic byte ${bytes(0)}")
       val schemaId = ByteBuffer.wrap(bytes, 1, 4).getInt
       val writer = resolver.resolve(schemaId)
-      val reader = new Schema.Parser().parse(readerSchemaJson)
+      val reader = parsedReader(readerSchemaJson)
       val datumReader = new GenericDatumReader[GenericRecord](writer, reader)
       val decoder = DecoderFactory.get()
         .binaryDecoder(bytes, 5, bytes.length - 5, null)

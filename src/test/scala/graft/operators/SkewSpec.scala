@@ -75,22 +75,24 @@ class SkewSpec extends SparkSpec {
         (i.toLong, s"c${i}a c${i}b c${i}c c${i}d c${i}e c${i}f c${i}g c${i}h")))
       .toDF("doc_id", "text")
 
-    val rolled = LlmText.rolledWindows(docs)
+    // assert on the EXACT frame spanDedup joins (spanWindowCounts), not a
+    // spec-local reconstruction — a regression that joins the shared-hash
+    // table against raw exploded occurrences changes this frame and fails
+    val rawHot = LlmText.rolledWindows(docs)
       .select(col("doc_id"), explode(col("roll")).as("h"))
-    val pre = rolled.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist()
+      .groupBy(col("h")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val pre = LlmText.spanWindowCounts(docs).persist()
     try {
-      // exactly one row per (doc, h) — the hot partition is bounded by docs
-      assert(pre.count() ==
-        pre.select(col("doc_id"), col("h")).distinct().count())
-      val rawHot = rolled.groupBy(col("h")).count()
-        .agg(max(col("count"))).head().getLong(0)
       val preHot = pre.groupBy(col("h")).count()
         .agg(max(col("count"))).head().getLong(0)
       assert(preHot <= 50, s"hot span rows after pre-agg = $preHot (docs=50)")
       assert(rawHot >= 9 * preHot,
         s"fixture must be genuinely skewed: raw=$rawHot pre=$preHot")
+      // the occurrence mass survives in `cnt`, so the pre-agg loses nothing
+      assert(pre.agg(sum(col("cnt"))).head().getLong(0) ==
+        LlmText.rolledWindows(docs)
+          .select(explode(col("roll"))).count())
     } finally pre.unpersist()
 
     // end-to-end: boilerplate-heavy docs flagged, unique docs untouched

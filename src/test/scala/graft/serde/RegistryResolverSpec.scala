@@ -168,6 +168,31 @@ class RegistryResolverSpec extends SparkSpec {
     } finally reg.stop()
   }
 
+  test("fromConf honors basic.auth.credentials.source semantics") {
+    val reg = new FakeRegistry(Map(1 -> readerJson),
+      requireUserInfo = Some("u:p"))
+    try {
+      val base = GraftConf(applicationId = "a", schemaRegistryUrl = reg.url)
+      val viaUserInfo = RegistryResolver.fromConf(
+        base.copy(schemaRegistryBasicAuthUserInfo = "u:p"))
+      assert(viaUserInfo.resolve(1).getName == "T")
+
+      val viaUrl = RegistryResolver.fromConf(base.copy(
+        schemaRegistryUrl = reg.url.replace("http://", "http://u:p@"),
+        basicAuthCredentialsSource = "URL"))
+      assert(viaUrl.resolve(1).getName == "T")
+
+      val viaSasl = RegistryResolver.fromConf(base.copy(
+        basicAuthCredentialsSource = "SASL_INHERIT",
+        saslJaasConfig = "org.apache.kafka.common.security.plain." +
+          "PlainLoginModule required username=\"u\" password=\"p\";"))
+      assert(viaSasl.resolve(1).getName == "T")
+
+      intercept[IllegalArgumentException](RegistryResolver.fromConf(
+        base.copy(basicAuthCredentialsSource = "BOGUS")))
+    } finally reg.stop()
+  }
+
   test("register assigns an id that resolve can fetch back") {
     val reg = new FakeRegistry(Map.empty)
     try {
