@@ -38,25 +38,83 @@ object Temporal {
 
   /** Exact median of order totalprice per priority (q20). Approximate
     * percentiles (HLL-style sketches) are the 100 TB default, but their
-    * values are engine-specific; this is the deterministic exact form:
-    * rank with row_number, average the middle one or two values through
-    * DECIMAL so the result is bit-stable. */
-  def exactMedian(orders: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val n = Window.partitionBy(col("o_orderpriority"))
-    val ranked = orders
+    * values are engine-specific; this is the deterministic exact form,
+    * averaging the middle one or two order statistics through DECIMAL so
+    * the result is bit-stable.
+    *
+    * Scale-adaptive rank plan: a plain `Window.partitionBy(priority)`
+    * sorts each group in ONE task — 5 tasks total at any scale, the
+    * classic low-cardinality window trap. The rows are range-partitioned
+    * on (priority, price, key) and the per-cell (partition × group) count
+    * table is collected (bounded driver state, same contract as
+    * [[Relational.equiDepthHistogram]]); with group sizes in hand the
+    * driver picks the plan:
+    *   - every group ≤ `maxSingleSortRows`: one rank window per group —
+    *     fewest stages, each sort task bounded;
+    *   - any group larger: two-phase global rank — offsets from the cell
+    *     table, rank windows per (partition, group), parallelism
+    *     `partitions × groups`.
+    * Both paths are exact and bit-identical (same middle-statistics
+    * average through DECIMAL). */
+  def exactMedian(orders: DataFrame, partitions: Int = 32,
+      maxSingleSortRows: Long = 1L << 21): DataFrame = {
+    val base = orders
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(n))
-    ranked
-      .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long") ||
-        col("rn") === floor((col("cnt") + 2) / 2).cast("long"))
+    val spark = base.sparkSession
+    // one narrow partial-aggregated count per group (bounded driver state:
+    // one row per group) decides the plan and fixes the target ranks
+    val groupN = base.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // target ranks: middle one (odd n) or two (even n) per group
+    val targets = groupN.toSeq.sortBy(_._1).flatMap { case (g, n) =>
+      Seq((n + 1) / 2, (n + 2) / 2).distinct.map(k => (g, k, n))
+    }
+    val tgtDf = broadcast(
+      spark.createDataFrame(targets).toDF("o_orderpriority", "grnk", "n"))
+    def medianOfRanked(ranked: DataFrame): DataFrame = ranked
+      .join(tgtDf, Seq("o_orderpriority", "grnk"))
       .groupBy(col("o_orderpriority"))
       .agg(
         (Relational.dsum(col("o_totalprice")) / count(lit(1)))
           .as("median_price"),
-        first(col("cnt")).as("n_orders"))
+        first(col("n")).as("n_orders"))
+    if (groupN.values.forall(_ <= maxSingleSortRows)) {
+      // every group fits one task's sort: single rank window, no extra
+      // shuffle or persist
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      medianOfRanked(
+        base.withColumn("grnk", row_number().over(w).cast("long")))
+    } else {
+      // two-phase global rank: range-partition, per-cell counts give each
+      // (partition, group) its global-rank offset, rank windows run per
+      // (partition, group) — parallelism partitions × groups
+      val sortKeys =
+        Seq(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      val parted = base.repartitionByRange(partitions, sortKeys: _*)
+        .withColumn("pid", spark_partition_id())
+      Caching.withPersisted(parted) {
+        val cells = parted
+          .groupBy(col("pid"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cn"))
+          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val offsets = for {
+          g <- groupN.keys.toSeq.sorted; p <- 0 until partitions
+        } yield {
+          val off = (0 until p).map(q => cells.getOrElse((q, g), 0L)).sum
+          (p, g, off)
+        }
+        val offDf = broadcast(spark.createDataFrame(offsets)
+          .toDF("pid", "o_orderpriority", "off"))
+        val w = Window.partitionBy(col("pid"), col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        medianOfRanked(parted
+          .join(offDf, Seq("pid", "o_orderpriority"))
+          .withColumn("grnk", col("off") + row_number().over(w)))
+      }
+    }
   }
 
   /** Range join (q24): for each event, how many events of the same type

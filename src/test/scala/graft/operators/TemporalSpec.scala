@@ -33,6 +33,13 @@ class TemporalSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(out("HIGH") == (25.0, 4L)) // avg(20, 30)
     assert(out("LOW") == (7.0, 3L))   // middle of 3
+
+    // the two-phase global-rank path (forced: every group > 1 row) must be
+    // bit-identical to the single-window path
+    val twoPhase = Temporal.exactMedian(orders, maxSingleSortRows = 1L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(twoPhase == out)
   }
 
   test("asofJoin picks the latest order at or before each event") {
