@@ -151,6 +151,7 @@ object SparkEntry {
     "x9_vocab_oov" -> ((s, d) => LlmText.vocabOov(T.documents(s, d), 16)),
     "x10_bm25" -> ((s, d) =>
       LlmText.bm25(T.documents(s, d), Seq("data", "query", "fast"))),
+    "x17_bigram_lm" -> ((s, d) => LlmText.bigramLm(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -662,6 +663,22 @@ object SparkEntry {
         | FROM s GROUP BY doc_id)
         |SELECT doc_id, score FROM p
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x17_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |b AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM t WHERE len(w) >= 2),
+        |cb AS (SELECT bigram, count(*) AS cb FROM b GROUP BY 1),
+        |cw AS (SELECT split_part(bigram,' ',1) AS w1, count(*) AS cw FROM b GROUP BY 1),
+        |v AS (SELECT count(*) AS vsz FROM cw),
+        |lp AS (SELECT doc_id,
+        |  CAST(round(ln((cb + CAST(1 AS DOUBLE)) / CAST(cw + vsz AS DOUBLE)), 5)
+        |    AS DECIMAL(18,6)) AS lp
+        |  FROM b JOIN cb USING (bigram)
+        |  JOIN cw ON split_part(b.bigram,' ',1) = cw.w1 CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+        |FROM lp GROUP BY doc_id""".stripMargin,
     "x11_pii_redact" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example.com'

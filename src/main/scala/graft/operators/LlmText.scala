@@ -718,4 +718,55 @@ object LlmText {
           .orderBy(col("tfidf").desc, col("term"))))
     }
   }
+
+  /** Bigram language-model fluency scoring (x17): train an add-one-smoothed
+    * bigram LM on the corpus itself and score every document by its average
+    * bigram log-probability — the CCNet/KenLM-style quality signal ("does
+    * this doc read like the corpus?") with the model reduced to count
+    * tables. p(w2|w1) = (c(w1 w2) + 1) / (ctx(w1) + V), where ctx(w1) is
+    * w1's occurrence count as a bigram context and V the number of distinct
+    * contexts — both derived from the SAME exploded bigram stream, so the
+    * corpus is tokenized exactly once (persisted across the three
+    * aggregates). Docs under 2 tokens have no bigrams and are excluded.
+    *
+    * Determinism: each bigram's log-probability is rounded to 5 decimals
+    * and summed through DECIMAL, so the per-doc average is independent of
+    * partition order and of sub-ulp libm differences between engines.
+    *
+    * 100 TB shape: the bigram explode is a narrow map; both count tables
+    * partial-aggregate map-side before their shuffles; scoring is two
+    * equi-joins on (bigram, w1) — co-partitioned shuffles whose width is
+    * the corpus token count, never all-pairs; the vocab scalar broadcasts.
+    * At trillion-token scale the count tables themselves stay distributed
+    * (no driver collect anywhere). */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val docBi = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    Caching.withPersisted(docBi) {
+      val biCnt = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      val ctxCnt = docBi
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("cw"))
+      val vocab = ctxCnt.agg(count(lit(1)).as("vsz"))
+      val lp = round(
+        log((col("cb") + lit(1.0)) / (col("cw") + col("vsz")).cast("double")),
+        5).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      docBi
+        .join(biCnt, Seq("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(ctxCnt, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("lp_sum").cast("double") / col("n_bigrams"))
+            .as("avg_logprob"))
+    }
+  }
 }

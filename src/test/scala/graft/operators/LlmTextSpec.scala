@@ -299,4 +299,19 @@ class LlmTextSpec extends SparkSpec {
     assert(out.keys.forall { case (_, b) => b >= 0 && b < 64 })
     assert(out.collect { case ((d, _), n) if d == 1L => n }.sum == 3L)
   }
+
+  test("bigramLm: add-one smoothed corpus model, single-token docs excluded") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = LlmText.bigramLm(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus bigrams: "a b"x3, "b a"x1; ctx a=3, b=1; V=2
+    // p(a b)=(3+1)/(3+2)=0.8 -> round(ln,5)=-0.22314
+    // p(b a)=(1+1)/(1+2)     -> round(ln,5)=-0.40547
+    assert(!out.contains(3L)) // one token, no bigrams
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - -0.22314) < 1e-9)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (-0.22314 * 2 + -0.40547) / 3) < 1e-9)
+  }
 }
