@@ -257,6 +257,8 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
     "s4_range_search" -> ((s, d) => Similarity.rangeSearch(T.embeddings(s, d))),
+    "s5_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(T.documents(s, d), T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
@@ -854,6 +856,32 @@ object SparkEntry {
         |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
         | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, cos FROM p WHERE cos >= 0.3""".stripMargin,
+    "s5_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_distinct(string_split(text,' '))) AS term FROM documents),
+        |q AS (SELECT doc_id AS query_id, term FROM t WHERE doc_id % 100 = 0),
+        |o AS (SELECT query_id, t.doc_id, count(*) AS ovl
+        |  FROM q JOIN t USING (term) WHERE t.doc_id <> query_id GROUP BY 1, 2),
+        |lr AS (SELECT query_id, doc_id, rank_l FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ovl DESC, doc_id) AS rank_l
+        |  FROM o) WHERE rank_l <= 20),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |vr AS (SELECT query_id, neighbor_id AS doc_id, rank_v FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank_v
+        |  FROM p) WHERE rank_v <= 20)
+        |SELECT COALESCE(lr.query_id, vr.query_id) AS query_id,
+        |  COALESCE(lr.doc_id, vr.doc_id) AS doc_id,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + rank_l), 0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_v), 0) AS rrf_score
+        |FROM lr FULL OUTER JOIN vr
+        |  ON lr.query_id = vr.query_id AND lr.doc_id = vr.doc_id""".stripMargin,
     "c1_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
         |  CAST(list_reduce(list_transform(range(1, 8), c ->

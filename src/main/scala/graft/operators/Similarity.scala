@@ -259,4 +259,46 @@ object Similarity {
       topKPerQuery(rescored(cand, v), k)
     }
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (s5): fuse a lexical
+    * ranking (distinct-token overlap with the query document) and a vector
+    * ranking (exact cosine top-k, [[knnBruteForce]]) into one RRF score,
+    * `sum(1 / (c + rank))` over the lists a doc appears in — the standard
+    * fusion step of a retrieval-augmented curation pipeline ("find docs like
+    * these seeds, lexically OR semantically"). Queries are the `% 100 == 0`
+    * id set shared with s1–s4; `documents` and `embeddings` align on id.
+    *
+    * 100 TB shape: the query token set is tiny and broadcast, so the
+    * lexical side is a broadcast join + count aggregate (corpus never
+    * shuffles wide); both rankings reduce to k·q rows through the heap
+    * top-k operator before the full-outer fusion join, which is therefore
+    * k·q-sized — the corpus-scale work is two narrow scans. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+      k: Int = 20, rrfC: Int = 60): DataFrame = {
+    val toks = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"),
+        explode(array_distinct(LlmText.words(col("text")))).as("term"))
+    val qtoks = toks.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val ovl = broadcast(qtoks)
+      .join(toks, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ovl"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("ovl").desc, col("doc_id"))
+    val lexRank = graft.plans.TopK
+      .perKey(ovl, Seq(col("query_id")), Seq(col("ovl").desc, col("doc_id")), k)
+      .withColumn("rank_l", row_number().over(wl))
+      .select(col("query_id"), col("doc_id"), col("rank_l"))
+    val vecRank = knnBruteForce(embeddings, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_v"))
+    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfC) + col("rank_l")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("rank_v")), lit(0.0)))
+          .as("rrf_score"))
+  }
 }

@@ -144,4 +144,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._2 == 1.0)
     assert(math.abs(out(1)._2 - math.sqrt(0.5)) < 1e-12)
   }
+
+  test("hybridRrf fuses lexical and vector ranks reciprocally") {
+    // doc 1 matches the query both lexically and by vector; doc 2 only by
+    // vector (disjoint text); doc 3 only lexically (orthogonal vector).
+    val docs = Seq(
+      (0L, "alpha beta gamma"),  // the query doc (0 % 100 == 0)
+      (1L, "alpha beta delta"),  // 2 shared tokens → lex rank 1
+      (2L, "zeta eta theta"),    // 0 shared tokens → lexically absent
+      (3L, "alpha epsilon mu"))  // 1 shared token → lex rank 2
+      .toDF("doc_id", "text")
+    val vecsDf = Seq(
+      (0L, vec(0 -> 1f), 0),
+      (1L, vec(0 -> 2f), 0),               // cos 1   → vec rank 1
+      (2L, vec(0 -> 1f, 1 -> 1f), 0),      // cos .71 → vec rank 2
+      (3L, vec(1 -> 1f), 0))               // cos 0   → vec rank 3
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hybridRrf(docs, vecsDf, k = 3)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1L) - (1.0 / 61 + 1.0 / 61)) < 1e-12) // both lists
+    assert(math.abs(out(2L) - 1.0 / 62) < 1e-12)              // vector only
+    assert(math.abs(out(3L) - (1.0 / 62 + 1.0 / 63)) < 1e-12) // lex 2, vec 3
+  }
 }
