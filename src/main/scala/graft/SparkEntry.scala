@@ -240,6 +240,8 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
     }),
+    "c14_semdedup" -> ((s, d) =>
+      Dedup.semDedup(T.documents(s, d), T.embeddings(s, d))),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -1218,6 +1220,23 @@ object SparkEntry {
         |   sqrt(list_reduce(list_transform(range(1,65), i -> b.x[i] * b.x[i]), (p,q) -> p + q))) AS cos
         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+    "c14_semdedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_transform(range(1,65), i -> a.x[i] * b.x[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.x[i] * a.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> b.x[i] * b.x[i]), (p,q) -> p + q))) AS cos
+        | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |e AS (SELECT vec_a AS a, vec_b AS b FROM p WHERE cos >= 0.4),
+        |ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
+        |c AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc)
+        |SELECT d.doc_id, COALESCE(c.lab, d.doc_id) AS cluster_rep,
+        |  COALESCE(c.lab, d.doc_id) = d.doc_id AS keep
+        |FROM documents d LEFT JOIN c ON c.doc = d.doc_id""".stripMargin,
     "d6_source_sketch" ->
       """WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, source,

@@ -602,4 +602,29 @@ object Dedup {
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (c14): resolve [[embeddingDedup]]'s
+    * cosine near-dup pairs into per-document keep/drop decisions — group
+    * semantically-identical docs into components and keep one representative
+    * (the minimum id) per component. Docs without any near-dup keep
+    * themselves. This is the embedding-space twin of the MinHash pipeline
+    * (d7 → d8): same component machinery, different similarity generator —
+    * the "prune semantic duplicates before training" pass of
+    * Abbas et al.'s SemDeDup, with the cluster step expressed as the
+    * label-blocked pair join + CC instead of a k-means partition.
+    *
+    * 100 TB shape: inherits embeddingDedup's salted label-blocked join (no
+    * all-pairs product) and connectedComponents' O(log diameter) rounds;
+    * the final decision join is a doc_id equi-join. */
+  def semDedup(documents: DataFrame, embeddings: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val pairs = embeddingDedup(embeddings, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = connectedComponents(pairs)
+    documents.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("doc"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_rep"),
+        (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
 }

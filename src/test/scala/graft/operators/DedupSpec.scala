@@ -232,4 +232,26 @@ class DedupSpec extends SparkSpec {
     // srcC shares nothing → its pairs are omitted entirely
     assert(out.keySet == Set(("srcA", "srcB")))
   }
+
+  test("semDedup keeps one representative per semantic component") {
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // 1 and 2 are co-directional (cos 1, same label) → one component;
+    // 3 is orthogonal → singleton; 4 matches 1's direction but a different
+    // label blocks the pair (cluster-local dedup by design).
+    val emb = Seq(
+      (1L, vec(0 -> 1f), 0), (2L, vec(0 -> 2f), 0),
+      (3L, vec(1 -> 1f), 0), (4L, vec(0 -> 3f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.semDedup(docs, emb, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false),
+      3L -> (3L, true), 4L -> (4L, true)))
+  }
 }
