@@ -184,6 +184,12 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
+    "c15_decontaminate_bloom" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -1078,6 +1084,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
         |  FROM t) WHERE rn <= 10""".stripMargin,
     "c6_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |cor AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS shared
+        |  FROM cor JOIN bench USING(g) GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  COALESCE(ov.shared, 0) AS n_shared,
+        |  COALESCE(ov.shared, 0) >= 3 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // c15 is the bloom-prefiltered physical form of c6 — the sketch only
+    // prunes, the exact join confirms, so the oracle is the same plain SQL
+    "c15_decontaminate_bloom" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s

@@ -193,6 +193,34 @@ object Curation {
         (coalesce(col("shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination (c15): same contract as
+    * [[decontaminate]], different 100 TB posture. c6 broadcasts the
+    * benchmark's distinct shingle ROWS — right while the suite fits the
+    * broadcast threshold, impossible when the held-out set is itself
+    * corpus-sized (e.g. decontaminating one crawl snapshot against
+    * another). Here only a ~MB Bloom sketch of the shingle fingerprints
+    * ships with the task binary; corpus shingles are pruned at scan
+    * parallelism BEFORE any shuffle, and the exact equi-join over the few
+    * survivors removes the false positives — results are identical to c6
+    * (the oracle is the same plain-join SQL). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int = 3): DataFrame = {
+    val bsh = benchmark
+      .select(explode(LlmText.shingles(col("text"))).as("bsh"))
+      .distinct()
+    val overlap = Relational.bloomPrefilteredJoin(
+        corpus.select(col("doc_id"),
+          explode(LlmText.shingles(col("text"))).as("sh")),
+        bsh, "sh", "bsh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    corpus.select(col("doc_id"), col("source"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Leakage-safe train/val/test split (c3): every document is assigned a
     * split by hashing its near-dup cluster representative (its own id when
     * it has no near-dups), so near-duplicate documents can never straddle

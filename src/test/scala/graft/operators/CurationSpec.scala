@@ -97,6 +97,21 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("decontaminateBloom matches the broadcast form row-for-row") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon", "en", "a"),
+      (2L, "alpha beta gamma nothing else here", "en", "a"),
+      (3L, "completely different words entirely now", "en", "a"),
+      (4L, "xy", "en", "a"))
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta", "en", "b"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // the sketch only prunes; the exact join confirms — bit-identical output
+    assert(asMap(Curation.decontaminateBloom(corpus, bench, minShared = 3)) ==
+      asMap(Curation.decontaminate(corpus, bench, minShared = 3)))
+  }
+
   test("leakageSafeSplit keeps near-dup clusters in one split") {
     // two exact near-dup families plus unrelated docs
     val family = "alpha beta gamma delta epsilon zeta eta theta"
