@@ -190,6 +190,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
+    "c16_shuffle_shard" -> ((s, d) => Curation.shuffleShard(T.documents(s, d))),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -1113,6 +1114,20 @@ object SparkEntry {
         |  COALESCE(ov.shared, 0) >= 3 AS contaminated
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    "c16_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('shard:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('shard:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('shard:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS sh,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('ord:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('ord:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('ord:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS sort_key
+        | FROM documents)
+        |SELECT doc_id, sh % 8 AS shard, sort_key FROM h""".stripMargin,
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,

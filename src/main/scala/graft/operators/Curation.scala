@@ -221,6 +221,39 @@ object Curation {
         (coalesce(col("shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Deterministic global shuffle + shard assignment (c16): the export step
+    * of a training pipeline — every document gets a pseudorandom shard and a
+    * pseudorandom within-shard sort key, both pure functions of its id, so
+    * the "shuffled" training order is reproducible run-over-run and
+    * resumable mid-export (no rand(), no zipWithIndex, no driver state).
+    * Independent hash prefixes keep shard choice and ordering uncorrelated
+    * with each other and with the sampling gates (c1/c3).
+    *
+    * This is the 100 TB answer to "shuffle the corpus": a global sort by
+    * random key would be one giant range-exchange; hash-assigning shard and
+    * order is a narrow projection, and [[writeShuffledShards]] turns it
+    * into files with one range-partitioned exchange whose keys are already
+    * uniform (no skew by construction). */
+  def shuffleShard(documents: DataFrame, shards: Int = 8): DataFrame =
+    documents.select(col("doc_id"),
+      pmod(hash28("shard:", col("doc_id")), lit(shards)).as("shard"),
+      hash28("ord:", col("doc_id")).as("sort_key"))
+
+  /** Physical form of [[shuffleShard]]: materialize the corpus as
+    * `shard=N/` parquet directories, each file sorted by the shuffle key.
+    * Range-partitioning on (shard, sort_key) makes every shard a contiguous
+    * run of output partitions, so a shard's global order is the
+    * partition-index order of its files — and the uniform keys mean the
+    * exchange cannot skew. */
+  def writeShuffledShards(documents: DataFrame, path: String,
+      shards: Int = 8): Unit =
+    documents
+      .withColumn("shard", pmod(hash28("shard:", col("doc_id")), lit(shards)))
+      .withColumn("sort_key", hash28("ord:", col("doc_id")))
+      .repartitionByRange(shards, col("shard"), col("sort_key"))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Leakage-safe train/val/test split (c3): every document is assigned a
     * split by hashing its near-dup cluster representative (its own id when
     * it has no near-dups), so near-duplicate documents can never straddle

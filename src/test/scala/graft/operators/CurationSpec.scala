@@ -112,6 +112,30 @@ class CurationSpec extends SparkSpec {
       asMap(Curation.decontaminate(corpus, bench, minShared = 3)))
   }
 
+  test("shuffleShard is a deterministic permutation; the writer round-trips it") {
+    val d = docs((0L to 49L).map(i => (i, s"doc $i text", "en", "a")): _*)
+    val assign = Curation.shuffleShard(d, shards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(assign.keySet == (0L to 49L).toSet)
+    assert(assign.values.forall { case (s, _) => s >= 0 && s < 4 })
+    assert(assign.values.map(_._1).toSet.size > 1, "docs spread over shards")
+    // run-over-run determinism: same ids → same shards and sort keys
+    assert(Curation.shuffleShard(d, shards = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == assign)
+
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      Curation.writeShuffledShards(d, dir, shards = 4)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 50)
+      val byShard = back.select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+      // partitionBy directories carry the same assignment as the query form
+      assert(byShard == assign.map { case (id, (s, _)) => id -> s })
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("leakageSafeSplit keeps near-dup clusters in one split") {
     // two exact near-dup families plus unrelated docs
     val family = "alpha beta gamma delta epsilon zeta eta theta"
