@@ -152,6 +152,7 @@ object SparkEntry {
     "x10_bm25" -> ((s, d) =>
       LlmText.bm25(T.documents(s, d), Seq("data", "query", "fast"))),
     "x17_bigram_lm" -> ((s, d) => LlmText.bigramLm(T.documents(s, d))),
+    "x18_gopher_rules" -> ((s, d) => LlmText.gopherRules(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -690,6 +691,30 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
         |FROM lp GROUP BY doc_id""".stripMargin,
+    "x18_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text,' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w) AS n_words,
+        |  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / len(w) AS symbol_ratio,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+        |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_frac,
+        |  len(list_intersect(list_distinct(w),
+        |    ['the','a','of','and','to','in','is','that'])) AS n_stopwords
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+        |  dup_frac, n_stopwords,
+        |  n_words >= 20 AND n_words <= 80 AS rule_word_count,
+        |  mean_word_len >= 4.0 AND mean_word_len <= 5.0 AS rule_word_len,
+        |  symbol_ratio <= 0.1 AS rule_symbol_ratio,
+        |  alpha_frac >= 0.8 AS rule_alpha_frac,
+        |  dup_frac <= 0.5 AS rule_dup_frac,
+        |  n_stopwords >= 2 AS rule_stopwords,
+        |  n_words >= 20 AND n_words <= 80
+        |    AND mean_word_len >= 4.0 AND mean_word_len <= 5.0
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |    AND dup_frac <= 0.5 AND n_stopwords >= 2 AS pass
+        |FROM m""".stripMargin,
     "x11_pii_redact" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example.com'

@@ -153,6 +153,49 @@ object LlmText {
       (score >= 0.5).as("is_quality"))
   }
 
+  /** Gopher-style rule filter (x18): the published-heuristic counterpart of
+    * x3's composite score — each document is judged by NAMED structural
+    * rules (word-count bounds, mean-word-length bounds, symbol ratio,
+    * alphabetic-word fraction, duplicate-word fraction, stopword presence)
+    * with the per-rule verdicts exposed as columns, so a curation run can
+    * report WHICH rule rejected each document, not just that one did
+    * (the Gopher/Dolma filter-ledger shape). Thresholds default to values
+    * meaningful for the synthetic corpus; production corpora pass their
+    * own. All measures are counts and ratios in fixed expression trees —
+    * no transcendentals — so values are bit-stable across engines. Pure
+    * projection: runs at scan speed, no shuffle at any corpus size. */
+  def gopherRules(documents: DataFrame,
+      minWords: Int = 20, maxWords: Int = 80,
+      minMwl: Double = 4.0, maxMwl: Double = 5.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      maxDupFrac: Double = 0.5, minStopwords: Int = 2): DataFrame = {
+    val ws = words(col("text"))
+    val n = size(ws)
+    val mwl = (length(col("text")) - (n - 1)).cast("double") / n
+    val symRatio =
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("double") / n
+    val alphaFrac =
+      size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") / n
+    val dupFrac = lit(1.0) - size(array_distinct(ws)).cast("double") / n
+    val nStop = size(array_intersect(
+      array_distinct(ws), array(StopEn.map(lit): _*)))
+    val rWords = n >= minWords && n <= maxWords
+    val rMwl = mwl >= minMwl && mwl <= maxMwl
+    val rSym = symRatio <= maxSymbolRatio
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rDup = dupFrac <= maxDupFrac
+    val rStop = nStop >= minStopwords
+    documents.select(
+      col("doc_id"), n.as("n_words"), mwl.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      dupFrac.as("dup_frac"), nStop.as("n_stopwords"),
+      rWords.as("rule_word_count"), rMwl.as("rule_word_len"),
+      rSym.as("rule_symbol_ratio"), rAlpha.as("rule_alpha_frac"),
+      rDup.as("rule_dup_frac"), rStop.as("rule_stopwords"),
+      (rWords && rMwl && rSym && rAlpha && rDup && rStop).as("pass"))
+  }
+
   /** Rabin–Karp rolling-hash parameters: H(w1..w4) = ((v1·B + v2)·B + v3)·B
     * + v4 (mod P), each step reduced mod P so the widest product is
     * (P-1)·B + 2^28 < 2^38 — overflow-free in both engines. */

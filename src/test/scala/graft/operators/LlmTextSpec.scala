@@ -314,4 +314,24 @@ class LlmTextSpec extends SparkSpec {
     assert(out(1L)._1 == 3L)
     assert(math.abs(out(1L)._2 - (-0.22314 * 2 + -0.40547) / 3) < 1e-9)
   }
+
+  test("gopherRules reports per-rule verdicts and the conjunction") {
+    val docs = Seq(
+      // 5 words, mwl=4.2, no symbols, all alpha, no dups, 2 stopwords
+      (1L, "the whale is quite large"),
+      (2L, "the the the the the"),      // dup_frac 0.8 → rule_dup_frac fails
+      (3L, "ab cd"))                    // 2 words, 0 stopwords
+      .toDF("doc_id", "text")
+    val out = LlmText.gopherRules(docs,
+      minWords = 3, maxWords = 10, minMwl = 1.0, maxMwl = 8.0,
+      maxSymbolRatio = 0.1, minAlphaFrac = 0.8, maxDupFrac = 0.5,
+      minStopwords = 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, f: String) = out(id).getBoolean(out(id).fieldIndex(f))
+    assert(b(1L, "pass"))
+    assert(!b(2L, "rule_dup_frac") && !b(2L, "pass"))
+    assert(b(2L, "rule_word_count"), "dup doc fails ONLY the dup rule gate")
+    assert(!b(3L, "rule_word_count") && !b(3L, "rule_stopwords") && !b(3L, "pass"))
+    assert(out(1L).getInt(out(1L).fieldIndex("n_words")) == 5)
+  }
 }
