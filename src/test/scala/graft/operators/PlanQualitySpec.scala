@@ -92,4 +92,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(joinAt >= 0 && probeAt > joinAt,
       s"probe must sit below the join in the plan tree:\n$p")
   }
+
+  test("c15: the bloom probe prunes corpus shingles below the overlap join") {
+    val p = plan("c15_decontaminate_bloom")
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("HashJoin")
+    assert(probeAt >= 0, s"bloom probe survived planning:\n$p")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe must sit below the confirm join:\n$p")
+  }
+
+  test("s5: the lexical side joins the query tokens as a broadcast") {
+    val p = plan("s5_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKPerKey"), s"lex ranking must heap-reduce:\n$p")
+  }
+
+  test("x18/c16: pure projections — no exchange anywhere in the plan") {
+    assert(!plan("x18_gopher_rules").contains("Exchange"))
+    assert(!plan("c16_shuffle_shard").contains("Exchange"))
+  }
+
+  // x17 routes through Caching.withPersisted and returns an eagerly
+  // materialized frame (Scan ExistingRDD), so its internal plan is not
+  // inspectable here — same reason x7/s1-s3 have no pin.
 }
