@@ -70,4 +70,22 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on == off)
     assert(on.nonEmpty)
   }
+
+  test("hybridRrf is AQE-invariant (two rankings + full-outer fusion)") {
+    // doc 0 is the query (id % 100 == 0); overlap and cosine ranks both
+    // flow through joins AQE may re-plan; the fused scores must not move
+    val fdocs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "zeta eta theta"), (3L, "alpha epsilon mu"))
+      .toDF("doc_id", "text")
+    val fvecs = (0L to 3L).map { i =>
+      (i, Array.tabulate(64)(d => if (d == i % 4) 1f else 0.1f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    def run() = Similarity.hybridRrf(fdocs, fvecs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty)
+  }
 }
