@@ -263,6 +263,8 @@ object SparkEntry {
       graft.operators.VectorOps.randomProjection(T.embeddings(s, d))),
     "e5_pq_encode" -> ((s, d) =>
       graft.operators.VectorOps.pqEncode(T.embeddings(s, d))),
+    "e6_matryoshka" -> ((s, d) =>
+      graft.operators.VectorOps.matryoshkaTruncate(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
@@ -1550,6 +1552,15 @@ object SparkEntry {
         |s AS (SELECT dim, mu, ex2 - mu * mu AS vr FROM m)
         |SELECT vec_id, e.dim, (v - mu) / sqrt(vr + 1.0e-9) AS zscore
         |FROM e JOIN s ON e.dim = s.dim""".stripMargin,
+    "e6_matryoshka" ->
+      """WITH v AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:16] AS t FROM embeddings),
+        |n AS (SELECT vec_id, label, t,
+        |  sqrt(list_reduce(list_transform(range(1,17), i -> t[i] * t[i]),
+        |    (a,b) -> a + b)) AS nrm FROM v),
+        |dims AS (SELECT UNNEST(range(0, 16)) AS dim)
+        |SELECT vec_id, label, CAST(dim AS INT) AS dim,
+        |  t[dim + 1] / nrm AS mval
+        |FROM n CROSS JOIN dims""".stripMargin,
     "e5_pq_encode" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx

@@ -34,6 +34,25 @@ object VectorOps {
   /** Float-array column → exact double array (f32→f64 is lossless). */
   def asDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Matryoshka truncation (e6): keep the first `dims` coordinates and
+    * re-normalize to unit length — the MRL serving trick where a nested
+    * prefix of a trained embedding is a valid lower-dimensional embedding,
+    * cutting ANN storage and distance cost by dims/64 with a pure
+    * projection (no shuffle, no model). Long form (vec_id, label, dim,
+    * mval) like e1/e3 so every compared cell is a scalar double; the norm
+    * is the index-order fold the oracle mirrors. */
+  def matryoshkaTruncate(embeddings: DataFrame, dims: Int = 16,
+      vecCol: String = "embedding"): DataFrame = {
+    val t = slice(asDouble(col(vecCol)), 1, dims)
+    embeddings
+      .select(col("vec_id"), col("label"), t.as("t"))
+      .withColumn("nrm", sqrt(norm2(col("t"))))
+      .select(col("vec_id"), col("label"), col("nrm"),
+        posexplode(col("t")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        (col("v") / col("nrm")).as("mval"))
+  }
+
   /** Exact distributed per-group vector mean (e1): centroid of the
     * embedding column per group, in long form (group, dim, centroid value,
     * member count) — the aggregation at the heart of IVF training,

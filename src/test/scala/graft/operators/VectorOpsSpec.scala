@@ -127,4 +127,15 @@ class VectorOpsSpec extends SparkSpec {
     }
     assert(out.size == 2)
   }
+
+  test("matryoshkaTruncate keeps the prefix direction at unit length") {
+    import spark.implicits._
+    // first 4 dims (3,4,0,0) → norm 5 → (0.6, 0.8, 0, 0); tail ignored
+    val v = Array.fill(64)(0f); v(0) = 3f; v(1) = 4f; v(10) = 9f
+    val out = VectorOps.matryoshkaTruncate(
+      Seq((1L, v, 2)).toDF("vec_id", "embedding", "label"), dims = 4)
+      .collect().map(r => r.getInt(2) -> r.getDouble(3)).toMap
+    assert(out == Map(0 -> 0.6, 1 -> 0.8, 2 -> 0.0, 3 -> 0.0))
+    assert(math.abs(out.values.map(x => x * x).sum - 1.0) < 1e-12)
+  }
 }
