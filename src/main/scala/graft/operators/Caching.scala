@@ -50,11 +50,20 @@ object Caching {
     * cluster should set that conf, or clear the checkpoint dir between jobs
     * — otherwise per-round checkpoints accumulate unboundedly. */
   def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      try df.checkpoint(true)
-      finally df.unpersist(false)
-    } else df.localCheckpoint(true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      persistedCheckpoint(df)
+    else df.localCheckpoint(true)
+
+  /** The ONE copy of the single-compute reliable-checkpoint bracket:
+    * persist → checkpoint(eager) → unpersist. Both [[materialize]] and
+    * [[reliable]] route through it, so a future change to the bracket
+    * (like the sweep-predicate fix this pattern once needed) lands in one
+    * place and is covered by the one single-compute test. */
+  private def persistedCheckpoint(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try df.checkpoint(true)
+    finally df.unpersist(false)
+  }
 
   /** Persist `intermediates`, evaluate `result`, eagerly materialize it with
     * lineage truncation, release the intermediates. */
@@ -71,11 +80,7 @@ object Caching {
     * [[materialize]]) so the plan is computed exactly once. */
   def reliable(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-    try {
-      val r = result
-      r.persist(StorageLevel.MEMORY_AND_DISK)
-      try r.checkpoint(true)
-      finally r.unpersist(false)
-    } finally intermediates.foreach(_.unpersist(false))
+    try persistedCheckpoint(result)
+    finally intermediates.foreach(_.unpersist(false))
   }
 }

@@ -243,16 +243,24 @@ object Curation {
     * `shard=N/` parquet directories, each file sorted by the shuffle key.
     * Range-partitioning on (shard, sort_key) makes every shard a contiguous
     * run of output partitions, so a shard's global order is the
-    * partition-index order of its files — and the uniform keys mean the
+    * partition-index order of its files — for ANY partition count, which is
+    * why write parallelism (`numPartitions`, default the session's
+    * parallelism) is decoupled from the shard count: 8 shards of a 100 TB
+    * corpus must not mean 8 writer tasks. Uniform hash keys mean the range
     * exchange cannot skew. */
   def writeShuffledShards(documents: DataFrame, path: String,
-      shards: Int = 8): Unit =
+      shards: Int = 8, numPartitions: Int = 0): Unit = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else documents.sparkSession.sparkContext.defaultParallelism
     documents
       .withColumn("shard", pmod(hash28("shard:", col("doc_id")), lit(shards)))
       .withColumn("sort_key", hash28("ord:", col("doc_id")))
-      .repartitionByRange(shards, col("shard"), col("sort_key"))
+      .repartitionByRange(math.max(parts, shards),
+        col("shard"), col("sort_key"))
       .sortWithinPartitions(col("shard"), col("sort_key"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 
   /** Leakage-safe train/val/test split (c3): every document is assigned a
     * split by hashing its near-dup cluster representative (its own id when

@@ -28,17 +28,31 @@ import scala.collection.concurrent.TrieMap
   * contract). Callers outside a decode path should wrap `resolve`.
   *
   * Executor-side behavior: the class is Serializable (closed over by
-  * `Dataset.map` decode lambdas); the HTTP client and the id→schema cache
-  * are `@transient lazy`, so each executor JVM builds its own client and
-  * warms its own cache. Schema ids are immutable in the registry, so the
-  * cache needs no TTL or invalidation — each id is fetched at most once per
-  * executor lifetime, and a 1000-executor job issues at most
-  * `executors × distinct-ids` requests total, not one per record.
+  * `Dataset.map` decode lambdas). Spark deserializes the task closure PER
+  * TASK, so any per-instance cache would start empty on every task — a
+  * 200-partition micro-batch would issue 200× the fetches, forever. The
+  * id→schema cache is therefore JVM-GLOBAL on the companion, keyed by
+  * (registry root, credentials, id): every task-deserialized copy shares
+  * one executor-wide cache, and each id is fetched at most once per
+  * executor JVM — `executors × distinct-ids` requests total, like
+  * [[SafeAvro]]'s reader-schema cache. Schema ids are immutable in the
+  * registry, so entries need no TTL or invalidation. Credentials are part
+  * of the key so a mis-credentialed resolver never reads entries another
+  * resolver was authorized to fetch.
+  *
+  * FAILED resolutions are negatively cached with a backoff window
+  * (`failureBackoffMs`, default 60 s): a poison batch of unresolvable ids
+  * pays ONE synchronous round trip per id per window per JVM, not one per
+  * record — without this, each bad record would block a decode task for up
+  * to the full HTTP timeout while the error side is supposed to be cheap.
+  * Within the window the cached failure is rethrown immediately (original
+  * error as the cause), still routing to the error side with bytes intact.
   */
 final class RegistryResolver(
     baseUrl: String,
     basicAuthUserInfo: String = "",
-    requestTimeoutMs: Long = 30000L) extends SafeAvro.SchemaResolver {
+    requestTimeoutMs: Long = 30000L,
+    failureBackoffMs: Long = 60000L) extends SafeAvro.SchemaResolver {
 
   require(baseUrl != null && baseUrl.nonEmpty, "schema registry URL is empty")
   private val root = baseUrl.stripSuffix("/")
@@ -46,11 +60,37 @@ final class RegistryResolver(
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(requestTimeoutMs))
     .build()
-  @transient private lazy val cache = TrieMap.empty[Int, Schema]
   @transient private lazy val mapper = new ObjectMapper()
 
-  override def resolve(schemaId: Int): Schema =
-    cache.getOrElseUpdate(schemaId, fetchById(schemaId))
+  private def cacheKey(schemaId: Int) = (root, basicAuthUserInfo, schemaId)
+
+  override def resolve(schemaId: Int): Schema = {
+    val key = cacheKey(schemaId)
+    RegistryResolver.schemaCache.get(key) match {
+      case Some(s) => s
+      case None =>
+        RegistryResolver.failureAt.get(key) match {
+          case Some((at, cause))
+              if System.currentTimeMillis() - at < failureBackoffMs =>
+            throw new IllegalStateException(
+              s"schema id $schemaId resolve backing off " +
+                s"(failed < ${failureBackoffMs}ms ago): ${cause.getMessage}",
+              cause)
+          case _ =>
+            try {
+              val s = fetchById(schemaId)
+              RegistryResolver.failureAt.remove(key)
+              RegistryResolver.schemaCache.putIfAbsent(key, s)
+              RegistryResolver.schemaCache(key)
+            } catch {
+              case t: Throwable =>
+                RegistryResolver.failureAt
+                  .put(key, (System.currentTimeMillis(), t))
+                throw t
+            }
+        }
+    }
+  }
 
   private def request(path: String): HttpRequest.Builder = {
     val b = HttpRequest.newBuilder(URI.create(root + path))
@@ -103,6 +143,21 @@ final class RegistryResolver(
 }
 
 object RegistryResolver {
+
+  /** JVM-global schema cache: (registry root, credentials, id) → Schema.
+    * Companion-object state so every task-deserialized resolver copy in an
+    * executor shares it — see the class scaladoc. */
+  private val schemaCache = TrieMap.empty[(String, String, Int), Schema]
+
+  /** Negative cache: (root, credentials, id) → (failed-at millis, cause). */
+  private val failureAt =
+    TrieMap.empty[(String, String, Int), (Long, Throwable)]
+
+  /** Test seam: caches are JVM-global, so suites reset them between runs. */
+  private[serde] def clearCaches(): Unit = {
+    schemaCache.clear(); failureAt.clear()
+  }
+
   /** Wire a resolver from the pipeline conf's registry fields — one conf
     * object configures the whole pipeline, like the reference's property
     * POJOs (KafkaPropertiesBuilder.java:43-55). Honors the Confluent
@@ -125,11 +180,18 @@ object RegistryResolver {
         new RegistryResolver(stripped,
           Option(uri.getUserInfo).getOrElse(""))
       case "SASL_INHERIT" =>
+        // JAAS values may be double-quoted or bare (both are legal syntax);
+        // a bare value runs to whitespace or the terminating ';'
         def part(k: String): String =
-          (k + "\\s*=\\s*\"([^\"]*)\"").r
-            .findFirstMatchIn(conf.saslJaasConfig).map(_.group(1))
+          (k + "\\s*=\\s*(?:\"([^\"]*)\"|([^\\s;\"]+))").r
+            .findFirstMatchIn(conf.saslJaasConfig)
+            .map(m => Option(m.group(1)).getOrElse(m.group(2)))
             .getOrElse("")
         val user = part("username")
+        if (user.isEmpty && conf.saslJaasConfig.nonEmpty)
+          throw new IllegalArgumentException(
+            "basic.auth.credentials.source=SASL_INHERIT but no username " +
+              "could be parsed from saslJaasConfig")
         new RegistryResolver(conf.schemaRegistryUrl,
           if (user.isEmpty) "" else user + ":" + part("password"))
       case other => throw new IllegalArgumentException(

@@ -149,22 +149,45 @@ class RegistryResolverSpec extends SparkSpec {
     } finally reg.stop()
   }
 
-  test("schema ids are fetched once per resolver and survive serialization") {
+  test("schema ids are fetched once per JVM and shared across deserialized copies") {
     val reg = new FakeRegistry(Map(1 -> readerJson))
     try {
       val r = new RegistryResolver(reg.url)
       r.resolve(1); r.resolve(1); r.resolve(1)
       assert(reg.resolveHits.get() == 1, "per-id cache must dedup fetches")
 
-      // executors receive the resolver via closure serialization; transient
-      // client/cache must rebuild on the far side
+      // Spark deserializes the closure PER TASK — the cache is JVM-global
+      // so a task-deserialized copy must NOT refetch (a per-instance cache
+      // here once multiplied registry load by task count)
       val bos = new java.io.ByteArrayOutputStream()
       new java.io.ObjectOutputStream(bos).writeObject(r)
       val copy = new java.io.ObjectInputStream(
         new java.io.ByteArrayInputStream(bos.toByteArray))
         .readObject().asInstanceOf[RegistryResolver]
       assert(copy.resolve(1).getName == "T")
-      assert(reg.resolveHits.get() == 2, "fresh cache on the deserialized copy")
+      assert(reg.resolveHits.get() == 1,
+        "deserialized copy shares the JVM-wide cache")
+    } finally reg.stop()
+  }
+
+  test("failed resolutions back off: one probe per window, cause preserved") {
+    val reg = new FakeRegistry(Map(1 -> readerJson))
+    try {
+      val r = new RegistryResolver(reg.url, failureBackoffMs = 60000L)
+      val before = reg.resolveHits.get()
+      val first = intercept[IllegalStateException](r.resolve(404))
+      assert(first.getMessage.contains("HTTP 404"))
+      // within the window: immediate rethrow, NO second HTTP round trip,
+      // original failure readable in the message (error-side diagnostics)
+      val again = intercept[IllegalStateException](r.resolve(404))
+      assert(again.getMessage.contains("HTTP 404"))
+      assert(reg.resolveHits.get() == before + 1,
+        "backoff must suppress repeat probes for a failing id")
+      // an expired window probes again
+      val eager = new RegistryResolver(reg.url + "/", failureBackoffMs = 0L)
+      intercept[IllegalStateException](eager.resolve(404))
+      intercept[IllegalStateException](eager.resolve(404))
+      assert(reg.resolveHits.get() == before + 3)
     } finally reg.stop()
   }
 
@@ -187,6 +210,19 @@ class RegistryResolverSpec extends SparkSpec {
         saslJaasConfig = "org.apache.kafka.common.security.plain." +
           "PlainLoginModule required username=\"u\" password=\"p\";"))
       assert(viaSasl.resolve(1).getName == "T")
+
+      // bare (unquoted) JAAS values are legal syntax and must parse too
+      val viaSaslBare = RegistryResolver.fromConf(base.copy(
+        basicAuthCredentialsSource = "SASL_INHERIT",
+        saslJaasConfig = "org.apache.kafka.common.security.plain." +
+          "PlainLoginModule required username=u password=p;"))
+      assert(viaSaslBare.resolve(1).getName == "T")
+
+      // an unparseable JAAS string fails loudly at config time, not as a
+      // silent empty-credential 401 at runtime
+      intercept[IllegalArgumentException](RegistryResolver.fromConf(
+        base.copy(basicAuthCredentialsSource = "SASL_INHERIT",
+          saslJaasConfig = "PlainLoginModule required;")))
 
       intercept[IllegalArgumentException](RegistryResolver.fromConf(
         base.copy(basicAuthCredentialsSource = "BOGUS")))
