@@ -35,4 +35,28 @@ object StreamDedup {
       // pass-through contract: the helper hash must not leak into the
       // caller's stream schema (schema-sensitive sinks would reject it)
       .drop("content_md5")
+
+  /** Streaming NEAR-dup detection against a stored corpus index — the
+    * ingest-time twin of the batch incremental dedup (d13). Each
+    * micro-batch runs the SAME batch operator (MinHash band join incoming ×
+    * known, exact-Jaccard confirm) with the batch as the incoming side, so
+    * per-batch cost scales with the batch and the near-dup pairs reach the
+    * caller's sink as they arrive. The known index stays a static frame
+    * here (nightly-rebuilt in practice); appending accepted docs back into
+    * the index is the caller's policy, same as d13's batch contract.
+    * foreachBatch (not a stream-static join) because the band join needs
+    * `distinct` + a persist bracket — legal on the per-batch BATCH frame,
+    * illegal mid-stream. */
+  def nearDupVsIndex(
+      docs: DataFrame,
+      known: DataFrame,
+      sink: DataFrame => Unit,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-neardup-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.incrementalDedup(batch, known, threshold))
+        ()
+      }
+      .start()
 }

@@ -58,4 +58,33 @@ class StreamDedupSpec extends SparkSpec {
       assert(spark.table("sdedup_keys").count() == 2)
     } finally q.stop()
   }
+
+  test("nearDupVsIndex flags each batch's near-dups against the stored index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog"
+    val known = Seq((100L, base)).toDF("doc_id", "text")
+    val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.nearDupVsIndex(
+      input.toDF().toDF("doc_id", "text"), known,
+      sink = df => df.collect().foreach(r =>
+        pairs.add((r.getLong(0), r.getLong(1), r.getDouble(2)))))
+    try {
+      // batch 1: one near-dup of the known doc (6 of 7 shingles shared →
+      // jaccard 0.75), one unrelated doc
+      input.addData(Seq(
+        (1L, base.replace("dog", "cat")),
+        (2L, "completely different words forming another document here")))
+      q.processAllAvailable()
+      assert(pairs.toArray.toSet ==
+        Set((1L, 100L, 0.75)), "only the near-dup pairs with the index")
+
+      // batch 2: an exact copy — flagged independently, per-batch cost
+      input.addData(Seq((3L, base)))
+      q.processAllAvailable()
+      assert(pairs.toArray(Array.empty[(Long, Long, Double)]).toSet ==
+        Set((1L, 100L, 0.75), (3L, 100L, 1.0)))
+    } finally q.stop()
+  }
 }
