@@ -192,6 +192,12 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
     "c16_shuffle_shard" -> ((s, d) => Curation.shuffleShard(T.documents(s, d))),
+    "c17_dsir_resample" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.importanceResample(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -1155,6 +1161,29 @@ object SparkEntry {
         |    (a, v) -> a * 16 + v) AS BIGINT) AS sort_key
         | FROM documents)
         |SELECT doc_id, sh % 8 AS shard, sort_key FROM h""".stripMargin,
+    "c17_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('fh:' || tok), c, 1)) <= 57
+        |         THEN ascii(substr(md5('fh:' || tok), c, 1)) - 48
+        |         ELSE ascii(substr(md5('fh:' || tok), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 64 AS bucket,
+        |  doc_id % 97 = 0 AS is_t FROM t),
+        |tc AS (SELECT bucket, COUNT(*) AS tb FROM h WHERE is_t GROUP BY 1),
+        |rc AS (SELECT bucket, COUNT(*) AS rb FROM h WHERE NOT is_t GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM h WHERE is_t) AS tt,
+        |               (SELECT COUNT(*) FROM h WHERE NOT is_t) AS rt),
+        |lam AS (SELECT rc.bucket,
+        |  CAST(round(ln(COALESCE(tc.tb, 0) + 1.0) - ln(tt + 64.0)
+        |           - ln(rc.rb + 1.0) + ln(rt + 64.0), 5) AS DECIMAL(18,6)) AS lam
+        |  FROM rc LEFT JOIN tc USING(bucket) CROSS JOIN tot),
+        |w AS (SELECT h.doc_id, COUNT(*) AS n_tokens, SUM(lam) AS wsum
+        |  FROM h JOIN lam USING(bucket) WHERE NOT is_t GROUP BY 1),
+        |sel AS (SELECT doc_id FROM w ORDER BY wsum DESC, doc_id LIMIT 100)
+        |SELECT w.doc_id, w.n_tokens, CAST(w.wsum AS DOUBLE) AS logratio,
+        |  w.doc_id IN (SELECT doc_id FROM sel) AS selected
+        |FROM w""".stripMargin,
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,

@@ -426,4 +426,63 @@ object Curation {
       .filter(col("mix_bucket") < col("keep_per_10k"))
       .select(col("doc_id"), col("source"), col("lang"))
   }
+
+  /** DSIR-style importance-weighted selection (c17): score every raw-corpus
+    * document by how much it reads like a small high-quality `target` set,
+    * then keep the top `budget` docs — the hashed-n-gram importance
+    * resampling recipe of Xie et al. 2023 ("Data Selection for Language
+    * Models via Importance Resampling"), with the bag-of-words features
+    * reduced to [[LlmText.featureHash]]'s bucket convention and the Gumbel
+    * resampling step replaced by a deterministic top-k so every decision
+    * replays bit-exactly (the repo-wide no-`rand()` rule).
+    *
+    * Model: unigram bag-of-hashed-words with add-one smoothing on both
+    * sides. Per bucket b, λ_b = log p_target(b) − log p_raw(b) =
+    * log(t_b+1) − log(T+B) − log(r_b+1) + log(R+B); a document's weight is
+    * Σ_tokens λ_{bucket(token)}. Each λ_b is rounded to 5 decimals and
+    * summed through DECIMAL (the x17 grid trick) so the ranking is
+    * independent of partition order and of sub-ulp libm differences
+    * between engines.
+    *
+    * 100 TB shape: the token explode is narrow; both bucket-count tables
+    * partial-aggregate map-side before a `buckets`-wide shuffle; the λ
+    * table is O(buckets) rows and BROADCASTS, so per-doc scoring is a
+    * map-side join + partial-aggregated groupBy(doc_id); selection is
+    * `orderBy.limit` = TakeOrderedAndProject (per-partition heaps, no
+    * global sort); the selected-id flag join broadcasts a budget-sized
+    * list. The corpus is shuffled exactly once, on doc_id. */
+  def importanceResample(corpus: DataFrame, target: DataFrame,
+      buckets: Int = 64, budget: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def tok(df: DataFrame): DataFrame = df
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(LlmText.words(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(hash28("fh:", col("tok")), lit(buckets)).as("bucket"))
+    val corpusTok = tok(corpus)
+    Caching.withPersisted(corpusTok) {
+      val rawCnt = corpusTok.groupBy(col("bucket")).agg(count(lit(1)).as("rb"))
+      val tgtCnt = tok(target).groupBy(col("bucket")).agg(count(lit(1)).as("tb"))
+      val totals = rawCnt.agg(sum(col("rb")).as("rt"))
+        .crossJoin(tgtCnt.agg(sum(col("tb")).as("tt")))
+      val lam = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          round(log(coalesce(col("tb"), lit(0L)).cast("double") + lit(1.0))
+              - log(col("tt").cast("double") + lit(buckets.toDouble))
+              - log(col("rb").cast("double") + lit(1.0))
+              + log(col("rt").cast("double") + lit(buckets.toDouble)), 5)
+            .cast(DecimalType(18, 6)).as("lam"))
+      val weights = corpusTok.join(broadcast(lam), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lam")).as("wsum"))
+      val selected = weights
+        .orderBy(col("wsum").desc, col("doc_id")).limit(budget)
+        .select(col("doc_id"), lit(true).as("sel"))
+      weights.join(broadcast(selected), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          col("wsum").cast("double").as("logratio"),
+          coalesce(col("sel"), lit(false)).as("selected"))
+    }
+  }
 }

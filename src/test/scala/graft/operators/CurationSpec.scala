@@ -249,4 +249,32 @@ class CurationSpec extends SparkSpec {
     assert(kept("en") > uniform,
       s"sqrt temperature (${kept("en")}) should exceed uniform ($uniform)")
   }
+
+  test("importanceResample ranks target-like docs first, deterministically") {
+    // Target speaks "alpha beta"; corpus has 10 alpha-beta docs and 10
+    // noise docs sharing a raw-frequent vocabulary the target never uses —
+    // the signal DSIR penalizes (hapax words would be smoothed to neutral).
+    // Every target-like doc must out-weigh every noise doc, and the budget
+    // keeps exactly the target-like half.
+    val target = docs((100L until 104L).map(i =>
+      (i, "alpha beta alpha beta alpha", "en", "wiki")): _*)
+    val corpus = docs((0L until 20L).map { i =>
+      val text = if (i < 10) "alpha beta alpha beta gamma"
+                 else "zulu yankee xray whisky victor"
+      (i, text, "en", "web")
+    }: _*)
+    val out = Curation.importanceResample(corpus, target, budget = 10)
+    assert(out.count() == 20, "one row per corpus doc")
+    val sel = out.filter(col("selected")).collect().map(_.getLong(0)).sorted
+    assert(sel.toSeq == (0L until 10L), s"selected ${sel.mkString(",")}")
+    // decisions are invariant to input partitioning
+    val again = Curation
+      .importanceResample(corpus.repartition(7), target.repartition(3),
+        budget = 10)
+      .filter(col("selected")).collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == sel.toSeq)
+    // weights separate: min selected weight > max unselected weight
+    val w = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((0L until 10L).map(w).min > (10L until 20L).map(w).max)
+  }
 }
