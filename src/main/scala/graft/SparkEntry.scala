@@ -198,6 +198,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
+    "c18_unimax" -> ((s, d) => Curation.unimaxAllocate(T.documents(s, d))),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -1184,6 +1185,23 @@ object SparkEntry {
         |SELECT w.doc_id, w.n_tokens, CAST(w.wsum AS DOUBLE) AS logratio,
         |  w.doc_id IN (SELECT doc_id FROM sel) AS selected
         |FROM w""".stripMargin,
+    "c18_unimax" ->
+      """WITH pl AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_docs, tokens, tokens * 2 AS cap FROM pl),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+        |  COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+        |  COUNT(*) OVER () AS nlang FROM c),
+        |f AS (SELECT *, cap * (nlang - i + 1) + pre <= 20000 AS capped FROM r),
+        |ks AS (SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS s FROM f)
+        |SELECT lang, n_docs, tokens, cap,
+        |  CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |       ELSE CAST(20000 - ks.s AS DOUBLE) / (nlang - ks.k)
+        |  END AS alloc_tokens
+        |FROM f CROSS JOIN ks""".stripMargin,
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,

@@ -485,4 +485,54 @@ object Curation {
           coalesce(col("sel"), lit(false)).as("selected"))
     }
   }
+
+  /** UniMax-style language budget allocation (c18): split a total token
+    * budget across languages so that no language is repeated more than
+    * `maxEpochs` times, and whatever the capped (low-resource) languages
+    * cannot absorb is shared uniformly among the uncapped ones — the
+    * water-filling recipe of Chung et al. 2023 ("UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining").
+    *
+    * Closed form instead of the paper's loop: with languages sorted by
+    * capacity `cap_l = maxEpochs · tokens_l` ascending, the capped set is a
+    * prefix, and language i is capped iff
+    * `cap_i · (L − i + 1) + Σ_{j<i} cap_j ≤ budget`. One pass of window
+    * functions finds the prefix; the water level is
+    * `(budget − Σ_capped cap) / (L − K)`. All inputs to the one double
+    * division are exact integers, so the allocation is bit-stable across
+    * engines with no rounding grid needed.
+    *
+    * 100 TB shape: the only corpus-wide work is the per-language token
+    * count — a narrow projection into a partial-aggregated groupBy whose
+    * output is one row per LANGUAGE. Everything after (ranking, prefix
+    * sums, the water level) runs on that bounded frame; the single-
+    * partition window sort is over at most a few hundred rows no matter
+    * the corpus size. */
+  def unimaxAllocate(documents: DataFrame, budgetTokens: Long = 20000L,
+      maxEpochs: Int = 2): DataFrame = {
+    val perLang = documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(LlmText.words(col("text"))).cast("long")).as("tokens"))
+      .withColumn("cap", col("tokens") * maxEpochs)
+    val byCap = Window.orderBy(col("cap").asc, col("lang").asc)
+    val ranked = perLang
+      .withColumn("i", row_number().over(byCap))
+      .withColumn("pre",
+        coalesce(sum(col("cap")).over(
+          byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(perLang.agg(count(lit(1)).as("nlang"))))
+      .withColumn("capped",
+        col("cap") * (col("nlang") - col("i") + 1) + col("pre")
+          <= lit(budgetTokens))
+    val waterInputs = ranked.agg(
+      sum(when(col("capped"), lit(1L)).otherwise(lit(0L))).as("k"),
+      sum(when(col("capped"), col("cap")).otherwise(lit(0L))).as("s"))
+    ranked.crossJoin(broadcast(waterInputs))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("cap"),
+        when(col("capped"), col("cap").cast("double"))
+          .otherwise((lit(budgetTokens) - col("s")).cast("double")
+            / (col("nlang") - col("k")))
+          .as("alloc_tokens"))
+  }
 }

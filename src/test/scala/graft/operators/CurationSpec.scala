@@ -277,4 +277,28 @@ class CurationSpec extends SparkSpec {
     val w = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert((0L until 10L).map(w).min > (10L until 20L).map(w).max)
   }
+
+  test("unimaxAllocate water-fills: caps the tail, splits the rest") {
+    // tokens: a=10, b=100, c=1000; maxEpochs=2 → caps 20/200/2000.
+    // budget=1000: a,b capped (epoch limit), c absorbs the rest.
+    def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val d = docs(
+      (1L, txt(10), "a", "s"), (2L, txt(100), "b", "s"),
+      (3L, txt(1000), "c", "s"))
+    val out = Curation.unimaxAllocate(d, budgetTokens = 1000L, maxEpochs = 2)
+    val alloc = out.collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(alloc == Map("a" -> 20.0, "b" -> 200.0, "c" -> 780.0), alloc)
+    // the budget is exactly consumed when demand exceeds it
+    assert(alloc.values.sum == 1000.0)
+    // decisions are invariant to input partitioning
+    val again = Curation
+      .unimaxAllocate(d.repartition(5), budgetTokens = 1000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(again == alloc)
+    // budget larger than all capacity: every language caps out
+    val rich = Curation.unimaxAllocate(d, budgetTokens = 10000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rich == Map("a" -> 20.0, "b" -> 200.0, "c" -> 2000.0), rich)
+  }
 }
