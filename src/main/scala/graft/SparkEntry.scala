@@ -278,6 +278,7 @@ object SparkEntry {
     "s4_range_search" -> ((s, d) => Similarity.rangeSearch(T.embeddings(s, d))),
     "s5_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(T.documents(s, d), T.embeddings(s, d))),
+    "s6_ann_tiered" -> ((s, d) => Similarity.annTiered(T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
@@ -925,6 +926,27 @@ object SparkEntry {
         |    + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_v), 0) AS rrf_score
         |FROM lr FULL OUTER JOIN vr
         |  ON lr.query_id = vr.query_id AND lr.doc_id = vr.doc_id""".stripMargin,
+    "s6_ann_tiered" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |co AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,17), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,17), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,17), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS ccos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, neighbor_id) AS r
+        |  FROM co) WHERE r <= 30),
+        |fx AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |           JOIN v c ON c.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM fx) WHERE rank <= 10""".stripMargin,
     "c1_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang, source,
         |  CAST(list_reduce(list_transform(range(1, 8), c ->

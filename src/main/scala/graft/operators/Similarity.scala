@@ -114,6 +114,56 @@ object Similarity {
     }
   }
 
+  /** Two-tier matryoshka ANN (s6): generate candidates with a cosine over
+    * only the first `coarseDims` coordinates (the MRL prefix — a valid
+    * low-dimensional embedding of the same space, see
+    * [[VectorOps.matryoshkaTruncate]]), keep `probeK` per query, then
+    * re-rank the survivors with the EXACT full-dimension cosine and return
+    * top `k`. The production retrieval-tier pattern: the coarse pass
+    * touches dims/64 of the bytes per comparison, the exact pass touches
+    * only `probeK` vectors per query.
+    *
+    * 100 TB shape: the coarse tier here is the broadcast-query exact scan
+    * (the recall yardstick); at corpus scale the same coarse scores come
+    * from [[annLsh]]/[[annIvf]] candidates over a STORED prefix column, so
+    * the full vectors are read only for the probeK re-rank gather. The
+    * candidate list (queries × probeK) broadcasts into the re-rank join —
+    * the corpus is never shuffled. Recall: every miss is a vector whose
+    * prefix cosine lies below the probeK'th candidate but whose full
+    * cosine is top-k; widening probeK trades compute for recall. The
+    * contract assumes MRL-shaped embeddings (information concentrated in
+    * the prefix — what matryoshka training produces); spec-pinned ≥0.9 on
+    * a planted MRL fixture, and documented-weak (~0.24) on isotropic
+    * random vectors where prefix cosine carries no signal. */
+  def annTiered(embeddings: DataFrame, k: Int = 10, probeK: Int = 30,
+      coarseDims: Int = 16): DataFrame = {
+    val vc = vecs(embeddings)
+      .withColumn("xc", slice(col("x"), 1, coarseDims))
+      .withColumn("cnrm", sqrt(VectorOps.norm2(col("xc"))))
+    Caching.withPersisted(vc) {
+      val q = vc.filter(col("vec_id") % 100 === 0)
+      val coarse = broadcast(
+          q.select(col("vec_id").as("query_id"), col("xc").as("qxc"),
+            col("cnrm").as("qcnrm")))
+        .join(vc, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (GraftFunctions.dot(col("qxc"), col("xc")) /
+            (col("qcnrm") * col("cnrm"))).as("ccos"))
+      val cands = graft.plans.TopK.perKey(coarse, Seq(col("query_id")),
+        Seq(col("ccos").desc, col("neighbor_id")), probeK)
+        .select(col("query_id"), col("neighbor_id"))
+      val scored = broadcast(cands)
+        .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
+          col("nrm")), Seq("neighbor_id"))
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("x").as("qx"), col("nrm").as("qnrm"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      topKPerQuery(scored, k)
+    }
+  }
+
   /** LSH band buckets for a prepared vector frame: band 0 packs sign bits of
     * planes 0..7, band 1 planes 8..15. */
   private def bandsOf(v: DataFrame): DataFrame = {
