@@ -279,6 +279,9 @@ object SparkEntry {
     "s5_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(T.documents(s, d), T.embeddings(s, d))),
     "s6_ann_tiered" -> ((s, d) => Similarity.annTiered(T.embeddings(s, d))),
+    "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
+    "e7_binary_quantize" -> ((s, d) =>
+      graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
@@ -937,6 +940,33 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, neighbor_id) AS r
         |  FROM co) WHERE r <= 30),
+        |fx AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |           JOIN v c ON c.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM fx) WHERE rank <= 10""".stripMargin,
+    "s7_ann_hamming" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |b AS (SELECT vec_id, x,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), i ->
+        |    CASE WHEN x[i + 1] >= 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)),
+        |    (a, w) -> a | w) AS w0,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), i ->
+        |    CASE WHEN x[i + 33] >= 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)),
+        |    (a, w) -> a | w) AS w1
+        | FROM v),
+        |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+        | FROM b q JOIN b c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r
+        |  FROM ham) WHERE r <= 30),
         |fx AS (SELECT cand.query_id, cand.neighbor_id,
         |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
         |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
@@ -1630,6 +1660,17 @@ object SparkEntry {
         |SELECT vec_id, label, CAST(dim AS INT) AS dim,
         |  t[dim + 1] / nrm AS mval
         |FROM n CROSS JOIN dims""".stripMargin,
+    "e7_binary_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
+        |SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), i ->
+        |    CASE WHEN x[i + 1] >= 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)),
+        |    (a, w) -> a | w) AS w0,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), i ->
+        |    CASE WHEN x[i + 33] >= 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)),
+        |    (a, w) -> a | w) AS w1,
+        |  CAST(len(list_filter(x, y -> y >= 0)) AS BIGINT) AS n_pos
+        |FROM v""".stripMargin,
     "e5_pq_encode" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx

@@ -152,16 +152,62 @@ object Similarity {
       val cands = graft.plans.TopK.perKey(coarse, Seq(col("query_id")),
         Seq(col("ccos").desc, col("neighbor_id")), probeK)
         .select(col("query_id"), col("neighbor_id"))
-      val scored = broadcast(cands)
-        .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
-          col("nrm")), Seq("neighbor_id"))
-        .join(broadcast(q.select(col("vec_id").as("query_id"),
-          col("x").as("qx"), col("nrm").as("qnrm"))), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (GraftFunctions.dot(col("qx"), col("x")) /
-            (col("qnrm") * col("nrm"))).as("cos"))
-      topKPerQuery(scored, k)
+      rerankExact(vc, cands, k)
     }
+  }
+
+  /** Hamming-tier ANN (s7): candidates come from popcount(xor) over the
+    * packed sign words of [[VectorOps.binaryQuantize]] — 8 bytes and two
+    * integer instructions per comparison instead of 64 float
+    * multiply-adds — then the probeK survivors are re-ranked with the
+    * exact full-dimension cosine. The sign words are exactly the SimHash
+    * signature ([[graft.functions.SimHashPack]] family), so Hamming
+    * distance is a cosine-angle proxy with known concentration.
+    *
+    * 100 TB shape: the packed words are a STORED 8-byte column (the e7
+    * output); the coarse scan reads only (vec_id, w0, w1) — a columnar
+    * scan 512× narrower than the float vectors — and the full vectors are
+    * gathered only for queries × probeK re-rank pairs, broadcast-joined so
+    * the corpus never shuffles. */
+  def hammingAnn(embeddings: DataFrame, k: Int = 10,
+      probeK: Int = 30): DataFrame = {
+    val vc = vecs(embeddings)
+      .withColumn("w0", VectorOps.signWord(col("x"), 0))
+      .withColumn("w1", VectorOps.signWord(col("x"), 32))
+    Caching.withPersisted(vc) {
+      val q = vc.filter(col("vec_id") % 100 === 0)
+      val ham = broadcast(
+          q.select(col("vec_id").as("query_id"), col("w0").as("qw0"),
+            col("w1").as("qw1")))
+        .join(vc, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (call_function("bit_count", col("qw0").bitwiseXOR(col("w0"))) +
+            call_function("bit_count", col("qw1").bitwiseXOR(col("w1"))))
+            .cast("long").as("hamming"))
+      val cands = graft.plans.TopK.perKey(ham, Seq(col("query_id")),
+        Seq(col("hamming"), col("neighbor_id")), probeK)
+        .select(col("query_id"), col("neighbor_id"))
+      rerankExact(vc, cands, k)
+    }
+  }
+
+  /** Exact full-dimension cosine re-rank shared by the tiered ANN paths:
+    * score every (query_id, neighbor_id) candidate with the true cosine
+    * from the prepared frame `vc` and keep top `k` per query. The
+    * candidate list and the query table broadcast; the corpus side is a
+    * hash-join gather of probeK rows per query. */
+  private def rerankExact(vc: DataFrame, cands: DataFrame,
+      k: Int): DataFrame = {
+    val q = vc.filter(col("vec_id") % 100 === 0)
+    val scored = broadcast(cands)
+      .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("x").as("qx"), col("nrm").as("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.dot(col("qx"), col("x")) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** LSH band buckets for a prepared vector frame: band 0 packs sign bits of

@@ -219,6 +219,37 @@ object VectorOps {
   private def rpSign(j: Int, i: Int): Long =
     if (PortableHash.hash28Jvm(s"rp:$j:$i") % 2 == 0) 1L else -1L
 
+  /** Sign bits of dims [lo, lo+32) packed into one long: bit (i-lo) is set
+    * iff x[i] ≥ 0. Two words cover a 64-dim embedding; built from
+    * filter/aggregate HOFs so it stays inside codegen like everything else
+    * here. Shared by [[binaryQuantize]] and the Hamming ANN tier
+    * ([[Similarity.hammingAnn]]). */
+  def signWord(x: Column, lo: Int): Column =
+    aggregate(
+      filter(sequence(lit(lo), lit(lo + 31)),
+        i => element_at(x, i + 1) >= 0),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(call_function("shiftleft", lit(1L), i - lo)))
+
+  /** Binary (sign-bit) quantization (e7): each embedding becomes two packed
+    * 32-bit sign words plus the positive-dim count — 8 bytes per vector,
+    * the 64× compression behind Hamming-distance retrieval tiers
+    * (binarized embeddings rank candidates with xor+popcount before an
+    * exact re-rank; see [[Similarity.hammingAnn]]).
+    *
+    * Pure per-row projection: no shuffle, no UDF, bit-exact across engines
+    * (sign tests and integer ors only). At 100 TB the packed words are the
+    * stored ANN index column; the float vectors are only read by the
+    * re-rank gather. */
+  def binaryQuantize(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col(vecCol)).as("x"))
+      .select(col("vec_id"),
+        signWord(col("x"), 0).as("w0"),
+        signWord(col("x"), 32).as("w1"),
+        size(filter(col("x"), v => v >= 0)).cast("long").as("n_pos"))
+
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =
     * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero

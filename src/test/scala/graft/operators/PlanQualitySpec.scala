@@ -108,9 +108,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), s"lex ranking must heap-reduce:\n$p")
   }
 
-  test("x18/c16: pure projections — no exchange anywhere in the plan") {
+  test("x18/c16/e7: pure projections — no exchange anywhere in the plan") {
     assert(!plan("x18_gopher_rules").contains("Exchange"))
     assert(!plan("c16_shuffle_shard").contains("Exchange"))
+    assert(!plan("e7_binary_quantize").contains("Exchange"))
   }
 
   // x17 routes through Caching.withPersisted and returns an eagerly

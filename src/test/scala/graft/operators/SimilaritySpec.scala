@@ -121,6 +121,40 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("hammingAnn: sign-word candidates, exact re-rank, high recall") {
+    import org.apache.spark.sql.functions._
+    // Hamming distance over sign bits is a cosine-angle proxy when vector
+    // identity lives in the SIGN PATTERN. Plant 20 clusters of 10 whose
+    // pattern values are uniform in [-1, 1] across all 64 dims, with ±0.1
+    // per-vector noise: a sign flips only when the pattern value sits
+    // within the noise band (~5% of dims), so same-cluster Hamming ≈ 3
+    // bits while cross-cluster ≈ 32 — the candidate tier separates
+    // cleanly and the exact re-rank fixes the final order.
+    val data = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i % 20) // cluster sign pattern
+      val pat = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val noise = new scala.util.Random(1000 + i)
+      val v = pat.map(p => (p + noise.nextDouble() * 0.2 - 0.1).toFloat)
+      (i, v, (i % 20).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteForce(data, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val ham = Similarity.hammingAnn(data, k = 5, probeK = 30)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ham.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    info(s"hammingAnn recall@5 on sign-structured vectors = $recall ($hits/$total)")
+    assert(recall >= 0.9, s"hamming recall@5 $recall below floor")
+    // survivors carry the EXACT full-dimension cosine
+    val mismatch = exact.as("e")
+      .join(ham.as("t"), Seq("query_id", "neighbor_id"))
+      .filter(col("e.cos") =!= col("t.cos")).count()
+    assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
+  }
+
   test("annIvf recall vs exact brute force on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

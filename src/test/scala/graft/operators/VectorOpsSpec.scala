@@ -138,4 +138,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Map(0 -> 0.6, 1 -> 0.8, 2 -> 0.0, 3 -> 0.0))
     assert(math.abs(out.values.map(x => x * x).sum - 1.0) < 1e-12)
   }
+
+  test("binaryQuantize packs sign bits into two 32-bit words") {
+    import spark.implicits._
+    // sign convention: x >= 0 sets the bit (zero counts as positive)
+    val v = Array.fill(64)(-1f)
+    v(0) = 1f; v(2) = 0f; v(5) = 2f // w0 bits 0, 2, 5
+    v(32) = 1f; v(63) = 3f          // w1 bits 0, 31
+    val r = VectorOps.binaryQuantize(Seq((7L, v)).toDF("vec_id", "embedding"))
+      .collect().head
+    assert(r.getLong(r.fieldIndex("w0")) == ((1L << 0) | (1L << 2) | (1L << 5)))
+    assert(r.getLong(r.fieldIndex("w1")) == ((1L << 0) | (1L << 31)))
+    assert(r.getLong(r.fieldIndex("n_pos")) == 5L)
+  }
 }
