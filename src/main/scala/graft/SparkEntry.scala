@@ -257,6 +257,7 @@ object SparkEntry {
     }),
     "c14_semdedup" -> ((s, d) =>
       Dedup.semDedup(T.documents(s, d), T.embeddings(s, d))),
+    "d14_url_dedup" -> ((s, d) => Dedup.urlDedup(T.documents(s, d))),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -282,11 +283,15 @@ object SparkEntry {
     "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
     "e7_binary_quantize" -> ((s, d) =>
       graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
+    "e8_gram_matrix" -> ((s, d) =>
+      graft.operators.VectorOps.gramMatrix(T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
     "mm2_decoded_features" -> ((s, d) =>
       Multimodal.decodedFeatures(T.documents(s, d))),
+    "mm3_patch_extract" -> ((s, d) =>
+      Multimodal.patchExtract(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -796,6 +801,37 @@ object SparkEntry {
         |  scheme || '://' || host || path
         |    || (CASE WHEN nq = '' THEN '' ELSE '?' || nq END) AS norm_url
         |FROM h""".stripMargin,
+    "d14_url_dedup" ->
+      """WITH p AS (SELECT doc_id, length(text) AS n_chars,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+        |  || source || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |  || '/p/' || (doc_id % 7)
+        |  || '?utm_source=feed&id=' || (doc_id % 13)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END)
+        |  || '#sec' AS url
+        | FROM documents),
+        |n AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+        |  || regexp_replace(lower(regexp_replace(
+        |       regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+        |       ':[0-9]+$', '')), '^www\.', '')
+        |  || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+        |  || (CASE WHEN array_to_string(list_filter(
+        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        q -> NOT starts_with(q, 'utm_')), '&') = '' THEN ''
+        |      ELSE '?' || array_to_string(list_filter(
+        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        q -> NOT starts_with(q, 'utm_')), '&') END) AS norm_url
+        | FROM p),
+        |w AS (SELECT norm_url, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY norm_url
+        |    ORDER BY n_chars DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY norm_url) AS n_dupes
+        | FROM n)
+        |SELECT norm_url, doc_id AS keep_doc_id, CAST(n_chars AS BIGINT)
+        |  AS n_chars, n_dupes
+        |FROM w WHERE rn = 1""".stripMargin,
     "c9_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |e AS (SELECT doc_id, w,
@@ -1671,6 +1707,19 @@ object SparkEntry {
         |    (a, w) -> a | w) AS w1,
         |  CAST(len(list_filter(x, y -> y >= 0)) AS BIGINT) AS n_pos
         |FROM v""".stripMargin,
+    // Grid sums stay within int64 (|x_i·x_j|·1e9 ≤ ~3.5e8 per row here);
+    // DuckDB SUM(BIGINT) yields HUGEINT → CAST back to BIGINT before the
+    // double divide (the q33 int128 quirk).
+    "e8_gram_matrix" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+        |pr AS (SELECT UNNEST(range(0, 64)) AS d),
+        |pairs AS (SELECT a.d AS i, b.d AS j
+        |  FROM pr a CROSS JOIN pr b WHERE b.d >= a.d)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |  CAST(CAST(SUM(CAST(round(x[p.i + 1] * x[p.j + 1] * 1.0e9) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1.0e9 AS gram,
+        |  COUNT(*) AS n
+        |FROM v CROSS JOIN pairs p GROUP BY p.i, p.j""".stripMargin,
     "e5_pq_encode" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx
@@ -1966,5 +2015,24 @@ object SparkEntry {
         |    + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
         |  END AS INT) AS first_byte
         |FROM b""".stripMargin,
+    // Patch slicing runs over the hex dump on both engines (2 chars/byte);
+    // md5 is taken over the hex substring itself, so no BLOB functions are
+    // needed anywhere.
+    "mm3_patch_extract" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |e0 AS (SELECT doc_id, hx,
+        |  UNNEST(range(0, (n + 31) // 32)) AS pi FROM b),
+        |e AS (SELECT doc_id, CAST(pi AS INT) AS patch_idx,
+        |  substr(hx, CAST(64 * pi + 1 AS BIGINT), 64) AS ph FROM e0)
+        |SELECT doc_id, patch_idx,
+        |  CAST(length(ph) // 2 AS BIGINT) AS patch_len,
+        |  md5(ph) AS patch_md5,
+        |  CAST((strpos('0123456789ABCDEF', substr(ph, 1, 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substr(ph, 2, 1)) - 1) AS INT)
+        |    AS first_byte
+        |FROM e""".stripMargin,
   )
 }

@@ -616,6 +616,36 @@ object Dedup {
     * 100 TB shape: inherits embeddingDedup's salted label-blocked join (no
     * all-pairs product) and connectedComponents' O(log diameter) rounds;
     * the final decision join is a doc_id equi-join. */
+  /** URL-level dedup (d14): the first dedup pass of a crawl pipeline —
+    * canonicalize each document's URL ([[LlmText.normUrl]]: case, default
+    * port, `www.`, tracking params, fragment) and keep ONE document per
+    * canonical URL: the longest text, doc_id as the deterministic
+    * tiebreak. Emits (norm_url, keep_doc_id, n_chars, n_dupes) so the
+    * dupe mass per URL is visible to curation reports.
+    *
+    * 100 TB shape: winner selection is the heap-based
+    * [[graft.plans.TopK.perKey]] (k=1, partial per-partition heaps — the
+    * shuffle carries one candidate per URL per partition, not the dupe
+    * mass), and the dupe count is a co-partitioned groupBy on the same
+    * key; both exchanges hash on norm_url, so the join after them is
+    * shuffle-free. */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val docs = documents.select(col("doc_id"),
+        LlmText.normUrl(
+          LlmText.withSyntheticUrl(col("doc_id"), col("source")))
+          .as("norm_url"),
+        length(col("text")).cast("long").as("n_chars"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    val winners = graft.plans.TopK.perKey(docs, Seq(col("norm_url")),
+      Seq(col("n_chars").desc, col("doc_id")), 1)
+      .select(col("norm_url"), col("doc_id").as("keep_doc_id"),
+        col("n_chars"))
+    val counts = docs.groupBy(col("norm_url"))
+      .agg(count(lit(1)).as("n_dupes"))
+    winners.join(counts, Seq("norm_url"))
+  }
+
   def semDedup(documents: DataFrame, embeddings: DataFrame,
       threshold: Double = 0.4): DataFrame = {
     val pairs = embeddingDedup(embeddings, threshold)

@@ -624,6 +624,22 @@ object LlmText {
         withSyntheticUrl(col("doc_id"), col("source")).as("url"))
       .transform(Partitioning.spread(_, col("doc_id")))
     val u = col("url")
+    val (scheme, host, _, _) = urlParts(u)
+    val hostParts = split(host, "\\.")
+    docs.select(
+      col("doc_id"),
+      u.as("url"),
+      scheme.as("scheme"),
+      host.as("host"),
+      array_join(slice(hostParts, size(hostParts) - 1, lit(2)), ".")
+        .as("registered_domain"),
+      normUrl(u).as("norm_url"))
+  }
+
+  /** (scheme, host, path, kept-query) of a raw URL column — the pieces the
+    * normalizer is built from, shared by x14 and the URL-level dedup d14. */
+  private[operators] def urlParts(u: Column)
+      : (Column, Column, Column, Column) = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
     val host = regexp_replace(
       lower(regexp_replace(
@@ -634,18 +650,15 @@ object LlmText {
     val keptParams = filter(
       split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
       p => !p.startsWith("utm_"))
-    val normQuery = array_join(keptParams, "&")
-    val hostParts = split(host, "\\.")
-    docs.select(
-      col("doc_id"),
-      u.as("url"),
-      scheme.as("scheme"),
-      host.as("host"),
-      array_join(slice(hostParts, size(hostParts) - 1, lit(2)), ".")
-        .as("registered_domain"),
-      concat(scheme, lit("://"), host, path,
-        when(normQuery === "", "").otherwise(concat(lit("?"), normQuery)))
-        .as("norm_url"))
+    (scheme, host, path, array_join(keptParams, "&"))
+  }
+
+  /** Canonical form of a raw URL column: lowercased scheme/host, default
+    * port / `www.` / `utm_*` params / fragment stripped. */
+  def normUrl(u: Column): Column = {
+    val (scheme, host, path, normQuery) = urlParts(u)
+    concat(scheme, lit("://"), host, path,
+      when(normQuery === "", "").otherwise(concat(lit("?"), normQuery)))
   }
 
   /** Model-scoring seam: run an expensive text scorer (quality classifier,

@@ -104,6 +104,40 @@ object Multimodal {
       .withColumnRenamed("media_id", "doc_id")
   }
 
+  /** Fixed-size patch extraction (mm3): the ViT-style tiling step — media
+    * bytes → non-overlapping `patchBytes`-byte patches, one row per
+    * (doc_id, patch_idx), each with its length, content md5, and first
+    * byte. Patch slicing runs over the hex dump of the payload (2 chars per
+    * byte), which keeps every step a codegen'd string expression the DuckDB
+    * oracle mirrors exactly (no BLOB slicing on either engine). The last
+    * patch may be short; empty payloads produce zero rows.
+    *
+    * 100 TB shape: a pure per-row projection + explode with bounded fanout
+    * (n_bytes / patchBytes), no shuffle; downstream per-patch encoders
+    * consume the exploded rows with input-split parallelism. */
+  def patchExtract(documents: DataFrame, patchBytes: Int = 32): DataFrame = {
+    val media = col("text").cast("binary")
+    val hexPerPatch = 2 * patchBytes
+    documents
+      .select(col("doc_id"), hex(media).as("hx"),
+        length(media).cast("long").as("n_bytes"))
+      .withColumn("n_patches",
+        floor((col("n_bytes") + lit(patchBytes - 1)) / lit(patchBytes))
+          .cast("long"))
+      .select(col("doc_id"),
+        posexplode(when(col("n_patches") > 0,
+          transform(sequence(lit(0L), col("n_patches") - 1),
+            i => col("hx").substr((i * hexPerPatch + 1).cast("int"),
+              lit(hexPerPatch))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("patch_idx", "ph")))
+      .select(col("doc_id"),
+        col("patch_idx").cast("int").as("patch_idx"),
+        floor(length(col("ph")) / 2).cast("long").as("patch_len"),
+        md5(col("ph").cast("binary")).as("patch_md5"),
+        conv(substring(col("ph"), 1, 2), 16, 10).cast("int").as("first_byte"))
+  }
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

@@ -250,6 +250,42 @@ object VectorOps {
         signWord(col("x"), 32).as("w1"),
         size(filter(col("x"), v => v >= 0)).cast("long").as("n_pos"))
 
+  /** Corpus Gram matrix (e8): G[i][j] = Σ over vectors of xᵢ·xⱼ, the 64×64
+    * second-moment matrix that whitening, PCA, and OPQ rotation all start
+    * from. One pass, NO explode: each row builds its upper-triangle product
+    * vector (2080 longs on a 1e-9 grid) inside codegen, and
+    * [[graft.functions.LongVecSum]] folds them map-side so the shuffle
+    * carries one array per partition — the treeAggregate shape. The grid
+    * makes the sum order-independent and bit-identical to the DuckDB twin
+    * (integer adds commute; same `round` tie rule both engines).
+    *
+    * 100 TB shape: cost is a single scan + a 16 KB-per-partition reduce; the
+    * result is O(dim²) rows regardless of corpus size. Grid headroom: with
+    * |xᵢxⱼ|·1e9 ≤ ~1e9 per row, the int64 accumulator holds ~9e9 rows per
+    * cell before overflow — beyond that, shard by vec_id range and sum the
+    * (tiny) per-shard matrices. */
+  def gramMatrix(embeddings: DataFrame, vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val tri = dim * (dim + 1) / 2
+    val x = asDouble(col(vecCol))
+    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        round(element_at(x, i + 1) * element_at(x, j + 1) * lit(1.0e9), 0)
+          .cast("long"))))
+    val summed = embeddings.select(prods.as("g")).as[Array[Long]]
+      .select(graft.functions.LongVecSum(tri).toColumn.name("g"))
+    val idx = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+      .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+    summed.toDF("g")
+      .select(element_at(col("g"), tri + 1).as("n"),
+        posexplode(slice(col("g"), 1, tri)).as(Seq("k", "gsum")))
+      .join(broadcast(idx.toDF("k", "i", "j")), "k")
+      .select(col("i"), col("j"),
+        (col("gsum").cast("double") / lit(1.0e9)).as("gram"), col("n"))
+  }
+
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =
     * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero

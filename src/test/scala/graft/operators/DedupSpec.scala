@@ -138,6 +138,26 @@ class DedupSpec extends SparkSpec {
       s"incoming near-dup pairs only, got $out")
   }
 
+  test("urlDedup keeps the longest doc per canonical URL") {
+    // The synthetic URL is a function of (doc_id % 2, % 7, % 13) and
+    // source, so ids differing by lcm(2,7,13)=182 with the same source
+    // collide on norm_url after canonicalization.
+    val d = Seq(
+      (0L, "short", "web"),
+      (182L, "much longer document text", "web"),
+      (364L, "longer text", "web"),
+      (1L, "solo", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.urlDedup(d)
+      .collect().map(r => (r.getLong(r.fieldIndex("keep_doc_id")),
+        r.getLong(r.fieldIndex("n_chars")),
+        r.getLong(r.fieldIndex("n_dupes"))))
+      .sortBy(_._1)
+    // 0/182/364 share one canonical URL → 182 wins (longest text);
+    // id 1 is alone (odd → different scheme and path)
+    assert(out.toSeq == Seq((1L, 4L, 1L), (182L, 25L, 3L)))
+  }
+
   test("connectedComponentsStar matches connectedComponents on a random graph") {
     // One seeded trial (each algorithm is a multi-round Spark loop — more
     // trials belong to the local union-find stress above, not here)

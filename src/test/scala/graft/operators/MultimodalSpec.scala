@@ -59,6 +59,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ("jpeg", 300L, 2L))
   }
 
+  test("patchExtract tiles payload bytes into fixed-size patches") {
+    import spark.implicits._
+    // 70 bytes at 32 bytes/patch → patches of 32, 32, 6
+    val text = ("a" * 32) + ("b" * 32) + ("c" * 6)
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.patchExtract(docs).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("patch_idx")),
+        r.getLong(r.fieldIndex("patch_len")),
+        r.getInt(r.fieldIndex("first_byte"))))
+      .sortBy(t => (t._1, t._2))
+    // empty payload → zero patches; 70-byte payload → exactly 3
+    assert(rows.map(_._1).toSeq == Seq(1L, 1L, 1L))
+    assert(rows.map(_._3).toSeq == Seq(32L, 32L, 6L))
+    assert(rows.map(_._4).toSeq == Seq('a'.toInt, 'b'.toInt, 'c'.toInt))
+  }
+
   test("mediaFeatures: oracle-mirrored projection over documents") {
     import spark.implicits._
     val text = "x" * 300

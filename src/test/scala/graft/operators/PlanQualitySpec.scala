@@ -108,10 +108,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), s"lex ranking must heap-reduce:\n$p")
   }
 
-  test("x18/c16/e7: pure projections — no exchange anywhere in the plan") {
+  test("x18/c16/e7/mm3: pure projections — no exchange anywhere in the plan") {
     assert(!plan("x18_gopher_rules").contains("Exchange"))
     assert(!plan("c16_shuffle_shard").contains("Exchange"))
     assert(!plan("e7_binary_quantize").contains("Exchange"))
+    assert(!plan("mm3_patch_extract").contains("Exchange"))
+  }
+
+  test("d14: winner selection heap-reduces per canonical URL") {
+    val p = plan("d14_url_dedup")
+    assert(p.contains("TopKPerKey"), s"d14 must use the heap top-k:\n$p")
   }
 
   // x17 routes through Caching.withPersisted and returns an eagerly

@@ -139,6 +139,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(out.values.map(x => x * x).sum - 1.0) < 1e-12)
   }
 
+  test("gramMatrix: one-pass upper-triangle second moments") {
+    import spark.implicits._
+    val v1 = Array.fill(64)(0f); v1(0) = 2f; v1(1) = 3f
+    val v2 = Array.fill(64)(0f); v2(0) = 1f
+    val out = VectorOps.gramMatrix(
+      Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.size == 64 * 65 / 2, "one row per upper-triangle cell")
+    assert(out.values.forall(_._2 == 2L), "n = corpus row count everywhere")
+    assert(out((0, 0))._1 == 5.0) // 2·2 + 1·1
+    assert(out((0, 1))._1 == 6.0) // 2·3 + 1·0
+    assert(out((1, 1))._1 == 9.0)
+    assert(out((2, 63))._1 == 0.0)
+    assert(!out.contains((1, 0)), "strictly upper triangle")
+  }
+
   test("binaryQuantize packs sign bits into two 32-bit words") {
     import spark.implicits._
     // sign convention: x >= 0 sets the bit (zero counts as positive)
