@@ -281,6 +281,7 @@ object SparkEntry {
       Similarity.hybridRrf(T.documents(s, d), T.embeddings(s, d))),
     "s6_ann_tiered" -> ((s, d) => Similarity.annTiered(T.embeddings(s, d))),
     "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
+    "s8_ann_pq_adc" -> ((s, d) => Similarity.pqAdcAnn(T.embeddings(s, d))),
     "e7_binary_quantize" -> ((s, d) =>
       graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
     "e8_gram_matrix" -> ((s, d) =>
@@ -292,6 +293,8 @@ object SparkEntry {
       Multimodal.decodedFeatures(T.documents(s, d))),
     "mm3_patch_extract" -> ((s, d) =>
       Multimodal.patchExtract(T.documents(s, d))),
+    "mm4_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -1003,6 +1006,64 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r
         |  FROM ham) WHERE r <= 30),
+        |fx AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |           JOIN v c ON c.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM fx) WHERE rank <= 10""".stripMargin,
+    // ADC tier reuses e5's codebook construction verbatim (sub/seeds/d0/
+    // a0/m1/cb), then scores corpus codes against the per-query lookup
+    // table on the shared 1e-9 grid before the exact re-rank.
+    "s8_ann_pq_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx
+        |  FROM v CROSS JOIN (SELECT UNNEST(range(0, 4)) AS s)),
+        |seeds AS (SELECT s, sx AS cx,
+        |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) AS INT)
+        |      AS code
+        |  FROM sub WHERE vec_id % 61 = 0 AND vec_id < 61 * 256),
+        |d0 AS (SELECT u.vec_id, u.s, se.code, u.sx,
+        |  list_reduce(list_transform(range(1, 17), i ->
+        |    (u.sx[i] - se.cx[i]) * (u.sx[i] - se.cx[i])), (a, b) -> a + b)
+        |    AS d2
+        |  FROM sub u JOIN seeds se ON u.s = se.s),
+        |a0 AS (SELECT vec_id, s, code, sx FROM (SELECT vec_id, s, code, sx,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+        |      AS rn FROM d0) WHERE rn = 1),
+        |m1 AS (SELECT s, code, list(m ORDER BY i) AS mx FROM (
+        |  SELECT a.s, a.code, d.i,
+        |    CAST(SUM(CAST(round(a.sx[d.i] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS m
+        |  FROM a0 a CROSS JOIN (SELECT UNNEST(range(1, 17)) AS i) d
+        |  GROUP BY a.s, a.code, d.i) GROUP BY s, code),
+        |cb AS (SELECT se.s, se.code, COALESCE(m1.mx, se.cx) AS cx
+        |  FROM seeds se LEFT JOIN m1 ON se.s = m1.s AND se.code = m1.code),
+        |asg AS (SELECT vec_id, s, code FROM (SELECT u.vec_id, u.s, c.code,
+        |    row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+        |      list_reduce(list_transform(range(1, 17), i ->
+        |        (u.sx[i] - c.cx[i]) * (u.sx[i] - c.cx[i])), (a, b) -> a + b),
+        |      c.code) AS rn
+        |  FROM sub u JOIN cb c ON u.s = c.s) WHERE rn = 1),
+        |lut AS (SELECT q.vec_id AS query_id, c.s, c.code,
+        |  CAST(round(list_reduce(list_transform(range(1, 17), i ->
+        |    (q.sx[i] - c.cx[i]) * (q.sx[i] - c.cx[i])), (a, b) -> a + b)
+        |    * 1.0e9) AS BIGINT) AS g2
+        |  FROM sub q JOIN cb c ON q.s = c.s WHERE q.vec_id % 100 = 0),
+        |adc AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+        |  CAST(CAST(SUM(g2) AS BIGINT) AS DOUBLE) / 1.0e9 AS adc_d2
+        |  FROM asg a JOIN lut l ON a.s = l.s AND a.code = l.code
+        |    AND a.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_d2, neighbor_id) AS r
+        |  FROM adc) WHERE r <= 30),
         |fx AS (SELECT cand.query_id, cand.neighbor_id,
         |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
         |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
@@ -2033,6 +2094,21 @@ object SparkEntry {
         |  CAST((strpos('0123456789ABCDEF', substr(ph, 1, 1)) - 1) * 16
         |    + (strpos('0123456789ABCDEF', substr(ph, 2, 1)) - 1) AS INT)
         |    AS first_byte
+        |FROM e""".stripMargin,
+    // Every 16th byte via hex-dump nibbles (stride 16 → 32 hex chars apart).
+    "mm4_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, hx,
+        |  UNNEST(range(0, (n + 15) // 16)) AS fi FROM b)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST((strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(32 * fi + 1 AS BIGINT), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF',
+        |      substr(hx, CAST(32 * fi + 2 AS BIGINT), 1)) - 1) AS INT)
+        |    AS frame_byte
         |FROM e""".stripMargin,
   )
 }

@@ -90,18 +90,36 @@ object Multimodal {
     * (nibble-by-nibble) in SQL, so the decoded features hash-match. */
   def decodedFeatures(documents: DataFrame): DataFrame = {
     implicit val spark: SparkSession = documents.sparkSession
+    decodeFeatures(toMediaRecords(documents), () => FakeDecoder)
+      .toDF()
+      .withColumnRenamed("media_id", "doc_id")
+  }
+
+  /** Documents lifted into the typed media shape shared by the decode (mm2)
+    * and frame-sample (mm4) pipelines: payload = UTF-8 bytes, format cycled
+    * from doc_id — deterministic, so oracles reconstruct it byte-for-byte. */
+  def toMediaRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    implicit val spark: SparkSession = documents.sparkSession
     import spark.implicits._
-    val records = documents
-      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(4)).cast("int").as("f"))
+    documents
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("f"))
       .as[(Long, String, Int)]
       .map { case (id, text, f) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         MediaRecord(id, bytes, Seq("png", "jpeg", "wav", "mp4")(f),
           width = bytes.length, height = 1)
       }
-    decodeFeatures(records, () => FakeDecoder)
-      .toDF()
-      .withColumnRenamed("media_id", "doc_id")
+  }
+
+  /** Frame sampling as a driver-facing query (mm4): every `stride`-th
+    * payload byte as a "frame" row — the video-pipeline explode shape
+    * (media → ordered frame rows → per-frame encoder), with bounded fanout
+    * n_bytes/stride and no shuffle. Oracle-exact: each sampled byte is
+    * reconstructed from the hex dump in SQL. */
+  def frameSample(documents: DataFrame, stride: Int = 16): DataFrame = {
+    implicit val spark: SparkSession = documents.sparkSession
+    sampleFrames(toMediaRecords(documents), stride)
   }
 
   /** Fixed-size patch extraction (mm3): the ViT-style tiling step — media

@@ -191,6 +191,49 @@ object Similarity {
     }
   }
 
+  /** PQ asymmetric-distance ANN (s8): the FAISS-IVFPQ retrieval pattern
+    * minus the cell index — corpus vectors are represented by their PQ
+    * codes (one byte per subspace, [[VectorOps.pqCodebook]] /
+    * [[VectorOps.pqNearest]]), and each query scores the WHOLE corpus by
+    * table lookup: precompute d²(query-slice, centroid) for every
+    * (subspace, code) — the ADC lookup table, queries × M × K entries,
+    * broadcast — then a candidate's approximate distance is the sum of M
+    * table hits. probeK survivors re-rank with the exact full-dimension
+    * cosine.
+    *
+    * 100 TB shape: the corpus side of the scoring join reads ONLY the
+    * stored code columns (M bytes/vector vs 8·dim for floats); the LUT
+    * broadcasts, the per-(query, vec) sum is a map-side-combinable
+    * groupBy, and the full vectors are gathered just for the probeK
+    * re-rank pairs. Subspace distances land on the shared 1e-9 grid so
+    * the 4-term sum is order-independent and oracle-exact. */
+  def pqAdcAnn(embeddings: DataFrame, k: Int = 10, probeK: Int = 30,
+      subspaces: Int = 4, subDim: Int = 16): DataFrame = {
+    val vc = vecs(embeddings)
+    Caching.withPersisted(vc) {
+      val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
+      val codebook = VectorOps.pqCodebook(sub)
+      val codes = VectorOps.pqNearest(sub, codebook)
+        .select(col("vec_id"), col("s"), col("code"))
+      val lut = sub.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("s"),
+          col("sx").as("qsx"))
+        .join(broadcast(codebook), "s")
+        .select(col("query_id"), col("s"), col("code"),
+          round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
+            .cast("long").as("g2"))
+      val approx = codes
+        .join(broadcast(lut), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg((sum(col("g2")).cast("double") / lit(1.0e9)).as("adc_d2"))
+      val cands = graft.plans.TopK.perKey(approx, Seq(col("query_id")),
+        Seq(col("adc_d2"), col("vec_id")), probeK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      rerankExact(vc, cands, k)
+    }
+  }
+
   /** Exact full-dimension cosine re-rank shared by the tiered ANN paths:
     * score every (query_id, neighbor_id) candidate with the true cosine
     * from the prepared frame `vc` and keep top `k` per query. The

@@ -137,32 +137,43 @@ object VectorOps {
   def pqEncode(embeddings: DataFrame, subspaces: Int = 4, subDim: Int = 16,
       seedMod: Int = 61, maxCodes: Int = 256,
       vecCol: String = "embedding"): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val sub = embeddings
+    val sub = pqSubspaces(embeddings, subspaces, subDim, vecCol)
+    pqNearest(sub, pqCodebook(sub, seedMod, maxCodes))
+      .select(col("vec_id"), col("s").as("subspace"), col("code"),
+        col("d2").as("err2"))
+  }
+
+  /** Per-vector subspace slices: (vec_id, s, sx) with sx the s-th
+    * `subDim`-wide slice of the embedding. Shared by PQ encode (e5) and
+    * the ADC retrieval tier ([[Similarity.pqAdcAnn]]). */
+  private[operators] def pqSubspaces(embeddings: DataFrame, subspaces: Int,
+      subDim: Int, vecCol: String = "embedding"): DataFrame =
+    embeddings
       .select(col("vec_id"), posexplode(
         transform(sequence(lit(0), lit(subspaces - 1)),
           s => slice(asDouble(col(vecCol)), s * subDim + 1, lit(subDim))))
         .as(Seq("s", "sx")))
-    def d2(a: Column, b: Column): Column =
-      asum(zip_with(a, b, (p, q) => (p - q) * (p - q)))
-    // deterministic seeds, bounded before the window: the id gate caps the
-    // frame at maxCodes rows per subspace, so the code-numbering window
-    // never sees more than maxCodes rows in its single partition
+
+  /** In-order squared L2 between two subspace slices. */
+  private[operators] def pqD2(a: Column, b: Column): Column =
+    asum(zip_with(a, b, (p, q) => (p - q) * (p - q)))
+
+  /** One-Lloyd-step PQ codebook per subspace: (s, code, cx). Deterministic
+    * seeds, bounded BEFORE the window: the id gate caps the frame at
+    * maxCodes rows per subspace, so the code-numbering window never sees
+    * more than maxCodes rows in its single partition. Seeds that lose
+    * every member keep their position (e1/IVF empty-cell convention). */
+  private[operators] def pqCodebook(sub: DataFrame, seedMod: Int = 61,
+      maxCodes: Int = 256): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val seeds = sub
       .filter(pmod(col("vec_id"), lit(seedMod)) === 0 &&
         col("vec_id") < lit(seedMod.toLong * maxCodes))
       .withColumn("code",
         row_number().over(W.partitionBy(col("s")).orderBy(col("vec_id"))))
       .select(col("s"), col("code"), col("sx").as("cx"))
-    def nearest(codebook: DataFrame): DataFrame =
-      sub.join(broadcast(codebook), "s")
-        .withColumn("d2", d2(col("sx"), col("cx")))
-        .withColumn("rn", row_number().over(
-          W.partitionBy(col("vec_id"), col("s"))
-            .orderBy(col("d2"), col("code"))))
-        .filter(col("rn") === 1)
     // one Lloyd step: grid-exact member means per (subspace, code, dim)
-    val means = nearest(seeds)
+    val means = pqNearest(sub, seeds)
       .select(col("s"), col("code"), posexplode(col("sx")).as(Seq("i", "v")))
       .groupBy(col("s"), col("code"), col("i"))
       .agg((sum(round(col("v") * lit(1.0e9)).cast(DecimalType(38, 0)))
@@ -170,11 +181,21 @@ object VectorOps {
       .groupBy(col("s"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
         e => e.getField("m")).as("mx"))
-    val codebook = seeds.join(means, Seq("s", "code"), "left_outer")
+    seeds.join(means, Seq("s", "code"), "left_outer")
       .select(col("s"), col("code"), coalesce(col("mx"), col("cx")).as("cx"))
-    nearest(codebook)
-      .select(col("vec_id"), col("s").as("subspace"), col("code"),
-        col("d2").as("err2"))
+  }
+
+  /** Nearest codebook entry per (vec, subspace): broadcast the codebook,
+    * exact in-order d2, deterministic (d2, code) tiebreak. */
+  private[operators] def pqNearest(sub: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    sub.join(broadcast(codebook), "s")
+      .withColumn("d2", pqD2(col("sx"), col("cx")))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("vec_id"), col("s"))
+          .orderBy(col("d2"), col("code"))))
+      .filter(col("rn") === 1)
   }
 
   /** Johnson–Lindenstrauss random projection (e4): project every embedding

@@ -59,6 +59,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ("jpeg", 300L, 2L))
   }
 
+  test("frameSample: documents-facing wrapper samples every stride-th byte") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")) // 36 bytes
+      .toDF("doc_id", "text")
+    val rows = Multimodal.frameSample(docs, stride = 16).collect()
+      .map(r => (r.getInt(r.fieldIndex("frame_idx")),
+        r.getInt(r.fieldIndex("frame_byte")))).sortBy(_._1)
+    // bytes at offsets 0, 16, 32 → 'a', 'q', '6'
+    assert(rows.toSeq == Seq((0, 'a'.toInt), (1, 'q'.toInt), (2, '6'.toInt)))
+  }
+
   test("patchExtract tiles payload bytes into fixed-size patches") {
     import spark.implicits._
     // 70 bytes at 32 bytes/patch → patches of 32, 32, 6

@@ -155,6 +155,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("pqAdcAnn: code-tuple candidates, exact re-rank, high recall") {
+    import org.apache.spark.sql.functions._
+    // 4 clusters of 50 with cluster = id % 4, so the deterministic PQ
+    // seeds (ids 0, 61, 122, 183) each fall in a DIFFERENT cluster and
+    // the one-Lloyd codebook converges to the four cluster centers. Every
+    // vector then snaps to its own cluster's code tuple, giving
+    // cluster-mates ADC ≈ 0 and everyone else a positive floor. ADC ties
+    // inside a cluster break by vec_id, not cosine — so probeK must cover
+    // the full 49-mate cluster for the exact re-rank to see all of them.
+    val data = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i % 4)
+      val pat = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val noise = new scala.util.Random(1000 + i)
+      val v = pat.map(p => (p + noise.nextDouble() * 0.2 - 0.1).toFloat)
+      (i, v, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteForce(data, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val adc = Similarity.pqAdcAnn(data, k = 5, probeK = 60)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(adc.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    info(s"pqAdcAnn recall@5 on clustered vectors = $recall ($hits/$total)")
+    assert(recall >= 0.9, s"ADC recall@5 $recall below floor")
+    val mismatch = exact.as("e")
+      .join(adc.as("t"), Seq("query_id", "neighbor_id"))
+      .filter(col("e.cos") =!= col("t.cos")).count()
+    assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
+  }
+
   test("annIvf recall vs exact brute force on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
