@@ -273,10 +273,11 @@ object VectorOps {
 
   /** Corpus Gram matrix (e8): G[i][j] = Σ over vectors of xᵢ·xⱼ, the 64×64
     * second-moment matrix that whitening, PCA, and OPQ rotation all start
-    * from. One pass, NO explode: each row builds its upper-triangle product
-    * vector (2080 longs on a 1e-9 grid) inside codegen, and
-    * [[graft.functions.LongVecSum]] folds them map-side so the shuffle
-    * carries one array per partition — the treeAggregate shape. The grid
+    * from. One pass, NO explode and no per-row product array: each input
+    * row is just its 64 doubles, and [[graft.functions.GramSum]] folds the
+    * upper-triangle outer product onto a 1e-9 integer grid inside its
+    * `reduce` loop — map-side partial aggregation, so the shuffle carries
+    * one 2081-long array per partition (the treeAggregate shape). The grid
     * makes the sum order-independent and bit-identical to the DuckDB twin
     * (integer adds commute; same `round` tie rule both engines).
     *
@@ -290,13 +291,8 @@ object VectorOps {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val tri = dim * (dim + 1) / 2
-    val x = asDouble(col(vecCol))
-    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        round(element_at(x, i + 1) * element_at(x, j + 1) * lit(1.0e9), 0)
-          .cast("long"))))
-    val summed = embeddings.select(prods.as("g")).as[Array[Long]]
-      .select(graft.functions.LongVecSum(tri).toColumn.name("g"))
+    val summed = embeddings.select(asDouble(col(vecCol))).as[Array[Double]]
+      .select(graft.functions.GramSum(dim).toColumn.name("g"))
     val idx = (for { i <- 0 until dim; j <- i until dim } yield (i, j))
       .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
     summed.toDF("g")
