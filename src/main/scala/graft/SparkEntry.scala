@@ -153,6 +153,7 @@ object SparkEntry {
       LlmText.bm25(T.documents(s, d), Seq("data", "query", "fast"))),
     "x17_bigram_lm" -> ((s, d) => LlmText.bigramLm(T.documents(s, d))),
     "x18_gopher_rules" -> ((s, d) => LlmText.gopherRules(T.documents(s, d))),
+    "x19_cdc_chunks" -> ((s, d) => LlmText.cdcChunks(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -618,6 +619,30 @@ object SparkEntry {
         |SELECT doc_id, len(roll) AS n_windows, list_min(roll) AS min_window_hash,
         |  len(list_distinct(roll)) AS n_distinct_windows
         |FROM r""".stripMargin,
+    // Same roll CTE as x5; parallel UNNESTs zip the hash list with its
+    // positions, then a doc-keyed running sum assigns chunk ids.
+    "x19_cdc_chunks" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(md5('r:' || x), c, 1)) <= 57
+        |           THEN ascii(substr(md5('r:' || x), c, 1)) - 48
+        |           ELSE ascii(substr(md5('r:' || x), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT)) AS varr
+        |  FROM ws WHERE len(w) >= 4),
+        |r AS (SELECT doc_id, list_transform(range(1, len(varr) - 2), i ->
+        |    ((((varr[i] * 131 + varr[i+1]) % 1000000007) * 131 + varr[i+2])
+        |      % 1000000007 * 131 + varr[i+3]) % 1000000007) AS roll
+        |  FROM f),
+        |e AS (SELECT doc_id, UNNEST(roll) AS h,
+        |  UNNEST(range(0, len(roll))) AS pos FROM r),
+        |c AS (SELECT doc_id, h,
+        |  CAST(SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_idx
+        | FROM e)
+        |SELECT doc_id, chunk_idx, COUNT(*) AS n_windows,
+        |  MIN(h) AS chunk_min_hash, CAST(bit_xor(h) AS BIGINT) AS chunk_xor
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

@@ -245,6 +245,33 @@ object LlmText {
       array_min(col("roll")).as("min_window_hash"),
       size(array_distinct(col("roll"))).as("n_distinct_windows"))
 
+  /** Content-defined chunking (x19): split each document into variable-size
+    * chunks whose boundaries are chosen by CONTENT, not position — a new
+    * chunk starts wherever the 4-word rolling hash ≡ 0 (mod `divisor`), so
+    * an insertion early in a document only reshuffles the chunks around the
+    * edit instead of shifting every fixed-width block after it (the
+    * rsync/LBFS property storage-level dedup relies on). Emits one row per
+    * (doc, chunk) with the window count, min window hash, and xor-fold —
+    * the chunk signature columns an exact-dedup pass groups on.
+    *
+    * 100 TB shape: window explode is token-scale and narrow (d10's shape);
+    * the chunk assignment is one doc-keyed running sum and the roll-up is a
+    * co-partitioned groupBy on (doc, chunk) — the doc_id exchange is
+    * reused, and no state leaves the executors. */
+  def cdcChunks(documents: DataFrame, divisor: Int = 16): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    rolledWindows(documents)
+      .select(col("doc_id"), posexplode(col("roll")).as(Seq("pos", "h")))
+      .withColumn("bd",
+        when(pmod(col("h"), lit(divisor.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx", sum(col("bd")).over(W))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("h")).as("chunk_min_hash"),
+        expr("bit_xor(h)").as("chunk_xor"))
+  }
+
   /** Span-level duplication (d10): which 4-word spans of each document also
     * appear in OTHER documents — the scalable stand-in for exact-substring
     * dedup (suffix-array dedup à la "Deduplicating Training Data"): a span

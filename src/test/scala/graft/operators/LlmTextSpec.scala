@@ -334,4 +334,30 @@ class LlmTextSpec extends SparkSpec {
     assert(!b(3L, "rule_word_count") && !b(3L, "rule_stopwords") && !b(3L, "pass"))
     assert(out(1L).getInt(out(1L).fieldIndex("n_words")) == 5)
   }
+
+  test("cdcChunks: content-defined boundaries survive a prefix edit") {
+    import spark.implicits._
+    // The defining CDC property: prepending words to a document must leave
+    // the chunk signatures of the unchanged tail intact (fixed-width
+    // blocking would shift every block). Compare the chunk signature SETS
+    // of a long doc and the same doc with a 6-word prefix: all but O(1)
+    // boundary-adjacent signatures are shared.
+    val words = (0 until 400).map(i => s"w${i % 97}x$i")
+    val tail = words.mkString(" ")
+    val edited = "zz0 zz1 zz2 zz3 zz4 zz5 " + tail
+    val out = LlmText.cdcChunks(
+      Seq((1L, tail), (2L, edited)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(r.fieldIndex("n_windows")),
+          r.getLong(r.fieldIndex("chunk_min_hash")),
+          r.getLong(r.fieldIndex("chunk_xor")))))
+    val sig1 = out.filter(_._1 == 1L).map(_._2).toSet
+    val sig2 = out.filter(_._1 == 2L).map(_._2).toSet
+    val shared = sig1.intersect(sig2).size
+    info(s"chunks: base=${sig1.size} edited=${sig2.size} shared=$shared")
+    assert(sig1.size > 10, "divisor 16 must yield many chunks on 400 words")
+    assert(shared >= sig1.size - 2,
+      "a prefix edit may perturb only the first chunk(s)")
+  }
 }

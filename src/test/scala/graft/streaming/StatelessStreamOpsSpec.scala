@@ -50,4 +50,39 @@ class StatelessStreamOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(shardStream == shardBatch)
   }
+
+  test("patchExtract and binaryQuantize run per micro-batch, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, VectorOps}
+
+    val docsIn = MemoryStream[(Long, String)]
+    val patches = Multimodal.patchExtract(docsIn.toDF().toDF("doc_id", "text"))
+    val q1 = patches.writeStream.format("memory").queryName("patches_out")
+      .outputMode("append").start()
+    val docRows = Seq((1L, "a" * 40), (2L, ""))
+    try { docsIn.addData(docRows); q1.processAllAvailable() }
+    finally q1.stop()
+    val patchStream = spark.table("patches_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    val patchBatch = Multimodal.patchExtract(docRows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    assert(patchStream == patchBatch && patchBatch.nonEmpty)
+
+    val vecIn = MemoryStream[(Long, Array[Float])]
+    val quant = VectorOps.binaryQuantize(
+      vecIn.toDF().toDF("vec_id", "embedding"))
+    val q2 = quant.writeStream.format("memory").queryName("quant_out")
+      .outputMode("append").start()
+    val vecRows = Seq((1L, Array.tabulate(64)(i => if (i % 3 == 0) 1f else -1f)))
+    try { vecIn.addData(vecRows); q2.processAllAvailable() }
+    finally q2.stop()
+    val quantStream = spark.table("quant_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val quantBatch = VectorOps.binaryQuantize(
+        vecRows.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(quantStream == quantBatch && quantBatch.nonEmpty)
+  }
 }
