@@ -200,6 +200,7 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
     "c18_unimax" -> ((s, d) => Curation.unimaxAllocate(T.documents(s, d))),
+    "c19_epoch_expand" -> ((s, d) => Curation.epochExpand(T.documents(s, d))),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -1376,6 +1377,39 @@ object SparkEntry {
         |       ELSE CAST(20000 - ks.s AS DOUBLE) / (nlang - ks.k)
         |  END AS alloc_tokens
         |FROM f CROSS JOIN ks""".stripMargin,
+    // c18's schedule divided down to epochs/language, then the repeat
+    // explode with the c1-style md5 basis-point gate for the fraction.
+    "c19_epoch_expand" ->
+      """WITH pl AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT lang, n_docs, tokens, tokens * 2 AS cap FROM pl),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cap, lang) AS i,
+        |  COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+        |  COUNT(*) OVER () AS nlang FROM c),
+        |f AS (SELECT *, cap * (nlang - i + 1) + pre <= 20000 AS capped FROM r),
+        |ks AS (SELECT CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS s FROM f),
+        |sch AS (SELECT lang,
+        |  (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |        ELSE CAST(20000 - ks.s AS DOUBLE) / (nlang - ks.k)
+        |   END) / tokens AS epochs
+        |  FROM f CROSS JOIN ks),
+        |s2 AS (SELECT lang, CAST(floor(epochs) AS BIGINT) AS full_ep,
+        |  CAST(floor((epochs - floor(epochs)) * 10000.0) AS BIGINT) AS rem_bp
+        |  FROM sch),
+        |dn AS (SELECT doc_id, d.lang,
+        |  full_ep + (CASE WHEN
+        |    CAST(list_reduce(list_transform(range(1, 8), ch ->
+        |      CASE WHEN ascii(substr(md5('ep:' || doc_id), ch, 1)) <= 57
+        |           THEN ascii(substr(md5('ep:' || doc_id), ch, 1)) - 48
+        |           ELSE ascii(substr(md5('ep:' || doc_id), ch, 1)) - 87 END),
+        |      (a, v) -> a * 16 + v) AS BIGINT) % 10000 < rem_bp
+        |    THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents d JOIN s2 ON d.lang = s2.lang)
+        |SELECT doc_id, lang, UNNEST(range(0, n_copies)) AS epoch
+        |FROM dn WHERE n_copies > 0""".stripMargin,
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,

@@ -508,6 +508,40 @@ object Curation {
     * sums, the water level) runs on that bounded frame; the single-
     * partition window sort is over at most a few hundred rows no matter
     * the corpus size. */
+  /** Epoch materialization (c19): turn the [[unimaxAllocate]] token budget
+    * into the actual repeated training set — language l gets
+    * `epochs_l = alloc_tokens_l / tokens_l` passes, materialized as one row
+    * per (doc, epoch): every doc repeats ⌊epochs⌋ times, and the
+    * fractional remainder becomes one extra copy for a deterministic
+    * per-doc hash share of the language (basis-point gate, c1's md5-bucket
+    * idiom) — so the emitted token mass per language matches the
+    * allocation in expectation, with NO randomness and no driver state.
+    *
+    * 100 TB shape: the schedule is a per-language table (broadcast); the
+    * expansion is a pure projection + bounded explode (fanout ≤
+    * maxEpochs + 1), no shuffle of the corpus. Downstream, c16's shard
+    * assignment deterministically scatters the copies across the epoch
+    * files. */
+  def epochExpand(documents: DataFrame, budgetTokens: Long = 20000L,
+      maxEpochs: Int = 2): DataFrame = {
+    val sched = unimaxAllocate(documents, budgetTokens, maxEpochs)
+      .select(col("lang"),
+        (col("alloc_tokens") / col("tokens")).as("epochs"))
+      .withColumn("full_ep", floor(col("epochs")).cast("long"))
+      .withColumn("rem_bp",
+        floor((col("epochs") - floor(col("epochs"))) * lit(10000.0))
+          .cast("long"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(broadcast(sched), Seq("lang"))
+      .withColumn("n_copies",
+        col("full_ep") +
+          when(pmod(hash28("ep:", col("doc_id")), lit(10000))
+            < col("rem_bp"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+  }
+
   def unimaxAllocate(documents: DataFrame, budgetTokens: Long = 20000L,
       maxEpochs: Int = 2): DataFrame = {
     val perLang = documents

@@ -301,4 +301,32 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(rich == Map("a" -> 20.0, "b" -> 200.0, "c" -> 2000.0), rich)
   }
+
+  test("epochExpand materializes the UniMax schedule as (doc, epoch) rows") {
+    def txt(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // mi: 2 docs × 5 tokens → cap 20, capped under budget 100 → exactly
+    // 2 epochs per doc, no fraction. en: 6 docs × 10 tokens → water level
+    // (100-20)/1 = 80 over 60 tokens → 1.3333 epochs: every doc at least
+    // once, a deterministic ~third of docs twice.
+    val d = docs(
+      (Seq(1L -> "mi", 2L -> "mi").map { case (id, l) => (id, txt(5), l, "s") } ++
+        (10L until 16L).map(id => (id, txt(10), "en", "s"))): _*)
+    val out = Curation.epochExpand(d, budgetTokens = 100L, maxEpochs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // capped language: exactly maxEpochs copies, epochs 0..1
+    assert(byDoc(1L) == Seq(0L, 1L) && byDoc(2L) == Seq(0L, 1L))
+    // uncapped: every doc appears, copies contiguous from 0, count 1 or 2
+    (10L until 16L).foreach { id =>
+      val eps = byDoc(id)
+      assert(eps.nonEmpty && eps == (0L until eps.size.toLong),
+        s"doc $id epochs $eps")
+      assert(eps.size <= 2)
+    }
+    // determinism: same output on a different partitioning
+    val again = Curation.epochExpand(d.repartition(5), 100L, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
 }
