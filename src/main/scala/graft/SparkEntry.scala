@@ -260,6 +260,7 @@ object SparkEntry {
     "c14_semdedup" -> ((s, d) =>
       Dedup.semDedup(T.documents(s, d), T.embeddings(s, d))),
     "d14_url_dedup" -> ((s, d) => Dedup.urlDedup(T.documents(s, d))),
+    "d15_containment" -> ((s, d) => Dedup.containment(T.documents(s, d))),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -1531,6 +1532,23 @@ object SparkEntry {
         |    / len(list_distinct(list_concat(x.g3, y.g3))) AS jaccard3
         |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard3 FROM jac WHERE jaccard3 >= 0.6""".stripMargin,
+    // d4's sketch blocking, but scored asymmetrically on the word-shingle
+    // sets themselves: containment(A->B) = |A∩B| / |A|.
+    "d15_containment" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |sk AS (SELECT doc_id,
+        |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ct AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) AS cont_a_in_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s) AS cont_b_in_a
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM ct
+        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8""".stripMargin,
     "d5_embed_dedup" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -504,6 +504,45 @@ object Dedup {
     }
   }
 
+  /** Shingle-containment scoring (d15): asymmetric near-superset detection
+    * — containment(A→B) = |S_A ∩ S_B| / |S_A| on word-3-shingle sets, the
+    * signal that catches "doc A is a quoted/extended copy inside doc B"
+    * where Jaccard stays LOW because the union is dominated by the larger
+    * doc (RefinedWeb-style curation uses exactly this to kill embedded
+    * boilerplate). Candidates come from the same bottom-4 sketch blocking
+    * as d4 — no all-pairs product — and each surviving pair reports both
+    * directions so the caller picks which side is the subset.
+    *
+    * 100 TB shape: identical to d4's — sketch equi-join for candidates,
+    * shingle sets gathered only for candidate pairs, everything keyed and
+    * co-partitioned on doc_id. */
+  def containment(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(LlmText.words(col("text"))) >= 3)
+      .select(col("doc_id"), LlmText.shingles(col("text")).as("sh"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    Caching.withPersisted(sh) {
+      val sk = sh.select(col("doc_id"),
+        explode(slice(array_sort(transform(col("sh"),
+          s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
+      val cand = sk.as("a")
+        .join(sk.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter =
+        size(array_intersect(col("x.sh"), col("y.sh"))).cast("double")
+      cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (inter / size(col("x.sh"))).as("cont_a_in_b"),
+          (inter / size(col("y.sh"))).as("cont_b_in_a"))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a"))
+          >= threshold)
+    }
+  }
+
   /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
     * shingle hashes per group via the typed BottomKSketch Aggregator —
     * partial aggregation keeps the shuffle at k values per group, the

@@ -138,6 +138,30 @@ class DedupSpec extends SparkSpec {
       s"incoming near-dup pairs only, got $out")
   }
 
+  test("containment flags a quoted subset that Jaccard misses") {
+    // small = the first 15 of base's 25 words → all 13 of its shingles
+    // appear among big's 23, so containment(small→big) = 1.0 — but
+    // Jaccard is 13/23 ≈ 0.565, under d4's 0.6 bar. (The prefix length is
+    // chosen so one of big's bottom-4 sketch hashes falls in the shared
+    // shingles — shorter prefixes lose the blocking lottery and the pair
+    // never becomes a candidate; verified by hand against md5.)
+    val small = base.split(" ").take(15).mkString(" ")
+    val d = docs(1L -> small, 2L -> base,
+      3L -> "completely unrelated vocabulary everywhere in this document")
+    val out = Dedup.containment(d, 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.contains((1L, 2L)), s"subset pair must surface, got $out")
+    val (aInB, bInA) = out((1L, 2L))
+    assert(aInB == 1.0, "every shingle of the quoted doc is in the host")
+    assert(math.abs(bInA - 13.0 / 23) < 1e-12,
+      "host containment = shared/|host| = 13/23, well under the quote's 1.0")
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric score on the same shingle sets is 13/23 ≈ 0.565 —
+    // under a 0.6 Jaccard bar — while max-containment is a clean 1.0:
+    // exactly the asymmetry this operator exists to expose.
+  }
+
   test("urlDedup keeps the longest doc per canonical URL") {
     // The synthetic URL is a function of (doc_id % 2, % 7, % 13) and
     // source, so ids differing by lcm(2,7,13)=182 with the same source
