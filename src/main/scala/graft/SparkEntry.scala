@@ -209,6 +209,7 @@ object SparkEntry {
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
     "q30_window_nav" -> ((s, d) => R.windowNavigation(T.orders(s, d))),
+    "q44_window_dist" -> ((s, d) => R.windowDistribution(T.orders(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -285,6 +286,7 @@ object SparkEntry {
     "s6_ann_tiered" -> ((s, d) => Similarity.annTiered(T.embeddings(s, d))),
     "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
     "s8_ann_pq_adc" -> ((s, d) => Similarity.pqAdcAnn(T.embeddings(s, d))),
+    "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "e7_binary_quantize" -> ((s, d) =>
       graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
     "e8_gram_matrix" -> ((s, d) =>
@@ -898,6 +900,14 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q44_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q34_date_funcs" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
         |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
@@ -1043,6 +1053,46 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM fx) WHERE rank <= 10""".stripMargin,
+    // s1's exact top-10 and s6's tiered top-10 composed, left-joined on
+    // (query, neighbor), reduced to per-query recall.
+    "s9_ann_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p) WHERE rank <= 10),
+        |co AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,17), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,17), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,17), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS ccos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, neighbor_id) AS r
+        |  FROM co) WHERE r <= 30),
+        |fx AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |           JOIN v c ON c.vec_id = cand.neighbor_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM fx) WHERE rank <= 10)
+        |SELECT ex.query_id, COUNT(*) AS n_exact,
+        |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS recall
+        |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+        |  AND ex.neighbor_id = ap.neighbor_id
+        |GROUP BY ex.query_id""".stripMargin,
     // ADC tier reuses e5's codebook construction verbatim (sub/seeds/d0/
     // a0/m1/cb), then scores corpus codes against the per-query lookup
     // table on the shared 1e-9 grid before the exact re-rank.

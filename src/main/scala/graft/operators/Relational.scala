@@ -149,6 +149,24 @@ object Relational {
         .as("first_price"))
   }
 
+  /** Distribution window family (q44): percent_rank / cume_dist /
+    * nth_value over one priority-keyed sort — completes the rank-function
+    * surface next to q7 (rank/dense_rank) and q30 (navigation). Same
+    * single-Window-operator shape: all three share the spec, one
+    * shuffle+sort. percent_rank = (rank−1)/(n−1) and cume_dist = peers≤cur
+    * / n are ratios of exact integers, so results are bit-stable across
+    * engines; the (price, orderkey) sort makes rows unique so the default
+    * RANGE frame equals ROWS. */
+  def windowDistribution(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+  }
+
   /** Equi-width histogram (q32): bucket a measure into `buckets` equal
     * ranges between its observed min and max — the profiling/data-quality
     * pass before choosing filter thresholds. Two aggregates: a 2-row

@@ -234,6 +234,26 @@ object Similarity {
     }
   }
 
+  /** ANN recall evaluation (s9): run the exact baseline and an approximate
+    * tier over the SAME corpus and report per-query recall@k — the quality
+    * gate an ANN deployment watches when retuning probeK/band counts. The
+    * join is on (query, neighbor) between two k·q-row frames, so the
+    * evaluation itself costs nothing at any corpus size; the operands cost
+    * whatever the two retrieval tiers cost. Emits (query_id, n_exact,
+    * n_hit, recall). */
+  def annRecall(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val exact = knnBruteForce(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annTiered(embeddings, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Exact full-dimension cosine re-rank shared by the tiered ANN paths:
     * score every (query_id, neighbor_id) candidate with the true cosine
     * from the prepared frame `vc` and keep top `k` per query. The

@@ -155,6 +155,27 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("annRecall reports per-query hit counts against the exact baseline") {
+    import org.apache.spark.sql.functions._
+    // Same MRL-shaped fixture as the annTiered spec, where the tier is
+    // known-perfect — so every query must report recall exactly 1.0, and
+    // the arithmetic (n_hit / n_exact) is pinned by construction.
+    val mrl = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i % 20)
+      val head = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+      val noise = new scala.util.Random(1000 + i)
+      val tail = Array.fill(48)((noise.nextDouble() * 0.2 - 0.1).toFloat)
+      (i, head ++ tail, (i % 20).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.annRecall(mrl, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2, "queries are vec_id 0 and 100")
+    out.foreach { case (q, nExact, nHit, recall) =>
+      assert(nExact == 5L && nHit == 5L && recall == 1.0,
+        s"query $q: $nHit/$nExact")
+    }
+  }
+
   test("pqAdcAnn: code-tuple candidates, exact re-rank, high recall") {
     import org.apache.spark.sql.functions._
     // 4 clusters of 50 with cluster = id % 4, so the deterministic PQ
