@@ -670,19 +670,25 @@ object Dedup {
     * shuffle-free. */
   def urlDedup(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    // ONE scan, ONE exchange: normalize + spread by the dedup key itself,
+    // persist for the two consumers — the heap top-k and the dupe count
+    // both declare clustering on norm_url, so neither adds a shuffle, and
+    // the winners/counts join is co-partitioned.
     val docs = documents.select(col("doc_id"),
         LlmText.normUrl(
           LlmText.withSyntheticUrl(col("doc_id"), col("source")))
           .as("norm_url"),
         length(col("text")).cast("long").as("n_chars"))
-      .transform(Partitioning.spread(_, col("doc_id")))
-    val winners = graft.plans.TopK.perKey(docs, Seq(col("norm_url")),
-      Seq(col("n_chars").desc, col("doc_id")), 1)
-      .select(col("norm_url"), col("doc_id").as("keep_doc_id"),
-        col("n_chars"))
-    val counts = docs.groupBy(col("norm_url"))
-      .agg(count(lit(1)).as("n_dupes"))
-    winners.join(counts, Seq("norm_url"))
+      .transform(Partitioning.spread(_, col("norm_url")))
+    Caching.withPersisted(docs) {
+      val winners = graft.plans.TopK.perKey(docs, Seq(col("norm_url")),
+        Seq(col("n_chars").desc, col("doc_id")), 1)
+        .select(col("norm_url"), col("doc_id").as("keep_doc_id"),
+          col("n_chars"))
+      val counts = docs.groupBy(col("norm_url"))
+        .agg(count(lit(1)).as("n_dupes"))
+      winners.join(counts, Seq("norm_url"))
+    }
   }
 
   def semDedup(documents: DataFrame, embeddings: DataFrame,

@@ -115,10 +115,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan("mm3_patch_extract").contains("Exchange"))
   }
 
-  test("d14: winner selection heap-reduces per canonical URL") {
-    val p = plan("d14_url_dedup")
-    assert(p.contains("TopKPerKey"), s"d14 must use the heap top-k:\n$p")
-  }
+  // d14 routes through Caching.withPersisted (one norm_url exchange shared
+  // by the heap top-k and the dupe count), so its internal plan is not
+  // inspectable here — same reason x7/x17/s1-s3 have no pin. Its heap
+  // winner semantics are behavior-pinned in DedupSpec.
 
   // x17 routes through Caching.withPersisted and returns an eagerly
   // materialized frame (Scan ExistingRDD), so its internal plan is not
