@@ -210,6 +210,8 @@ object SparkEntry {
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
     "q30_window_nav" -> ((s, d) => R.windowNavigation(T.orders(s, d))),
     "q44_window_dist" -> ((s, d) => R.windowDistribution(T.orders(s, d))),
+    "q45_asof_tolerance" -> ((s, d) =>
+      Temporal.asofJoinTolerance(T.events(s, d), T.orders(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -460,6 +462,29 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_order
         |  FROM u)
         |SELECT event_id, k AS user_id, matched_order
+        |FROM m WHERE side = 1""".stripMargin,
+    // q21's union+window with the matched row's own timestamp carried
+    // forward; the 30-day staleness bound is a pure per-row filter.
+    "q45_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    1 AS side, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT),
+        |    0, NULL, o_orderkey
+        |  FROM orders),
+        |m AS (SELECT event_id, k, t, side,
+        |  last_value(o_orderkey IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY t, side, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cand_order,
+        |  last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY t, side, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cand_t
+        |  FROM u)
+        |SELECT event_id, k AS user_id,
+        |  CASE WHEN t - cand_t <= 2592000 THEN cand_order END AS matched_order,
+        |  CASE WHEN t - cand_t <= 2592000 THEN t - cand_t END AS gap_sec
         |FROM m WHERE side = 1""".stripMargin,
     "q24_range_join" ->
       """SELECT a.event_id, count(*) - 1 AS n_close

@@ -214,6 +214,41 @@ object Temporal {
         col("matched_order"))
   }
 
+  /** Tolerance-bounded as-of join (q45): [[asofJoin]] with a staleness
+    * bound — the match is kept only when the event is within
+    * `toleranceSec` of the matched order (pandas `merge_asof(tolerance=…)`
+    * semantics, the feature-store rule "a feature older than N days is no
+    * feature"). Same union+window shape, additionally carrying the matched
+    * row's OWN timestamp forward (both `last(_, ignoreNulls)` calls read
+    * the same order row, so the pair is consistent); the bound is then a
+    * pure per-row filter on the gap. One shuffle on the key, no range
+    * explosion, skew-proof for the same reason as q21. */
+  def asofJoinTolerance(events: DataFrame, orders: DataFrame,
+      toleranceSec: Long = 30L * 24 * 3600): DataFrame = {
+    val e = events.select(
+      col("user_id").as("k"), unix_timestamp(col("ts")).as("t"),
+      lit(1).as("side"), col("event_id"),
+      lit(null).cast("long").as("o_orderkey"))
+    val o = orders.select(
+      col("o_custkey").as("k"), unix_timestamp(col("o_orderdate")).as("t"),
+      lit(0).as("side"), lit(null).cast("long").as("event_id"),
+      col("o_orderkey"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("cand_order",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("cand_t",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(col("t") - col("cand_t") <= toleranceSec, col("cand_order"))
+          .as("matched_order"),
+        when(col("t") - col("cand_t") <= toleranceSec,
+          col("t") - col("cand_t")).as("gap_sec"))
+  }
+
   /** Exact per-group discrete quantiles (q43): the order statistic at rank
     * ⌈p·n⌉ for each probability — generalizes [[exactMedian]] to arbitrary
     * quantile vectors with NO interpolation (returned values are actual

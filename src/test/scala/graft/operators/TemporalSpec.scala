@@ -64,6 +64,25 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.getLong(2) == 11L)
   }
 
+  test("asofJoinTolerance nulls matches staler than the bound") {
+    val events = Seq((1L, 100L, ts(50)), (1L, 101L, ts(45)))
+      .toDF("user_id", "event_id", "ts")
+    val orders = Seq((1L, 11L, ts(10)), (1L, 12L, ts(44)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    // tolerance 10s: event@50 matches order 12 (gap 6); with tolerance 5s
+    // the same candidate is too stale for event@50 but fresh for event@45
+    val loose = Temporal.asofJoinTolerance(events, orders, 10L).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(loose(100L) == ((12L, 6L)))
+    assert(loose(101L) == ((12L, 1L)))
+    val tight = Temporal.asofJoinTolerance(events, orders, 5L).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(tight(100L) == -1L, "order 12 is 6s stale, over the 5s bound")
+    assert(tight(101L) == 12L)
+  }
+
   test("groupQuantiles returns the ceil(p*n) order statistic per group") {
     // group a: values 1..4 → p25 at rank 1, p50 at rank 2, p75 at rank 3,
     // p95 at rank ceil(3.8)=4; group b: one value serves every p
