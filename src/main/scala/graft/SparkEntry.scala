@@ -264,6 +264,7 @@ object SparkEntry {
       Dedup.semDedup(T.documents(s, d), T.embeddings(s, d))),
     "d14_url_dedup" -> ((s, d) => Dedup.urlDedup(T.documents(s, d))),
     "d15_containment" -> ((s, d) => Dedup.containment(T.documents(s, d))),
+    "d16_dedup_report" -> ((s, d) => Dedup.dedupReport(T.documents(s, d))),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -1839,6 +1840,56 @@ object SparkEntry {
         |SELECT d.source, count(*) AS n_docs_kept
         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
         |WHERE drops.doc IS NULL
+        |GROUP BY d.source""".stripMargin,
+    // d8's component chain, aggregated into the dropped-mass report.
+    "d16_dedup_report" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
+        |dec AS (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc),
+        |drops AS (SELECT doc FROM dec WHERE doc <> rep)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(CAST(SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS drop_frac
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
         |GROUP BY d.source""".stripMargin,
     "d10_span_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

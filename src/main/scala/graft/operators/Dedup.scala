@@ -375,6 +375,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs_kept"))
   }
 
+  /** Dedup accounting report (d16): the governance artifact next to d8's
+    * surviving corpus — per source, how many documents the near-dup pass
+    * dropped and what fraction of the source that was. The numbers a
+    * curation review reads before signing off a training mix ("source X
+    * lost 40% to dedup — is it syndicated content or a pipeline bug?").
+    * Same components pass as d7/d8; the report is one left join + a
+    * map-side-combined aggregate whose output is #sources rows. */
+  def dedupReport(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val comp = nearDupComponents(documents, threshold)
+    documents.select(col("doc_id"), col("source"))
+      .join(comp.select(col("doc_id"), col("keep")), Seq("doc_id"),
+        "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep") === false, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        (col("n_dropped").cast("double") / col("n_docs")).as("drop_frac"))
+  }
+
   /** Hex-char value (0..15) at 1-based position c of a hex string. */
   private def hexVal(hx: Column, c: Column): Column = {
     val a = ascii(hx.substr(c, lit(1)))

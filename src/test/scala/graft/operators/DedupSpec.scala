@@ -162,6 +162,22 @@ class DedupSpec extends SparkSpec {
     // exactly the asymmetry this operator exists to expose.
   }
 
+  test("dedupReport accounts dropped mass per source") {
+    import org.apache.spark.sql.functions._
+    // sources: "dup" holds an identical pair (one member drops), "solo"
+    // holds unique docs (nothing drops)
+    val d = Seq(
+      (1L, base, "dup"), (2L, base, "dup"),
+      (3L, "totally different words here today", "solo"),
+      (4L, base.split(" ").reverse.mkString(" "), "solo"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupReport(d, 0.7).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out("dup") == ((2L, 1L, 1L, 0.5)))
+    assert(out("solo") == ((2L, 0L, 2L, 0.0)))
+  }
+
   test("urlDedup keeps the longest doc per canonical URL") {
     // The synthetic URL is a function of (doc_id % 2, % 7, % 13) and
     // source, so ids differing by lcm(2,7,13)=182 with the same source
