@@ -303,6 +303,60 @@ object VectorOps {
         (col("gsum").cast("double") / lit(1.0e9)).as("gram"), col("n"))
   }
 
+  /** Top principal direction (e9): power iteration on the [[gramMatrix]]
+    * output — the dominant eigenvector of the corpus second-moment matrix,
+    * i.e. the direction PCA/whitening removes first and the axis embedding
+    * stores use for split planes. The distributed work is exactly e8's one
+    * scan; the iteration itself runs on the DRIVER over the collected
+    * 64×64 matrix (bounded at dim² cells regardless of corpus size — the
+    * same driver-side-math license as the k-means seed table).
+    *
+    * Determinism across engines: every matvec term and every squared-norm
+    * term is snapped to the 1e-9 grid before summation (integer adds
+    * commute), and the remaining double ops (divide by 1e9, sqrt,
+    * normalize) are identical IEEE expressions on both sides — so after 8
+    * iterations the loadings are bit-identical to the DuckDB recursive-CTE
+    * twin. Output: (dim, loading, eigenvalue) with eigenvalue = ‖G·v‖ of
+    * the final unit iterate. */
+  def pc1PowerIteration(embeddings: DataFrame, iters: Int = 8,
+      dim: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val G = Array.ofDim[Double](dim, dim)
+    gramMatrix(embeddings, vecCol, dim).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val gv = r.getDouble(2)
+      G(i)(j) = gv; G(j)(i) = gv
+    }
+    var v = Array.fill(dim)(1.0 / dim)
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0L
+        var j = 0
+        while (j < dim) {
+          acc += graft.functions.GramSum.grid(G(i)(j) * v(j) * 1.0e9)
+          j += 1
+        }
+        w(i) = acc.toDouble / 1.0e9
+        i += 1
+      }
+      var nacc = 0L
+      var k = 0
+      while (k < dim) {
+        nacc += graft.functions.GramSum.grid(w(k) * w(k) * 1.0e9)
+        k += 1
+      }
+      lambda = math.sqrt(nacc.toDouble / 1.0e9)
+      v = w.map(_ / lambda)
+      it += 1
+    }
+    v.zipWithIndex.map { case (l, d) => (d, l, lambda) }.toSeq
+      .toDF("dim", "loading", "eigenvalue")
+  }
+
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =
     * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero

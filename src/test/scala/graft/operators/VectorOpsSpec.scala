@@ -157,6 +157,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(!out.contains((1, 0)), "strictly upper triangle")
   }
 
+  test("pc1PowerIteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // 50 vectors = ±(3·e5) plus small noise in e7: the second moment is
+    // dominated by dim 5, so the top eigenvector must concentrate there.
+    val data = (0L until 50L).map { i =>
+      val a = Array.fill(64)(0f)
+      a(5) = if (i % 2 == 0) 3f else -3f
+      a(7) = 0.01f * (i % 5)
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val out = VectorOps.pc1PowerIteration(data)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val loading = out.view.mapValues(_._1).toMap
+    assert(math.abs(math.abs(loading(5)) - 1.0) < 1e-6,
+      s"PC1 must align with dim 5, got ${loading(5)}")
+    assert(loading.filter(_._1 != 5).values.forall(l => math.abs(l) < 1e-2))
+    // unit norm and a positive dominant eigenvalue ≈ Σ x5² = 50·9
+    assert(math.abs(loading.values.map(l => l * l).sum - 1.0) < 1e-9)
+    val lambda = out(5)._2
+    assert(math.abs(lambda - 450.0) < 1.0, s"eigenvalue $lambda")
+  }
+
   test("binaryQuantize packs sign bits into two 32-bit words") {
     import spark.implicits._
     // sign convention: x >= 0 sets the bit (zero counts as positive)
