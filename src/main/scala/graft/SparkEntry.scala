@@ -296,6 +296,8 @@ object SparkEntry {
       graft.operators.VectorOps.gramMatrix(T.embeddings(s, d))),
     "e9_pc1_power" -> ((s, d) =>
       graft.operators.VectorOps.pc1PowerIteration(T.embeddings(s, d))),
+    "e10_remove_pc1" -> ((s, d) =>
+      graft.operators.VectorOps.removeTopComponent(T.embeddings(s, d))),
     // -- LLM-data-pipeline ops: multimodal columns --
     "mm1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatures(T.documents(s, d))),
@@ -2017,6 +2019,43 @@ object SparkEntry {
         |)
         |SELECT CAST(d AS INT) AS dim, vv AS loading, lam AS eigenvalue
         |FROM pw WHERE it = 8""".stripMargin,
+    // e9's converged direction folded to a list, then the pure per-row
+    // projection x' = x - (v.x) v, long-form like e3/e6.
+    "e10_remove_pc1" ->
+      """WITH RECURSIVE ve AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+        |pr AS (SELECT UNNEST(range(0, 64)) AS d),
+        |pairs AS (SELECT a.d AS i, b.d AS j
+        |  FROM pr a CROSS JOIN pr b WHERE b.d >= a.d),
+        |g0 AS (SELECT p.i, p.j,
+        |  CAST(CAST(SUM(CAST(round(x[p.i + 1] * x[p.j + 1] * 1.0e9) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1.0e9 AS gram
+        |  FROM ve CROSS JOIN pairs p GROUP BY p.i, p.j),
+        |gm AS (SELECT i, j, gram FROM g0
+        |  UNION ALL SELECT j AS i, i AS j, gram FROM g0 WHERE i <> j),
+        |pw(it, d, vv, lam) AS (
+        |  SELECT 0, d, CAST(1.0 AS DOUBLE) / 64, CAST(0 AS DOUBLE) FROM pr
+        |  UNION ALL
+        |  SELECT it + 1, d, w / nrm, nrm FROM (
+        |    SELECT it, d, w,
+        |      sqrt(CAST(CAST(SUM(CAST(round(w * w * 1.0e9) AS BIGINT))
+        |        OVER (PARTITION BY it) AS BIGINT) AS DOUBLE) / 1.0e9) AS nrm
+        |    FROM (
+        |      SELECT pw.it, gm.i AS d,
+        |        CAST(CAST(SUM(CAST(round(gm.gram * pw.vv * 1.0e9) AS BIGINT))
+        |          AS BIGINT) AS DOUBLE) / 1.0e9 AS w
+        |      FROM pw JOIN gm ON gm.j = pw.d WHERE pw.it < 8
+        |      GROUP BY pw.it, gm.i) a) b
+        |),
+        |pc AS (SELECT list(vv ORDER BY d) AS v FROM pw WHERE it = 8),
+        |vx AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |pj AS (SELECT vec_id, x,
+        |  list_reduce(list_transform(range(1, 65), i -> x[i] * pc.v[i]),
+        |    (a, b) -> a + b) AS proj
+        |  FROM vx CROSS JOIN pc)
+        |SELECT vec_id, CAST(dd AS INT) AS dim,
+        |  x[dd + 1] - proj * pc.v[dd + 1] AS wval
+        |FROM pj CROSS JOIN pc
+        |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS dd)""".stripMargin,
     "e5_pq_encode" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx

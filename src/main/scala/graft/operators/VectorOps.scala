@@ -357,6 +357,28 @@ object VectorOps {
       .toDF("dim", "loading", "eigenvalue")
   }
 
+  /** All-but-the-top postprocessing (e10): subtract each embedding's
+    * projection onto the dominant direction — x′ = x − (v·x)·v with v from
+    * [[pc1PowerIteration]] — the Mu & Viswanath ("All-but-the-Top", 2018)
+    * correction that removes the common-direction bias dominating cosine
+    * scores in anisotropic embedding spaces. v collapses to a 64-double
+    * literal folded into the plan, so the correction is a pure per-row
+    * projection: no shuffle, no join, input-scan speed at any corpus size.
+    * Long-form output (vec_id, dim, wval) like e3/e6 so every compared
+    * cell is a scalar double; proj is the in-order dot the oracle mirrors. */
+  def removeTopComponent(embeddings: DataFrame, iters: Int = 8,
+      dim: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val pc = pc1PowerIteration(embeddings, iters, dim, vecCol)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val vLit = typedlit((0 until dim).map(pc))
+    embeddings
+      .select(col("vec_id"), asDouble(col(vecCol)).as("x"))
+      .withColumn("proj", dot(col("x"), vLit))
+      .select(col("vec_id"),
+        posexplode(zip_with(col("x"), vLit,
+          (xi, vi) => xi - col("proj") * vi)).as(Seq("dim", "wval")))
+  }
+
   /** Symmetric int8 quantization with round-trip error stats (e2): the
     * compression pass an embedding store runs before ANN serving — scale =
     * max|x|/127 per vector, q_i = ⌊x_i·(127/max|x|) + 0.5⌋ (away-from-zero

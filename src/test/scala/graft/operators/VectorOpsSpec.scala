@@ -180,6 +180,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(lambda - 450.0) < 1.0, s"eigenvalue $lambda")
   }
 
+  test("removeTopComponent zeroes the dominant direction, keeps the rest") {
+    import spark.implicits._
+    val data = (0L until 50L).map { i =>
+      val a = Array.fill(64)(0f)
+      a(5) = if (i % 2 == 0) 3f else -3f
+      a(7) = 0.01f * (i % 5)
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val out = VectorOps.removeTopComponent(data)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    // the planted dominant component vanishes; the small orthogonal-ish
+    // noise in dim 7 survives (PC1 has ~no dim-7 loading)
+    assert((0L until 50L).forall(i => math.abs(out((i, 5))) < 1e-4))
+    assert(math.abs(out((1L, 7)) - 0.01f.toDouble) < 1e-3)
+    assert(math.abs(out((0L, 7))) < 1e-3)
+  }
+
   test("binaryQuantize packs sign bits into two 32-bit words") {
     import spark.implicits._
     // sign convention: x >= 0 sets the bit (zero counts as positive)
