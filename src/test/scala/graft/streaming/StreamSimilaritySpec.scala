@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming kNN against a static index: each micro-batch of query
+  * embeddings is scored with the same batch operator, so results per batch
+  * equal the batch answer and cost scales with the batch. */
+class StreamSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(parts: (Int, Float)*): Array[Float] = {
+    val a = Array.fill(64)(0f)
+    parts.foreach { case (i, v) => a(i) = v }
+    a
+  }
+
+  test("knnVsIndex emits per-batch exact top-k against the static index") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq(
+      (100L, vec(0 -> 1f)),            // collinear with query 1
+      (101L, vec(0 -> 1f, 1 -> 1f)),   // 45°
+      (102L, vec(1 -> 1f)),            // orthogonal
+      (103L, vec(0 -> -1f)))           // opposite
+      .toDF("vec_id", "embedding")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamSimilarity.knnVsIndex(
+      input.toDF().toDF("vec_id", "embedding"), index,
+      sink = df => df.collect().foreach(r =>
+        got.add((r.getLong(0), r.getLong(1)))), k = 2)
+    try {
+      input.addData(Seq((1L, vec(0 -> 2f))))
+      q.processAllAvailable()
+      assert(got.toArray(Array.empty[(Long, Long)]).toSet ==
+        Set((1L, 100L), (1L, 101L)),
+        "top-2 by cosine: the collinear and the 45-degree neighbor")
+
+      // second batch: a different query, scored independently
+      input.addData(Seq((2L, vec(1 -> 3f))))
+      q.processAllAvailable()
+      assert(got.toArray(Array.empty[(Long, Long)]).toSet ==
+        Set((1L, 100L), (1L, 101L), (2L, 102L), (2L, 101L)))
+    } finally q.stop()
+  }
+}
