@@ -154,6 +154,8 @@ object SparkEntry {
     "x17_bigram_lm" -> ((s, d) => LlmText.bigramLm(T.documents(s, d))),
     "x18_gopher_rules" -> ((s, d) => LlmText.gopherRules(T.documents(s, d))),
     "x19_cdc_chunks" -> ((s, d) => LlmText.cdcChunks(T.documents(s, d))),
+    "x20_lang_ngram_profile" -> ((s, d) =>
+      LlmText.langNgramProfile(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -212,6 +214,7 @@ object SparkEntry {
     "q44_window_dist" -> ((s, d) => R.windowDistribution(T.orders(s, d))),
     "q45_asof_tolerance" -> ((s, d) =>
       Temporal.asofJoinTolerance(T.events(s, d), T.orders(s, d))),
+    "q46_unpivot" -> ((s, d) => R.meltMeasures(T.lineitem(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -677,6 +680,18 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, COUNT(*) AS n_windows,
         |  MIN(h) AS chunk_min_hash, CAST(bit_xor(h) AS BIGINT) AS chunk_xor
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "x20_lang_ngram_profile" ->
+      """WITH ws AS (SELECT lang, string_split(text,' ') AS w FROM documents),
+        |bg AS (SELECT lang,
+        |  UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        |    AS bigram
+        | FROM ws WHERE len(w) >= 2),
+        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT lang, bigram, cnt, rank FROM (
+        |  SELECT lang, bigram, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, bigram) AS INT) AS rank
+        |  FROM c) WHERE rank <= 5""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
@@ -938,6 +953,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q46_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  CAST(l_quantity AS DOUBLE) AS mval FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  CAST(l_discount AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |  CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin,
     "q34_date_funcs" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
         |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,

@@ -802,6 +802,32 @@ object LlmText {
     }
   }
 
+  /** Per-language n-gram profile (x20): the top-k bigrams of each language
+    * by corpus frequency — the reference profile an n-gram language
+    * identifier is trained against (x2 consumes exactly this artifact
+    * shape), and the per-group twin of the corpus-level Zipf head (x16).
+    * Token-scale explode → map-side-combined (lang, bigram) counts → the
+    * heap [[graft.plans.TopK.perKey]] per language, so the shuffle after
+    * the count is #distinct-bigrams wide and the final frame is
+    * #langs × k rows. */
+  def langNgramProfile(documents: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val ws = words(col("text"))
+    val m = size(ws) - 1
+    val bigrams = zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = documents
+      .filter(size(ws) >= 2)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopK.perKey(counts, Seq(col("lang")),
+      Seq(col("cnt").desc, col("bigram")), k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bigram"))))
+  }
+
   /** Bigram language-model fluency scoring (x17): train an add-one-smoothed
     * bigram LM on the corpus itself and score every document by its average
     * bigram log-probability — the CCNet/KenLM-style quality signal ("does

@@ -167,6 +167,23 @@ object Relational {
       nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
   }
 
+  /** Unpivot / melt (q46): wide measure columns → long (key, measure,
+    * value) rows, the inverse of q17's pivot and the reshape every
+    * metrics-table → time-series pipeline needs. Spark's native `unpivot`
+    * is a pure per-row explode with bounded fanout (#measures), no
+    * shuffle; the oracle is the portable UNION ALL form. */
+  def meltMeasures(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "mval")
+
   /** Equi-width histogram (q32): bucket a measure into `buckets` equal
     * ranges between its observed min and max — the profiling/data-quality
     * pass before choosing filter thresholds. Two aggregates: a 2-row

@@ -335,6 +335,22 @@ class LlmTextSpec extends SparkSpec {
     assert(out(1L).getInt(out(1L).fieldIndex("n_words")) == 5)
   }
 
+  test("langNgramProfile ranks top bigrams per language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat", "en"), (2L, "the cat ran", "en"),
+      (3L, "le chat", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = LlmText.langNgramProfile(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(3)) ->
+        (r.getString(1), r.getLong(2))).toMap
+    // en bigrams: "the cat"×2, "cat sat"×1, "cat ran"×1 → top-2 =
+    // ("the cat", 2), then alphabetical tiebreak ("cat ran", 1)
+    assert(out(("en", 1)) == (("the cat", 2L)))
+    assert(out(("en", 2)) == (("cat ran", 1L)))
+    assert(out(("fr", 1)) == (("le chat", 1L)))
+  }
+
   test("cdcChunks: content-defined boundaries survive a prefix edit") {
     import spark.implicits._
     // The defining CDC property: prepending words to a document must leave

@@ -108,11 +108,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), s"lex ranking must heap-reduce:\n$p")
   }
 
-  test("x18/c16/e7/mm3: pure projections — no exchange anywhere in the plan") {
+  test("x18/c16/e7/mm3/q46: pure projections — no exchange anywhere in the plan") {
     assert(!plan("x18_gopher_rules").contains("Exchange"))
     assert(!plan("c16_shuffle_shard").contains("Exchange"))
     assert(!plan("e7_binary_quantize").contains("Exchange"))
     assert(!plan("mm3_patch_extract").contains("Exchange"))
+    assert(!plan("q46_unpivot").contains("Exchange"))
   }
 
   // d14 routes through Caching.withPersisted (one norm_url exchange shared
