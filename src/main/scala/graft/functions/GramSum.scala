@@ -28,7 +28,10 @@ case class GramSum(dim: Int)
   override def zero: Array[Long] = new Array[Long](tri + 1)
 
   override def reduce(b: Array[Long], x: Array[Double]): Array[Long] = {
-    if (x != null && x.length == dim) {
+    // every row counts toward n (the oracle's COUNT(*)); rows whose vector
+    // is null/short contribute nothing to the sums, exactly like the
+    // oracle's SUM skipping NULL products
+    if (x != null && x.length >= dim) {
       var k = 0
       var i = 0
       while (i < dim) {
@@ -41,8 +44,8 @@ case class GramSum(dim: Int)
         }
         i += 1
       }
-      b(tri) += 1L
     }
+    b(tri) += 1L
     b
   }
 

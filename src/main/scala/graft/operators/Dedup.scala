@@ -382,8 +382,14 @@ object Dedup {
     * lost 40% to dedup — is it syndicated content or a pipeline bug?").
     * Same components pass as d7/d8; the report is one left join + a
     * map-side-combined aggregate whose output is #sources rows. */
-  def dedupReport(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val comp = nearDupComponents(documents, threshold)
+  def dedupReport(documents: DataFrame, threshold: Double = 0.7): DataFrame =
+    dedupReport(documents, nearDupComponents(documents, threshold))
+
+  /** [[dedupReport]] over PRECOMPUTED component decisions — like
+    * [[dedupApply]]'s two-arg form, so one LSH+components pass feeds the
+    * surviving corpus AND the accounting report instead of recomputing
+    * per consumer. */
+  def dedupReport(documents: DataFrame, comp: DataFrame): DataFrame = {
     documents.select(col("doc_id"), col("source"))
       .join(comp.select(col("doc_id"), col("keep")), Seq("doc_id"),
         "left_outer")

@@ -75,20 +75,29 @@ object Similarity {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** The benchmark query set, defined ONCE: every ANN tier and the re-rank
+    * read the predicate from here so they cannot drift apart. */
+  private def defaultQueries(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % 100 === 0)
+
   /** Brute-force cosine top-k (s1): queries = vec_id % 100 == 0. */
   def knnBruteForce(embeddings: DataFrame, k: Int = 10): DataFrame = {
     val v = vecs(embeddings)
-    Caching.withPersisted(v) {
-      val q = v.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("x").as("qx"),
-          col("nrm").as("qnrm"))
-      val scored = broadcast(q)
-        .join(v, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (GraftFunctions.dot(col("qx"), col("x")) /
-            (col("qnrm") * col("nrm"))).as("cos"))
-      topKPerQuery(scored, k)
-    }
+    Caching.withPersisted(v) { knnWithVc(v, k) }
+  }
+
+  /** s1's body over an already-prepared (and persisted) vector frame —
+    * shared with [[annRecall]] so the evaluation preps the corpus once. */
+  private def knnWithVc(v: DataFrame, k: Int): DataFrame = {
+    val q = defaultQueries(v)
+      .select(col("vec_id").as("query_id"), col("x").as("qx"),
+        col("nrm").as("qnrm"))
+    val scored = broadcast(q)
+      .join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (GraftFunctions.dot(col("qx"), col("x")) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Cosine range search (s4): ALL neighbors within a similarity threshold,
@@ -137,23 +146,30 @@ object Similarity {
     * random vectors where prefix cosine carries no signal. */
   def annTiered(embeddings: DataFrame, k: Int = 10, probeK: Int = 30,
       coarseDims: Int = 16): DataFrame = {
-    val vc = vecs(embeddings)
-      .withColumn("xc", slice(col("x"), 1, coarseDims))
+    val vc = withCoarse(vecs(embeddings), coarseDims)
+    Caching.withPersisted(vc) { tieredWithVc(vc, k, probeK) }
+  }
+
+  /** vecs + the matryoshka-prefix columns the coarse tier reads. */
+  private def withCoarse(v: DataFrame, coarseDims: Int): DataFrame =
+    v.withColumn("xc", slice(col("x"), 1, coarseDims))
       .withColumn("cnrm", sqrt(VectorOps.norm2(col("xc"))))
-    Caching.withPersisted(vc) {
-      val q = vc.filter(col("vec_id") % 100 === 0)
-      val coarse = broadcast(
-          q.select(col("vec_id").as("query_id"), col("xc").as("qxc"),
-            col("cnrm").as("qcnrm")))
-        .join(vc, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (GraftFunctions.dot(col("qxc"), col("xc")) /
-            (col("qcnrm") * col("cnrm"))).as("ccos"))
-      val cands = graft.plans.TopK.perKey(coarse, Seq(col("query_id")),
-        Seq(col("ccos").desc, col("neighbor_id")), probeK)
-        .select(col("query_id"), col("neighbor_id"))
-      rerankExact(vc, cands, k)
-    }
+
+  /** s6's body over an already-prepared (and persisted) frame carrying the
+    * coarse columns — shared with [[annRecall]]. */
+  private def tieredWithVc(vc: DataFrame, k: Int, probeK: Int): DataFrame = {
+    val q = defaultQueries(vc)
+    val coarse = broadcast(
+        q.select(col("vec_id").as("query_id"), col("xc").as("qxc"),
+          col("cnrm").as("qcnrm")))
+      .join(vc, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (GraftFunctions.dot(col("qxc"), col("xc")) /
+          (col("qcnrm") * col("cnrm"))).as("ccos"))
+    val cands = graft.plans.TopK.perKey(coarse, Seq(col("query_id")),
+      Seq(col("ccos").desc, col("neighbor_id")), probeK)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(vc, defaultQueries(vc), cands, k)
   }
 
   /** Hamming-tier ANN (s7): candidates come from popcount(xor) over the
@@ -175,7 +191,7 @@ object Similarity {
       .withColumn("w0", VectorOps.signWord(col("x"), 0))
       .withColumn("w1", VectorOps.signWord(col("x"), 32))
     Caching.withPersisted(vc) {
-      val q = vc.filter(col("vec_id") % 100 === 0)
+      val q = defaultQueries(vc)
       val ham = broadcast(
           q.select(col("vec_id").as("query_id"), col("w0").as("qw0"),
             col("w1").as("qw1")))
@@ -187,7 +203,7 @@ object Similarity {
       val cands = graft.plans.TopK.perKey(ham, Seq(col("query_id")),
         Seq(col("hamming"), col("neighbor_id")), probeK)
         .select(col("query_id"), col("neighbor_id"))
-      rerankExact(vc, cands, k)
+      rerankExact(vc, q, cands, k)
     }
   }
 
@@ -210,12 +226,14 @@ object Similarity {
   def pqAdcAnn(embeddings: DataFrame, k: Int = 10, probeK: Int = 30,
       subspaces: Int = 4, subDim: Int = 16): DataFrame = {
     val vc = vecs(embeddings)
-    Caching.withPersisted(vc) {
-      val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
+    // sub is read three ways (codebook training, corpus assignment, query
+    // LUT) — persist it alongside vc so the subspace explode runs once
+    val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
+    Caching.withPersisted(vc, sub) {
       val codebook = VectorOps.pqCodebook(sub)
       val codes = VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code"))
-      val lut = sub.filter(col("vec_id") % 100 === 0)
+      val lut = defaultQueries(sub)
         .select(col("vec_id").as("query_id"), col("s"),
           col("sx").as("qsx"))
         .join(broadcast(codebook), "s")
@@ -230,7 +248,7 @@ object Similarity {
       val cands = graft.plans.TopK.perKey(approx, Seq(col("query_id")),
         Seq(col("adc_d2"), col("vec_id")), probeK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      rerankExact(vc, cands, k)
+      rerankExact(vc, defaultQueries(vc), cands, k)
     }
   }
 
@@ -241,27 +259,34 @@ object Similarity {
     * evaluation itself costs nothing at any corpus size; the operands cost
     * whatever the two retrieval tiers cost. Emits (query_id, n_exact,
     * n_hit, recall). */
-  def annRecall(embeddings: DataFrame, k: Int = 10): DataFrame = {
-    val exact = knnBruteForce(embeddings, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = annTiered(embeddings, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .select(col("query_id"), col("n_exact"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  def annRecall(embeddings: DataFrame, k: Int = 10,
+      probeK: Int = 30, coarseDims: Int = 16): DataFrame = {
+    // ONE prepared+persisted frame serves both operands — the corpus prep
+    // (spread, norms, coarse prefix) is not paid twice for an evaluation
+    val vc = withCoarse(vecs(embeddings), coarseDims)
+    Caching.withPersisted(vc) {
+      val exact = knnWithVc(vc, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = tieredWithVc(vc, k, probeK)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }
   }
 
   /** Exact full-dimension cosine re-rank shared by the tiered ANN paths:
     * score every (query_id, neighbor_id) candidate with the true cosine
-    * from the prepared frame `vc` and keep top `k` per query. The
+    * from the prepared frame `vc` and keep top `k` per query. The query
+    * frame is PASSED IN (not re-derived) so the candidate tier and the
+    * re-rank can never disagree about what the query set is. The
     * candidate list and the query table broadcast; the corpus side is a
     * hash-join gather of probeK rows per query. */
-  private def rerankExact(vc: DataFrame, cands: DataFrame,
+  private def rerankExact(vc: DataFrame, q: DataFrame, cands: DataFrame,
       k: Int): DataFrame = {
-    val q = vc.filter(col("vec_id") % 100 === 0)
     val scored = broadcast(cands)
       .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
         col("nrm")), Seq("neighbor_id"))

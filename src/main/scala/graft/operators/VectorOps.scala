@@ -298,6 +298,9 @@ object VectorOps {
     summed.toDF("g")
       .select(element_at(col("g"), tri + 1).as("n"),
         posexplode(slice(col("g"), 1, tri)).as(Seq("k", "gsum")))
+      // empty-corpus parity: the global typed agg still returns its zero
+      // buffer, but the oracle's CROSS JOIN + GROUP BY yields no rows
+      .filter(col("n") > 0)
       .join(broadcast(idx.toDF("k", "i", "j")), "k")
       .select(col("i"), col("j"),
         (col("gsum").cast("double") / lit(1.0e9)).as("gram"), col("n"))
@@ -323,7 +326,10 @@ object VectorOps {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val G = Array.ofDim[Double](dim, dim)
-    gramMatrix(embeddings, vecCol, dim).collect().foreach { r =>
+    val cells = gramMatrix(embeddings, vecCol, dim).collect()
+    require(cells.nonEmpty,
+      "pc1PowerIteration: empty corpus — no Gram matrix to iterate on")
+    cells.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1); val gv = r.getDouble(2)
       G(i)(j) = gv; G(j)(i) = gv
     }
