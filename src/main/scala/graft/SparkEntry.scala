@@ -293,6 +293,8 @@ object SparkEntry {
     "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
     "s8_ann_pq_adc" -> ((s, d) => Similarity.pqAdcAnn(T.embeddings(s, d))),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
+    "s10_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(T.embeddings(s, d))),
     "e7_binary_quantize" -> ((s, d) =>
       graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
     "e8_gram_matrix" -> ((s, d) =>
@@ -1110,6 +1112,21 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM fx) WHERE rank <= 10""".stripMargin,
+    // s1's scan with the label inequality in the join, per-anchor top-5.
+    "s10_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+        |  c.vec_id AS neighbor_id, c.label AS neg_label,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |   AND c.label <> q.label)
+        |SELECT query_id, qlabel, neighbor_id, neg_label, cos, rank FROM (
+        |  SELECT query_id, qlabel, neighbor_id, neg_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |  FROM p) WHERE rank <= 5""".stripMargin,
     // s1's exact top-10 and s6's tiered top-10 composed, left-joined on
     // (query, neighbor), reduced to per-query recall.
     "s9_ann_recall" ->

@@ -278,6 +278,40 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining (s10): for each anchor, the k most-similar
+    * vectors with a DIFFERENT label — the contrastive-training staple
+    * (negatives that are hard precisely because they look like the
+    * anchor). Same broadcast-anchor scan shape as s1 with the label
+    * inequality fused into the join condition, so the filter prunes pairs
+    * before any scoring work; per-anchor reduction is the heap top-k. At
+    * corpus scale the scan side composes with any candidate tier
+    * (bands/cells/prefix) exactly like the other ANN paths. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+      .transform(Partitioning.spread(_, col("vec_id")))
+    Caching.withPersisted(v) {
+      val anchors = defaultQueries(v)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("x").as("qx"), col("nrm").as("qnrm"))
+      val scored = broadcast(anchors)
+        .join(v, col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("qlabel"),
+          col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+      top.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+    }
+  }
+
   /** Exact full-dimension cosine re-rank shared by the tiered ANN paths:
     * score every (query_id, neighbor_id) candidate with the true cosine
     * from the prepared frame `vc` and keep top `k` per query. The query

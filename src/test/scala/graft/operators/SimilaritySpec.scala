@@ -155,6 +155,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("hardNegatives returns nearest DIFFERENT-label vectors only") {
+    import org.apache.spark.sql.functions._
+    val data = Seq(
+      (0L, vec(0 -> 1f), 7),               // anchor, label 7
+      (1L, vec(0 -> 2f), 7),               // same label, collinear → excluded
+      (2L, vec(0 -> 1f, 1 -> 1f), 3),      // other label, 45° → hardest neg
+      (3L, vec(1 -> 1f), 3),               // other label, orthogonal
+      (4L, vec(0 -> -1f), 5))              // other label, opposite
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(data, k = 2).collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getInt(r.fieldIndex("neg_label"))))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L),
+      "hardest different-label negatives in cosine order; collinear " +
+        s"same-label vec 1 excluded, got ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(3, 3))
+  }
+
   test("annRecall reports per-query hit counts against the exact baseline") {
     import org.apache.spark.sql.functions._
     // Same MRL-shaped fixture as the annTiered spec, where the tier is
