@@ -215,6 +215,8 @@ object SparkEntry {
     "q45_asof_tolerance" -> ((s, d) =>
       Temporal.asofJoinTolerance(T.events(s, d), T.orders(s, d))),
     "q46_unpivot" -> ((s, d) => R.meltMeasures(T.lineitem(s, d))),
+    "q47_percentile_cont" -> ((s, d) =>
+      Temporal.groupPercentileCont(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -2212,6 +2214,26 @@ object SparkEntry {
         |  FROM n CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS p))
         |SELECT t.event_type, p, r.value AS q_value
         |FROM t JOIN r ON r.event_type = t.event_type AND r.rnk = t.tr""".stripMargin,
+    // PERCENTILE_CONT with the lerp spelled out — the builtins associate
+    // the interpolation differently across engines.
+    "q47_percentile_cont" ->
+      """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |t0 AS (SELECT event_type, CAST(p AS DOUBLE) AS p,
+        |  CAST(n - 1 AS DOUBLE) * CAST(p AS DOUBLE) + 1.0 AS h
+        |  FROM n CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75]) AS p)),
+        |t AS (SELECT event_type, p, CAST(floor(h) AS BIGINT) AS lo,
+        |  CAST(ceil(h) AS BIGINT) AS hi, h - floor(h) AS frac FROM t0),
+        |r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rnk
+        |  FROM events),
+        |j AS (SELECT t.event_type, p, frac,
+        |  MIN(CASE WHEN rnk = lo THEN value END) AS v_lo,
+        |  MIN(CASE WHEN rnk = hi THEN value END) AS v_hi
+        |  FROM r JOIN t ON r.event_type = t.event_type
+        |    AND (rnk = lo OR rnk = hi)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, p, v_lo + frac * (v_hi - v_lo) AS pval
+        |FROM j""".stripMargin,
     "q42_retention" ->
       """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY user_id),

@@ -278,6 +278,40 @@ object Temporal {
       .select(col("event_type"), col("p"), col("value").as("q_value"))
   }
 
+  /** Interpolated per-group percentiles (q47): SQL-standard
+    * PERCENTILE_CONT semantics — h = (n−1)·p + 1, result =
+    * v_⌊h⌋ + (h−⌊h⌋)·(v_⌈h⌉ − v_⌊h⌋) — computed with EXPLICIT arithmetic
+    * on the two order statistics instead of the built-in (Spark's
+    * `percentile` and DuckDB's `quantile_cont` associate the lerp
+    * differently, so only the spelled-out formula is bit-stable across
+    * engines). Same shape as q43: one per-group rank window + a broadcast
+    * (group × p) target table; the lo/hi rows come back from a single
+    * disjunctive join and fold in one aggregate. */
+  def groupPercentileCont(events: DataFrame,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val counts = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val targets = counts
+      .select(col("event_type"), col("n"), explode(typedlit(ps)).as("p"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p") + lit(1.0))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("hi", ceil(col("h")).cast("long"))
+      .withColumn("frac", col("h") - floor(col("h")))
+      .drop("n", "h")
+    val ranked = events
+      .select(col("event_type"), col("value"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+    ranked.join(broadcast(targets), Seq("event_type"))
+      .filter(col("rnk") === col("lo") || col("rnk") === col("hi"))
+      .groupBy(col("event_type"), col("p"), col("frac"))
+      .agg(min(when(col("rnk") === col("lo"), col("value"))).as("v_lo"),
+        min(when(col("rnk") === col("hi"), col("value"))).as("v_hi"))
+      .select(col("event_type"), col("p"),
+        (col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")))
+          .as("pval"))
+  }
+
   /** Event-type transition matrix (q41): counts of consecutive
     * (from → to) event-type pairs per user journey — the Markov-chain
     * summary behavioral analytics reads for drop-off/loop detection.

@@ -83,6 +83,20 @@ class TemporalSpec extends SparkSpec {
     assert(tight(101L) == 12L)
   }
 
+  test("groupPercentileCont interpolates between order statistics") {
+    // group a: values 10, 20, 30, 40 → h(p=.25) = 1.75 → 10 + .75·10 = 17.5;
+    // h(.5) = 2.5 → 25; h(.75) = 3.25 → 32.5. group b: single value → all p
+    // collapse to it (lo == hi, frac 0).
+    val events = (Seq(10.0, 20.0, 30.0, 40.0).map(("a", _)) :+ (("b", 9.0)))
+      .toDF("event_type", "value")
+    val out = Temporal.groupPercentileCont(events)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(out == Map(
+      ("a", 0.25) -> 17.5, ("a", 0.5) -> 25.0, ("a", 0.75) -> 32.5,
+      ("b", 0.25) -> 9.0, ("b", 0.5) -> 9.0, ("b", 0.75) -> 9.0), out)
+  }
+
   test("groupQuantiles returns the ceil(p*n) order statistic per group") {
     // group a: values 1..4 → p25 at rank 1, p50 at rank 2, p75 at rank 3,
     // p95 at rank ceil(3.8)=4; group b: one value serves every p
