@@ -156,6 +156,7 @@ object SparkEntry {
     "x19_cdc_chunks" -> ((s, d) => LlmText.cdcChunks(T.documents(s, d))),
     "x20_lang_ngram_profile" -> ((s, d) =>
       LlmText.langNgramProfile(T.documents(s, d))),
+    "x21_char_entropy" -> ((s, d) => LlmText.charEntropy(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -696,6 +697,21 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY cnt DESC, bigram) AS INT) AS rank
         |  FROM c) WHERE rank <= 5""".stripMargin,
+    // x17's decimal-grid log recipe over the per-doc char histogram.
+    "x21_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |  UNNEST(list_transform(range(1, length(text) + 1),
+        |    i -> substr(text, i, 1))) AS c
+        | FROM documents),
+        |cnts AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |ag AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |  SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)), 5)
+        |    AS DECIMAL(18,6))) AS clog_sum
+        | FROM cnts GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |    AS DOUBLE) - CAST(clog_sum AS DOUBLE) / n_chars AS entropy_nats
+        |FROM ag""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

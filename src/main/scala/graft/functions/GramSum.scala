@@ -65,14 +65,21 @@ case class GramSum(dim: Int)
 }
 
 object GramSum {
-  /** round-half-away-from-zero to an integer, matching Spark/DuckDB
-    * `round(v)` on doubles, without BigDecimal. */
+  /** round-half-away-from-zero to an integer, matching DuckDB `round(v)`
+    * (and BigDecimal HALF_UP — equivalent on every double: shortest-decimal
+    * round-tripping preserves ordering against .5, and binary ties are
+    * decimal ties) without a BigDecimal allocation per call.
+    *
+    * The fraction is taken on |v|: `a - floor(a)` is EXACT for a ≥ 0
+    * (trivially below 1, Sterbenz above), whereas `v - floor(v)` for
+    * negative v crosses zero and can double-round a near-tie fraction onto
+    * exactly 0.5 — the case GramSumSpec pins. */
   def grid(v: Double): Long = {
-    val f = math.floor(v)
-    val r = v - f
-    if (r > 0.5) f.toLong + 1L
-    else if (r < 0.5) f.toLong
-    else if (v >= 0) f.toLong + 1L
-    else f.toLong
+    val neg = v < 0
+    val a = math.abs(v)
+    val f = math.floor(a)
+    val r = a - f
+    val mag = (if (r >= 0.5) f + 1 else f).toLong
+    if (neg) -mag else mag
   }
 }

@@ -848,6 +848,33 @@ object LlmText {
     * the corpus token count, never all-pairs; the vocab scalar broadcasts.
     * At trillion-token scale the count tables themselves stay distributed
     * (no driver collect anywhere). */
+  /** Character-level Shannon entropy (x21): H = ln(n) − Σ cnt·ln(cnt) / n
+    * over the per-doc character histogram — the direct gibberish /
+    * compression-proxy signal next to x13's exact-arithmetic diversity
+    * ratios. Transcendental terms follow x17's grid recipe: ln of each
+    * INTEGER count rounds to 5 decimals and sums through DECIMAL, so the
+    * result is partition-order independent and engine-exact. Char explode
+    * is a narrow map into a map-side-combined (doc, char) count whose
+    * roll-up is a doc-keyed aggregate — no state beyond the histogram. */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val cnts = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val lc = round(log(col("cnt").cast("double")), 5)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    cnts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars"),
+        sum(col("cnt") * lc).as("clog_sum"))
+      .select(col("doc_id"), col("n_chars"),
+        (round(log(col("n_chars").cast("double")), 5)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+          - col("clog_sum").cast("double") / col("n_chars"))
+          .as("entropy_nats"))
+  }
+
   def bigramLm(documents: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val bigrams = zip_with(

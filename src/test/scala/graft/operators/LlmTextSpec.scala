@@ -335,6 +335,18 @@ class LlmTextSpec extends SparkSpec {
     assert(out(1L).getInt(out(1L).fieldIndex("n_words")) == 5)
   }
 
+  test("charEntropy: uniform histogram hits ln(k), constant string hits 0") {
+    import spark.implicits._
+    val d = Seq((1L, "aabb"), (2L, "aaaa")).toDF("doc_id", "text")
+    val out = LlmText.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // "aabb": H = ln4 − (2·ln2 + 2·ln2)/4 = ln2 (up to the 5-decimal grid)
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - math.log(2)) < 1e-4, out(1L).toString)
+    // one distinct char: the gridded ln(n) terms cancel exactly
+    assert(out(2L) == ((4L, 0.0)))
+  }
+
   test("langNgramProfile ranks top bigrams per language") {
     import spark.implicits._
     val d = Seq(
