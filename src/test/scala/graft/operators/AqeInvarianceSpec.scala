@@ -71,6 +71,19 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on.nonEmpty)
   }
 
+  test("containment is AQE-invariant (sketch + shingle-set self-joins)") {
+    // d15 stacks two aliased self-joins (bottom-4 sketch blocking, then
+    // the shingle-set gather) — the shape AQE most likes to re-plan; the
+    // pair set and both containment directions must not move
+    def run() = Dedup.containment(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty, "fixture produces containment pairs")
+  }
+
   test("hybridRrf is AQE-invariant (two rankings + full-outer fusion)") {
     // doc 0 is the query (id % 100 == 0); overlap and cosine ranks both
     // flow through joins AQE may re-plan; the fused scores must not move
