@@ -271,6 +271,10 @@ object SparkEntry {
     "d14_url_dedup" -> ((s, d) => Dedup.urlDedup(T.documents(s, d))),
     "d15_containment" -> ((s, d) => Dedup.containment(T.documents(s, d))),
     "d16_dedup_report" -> ((s, d) => Dedup.dedupReport(T.documents(s, d))),
+    // cap=5 (not the production 500) so the hot-key accounting path is
+    // exercised by real data at every SF, not vacuously zero
+    "d17_band_cap_report" -> ((s, d) =>
+      Dedup.bandCapReport(T.documents(s, d), cap = 5)),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -1290,8 +1294,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1379,8 +1385,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1611,8 +1619,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1664,8 +1674,10 @@ object SparkEntry {
         |  FROM ws WHERE len(w) >= 3),
         |sk AS (SELECT doc_id,
         |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |skk AS (SELECT s0.* FROM sk s0
+        |  QUALIFY count(*) OVER (PARTITION BY s0.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM skk a JOIN skk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |g AS (SELECT doc_id,
         |  list_distinct(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS g3
         |  FROM documents WHERE length(text) >= 3),
@@ -1683,8 +1695,10 @@ object SparkEntry {
         |  FROM ws WHERE len(w) >= 3),
         |sk AS (SELECT doc_id,
         |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |skk AS (SELECT s0.* FROM sk s0
+        |  QUALIFY count(*) OVER (PARTITION BY s0.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM skk a JOIN skk b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |ct AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) AS cont_a_in_b,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(y.s) AS cont_b_in_a
@@ -1767,8 +1781,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1808,10 +1824,13 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandi AS (SELECT b0.* FROM band b0 WHERE b0.doc_id % 10 = 0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
+        |bandn AS (SELECT b0.* FROM band b0 WHERE b0.doc_id % 10 <> 0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
-        |  FROM band a JOIN band b
+        |  FROM bandi a JOIN bandn b
         |    ON a.band = b.band AND a.bkey = b.bkey
-        |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         |  GROUP BY 1, 2)
         |SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -1845,8 +1864,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1886,8 +1907,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1931,8 +1954,10 @@ object SparkEntry {
         |band AS (SELECT doc_id, k // 3 AS band,
         |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
         |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM band a JOIN band b
+        |  FROM bandk a JOIN bandk b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
@@ -1957,6 +1982,46 @@ object SparkEntry {
         |    AS BIGINT) AS DOUBLE) / COUNT(*) AS drop_frac
         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
         |GROUP BY d.source""".stripMargin,
+    // hot-key cap accounting over both LSH key families, at cap=5 to match
+    // the Spark registration (production default is 500)
+    "d17_band_cap_report" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |bc AS (SELECT band, bkey, count(*) AS n FROM band GROUP BY 1, 2),
+        |sk AS (SELECT doc_id,
+        |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |sc AS (SELECT h, count(*) AS n FROM sk GROUP BY 1),
+        |bstat AS (SELECT 'minhash_band' AS family,
+        |  count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+        |  CAST(sum(CASE WHEN n > 5 THEN n ELSE 0 END) AS BIGINT) AS n_dropped_entries
+        |  FROM bc),
+        |sstat AS (SELECT 'bottom4_sketch' AS family,
+        |  count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+        |  CAST(sum(CASE WHEN n > 5 THEN n ELSE 0 END) AS BIGINT) AS n_dropped_entries
+        |  FROM sc)
+        |SELECT * FROM bstat UNION ALL SELECT * FROM sstat""".stripMargin,
     "d10_span_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(

@@ -32,6 +32,38 @@ object Dedup {
   val MinHashK = 12
   val BandRows = 3
 
+  /** Hot-key frequency cap for every LSH/sketch candidate join: a band or
+    * sketch key shared by MORE than this many documents is excluded from
+    * candidate generation entirely. At 100 TB a single boilerplate shingle
+    * (cookie banner, license header) that lands in the bottom-4 sketch of
+    * 10⁶ docs would otherwise produce ~5·10¹¹ candidate pairs on ONE join
+    * key and kill the job in a single skewed stage — the cap bounds every
+    * key's pair contribution at cap²/2 and the total at O(keys·cap²), the
+    * degrade-accountably stance of production near-dup pipelines. Pairs
+    * lost to the cap are only those whose EVERY shared key is hot — for
+    * near-dup detection such pairs still meet on any non-boilerplate band —
+    * and the dropped mass is surfaced by [[bandCapReport]] the way
+    * [[dedupReport]] surfaces dropped docs. */
+  val MaxBandDocs = 500
+
+  /** Drop rows whose key is shared by more than `cap` documents. The
+    * hot-key set is tiny by construction (≤ total-entries/cap keys), so the
+    * anti-join's build side is a few rows and AQE plans it as a broadcast —
+    * the capped table itself is never reshuffled. `Partitioning.spread`
+    * fixes partition skew; this fixes candidate-pair blowup — different
+    * failure modes, both needed. */
+  private def capHotKeys(t: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    if (cap == Int.MaxValue) t
+    else {
+      val hot = t.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__key_docs"))
+        .filter(col("__key_docs") > cap)
+        .select(keys.map(col): _*)
+      t.join(hot, keys, "left_anti")
+    }
+  }
+
   /** Fixed affine constants for the 12 minhash functions
     * h_k(x) = (A(k)·x + B(k)) mod P. One md5 per shingle provides the
     * uniform base; the affine family derives the remaining hashes with
@@ -101,7 +133,8 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
-  def minhashLsh(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+  def minhashLsh(documents: DataFrame, threshold: Double = 0.7,
+      maxBandDocs: Int = MaxBandDocs): DataFrame = {
     // Shingle sets (and their base hashes) are read by several consumers:
     // the 12 minhash functions, the two band-join sides, and the two
     // Jaccard-verify sides. Spark's exchange reuse is unreliable under AQE
@@ -115,7 +148,7 @@ object Dedup {
     // only for the duration of this call (Caching bracket).
     val sh = shinglesWithBases(documents)
     Caching.withPersisted(sh) {
-    val bands = bandTable(sh)
+    val bands = capHotKeys(bandTable(sh), Seq("band", "bkey"), maxBandDocs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -240,12 +273,17 @@ object Dedup {
     * threshold — the drop/keep policy stays with the caller
     * ([[dedupApply]]-style anti-join on the doc_id side). */
   def incrementalDedup(incoming: DataFrame, known: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBandDocs: Int = MaxBandDocs): DataFrame = {
     val shI = shinglesWithBases(incoming)
     val shK = shinglesWithBases(known)
     Caching.withPersisted(shI, shK) {
-      val cand = bandTable(shI).as("a")
-        .join(bandTable(shK).as("b"),
+      // each side is capped on its OWN key frequency: a key hot in the
+      // 100 TB index (the realistic blowup) is excluded even when the
+      // incoming batch holds it only once, and vice versa
+      val cand = capHotKeys(bandTable(shI), Seq("band", "bkey"), maxBandDocs)
+        .as("a")
+        .join(capHotKeys(bandTable(shK), Seq("band", "bkey"), maxBandDocs)
+          .as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
         .distinct()
@@ -494,22 +532,29 @@ object Dedup {
     * smallest shingle hashes (bottom-k sketch equi-join — content-based
     * blocking that survives cross-source/cross-lang near-dups), verified by
     * character-3-gram Jaccard ≥ 0.6. */
-  def ngramJaccard(documents: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val sk = documents
+  /** The bottom-4 shingle-hash sketch rows (doc_id, h) d4/d15 block on —
+    * content-based blocking that survives cross-source near-dups. */
+  private def bottom4Sketch(documents: DataFrame): DataFrame =
+    documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .filter(size(LlmText.words(col("text"))) >= 3)
       .select(col("doc_id"),
         explode(slice(array_sort(transform(LlmText.shingles(col("text")),
           s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
       .transform(Partitioning.spread(_, col("doc_id")))
+
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.6,
+      maxSketchDocs: Int = MaxBandDocs): DataFrame = {
+    val sk = bottom4Sketch(documents)
     val g = documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), LlmText.charTrigrams(col("text")).as("g3"))
       .transform(Partitioning.spread(_, col("doc_id")))
     Caching.withPersisted(sk, g) {
-    val cand = sk.as("a")
-      .join(sk.as("b"),
+    val skc = capHotKeys(sk, Seq("h"), maxSketchDocs)
+    val cand = skc.as("a")
+      .join(skc.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -542,16 +587,19 @@ object Dedup {
     * 100 TB shape: identical to d4's — sketch equi-join for candidates,
     * shingle sets gathered only for candidate pairs, everything keyed and
     * co-partitioned on doc_id. */
-  def containment(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def containment(documents: DataFrame, threshold: Double = 0.8,
+      maxSketchDocs: Int = MaxBandDocs): DataFrame = {
     val sh = documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .filter(size(LlmText.words(col("text"))) >= 3)
       .select(col("doc_id"), LlmText.shingles(col("text")).as("sh"))
       .transform(Partitioning.spread(_, col("doc_id")))
     Caching.withPersisted(sh) {
-      val sk = sh.select(col("doc_id"),
-        explode(slice(array_sort(transform(col("sh"),
-          s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
+      val sk = capHotKeys(
+        sh.select(col("doc_id"),
+          explode(slice(array_sort(transform(col("sh"),
+            s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h")),
+        Seq("h"), maxSketchDocs)
       val cand = sk.as("a")
         .join(sk.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -727,5 +775,49 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("lab"), col("doc_id")).as("cluster_rep"),
         (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
+  /** Hot-key cap accounting (d17): per key family, how many band/sketch
+    * keys exist, how many exceed `cap`, and how many (doc,key) entries the
+    * cap excludes from candidate generation — the governance artifact next
+    * to [[dedupReport]], so a curation review sees the blocking mass the
+    * LSH family refused to pair ("4 keys carry 60% of the corpus — that's
+    * boilerplate, not near-dups") instead of a silent recall cliff.
+    *
+    * Families mirror the two candidate generators: `minhash_band` =
+    * [[bandTable]]'s (band,bkey) keys (d2/d7/d8/d12/d13/c3/c5),
+    * `bottom4_sketch` = [[bottom4Sketch]]'s h keys (d4/d15). Cost: the same
+    * per-key counts [[capHotKeys]] computes, aggregated to ONE row per
+    * family — map-side combined, no join. */
+  def bandCapReport(documents: DataFrame, cap: Int = MaxBandDocs): DataFrame = {
+    def stats(counts: DataFrame, family: String): DataFrame =
+      counts.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
+          sum(when(col("n") > cap, col("n")).otherwise(0L))
+            .as("n_dropped_entries"))
+        .select(lit(family).as("family"), col("n_keys"), col("n_hot_keys"),
+          col("n_dropped_entries"))
+    val bandCounts = bandTable(shinglesWithBases(documents))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+    val sketchCounts = bottom4Sketch(documents)
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+    stats(bandCounts, "minhash_band")
+      .unionAll(stats(sketchCounts, "bottom4_sketch"))
+  }
+
+  /** The d2 band-join candidate pairs at a given cap — exposed for
+    * SkewSpec, which plants a boilerplate key in most of the corpus and
+    * pins that capped candidates stay O(docs·cap) while the uncapped count
+    * blows up O(docs²). */
+  private[graft] def lshCandidatePairs(documents: DataFrame,
+      cap: Int): DataFrame = {
+    val bands = capHotKeys(bandTable(shinglesWithBases(documents)),
+      Seq("band", "bkey"), cap)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 }

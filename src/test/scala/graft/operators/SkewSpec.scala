@@ -103,6 +103,58 @@ class SkewSpec extends SparkSpec {
     assert((50L until 100L).forall(!flags(_)), "unique docs are clean")
   }
 
+  test("hot-band cap bounds LSH candidate pairs by docs·cap, not docs²") {
+    // Boilerplate blowup: 60% of the corpus is the SAME text (so all 4 of
+    // its band keys are shared by 60 docs), plus 4 genuine near-dup
+    // triplets and unique filler. Uncapped, the hot band keys alone emit
+    // C(60,2) = 1770 candidate pairs — the O(docs²) failure that kills a
+    // 100 TB job on one skewed key. With cap=10 those keys are excluded
+    // while the cold triplet keys (3 docs each) still pair.
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val docs = ((0 until 60).map(i => (i.toLong, boiler)) ++
+      (0 until 4).flatMap(g => (0 until 3).map(j =>
+        ((100 + 3 * g + j).toLong, s"group$g alpha$g beta$g gamma$g delta$g"))) ++
+      (200 until 230).map(i => (i.toLong, s"q${i}a q${i}b q${i}c q${i}d")))
+      .toDF("doc_id", "text")
+
+    val uncapped = Dedup.lshCandidatePairs(docs, Int.MaxValue).count()
+    assert(uncapped >= 1770 + 4 * 3,
+      s"fixture must blow up uncapped: $uncapped")
+
+    val capped = Dedup.lshCandidatePairs(docs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // O(docs·cap) bound: every surviving key has ≤ cap docs, so each of a
+    // doc's 4 band memberships contributes at most cap-1 partners
+    assert(capped.size <= docs.count() * 4 * 10,
+      s"capped candidates not bounded: ${capped.size}")
+    assert(!capped.exists(p => p._1 < 60L && p._2 < 60L),
+      "hot boilerplate keys must not pair")
+    for (g <- 0 until 4; j <- 0 until 3; k <- j + 1 until 3)
+      assert(capped.contains(((100 + 3 * g + j).toLong, (100 + 3 * g + k).toLong)),
+        s"cold triplet $g pair $j-$k must survive the cap")
+
+    // end-to-end: the capped d2 degrades accountably — boilerplate pairs
+    // gone, genuine near-dup triplets intact
+    val pairs = Dedup.minhashLsh(docs, 0.7, maxBandDocs = 10)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 < 60L && p._2 < 60L))
+    assert(pairs == (for (g <- 0 until 4; j <- 0 until 3; k <- j + 1 until 3)
+      yield ((100 + 3 * g + j).toLong, (100 + 3 * g + k).toLong)).toSet)
+
+    // ...and the dropped mass is visible to governance: 4 hot band keys
+    // carrying 60 docs each
+    val rep = Dedup.bandCapReport(docs, cap = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("minhash_band")._2 == 4L,
+      s"expected 4 hot band keys: ${rep("minhash_band")}")
+    assert(rep("minhash_band")._3 == 240L,
+      s"expected 4x60 dropped band entries: ${rep("minhash_band")}")
+    assert(rep("bottom4_sketch")._2 >= 1L,
+      s"boilerplate must be hot in the sketch family too: ${rep("bottom4_sketch")}")
+  }
+
   test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
     val plain = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"),
