@@ -586,7 +586,19 @@ object Dedup {
     *
     * 100 TB shape: identical to d4's — sketch equi-join for candidates,
     * shingle sets gathered only for candidate pairs, everything keyed and
-    * co-partitioned on doc_id. */
+    * co-partitioned on doc_id.
+    *
+    * Recall contract (approximate, like [[graft.operators.Similarity]]'s
+    * annTiered): the bottom-4 blocking is SYMMETRIC, but containment is
+    * not — a small doc fully embedded in a much larger one is found only
+    * if one of the small doc's 4 smallest shingle hashes is also among the
+    * superset's 4 smallest, and the superset's EXTRA content can supply 4
+    * smaller hashes that displace all of them. The miss probability grows
+    * with the size ratio (≈ 1 − (|A|/|B|)⁴ for A ⊂ B in the uniform-hash
+    * model), so extreme near-superset pairs can be silently skipped; raise
+    * the sketch width or block on the subset side's full bottom-k when
+    * that tail matters. The oracle mirrors the same blocking, so the
+    * parity gate pins the implementation, not this recall ceiling. */
   def containment(documents: DataFrame, threshold: Double = 0.8,
       maxSketchDocs: Int = MaxBandDocs): DataFrame = {
     val sh = documents

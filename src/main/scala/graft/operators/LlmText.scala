@@ -855,7 +855,17 @@ object LlmText {
     * INTEGER count rounds to 5 decimals and sums through DECIMAL, so the
     * result is partition-order independent and engine-exact. Char explode
     * is a narrow map into a map-side-combined (doc, char) count whose
-    * roll-up is a doc-keyed aggregate — no state beyond the histogram. */
+    * roll-up is a doc-keyed aggregate — no state beyond the histogram.
+    *
+    * BMP-only "character" unit: `split(text, "")` yields UTF-16 code
+    * units, so a supplementary-plane codepoint (emoji, rare CJK) counts as
+    * its two surrogate halves, while the DuckDB twin's substr iterates
+    * codepoints. The engine-exact parity contract therefore holds for BMP
+    * text (all corpora here are ASCII); a codepoint-exact variant would
+    * histogram on a codepoint-safe splitter at the cost of re-pinning the
+    * oracle. Both surrogate halves of one codepoint land in the SAME doc's
+    * histogram, so the entropy remains a deterministic, monotone gibberish
+    * signal even off-BMP — only cross-engine parity narrows. */
   def charEntropy(documents: DataFrame): DataFrame = {
     val cnts = documents
       .transform(Partitioning.spread(_, col("doc_id")))

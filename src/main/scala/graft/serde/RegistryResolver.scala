@@ -83,7 +83,14 @@ final class RegistryResolver(
               RegistryResolver.schemaCache.putIfAbsent(key, s)
               RegistryResolver.schemaCache(key)
             } catch {
-              case t: Throwable =>
+              // a task-kill interrupt or a fatal VM error is NOT a registry
+              // failure: negative-caching it would poison the schema id
+              // executor-wide for the backoff window. Re-interrupt and let
+              // it propagate; only genuine resolve failures back off.
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+                throw ie
+              case scala.util.control.NonFatal(t) =>
                 RegistryResolver.failureAt
                   .put(key, (System.currentTimeMillis(), t))
                 throw t
@@ -181,9 +188,11 @@ object RegistryResolver {
           Option(uri.getUserInfo).getOrElse(""))
       case "SASL_INHERIT" =>
         // JAAS values may be double-quoted or bare (both are legal syntax);
-        // a bare value runs to whitespace or the terminating ';'
+        // a bare value runs to whitespace or the terminating ';'. The key
+        // is boundary-anchored so an option merely ENDING in the key (e.g.
+        // dbusername="x") is not mistaken for it.
         def part(k: String): String =
-          (k + "\\s*=\\s*(?:\"([^\"]*)\"|([^\\s;\"]+))").r
+          ("(?<![A-Za-z0-9_.])" + k + "\\s*=\\s*(?:\"([^\"]*)\"|([^\\s;\"]+))").r
             .findFirstMatchIn(conf.saslJaasConfig)
             .map(m => Option(m.group(1)).getOrElse(m.group(2)))
             .getOrElse("")

@@ -224,6 +224,14 @@ class RegistryResolverSpec extends SparkSpec {
         base.copy(basicAuthCredentialsSource = "SASL_INHERIT",
           saslJaasConfig = "PlainLoginModule required;")))
 
+      // a key merely ENDING in "username"/"password" must not match: the
+      // real credentials here are the later, properly-delimited options
+      val viaSaslDecoy = RegistryResolver.fromConf(base.copy(
+        basicAuthCredentialsSource = "SASL_INHERIT",
+        saslJaasConfig = "PlainLoginModule required dbusername=\"nope\" " +
+          "apppassword=\"wrong\" username=\"u\" password=\"p\";"))
+      assert(viaSaslDecoy.resolve(1).getName == "T")
+
       intercept[IllegalArgumentException](RegistryResolver.fromConf(
         base.copy(basicAuthCredentialsSource = "BOGUS")))
     } finally reg.stop()
