@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +68,39 @@ object Bench {
           s"the sweep (ids ${leaked.map(_.id).take(5).mkString(",")}) — " +
           "Bench.dropLeftoverBlocks has regressed")
     }
+    // Telemetry for the round-over-round inflation question (VERDICT r6 #2):
+    // identical code measured 167.7s committed vs 210.9s in the driver's run,
+    // concentrated on persist-heavy queries, with a green assertNoBlockLeak.
+    // To tell engine regression apart from environment pressure we record,
+    // per query: task-side GC time and peak execution memory (SparkListener
+    // task metrics), spill bytes, driver GC time (MXBean delta), and storage
+    // memory in use when the query STARTS (a nonzero start value would mean
+    // the sweep missed something the leak assert can't see, e.g. broadcasts).
+    val taskGcMs = new AtomicLong
+    val peakExecMem = new AtomicLong
+    val spillBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskGcMs.addAndGet(m.jvmGCTime)
+          peakExecMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def driverGcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // (maxMem - remainingMem) over all block managers = storage memory in use.
+    def storageUsedBytes: Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
+    final case class Telemetry(sec: Double, taskGcSec: Double,
+        driverGcSec: Double, peakExecMemMb: Long, spillMb: Long,
+        storageAtStartMb: Long)
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=d3_simhash,q1_agg
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -88,14 +123,31 @@ object Bench {
       SparkEntry.queries.get(name).foreach(fn =>
         try run(fn) catch { case _: Throwable => () }))
     dropLeftoverBlocks()
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropLeftoverBlocks()
-      assertNoBlockLeak(name)
-      name -> dt
-    }
+    // SPARK_GRAFT_PASSES=2 runs the whole selected suite that many times in
+    // one JVM. If pass totals agree (±10%) the engine is deterministic and
+    // any driver-record inflation is environment (noisy neighbor / cgroup
+    // pressure); if pass 2 is slower, something accumulates across queries
+    // that the block sweep doesn't cover — the telemetry says which resource.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1)
+    def measurePass(): Map[String, Telemetry] =
+      selected.map { case (name, fn) =>
+        val storageAtStart = storageUsedBytes
+        taskGcMs.set(0); peakExecMem.set(0); spillBytes.set(0)
+        val gc0 = driverGcMs
+        val t0 = System.nanoTime()
+        try run(fn) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val tel = Telemetry(dt, taskGcMs.get / 1e3, (driverGcMs - gc0) / 1e3,
+          peakExecMem.get >> 20, spillBytes.get >> 20, storageAtStart >> 20)
+        dropLeftoverBlocks()
+        assertNoBlockLeak(name)
+        name -> tel
+      }
+    val allPasses = (1 to passes).map(_ => measurePass())
+    // The stdout record (and round-over-round comparisons) use the FIRST
+    // pass — that is what a driver run with passes=1 measures.
+    val results: Map[String, Double] =
+      allPasses.head.map { case (n, t) => n -> t.sec }
     // The harness that collects this output keeps only the last ~2000 chars
     // of the run log and the JSON line must fit there INTACT (sbt appends a
     // ~80-char "[success] Total time..." line after it → ~1900 usable).
@@ -116,8 +168,28 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
+    // BENCH_LOCAL.json keeps the compact driver-compatible fields PLUS the
+    // per-query telemetry and per-pass totals (stdout budget is too tight
+    // for these). bench_diff.py reads `queries` and `telemetry`.
+    val passTotals = allPasses.map(_.values.map(_.sec).sum)
+    val telemetryJson = allPasses.zipWithIndex.map { case (pass, i) =>
+      val qs = pass.toSeq.sortBy(_._1).map { case (n, t) =>
+        "\"" + n + "\":{\"sec\":" + fmt(3, t.sec) +
+          ",\"taskGcSec\":" + fmt(3, t.taskGcSec) +
+          ",\"driverGcSec\":" + fmt(3, t.driverGcSec) +
+          ",\"peakExecMemMb\":" + t.peakExecMemMb +
+          ",\"spillMb\":" + t.spillMb +
+          ",\"storageAtStartMb\":" + t.storageAtStartMb + "}"
+      }.mkString("{", ",", "}")
+      "\"pass" + (i + 1) + "\":" + qs
+    }.mkString("{", ",", "}")
+    val localLine =
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec",""" +
+      s""""queries":${results.map { case (k, v) => "\"" + k + "\":" + fmt(3, v) }.mkString("{", ",", "}")},""" +
+      s""""sf":"$sfDir","passTotals":[${passTotals.map(fmt(3, _)).mkString(",")}],""" +
+      s""""telemetry":$telemetryJson}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_LOCAL.json"), line(3, sfDir) + "\n")
+      java.nio.file.Path.of("BENCH_LOCAL.json"), localLine + "\n")
     catch { case _: Throwable => () }
     // Last resort when even 0-decimal precision overflows the window: keep
     // the SLOWEST queries at 1 decimal and drop the fastest from the map —

@@ -79,6 +79,60 @@ object GraftStream extends Logging {
         .save()
     }
 
+  /** Marker-file commit log for micro-batch idempotence: one empty file per
+    * committed batchId under `dir`, written AFTER the wrapped sink succeeds
+    * (temp-create + rename, so a marker is never visible half-written).
+    * Uses the Hadoop FileSystem API so the log lives wherever the checkpoint
+    * lives (HDFS/S3/local) — the standard foreachBatch txn-table pattern.
+    */
+  final class BatchCommitLog(dir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration) {
+    private val path = new org.apache.hadoop.fs.Path(dir)
+    private def fs = path.getFileSystem(hadoopConf)
+    def committed(batchId: Long): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(path, batchId.toString))
+    def commit(batchId: Long): Unit = {
+      fs.mkdirs(path)
+      val tmp = new org.apache.hadoop.fs.Path(path, s".$batchId.tmp")
+      fs.create(tmp, true).close()
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(path, batchId.toString))
+      ()
+    }
+  }
+
+  /** Batch-id-keyed idempotence guard: skip a micro-batch the sink has
+    * already committed. After a restart, Structured Streaming replays the
+    * last uncommitted-in-ITS-log batch with the SAME deterministic batchId;
+    * without a sink-side record of what landed, an append sink (Kafka
+    * producer, parquet append) writes those rows twice. This guard closes
+    * that gap — the Spark-side counterpart of the reference's
+    * read_committed + idempotent-producer stance
+    * (/root/reference/src/main/java/fr/barbicane/maston/kafka/KafkaPropertiesBuilder.java:73,89-93):
+    * the reference makes re-sends invisible to consumers; here re-delivered
+    * BATCHES become no-ops.
+    *
+    * Residual window (documented in DELIVERY.md): a crash between the
+    * sink's write and the marker write replays that one batch — the sink is
+    * at-least-once across that window and exactly-once everywhere else. For
+    * a Kafka sink the consumer-side mop-up is d1 exact dedup / read-side
+    * keys; for the parquet lake sink pair with [[upsertLakeSink]] or d1.
+    * Keep `commitDir` NEXT TO the streaming checkpoint (same store, same
+    * lifecycle): deleting the checkpoint without the commit log would replay
+    * from scratch against a log that says "all done".
+    */
+  def idempotent(commitDir: String)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = (df, batchId) => {
+    val log = new BatchCommitLog(commitDir,
+      df.sparkSession.sessionState.newHadoopConf())
+    if (log.committed(batchId))
+      logInfo(s"skipping replayed micro-batch $batchId " +
+        s"(already committed in $commitDir)")
+    else {
+      sink(df)
+      log.commit(batchId)
+    }
+  }
+
   /** Partitioned parquet lake sink: the landing pattern for a training-data
     * firehose — append-only files under `path`, directory-partitioned by
     * `partitionCols` (date/source/lang) so downstream batch curation prunes
