@@ -270,11 +270,13 @@ object SparkEntry {
       Dedup.semDedup(T.documents(s, d), T.embeddings(s, d))),
     "d14_url_dedup" -> ((s, d) => Dedup.urlDedup(T.documents(s, d))),
     "d15_containment" -> ((s, d) => Dedup.containment(T.documents(s, d))),
-    "d16_dedup_report" -> ((s, d) => Dedup.dedupReport(T.documents(s, d))),
-    // cap=5 (not the production 500) so the hot-key accounting path is
-    // exercised by real data at every SF, not vacuously zero
-    "d17_band_cap_report" -> ((s, d) =>
-      Dedup.bandCapReport(T.documents(s, d), cap = 5)),
+    // per-source dedup accounting + hot-key-cap accounting in ONE query
+    // slot (two kinds of rows) — round 7's 133rd registration silently got
+    // no correctness row, so the governance artifacts share a slot and the
+    // registered count stays at 132. Accounting cap=5 (not the production
+    // 500) so the hot-key arithmetic is exercised by real data at every SF.
+    "d16_dedup_report" -> ((s, d) =>
+      Dedup.governanceReport(T.documents(s, d), cap = 5)),
     "x15_feature_hash" -> ((s, d) => LlmText.featureHash(T.documents(s, d))),
     "x16_token_zipf" -> ((s, d) => LlmText.tokenZipf(T.documents(s, d))),
     // -- LLM-data-pipeline ops: similarity search --
@@ -1972,41 +1974,7 @@ object SparkEntry {
         |  UNION
         |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
         |dec AS (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc),
-        |drops AS (SELECT doc FROM dec WHERE doc <> rep)
-        |SELECT d.source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_dropped,
-        |  CAST(COUNT(*) - SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_kept,
-        |  CAST(CAST(SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS drop_frac
-        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
-        |GROUP BY d.source""".stripMargin,
-    // hot-key cap accounting over both LSH key families, at cap=5 to match
-    // the Spark registration (production default is 500)
-    "d17_band_cap_report" ->
-      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
-        |  FROM ws WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
-        |base AS (SELECT doc_id, CAST(list_reduce(
-        |    list_transform(range(1, 8), c ->
-        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
-        |           THEN ascii(substr(h, c, 1)) - 48
-        |           ELSE ascii(substr(h, c, 1)) - 87 END),
-        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
-        |mh AS (SELECT doc_id, k,
-        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
-        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
-        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
-        |        122949823, 141650939, 160481183, 179424673, 198491317,
-        |        217645177][k + 1]) % 1000000007) AS mh
-        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
-        |band AS (SELECT doc_id, k // 3 AS band,
-        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
-        |  FROM mh GROUP BY doc_id, k // 3),
+        |drops AS (SELECT doc FROM dec WHERE doc <> rep),
         |bc AS (SELECT band, bkey, count(*) AS n FROM band GROUP BY 1, 2),
         |sk AS (SELECT doc_id,
         |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
@@ -2021,7 +1989,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
         |  CAST(sum(CASE WHEN n > 5 THEN n ELSE 0 END) AS BIGINT) AS n_dropped_entries
         |  FROM sc)
-        |SELECT * FROM bstat UNION ALL SELECT * FROM sstat""".stripMargin,
+        |SELECT d.source AS section, 'source_dedup' AS kind,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(CAST(SUM(CASE WHEN drops.doc IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS DOUBLE) / COUNT(*) AS drop_frac,
+        |  CAST(NULL AS BIGINT) AS n_keys,
+        |  CAST(NULL AS BIGINT) AS n_hot_keys,
+        |  CAST(NULL AS BIGINT) AS n_dropped_entries
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
+        |GROUP BY d.source
+        |UNION ALL
+        |SELECT family AS section, 'hot_key_cap' AS kind,
+        |  CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_dropped,
+        |  CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS DOUBLE) AS drop_frac,
+        |  n_keys, n_hot_keys, n_dropped_entries
+        |FROM (SELECT * FROM bstat UNION ALL SELECT * FROM sstat)""".stripMargin,
     "d10_span_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(

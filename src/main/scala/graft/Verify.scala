@@ -6,6 +6,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Registration parity gate: every registered query MUST have oracle SQL
+    // and vice versa — a divergence here is how a query silently loses its
+    // correctness row (round 7: the 133rd registration got no driver row).
+    // Fail the whole dump loudly instead of shipping a partial oracle map.
+    val qKeys = SparkEntry.queries.keySet
+    val oKeys = SparkEntry.oracleSql.keySet
+    require(qKeys == oKeys,
+      s"queries/oracleSql diverge: missing oracle for ${qKeys -- oKeys}, " +
+        s"oracle without query ${oKeys -- qKeys}")
+    System.err.println(s"[verify] ${qKeys.size} queries registered, " +
+      s"every one oracle-backed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

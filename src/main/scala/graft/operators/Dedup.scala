@@ -789,6 +789,35 @@ object Dedup {
         (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** Combined dedup governance report (d16): ONE frame carrying both
+    * accounting artifacts a curation review reads — [[dedupReport]]'s
+    * per-source dropped-mass rows AND [[bandCapReport]]'s per-key-family
+    * hot-key-cap rows — unioned under a shared wide schema (`section`
+    * names the source or the key family; `kind` discriminates; the
+    * non-applicable measure columns are null). One query slot serves both
+    * artifacts, so the registered-query budget the correctness driver
+    * enumerates stays at 132 (round 7 showed the 133rd registration
+    * silently lost its oracle row).
+    *
+    * `threshold` feeds the near-dup components (production posture);
+    * `cap` feeds only the ACCOUNTING rows — callers pass a small cap to
+    * exercise the hot-key arithmetic on modest corpora while the dedup
+    * pass itself keeps [[MaxBandDocs]]. */
+  def governanceReport(documents: DataFrame, threshold: Double = 0.7,
+      cap: Int = MaxBandDocs): DataFrame = {
+    def nullL(n: String) = lit(null).cast("long").as(n)
+    val src = dedupReport(documents, threshold).select(
+      col("source").as("section"), lit("source_dedup").as("kind"),
+      col("n_docs"), col("n_dropped"), col("n_kept"), col("drop_frac"),
+      nullL("n_keys"), nullL("n_hot_keys"), nullL("n_dropped_entries"))
+    val caps = bandCapReport(documents, cap).select(
+      col("family").as("section"), lit("hot_key_cap").as("kind"),
+      nullL("n_docs"), nullL("n_dropped"), nullL("n_kept"),
+      lit(null).cast("double").as("drop_frac"),
+      col("n_keys"), col("n_hot_keys"), col("n_dropped_entries"))
+    src.unionByName(caps)
+  }
+
   /** Hot-key cap accounting (d17): per key family, how many band/sketch
     * keys exist, how many exceed `cap`, and how many (doc,key) entries the
     * cap excludes from candidate generation — the governance artifact next

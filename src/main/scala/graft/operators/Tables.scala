@@ -20,16 +20,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench do), and the
-    * loader converts the long nanos to a microsecond TimestampType here.
-    * Sub-microsecond precision is dropped — acceptable for event-time ops. */
+  /** `events.ts` arrives in whatever physical type the data generator
+    * chose — TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which Verify/Bench set)
+    * or naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ by Spark 4's
+    * parquet inference). Every downstream event-time operator assumes one
+    * session-zone TimestampType (`unix_millis`, watermarks, and window()
+    * all reject or re-interpret NTZ), so the loader normalizes here: long
+    * nanos → micros, NTZ → TimestampType (a wall-clock-preserving cast —
+    * sessions run UTC, matching the stored epoch values). Round 7 lesson:
+    * a generator-side type change surfaced as ONE query silently losing
+    * its correctness row, so normalization lives in the loader, not in
+    * each operator. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

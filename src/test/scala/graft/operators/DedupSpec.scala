@@ -178,6 +178,34 @@ class DedupSpec extends SparkSpec {
     assert(out("solo") == ((2L, 0L, 2L, 0.0)))
   }
 
+  test("governanceReport unions source rows and cap-family rows") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, base, "dup"), (2L, base, "dup"),
+      (3L, "totally different words here today", "solo"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.governanceReport(d, 0.7, cap = 1).collect()
+    val byKind = out.groupBy(_.getString(1))
+    val srcRows = byKind("source_dedup")
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(srcRows("dup") == ((2L, 1L)), "identical pair drops one")
+    assert(srcRows("solo") == ((1L, 0L)))
+    // per-source measure columns are null on cap rows and vice versa
+    assert(byKind("source_dedup").forall(_.isNullAt(6)))
+    val capRows = byKind("hot_key_cap")
+      .map(r => r.getString(0) -> (r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    assert(capRows.keySet == Set("minhash_band", "bottom4_sketch"))
+    assert(byKind("hot_key_cap").forall(_.isNullAt(2)))
+    // the identical pair shares every band key and every sketch hash, so
+    // at cap=1 each family must report hot keys and dropped entries
+    val (bk, bh, bd) = capRows("minhash_band")
+    assert(bh >= 4 && bd >= 8 && bk >= bh,
+      s"identical pair: all 4 band keys hot, got ($bk, $bh, $bd)")
+    val (sk, shot, sdrop) = capRows("bottom4_sketch")
+    assert(shot >= 1 && sdrop >= 2 && sk >= shot)
+  }
+
   test("urlDedup keeps the longest doc per canonical URL") {
     // The synthetic URL is a function of (doc_id % 2, % 7, % 13) and
     // source, so ids differing by lcm(2,7,13)=182 with the same source
