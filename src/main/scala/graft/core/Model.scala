@@ -119,6 +119,12 @@ case class GraftConf(
     outputTopic: String = "",
     startFromEarliest: Boolean = true,
     checkpointLocation: String = "",
+    // Sink-side micro-batch commit log (GraftStream.idempotent): when set,
+    // the pipelines skip replayed batches whose sink already committed —
+    // the batch-level analog of the reference's idempotent-producer stance.
+    // Keep it NEXT TO the checkpoint (same store, same lifecycle); empty =
+    // plain at-least-once sinks.
+    commitDir: String = "",
     // Kafka security plumbing, first-class like the reference's
     // (KafkaPropertiesBuilder.java:43-67, KafkaCommonProperties.java:11-16) —
     // every production consumer of the reference sets these. Empty = unset.

@@ -81,12 +81,24 @@ object GraftStream extends Logging {
 
   /** Marker-file commit log for micro-batch idempotence: one empty file per
     * committed batchId under `dir`, written AFTER the wrapped sink succeeds
-    * (temp-create + rename, so a marker is never visible half-written).
+    * (temp-create + rename — on HDFS/local the rename is atomic so a marker
+    * is never visible half-written; on object stores rename is copy+delete,
+    * but the marker is an EMPTY file whose existence is the whole signal,
+    * so the non-atomic window can only lose the marker, never corrupt it —
+    * a lost marker replays the batch, the safe direction).
     * Uses the Hadoop FileSystem API so the log lives wherever the checkpoint
     * lives (HDFS/S3/local) — the standard foreachBatch txn-table pattern.
-    */
+    *
+    * Retention: markers below `batchId - retainBatches` are pruned on each
+    * commit (mirroring the checkpoint's own minBatchesToRetain posture) so
+    * a long-running stream does not accumulate one small file per
+    * micro-batch forever. Pruned markers are safe to drop because
+    * Structured Streaming only ever replays the LAST uncommitted batch —
+    * anything `retainBatches` behind the head can never be re-delivered
+    * while this checkpoint lineage is in use. */
   final class BatchCommitLog(dir: String,
-      hadoopConf: org.apache.hadoop.conf.Configuration) {
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      retainBatches: Int = 100) {
     private val path = new org.apache.hadoop.fs.Path(dir)
     private def fs = path.getFileSystem(hadoopConf)
     def committed(batchId: Long): Boolean =
@@ -95,9 +107,27 @@ object GraftStream extends Logging {
       fs.mkdirs(path)
       val tmp = new org.apache.hadoop.fs.Path(path, s".$batchId.tmp")
       fs.create(tmp, true).close()
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(path, batchId.toString))
-      ()
+      val dst = new org.apache.hadoop.fs.Path(path, batchId.toString)
+      // A silently-failed rename would leave no marker and make every
+      // future replay of this batch double-write with no diagnostic —
+      // surface it as the batch failure it is (the sink already wrote, so
+      // failing HERE keeps Spark retrying the batch until the marker
+      // lands; the guard makes those retries no-op once it does).
+      if (!fs.rename(tmp, dst) && !fs.exists(dst))
+        throw new java.io.IOException(
+          s"BatchCommitLog: failed to publish marker $dst")
+      prune(batchId)
     }
+    private def prune(headBatchId: Long): Unit =
+      try {
+        val floor = headBatchId - retainBatches
+        if (floor > 0)
+          fs.listStatus(path).foreach { st =>
+            val name = st.getPath.getName
+            if (name.forall(_.isDigit) && name.toLong < floor)
+              fs.delete(st.getPath, false)
+          }
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
   }
 
   /** Batch-id-keyed idempotence guard: skip a micro-batch the sink has
@@ -119,9 +149,13 @@ object GraftStream extends Logging {
     * Keep `commitDir` NEXT TO the streaming checkpoint (same store, same
     * lifecycle): deleting the checkpoint without the commit log would replay
     * from scratch against a log that says "all done".
+    *
+    * Wired into [[simple]]/[[delta]] via [[graft.core.GraftConf.commitDir]]
+    * — when set, each pipeline's whole per-batch write (both branches) is
+    * guarded as one unit, so a replayed batch re-delivers to NEITHER sink.
     */
-  def idempotent(commitDir: String)(
-      sink: DataFrame => Unit): (DataFrame, Long) => Unit = (df, batchId) => {
+  def idempotent[F <: Dataset[_]](commitDir: String)(
+      sink: F => Unit): (F, Long) => Unit = (df, batchId) => {
     val log = new BatchCommitLog(commitDir,
       df.sparkSession.sessionState.newHadoopConf())
     if (log.committed(batchId))
@@ -314,19 +348,23 @@ object GraftStream extends Logging {
       process: T => Option[GraftError],
       errorSink: DataFrame => Unit)(
       implicit enc: Encoder[Envelope[T]]): StreamingQuery = {
+    val writeBatch: DataFrame => Unit = { batch =>
+      batch.persist()
+      try {
+        val decoded = RecordLog.consumerLogging(
+          conf.enabledConsumerRecordLogging)(decodeEnvelope(batch)(decodeFn))
+        val processed = processValid(decoded)(process)
+        errorSink(toErrorRecords(processed, conf.applicationId))
+      } finally batch.unpersist()
+      ()
+    }
+    val guarded: (DataFrame, Long) => Unit =
+      if (conf.commitDir.nonEmpty) idempotent(conf.commitDir)(writeBatch)
+      else (batch, _) => writeBatch(batch)
     source.writeStream
       .queryName(s"${conf.applicationId}-simple")
       .option("checkpointLocation", checkpointOrTemp(conf))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          val decoded = RecordLog.consumerLogging(
-            conf.enabledConsumerRecordLogging)(decodeEnvelope(batch)(decodeFn))
-          val processed = processValid(decoded)(process)
-          errorSink(toErrorRecords(processed, conf.applicationId))
-        } finally batch.unpersist()
-        ()
-      }
+      .foreachBatch(guarded)
       .start()
   }
 
@@ -380,18 +418,23 @@ object GraftStream extends Logging {
     // a single foreachBatch. Two separate queries would each consume the
     // Kafka source independently — double the broker reads and two
     // divergent offset trackers.
+    val writeBatch: Dataset[Envelope[T]] => Unit = { b =>
+      b.persist()
+      try {
+        outputSink(b.filter((e: Envelope[T]) => e.isValid).toDF())
+        errorSink(toErrorRecords(
+          b.filter((e: Envelope[T]) => e.isInvalid), conf.applicationId))
+      } finally b.unpersist()
+      ()
+    }
+    val guarded: (Dataset[Envelope[T]], Long) => Unit =
+      if (conf.commitDir.nonEmpty) idempotent(conf.commitDir)(writeBatch)
+      else (b, _) => writeBatch(b)
     deduped.union(invalid).writeStream
       .queryName(s"${conf.applicationId}-delta")
       .option("checkpointLocation", checkpointOrTemp(conf))
-      .foreachBatch { (b: Dataset[Envelope[T]], _: Long) =>
-        b.persist()
-        try {
-          outputSink(b.filter((e: Envelope[T]) => e.isValid).toDF())
-          errorSink(toErrorRecords(
-            b.filter((e: Envelope[T]) => e.isInvalid), conf.applicationId))
-        } finally b.unpersist()
-        ()
-      }.trigger(trigger).start()
+      .foreachBatch(guarded)
+      .trigger(trigger).start()
   }
 
   private def checkpointOrTemp(conf: GraftConf): String =
