@@ -64,4 +64,25 @@ class SafeAvroSpec extends SparkSpec {
     // buffer position untouched (duplicate-read)
     assert(bb.remaining() == unscaled.toByteArray.length)
   }
+
+  test("decimal(64,0) policy: >38-digit values error-route, never truncate") {
+    // SURVEY §7.4.3 / DELIVERY.md: the reference's decimal(64,0) field can
+    // carry values Spark's DecimalType(38) cannot. 38 digits decode
+    // exactly; 39 digits return Left with the deser code so the pipeline
+    // routes the record to the error topic instead of silently corrupting.
+    def bb(digits: Int): ByteBuffer = ByteBuffer.wrap(
+      new java.math.BigInteger("9" * digits).toByteArray)
+    val fits = SafeAvro.decimalCapped(bb(38), 0, "graft.T")
+    assert(fits == Right(new java.math.BigDecimal("9" * 38)),
+      "38 digits is exactly Spark's cap and must decode losslessly")
+    val over = SafeAvro.decimalCapped(bb(39), 0, "graft.T")
+    assert(over.isLeft, "39 digits exceeds DecimalType(38): refuse")
+    val err = over.swap.toOption.get
+    assert(err.code == ErrorCodes.FailedToDeserializeRecord)
+    assert(err.message.contains("refusing to truncate"))
+    assert(err.exceptionClass == classOf[ArithmeticException].getName)
+    // scale participates in precision: 37 integer digits at scale 2 is
+    // precision 39 → also refused, not rounded
+    assert(SafeAvro.decimalCapped(bb(39), 2, "graft.T").isLeft)
+  }
 }
