@@ -259,6 +259,8 @@ object SparkEntry {
       Dedup.dedupApply(docs, Dedup.nearDupComponents(docs, 0.7))
     }),
     "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
+    "d18_removable_spans" -> ((s, d) =>
+      LlmText.removableSpans(T.documents(s, d))),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "d13_incremental_dedup" -> ((s, d) => {
       val docs = T.documents(s, d)
@@ -2032,6 +2034,33 @@ object SparkEntry {
         |  CAST(n_shared_windows AS DOUBLE) / n_windows AS shared_frac,
         |  CAST(n_shared_windows AS DOUBLE) / n_windows > 0.5 AS is_dup_heavy
         |FROM a""".stripMargin,
+    // d10's rolling windows with positions; maximal consecutive-shared runs
+    // via gaps-and-islands (pos minus per-doc rank is constant in a run)
+    "d18_removable_spans" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(md5('r:' || x), c, 1)) <= 57
+        |           THEN ascii(substr(md5('r:' || x), c, 1)) - 48
+        |           ELSE ascii(substr(md5('r:' || x), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT)) AS varr
+        |  FROM ws WHERE len(w) >= 4),
+        |r AS (SELECT doc_id, list_transform(range(1, len(varr) - 2), i ->
+        |    ((((varr[i] * 131 + varr[i+1]) % 1000000007) * 131 + varr[i+2])
+        |      % 1000000007 * 131 + varr[i+3]) % 1000000007) AS roll
+        |  FROM f),
+        |e AS (SELECT doc_id, unnest(range(1, len(roll) + 1)) AS pos,
+        |  unnest(roll) AS h FROM r),
+        |nd AS (SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS n FROM e GROUP BY h)
+        |  WHERE n >= 2),
+        |sp AS (SELECT e.doc_id, e.pos FROM e JOIN nd USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM sp)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
     "e2_int8_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |m AS (SELECT vec_id, x,

@@ -301,6 +301,48 @@ object LlmText {
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Removable duplicated spans (d18): the surgical companion to
+    * [[spanDedup]] — instead of flagging whole documents as dup-heavy, emit
+    * the exact word ranges `(doc_id, span_start, span_len)` whose 4-word
+    * windows all appear in ≥ `minDocs` documents, so curation can CUT the
+    * boilerplate and keep the document ("Deduplicating Training Data Makes
+    * Language Models Better" removes substrings, not documents).
+    *
+    * A span is a maximal run of consecutive shared windows: windows at
+    * positions i..j (1-based word index of each window's first word)
+    * collapse to one span starting at word i covering `j - i + RollK`
+    * words. Runs are found with the gaps-and-islands trick — position minus
+    * its per-doc rank is constant within a consecutive run — so the only
+    * window function is partitioned by doc_id (bounded per doc, no skew).
+    *
+    * Plan shape at 100 TB: the shared-hash table comes from the same
+    * pre-aggregated (doc, hash) frame as [[spanDedup]] (one row per doc per
+    * hash, hot spans absorbed map-side); the positional explode joins that
+    * small table on h (AQE broadcasts it), and everything after is
+    * partitioned by doc_id. */
+  def removableSpans(documents: DataFrame, minDocs: Int = 2): DataFrame = {
+    val g = spanWindowCounts(documents)
+    Caching.withPersisted(g) {
+      val shared = g.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= minDocs)
+        .select(col("h"))
+      val pos = rolledWindows(documents)
+        .select(col("doc_id"), posexplode(col("roll")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      pos.join(shared, Seq("h"))
+        .select(col("doc_id"), col("pos"),
+          (col("pos") - row_number().over(byDoc)).as("isl"))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) - min(col("pos")) + RollK).cast("long")
+            .as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_len"))
+    }
+  }
+
   def spanDedup(documents: DataFrame, minDocs: Int = 2): DataFrame = {
     val g = spanWindowCounts(documents)
     Caching.withPersisted(g) {

@@ -242,6 +242,49 @@ class LlmTextSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("removableSpans: surgical removal round-trip leaves no shared spans") {
+    // Two docs embed the same 6-word boilerplate run mid-document (3
+    // consecutive shared 4-word windows -> ONE maximal span each); doc 3
+    // repeats a window WITHIN itself only, which must not count as shared
+    // (the threshold is distinct docs, not occurrences).
+    val boiler = "all rights reserved by example corp"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two $boiler three four five"),
+      (3L, "repeat me again now repeat me again now"))
+      .toDF("doc_id", "text")
+    val spans = LlmText.removableSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: words 1..3 prefix, boilerplate at words 4..9. Shared windows
+    // start at 4,5,6 -> span_start 4, len (6-4)+4 = 6. doc 2: prefix 2
+    // words -> start 3, len 6.
+    assert(spans.toSet == Set((1L, 4L, 6L), (2L, 3L, 6L)),
+      s"expected one maximal span per doc, got ${spans.toSeq}")
+
+    // surgical removal: cut exactly [span_start, span_start+span_len) words
+    val spanByDoc = spans.groupBy(_._1)
+    val cleaned = docs.collect().map { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val words = text.split(" ")
+      val kept = spanByDoc.get(id).fold(words) { ss =>
+        val cut = ss.flatMap { case (_, st, len) =>
+          (st - 1) until (st - 1 + len) }.toSet // 1-based -> 0-based
+        words.zipWithIndex.collect { case (w, i) if !cut(i) => w }
+      }
+      (id, kept.mkString(" "))
+    }
+    // round-trip: the cleaned corpus has ZERO cross-doc shared windows
+    val after = LlmText.spanDedup(cleaned.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        r.getLong(r.fieldIndex("n_shared_windows"))).toMap
+    assert(after.values.forall(_ == 0L),
+      s"removing the reported spans must kill all sharing: $after")
+    // and the cut was surgical: the docs kept their unique words
+    val keptText = cleaned.toMap
+    assert(keptText(1L) == "alpha beta gamma delta epsilon")
+    assert(keptText(2L) == "one two three four five")
+  }
+
   test("urlNormalize lowercases, strips port/www/utm/fragment") {
     val out = Seq((0L, "t", "src0"), (1L, "t", "src1"))
       .toDF("doc_id", "text", "source")
