@@ -13,6 +13,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The app-status store retains per-job/stage/task/SQL-execution data
+      // IN HEAP even with the UI off (defaults: 1000 jobs, 1000 stages,
+      // 100k tasks, 1000 SQL executions with their full plan-graph
+      // strings). A 133-query suite fills those caps and the retained tail
+      // lives in old gen for the rest of the JVM — the across-queries
+      // accumulation the block-leak assert can't see (r7's pass2 GC
+      // inflation suspect). The bench measures the ENGINE, not the UI
+      // history: keep only a token window.
+      .config("spark.ui.retainedJobs", "20")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.appStateStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Timed action: write to the noop sink, which consumes every row and
@@ -137,6 +150,12 @@ object Bench {
         val t0 = System.nanoTime()
         try run(fn) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
+        // Task-end events arrive on the ASYNC listener bus: drain it before
+        // reading the accumulators, or late events are dropped from this
+        // query's telemetry and charged to the next one (the drain runs
+        // after the timer stops, so it never inflates the measurement).
+        org.apache.spark.graftinternal.CoreBridge
+          .drainListenerBus(spark.sparkContext)
         val tel = Telemetry(dt, taskGcMs.get / 1e3, (driverGcMs - gc0) / 1e3,
           peakExecMem.get >> 20, spillBytes.get >> 20, storageAtStart >> 20)
         dropLeftoverBlocks()
@@ -170,7 +189,8 @@ object Bench {
     }
     // BENCH_LOCAL.json keeps the compact driver-compatible fields PLUS the
     // per-query telemetry and per-pass totals (stdout budget is too tight
-    // for these). bench_diff.py reads `queries` and `telemetry`.
+    // for these). tools/bench_diff.py compares two of these records
+    // (or driver BENCH_r{N}.json files) round-over-round.
     val passTotals = allPasses.map(_.values.map(_.sec).sum)
     val telemetryJson = allPasses.zipWithIndex.map { case (pass, i) =>
       val qs = pass.toSeq.sortBy(_._1).map { case (n, t) =>

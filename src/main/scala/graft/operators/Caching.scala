@@ -73,6 +73,18 @@ object Caching {
     finally intermediates.foreach(_.unpersist(false))
   }
 
+  /** Two-result form of [[withPersisted]]: both frames are materialized
+    * (lineage-truncated) BEFORE the intermediates are released, so neither
+    * result can silently recompute the shared intermediate later. For
+    * operators that fan one expensive pass out into two outputs
+    * (governance report: dedup pairs + cap accounting). */
+  def withPersisted2(intermediates: DataFrame*)(
+      result: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    try { val (a, b) = result; (materialize(a), materialize(b)) }
+    finally intermediates.foreach(_.unpersist(false))
+  }
+
   /** Same bracket with a reliable (checkpoint-dir) materialization — survives
     * executor loss, for long multi-stage jobs on real clusters. Requires
     * `spark.sparkContext.setCheckpointDir` to have been called. The result

@@ -147,7 +147,23 @@ object Dedup {
     // the same data a shuffle would have written anyway. The persist lives
     // only for the duration of this call (Caching bracket).
     val sh = shinglesWithBases(documents)
-    Caching.withPersisted(sh) {
+    Caching.withPersisted(sh) { lshPairs(sh, threshold, maxBandDocs) }
+  }
+
+  /** [[minhashLsh]]'s body over an ALREADY-PERSISTED [[shinglesWithBases]]
+    * frame — split out so [[governanceReport]] shares one shingle pass
+    * between the dedup chain and the cap accounting. Derived frames (the
+    * capped band table) are deliberately NOT persisted (measured, r8):
+    * caching them costs more in columnar encode/decode + lost codegen
+    * fusion than their count+anti-join costs to recompute from the cached
+    * sh (ablation: d4 2.4s inline vs 3.9s persisted; same shape here).
+    * The cap's residual premium vs uncapped is ~0.5s at sf0.1 — the
+    * accepted insurance. The agg+anti-join cap form is deliberate too:
+    * map-side combine absorbs hot keys and the broadcast anti-join drops
+    * them BEFORE any shuffle, where a QUALIFY-style window count would
+    * funnel a 100 TB boilerplate key's rows through one window task. */
+  private def lshPairs(sh: DataFrame, threshold: Double,
+      maxBandDocs: Int): DataFrame = {
     val bands = capHotKeys(bandTable(sh), Seq("band", "bkey"), maxBandDocs)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -162,7 +178,6 @@ object Dedup {
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
           size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
     jac.filter(col("jaccard") >= threshold)
-    }
   }
 
   /** Near-dup cluster decisions (d7): connected components over the
@@ -806,16 +821,44 @@ object Dedup {
   def governanceReport(documents: DataFrame, threshold: Double = 0.7,
       cap: Int = MaxBandDocs): DataFrame = {
     def nullL(n: String) = lit(null).cast("long").as(n)
-    val src = dedupReport(documents, threshold).select(
+    // ONE shingle pass serves both report families (r7 advice: don't pay
+    // the corpus scan + shingle hashing twice in one governance query):
+    // the dedup chain reads the persisted sh through lshPairs, and the
+    // cap-accounting rows count the SAME band table plus the bottom-4
+    // sketch derived from the same sh column.
+    val sh = shinglesWithBases(documents)
+    val (pairs, capRows) = Caching.withPersisted2(sh) {
+      val p = lshPairs(sh, threshold, MaxBandDocs)
+        .select(col("doc_a"), col("doc_b"))
+      def stats(counts: DataFrame, family: String): DataFrame =
+        counts.agg(count(lit(1)).as("n_keys"),
+            sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
+            sum(when(col("n") > cap, col("n")).otherwise(0L))
+              .as("n_dropped_entries"))
+          .select(lit(family).as("family"), col("n_keys"),
+            col("n_hot_keys"), col("n_dropped_entries"))
+      val bandCounts = bandTable(sh)
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      val sketchCounts = sh
+        .select(col("doc_id"),
+          explode(slice(array_sort(transform(col("sh"),
+            s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      (p, stats(bandCounts, "minhash_band")
+        .unionAll(stats(sketchCounts, "bottom4_sketch")))
+    }
+    val comp = connectedComponents(pairs)
+      .select(col("doc").as("doc_id"), col("lab").as("cluster_rep"),
+        (col("doc") === col("lab")).as("keep"))
+    val src = dedupReport(documents, comp).select(
       col("source").as("section"), lit("source_dedup").as("kind"),
       col("n_docs"), col("n_dropped"), col("n_kept"), col("drop_frac"),
       nullL("n_keys"), nullL("n_hot_keys"), nullL("n_dropped_entries"))
-    val caps = bandCapReport(documents, cap).select(
+    src.unionByName(capRows.select(
       col("family").as("section"), lit("hot_key_cap").as("kind"),
       nullL("n_docs"), nullL("n_dropped"), nullL("n_kept"),
       lit(null).cast("double").as("drop_frac"),
-      col("n_keys"), col("n_hot_keys"), col("n_dropped_entries"))
-    src.unionByName(caps)
+      col("n_keys"), col("n_hot_keys"), col("n_dropped_entries")))
   }
 
   /** Hot-key cap accounting (d17): per key family, how many band/sketch
