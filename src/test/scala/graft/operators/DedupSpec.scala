@@ -290,6 +290,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("withPersisted2: both results survive the intermediate's release") {
+    // The two-result bracket must materialize BOTH frames before releasing
+    // the shared intermediate — otherwise the second result would silently
+    // recompute it (or fail) when consumed after the bracket. The
+    // accumulator proves the shared source computed exactly once.
+    val sc = spark.sparkContext
+    val acc = sc.longAccumulator("computes2")
+    val shared = sc.parallelize(1 to 100, 4).map { i => acc.add(1); i }
+      .toDF("n")
+    val (evens, odds) = Caching.withPersisted2(shared) {
+      (shared.filter($"n" % 2 === 0), shared.filter($"n" % 2 === 1))
+    }
+    // consumed AFTER the bracket released the persist
+    assert(evens.count() == 50 && odds.count() == 50)
+    assert(acc.value == 100L,
+      s"shared intermediate computed ${acc.value / 100.0}x — must be once")
+  }
+
   test("connectedComponents is green under a reliable checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
     val sc = spark.sparkContext
