@@ -261,6 +261,16 @@ object SparkEntry {
     "d10_span_dedup" -> ((s, d) => LlmText.spanDedup(T.documents(s, d))),
     "d18_removable_spans" -> ((s, d) =>
       LlmText.removableSpans(T.documents(s, d))),
+    // d13's incremental split applied at span granularity: 10% of docs
+    // arrive as the "incoming" side, scored against the index built from
+    // the other 90%
+    "d19_span_vs_index" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      LlmText.spanScoreVsIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        LlmText.sharedSpanIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    }),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "d13_incremental_dedup" -> ((s, d) => {
       val docs = T.documents(s, d)
@@ -2061,6 +2071,34 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start,
         |  CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_id, g""".stripMargin,
+    // incoming (doc_id%10=0) scored against the shared-span index of the
+    // rest; index membership is distinct-doc-count >= 2 on the 90% side
+    "d19_span_vs_index" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |f AS (SELECT doc_id, list_transform(w, x -> CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(md5('r:' || x), c, 1)) <= 57
+        |           THEN ascii(substr(md5('r:' || x), c, 1)) - 48
+        |           ELSE ascii(substr(md5('r:' || x), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT)) AS varr
+        |  FROM ws WHERE len(w) >= 4),
+        |r AS (SELECT doc_id, list_transform(range(1, len(varr) - 2), i ->
+        |    ((((varr[i] * 131 + varr[i+1]) % 1000000007) * 131 + varr[i+2])
+        |      % 1000000007 * 131 + varr[i+3]) % 1000000007) AS roll
+        |  FROM f),
+        |e AS (SELECT doc_id, unnest(roll) AS h FROM r),
+        |idx AS (SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS nd FROM e
+        |  WHERE doc_id % 10 <> 0 GROUP BY h) WHERE nd >= 2),
+        |inc AS (SELECT doc_id, h FROM e WHERE doc_id % 10 = 0),
+        |a AS (SELECT inc.doc_id, count(*) AS n_windows,
+        |  count(idx.h) AS n_indexed_windows
+        |  FROM inc LEFT JOIN idx ON inc.h = idx.h GROUP BY inc.doc_id)
+        |SELECT doc_id, n_windows, n_indexed_windows,
+        |  CAST(n_indexed_windows AS DOUBLE) / n_windows AS indexed_frac,
+        |  CAST(n_indexed_windows AS DOUBLE) / n_windows > 0.5
+        |    AS is_boilerplate_heavy
+        |FROM a""".stripMargin,
     "e2_int8_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |m AS (SELECT vec_id, x,

@@ -301,6 +301,44 @@ object LlmText {
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** The shared-span hash index: the 4-word window hashes appearing in at
+    * least `minDocs` documents — the boilerplate vocabulary of a corpus,
+    * materialized small (one row per DUPLICATED span) so ingest-time
+    * scoring ([[spanScoreVsIndex]], streaming twin
+    * [[graft.streaming.StreamDedup.spanScoreVsIndex]]) joins against it as
+    * a broadcast. Rebuild it nightly from the lake the way d13's band
+    * index is rebuilt. */
+  def sharedSpanIndex(documents: DataFrame, minDocs: Int = 2): DataFrame =
+    spanWindowCounts(documents)
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+
+  /** Score documents against a STORED shared-span index (d19): per doc,
+    * how many of its 4-word windows are known boilerplate — [[spanDedup]]'s
+    * incremental twin, the d13 pattern applied at span granularity. An
+    * ingest pipeline scores arriving documents against last night's index
+    * without touching the corpus.
+    *
+    * Plan shape: the index is O(duplicated spans) and broadcasts; the
+    * window explode is joined broadcast-side (no shuffle, no skew — a hot
+    * boilerplate span costs its occurrence rows, all local), and the
+    * roll-up is keyed by doc_id on the partitioning [[rolledWindows]]
+    * already established, so the whole scorer adds zero exchanges. */
+  def spanScoreVsIndex(docs: DataFrame, index: DataFrame): DataFrame = {
+    val w = rolledWindows(docs)
+      .select(col("doc_id"), explode(col("roll")).as("h"))
+    val frac = col("n_indexed_windows").cast("double") / col("n_windows")
+    w.join(broadcast(index.select(col("h"), lit(1).as("in_index"))),
+        Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("in_index").isNotNull, 1L)), lit(0L))
+          .as("n_indexed_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_indexed_windows"),
+        frac.as("indexed_frac"), (frac > 0.5).as("is_boilerplate_heavy"))
+  }
+
   /** Removable duplicated spans (d18): the surgical companion to
     * [[spanDedup]] — instead of flagging whole documents as dup-heavy, emit
     * the exact word ranges `(doc_id, span_start, span_len)` whose 4-word

@@ -59,4 +59,24 @@ object StreamDedup {
         ()
       }
       .start()
+
+  /** Streaming span-level boilerplate scoring against a stored shared-span
+    * index — the span-granularity sibling of [[nearDupVsIndex]] (batch
+    * operator: `LlmText.spanScoreVsIndex`, d19; index builder:
+    * `LlmText.sharedSpanIndex`). Each arriving document is scored for
+    * known-boilerplate content as it lands; the index is a small broadcast
+    * frame rebuilt offline. foreachBatch so every batch emits its COMPLETE
+    * per-doc scores immediately (a stream-side groupBy would hold them for
+    * a watermark). */
+  def spanScoreVsIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-spanscore-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.LlmText.spanScoreVsIndex(batch, index))
+        ()
+      }
+      .start()
 }

@@ -87,4 +87,44 @@ class StreamDedupSpec extends SparkSpec {
         Set((1L, 100L, 0.75), (3L, 100L, 1.0)))
     } finally q.stop()
   }
+
+  test("spanScoreVsIndex scores arriving docs against stored boilerplate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LlmText
+    // corpus with a 6-word boilerplate run in two docs -> its three 4-word
+    // windows form the shared-span index
+    val boiler = "all rights reserved by example corp"
+    val corpus = Seq(
+      (100L, s"alpha beta gamma $boiler"),
+      (101L, s"$boiler delta epsilon zeta"),
+      (102L, "unrelated corpus document with distinct words")).toDF("doc_id", "text")
+    val index = LlmText.sharedSpanIndex(corpus)
+    val scores = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Boolean)]()
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.spanScoreVsIndex(
+      input.toDF().toDF("doc_id", "text"), index,
+      sink = df => df.collect().foreach(r => scores.add(
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))))
+    try {
+      // arriving doc 1 is pure boilerplate (3 windows, all indexed);
+      // doc 2 shares nothing
+      input.addData(Seq(
+        (1L, boiler),
+        (2L, "fresh novel writing with entirely new vocabulary")))
+      q.processAllAvailable()
+      assert(scores.toArray.toSet == Set(
+        (1L, 3L, 3L, true), (2L, 4L, 0L, false)))
+
+      // the streaming result equals the batch operator on the same rows
+      val batchTwin = LlmText.spanScoreVsIndex(
+        Seq((1L, boiler),
+          (2L, "fresh novel writing with entirely new vocabulary"))
+          .toDF("doc_id", "text"), index)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSet
+      assert(scores.toArray.toSet == batchTwin)
+    } finally q.stop()
+  }
 }
