@@ -271,6 +271,16 @@ object SparkEntry {
         LlmText.sharedSpanIndex(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
     }),
+    // d13 through the MATERIALIZED index path: the stored side is the
+    // prebuilt (doc_id, sh, bkeys) table, never re-shingled per call.
+    // Same oracle SQL as d13 — the physical path differs, the semantics
+    // must not.
+    "d20_dedup_vs_index" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.incrementalDedupVsIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        Dedup.nearDupIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    }),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "d13_incremental_dedup" -> ((s, d) => {
       val docs = T.documents(s, d)
@@ -343,7 +353,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     // d8b is the pipeline-form twin of d8 (precomputed-components overload);
     // both must be bit-identical to the same SQL.
-    ("d8b_dedup_pipeline" -> oracleSqlBase("d8_dedup_apply"))
+    ("d8b_dedup_pipeline" -> oracleSqlBase("d8_dedup_apply")) +
+    // d20 is d13 through the materialized-index path; same SQL.
+    ("d20_dedup_vs_index" -> oracleSqlBase("d13_incremental_dedup"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

@@ -276,6 +276,58 @@ object Dedup {
     comp.select(col("doc"), col("lab"))
   }
 
+  /** Materialized near-dup index of a corpus (d20's stored side): ONE
+    * row per document carrying everything incremental matching needs —
+    * the shingle set (exact-Jaccard verify) and the 4 LSH band keys
+    * (candidate generation) — so the index is a plain parquet/lake table
+    * built once and appended per ingest, and NO per-batch work ever
+    * touches the corpus again (the r8 fix for [[incrementalDedup]]'s
+    * recompute-the-known-side-every-call cost, which at 100 TB dominates
+    * every micro-batch). Schema: (doc_id, sh, bkeys[4]). */
+  def nearDupIndex(documents: DataFrame): DataFrame = {
+    val sh = shinglesWithBases(documents)
+    sh.select(col("doc_id"), col("sh"),
+        org.apache.spark.sql.graftinternal.Bridge.column(
+          graft.functions.MinHashSig(
+            org.apache.spark.sql.graftinternal.Bridge.expression(col("bases")),
+            HashA, HashB, HashP)).as("mhs"))
+      .select(col("doc_id"), col("sh"),
+        transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
+          concat_ws("|",
+            element_at(col("mhs"), j * BandRows + 1),
+            element_at(col("mhs"), j * BandRows + 2),
+            element_at(col("mhs"), j * BandRows + 3))).as("bkeys"))
+  }
+
+  /** [[incrementalDedup]] against a PREBUILT [[nearDupIndex]] — per call,
+    * only the incoming batch is shingled and banded; the stored side
+    * contributes an explode of its 4 band keys (narrow, no hashing) and
+    * its stored shingle sets for the verify join. Same output contract as
+    * d13 (pinned equal by DedupSpec and by the shared oracle SQL). */
+  def incrementalDedupVsIndex(incoming: DataFrame, index: DataFrame,
+      threshold: Double = 0.7, maxBandDocs: Int = MaxBandDocs): DataFrame = {
+    val shI = shinglesWithBases(incoming)
+    Caching.withPersisted(shI) {
+      val bandsI = capHotKeys(bandTable(shI), Seq("band", "bkey"), maxBandDocs)
+      val bandsK = capHotKeys(
+        index.select(col("doc_id"),
+          posexplode(col("bkeys")).as(Seq("band", "bkey"))),
+        Seq("band", "bkey"), maxBandDocs)
+      val cand = bandsI.as("a")
+        .join(bandsK.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+        .distinct()
+      cand.as("c")
+        .join(shI.as("x"), col("c.doc_id") === col("x.doc_id"))
+        .join(index.as("y"), col("c.dup_of") === col("y.doc_id"))
+        .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+  }
+
   /** Incremental near-dup detection (d13): match an INCOMING batch against
     * an already-ingested corpus without re-pairing the corpus with itself —
     * the nightly-ingest shape at 100 TB, where the historical side's band

@@ -60,6 +60,25 @@ object StreamDedup {
       }
       .start()
 
+  /** [[nearDupVsIndex]] against a PREBUILT `Dedup.nearDupIndex` table —
+    * the form a production ingest runs: the stored side is a lake table
+    * of (doc_id, sh, bkeys) appended per ingest, so each micro-batch pays
+    * only for ITS documents' shingling; the corpus is never re-hashed
+    * (at 100 TB the re-hash would dominate every batch). */
+  def nearDupVsPrebuiltIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      sink: DataFrame => Unit,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-neardup-vs-prebuilt-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup
+          .incrementalDedupVsIndex(batch, index, threshold))
+        ()
+      }
+      .start()
+
   /** Streaming span-level boilerplate scoring against a stored shared-span
     * index — the span-granularity sibling of [[nearDupVsIndex]] (batch
     * operator: `LlmText.spanScoreVsIndex`, d19; index builder:

@@ -290,6 +290,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupVsIndex equals incrementalDedup on the same split") {
+    // the materialized-index path (stored sh + bkeys, no re-shingling)
+    // must produce exactly d13's pairs
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, base.replace("dog", "cat")),            // incoming: near-dup
+      (2L, "completely different words forming another document here"),
+      (100L, base),                                 // known corpus
+      (101L, "yet more unrelated corpus text with its own words"))
+      .toDF("doc_id", "text")
+    val incoming = docs.filter($"doc_id" < 100L)
+    val known = docs.filter($"doc_id" >= 100L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rows(Dedup.incrementalDedup(incoming, known))
+    val viaIndex = rows(Dedup.incrementalDedupVsIndex(
+      incoming, Dedup.nearDupIndex(known)))
+    assert(direct == viaIndex, s"direct=$direct viaIndex=$viaIndex")
+    assert(direct.exists { case (a, b, j) => a == 1L && b == 100L && j >= 0.7 },
+      "the near-dup pair must surface on both paths")
+    // the index round-trips through parquet (it IS a lake table)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    Dedup.nearDupIndex(known).write.mode("overwrite").parquet(dir)
+    val viaStored = rows(Dedup.incrementalDedupVsIndex(
+      incoming, spark.read.parquet(dir)))
+    assert(viaStored == direct, "stored-table index must behave identically")
+  }
+
   test("withPersisted2: both results survive the intermediate's release") {
     // The two-result bracket must materialize BOTH frames before releasing
     // the shared intermediate — otherwise the second result would silently
