@@ -343,6 +343,7 @@ object SparkEntry {
       Multimodal.patchExtract(T.documents(s, d))),
     "mm4_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(T.documents(s, d))),
+    "mm5_resize" -> ((s, d) => Multimodal.resizeThumbs(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -2597,5 +2598,20 @@ object SparkEntry {
         |      substr(hx, CAST(32 * fi + 2 AS BIGINT), 1)) - 1) AS INT)
         |    AS frame_byte
         |FROM e""".stripMargin,
+    // stride-4 thumbnail: every 4th byte (8 hex chars apart), md5 over the
+    // concatenated hex pairs — byte-exact on both engines
+    "mm5_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, n AS n_bytes,
+        |  CAST((n + 3) // 4 AS BIGINT) AS thumb_bytes, hx FROM b)
+        |SELECT doc_id, n_bytes, thumb_bytes,
+        |  CASE WHEN thumb_bytes > 0 THEN md5(array_to_string(
+        |    list_transform(range(0, thumb_bytes),
+        |      i -> substr(hx, CAST(8 * i + 1 AS BIGINT), 2)), ''))
+        |  ELSE NULL END AS thumb_md5
+        |FROM o""".stripMargin,
   )
 }

@@ -156,6 +156,30 @@ object Multimodal {
         conv(substring(col("ph"), 1, 2), 16, 10).cast("int").as("first_byte"))
   }
 
+  /** Stride-resize as a driver-facing query (mm5): each payload downscaled
+    * to every `stride`-th byte — the image-thumbnail / audio-downsample
+    * plumbing shape (binary in, smaller binary out, pure per-row
+    * projection, no shuffle; a codec-backed deployment swaps the byte
+    * stride for pixel averaging behind the same columns). Emits the
+    * original and thumb sizes plus the thumb's md5 so the oracle pins
+    * every output byte; computed over the hex dump like mm3/mm4 so both
+    * engines run identical string math. */
+  def resizeThumbs(documents: DataFrame, stride: Int = 4): DataFrame = {
+    val media = col("text").cast("binary")
+    documents
+      .select(col("doc_id"), hex(media).as("hx"),
+        length(media).cast("long").as("n_bytes"))
+      .withColumn("thumb_bytes",
+        floor((col("n_bytes") + lit(stride - 1)) / lit(stride)).cast("long"))
+      .select(col("doc_id"), col("n_bytes"), col("thumb_bytes"),
+        when(col("thumb_bytes") > 0,
+          md5(array_join(transform(
+            sequence(lit(0L), col("thumb_bytes") - 1),
+            i => col("hx").substr((i * (2 * stride) + 1).cast("int"),
+              lit(2))), "").cast("binary")))
+          .otherwise(lit(null).cast("string")).as("thumb_md5"))
+  }
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

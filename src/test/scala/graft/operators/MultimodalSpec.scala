@@ -99,4 +99,19 @@ class MultimodalSpec extends SparkSpec {
       md5hex(("x" * 64).getBytes("UTF-8")))
     assert(r.getLong(r.fieldIndex("n_frames")) == 2L) // (300+255)/256
   }
+
+  test("resizeThumbs: stride-4 thumbnail sizes and byte-exact md5") {
+    import spark.implicits._
+    val text = "abcdefghij" // 10 bytes → thumb = bytes at 0,4,8 = a,e,i
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Multimodal.resizeThumbs(df).head()
+    assert(r.getLong(r.fieldIndex("n_bytes")) == 10L)
+    assert(r.getLong(r.fieldIndex("thumb_bytes")) == 3L)
+    // the md5 runs over the CONCATENATED HEX PAIRS of the sampled bytes
+    // (the cross-engine string form mm3/mm4 use), uppercase like hex()
+    val hexThumb = Array('a', 'e', 'i')
+      .map(c => f"${c.toInt}%02X").mkString
+    assert(r.getString(r.fieldIndex("thumb_md5")) ==
+      md5hex(hexThumb.getBytes("UTF-8")))
+  }
 }
