@@ -45,6 +45,19 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on.exists(_._3 > 0), "fixture actually shares spans")
   }
 
+  test("removableSpans and incrementalDedupVsIndex are AQE-invariant") {
+    def spans() = LlmText.removableSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val incoming = docs.filter($"doc_id" <= 2L)
+    val idx = Dedup.nearDupIndex(docs.filter($"doc_id" > 2L))
+    def inc() = Dedup.incrementalDedupVsIndex(incoming, idx, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val (sOn, iOn) = withAqe(true) { (spans(), inc()) }
+    val (sOff, iOff) = withAqe(false) { (spans(), inc()) }
+    assert(sOn == sOff && iOn == iOff)
+    assert(sOn.nonEmpty && iOn.nonEmpty, "fixtures actually produce rows")
+  }
+
   test("annLsh is AQE-invariant (aliased self-join)") {
     val vecs = (0L until 200L).map { i =>
       (i, Array.tabulate(64)(d => ((i % 7) + d % 3).toFloat))
