@@ -154,8 +154,10 @@ object Bench {
         // reading the accumulators, or late events are dropped from this
         // query's telemetry and charged to the next one (the drain runs
         // after the timer stops, so it never inflates the measurement).
-        org.apache.spark.graftinternal.CoreBridge
-          .drainListenerBus(spark.sparkContext)
+        if (!org.apache.spark.graftinternal.CoreBridge
+            .drainListenerBus(spark.sparkContext))
+          System.err.println(s"[bench] listener bus drain timed out after " +
+            s"$name — its telemetry may be charged to the next query")
         val tel = Telemetry(dt, taskGcMs.get / 1e3, (driverGcMs - gc0) / 1e3,
           peakExecMem.get >> 20, spillBytes.get >> 20, storageAtStart >> 20)
         dropLeftoverBlocks()

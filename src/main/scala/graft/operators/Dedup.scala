@@ -307,7 +307,11 @@ object Dedup {
   def incrementalDedupVsIndex(incoming: DataFrame, index: DataFrame,
       threshold: Double = 0.7, maxBandDocs: Int = MaxBandDocs): DataFrame = {
     val shI = shinglesWithBases(incoming)
-    Caching.withPersisted(shI) {
+    // the index is referenced three times (band explode, its hot-key
+    // count, the verify join); persisting keeps a DERIVED index — e.g.
+    // nearDupIndex(df) built on the fly — from re-shingling its corpus
+    // per reference. A parquet-backed index pays one cheap cache fill.
+    Caching.withPersisted(shI, index) {
       val bandsI = capHotKeys(bandTable(shI), Seq("band", "bkey"), maxBandDocs)
       val bandsK = capHotKeys(
         index.select(col("doc_id"),
@@ -599,6 +603,14 @@ object Dedup {
     * smallest shingle hashes (bottom-k sketch equi-join — content-based
     * blocking that survives cross-source/cross-lang near-dups), verified by
     * character-3-gram Jaccard ≥ 0.6. */
+  /** The 4 smallest "f:"-md5 shingle hashes of a shingle-array column —
+    * THE blocking key expression of the bottom-4 sketch family
+    * (d4/d15/d16); one definition so the hash prefix and width can never
+    * drift between the operators and the governance accounting. */
+  private def bottom4Expr(shCol: Column): Column =
+    slice(array_sort(transform(shCol,
+      s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)
+
   /** The bottom-4 shingle-hash sketch rows (doc_id, h) d4/d15 block on —
     * content-based blocking that survives cross-source near-dups. */
   private def bottom4Sketch(documents: DataFrame): DataFrame =
@@ -606,8 +618,7 @@ object Dedup {
       .transform(Partitioning.spread(_, col("doc_id")))
       .filter(size(LlmText.words(col("text"))) >= 3)
       .select(col("doc_id"),
-        explode(slice(array_sort(transform(LlmText.shingles(col("text")),
-          s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
+        explode(bottom4Expr(LlmText.shingles(col("text")))).as("h"))
       .transform(Partitioning.spread(_, col("doc_id")))
 
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.6,
@@ -675,9 +686,7 @@ object Dedup {
       .transform(Partitioning.spread(_, col("doc_id")))
     Caching.withPersisted(sh) {
       val sk = capHotKeys(
-        sh.select(col("doc_id"),
-          explode(slice(array_sort(transform(col("sh"),
-            s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h")),
+        sh.select(col("doc_id"), explode(bottom4Expr(col("sh"))).as("h")),
         Seq("h"), maxSketchDocs)
       val cand = sk.as("a")
         .join(sk.as("b"),
@@ -882,22 +891,13 @@ object Dedup {
     val (pairs, capRows) = Caching.withPersisted2(sh) {
       val p = lshPairs(sh, threshold, MaxBandDocs)
         .select(col("doc_a"), col("doc_b"))
-      def stats(counts: DataFrame, family: String): DataFrame =
-        counts.agg(count(lit(1)).as("n_keys"),
-            sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
-            sum(when(col("n") > cap, col("n")).otherwise(0L))
-              .as("n_dropped_entries"))
-          .select(lit(family).as("family"), col("n_keys"),
-            col("n_hot_keys"), col("n_dropped_entries"))
       val bandCounts = bandTable(sh)
         .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
       val sketchCounts = sh
-        .select(col("doc_id"),
-          explode(slice(array_sort(transform(col("sh"),
-            s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)).as("h"))
+        .select(col("doc_id"), explode(bottom4Expr(col("sh"))).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("n"))
-      (p, stats(bandCounts, "minhash_band")
-        .unionAll(stats(sketchCounts, "bottom4_sketch")))
+      (p, capFamilyStats(bandCounts, "minhash_band", cap)
+        .unionAll(capFamilyStats(sketchCounts, "bottom4_sketch", cap)))
     }
     val comp = connectedComponents(pairs)
       .select(col("doc").as("doc_id"), col("lab").as("cluster_rep"),
@@ -926,20 +926,26 @@ object Dedup {
     * per-key counts [[capHotKeys]] computes, aggregated to ONE row per
     * family — map-side combined, no join. */
   def bandCapReport(documents: DataFrame, cap: Int = MaxBandDocs): DataFrame = {
-    def stats(counts: DataFrame, family: String): DataFrame =
-      counts.agg(count(lit(1)).as("n_keys"),
-          sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
-          sum(when(col("n") > cap, col("n")).otherwise(0L))
-            .as("n_dropped_entries"))
-        .select(lit(family).as("family"), col("n_keys"), col("n_hot_keys"),
-          col("n_dropped_entries"))
     val bandCounts = bandTable(shinglesWithBases(documents))
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
     val sketchCounts = bottom4Sketch(documents)
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
-    stats(bandCounts, "minhash_band")
-      .unionAll(stats(sketchCounts, "bottom4_sketch"))
+    capFamilyStats(bandCounts, "minhash_band", cap)
+      .unionAll(capFamilyStats(sketchCounts, "bottom4_sketch", cap))
   }
+
+  /** ONE accounting row for a key family's per-key counts frame `(…, n)`:
+    * total keys, keys over `cap`, and the (doc,key) entries the cap drops.
+    * Shared by [[bandCapReport]] and [[governanceReport]] so the
+    * accounting arithmetic cannot drift between them. */
+  private def capFamilyStats(counts: DataFrame, family: String,
+      cap: Int): DataFrame =
+    counts.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_hot_keys"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L))
+          .as("n_dropped_entries"))
+      .select(lit(family).as("family"), col("n_keys"), col("n_hot_keys"),
+        col("n_dropped_entries"))
 
   /** The d2 band-join candidate pairs at a given cap — exposed for
     * SkewSpec, which plants a boilerplate key in most of the corpus and

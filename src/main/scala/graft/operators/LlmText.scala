@@ -359,13 +359,20 @@ object LlmText {
     * small table on h (AQE broadcasts it), and everything after is
     * partitioned by doc_id. */
   def removableSpans(documents: DataFrame, minDocs: Int = 2): DataFrame = {
-    val g = spanWindowCounts(documents)
-    Caching.withPersisted(g) {
-      val shared = g.groupBy(col("h"))
+    // ONE rolling-hash pass: both the shared-hash table (via the per-doc
+    // distinct counts) and the positional explode derive from the same
+    // persisted window frame — recomputing rolledWindows for the
+    // positions would double the per-word md5 + rolling-combine cost.
+    val rw = rolledWindows(documents)
+    Caching.withPersisted(rw) {
+      val shared = rw
+        .select(col("doc_id"), explode(col("roll")).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("h"))
         .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= minDocs)
         .select(col("h"))
-      val pos = rolledWindows(documents)
+      val pos = rw
         .select(col("doc_id"), posexplode(col("roll")).as(Seq("p0", "h")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
       val byDoc = org.apache.spark.sql.expressions.Window

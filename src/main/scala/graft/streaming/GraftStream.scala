@@ -112,10 +112,15 @@ object GraftStream extends Logging {
       // future replay of this batch double-write with no diagnostic —
       // surface it as the batch failure it is (the sink already wrote, so
       // failing HERE keeps Spark retrying the batch until the marker
-      // lands; the guard makes those retries no-op once it does).
-      if (!fs.rename(tmp, dst) && !fs.exists(dst))
-        throw new java.io.IOException(
+      // lands; the guard makes those retries no-op once it does). Hadoop
+      // rename does not overwrite: when a retry finds the marker already
+      // published, that's success — but the orphaned tmp must go, or
+      // dot-files (which prune skips) accumulate across such retries.
+      if (!fs.rename(tmp, dst)) {
+        if (fs.exists(dst)) fs.delete(tmp, false)
+        else throw new java.io.IOException(
           s"BatchCommitLog: failed to publish marker $dst")
+      }
       prune(batchId)
     }
     private def prune(headBatchId: Long): Unit =
@@ -148,7 +153,10 @@ object GraftStream extends Logging {
     * keys; for the parquet lake sink pair with [[upsertLakeSink]] or d1.
     * Keep `commitDir` NEXT TO the streaming checkpoint (same store, same
     * lifecycle): deleting the checkpoint without the commit log would replay
-    * from scratch against a log that says "all done".
+    * from scratch against a log that says "all done". BatchIds are only
+    * unique within ONE query's checkpoint lineage, so every pipeline must
+    * own a distinct marker directory — the built-in wirings namespace it
+    * as `<commitDir>/<applicationId>-<pipeline>`.
     *
     * Wired into [[simple]]/[[delta]] via [[graft.core.GraftConf.commitDir]]
     * — when set, each pipeline's whole per-batch write (both branches) is
@@ -359,7 +367,12 @@ object GraftStream extends Logging {
       ()
     }
     val guarded: (DataFrame, Long) => Unit =
-      if (conf.commitDir.nonEmpty) idempotent(conf.commitDir)(writeBatch)
+      if (conf.commitDir.nonEmpty)
+        // namespaced per pipeline: batchIds restart at 0 for EVERY query,
+        // so two pipelines (or one pipeline after a fresh checkpoint)
+        // sharing a bare dir would skip each other's batches
+        idempotent(s"${conf.commitDir}/${conf.applicationId}-simple")(
+          writeBatch)
       else (batch, _) => writeBatch(batch)
     source.writeStream
       .queryName(s"${conf.applicationId}-simple")
@@ -428,7 +441,9 @@ object GraftStream extends Logging {
       ()
     }
     val guarded: (Dataset[Envelope[T]], Long) => Unit =
-      if (conf.commitDir.nonEmpty) idempotent(conf.commitDir)(writeBatch)
+      if (conf.commitDir.nonEmpty)
+        idempotent(s"${conf.commitDir}/${conf.applicationId}-delta")(
+          writeBatch)
       else (b, _) => writeBatch(b)
     deduped.union(invalid).writeStream
       .queryName(s"${conf.applicationId}-delta")

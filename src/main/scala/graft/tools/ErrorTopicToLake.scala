@@ -52,7 +52,10 @@ object ErrorTopicToLake extends Logging {
     val writeBatch: DataFrame => Unit = batch => sink(lift(batch))
     val guarded: (DataFrame, Long) => Unit =
       if (conf.commitDir.nonEmpty)
-        GraftStream.idempotent(conf.commitDir)(writeBatch)
+        // namespaced like GraftStream.simple/delta: batchIds are only
+        // unique within one query's checkpoint lineage
+        GraftStream.idempotent(
+          s"${conf.commitDir}/${conf.applicationId}-error-lake")(writeBatch)
       else (b, _) => writeBatch(b)
     source.writeStream
       .queryName(s"${conf.applicationId}-error-lake")

@@ -178,7 +178,10 @@ class LakeSinkSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assert(GraftStreamSpec.processed.toArray.toSet == Set("ok"))
-    val log = new GraftStream.BatchCommitLog(s"$base/commits",
+    // markers live under the per-pipeline namespace: batchIds restart at 0
+    // for every query, so a shared bare dir would cross-skip batches
+    val log = new GraftStream.BatchCommitLog(
+      s"$base/commits/graft-idem-app-simple",
       spark.sessionState.newHadoopConf())
     assert(log.committed(0L), "wired guard must record the batch marker")
   }

@@ -44,8 +44,11 @@ def main():
     qo, qn = old.get("queries", {}), new.get("queries", {})
     tel = (new.get("telemetry") or {}).get("pass1", {})
 
-    print(f"total: {old.get('value'):.1f}s -> {new.get('value'):.1f}s "
-          f"({new.get('value') / old.get('value'):.2f}x)   "
+    # aborted/partial records may lack a total or carry 0.0 — keep the
+    # per-query comparison usable instead of crashing on the header line
+    ov, nv = old.get("value") or 0.0, new.get("value") or 0.0
+    ratio = f"({nv / ov:.2f}x)" if ov > 0 else "(n/a)"
+    print(f"total: {ov:.1f}s -> {nv:.1f}s {ratio}   "
           f"[{args.old} -> {args.new}]")
     for label, passes in (("old", old.get("passTotals")),
                           ("new", new.get("passTotals"))):
