@@ -22,4 +22,37 @@ class TablesSpec extends SparkSpec {
       .head().getDouble(0)
     assert(d == 11.0)
   }
+
+  test("events loader normalizes every ts physical form to TimestampType") {
+    // The data generator has shipped events.ts as TIMESTAMP(NANOS) (read
+    // as long under nanosAsLong) AND as naive TIMESTAMP(MICROS) (read as
+    // TIMESTAMP_NTZ) across rounds; a type change silently broke
+    // unix_millis downstream in r7. Pin: whatever form lands on disk,
+    // Tables.events yields session-zone TimestampType with the same
+    // instant.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val micros = 1700000000000000L // 2023-11-14T22:13:20Z
+    def write(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // long nanos (the nanosAsLong reading of TIMESTAMP(NANOS))
+    val asLong = write(spark.range(1).select(col("id").as("event_id"),
+      lit(micros * 1000L).as("ts")))
+    // naive micros -> Spark writes/reads TIMESTAMP_NTZ
+    val asNtz = write(spark.range(1).select(col("id").as("event_id"),
+      timestamp_micros(lit(micros)).cast(TimestampNTZType).as("ts")))
+    // session-zone timestamp (the already-normal form)
+    val asLtz = write(spark.range(1).select(col("id").as("event_id"),
+      timestamp_micros(lit(micros)).as("ts")))
+    for (dir <- Seq(asLong, asNtz, asLtz)) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType, s"dir=$dir")
+      val out = ev.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(out == micros, s"instant preserved for $dir")
+    }
+  }
 }
