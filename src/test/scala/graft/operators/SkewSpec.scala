@@ -103,6 +103,38 @@ class SkewSpec extends SparkSpec {
     assert((50L until 100L).forall(!flags(_)), "unique docs are clean")
   }
 
+  test("spanScoreVsIndex under boilerplate skew: broadcast side stays small") {
+    // The same hot-span fixture: one span in 50% of docs, 10x repeats.
+    // The scorer's index side must be ONE row per duplicated span hash
+    // (broadcast-safe however hot the span is), and scoring must survive
+    // the skew with exact per-doc fractions — occurrence rows never cross
+    // a shuffle keyed by the hot hash.
+    val boiler = "alpha beta gamma delta"
+    val docs = ((0 until 50).map(i =>
+        (i.toLong, (Seq.fill(10)(boiler).mkString(" ")) +
+          s" u${i}w u${i}x u${i}y u${i}z")) ++
+      (50 until 100).map(i =>
+        (i.toLong, s"c${i}a c${i}b c${i}c c${i}d c${i}e c${i}f c${i}g c${i}h")))
+      .toDF("doc_id", "text")
+    val index = LlmText.sharedSpanIndex(docs)
+    // index cardinality = duplicated spans, NOT occurrences: the hot span
+    // contributes ONE row despite 500 occurrences
+    val idxRows = index.count()
+    assert(idxRows <= 50,
+      s"index must be one row per shared hash, got $idxRows")
+    val scored = LlmText.spanScoreVsIndex(docs, index)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // a boilerplate doc: 10x4-word boiler + 4 unique words = 44 words ->
+    // 41 windows; the windows fully inside the unique tail (last 1) plus
+    // those bridging <4 boiler words... pin via invariant instead of
+    // arithmetic: every boilerplate doc is flagged, every clean doc clean
+    assert((0L until 50L).forall(scored(_)._3), "boilerplate docs flagged")
+    assert((50L until 100L).forall(!scored(_)._3), "clean docs unflagged")
+    assert((50L until 100L).forall(scored(_)._2 == 0L),
+      "clean docs index-match nothing")
+  }
+
   test("hot-band cap bounds LSH candidate pairs by docs·cap, not docs²") {
     // Boilerplate blowup: 60% of the corpus is the SAME text (so all 4 of
     // its band keys are shared by 60 docs), plus 4 genuine near-dup
