@@ -204,6 +204,14 @@ object SparkEntry {
     }),
     "c18_unimax" -> ((s, d) => Curation.unimaxAllocate(T.documents(s, d))),
     "c19_epoch_expand" -> ((s, d) => Curation.epochExpand(T.documents(s, d))),
+    // snapshot split by doc_id parity: even = accepted corpus, odd = the
+    // incoming crawl under review
+    "c20_quality_drift" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.qualityDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
     // -- skew-handling physical rewrites (oracle = the unsalted SQL) --
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
@@ -1588,6 +1596,39 @@ object SparkEntry {
         |  FROM documents d JOIN s2 ON d.lang = s2.lang)
         |SELECT doc_id, lang, UNNEST(range(0, n_copies)) AS epoch
         |FROM dn WHERE n_copies > 0""".stripMargin,
+    // x3's composite score, 10 fixed buckets, per-source total variation
+    // distance between the even/odd snapshot distributions; bucket gaps
+    // decimal-accumulated so the sum is order-independent
+    "c20_quality_drift" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0)
+        |    AS score
+        |  FROM t),
+        |b AS (SELECT source, doc_id % 2 AS side,
+        |  CAST(least(floor(score * 10), 9.0) AS BIGINT) AS bucket FROM m),
+        |c AS (SELECT source, bucket,
+        |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM b GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(n_old) AS BIGINT) AS t_old,
+        |  CAST(sum(n_new) AS BIGINT) AS t_new FROM c GROUP BY 1),
+        |agg AS (SELECT c.source,
+        |  CAST(max(t_old) AS BIGINT) AS n_old_docs,
+        |  CAST(max(t_new) AS BIGINT) AS n_new_docs,
+        |  CAST(SUM(CAST(abs(
+        |    CASE WHEN t_old > 0 THEN CAST(n_old AS DOUBLE) / t_old ELSE 0.0 END -
+        |    CASE WHEN t_new > 0 THEN CAST(n_new AS DOUBLE) / t_new ELSE 0.0 END)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / 2 AS tv_distance
+        |  FROM c JOIN tt USING (source) GROUP BY c.source)
+        |SELECT source, n_old_docs, n_new_docs, tv_distance,
+        |  tv_distance > 0.1 AS drifted
+        |FROM agg""".stripMargin,
     "q28_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,

@@ -569,4 +569,50 @@ object Curation {
             / (col("nlang") - col("k")))
           .as("alloc_tokens"))
   }
+
+  /** Quality-drift report (c20): per source, how far the NEW snapshot's
+    * quality-score distribution moved from the OLD one — the acceptance
+    * gate a recurring ingest runs before admitting a fresh crawl ("source
+    * X's quality profile shifted — syndication change or pipeline bug?").
+    *
+    * Each side is scored with the x3 composite
+    * ([[LlmText.qualityScoreExpr]] — only +,*,/ on doubles, bit-stable
+    * across engines), bucketed into 10 fixed score bins, and compared by
+    * total variation distance (half the L1 gap between the two bucket
+    * distributions — exact arithmetic, no transcendentals, so it
+    * oracle-checks where a KL/PSI's logs would drift in the last ulp).
+    * Bucket gaps are decimal-accumulated ([[Relational.dsum]] pattern) so
+    * the per-source sum is order-independent under any partitioning.
+    *
+    * Scale shape: two score passes (pure projections), one (source,
+    * bucket) aggregate each (map-side combined, ≤10 rows per source), a
+    * full-outer join on ≤10·sources rows, and a source-keyed roll-up —
+    * the heavy work never leaves the scan stage. */
+  def qualityDrift(oldDocs: DataFrame, newDocs: DataFrame,
+      driftBar: Double = 0.1): DataFrame = {
+    def buckets(df: DataFrame, out: String): DataFrame =
+      df.select(col("source"),
+          least(floor(LlmText.qualityScoreExpr(col("text")) * 10), lit(9.0))
+            .cast("long").as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as(out))
+    val joined = buckets(oldDocs, "n_old")
+      .join(buckets(newDocs, "n_new"), Seq("source", "bucket"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.groupBy(col("source"))
+      .agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    val gap = abs(
+      when(col("t_old") > 0, col("n_old").cast("double") / col("t_old"))
+        .otherwise(lit(0.0)) -
+      when(col("t_new") > 0, col("n_new").cast("double") / col("t_new"))
+        .otherwise(lit(0.0)))
+    joined.join(totals, Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("t_old")).as("n_old_docs"),
+        max(col("t_new")).as("n_new_docs"),
+        (Relational.dsum(gap) / 2).as("tv_distance"))
+      .withColumn("drifted", col("tv_distance") > driftBar)
+  }
 }

@@ -329,4 +329,36 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
+
+  test("qualityDrift: identical snapshots score 0, a shifted source flags") {
+    import org.apache.spark.sql.functions._
+    // quality text (stopword-rich) vs junk text (pure punctuation) land in
+    // different score buckets
+    val good = "the cat and the dog sat in the sun and the rain"
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    // stable: same distribution on both sides -> TV 0. shifted: all good
+    // docs in old, all junk in new -> TV 1 (disjoint buckets).
+    val oldSnap = docs(Seq(
+      (2L, good, "stable"), (4L, junk, "stable"),
+      (6L, good, "shifted"), (8L, good, "shifted")))
+    val newSnap = docs(Seq(
+      (1L, good, "stable"), (3L, junk, "stable"),
+      (5L, junk, "shifted"), (7L, junk, "shifted")))
+    val out = Curation.qualityDrift(oldSnap, newSnap)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out("stable") == ((2L, 2L, 0.0, false)),
+      s"identical distributions must not drift: ${out("stable")}")
+    val (no, nn, tv, drifted) = out("shifted")
+    assert(no == 2L && nn == 2L && drifted, s"shifted must flag: $tv")
+    assert(math.abs(tv - 1.0) < 1e-9,
+      s"disjoint buckets -> total variation 1.0, got $tv")
+    // partition-invariant (the decimal-accumulated sum is the point)
+    val re = Curation.qualityDrift(
+      oldSnap.repartition(7), newSnap.repartition(3))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(re == out.map { case (k, v) => k -> v._3 })
+  }
 }
