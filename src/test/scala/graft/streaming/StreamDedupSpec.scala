@@ -88,6 +88,35 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupVsPrebuiltIndex matches the raw-docs path per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog"
+    // the stored side is the MATERIALIZED index — built once, here round-
+    // tripped through parquet like the lake table it is in production
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndpi").toString
+    graft.operators.Dedup.nearDupIndex(Seq((100L, base)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.nearDupVsPrebuiltIndex(
+      input.toDF().toDF("doc_id", "text"), index,
+      sink = df => df.collect().foreach(r =>
+        pairs.add((r.getLong(0), r.getLong(1), r.getDouble(2)))))
+    try {
+      input.addData(Seq(
+        (1L, base.replace("dog", "cat")),
+        (2L, "completely different words forming another document here")))
+      q.processAllAvailable()
+      assert(pairs.toArray.toSet == Set((1L, 100L, 0.75)),
+        "prebuilt-index path must flag exactly the raw-path pairs")
+      input.addData(Seq((3L, base)))
+      q.processAllAvailable()
+      assert(pairs.toArray(Array.empty[(Long, Long, Double)]).toSet ==
+        Set((1L, 100L, 0.75), (3L, 100L, 1.0)))
+    } finally q.stop()
+  }
+
   test("spanScoreVsIndex scores arriving docs against stored boilerplate") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.LlmText
