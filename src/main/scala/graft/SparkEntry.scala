@@ -157,6 +157,8 @@ object SparkEntry {
     "x20_lang_ngram_profile" -> ((s, d) =>
       LlmText.langNgramProfile(T.documents(s, d))),
     "x21_char_entropy" -> ((s, d) => LlmText.charEntropy(T.documents(s, d))),
+    "x22_lexical_diversity" -> ((s, d) =>
+      LlmText.lexicalDiversity(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -226,6 +228,10 @@ object SparkEntry {
     "q46_unpivot" -> ((s, d) => R.meltMeasures(T.lineitem(s, d))),
     "q47_percentile_cont" -> ((s, d) =>
       Temporal.groupPercentileCont(T.events(s, d))),
+    "q48_gap_fill" -> ((s, d) => Temporal.gapFill(T.events(s, d))),
+    "q49_weighted_median" -> ((s, d) => R.weightedMedian(T.lineitem(s, d))),
+    "q50_rolling_range" -> ((s, d) => R.rollingRevenue(T.orders(s, d))),
+    "q51_streaks" -> ((s, d) => Temporal.activeStreaks(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -314,6 +320,8 @@ object SparkEntry {
       graft.operators.VectorOps.groupCentroids(T.embeddings(s, d))),
     "e2_int8_quantize" -> ((s, d) =>
       graft.operators.VectorOps.int8Quantize(T.embeddings(s, d))),
+    "e11_kmeans_step" -> ((s, d) =>
+      graft.operators.VectorOps.kmeansStep(T.embeddings(s, d))),
     "e3_zscore_normalize" -> ((s, d) =>
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
     "e4_random_projection" -> ((s, d) =>
@@ -323,6 +331,8 @@ object SparkEntry {
     "e6_matryoshka" -> ((s, d) =>
       graft.operators.VectorOps.matryoshkaTruncate(T.embeddings(s, d))),
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
+    "s11_filtered_knn" -> ((s, d) =>
+      Similarity.filteredKnn(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
     "s4_range_search" -> ((s, d) => Similarity.rangeSearch(T.embeddings(s, d))),
@@ -751,6 +761,22 @@ object SparkEntry {
         |  CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)), 5) AS DECIMAL(18,6))
         |    AS DOUBLE) - CAST(clog_sum AS DOUBLE) / n_chars AS entropy_nats
         |FROM ag""".stripMargin,
+    // Unigram diversity: ratios are IEEE divisions of exact longs.
+    "x22_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax_types,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS ttr,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS hapax_frac,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dominance
+        |FROM c GROUP BY doc_id""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
@@ -2422,6 +2448,81 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT event_type, p, v_lo + frac * (v_hi - v_lo) AS pval
         |FROM j""".stripMargin,
+    // Per-key day grid via generate_series; forward fill is the same
+    // last_value IGNORE NULLS running lookup as the Spark window.
+    "q48_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(g AS DATE) AS day
+        |  FROM spans, LATERAL unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS t(g)),
+        |j AS (SELECT grid.user_id, grid.day,
+        |    COALESCE(daily.n_events, 0) AS n_events,
+        |    last_value(daily.day_value IGNORE NULLS) OVER (
+        |      PARTITION BY grid.user_id ORDER BY grid.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.user_id = daily.user_id AND grid.day = daily.day)
+        |SELECT user_id,
+        |  CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_num,
+        |  n_events, filled_value
+        |FROM j""".stripMargin,
+    // Lower weighted median over the per-price pre-aggregate; 2·cumw >=
+    // totw keeps the arithmetic in DECIMAL (no half-total division).
+    "q49_weighted_median" ->
+      """WITH byp AS (SELECT l_returnflag, l_extendedprice,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_extendedprice,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM byp)
+        |SELECT l_returnflag, min(l_extendedprice) AS w_median,
+        |  CAST(max(totw) AS DOUBLE) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag""".stripMargin,
+    // RANGE frame over epoch seconds: ties share a frame in both engines.
+    "q50_rolling_range" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec, o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY sec
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_revenue,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY sec
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |    AS trailing_orders
+        |FROM o""".stripMargin,
+    // Gaps-and-islands by rank difference; longest streak's start via a
+    // deterministic (len DESC, start ASC) rank.
+    "q51_streaks" ->
+      """WITH daily AS (SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day_num
+        |  FROM events),
+        |g AS (SELECT user_id, day_num,
+        |    day_num - row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day_num) AS grp
+        |  FROM daily),
+        |s AS (SELECT user_id, grp, count(*) AS len,
+        |    min(day_num) AS streak_start
+        |  FROM g GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, streak_start,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, streak_start) AS rk
+        |  FROM s)
+        |SELECT s.user_id, count(*) AS n_streaks, max(s.len) AS longest_streak,
+        |  CAST(sum(s.len) AS BIGINT) AS active_days,
+        |  max(r.streak_start) AS longest_start
+        |FROM s JOIN r ON s.user_id = r.user_id AND r.rk = 1
+        |GROUP BY s.user_id""".stripMargin,
     "q42_retention" ->
       """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY user_id),
@@ -2473,6 +2574,29 @@ object SparkEntry {
         |  COUNT(*) AS n_vecs
         |FROM v CROSS JOIN dims
         |GROUP BY label, dim""".stripMargin,
+    // One Lloyd step: s1's cosine scoring for the argmax assignment,
+    // e1's grid-exact mean recipe for the update.
+    "e11_kmeans_step" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x,
+        |  sqrt(list_reduce(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, x AS cx, nrm AS cnrm FROM v
+        |  WHERE vec_id % 199 = 0),
+        |sc AS (SELECT v.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> v.x[i] * c.cx[i]), (a,b) -> a + b)
+        |    / (v.nrm * c.cnrm) AS ccos
+        |  FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |dims AS (SELECT UNNEST(range(0, 64)) AS dim)
+        |SELECT cent_id, CAST(dim AS INT) AS dim,
+        |  CAST(SUM(CAST(round(x[dim + 1] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |    / (COUNT(*) * 1.0e9) AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM v JOIN asg ON v.vec_id = asg.vec_id CROSS JOIN dims
+        |GROUP BY cent_id, dim""".stripMargin,
     "s1_knn_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2482,6 +2606,20 @@ object SparkEntry {
         | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id, cos, rank FROM (
         |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p) WHERE rank <= 10""".stripMargin,
+    // s1 with the metadata predicate on the corpus side (pre-filter).
+    "s11_filtered_knn" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |   AND c.label % 2 = 0)
+        |SELECT query_id, neighbor_id, label, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, label, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p) WHERE rank <= 10""".stripMargin,
     "s2_ann_lsh" ->

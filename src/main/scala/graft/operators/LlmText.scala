@@ -1002,4 +1002,38 @@ object LlmText {
             .as("avg_logprob"))
     }
   }
+
+  /** Unigram lexical-diversity profile (x22): per-document type/token
+    * ratio, hapax-legomena fraction, and top-token dominance — the
+    * vocabulary-richness axis of quality filtering. `tokenStats` (x1)
+    * counts tokens, `repetitionSignals` (x8) measures n≥2-gram phrase
+    * reuse; this measures single-token concentration: machine-generated
+    * and template text shows low TTR and high dominance long before its
+    * n-grams literally repeat.
+    *
+    * Two hash aggregates: (doc, token) counts with map-side partial
+    * aggregation (the explode never shuffles raw text — only token rows),
+    * then per-doc rollup. Ratios are IEEE double divisions of exact
+    * longs, bit-identical across engines and partitionings. */
+  def lexicalDiversity(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_types"),
+        max(col("c")).as("max_count"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        col("hapax_types"), col("max_count"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("hapax_types").cast("double") / col("n_types"))
+          .as("hapax_frac"),
+        (col("max_count").cast("double") / col("n_tokens"))
+          .as("dominance"))
+  }
 }

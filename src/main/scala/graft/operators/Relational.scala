@@ -660,4 +660,60 @@ object Relational {
       .agg(sum(col("pu")).as("n_users"), sum(col("pn")).as("n_events"),
         sum(col("pv")).cast("double").as("sum_value"))
   }
+
+  /** Weighted median (q49): per return flag, the smallest extended price
+    * whose cumulative quantity weight reaches half the group's total —
+    * the lower weighted median, the robust center estimate quality
+    * pipelines use when rows carry unequal mass (token counts, sampling
+    * weights).
+    *
+    * Scalable shape: the fact table is first pre-aggregated to one row
+    * per (flag, price) — map-side combinable, and the only pass over the
+    * full data. The cumulative-weight window then runs over DISTINCT
+    * prices per flag, not rows, so the per-group sort task is bounded by
+    * value cardinality; all weight arithmetic accumulates in
+    * DECIMAL(38,6) so the half-total comparison is exact and
+    * order-independent (`2·cumw >= totw` avoids dividing the total). */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val byPrice = lineitem
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 6))).as("w"))
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val all = Window.partitionBy(col("l_returnflag"))
+    val cum = byPrice
+      .withColumn("cumw",
+        sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(all))
+    cum
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_extendedprice")).as("w_median"),
+        max(col("totw")).cast("double").as("total_weight"))
+  }
+
+  /** Rolling 7-day revenue per customer (q50): for each order, the sum and
+    * count of that customer's orders in the trailing week, inclusive — a
+    * RANGE window frame over event time, the feature-engineering staple
+    * (trailing spend, velocity features) that a rows-based frame gets
+    * wrong whenever activity is irregular.
+    *
+    * The frame is `rangeBetween(-7 days, 0)` over epoch seconds: ties in
+    * the ORDER BY value all share one frame (RANGE semantics — identical
+    * in the SQL standard, so the oracle matches exactly). One shuffle on
+    * o_custkey; within a customer partition the running frame is
+    * maintained incrementally by the window operator, never re-scanned
+    * per row. Sums accumulate in DECIMAL for order-independence. */
+  def rollingRevenue(orders: DataFrame, days: Int = 7): DataFrame = {
+    val sec = unix_timestamp(col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(sec)
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      sum(col("o_totalprice").cast(DecimalType(38, 6))).over(w)
+        .cast("double").as("trailing_revenue"),
+      count(lit(1)).over(w).as("trailing_orders"))
+  }
 }

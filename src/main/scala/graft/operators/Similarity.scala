@@ -100,6 +100,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-filtered exact top-k (s11): nearest neighbors among only the
+    * corpus rows passing an attribute predicate (here: even `label`, the
+    * stand-in for license/language/domain filters) — filtered vector
+    * search, the retrieval mode RAG stacks actually run ("nearest chunks
+    * the user may see").
+    *
+    * The predicate is applied to the CORPUS SIDE BEFORE any distance math
+    * — pre-filtering, not post-filtering: a post-filter over an unfiltered
+    * top-k under-fills k whenever the predicate is selective (ask for 10,
+    * get back 3 allowed), and at 100 TB the filter also prunes the scan
+    * (parquet pushdown on the metadata column) and shrinks every candidate
+    * join downstream. Composes with any ANN tier: the same filtered frame
+    * feeds [[annTiered]]'s coarse stage unchanged. Exact form here is the
+    * yardstick; per-query work is |filtered corpus|, reduced by the heap
+    * top-k before any sort. */
+  def filteredKnn(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        VectorOps.asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+    Caching.withPersisted(v) {
+      val q = defaultQueries(v)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm"))
+      val allowed = v.filter(col("label") % 2 === 0)
+      val scored = broadcast(q)
+        .join(allowed, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      topKPerQuery(scored, k)
+    }
+  }
+
   /** Cosine range search (s4): ALL neighbors within a similarity threshold,
     * not a fixed k — the retrieval mode for "find every near-duplicate of
     * these seed documents" where the neighbor count per query is unknown.

@@ -347,4 +347,79 @@ object Temporal {
       .groupBy(col("cohort_date"), col("day_offset"))
       .agg(count_distinct(col("user_id")).as("n_active"))
   }
+
+  /** Time-series gap filling with forward fill (q48): one row per user per
+    * calendar day between that user's first and last event, with the days
+    * the user was silent carried forward from the last active day — the
+    * canonical densify step before any per-entity daily model (LTV curves,
+    * rolling features, churn labels).
+    *
+    * Scalable shape: the day grid is generated PER KEY with
+    * `sequence(min_day, max_day)` + `explode` — distributed, never a
+    * driver-side calendar, and sized by each user's own span instead of
+    * the global one (a user active for a week costs 7 rows even if the
+    * corpus spans years). One shuffle family on user_id: the daily
+    * pre-aggregate, the span aggregate, the grid join, and the
+    * forward-fill window all partition by the same key, so AQE coalesces
+    * them without a second exchange of the fact table. Forward fill is
+    * `last(value, ignoreNulls)` over an unbounded-preceding frame — a
+    * running lookup, not a self-join. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("day_value"))
+    val grid = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w)
+          .as("filled_value"))
+  }
+
+  /** Consecutive-active-day streaks (q51) — the gaps-and-islands pattern
+    * on a discrete grid. Sessionize (q19) merges by a time-gap threshold;
+    * this merges by grid adjacency with the rank-difference idiom:
+    * `day_num - row_number()` is constant exactly across a run of
+    * consecutive days, so one window + one aggregate finds every island
+    * with no self-join. Per user: streak count, longest streak, total
+    * active days, and the longest streak's start day (deterministic
+    * tiebreak: earliest).
+    *
+    * Scale: the window partitions by user_id (parallel across users) over
+    * the DISTINCT (user, day) frame — bounded by span days per user, not
+    * event count; everything downstream is hash aggregation. */
+  def activeStreaks(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    val streaks = daily
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        count(lit(1)).as("len"),
+        min(col("day_num")).as("streak_start"))
+    streaks
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"),
+        min(struct(col("len") * -1, col("streak_start")))
+          .getField("streak_start").as("longest_start"))
+  }
 }

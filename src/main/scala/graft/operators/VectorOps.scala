@@ -423,4 +423,45 @@ object VectorOps {
           (v, qi) => (v - qi * down) * (v - qi * down))).as("l2_err_sq"),
         array_max(err).as("max_abs_err"))
   }
+
+  /** One Lloyd k-means iteration (e11): assign every vector to its nearest
+    * seed centroid by cosine (argmax with deterministic cent_id tiebreak),
+    * then recompute each centroid as the grid-exact mean of its members —
+    * the auditable building block under [[Similarity.annIvf]]'s coarse
+    * quantizer and [[pqEncode]]'s codebooks (those iterate this step on a
+    * sample; this surfaces ONE step, full-corpus, as a checkable query).
+    *
+    * Scale shape: seeds broadcast (k·dim doubles — tiny), so assignment is
+    * a map-side join scored in one pass with the index-order dot product;
+    * argmax goes through the heap top-k operator (k=1), never a global
+    * sort; the mean update is e1's recipe — components quantized to the
+    * 1e-9 grid, accumulated as DECIMAL(38,0) (order-independent,
+    * overflow-free), divided back in double. Long-form (cent_id, dim)
+    * output keeps every cell scalar for the oracle. */
+  def kmeansStep(embeddings: DataFrame, seedEvery: Int = 199): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(norm2(col("x"))))
+    Caching.withPersisted(v) {
+      val cents = v.filter(col("vec_id") % seedEvery === 0)
+        .select(col("vec_id").as("cent_id"), col("x").as("cx"),
+          col("nrm").as("cnrm"))
+      val scored = v.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          (graft.functions.GraftFunctions.dot(col("x"), col("cx")) /
+            (col("nrm") * col("cnrm"))).as("ccos"))
+      val asg = graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+          Seq(col("ccos").desc, col("cent_id")), 1)
+        .select(col("vec_id"), col("cent_id"))
+      v.join(asg, "vec_id")
+        .select(col("cent_id"), posexplode(col("x")).as(Seq("dim", "v")))
+        .groupBy(col("cent_id"), col("dim"))
+        .agg(
+          (sum(round(col("v") * lit(1.0e9)).cast(DecimalType(38, 0)))
+            .cast("double") / (count(col("v")) * lit(1.0e9)))
+            .as("centroid"),
+          count(col("v")).as("n_vecs"))
+    }
+  }
 }

@@ -431,4 +431,22 @@ class LlmTextSpec extends SparkSpec {
     assert(shared >= sig1.size - 2,
       "a prefix edit may perturb only the first chunk(s)")
   }
+
+  test("lexicalDiversity computes TTR, hapax fraction, and dominance") {
+    val docs = Seq(
+      (1L, "a a a b c"),   // 5 tokens, 3 types, hapax {b,c}, max 3
+      (2L, "x y"))         // all hapax, uniform
+      .toDF("doc_id", "text")
+    val out = LlmText.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) -> (
+        r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("n_types")),
+        r.getLong(r.fieldIndex("hapax_types")),
+        r.getLong(r.fieldIndex("max_count")),
+        r.getDouble(r.fieldIndex("ttr")),
+        r.getDouble(r.fieldIndex("hapax_frac")),
+        r.getDouble(r.fieldIndex("dominance")))).toMap
+    assert(out(1L) == (5L, 3L, 2L, 3L, 3.0 / 5, 2.0 / 3, 3.0 / 5))
+    assert(out(2L) == (2L, 2L, 2L, 1L, 1.0, 1.0, 0.5))
+  }
 }

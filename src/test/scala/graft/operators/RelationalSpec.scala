@@ -230,4 +230,38 @@ class RelationalSpec extends SparkSpec {
     assert(out(4L) == (("insert", None, Some(40.0))))
     assert(!out.contains(2L), "unchanged rows are dropped")
   }
+
+  test("weightedMedian takes the smallest price reaching half the weight") {
+    // flag A: weights 1,1,6 on prices 10,20,30 → half of 8 is 4, first
+    // price whose cumulative weight (1,2,8) doubles past 8 is 30.
+    // flag B: equal weights 2,2 on 10,20 → 2·cumw(10)=4 == totw → 10
+    // (lower weighted median takes the earlier price on the boundary).
+    val li = Seq(
+      ("A", 10.0, 1.0), ("A", 20.0, 1.0), ("A", 30.0, 6.0),
+      ("B", 10.0, 2.0), ("B", 20.0, 2.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val out = Relational.weightedMedian(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("A") == (30.0, 8.0))
+    assert(out("B") == (10.0, 4.0))
+  }
+
+  test("rollingRevenue sums the trailing week inclusive; ties share a frame") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
+    val orders = Seq(
+      (1L, 10L, ts(1), 100.0),
+      (2L, 10L, ts(5), 50.0),   // within 7 days of #1
+      (3L, 10L, ts(9), 25.0),   // 8 days after #1: out; 4 after #2: in
+      (4L, 10L, ts(9), 5.0),    // same instant as #3 → shares its frame
+      (5L, 20L, ts(1), 7.0))    // other customer
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rollingRevenue(orders).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L) == (100.0, 1L))
+    assert(out(2L) == (150.0, 2L))
+    // RANGE frame: both day-9 orders see (50 + 25 + 5) and each other
+    assert(out(3L) == (80.0, 3L))
+    assert(out(4L) == (80.0, 3L))
+    assert(out(5L) == (7.0, 1L))
+  }
 }

@@ -311,4 +311,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(2L) - 1.0 / 62) < 1e-12)              // vector only
     assert(math.abs(out(3L) - (1.0 / 62 + 1.0 / 63)) < 1e-12) // lex 2, vec 3
   }
+
+  test("filteredKnn only returns corpus rows passing the predicate") {
+    // neighbor 1 (odd label) is the TRUE nearest — a post-filter of the
+    // unfiltered top-k would lose rank 1; the pre-filter must instead
+    // promote the best even-label rows.
+    val embs = Seq(
+      (0L, vec(0 -> 1f), 0),               // query
+      (1L, vec(0 -> 2f), 1),               // cos 1 but odd label → excluded
+      (2L, vec(0 -> 1f, 1 -> 1f), 2),      // cos .707, allowed → rank 1
+      (3L, vec(1 -> 1f), 4),               // cos 0, allowed → rank 2
+      (4L, vec(0 -> -1f), 3))              // odd label → excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredKnn(embs, k = 2).collect()
+      .map(r => r.getInt(r.fieldIndex("rank")) ->
+        (r.getLong(r.fieldIndex("neighbor_id")),
+          r.getInt(r.fieldIndex("label"))))
+      .toMap
+    assert(out(1)._1 == 2L && out(2)._1 == 3L)
+    assert(out.values.forall(_._2 % 2 == 0), "every hit passes the filter")
+    assert(out.size == 2)
+  }
 }

@@ -167,4 +167,40 @@ class TemporalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s == Map(10L -> 1L, 11L -> 1L))
   }
+
+  test("gapFill densifies each user's span and forward-fills silent days") {
+    val day = 86400L
+    val events = Seq(
+      (1L, 100L, ts(0), 10.0),          // day 0
+      (1L, 101L, ts(0 + 3600), 20.0),   // day 0 again → sum 30
+      (1L, 102L, ts(3 * day), 7.0),     // day 3; days 1-2 are gaps
+      (2L, 200L, ts(day), 5.0))         // single-day user: no gaps
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.gapFill(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // user 1: 4 grid days (0..3); gaps carry day 0's filled value forward
+    assert(out((1L, 0L)) == (2L, 30.0))
+    assert(out((1L, 1L)) == (0L, 30.0))
+    assert(out((1L, 2L)) == (0L, 30.0))
+    assert(out((1L, 3L)) == (1L, 7.0))
+    assert(out((2L, 1L)) == (1L, 5.0))
+    assert(out.size == 5)
+  }
+
+  test("activeStreaks merges consecutive days and finds the longest run") {
+    val day = 86400L
+    val events = Seq(
+      // user 1: active days 0,1,2 then 5,6 → streaks of 3 and 2
+      (1L, 1L, ts(0)), (1L, 2L, ts(day)), (1L, 3L, ts(day + 10)),
+      (1L, 4L, ts(2 * day)), (1L, 5L, ts(5 * day)), (1L, 6L, ts(6 * day)),
+      // user 2: two singleton days 0 and 2, equal lengths → earliest wins
+      (2L, 7L, ts(0)), (2L, 8L, ts(2 * day)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Temporal.activeStreaks(events).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (2L, 3L, 5L, 0L))
+    assert(out(2L) == (2L, 1L, 2L, 0L)) // tie on len → earliest start
+  }
 }

@@ -210,4 +210,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("w1")) == ((1L << 0) | (1L << 31)))
     assert(r.getLong(r.fieldIndex("n_pos")) == 5L)
   }
+
+  test("kmeansStep assigns by cosine argmax and means grid-exactly") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // seeds (seedEvery=2): c0 = e0, c2 = e1
+    val embs = Seq(
+      (0L, vec(0 -> 1f)),            // seed c0, assigns to itself
+      (1L, vec(0 -> 2f)),            // cos 1 with c0
+      (2L, vec(1 -> 1f)),            // seed c2
+      (3L, vec(0 -> 1f, 1 -> 1f)))   // cos .707 with BOTH → tie → c0
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.kmeansStep(embs, seedEvery = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out((0L, 0)) == ((1.0 + 2.0 + 1.0) / 3, 3L))
+    assert(out((0L, 1)) == (1.0 / 3, 3L))
+    assert(out((2L, 1)) == (1.0, 1L))
+    assert(out((2L, 0)) == (0.0, 1L))
+    assert(out.size == 2 * 64)
+  }
 }
