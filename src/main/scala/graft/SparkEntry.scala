@@ -362,6 +362,7 @@ object SparkEntry {
     "mm4_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(T.documents(s, d))),
     "mm5_resize" -> ((s, d) => Multimodal.resizeThumbs(T.documents(s, d))),
+    "mm6_phash_pairs" -> ((s, d) => Multimodal.phashPairs(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -2792,5 +2793,30 @@ object SparkEntry {
         |      i -> substr(hx, CAST(8 * i + 1 AS BIGINT), 2)), ''))
         |  ELSE NULL END AS thumb_md5
         |FROM o""".stripMargin,
+    // dHash over the stride-4 thumbnail, then d9's banded Hamming search:
+    // 4 × 15-bit bands on the 60-bit hash, xor+bit_count on candidates.
+    "mm6_phash_pairs" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |th AS (SELECT doc_id,
+        |    list_transform(range(0, 61),
+        |      i -> CAST(('0x' || substr(hx, CAST(i * 8 + 1 AS INT), 2))
+        |        AS INT)) AS b
+        |  FROM t WHERE n >= 241),
+        |ph AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 60),
+        |      i -> CASE WHEN b[CAST(i + 1 AS INT)] < b[CAST(i + 2 AS INT)]
+        |           THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+        |      (a, x) -> a | x) AS phash
+        |  FROM th),
+        |bands AS (SELECT doc_id, phash, j,
+        |    (phash >> CAST(15 * j AS INT)) & 32767 AS bv
+        |  FROM ph, range(4) r(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 6""".stripMargin,
   )
 }

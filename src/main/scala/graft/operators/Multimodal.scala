@@ -180,6 +180,61 @@ object Multimodal {
           .otherwise(lit(null).cast("string")).as("thumb_md5"))
   }
 
+  /** Perceptual-hash near-duplicate pairs over media payloads (mm6): a
+    * dHash — each bit compares ADJACENT samples of the stride-downsampled
+    * payload (the [[resizeThumbs]] thumbnail), so the signature captures
+    * the local gradient structure a codec-backed deployment would compute
+    * over pixel rows — then banded Hamming search exactly like
+    * [[Dedup.simhashPairs]] (4 × 15-bit bands over a 60-bit hash, xor +
+    * bit_count verify on candidates only).
+    *
+    * Alignment caveat, stated honestly: on 1-D byte streams a dHash is
+    * shift-SENSITIVE (an insertion re-phases every later sample), so this
+    * finds same-prefix / re-encoded / truncated-tail duplicates, not
+    * text-level near-dups — that's [[Dedup.minhashLsh]]'s job; for real
+    * images the 2-D sampling grid restores shift robustness within a
+    * row. Payloads shorter than `61·stride - 3` bytes (fewer than 61
+    * samples) are excluded: their hashes have too few informative bits
+    * and would flood band 3 with zeros. At corpus scale the band join
+    * composes with `Dedup.capHotKeys` unchanged; here bands are
+    * 15-bit over ~random gradient bits, so bucket sizes stay near
+    * |docs|/2^15. Everything is hex-dump string math (mm3/mm5 precedent)
+    * — both engines run the identical expression. */
+  def phashPairs(documents: DataFrame, stride: Int = 4,
+      maxHamming: Int = 6): DataFrame = {
+    val media = col("text").cast("binary")
+    val hexStep = 2 * stride
+    val sigs = documents
+      .select(col("doc_id"), hex(media).as("hx"),
+        length(media).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") >= (60 * stride + 1))
+      .withColumn("b", expr(
+        s"transform(sequence(0, 60), i -> " +
+          s"cast(conv(substr(hx, i * $hexStep + 1, 2), 16, 10) as int))"))
+      .withColumn("phash", expr(
+        "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> " +
+          "acc | IF(element_at(b, i + 1) < element_at(b, i + 2), " +
+          "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"))
+      .select(col("doc_id"), col("phash"))
+      .transform(Partitioning.spread(_, col("doc_id")))
+    Caching.withPersisted(sigs) {
+      val bands = sigs
+        .select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bv", expr("shiftright(phash, 15 * j) & 32767"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
+  }
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

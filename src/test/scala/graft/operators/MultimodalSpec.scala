@@ -114,4 +114,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getString(r.fieldIndex("thumb_md5")) ==
       md5hex(hexThumb.getBytes("UTF-8")))
   }
+
+  test("phashPairs finds same-payload media and skips short payloads") {
+    import spark.implicits._
+    // deterministic 300-byte payloads with varied adjacent gradients
+    val base = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val other = (0 until 300).map(i => ('a' + (i * 11 + 5) % 26).toChar)
+      .mkString
+    val docs = Seq(
+      (1L, base),            // identical pair 1-2 → hamming 0
+      (2L, base),
+      (3L, other),           // different gradients
+      (4L, base.take(100)))  // < 241 bytes → excluded entirely
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "short payloads never hash")
+    assert(pairs.values.forall(_ <= 6))
+  }
 }
