@@ -232,6 +232,8 @@ object SparkEntry {
     "q49_weighted_median" -> ((s, d) => R.weightedMedian(T.lineitem(s, d))),
     "q50_rolling_range" -> ((s, d) => R.rollingRevenue(T.orders(s, d))),
     "q51_streaks" -> ((s, d) => Temporal.activeStreaks(T.events(s, d))),
+    "q52_group_mode" -> ((s, d) => R.groupMode(T.orders(s, d))),
+    "d21_fuzzy_title" -> ((s, d) => Dedup.fuzzyTitlePairs(T.documents(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -333,6 +335,7 @@ object SparkEntry {
     "s1_knn_brute" -> ((s, d) => Similarity.knnBruteForce(T.embeddings(s, d))),
     "s11_filtered_knn" -> ((s, d) =>
       Similarity.filteredKnn(T.embeddings(s, d))),
+    "s12_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(T.embeddings(s, d))),
     "s2_ann_lsh" -> ((s, d) => Similarity.annLsh(T.embeddings(s, d))),
     "s3_ann_ivf" -> ((s, d) => Similarity.annIvf(T.embeddings(s, d))),
     "s4_range_search" -> ((s, d) => Similarity.rangeSearch(T.embeddings(s, d))),
@@ -2524,6 +2527,26 @@ object SparkEntry {
         |  max(r.streak_start) AS longest_start
         |FROM s JOIN r ON s.user_id = r.user_id AND r.rk = 1
         |GROUP BY s.user_id""".stripMargin,
+    // Mode with the tie policy spelled out: count desc, then priority asc.
+    "q52_group_mode" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM (SELECT o_custkey, o_orderpriority, n, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority) AS rk
+        |  FROM c) t WHERE rk = 1""".stripMargin,
+    // Block on the exact 8-char title prefix (d2's QUALIFY cap mirror),
+    // verify with Levenshtein inside blocks only.
+    "d21_fuzzy_title" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title
+        |  FROM documents),
+        |b AS (SELECT doc_id, title, substr(title, 1, 8) AS blk FROM t),
+        |bk AS (SELECT * FROM b
+        |  QUALIFY count(*) OVER (PARTITION BY blk) <= 500)
+        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |  CAST(levenshtein(a.title, b2.title) AS INT) AS edit_dist
+        |FROM bk a JOIN bk b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.title, b2.title) <= 5""".stripMargin,
     "q42_retention" ->
       """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY user_id),
@@ -2623,6 +2646,50 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, label, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p) WHERE rank <= 10""".stripMargin,
+    // Greedy MMR as a recursive CTE (e9's aggregates-in-recursion
+    // precedent): one state row per query per rank, selected set carried
+    // as a list; (1 - 0.7) is written as the same double expression the
+    // engine computes.
+    "s12_mmr_rerank" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS x,
+        |  sqrt(list_reduce(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) / (q.nrm * c.nrm) AS rel
+        |  FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, neighbor_id, rel FROM (
+        |  SELECT query_id, neighbor_id, rel,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        |  FROM sc) t WHERE rn <= 20),
+        |cv AS (SELECT cand.query_id, cand.neighbor_id, cand.rel, v.x, v.nrm
+        |  FROM cand JOIN v ON v.vec_id = cand.neighbor_id),
+        |pp AS (SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+        |  list_reduce(list_transform(range(1,65), i -> a.x[i] * b.x[i]), (a2,b2) -> a2 + b2) / (a.nrm * b.nrm) AS sim
+        |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+        |sel(r, query_id, neighbor_id, mmr_score, sel_ids) AS (
+        |  SELECT 1, query_id, neighbor_id, 0.7 * rel, [neighbor_id]
+        |  FROM (SELECT query_id, neighbor_id, rel,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+        |    FROM cand) t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r + 1, query_id, pick_id, score, list_append(sel_ids, pick_id) FROM (
+        |    SELECT m.r, m.query_id, m.pick_id, m.sel_ids, m.score,
+        |      row_number() OVER (PARTITION BY m.query_id ORDER BY m.score DESC, m.pick_id) AS rn
+        |    FROM (
+        |      SELECT s.r, s.query_id, c.neighbor_id AS pick_id, s.sel_ids,
+        |        0.7 * c.rel - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * MAX(p.sim) AS score
+        |      FROM sel s
+        |      JOIN cand c ON c.query_id = s.query_id
+        |        AND NOT list_contains(s.sel_ids, c.neighbor_id)
+        |      JOIN pp p ON p.query_id = s.query_id AND p.ca = c.neighbor_id
+        |        AND list_contains(s.sel_ids, p.cb)
+        |      WHERE s.r < 5
+        |      GROUP BY s.r, s.query_id, c.neighbor_id, s.sel_ids, c.rel
+        |    ) m
+        |  ) picked WHERE rn = 1
+        |)
+        |SELECT query_id, neighbor_id, CAST(r AS INT) AS mmr_rank, mmr_score
+        |FROM sel""".stripMargin,
     "s2_ann_lsh" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |dots AS (SELECT vec_id, i,

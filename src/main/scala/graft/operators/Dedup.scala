@@ -962,4 +962,36 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Blocked fuzzy-title pairs (d21): documents whose leading `titleLen`
+    * chars are within `maxEdit` Levenshtein edits — the entity-resolution
+    * join (re-crawled pages with tweaked headlines, re-uploads with
+    * version suffixes) that exact hashing misses and shingle LSH
+    * over-triggers on.
+    *
+    * Edit distance is O(titleLen²) per comparison and CANNOT be computed
+    * against the whole corpus; the scalable shape is block-then-verify:
+    * candidates must share their first `blockPrefix` chars exactly (an
+    * equi-join key — titles whose edits touch the prefix are found by d2's
+    * shingle blocking instead; this is the cheap complementary blocker),
+    * hot blocks are capped by [[capHotKeys]] with the same accounted-drop
+    * stance as the LSH family, and the quadratic verify runs only inside
+    * blocks. Work scales with Σ block² bounded by cap², never corpus². */
+  def fuzzyTitlePairs(documents: DataFrame, titleLen: Int = 40,
+      blockPrefix: Int = 8, maxEdit: Int = 5,
+      maxBlockDocs: Int = MaxBandDocs): DataFrame = {
+    val t = capHotKeys(
+      documents
+        .select(col("doc_id"),
+          substring(col("text"), 1, titleLen).as("title"))
+        .withColumn("blk", substring(col("title"), 1, blockPrefix))
+        .transform(Partitioning.spread(_, col("doc_id"))),
+      Seq("blk"), maxBlockDocs)
+    t.as("a")
+      .join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.title"), col("b.title")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdit)
+  }
 }

@@ -661,6 +661,23 @@ object Relational {
         sum(col("pv")).cast("double").as("sum_value"))
   }
 
+  /** Per-group mode (q52): each customer's most frequent order priority,
+    * deterministic tie-break (higher count, then lexicographic priority).
+    * The categorical "typical value" summary SQL's MODE() computes with
+    * engine-specific ties; spelled as count-then-argmax so the tie policy
+    * is explicit. Two map-side-combinable hash aggregates, then the heap
+    * top-k operator (k=1) — no per-group sort window. */
+  def groupMode(orders: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(orders.sparkSession)
+    val counts = orders
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.TopK.perKey(counts, Seq(col("o_custkey")),
+        Seq(col("n").desc, col("o_orderpriority")), 1)
+      .select(col("o_custkey"),
+        col("o_orderpriority").as("mode_priority"), col("n").as("n_mode"))
+  }
+
   /** Weighted median (q49): per return flag, the smallest extended price
     * whose cumulative quantity weight reaches half the group's total —
     * the lower weighted median, the robust center estimate quality

@@ -136,6 +136,90 @@ object Similarity {
     }
   }
 
+  /** Maximal-marginal-relevance re-rank (s12): from each query's top-20
+    * exact candidate pool, greedily select 5 results maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected` — the
+    * diversity re-rank that stops retrieval from returning five copies of
+    * the same near-duplicate chunk (the failure mode [[Dedup]] exists to
+    * measure). Ties break on neighbor_id, so the greedy trajectory is
+    * fully deterministic.
+    *
+    * Scale shape: MMR is inherently sequential in k, so the loop runs on
+    * the DRIVER — but each of the k−1 rounds is a constant-size
+    * distributed plan over the CANDIDATE POOL, never the corpus: pools are
+    * poolK rows/query from the heap top-k, pairwise sims are poolK² per
+    * query computed once and persisted, and each round is a
+    * broadcast-scale join + heap argmax. Corpus cost is exactly one s1
+    * scoring pass; everything after is O(queries · poolK²) independent of
+    * corpus size. */
+  def mmrRerank(embeddings: DataFrame, k: Int = 5, poolK: Int = 20,
+      lambda: Double = 0.7): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+    Caching.withPersisted(v) {
+      val q = defaultQueries(v)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm"))
+      val scored = broadcast(q)
+        .join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("rel"))
+      val cand = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("rel").desc, col("neighbor_id")), poolK)
+      val cv = cand
+        .join(v, cand("neighbor_id") === v("vec_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("x"), col("nrm"))
+      val left = cv.select(col("query_id"), col("neighbor_id").as("ca"),
+        col("x").as("ax"), col("nrm").as("anrm"))
+      val right = cv.select(col("query_id").as("bq"),
+        col("neighbor_id").as("cb"), col("x").as("bx"),
+        col("nrm").as("bnrm"))
+      val pp = left
+        .join(right, col("query_id") === col("bq") && col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          (GraftFunctions.dot(col("ax"), col("bx")) /
+            (col("anrm") * col("bnrm"))).as("sim"))
+      val candSlim = cv.select(col("query_id"), col("neighbor_id"),
+        col("rel"))
+      Caching.withPersisted(candSlim, pp) {
+        var selected = graft.plans.TopK.perKey(
+          candSlim.select(col("query_id"), col("neighbor_id"),
+            (lit(lambda) * col("rel")).as("mmr_score")),
+          Seq(col("query_id")),
+          Seq(col("mmr_score").desc, col("neighbor_id")), 1)
+          .withColumn("mmr_rank", lit(1))
+        for (r <- 2 to k) {
+          val selIds = selected
+            .select(col("query_id").as("sq"), col("neighbor_id").as("sel_id"))
+          val maxsim = pp
+            .join(selIds, col("query_id") === col("sq") &&
+              col("cb") === col("sel_id"))
+            .groupBy(col("query_id").as("mq"), col("ca"))
+            .agg(max(col("sim")).as("maxsim"))
+          val remaining = candSlim
+            .join(selIds, col("query_id") === col("sq") &&
+              col("neighbor_id") === col("sel_id"), "left_anti")
+          val pick = graft.plans.TopK.perKey(
+            remaining
+              .join(maxsim, col("query_id") === col("mq") &&
+                col("neighbor_id") === col("ca"))
+              .select(col("query_id"), col("neighbor_id"),
+                (lit(lambda) * col("rel") -
+                  lit(1 - lambda) * col("maxsim")).as("mmr_score")),
+            Seq(col("query_id")),
+            Seq(col("mmr_score").desc, col("neighbor_id")), 1)
+            .withColumn("mmr_rank", lit(r))
+          selected = selected.unionByName(pick)
+        }
+        selected
+      }
+    }
+  }
+
   /** Cosine range search (s4): ALL neighbors within a similarity threshold,
     * not a fixed k — the retrieval mode for "find every near-duplicate of
     * these seed documents" where the neighbor count per query is unknown.

@@ -388,4 +388,16 @@ class DedupSpec extends SparkSpec {
       1L -> (1L, true), 2L -> (1L, false),
       3L -> (3L, true), 4L -> (4L, true)))
   }
+
+  test("fuzzyTitlePairs: edit verify inside shared-prefix blocks only") {
+    val docs = Seq(
+      (1L, "alpha bet gamma one two three"),
+      (2L, "alpha bet gamme one two three"),   // 1 edit, same 8-prefix
+      (3L, "alpha bet ZZZZZZZZZZZZZZZZZZZZ"),  // same block, edits > 5
+      (4L, "omega bet gamme one two three"))   // near doc 2, other block:
+      .toDF("doc_id", "text")                  // blocking miss BY DESIGN
+    val out = Dedup.fuzzyTitlePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 2L) -> 1))
+  }
 }

@@ -246,6 +246,16 @@ class RelationalSpec extends SparkSpec {
     assert(out("B") == (10.0, 4.0))
   }
 
+  test("groupMode picks the most frequent value, ties lexicographic") {
+    val orders = Seq(
+      (1L, "HIGH"), (1L, "HIGH"), (1L, "LOW"),
+      (2L, "B"), (2L, "A"))  // 1-1 tie → "A"
+      .toDF("o_custkey", "o_orderpriority")
+    val out = Relational.groupMode(orders).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ("HIGH", 2L), 2L -> ("A", 1L)))
+  }
+
   test("rollingRevenue sums the trailing week inclusive; ties share a frame") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
     val orders = Seq(

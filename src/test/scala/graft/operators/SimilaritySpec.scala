@@ -332,4 +332,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(_._2 % 2 == 0), "every hit passes the filter")
     assert(out.size == 2)
   }
+
+  test("mmrRerank demotes near-duplicates of already-selected results") {
+    // candidate 2 is a near-copy of candidate 1 (rel ≈ .8, sim ≈ 1);
+    // candidate 3 has lower relevance (.6) but is ORTHOGONAL to 1 — pure
+    // relevance ranks (1, 2, 3), MMR must rank (1, 3, 2).
+    val embs = Seq(
+      (0L, vec(0 -> 1f), 0),                         // query
+      (1L, vec(0 -> 0.8f, 1 -> 0.6f), 0),            // rel .8 → pick 1
+      (2L, vec(0 -> 0.8f, 1 -> 0.6f, 2 -> 0.001f), 0), // its near-dup
+      (3L, vec(0 -> 0.6f, 1 -> -0.8f), 0))           // rel .6, sim(1,3)=0
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrRerank(embs, k = 3).collect()
+      .map(r => r.getInt(r.fieldIndex("mmr_rank")) ->
+        r.getLong(r.fieldIndex("neighbor_id"))).toMap
+    assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
+  }
 }
