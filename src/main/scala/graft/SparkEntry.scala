@@ -159,6 +159,8 @@ object SparkEntry {
     "x21_char_entropy" -> ((s, d) => LlmText.charEntropy(T.documents(s, d))),
     "x22_lexical_diversity" -> ((s, d) =>
       LlmText.lexicalDiversity(T.documents(s, d))),
+    "x23_source_divergence" -> ((s, d) =>
+      LlmText.sourceDivergence(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -781,6 +783,29 @@ object SparkEntry {
         |    / count(*) AS hapax_frac,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dominance
         |FROM c GROUP BY doc_id""".stripMargin,
+    // KL(source‖corpus) with x17's decimal-grid log terms; only the final
+    // three-term combination runs in double, left-to-right.
+    "x23_source_divergence" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sw AS (SELECT source, tok, count(*) AS csw FROM t GROUP BY 1, 2),
+        |w AS (SELECT tok, count(*) AS cw FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM t),
+        |j AS (SELECT source, csw,
+        |    csw * (CAST(round(ln(CAST(csw AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |         - CAST(round(ln(CAST(cw AS DOUBLE)), 5) AS DECIMAL(18,6)))
+        |      AS term
+        |  FROM sw JOIN w ON sw.tok = w.tok),
+        |g AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types, SUM(term) AS term_sum
+        |  FROM j GROUP BY source)
+        |SELECT source, n_tokens, n_types,
+        |  CAST(term_sum AS DOUBLE) / n_tokens
+        |    - CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)), 5)
+        |        AS DECIMAL(18,6)) AS DOUBLE)
+        |    + CAST(CAST(round(ln(CAST(nn AS DOUBLE)), 5)
+        |        AS DECIMAL(18,6)) AS DOUBLE) AS kl_nats
+        |FROM g CROSS JOIN n""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

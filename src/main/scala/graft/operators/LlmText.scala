@@ -1003,6 +1003,50 @@ object LlmText {
     }
   }
 
+  /** Per-source vocabulary divergence (x23): KL(source ‖ corpus) over
+    * unigram distributions, in nats — the domain-shift gauge for mixture
+    * governance: a source whose vocabulary drifts from the corpus (new
+    * spam template, language leak, format change) shows a KL jump long
+    * before aggregate quality scores move. Complements [[Curation
+    * .qualityDrift]] (c20, score distributions) with a CONTENT
+    * distribution.
+    *
+    * Engine-exact recipe (x17/x21 precedent): with c_sw/c_w the exact
+    * per-source/corpus counts, KL decomposes to
+    * `Σ c_sw·(L(c_sw) − L(c_w)) / n_s − L(n_s) + L(N)` where L = ln
+    * rounded to 5 dp and carried as DECIMAL(18,6) — every product and sum
+    * is exact decimal (order-independent), only the final three-term
+    * combination runs in double, in fixed left-to-right order. Joins are
+    * (source,word)⋈(word) off one persisted token explode — the
+    * co-partitioned two-aggregate family, shuffle bounded by vocabulary,
+    * not corpus size. */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def l(c: Column): Column =
+      round(log(c.cast("double")), 5).cast(DecimalType(18, 6))
+    val toks = documents
+      .select(col("source"), explode(words(col("text"))).as("tok"))
+    Caching.withPersisted(toks) {
+      val sw = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("csw"))
+      val w = toks.groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+      val n = toks.agg(count(lit(1)).as("nn"))
+      sw.join(w, "tok")
+        .select(col("source"), col("csw"),
+          (col("csw") * (l(col("csw")) - l(col("cw")))).as("term"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("csw")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("term")).as("term_sum"))
+        .crossJoin(broadcast(n))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("term_sum").cast("double") / col("n_tokens")
+            - l(col("n_tokens")).cast("double")
+            + l(col("nn")).cast("double")).as("kl_nats"))
+    }
+  }
+
   /** Unigram lexical-diversity profile (x22): per-document type/token
     * ratio, hapax-legomena fraction, and top-token dominance — the
     * vocabulary-richness axis of quality filtering. `tokenStats` (x1)

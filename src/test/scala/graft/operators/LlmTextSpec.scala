@@ -449,4 +449,21 @@ class LlmTextSpec extends SparkSpec {
     assert(out(1L) == (5L, 3L, 2L, 3L, 3.0 / 5, 2.0 / 3, 3.0 / 5))
     assert(out(2L) == (2L, 2L, 2L, 1L, 1.0, 1.0, 0.5))
   }
+
+  test("sourceDivergence: KL(source||corpus) from grid-exact log terms") {
+    // corpus: a:2 b:1 c:1, N=4. Source A's words have csw == cw, so the
+    // term sum is 0 and KL_A = ln(4) - ln(3) on the 5-dp grid; source B
+    // is a single token: KL_B = ln(4) - ln(1) = ln(4).
+    val docs = Seq(
+      (1L, "a a b", "A"),
+      (2L, "c", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = LlmText.sourceDivergence(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val l3 = 1.09861 // round(ln 3, 5)
+    val l4 = 1.38629
+    assert(out("A") == (3L, 2L, 0.0 / 3 - l3 + l4))
+    assert(out("B") == (1L, 1L, 0.0 / 1 - 0.0 + l4))
+  }
 }
