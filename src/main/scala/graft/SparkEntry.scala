@@ -235,6 +235,8 @@ object SparkEntry {
     "q50_rolling_range" -> ((s, d) => R.rollingRevenue(T.orders(s, d))),
     "q51_streaks" -> ((s, d) => Temporal.activeStreaks(T.events(s, d))),
     "q52_group_mode" -> ((s, d) => R.groupMode(T.orders(s, d))),
+    "q53_exists_subquery" -> ((s, d) =>
+      R.urgentOnlyCustomers(T.customer(s, d), T.orders(s, d))),
     "d21_fuzzy_title" -> ((s, d) => Dedup.fuzzyTitlePairs(T.documents(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -326,6 +328,8 @@ object SparkEntry {
       graft.operators.VectorOps.int8Quantize(T.embeddings(s, d))),
     "e11_kmeans_step" -> ((s, d) =>
       graft.operators.VectorOps.kmeansStep(T.embeddings(s, d))),
+    "e12_centroid_outliers" -> ((s, d) =>
+      graft.operators.VectorOps.centroidOutliers(T.embeddings(s, d))),
     "e3_zscore_normalize" -> ((s, d) =>
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
     "e4_random_projection" -> ((s, d) =>
@@ -2560,6 +2564,14 @@ object SparkEntry {
         |FROM (SELECT o_custkey, o_orderpriority, n, row_number() OVER (
         |    PARTITION BY o_custkey ORDER BY n DESC, o_orderpriority) AS rk
         |  FROM c) t WHERE rk = 1""".stripMargin,
+    "q53_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |        WHERE o2.o_custkey = c.c_custkey
+        |          AND o2.o_orderstatus = 'F')""".stripMargin,
     // Block on the exact 8-char title prefix (d2's QUALIFY cap mirror),
     // verify with Levenshtein inside blocks only.
     "d21_fuzzy_title" ->
@@ -2646,6 +2658,31 @@ object SparkEntry {
         |  COUNT(*) AS n_vecs
         |FROM v JOIN asg ON v.vec_id = asg.vec_id CROSS JOIN dims
         |GROUP BY cent_id, dim""".stripMargin,
+    // e1's grid-exact centroids re-assembled into arrays, s1's cosine
+    // shape against them, bottom-k ascending per label.
+    "e12_centroid_outliers" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x,
+        |  sqrt(list_reduce(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |dims AS (SELECT UNNEST(range(0, 64)) AS dim),
+        |cd AS (SELECT label, dim,
+        |    CAST(SUM(CAST(round(x[dim + 1] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS centroid
+        |  FROM v CROSS JOIN dims GROUP BY label, dim),
+        |c AS (SELECT label, list(centroid ORDER BY dim) AS cx FROM cd
+        |  GROUP BY label),
+        |cn AS (SELECT label, cx,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> cx[i] * cx[i]), (a,b) -> a + b)) AS cnrm
+        |  FROM c),
+        |sc AS (SELECT v.label, v.vec_id,
+        |    list_reduce(list_transform(range(1,65), i -> v.x[i] * cn.cx[i]), (a,b) -> a + b)
+        |      / (v.nrm * cn.cnrm) AS cos_centroid
+        |  FROM v JOIN cn ON v.label = cn.label)
+        |SELECT label, vec_id, cos_centroid, outlier_rank FROM (
+        |  SELECT label, vec_id, cos_centroid, row_number() OVER (
+        |    PARTITION BY label ORDER BY cos_centroid ASC, vec_id)
+        |    AS outlier_rank
+        |  FROM sc) t WHERE outlier_rank <= 5""".stripMargin,
     "s1_knn_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -394,6 +394,26 @@ object Relational {
         |  FROM q29_part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS (q53): customers with at least one
+    * urgent order and no finished one — the other half of Catalyst's
+    * subquery decorrelation surface (q29 covers the scalar form). Both
+    * subqueries decorrelate to semi/anti joins on c_custkey; the plan pin
+    * lives in PlanQualitySpec, and SQL-form EXISTS arriving at the same
+    * physical shape as the DataFrame semi/anti API (q4/q5) is exactly the
+    * declarative-contract point. */
+  def urgentOnlyCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("q53_customer")
+    orders.createOrReplaceTempView("q53_orders")
+    customer.sparkSession.sql(
+      """SELECT c_custkey, c_name FROM q53_customer c
+        |WHERE EXISTS (SELECT 1 FROM q53_orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM q53_orders o2
+        |        WHERE o2.o_custkey = c.c_custkey
+        |          AND o2.o_orderstatus = 'F')""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS (q28): per-status totals, per-priority totals,
     * and the grand total in one aggregate pass with a grouping_id
     * discriminator — the general form rollup/cube (q14/q15) specialize.

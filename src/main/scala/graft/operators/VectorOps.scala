@@ -438,6 +438,43 @@ object VectorOps {
     * 1e-9 grid, accumulated as DECIMAL(38,0) (order-independent,
     * overflow-free), divided back in double. Long-form (cent_id, dim)
     * output keeps every cell scalar for the oracle. */
+  /** Centroid-outlier mining (e12): for each label, the k member vectors
+    * FARTHEST (lowest cosine) from their own label centroid — the
+    * embedding-QA sweep that surfaces mislabeled rows, collapsed
+    * embeddings, and encoder regressions before they poison contrastive
+    * training or ANN recall.
+    *
+    * Centroids are [[groupCentroids]]' grid-exact per-dim means
+    * re-assembled into arrays (sort-by-dim collect, the
+    * [[Similarity]] kmeans recipe), broadcast back over the corpus — one
+    * narrow pass, no shuffle of the vectors; the bottom-k runs on the heap
+    * top-k operator ascending, never a per-label sort. Cosines are
+    * index-order dots of grid-exact components — engine-exact. */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(norm2(col("x"))))
+    val cent = groupCentroids(embeddings)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("pm"))
+      .select(col("label"),
+        transform(col("pm"), p => p.getField("centroid")).as("cx"))
+      .withColumn("cnrm", sqrt(norm2(col("cx"))))
+    val scored = v.join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"),
+        (graft.functions.GraftFunctions.dot(col("x"), col("cx")) /
+          (col("nrm") * col("cnrm"))).as("cos_centroid"))
+    val bottom = graft.plans.TopK.perKey(scored, Seq(col("label")),
+      Seq(col("cos_centroid").asc, col("vec_id")), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+    bottom.withColumn("outlier_rank", row_number().over(w))
+  }
+
   def kmeansStep(embeddings: DataFrame, seedEvery: Int = 199): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))

@@ -114,4 +114,37 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on == off)
     assert(on.nonEmpty)
   }
+
+  test("fuzzyTitlePairs and phashPairs are AQE-invariant (block self-joins)") {
+    val long = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val fdocs = Seq(
+      (1L, long), (2L, long),                     // phash pair + fuzzy pair
+      (3L, long.dropRight(1) + "!"),              // 1 edit in the tail
+      (4L, "short unrelated text"))
+      .toDF("doc_id", "text")
+    def fuzzy() = Dedup.fuzzyTitlePairs(fdocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    def phash() = Multimodal.phashPairs(fdocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val (fOn, pOn) = withAqe(true) { (fuzzy(), phash()) }
+    val (fOff, pOff) = withAqe(false) { (fuzzy(), phash()) }
+    assert(fOn == fOff && pOn == pOff)
+    assert(fOn.nonEmpty && pOn.nonEmpty, "fixtures actually produce pairs")
+  }
+
+  test("mmrRerank is AQE-invariant (iterative candidate joins)") {
+    val vecs = (0L to 8L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        if (d == (i % 3).toInt) 1f else 0.05f * ((i + d) % 5)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    def run() = Similarity.mmrRerank(vecs, k = 4).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("mmr_rank")),
+        r.getLong(r.fieldIndex("neighbor_id")))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.size == 4, "one query, four ranks")
+  }
 }

@@ -124,4 +124,34 @@ class PlanQualitySpec extends SparkSpec {
   // x17 routes through Caching.withPersisted and returns an eagerly
   // materialized frame (Scan ExistingRDD), so its internal plan is not
   // inspectable here — same reason x7/s1-s3 have no pin.
+
+  test("q48: the gap-fill grid join stays within one hash-partitioning family") {
+    // daily pre-agg, span agg, grid join, and forward-fill window all key
+    // on user_id — no second exchange family over the fact table, and the
+    // generated grid never becomes a nested-loop join
+    val p = plan("q48_gap_fill")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid must equi-join on (user_id, day):\n$p")
+  }
+
+  test("q50: the RANGE frame runs as a single window, no self-join") {
+    val p = plan("q50_rolling_range")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"trailing frame must not expand to a join:\n$p")
+  }
+
+  test("q52: mode is heap argmax, not a rank window") {
+    val p = plan("q52_group_mode")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), s"no per-group sort window:\n$p")
+  }
+
+  test("d21: the edit-distance verify only runs inside block equi-joins") {
+    val p = plan("d21_fuzzy_title")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"levenshtein must verify equi-join candidates only:\n$p")
+    assert(p.contains("levenshtein"), p)
+  }
 }

@@ -256,6 +256,19 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> ("HIGH", 2L), 2L -> ("A", 1L)))
   }
 
+  test("urgentOnlyCustomers: EXISTS keeps, NOT EXISTS vetoes") {
+    val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "c_name")
+    val orders = Seq(
+      (1L, "1-URGENT", "O"),            // in: urgent, never F
+      (2L, "1-URGENT", "O"), (2L, "2-HIGH", "F"), // out: has an F order
+      (3L, "2-HIGH", "O"))              // out: no urgent order
+      .toDF("o_custkey", "o_orderpriority", "o_orderstatus")
+    val out = Relational.urgentOnlyCustomers(customer, orders).collect()
+      .map(_.getLong(0)).toSeq
+    assert(out == Seq(1L))
+  }
+
   test("rollingRevenue sums the trailing week inclusive; ties share a frame") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00")
     val orders = Seq(

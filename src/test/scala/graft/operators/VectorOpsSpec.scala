@@ -211,6 +211,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_pos")) == 5L)
   }
 
+  test("centroidOutliers ranks members by distance from their label centroid") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // label 0 centroid ≈ (2/3, 1/3): v3 (pure e1) is the farthest member
+    val embs = Seq(
+      (1L, vec(0 -> 1f), 0),
+      (2L, vec(0 -> 1f), 0),
+      (3L, vec(1 -> 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.centroidOutliers(embs, k = 2).collect()
+      .map(r => r.getInt(r.fieldIndex("outlier_rank")) ->
+        r.getLong(r.fieldIndex("vec_id"))).toMap
+    assert(out == Map(1 -> 3L, 2 -> 1L)) // tie v1/v2 → vec_id ascending
+  }
+
   test("kmeansStep assigns by cosine argmax and means grid-exactly") {
     import spark.implicits._
     def vec(parts: (Int, Float)*): Array[Float] = {
