@@ -702,33 +702,88 @@ object Relational {
     * whose cumulative quantity weight reaches half the group's total —
     * the lower weighted median, the robust center estimate quality
     * pipelines use when rows carry unequal mass (token counts, sampling
-    * weights).
+    * weights). All weight arithmetic accumulates in DECIMAL(38,6) so the
+    * half-total comparison is exact and order-independent (`2·cumw >=
+    * totw` avoids dividing the total).
     *
-    * Scalable shape: the fact table is first pre-aggregated to one row
-    * per (flag, price) — map-side combinable, and the only pass over the
-    * full data. The cumulative-weight window then runs over DISTINCT
-    * prices per flag, not rows, so the per-group sort task is bounded by
-    * value cardinality; all weight arithmetic accumulates in
-    * DECIMAL(38,6) so the half-total comparison is exact and
-    * order-independent (`2·cumw >= totw` avoids dividing the total). */
-  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    * Scale-adaptive plan, [[Temporal.exactMedian]]'s discipline applied
+    * to cumulative WEIGHTS instead of ranks: the fact table first
+    * pre-aggregates to one row per (flag, price) — map-side combinable,
+    * the only full-data pass — but with continuous prices that frame is
+    * nearly row-sized, and a plain `Window.partitionBy(flag)` over it
+    * sorts each of a handful of groups in ONE task (the classic
+    * low-cardinality window trap). So the per-group row counts (bounded
+    * driver state: one row per flag) pick the plan:
+    *   - small groups: the single cumulative window — fewest stages;
+    *   - any group > `maxSingleSortRows`: range-partition by (flag,
+    *     price), collect per-cell weight subtotals, and add each cell's
+    *     prefix offset to its LOCAL cumulative window — global cumulative
+    *     weights with parallelism partitions × flags.
+    * Both paths are decimal-exact and bit-identical. */
+  def weightedMedian(lineitem: DataFrame, partitions: Int = 32,
+      maxSingleSortRows: Long = 1L << 21): DataFrame = {
     val byPrice = lineitem
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("l_quantity").cast(DecimalType(38, 6))).as("w"))
-    val ord = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"))
-    val all = Window.partitionBy(col("l_returnflag"))
-    val cum = byPrice
-      .withColumn("cumw",
-        sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .withColumn("totw", sum(col("w")).over(all))
-    cum
+    val spark = lineitem.sparkSession
+    def medianOfCum(cum: DataFrame): DataFrame = cum
       .filter(col("cumw") * 2 >= col("totw"))
       .groupBy(col("l_returnflag"))
       .agg(
         min(col("l_extendedprice")).as("w_median"),
         max(col("totw")).cast("double").as("total_weight"))
+    val groupN = byPrice.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (groupN.values.forall(_ <= maxSingleSortRows)) {
+      val ord = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      val all = Window.partitionBy(col("l_returnflag"))
+      medianOfCum(byPrice
+        .withColumn("cumw",
+          sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("totw", sum(col("w")).over(all)))
+    } else {
+      val sortKeys = Seq(col("l_returnflag"), col("l_extendedprice"))
+      val parted = byPrice.repartitionByRange(partitions, sortKeys: _*)
+        .withColumn("pid", spark_partition_id())
+      Caching.withPersisted(parted) {
+        // per-(partition, flag) weight subtotals: bounded driver state,
+        // exact DECIMAL — prefix-summed into each cell's offset
+        val cells = parted
+          .groupBy(col("pid"), col("l_returnflag"))
+          .agg(sum(col("w")).as("cw"))
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1)) -> r.getDecimal(2))
+          .toMap
+        val zero = new java.math.BigDecimal(0)
+        val flags = groupN.keys.toSeq.sorted
+        val offsets = for { g <- flags; p <- 0 until partitions } yield {
+          val off = (0 until p).foldLeft(zero)((acc, q) =>
+            acc.add(cells.getOrElse((q, g), zero)))
+          (p, g, off)
+        }
+        val totals = flags.map { g =>
+          val tot = (0 until partitions).foldLeft(zero)((acc, q) =>
+            acc.add(cells.getOrElse((q, g), zero)))
+          (g, tot)
+        }
+        val offDf = broadcast(spark.createDataFrame(offsets)
+          .toDF("pid", "l_returnflag", "off")
+          .withColumn("off", col("off").cast(DecimalType(38, 6))))
+        val totDf = broadcast(spark.createDataFrame(totals)
+          .toDF("l_returnflag", "totw")
+          .withColumn("totw", col("totw").cast(DecimalType(38, 6))))
+        val w = Window.partitionBy(col("pid"), col("l_returnflag"))
+          .orderBy(col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        medianOfCum(parted
+          .join(offDf, Seq("pid", "l_returnflag"))
+          .join(totDf, Seq("l_returnflag"))
+          .withColumn("cumw", col("off") + sum(col("w")).over(w)))
+      }
+    }
   }
 
   /** Rolling 7-day revenue per customer (q50): for each order, the sum and

@@ -244,6 +244,12 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(out("A") == (30.0, 8.0))
     assert(out("B") == (10.0, 4.0))
+    // the two-phase offset path (forced: every group > 1 row) must be
+    // bit-identical to the single-window path
+    val twoPhase = Relational.weightedMedian(li, maxSingleSortRows = 1L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(twoPhase == out)
   }
 
   test("groupMode picks the most frequent value, ties lexicographic") {
