@@ -238,6 +238,8 @@ object SparkEntry {
     "q53_exists_subquery" -> ((s, d) =>
       R.urgentOnlyCustomers(T.customer(s, d), T.orders(s, d))),
     "d21_fuzzy_title" -> ((s, d) => Dedup.fuzzyTitlePairs(T.documents(s, d))),
+    "d22_keep_longest" -> ((s, d) =>
+      Dedup.keepBestInCluster(T.documents(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -1928,6 +1930,58 @@ object SparkEntry {
         |SELECT doc AS doc_id, min(lab) AS cluster_rep,
         |  doc = min(lab) AS keep
         |FROM reach GROUP BY doc""".stripMargin,
+    // d7's clusters with the keep-longest winner rule (n_chars desc, id).
+    "d22_keep_longest" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM tok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandk a JOIN bandk b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
+        |dec AS (SELECT doc AS doc_id, min(lab) AS cluster_rep
+        |  FROM reach GROUP BY doc),
+        |mem AS (SELECT dec.doc_id, dec.cluster_rep, d.n_chars
+        |  FROM dec JOIN documents d ON d.doc_id = dec.doc_id),
+        |win AS (SELECT cluster_rep, doc_id AS winner_id FROM (
+        |  SELECT cluster_rep, doc_id, row_number() OVER (
+        |    PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM mem) t WHERE rn = 1)
+        |SELECT mem.doc_id, mem.cluster_rep, win.winner_id,
+        |  mem.doc_id = win.winner_id AS keep
+        |FROM mem JOIN win ON mem.cluster_rep = win.cluster_rep""".stripMargin,
     "d13_incremental_dedup" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

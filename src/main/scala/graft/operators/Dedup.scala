@@ -963,6 +963,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Quality-ranked cluster winners (d22): within each near-dup cluster,
+    * keep the LONGEST member (ties to the smaller doc_id) instead of
+    * [[nearDupComponents]]' min-id representative — the RefinedWeb /
+    * CCNet keep-policy: near-dups usually differ by truncation, and the
+    * longest copy carries the most content. Emits every clustered doc
+    * with its cluster, the winner, and the keep verdict; singletons never
+    * enter a cluster and are untouched (same contract as d7).
+    *
+    * Cost on top of d7 is one co-keyed join with the (doc_id, n_chars)
+    * projection and a heap argmax per cluster — no new shuffle family:
+    * members and winners both key on cluster_rep. */
+  def keepBestInCluster(documents: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val members = nearDupComponents(documents, threshold)
+      .select(col("doc_id"), col("cluster_rep"))
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+    val winners = graft.plans.TopK.perKey(members,
+        Seq(col("cluster_rep")),
+        Seq(col("n_chars").desc, col("doc_id")), 1)
+      .select(col("cluster_rep"), col("doc_id").as("winner_id"))
+    members
+      .join(winners, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("winner_id"),
+        (col("doc_id") === col("winner_id")).as("keep"))
+  }
+
   /** Blocked fuzzy-title pairs (d21): documents whose leading `titleLen`
     * chars are within `maxEdit` Levenshtein edits — the entity-resolution
     * join (re-crawled pages with tweaked headlines, re-uploads with

@@ -186,12 +186,17 @@ object Similarity {
       val candSlim = cv.select(col("query_id"), col("neighbor_id"),
         col("rel"))
       Caching.withPersisted(candSlim, pp) {
-        var selected = graft.plans.TopK.perKey(
+        // Each round's selected set is EAGERLY materialized: the loop
+        // references selected three times per round (max-sim join,
+        // anti-join, union), so lazy lineage would recompute round r-1's
+        // picks 3^r times — measured 60s instead of ~3s at sf0.1. The
+        // frames are queries·k rows; the checkpoint is effectively free.
+        var selected = Caching.materialize(graft.plans.TopK.perKey(
           candSlim.select(col("query_id"), col("neighbor_id"),
             (lit(lambda) * col("rel")).as("mmr_score")),
           Seq(col("query_id")),
           Seq(col("mmr_score").desc, col("neighbor_id")), 1)
-          .withColumn("mmr_rank", lit(1))
+          .withColumn("mmr_rank", lit(1)))
         for (r <- 2 to k) {
           val selIds = selected
             .select(col("query_id").as("sq"), col("neighbor_id").as("sel_id"))
@@ -213,7 +218,7 @@ object Similarity {
             Seq(col("query_id")),
             Seq(col("mmr_score").desc, col("neighbor_id")), 1)
             .withColumn("mmr_rank", lit(r))
-          selected = selected.unionByName(pick)
+          selected = Caching.materialize(selected.unionByName(pick))
         }
         selected
       }

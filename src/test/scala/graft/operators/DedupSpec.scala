@@ -389,6 +389,23 @@ class DedupSpec extends SparkSpec {
       3L -> (3L, true), 4L -> (4L, true)))
   }
 
+  test("keepBestInCluster keeps the longest member, not the min id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the sun sets slowly behind the quiet hills of the valley"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " with an extra tail"),   // longer → must win over id 1
+      (3L, "completely unrelated words forming another tiny document here"))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.keepBestInCluster(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (1L, 2L, false))
+    assert(out(2L) == (1L, 2L, true))
+    assert(!out.contains(3L), "singletons never enter a cluster")
+  }
+
   test("fuzzyTitlePairs: edit verify inside shared-prefix blocks only") {
     val docs = Seq(
       (1L, "alpha bet gamma one two three"),
