@@ -732,6 +732,10 @@ object Relational {
       .agg(
         min(col("l_extendedprice")).as("w_median"),
         max(col("totw")).cast("double").as("total_weight"))
+    // persisted across the plan-deciding count and the chosen path, so
+    // the (flag, price) pre-aggregate runs exactly once
+    byPrice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val groupN = byPrice.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -739,11 +743,11 @@ object Relational {
       val ord = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice"))
       val all = Window.partitionBy(col("l_returnflag"))
-      medianOfCum(byPrice
+      Caching.materialize(medianOfCum(byPrice
         .withColumn("cumw",
           sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
-        .withColumn("totw", sum(col("w")).over(all)))
+        .withColumn("totw", sum(col("w")).over(all))))
     } else {
       val sortKeys = Seq(col("l_returnflag"), col("l_extendedprice"))
       val parted = byPrice.repartitionByRange(partitions, sortKeys: _*)
@@ -784,6 +788,7 @@ object Relational {
           .withColumn("cumw", col("off") + sum(col("w")).over(w)))
       }
     }
+    } finally byPrice.unpersist(false)
   }
 
   /** Rolling 7-day revenue per customer (q50): for each order, the sum and
