@@ -237,6 +237,8 @@ object SparkEntry {
     "q52_group_mode" -> ((s, d) => R.groupMode(T.orders(s, d))),
     "q53_exists_subquery" -> ((s, d) =>
       R.urgentOnlyCustomers(T.customer(s, d), T.orders(s, d))),
+    "q54_ratio_to_report" -> ((s, d) =>
+      R.ratioToReport(T.customer(s, d), T.nation(s, d))),
     "d21_fuzzy_title" -> ((s, d) => Dedup.fuzzyTitlePairs(T.documents(s, d))),
     "d22_keep_longest" -> ((s, d) =>
       Dedup.keepBestInCluster(T.documents(s, d))),
@@ -2626,6 +2628,19 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |        WHERE o2.o_custkey = c.c_custkey
         |          AND o2.o_orderstatus = 'F')""".stripMargin,
+    "q54_ratio_to_report" ->
+      """WITH pn AS (SELECT n_regionkey, n_name,
+        |    SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_regionkey, n_name,
+        |  CAST(bal AS DOUBLE) AS nation_bal,
+        |  CAST(sum(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+        |    AS region_bal,
+        |  CAST(bal AS DOUBLE)
+        |    / CAST(sum(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+        |    AS share
+        |FROM pn""".stripMargin,
     // Block on the exact 8-char title prefix (d2's QUALIFY cap mirror),
     // verify with Levenshtein inside blocks only.
     "d21_fuzzy_title" ->

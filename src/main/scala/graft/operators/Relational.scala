@@ -394,6 +394,28 @@ object Relational {
         |  FROM q29_part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
   }
 
+  /** Ratio-to-report (q54): each nation's share of its region's customer
+    * account balance — the percent-of-total window pattern every BI layer
+    * ships. The denominator is a windowed sum over the REGION partition of
+    * an already-aggregated per-nation frame (25 rows), so the expensive
+    * aggregate runs once and the window touches only the summary; both
+    * sums accumulate in DECIMAL and the share divides once in double. */
+  def ratioToReport(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val perNation = customer
+      .join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_name"))
+      .agg(sum(col("c_acctbal").cast(DecimalType(38, 6))).as("bal"))
+    val w = Window.partitionBy(col("n_regionkey"))
+    perNation
+      .withColumn("region_bal", sum(col("bal")).over(w))
+      .select(col("n_regionkey"), col("n_name"),
+        col("bal").cast("double").as("nation_bal"),
+        col("region_bal").cast("double").as("region_bal"),
+        (col("bal").cast("double") / col("region_bal").cast("double"))
+          .as("share"))
+  }
+
   /** Correlated EXISTS / NOT EXISTS (q53): customers with at least one
     * urgent order and no finished one — the other half of Catalyst's
     * subquery decorrelation surface (q29 covers the scalar form). Both

@@ -262,6 +262,20 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> ("HIGH", 2L), 2L -> ("A", 1L)))
   }
 
+  test("ratioToReport: shares within each region sum to one") {
+    val customer = Seq((1L, 10, 100.0), (2L, 10, 50.0), (3L, 11, 50.0),
+      (4L, 20, 7.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val nation = Seq((10, "AA", 1), (11, "AB", 1), (20, "BA", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val out = Relational.ratioToReport(customer, nation).collect()
+      .map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(out("AA") == (150.0, 200.0, 0.75))
+    assert(out("AB") == (50.0, 200.0, 0.25))
+    assert(out("BA") == (7.0, 7.0, 1.0))
+  }
+
   test("urgentOnlyCustomers: EXISTS keeps, NOT EXISTS vetoes") {
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("c_custkey", "c_name")
