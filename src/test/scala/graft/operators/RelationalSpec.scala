@@ -262,6 +262,29 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> ("HIGH", 2L), 2L -> ("A", 1L)))
   }
 
+  test("property: two-phase weighted median equals single-window on random tables") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val liGen = Gen.listOfN(80, for {
+      flag <- Gen.oneOf("A", "N", "R")
+      // coarse price grid so duplicate prices (shared cumw cells) occur
+      price <- Gen.choose(1, 25).map(_ * 10.0)
+      qty <- Gen.choose(1, 50).map(_.toDouble)
+    } yield (flag, price, qty))
+    val prop = forAll(liGen, Gen.oneOf(2, 7, 32)) { (rows, parts) =>
+      val li = rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      def res(maxRows: Long) =
+        Relational.weightedMedian(li, partitions = parts,
+            maxSingleSortRows = maxRows)
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      Prop(res(Long.MaxValue) == res(1L))
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("ratioToReport: shares within each region sum to one") {
     val customer = Seq((1L, 10, 100.0), (2L, 10, 50.0), (3L, 11, 50.0),
       (4L, 20, 7.0))
