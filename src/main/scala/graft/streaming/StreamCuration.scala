@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming curation governance — ingest-time twins of the batch
+  * acceptance gates, run per micro-batch against a static ACCEPTED
+  * snapshot (nightly-rebuilt in practice, same contract as
+  * [[StreamDedup]]'s index side).
+  *
+  * foreachBatch, not a stream-static aggregate: the drift comparison is a
+  * full-outer join + roll-up over the batch's bucket table — legal on the
+  * per-batch BATCH frame, illegal mid-stream — and each batch's verdict
+  * is a complete, immediately actionable row set (gate the batch, page
+  * the on-call) rather than a running aggregate.
+  */
+object StreamCuration {
+
+  /** Per-micro-batch quality drift vs the accepted corpus (the c20 gate,
+    * streaming form): every batch is scored, bucketed, and compared to
+    * the accepted snapshot's distribution by total variation distance;
+    * the sink receives one row per source present in the batch, tagged
+    * with the batch id. Per-batch cost is the batch's score pass plus a
+    * ≤10·sources-row join — the accepted side's bucket table is tiny and
+    * recomputed from the snapshot frame each batch (persist the snapshot
+    * upstream if it is not already a lake scan). */
+  def driftVsAccepted(
+      docs: DataFrame,
+      accepted: DataFrame,
+      sink: DataFrame => Unit,
+      driftBar: Double = 0.1): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-quality-drift")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Curation.qualityDrift(accepted, batch, driftBar)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Per-micro-batch vocabulary divergence vs the full stream-so-far
+    * baseline is not well-defined; what an ingest wants is each batch's
+    * KL against the ACCEPTED corpus vocabulary (the x23 gauge, streaming
+    * form). The accepted side's (token → count) table dominates the cost,
+    * so the caller passes it PRECOMPUTED (one `LlmText.sourceDivergence`-
+    * style aggregate at snapshot-build time, stored as a lake table);
+    * each batch then pays only its own token explode + a join against
+    * that table. Emits (source, n_tokens, n_types, kl_nats, batch_id). */
+  def divergenceVsAccepted(
+      docs: DataFrame,
+      acceptedTokenCounts: DataFrame,
+      sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-source-divergence")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchDivergence(batch, acceptedTokenCounts)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Batch twin of [[divergenceVsAccepted]]'s per-batch body, exposed so
+    * the spec pins stream output == batch output on the same frames:
+    * KL(batch-source ‖ accepted) using the x23 decimal-grid recipe, with
+    * the accepted distribution coming from the precomputed counts table
+    * `(tok, cw)` (cn = Σcw). Tokens the accepted corpus has never seen
+    * carry no defined likelihood ratio — they are counted separately as
+    * `n_oov_tokens` (an ingest red flag on its own) and excluded from the
+    * KL sum, the same carve-out DSIR's hashed likelihoods make. */
+  def batchDivergence(batch: DataFrame,
+      acceptedTokenCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def l(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")), 5).cast(DecimalType(18, 6))
+    val toks = batch.select(col("source"),
+      explode(graft.operators.LlmText.words(col("text"))).as("tok"))
+    val sw = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("csw"))
+    val cn = acceptedTokenCounts.agg(sum(col("cw")).as("cn"))
+    sw.join(acceptedTokenCounts, Seq("tok"), "left")
+      .select(col("source"), col("csw"), col("cw"),
+        when(col("cw").isNotNull,
+          col("csw") * (l(col("csw")) - l(col("cw"))))
+          .otherwise(lit(null)).as("term"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("csw")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cw").isNull, col("csw")).otherwise(0L))
+          .as("n_oov_tokens"),
+        sum(when(col("cw").isNotNull, col("csw")).otherwise(0L))
+          .as("n_known"),
+        sum(col("term")).as("term_sum"))
+      .crossJoin(broadcast(cn))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_oov_tokens"),
+        (col("term_sum").cast("double") / col("n_known")
+          - l(col("n_known")).cast("double")
+          + l(col("cn")).cast("double")).as("kl_nats"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.operators.Curation
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming curation gates: each micro-batch's drift / divergence rows
+  * must equal the batch twin run on the same frames. */
+class StreamCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val accepted = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta", "srcA"),
+    (101L, "alpha alpha beta beta gamma gamma", "srcA"),
+    (102L, "one two three four five six seven", "srcB"))
+    .toDF("doc_id", "text", "source")
+
+  test("driftVsAccepted emits the c20 verdict per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Double, Boolean, Long)]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamCuration.driftVsAccepted(
+      input.toDF().toDF("doc_id", "text", "source"), accepted,
+      df => df.collect().foreach(r => rows.add((r.getString(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4),
+        r.getLong(5)))))
+    try {
+      val b0 = Seq((1L, "alpha beta gamma delta epsilon zeta", "srcA"))
+      val b1 = Seq(
+        (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "srcA"),
+        (3L, "one two three four five six seven", "srcB"))
+      input.addData(b0)
+      q.processAllAvailable()
+      input.addData(b1)
+      q.processAllAvailable()
+      val got = rows.asScala.toSet
+      val want = (
+        Curation.qualityDrift(accepted,
+            b0.toDF("doc_id", "text", "source")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getBoolean(4), 0L)) ++
+        Curation.qualityDrift(accepted,
+            b1.toDF("doc_id", "text", "source")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getBoolean(4), 1L))).toSet
+      assert(got == want, s"stream rows must equal batch twin:\n$got\n$want")
+      // the junk batch must actually trip the gate for srcA
+      assert(got.exists(r => r._1 == "srcA" && r._6 == 1L && r._5),
+        "symbol-soup batch drifts past the bar")
+    } finally q.stop()
+  }
+
+  test("batchDivergence: zero KL on an identical distribution, OOV counted") {
+    val counts = Seq(("alpha", 2L), ("beta", 1L)).toDF("tok", "cw")
+    // batch with the same distribution as accepted → every ratio is 1
+    val same = Seq((1L, "alpha alpha beta", "srcA")).toDF("doc_id", "text", "source")
+    val r = StreamCuration.batchDivergence(same, counts).collect().head
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_oov_tokens")) == 0L)
+    assert(r.getDouble(r.fieldIndex("kl_nats")) == 0.0)
+    // unseen tokens are carved out and counted, not folded into the KL
+    val oov = Seq((2L, "alpha zzz zzz", "srcA")).toDF("doc_id", "text", "source")
+    val r2 = StreamCuration.batchDivergence(oov, counts).collect().head
+    assert(r2.getLong(r2.fieldIndex("n_oov_tokens")) == 2L)
+    assert(!r2.getDouble(r2.fieldIndex("kl_nats")).isNaN)
+  }
+
+  test("divergenceVsAccepted equals the batch twin per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val counts = Seq(("alpha", 2L), ("beta", 1L), ("one", 5L))
+      .toDF("tok", "cw")
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Long, Double, Long)]()
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamCuration.divergenceVsAccepted(
+      input.toDF().toDF("doc_id", "text", "source"), counts,
+      df => df.collect().foreach(r => rows.add((r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5)))))
+    try {
+      val b0 = Seq((1L, "alpha beta beta one", "srcA"))
+      input.addData(b0)
+      q.processAllAvailable()
+      val want = StreamCuration.batchDivergence(
+          b0.toDF("doc_id", "text", "source"), counts).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), 0L)).toSet
+      assert(rows.asScala.toSet == want)
+    } finally q.stop()
+  }
+}
