@@ -242,6 +242,12 @@ object SparkEntry {
     "d21_fuzzy_title" -> ((s, d) => Dedup.fuzzyTitlePairs(T.documents(s, d))),
     "d22_keep_longest" -> ((s, d) =>
       Dedup.keepBestInCluster(T.documents(s, d))),
+    "d23_lsh_curve" -> ((s, _) => Dedup.lshCandidateCurve(s)),
+    "q55_attribution" -> ((s, d) =>
+      Temporal.lastTouchAttribution(T.events(s, d))),
+    "q56_integrity" -> ((s, d) =>
+      R.integrityReport(T.customer(s, d), T.orders(s, d),
+        T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -2628,6 +2634,62 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o2
         |        WHERE o2.o_custkey = c.c_custkey
         |          AND o2.o_orderstatus = 'F')""".stripMargin,
+    // Union-trick attribution inside one stream: clicks carry forward,
+    // purchases read the latest one, window bound is a per-row filter.
+    "q55_attribution" ->
+      """WITH b AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, t, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS purchase_id, event_id AS click_id
+        |  FROM b WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, t, 1, event_id, CAST(NULL AS BIGINT)
+        |  FROM b WHERE event_type = 'purchase'),
+        |m AS (SELECT user_id, t, side, purchase_id,
+        |  last_value(click_id IGNORE NULLS) OVER w AS cand_click,
+        |  last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |    OVER w AS cand_t
+        |  FROM u WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY t, side, click_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN t - cand_t <= 604800 THEN cand_click END
+        |    AS attributed_click,
+        |  CASE WHEN t - cand_t <= 604800 THEN t - cand_t END AS lag_sec
+        |FROM m WHERE side = 1""".stripMargin,
+    "q56_integrity" ->
+      """SELECT 'lineitem->orders' AS edge,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey
+        |   WHERE o.o_orderkey IS NULL) AS n_orphans
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |     ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c LEFT JOIN nation n
+        |     ON c.c_nationkey = n.n_nationkey
+        |   WHERE n.n_nationkey IS NULL)""".stripMargin,
+    // The S-curve uses multiplication-only arithmetic in the same order
+    // as the Spark expression, so doubles match bit-for-bit.
+    "d23_lsh_curve" ->
+      """WITH g AS (SELECT CAST(i AS DOUBLE) / 20 AS jaccard
+        |  FROM range(1, 20) t(i)),
+        |s AS (SELECT jaccard,
+        |    1.0 - jaccard * jaccard * jaccard AS q FROM g),
+        |s2 AS (SELECT jaccard, q * q AS q2 FROM s)
+        |SELECT jaccard, 1.0 - q2 * q2 AS p_candidate FROM s2""".stripMargin,
     "q54_ratio_to_report" ->
       """WITH pn AS (SELECT n_regionkey, n_name,
         |    SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS bal

@@ -963,6 +963,24 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH operating curve (d23): P(candidate | jaccard = s) for the
+    * configured 4-band × 3-row minhash blocking — `1 − (1 − s³)⁴` on a
+    * fixed s grid. The governance table that documents what the detector
+    * CAN see: the curve's steep region is where d2's candidate recall
+    * transitions, and a reviewer reads the miss probability at the 0.7
+    * decision threshold straight off the row. Multiplication-only
+    * arithmetic in fixed order (s·s·s, q·q squared twice), so the doubles
+    * are bit-identical across engines — no pow(). */
+  def lshCandidateCurve(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(1, 20)
+      .select((col("id").cast("double") / 20).as("jaccard"))
+      .withColumn("s3", col("jaccard") * col("jaccard") * col("jaccard"))
+      .withColumn("q", lit(1.0) - col("s3"))
+      .withColumn("q2", col("q") * col("q"))
+      .select(col("jaccard"),
+        (lit(1.0) - col("q2") * col("q2")).as("p_candidate"))
+
   /** Quality-ranked cluster winners (d22): within each near-dup cluster,
     * keep the LONGEST member (ties to the smaller doc_id) instead of
     * [[nearDupComponents]]' min-id representative — the RefinedWeb /

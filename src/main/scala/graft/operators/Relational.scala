@@ -394,6 +394,42 @@ object Relational {
         |  FROM q29_part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin)
   }
 
+  /** Referential-integrity report (q56): orphan counts for every foreign-
+    * key edge of the star schema in one frame — the data-quality sweep a
+    * warehouse runs after each load ("did this ingest break joins?").
+    * Each edge is a LEFT ANTI join from child to parent key plus a count;
+    * results union into (edge, n_child, n_orphans) rows. Anti joins
+    * shuffle on the key like any join — at 100 TB the parent side of a
+    * selective edge ships as a Bloom sketch first ([[bloomPrefilteredJoin]]
+    * pattern); counts here are exact by contract, so the report stays an
+    * anti-join, not a sketch. */
+  def integrityReport(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val c = child.select(col(childKey))
+      val orphans = c.join(
+        parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+    }
+    Seq(
+      edge("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      edge("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+      edge("lineitem->supplier", lineitem, "l_suppkey",
+        supplier, "s_suppkey"),
+      edge("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+      edge("customer->nation",
+        customer.select(col("c_nationkey").cast("long").as("c_nationkey")),
+        "c_nationkey",
+        nation.select(col("n_nationkey").cast("long").as("n_nationkey")),
+        "n_nationkey"))
+      .reduce(_ unionByName _)
+  }
+
   /** Ratio-to-report (q54): each nation's share of its region's customer
     * account balance — the percent-of-total window pattern every BI layer
     * ships. The denominator is a windowed sum over the REGION partition of

@@ -348,6 +348,45 @@ object Temporal {
       .agg(count_distinct(col("user_id")).as("n_active"))
   }
 
+  /** Last-touch attribution (q55): each purchase is credited to the same
+    * user's most recent click within the attribution window — the
+    * marketing-analytics join that burns warehouses when written as a
+    * correlated subquery per purchase. Here it is the q21/q45 union
+    * trick WITHIN one event stream: clicks and purchases tag sides,
+    * one window per user carries the latest click forward, the window
+    * bound is a per-row filter. One shuffle on user_id, no join at all,
+    * skew-immune (a user with a million events is still one ordered
+    * partition pass). Unattributed purchases keep a NULL click — they
+    * are the organic-conversion rows the report needs, not drops. */
+  def lastTouchAttribution(events: DataFrame,
+      windowSec: Long = 7L * 86400): DataFrame = {
+    val base = events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("t"), col("event_id"),
+      col("event_type"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t"), lit(0).as("side"),
+        lit(null).cast("long").as("purchase_id"),
+        col("event_id").as("click_id"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), lit(1).as("side"),
+        col("event_id").as("purchase_id"),
+        lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("cand_click",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("cand_t",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        when(col("t") - col("cand_t") <= windowSec, col("cand_click"))
+          .as("attributed_click"),
+        when(col("t") - col("cand_t") <= windowSec,
+          col("t") - col("cand_t")).as("lag_sec"))
+  }
+
   /** Time-series gap filling with forward fill (q48): one row per user per
     * calendar day between that user's first and last event, with the days
     * the user was silent carried forward from the last active day — the

@@ -389,6 +389,16 @@ class DedupSpec extends SparkSpec {
       3L -> (3L, true), 4L -> (4L, true)))
   }
 
+  test("lshCandidateCurve: exact binary-fraction point at s = 0.5") {
+    val out = Dedup.lshCandidateCurve(spark).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // s=0.5: all powers of two → exact in binary
+    assert(out(0.5) == 0.413818359375)
+    assert(out.size == 19)
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted, "curve is monotone in jaccard")
+  }
+
   test("keepBestInCluster keeps the longest member, not the min id") {
     val base = "the quick brown fox jumps over the lazy dog again and again " +
       "while the sun sets slowly behind the quiet hills of the valley"

@@ -299,6 +299,25 @@ class RelationalSpec extends SparkSpec {
     assert(out("BA") == (7.0, 7.0, 1.0))
   }
 
+  test("integrityReport counts orphans per foreign-key edge") {
+    val nation = Seq((1, "AA", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, 1), (2L, 9)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((10L, 1L), (11L, 99L)).toDF("o_orderkey", "o_custkey")
+    val part = Seq((100L, "p")).toDF("p_partkey", "p_name")
+    val supplier = Seq((200L, "s")).toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (10L, 100L, 200L), (10L, 101L, 200L), (12L, 100L, 201L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val out = Relational.integrityReport(customer, orders, lineitem,
+        part, supplier, nation).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("lineitem->orders") == (3L, 1L))   // orderkey 12
+    assert(out("lineitem->part") == (3L, 1L))     // partkey 101
+    assert(out("lineitem->supplier") == (3L, 1L)) // suppkey 201
+    assert(out("orders->customer") == (2L, 1L))   // custkey 99
+    assert(out("customer->nation") == (2L, 1L))   // nationkey 9
+  }
+
   test("urgentOnlyCustomers: EXISTS keeps, NOT EXISTS vetoes") {
     val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("c_custkey", "c_name")

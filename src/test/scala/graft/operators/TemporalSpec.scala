@@ -168,6 +168,24 @@ class TemporalSpec extends SparkSpec {
     assert(s == Map(10L -> 1L, 11L -> 1L))
   }
 
+  test("lastTouchAttribution credits the latest in-window click") {
+    val day = 86400L
+    val events = Seq(
+      (1L, 10L, ts(100), "click"),
+      (1L, 11L, ts(200), "click"),          // latest click before 12
+      (1L, 12L, ts(300), "purchase"),       // → click 11, lag 100
+      (1L, 13L, ts(200 + 8 * day), "purchase"), // window expired → organic
+      (2L, 20L, ts(50), "purchase"))        // no click at all → organic
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Temporal.lastTouchAttribution(events).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(12L) == (Some(11L), Some(100L)))
+    assert(out(13L) == (None, None))
+    assert(out(20L) == (None, None))
+  }
+
   test("gapFill densifies each user's span and forward-fills silent days") {
     val day = 86400L
     val events = Seq(
