@@ -248,6 +248,7 @@ object SparkEntry {
     "q56_integrity" -> ((s, d) =>
       R.integrityReport(T.customer(s, d), T.orders(s, d),
         T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
+    "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -2681,6 +2682,36 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer c LEFT JOIN nation n
         |     ON c.c_nationkey = n.n_nationkey
         |   WHERE n.n_nationkey IS NULL)""".stripMargin,
+    // q20's middle-statistics recipe applied twice: once on values, once
+    // on |value - median| with the same deterministic (dev, id) rank.
+    "q57_group_mad" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |      AS med,
+        |    max(cnt) AS n_rows
+        |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |  GROUP BY event_type),
+        |dev AS (SELECT e.event_type, abs(e.value - med.med) AS dev,
+        |    e.event_id
+        |  FROM events e JOIN med ON e.event_type = med.event_type),
+        |r2 AS (SELECT event_type, dev, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev),
+        |mad AS (SELECT event_type,
+        |    CAST(SUM(CAST(dev AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |      AS mad
+        |  FROM r2 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        |  GROUP BY event_type)
+        |SELECT med.event_type, med.med AS median_value, mad.mad,
+        |  med.n_rows
+        |FROM med JOIN mad ON med.event_type = mad.event_type""".stripMargin,
     // The S-curve uses multiplication-only arithmetic in the same order
     // as the Spark expression, so doubles match bit-for-bit.
     "d23_lsh_curve" ->

@@ -57,13 +57,28 @@ object Temporal {
     * Both paths are exact and bit-identical (same middle-statistics
     * average through DECIMAL). */
   def exactMedian(orders: DataFrame, partitions: Int = 32,
+      maxSingleSortRows: Long = 1L << 21): DataFrame =
+    groupMedian(orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+      partitions, maxSingleSortRows)
+      .select(col("grp").as("o_orderpriority"),
+        col("median").as("median_price"), col("n_rows").as("n_orders"))
+
+  /** The generic engine under [[exactMedian]] (q20) and [[groupMad]]
+    * (q57): exact per-group median of `valCol` with `keyCol` as the
+    * deterministic tiebreak, output `(grp, median, n_rows)`. The group
+    * column must be string-typed (the plan-decision map keys on it).
+    * Scale-adaptive exactly as documented on q20: per-group counts pick
+    * either a single rank window per group or the range-partitioned
+    * global-rank path with per-cell offsets. */
+  def groupMedian(df: DataFrame, grpCol: String, valCol: String,
+      keyCol: String, partitions: Int = 32,
       maxSingleSortRows: Long = 1L << 21): DataFrame = {
-    val base = orders
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val base = df.select(col(grpCol).as("grp"), col(valCol).as("v"),
+      col(keyCol).as("k"))
     val spark = base.sparkSession
     // one narrow partial-aggregated count per group (bounded driver state:
     // one row per group) decides the plan and fixes the target ranks
-    val groupN = base.groupBy(col("o_orderpriority"))
+    val groupN = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // target ranks: middle one (odd n) or two (even n) per group
@@ -71,32 +86,29 @@ object Temporal {
       Seq((n + 1) / 2, (n + 2) / 2).distinct.map(k => (g, k, n))
     }
     val tgtDf = broadcast(
-      spark.createDataFrame(targets).toDF("o_orderpriority", "grnk", "n"))
+      spark.createDataFrame(targets).toDF("grp", "grnk", "n"))
     def medianOfRanked(ranked: DataFrame): DataFrame = ranked
-      .join(tgtDf, Seq("o_orderpriority", "grnk"))
-      .groupBy(col("o_orderpriority"))
+      .join(tgtDf, Seq("grp", "grnk"))
+      .groupBy(col("grp"))
       .agg(
-        (Relational.dsum(col("o_totalprice")) / count(lit(1)))
-          .as("median_price"),
-        first(col("n")).as("n_orders"))
+        (Relational.dsum(col("v")) / count(lit(1))).as("median"),
+        first(col("n")).as("n_rows"))
     if (groupN.values.forall(_ <= maxSingleSortRows)) {
       // every group fits one task's sort: single rank window, no extra
       // shuffle or persist
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("k"))
       medianOfRanked(
         base.withColumn("grnk", row_number().over(w).cast("long")))
     } else {
       // two-phase global rank: range-partition, per-cell counts give each
       // (partition, group) its global-rank offset, rank windows run per
       // (partition, group) — parallelism partitions × groups
-      val sortKeys =
-        Seq(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      val sortKeys = Seq(col("grp"), col("v"), col("k"))
       val parted = base.repartitionByRange(partitions, sortKeys: _*)
         .withColumn("pid", spark_partition_id())
       Caching.withPersisted(parted) {
         val cells = parted
-          .groupBy(col("pid"), col("o_orderpriority"))
+          .groupBy(col("pid"), col("grp"))
           .agg(count(lit(1)).as("cn"))
           .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
           .toMap
@@ -107,14 +119,40 @@ object Temporal {
           (p, g, off)
         }
         val offDf = broadcast(spark.createDataFrame(offsets)
-          .toDF("pid", "o_orderpriority", "off"))
-        val w = Window.partitionBy(col("pid"), col("o_orderpriority"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .toDF("pid", "grp", "off"))
+        val w = Window.partitionBy(col("pid"), col("grp"))
+          .orderBy(col("v"), col("k"))
         medianOfRanked(parted
-          .join(offDf, Seq("pid", "o_orderpriority"))
+          .join(offDf, Seq("pid", "grp"))
           .withColumn("grnk", col("off") + row_number().over(w)))
       }
     }
+  }
+
+  /** Median absolute deviation (q57): per event type, the exact median of
+    * |value − median(value)| — the robust dispersion estimate outlier
+    * gates prefer over stddev (one corrupt feed day moves a stddev for a
+    * month; the MAD barely notices). Two [[groupMedian]] passes: the
+    * 5-row median table broadcasts back over the events for the
+    * deviation projection, so the second pass costs the same as the
+    * first and both inherit the scale-adaptive rank plan. Deviations are
+    * double subtractions of decimal-exact medians — deterministic per
+    * row, so the second rank order (dev, event_id) is engine-stable. */
+  def groupMad(events: DataFrame, partitions: Int = 32,
+      maxSingleSortRows: Long = 1L << 21): DataFrame = {
+    val med = groupMedian(events, "event_type", "value", "event_id",
+        partitions, maxSingleSortRows)
+      .select(col("grp").as("event_type"), col("median").as("med"),
+        col("n_rows"))
+    val dev = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"),
+        col("event_id"))
+    groupMedian(dev, "event_type", "dev", "event_id",
+        partitions, maxSingleSortRows)
+      .select(col("grp").as("event_type"), col("median").as("mad"))
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med").as("median_value"),
+        col("mad"), col("n_rows"))
   }
 
   /** Range join (q24): for each event, how many events of the same type

@@ -168,6 +168,24 @@ class TemporalSpec extends SparkSpec {
     assert(s == Map(10L -> 1L, 11L -> 1L))
   }
 
+  test("groupMad: exact median of absolute deviations, both parities") {
+    val events = Seq(
+      (1L, "A", 1.0), (2L, "A", 3.0), (3L, "A", 100.0),     // med 3, MAD 2
+      (4L, "B", 1.0), (5L, "B", 2.0), (6L, "B", 3.0), (7L, "B", 4.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Temporal.groupMad(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("A") == (3.0, 2.0, 3L))
+    // B: med 2.5; deviations {1.5, .5, .5, 1.5} → middle pair avg = 1.0
+    assert(out("B") == (2.5, 1.0, 4L))
+    // forced two-phase path must agree
+    val twoPhase = Temporal.groupMad(events, maxSingleSortRows = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(twoPhase == out)
+  }
+
   test("lastTouchAttribution credits the latest in-window click") {
     val day = 86400L
     val events = Seq(
