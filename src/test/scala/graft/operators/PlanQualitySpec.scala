@@ -147,6 +147,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"no per-group sort window:\n$p")
   }
 
+  test("e12: centroids broadcast back over the corpus; bottom-k is the heap") {
+    val p = plan("e12_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label-centroid join must broadcast the tiny side:\n$p")
+    assert(p.contains("TopKPerKey"), s"bottom-k must heap-reduce:\n$p")
+  }
+
   test("d21: the edit-distance verify only runs inside block equi-joins") {
     val p = plan("d21_fuzzy_title")
     assert(!p.contains("CartesianProduct") &&

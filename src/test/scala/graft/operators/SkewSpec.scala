@@ -187,6 +187,25 @@ class SkewSpec extends SparkSpec {
       s"boilerplate must be hot in the sketch family too: ${rep("bottom4_sketch")}")
   }
 
+  test("fuzzyTitlePairs caps a boilerplate title block at cap-squared work") {
+    // 60% of the corpus shares one title prefix (the syndicated-headline
+    // shape); uncapped, that block alone is ~hot² comparisons
+    val hot = (0 until 60).map(i =>
+      (i.toLong, s"breaking news today item number $i full story inside"))
+    val cold = (60 until 100).map(i =>
+      (i.toLong, s"unique$i headline about topic $i with words $i"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val uncapped = Dedup.fuzzyTitlePairs(docs, maxBlockDocs = Int.MaxValue)
+    val capped = Dedup.fuzzyTitlePairs(docs, maxBlockDocs = 10)
+    // the hot block is entirely dropped by the cap (accounted-degrade
+    // stance), so capped output has no hot-hot pair while uncapped has
+    // the full quadratic set
+    assert(uncapped.count() > 1000,
+      "uncapped hot block must be quadratic (~60²/2 pairs)")
+    assert(capped.count() == 0,
+      "capped run drops the >cap block entirely, like the LSH family")
+  }
+
   test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
     val plain = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"),
