@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{Curation, Dedup, LlmText, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Datasheet generator: one runnable main that composes the governance
+  * queries into a markdown data card — the "Datasheets for Datasets"-style
+  * artifact a training-data release ships next to the shards. Every number
+  * comes from an oracle-checked operator (c13 source health, d16 dedup
+  * governance, x23 vocabulary divergence, x2 language mix, d23 detector
+  * curve), so the card's cells are exactly as trustworthy as the
+  * correctness gate.
+  *
+  * Usage: `sbt "runMain graft.tools.DataCard <sfDir> <out.md>"`.
+  *
+  * Scale note: each section is a small aggregate (rows = sources,
+  * languages, or a fixed grid) — the card generation collects only
+  * report-sized frames; the corpus passes stay distributed.
+  */
+object DataCard {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DataCard <sfDir> <outPath>")
+    val Array(sfDir, outPath) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      Files.writeString(Paths.get(outPath), render(spark, sfDir))
+      System.err.println(s"[datacard] wrote $outPath")
+    } finally spark.stop()
+  }
+
+  /** The card body, exposed for the spec. */
+  def render(spark: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(spark, sfDir)
+
+    val overview = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(LlmText.words(col("text")))).as("n_tokens"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs")).collect().head
+
+    val langMix = LlmText.langId(docs)
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pred_lang"))
+
+    val health = Curation.sourceReport(docs).orderBy(col("source"))
+    val governance = Dedup.governanceReport(docs)
+      .orderBy(col("kind"), col("section"))
+    val divergence = LlmText.sourceDivergence(docs)
+      .orderBy(col("kl_nats").desc)
+    val curve = Dedup.lshCandidateCurve(spark)
+      .filter(col("jaccard").isin(0.5, 0.7, 0.9))
+
+    val sb = new StringBuilder
+    sb ++= "# Data card\n\n"
+    sb ++= s"Corpus: `$sfDir`\n\n"
+    sb ++= "## Overview\n\n"
+    sb ++= s"- documents: ${overview.getLong(0)}\n"
+    sb ++= s"- whitespace tokens: ${overview.getLong(1)}\n"
+    sb ++= s"- sources: ${overview.getLong(2)}\n"
+    sb ++= s"- declared languages: ${overview.getLong(3)}\n\n"
+    sb ++= section("Predicted language mix (x2)", langMix)
+    sb ++= section("Per-source health (c13)", health)
+    sb ++= section("Dedup governance (d16: dropped mass + cap accounting)",
+      governance)
+    sb ++= section("Vocabulary divergence vs corpus (x23, KL nats)",
+      divergence)
+    sb ++= section(
+      "Near-dup detector operating points (d23: P(candidate|jaccard))",
+      curve)
+    sb.result()
+  }
+
+  /** A DataFrame as a compact markdown table (reports only — collects). */
+  private def section(title: String, df: DataFrame): String = {
+    val cols = df.columns
+    val rows = df.collect()
+    val sb = new StringBuilder
+    sb ++= s"## $title\n\n"
+    sb ++= cols.mkString("| ", " | ", " |\n")
+    sb ++= cols.map(_ => "---").mkString("| ", " | ", " |\n")
+    rows.foreach { r =>
+      sb ++= cols.indices.map { i =>
+        r.get(i) match {
+          case d: Double => f"$d%.6f"
+          case v => String.valueOf(v)
+        }
+      }.mkString("| ", " | ", " |\n")
+    }
+    sb ++= "\n"
+    sb.result()
+  }
+}

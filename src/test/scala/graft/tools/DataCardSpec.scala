@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.SparkSpec
+
+/** The datasheet generator renders every governance section from the
+  * sample corpus — the compiled guarantee that the card's operators stay
+  * composable and its cells stay populated. */
+class DataCardSpec extends SparkSpec {
+
+  test("render produces every section with populated tables") {
+    val card = DataCard.render(spark, "/root/testdata/sf0.001")
+    for (section <- Seq(
+        "## Overview",
+        "## Predicted language mix (x2)",
+        "## Per-source health (c13)",
+        "## Dedup governance (d16: dropped mass + cap accounting)",
+        "## Vocabulary divergence vs corpus (x23, KL nats)",
+        "## Near-dup detector operating points"))
+      assert(card.contains(section), s"missing section: $section\n$card")
+    // overview numbers are real
+    assert("- documents: (\\d+)".r.findFirstMatchIn(card)
+      .exists(_.group(1).toLong > 0))
+    // the curve section pins the three operating points
+    assert(card.contains("0.700000") || card.contains("| 0.7 |"),
+      "jaccard=0.7 operating point present")
+    // every markdown table has at least one data row (header + sep + row)
+    val tables = card.split("\n## ").drop(1)
+    tables.filter(_.contains("| ---")).foreach { t =>
+      assert(t.linesIterator.count(_.startsWith("| ")) >= 3,
+        s"empty table in section:\n$t")
+    }
+  }
+}
