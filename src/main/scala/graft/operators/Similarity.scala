@@ -162,6 +162,34 @@ object Similarity {
       val q = defaultQueries(v)
         .select(col("vec_id").as("query_id"), col("x").as("qx"),
           col("nrm").as("qnrm"))
+      mmrCore(q, v, k, poolK, lambda)
+    }
+  }
+
+  /** [[mmrRerank]] with CALLER-SUPPLIED queries — the serving form: rank
+    * an external query set (a user request batch, an eval set) against a
+    * corpus, both as `(vec_id, embedding)` frames. Same contract as the
+    * benchmark form: corpus rows sharing a query's id are excluded
+    * (self-match guard; harmless when the id spaces are disjoint). The
+    * streaming twin is `StreamSimilarity.mmrVsIndex`. */
+  def mmrVsCorpus(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      poolK: Int = 20, lambda: Double = 0.7): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val v = corpus.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        VectorOps.asDouble(col("embedding")).as("qx"))
+      .withColumn("qnrm", sqrt(VectorOps.norm2(col("qx"))))
+    Caching.withPersisted(v) { mmrCore(q, v, k, poolK, lambda) }
+  }
+
+  /** The greedy MMR engine shared by [[mmrRerank]] and [[mmrVsCorpus]]:
+    * `q` = (query_id, qx, qnrm), `v` = (vec_id, x, nrm) already prepared
+    * (and `v` persisted by the caller's bracket). */
+  private def mmrCore(q: DataFrame, v: DataFrame, k: Int, poolK: Int,
+      lambda: Double): DataFrame = {
       val scored = broadcast(q)
         .join(v, col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -222,7 +250,6 @@ object Similarity {
         }
         selected
       }
-    }
   }
 
   /** Cosine range search (s4): ALL neighbors within a similarity threshold,

@@ -60,4 +60,27 @@ object StreamSimilarity {
     graft.plans.TopK.perKey(scored, Seq(col("query_id")),
       Seq(col("cos").desc, col("neighbor_id")), k)
   }
+
+  /** Streaming MMR serving (s12's twin): each micro-batch of query
+    * vectors is diversity-ranked against the static index with
+    * `Similarity.mmrVsCorpus` — the retrieval endpoint shape (query
+    * batch in, k diverse results per query out). foreachBatch because
+    * the greedy loop needs per-round materialization, legal only on the
+    * per-batch BATCH frame. Per-batch cost: one scoring pass over the
+    * index + O(batch · poolK²) re-ranking. */
+  def mmrVsIndex(
+      queries: DataFrame,
+      index: DataFrame,
+      sink: DataFrame => Unit,
+      k: Int = 5,
+      poolK: Int = 20,
+      lambda: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .queryName("graft-mmr-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity.mmrVsCorpus(
+          batch, index, k, poolK, lambda))
+        ()
+      }
+      .start()
 }

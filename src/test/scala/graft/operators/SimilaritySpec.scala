@@ -333,6 +333,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("mmrVsCorpus serves external queries with the same greedy order") {
+    val queries = Seq((1000L, vec(0 -> 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, vec(0 -> 0.8f, 1 -> 0.6f), 0),
+      (2L, vec(0 -> 0.8f, 1 -> 0.6f, 2 -> 0.001f), 0),
+      (3L, vec(0 -> 0.6f, 1 -> -0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrVsCorpus(queries, corpus, k = 3).collect()
+      .map(r => r.getInt(r.fieldIndex("mmr_rank")) ->
+        r.getLong(r.fieldIndex("neighbor_id"))).toMap
+    assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
+  }
+
   test("mmrRerank demotes near-duplicates of already-selected results") {
     // candidate 2 is a near-copy of candidate 1 (rel ≈ .8, sim ≈ 1);
     // candidate 3 has lower relevance (.6) but is ORTHOGONAL to 1 — pure

@@ -45,4 +45,35 @@ class StreamSimilaritySpec extends SparkSpec {
         Set((1L, 100L), (1L, 101L), (2L, 102L), (2L, 101L)))
     } finally q.stop()
   }
+
+  test("mmrVsIndex equals the batch mmrVsCorpus per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq(
+      (1L, vec(0 -> 0.8f, 1 -> 0.6f)),
+      (2L, vec(0 -> 0.8f, 1 -> 0.6f, 2 -> 0.001f)),  // near-dup of 1
+      (3L, vec(0 -> 0.6f, 1 -> -0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Int, Long)]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamSimilarity.mmrVsIndex(
+      input.toDF().toDF("vec_id", "embedding"), index,
+      sink = df => df.collect().foreach(r => got.add((
+        r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("mmr_rank")),
+        r.getLong(r.fieldIndex("neighbor_id"))))), k = 3)
+    try {
+      val batch = Seq((1000L, vec(0 -> 1f)))
+      input.addData(batch)
+      q.processAllAvailable()
+      val want = graft.operators.Similarity.mmrVsCorpus(
+          batch.toDF("vec_id", "embedding"), index, k = 3).collect()
+        .map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getInt(r.fieldIndex("mmr_rank")),
+          r.getLong(r.fieldIndex("neighbor_id")))).toSet
+      assert(got.toArray(Array.empty[(Long, Int, Long)]).toSet == want)
+      assert(want == Set((1000L, 1, 1L), (1000L, 2, 3L), (1000L, 3, 2L)),
+        "diversity demotes the near-duplicate")
+    } finally q.stop()
+  }
 }
