@@ -208,6 +208,8 @@ object SparkEntry {
     }),
     "c18_unimax" -> ((s, d) => Curation.unimaxAllocate(T.documents(s, d))),
     "c19_epoch_expand" -> ((s, d) => Curation.epochExpand(T.documents(s, d))),
+    "c21_pack_similar" -> ((s, d) =>
+      Curation.packBySimilarity(T.documents(s, d), T.embeddings(s, d))),
     // snapshot split by doc_id parity: even = accepted corpus, odd = the
     // incoming crawl under review
     "c20_quality_drift" -> ((s, d) => {
@@ -2682,6 +2684,30 @@ object SparkEntry {
         |  (SELECT count(*) FROM customer c LEFT JOIN nation n
         |     ON c.c_nationkey = n.n_nationkey
         |   WHERE n.n_nationkey IS NULL)""".stripMargin,
+    // c4's packer with (cell, doc_id) ordering inside each shard; cell =
+    // the embedding label, joined on doc_id = vec_id.
+    "c21_pack_similar" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('pk:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('pk:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('pk:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 32 AS shard
+        | FROM documents),
+        |j AS (SELECT t.doc_id, t.shard, t.n_tokens,
+        |    CAST(e.label AS BIGINT) AS cell
+        |  FROM t JOIN embeddings e ON e.vec_id = t.doc_id),
+        |c AS (SELECT doc_id, shard, cell, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY cell, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        | FROM j)
+        |SELECT doc_id, shard, cell, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS start_offset
+        |FROM c""".stripMargin,
     // q20's middle-statistics recipe applied twice: once on values, once
     // on |value - median| with the same deterministic (dev, id) rank.
     "q57_group_mad" ->

@@ -100,6 +100,37 @@ object Curation {
         pmod(col("cum") - col("n_tokens"), lit(budget)).as("start_offset"))
   }
 
+  /** Similarity-ordered sequence packing (c21): [[packSequences]] with
+    * documents ordered by their embedding CLUSTER inside each shard, so
+    * semantically related documents land in the same training sequence —
+    * the in-context-pretraining recipe (packing related docs teaches
+    * long-range use of context; random packing wastes it). The cluster
+    * column here is the embeddings' label (the corpus' semantic cell
+    * stand-in); production swaps in an IVF cell id from
+    * [[Similarity.annIvf]]'s quantizer — any int column, same plan.
+    *
+    * Same scale shape as c4: hash-sharded, one cumulative window per
+    * shard; the only addition is the doc↔vector equi-join (co-keyed,
+    * one shuffle). Docs without a vector are excluded by the inner join
+    * — the caller routes them through plain [[packSequences]]. */
+  def packBySimilarity(documents: DataFrame, embeddings: DataFrame,
+      budget: Int = 512, shards: Int = 32): DataFrame = {
+    val cells = embeddings.select(col("vec_id").as("doc_id"),
+      col("label").cast("long").as("cell"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("cell"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"),
+        size(LlmText.words(col("text"))).cast("long").as("n_tokens"),
+        pmod(hash28("pk:", col("doc_id")), lit(shards)).as("shard"))
+      .join(cells, Seq("doc_id"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("cell"), col("n_tokens"),
+        expr(s"(cum - n_tokens) DIV $budget").as("pack_id"),
+        pmod(col("cum") - col("n_tokens"), lit(budget)).as("start_offset"))
+  }
+
   /** Materialized training sequences (c8): the text of each [[packSequences]]
     * pack, concatenated in doc order — the step that turns pack assignments
     * into the actual pretraining batches.

@@ -66,6 +66,30 @@ class CurationSpec extends SparkSpec {
       rows.map(r => (r._1, r._4, r._5)).sorted.toSeq)
   }
 
+  test("packBySimilarity groups same-cell docs before packing") {
+    val d = docs((0L until 40L).map(i =>
+      (i, Seq.fill(3)("w").mkString(" "), "en", "src0")): _*)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(64)(0f), (i % 2).toInt))  // cells 0 and 1 interleaved
+      .toDF("vec_id", "embedding", "label")
+    val out = Curation.packBySimilarity(d, emb, budget = 6, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // within each shard the running sum is ordered by (cell, doc_id)
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._3, r._1)).foreach { case (_, _, _, n, packId, off) =>
+        assert(packId == cum / 6)
+        assert(off == cum % 6)
+        cum += n
+      }
+      // cell-grouping: within a shard, every cell-0 doc precedes every
+      // cell-1 doc in pack order (pack_id, offset)
+      val order = rs.sortBy(r => (r._5, r._6)).map(_._3).toSeq
+      assert(order == order.sorted, s"cells must be contiguous: $order")
+    }
+  }
+
   test("curationPipeline composes gates and near-dup drop") {
     val good = "the cat and the dog of a house is that one there now"
     val d = docs(
