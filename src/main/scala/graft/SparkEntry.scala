@@ -343,6 +343,8 @@ object SparkEntry {
       graft.operators.VectorOps.kmeansStep(T.embeddings(s, d))),
     "e12_centroid_outliers" -> ((s, d) =>
       graft.operators.VectorOps.centroidOutliers(T.embeddings(s, d))),
+    "e13_top2_power" -> ((s, d) =>
+      graft.operators.VectorOps.top2PowerIteration(T.embeddings(s, d))),
     "e3_zscore_normalize" -> ((s, d) =>
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
     "e4_random_projection" -> ((s, d) =>
@@ -2823,6 +2825,59 @@ object SparkEntry {
         |  COUNT(*) AS n_vecs
         |FROM v CROSS JOIN dims
         |GROUP BY label, dim""".stripMargin,
+    // e9's recursion twice with Hotelling deflation on the 1e-9 grid
+    // between (G' = G - lam*v*vT, every cell re-quantized).
+    "e13_top2_power" ->
+      """WITH RECURSIVE ve AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+        |pr AS (SELECT UNNEST(range(0, 64)) AS d),
+        |pairs AS (SELECT a.d AS i, b.d AS j
+        |  FROM pr a CROSS JOIN pr b WHERE b.d >= a.d),
+        |g0 AS (SELECT p.i, p.j,
+        |  CAST(CAST(SUM(CAST(round(x[p.i + 1] * x[p.j + 1] * 1.0e9) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 1.0e9 AS gram
+        |  FROM ve CROSS JOIN pairs p GROUP BY p.i, p.j),
+        |gm AS (SELECT i, j, gram FROM g0
+        |  UNION ALL SELECT j AS i, i AS j, gram FROM g0 WHERE i <> j),
+        |pw(it, d, vv, lam) AS (
+        |  SELECT 0, d, CAST(1.0 AS DOUBLE) / 64, CAST(0 AS DOUBLE) FROM pr
+        |  UNION ALL
+        |  SELECT it + 1, d, w / nrm, nrm FROM (
+        |    SELECT it, d, w,
+        |      sqrt(CAST(CAST(SUM(CAST(round(w * w * 1.0e9) AS BIGINT))
+        |        OVER (PARTITION BY it) AS BIGINT) AS DOUBLE) / 1.0e9) AS nrm
+        |    FROM (
+        |      SELECT pw.it, gm.i AS d,
+        |        CAST(CAST(SUM(CAST(round(gm.gram * pw.vv * 1.0e9) AS BIGINT))
+        |          AS BIGINT) AS DOUBLE) / 1.0e9 AS w
+        |      FROM pw JOIN gm ON gm.j = pw.d WHERE pw.it < 24
+        |      GROUP BY pw.it, gm.i) a) b
+        |),
+        |v1 AS (SELECT d, vv FROM pw WHERE it = 24),
+        |l1 AS (SELECT lam FROM pw WHERE it = 24 LIMIT 1),
+        |g2 AS (SELECT gm.i, gm.j,
+        |  CAST(CAST(round(gm.gram * 1.0e9) AS BIGINT)
+        |     - CAST(round(l1.lam * vi.vv * vj.vv * 1.0e9) AS BIGINT) AS DOUBLE)
+        |    / 1.0e9 AS gram
+        |  FROM gm JOIN v1 vi ON vi.d = gm.i JOIN v1 vj ON vj.d = gm.j
+        |  CROSS JOIN l1),
+        |pw2(it, d, vv, lam) AS (
+        |  SELECT 0, d, CAST(1.0 AS DOUBLE) / 64, CAST(0 AS DOUBLE) FROM pr
+        |  UNION ALL
+        |  SELECT it + 1, d, w / nrm, nrm FROM (
+        |    SELECT it, d, w,
+        |      sqrt(CAST(CAST(SUM(CAST(round(w * w * 1.0e9) AS BIGINT))
+        |        OVER (PARTITION BY it) AS BIGINT) AS DOUBLE) / 1.0e9) AS nrm
+        |    FROM (
+        |      SELECT pw2.it, g2.i AS d,
+        |        CAST(CAST(SUM(CAST(round(g2.gram * pw2.vv * 1.0e9) AS BIGINT))
+        |          AS BIGINT) AS DOUBLE) / 1.0e9 AS w
+        |      FROM pw2 JOIN g2 ON g2.j = pw2.d WHERE pw2.it < 24
+        |      GROUP BY pw2.it, g2.i) a) b
+        |)
+        |SELECT 1 AS component, CAST(d AS INT) AS dim, vv AS loading,
+        |  lam AS eigenvalue FROM pw WHERE it = 24
+        |UNION ALL
+        |SELECT 2, CAST(d AS INT), vv, lam FROM pw2 WHERE it = 24""".stripMargin,
     // One Lloyd step: s1's cosine scoring for the argmax assignment,
     // e1's grid-exact mean recipe for the update.
     "e11_kmeans_step" ->

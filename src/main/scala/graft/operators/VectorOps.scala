@@ -333,6 +333,19 @@ object VectorOps {
       val i = r.getInt(0); val j = r.getInt(1); val gv = r.getDouble(2)
       G(i)(j) = gv; G(j)(i) = gv
     }
+    val (v, lambda) = powerIterate(G, iters, dim)
+    v.zipWithIndex.map { case (l, d) => (d, l, lambda) }.toSeq
+      .toDF("dim", "loading", "eigenvalue")
+  }
+
+  /** The grid-stabilized power-iteration loop shared by
+    * [[pc1PowerIteration]] (e9) and [[top2PowerIteration]] (e13): every
+    * mat-vec product and norm accumulates on the 1e-9 grid
+    * ([[graft.functions.GramSum.grid]] = round-half-away-from-zero, the
+    * oracle's `round()`), so the trajectory is bit-identical to the
+    * recursive-CTE twin. Returns (unit eigenvector, eigenvalue). */
+  private def powerIterate(G: Array[Array[Double]], iters: Int,
+      dim: Int): (Array[Double], Double) = {
     var v = Array.fill(dim)(1.0 / dim)
     var lambda = 0.0
     var it = 0
@@ -359,8 +372,49 @@ object VectorOps {
       v = w.map(_ / lambda)
       it += 1
     }
-    v.zipWithIndex.map { case (l, d) => (d, l, lambda) }.toSeq
-      .toDF("dim", "loading", "eigenvalue")
+    (v, lambda)
+  }
+
+  /** Top TWO principal directions (e13): PC1 by power iteration, then
+    * Hotelling deflation ON THE GRAM MATRIX — G′ = G − λ₁·v₁v₁ᵀ, every
+    * cell re-quantized to the 1e-9 grid — then power iteration again for
+    * PC2. The two-direction subspace is what embedding-QA actually plots
+    * (a 1-D projection hides cluster structure the second axis shows),
+    * and deflation on the collected dim² matrix costs nothing at any
+    * corpus scale: the distributed work remains the single [[gramMatrix]]
+    * pass e9 already pays. Long-form output (component, dim, loading,
+    * eigenvalue); the oracle runs the identical recursion twice with the
+    * same grid deflation between.
+    *
+    * Default is 24 iterations (vs e9's 8): deflation quality is bounded
+    * by PC1's convergence, and power iteration separates at (λ₂/λ₁)^iters
+    * — on a near-degenerate spectrum (isotropic embeddings) the two
+    * outputs still span the top-2 subspace exactly, but their individual
+    * eigenvalue ordering can stay soft; the spec pins the well-separated
+    * planted case. */
+  def top2PowerIteration(embeddings: DataFrame, iters: Int = 24,
+      dim: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val G = Array.ofDim[Double](dim, dim)
+    val cells = gramMatrix(embeddings, vecCol, dim).collect()
+    require(cells.nonEmpty,
+      "top2PowerIteration: empty corpus — no Gram matrix to iterate on")
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val gv = r.getDouble(2)
+      G(i)(j) = gv; G(j)(i) = gv
+    }
+    val (v1, l1) = powerIterate(G, iters, dim)
+    val G2 = Array.tabulate(dim, dim) { (i, j) =>
+      (graft.functions.GramSum.grid(G(i)(j) * 1.0e9) -
+        graft.functions.GramSum.grid(l1 * v1(i) * v1(j) * 1.0e9))
+        .toDouble / 1.0e9
+    }
+    val (v2, l2) = powerIterate(G2, iters, dim)
+    val rows =
+      v1.zipWithIndex.map { case (l, d) => (1, d, l, l1) } ++
+      v2.zipWithIndex.map { case (l, d) => (2, d, l, l2) }
+    rows.toSeq.toDF("component", "dim", "loading", "eigenvalue")
   }
 
   /** All-but-the-top postprocessing (e10): subtract each embedding's

@@ -211,6 +211,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_pos")) == 5L)
   }
 
+  test("top2PowerIteration recovers two planted orthogonal directions") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // Gram = diag(160 at dim0, 20 at dim1): exact, well-separated spectrum
+    val embs = ((0L until 10L).map(i => (i, vec(0 -> 4f))) ++
+      (10L until 15L).map(i => (i, vec(1 -> 2f))))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.top2PowerIteration(embs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(out((1, 0))._1) > 0.99, "PC1 is the dim-0 direction")
+    assert(math.abs(out((2, 1))._1) > 0.99, "PC2 is the dim-1 direction")
+    val (l1, l2) = (out((1, 0))._2, out((2, 1))._2)
+    assert(math.abs(l1 - 160.0) < 1.0 && math.abs(l2 - 20.0) < 1.0)
+    assert(l1 > l2)
+    assert(out.size == 2 * 64)
+  }
+
   test("centroidOutliers ranks members by distance from their label centroid") {
     import spark.implicits._
     def vec(parts: (Int, Float)*): Array[Float] = {
