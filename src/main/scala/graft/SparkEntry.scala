@@ -161,6 +161,7 @@ object SparkEntry {
       LlmText.lexicalDiversity(T.documents(s, d))),
     "x23_source_divergence" -> ((s, d) =>
       LlmText.sourceDivergence(T.documents(s, d))),
+    "x24_langid_eval" -> ((s, d) => LlmText.langIdEval(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -802,6 +803,34 @@ object SparkEntry {
         |    / count(*) AS hapax_frac,
         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dominance
         |FROM c GROUP BY doc_id""".stripMargin,
+    // x20's profile machinery as a classifier: train/eval split on
+    // doc_id % 3, distinct-bigram hits vs each profile, argmax with
+    // lexicographic tiebreak, zero-hit docs restored as 'und'.
+    "x24_langid_eval" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text,' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        |    AS bigram
+        | FROM ws WHERE len(w) >= 2),
+        |c AS (SELECT lang AS plang, bigram, count(*) AS cnt FROM bg
+        |  WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        |prof AS (SELECT plang, bigram FROM (
+        |  SELECT plang, bigram, row_number() OVER (PARTITION BY plang
+        |    ORDER BY cnt DESC, bigram) AS rn FROM c) t WHERE rn <= 16),
+        |eb AS (SELECT DISTINCT doc_id, lang, bigram FROM bg
+        |  WHERE doc_id % 3 = 0),
+        |hits AS (SELECT doc_id, lang, plang, count(*) AS hits
+        |  FROM eb JOIN prof ON eb.bigram = prof.bigram GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, lang, plang FROM (
+        |  SELECT doc_id, lang, plang, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hits DESC, plang) AS rn FROM hits) t WHERE rn = 1),
+        |und AS (SELECT d.doc_id, d.lang, 'und' AS plang FROM documents d
+        |  WHERE d.doc_id % 3 = 0
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM best))
+        |SELECT lang, plang AS pred_lang, count(*) AS n_docs
+        |FROM (SELECT * FROM best UNION ALL SELECT * FROM und) u
+        |GROUP BY 1, 2""".stripMargin,
     // KL(source‖corpus) with x17's decimal-grid log terms; only the final
     // three-term combination runs in double, left-to-right.
     "x23_source_divergence" ->

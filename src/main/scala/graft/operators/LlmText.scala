@@ -915,6 +915,56 @@ object LlmText {
         .orderBy(col("cnt").desc, col("bigram"))))
   }
 
+  /** Trained language-ID evaluation (x24): the x20 profiles turned into a
+    * CLASSIFIER and scored in-engine — train/eval split by doc_id hash
+    * parity (train = doc_id % 3 ≠ 0), per-language top-`k` bigram
+    * profiles from the train side only, every eval doc predicted as the
+    * language whose profile it hits most (distinct-bigram hits; ties →
+    * lexicographic language; zero hits anywhere → "und"), output the
+    * confusion matrix (lang, pred_lang, n_docs). The eval harness the
+    * heuristic x2 never had: a reviewer reads per-language recall off the
+    * diagonal, and the matrix recomputes on every corpus snapshot.
+    *
+    * Scale: profiles are langs·k rows (broadcast); eval docs explode to
+    * DISTINCT bigram rows, hit the profile with a broadcast join, and
+    * reduce per (doc, lang) — work scales with eval tokens, never
+    * corpus². The argmax is the heap top-k (k=1). */
+  def langIdEval(documents: DataFrame, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val ws = words(col("text"))
+    val m = size(ws) - 1
+    val bigrams = zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+    val train = documents.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val eval_ = documents.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val profile = graft.plans.TopK.perKey(
+      train
+        .filter(size(ws) >= 2)
+        .select(col("lang").as("plang"), explode(bigrams).as("bigram"))
+        .groupBy(col("plang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq(col("plang")), Seq(col("cnt").desc, col("bigram")), k)
+      .select(col("plang"), col("bigram"))
+    val evalBigrams = eval_
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(bigrams)).as("bigram"))
+    val hits = evalBigrams
+      .join(broadcast(profile), Seq("bigram"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = graft.plans.TopK.perKey(hits, Seq(col("doc_id")),
+        Seq(col("hits").desc, col("plang")), 1)
+      .select(col("doc_id"), col("lang"), col("plang"))
+    // zero-hit docs (nothing joined) fall out of `hits`: restore as "und"
+    val undecided = eval_.select(col("doc_id"), col("lang"))
+      .join(best.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), lit("und").as("plang"))
+    best.unionByName(undecided)
+      .groupBy(col("lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Bigram language-model fluency scoring (x17): train an add-one-smoothed
     * bigram LM on the corpus itself and score every document by its average
     * bigram log-probability — the CCNet/KenLM-style quality signal ("does

@@ -450,6 +450,22 @@ class LlmTextSpec extends SparkSpec {
     assert(out(2L) == (2L, 2L, 2L, 1L, 1.0, 1.0, 0.5))
   }
 
+  test("langIdEval: profiles classify held-out docs; zero hits go to und") {
+    // train docs (id % 3 != 0) define the profiles; eval docs (id % 3
+    // == 0) classify by hits. Language A says "aa bb", B says "xx yy".
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb", "A"),  // train A
+      (2L, "xx yy xx yy xx yy", "B"),  // train B
+      (3L, "aa bb aa bb", "A"),        // eval → hits A's profile → A
+      (6L, "xx yy", "B"),              // eval → B
+      (9L, "qq zz qq", "A"))           // eval, no profile hits → und
+      .toDF("doc_id", "text", "lang")
+    val out = LlmText.langIdEval(docs, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("A", "A") -> 1L, ("B", "B") -> 1L, ("A", "und") -> 1L))
+  }
+
   test("sourceDivergence: KL(source||corpus) from grid-exact log terms") {
     // corpus: a:2 b:1 c:1, N=4. Source A's words have csw == cw, so the
     // term sum is 0 and KL_A = ln(4) - ln(3) on the 5-dp grid; source B
