@@ -162,6 +162,9 @@ object SparkEntry {
     "x23_source_divergence" -> ((s, d) =>
       LlmText.sourceDivergence(T.documents(s, d))),
     "x24_langid_eval" -> ((s, d) => LlmText.langIdEval(T.documents(s, d))),
+    "x25_bpe_train" -> ((s, d) => LlmText.bpeTrain(T.documents(s, d))),
+    "x26_bpe_vocab" -> ((s, d) => LlmText.bpeVocab(T.documents(s, d))),
+    "x27_bpe_doc_stats" -> ((s, d) => LlmText.bpeDocStats(T.documents(s, d))),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -401,6 +404,37 @@ object SparkEntry {
     ("d8b_dedup_pipeline" -> oracleSqlBase("d8_dedup_apply")) +
     // d20 is d13 through the materialized-index path; same SQL.
     ("d20_dedup_vs_index" -> oracleSqlBase("d13_incremental_dedup"))
+
+  /** Unrolled BPE merge-step CTE chain shared by the x25/x26/x27 oracles:
+    * w0 is the char-split word-count table (end-of-word marker appended),
+    * then per step i: overlapping adjacent-pair counts (pi), the argmax
+    * pair with deterministic tie-break (bi), and the 3-pass space-padded
+    * replace rewrite (wi) — the exact arithmetic of
+    * `LlmText.bpeTrainState`, unrolled because the per-step argmax makes
+    * a recursive CTE reference its own table twice. */
+  private def bpeCtes(n: Int): String = {
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (SELECT ss[k] AS lhs, ss[k+1] AS rhs,
+         |    CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, string_split(sym,' ') AS ss FROM w${i - 1}) t$i,
+         |       UNNEST(range(1, len(ss))) AS u$i(k)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$i AS (SELECT w, cnt, trim(replace(replace(replace(' '||sym||' ',
+         |    ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' '),
+         |    ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' '),
+         |    ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')) AS sym
+         |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT w, cnt,
+       |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS sym
+       |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |     SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) q
+       |     WHERE len(w) > 0 GROUP BY w) wc
+       |),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -831,6 +865,37 @@ object SparkEntry {
         |SELECT lang, plang AS pred_lang, count(*) AS n_docs
         |FROM (SELECT * FROM best UNION ALL SELECT * FROM und) u
         |GROUP BY 1, 2""".stripMargin,
+    // BPE tokenizer family: the unrolled merge-step CTE chain (bpeCtes)
+    // mirrors LlmText.bpeTrainState step for step — overlapping pair
+    // counts, argmax with (count desc, lhs, rhs) tie-break, 3-pass
+    // space-padded replace rewrite (Spark UTF8String.replace and DuckDB
+    // replace share left-to-right non-overlapping scan semantics).
+    "x25_bpe_train" ->
+      (bpeCtes(6) + "\n" +
+        (1 to 6).map(i =>
+            s"SELECT CAST($i AS INT) AS step, lhs, rhs, c AS pair_count FROM b$i")
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY step")),
+    "x26_bpe_vocab" ->
+      (bpeCtes(6) +
+        """
+          |SELECT ss[k] AS token, CAST(SUM(cnt) AS BIGINT) AS freq
+          |FROM (SELECT cnt, string_split(sym,' ') AS ss FROM w6) tf,
+          |     UNNEST(range(1, len(ss) + 1)) AS uf(k)
+          |GROUP BY 1""".stripMargin),
+    "x27_bpe_doc_stats" ->
+      (bpeCtes(6) +
+        """,
+          |dict AS (SELECT w, CAST(len(string_split(sym,' ')) AS BIGINT)
+          |    AS ntok FROM w6),
+          |dw AS (SELECT doc_id, n_chars, UNNEST(string_split(text,' ')) AS w
+          |  FROM documents)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |  CAST(SUM(ntok) AS BIGINT) AS n_tokens, n_chars,
+          |  CAST(n_chars AS DOUBLE) / CAST(SUM(ntok) AS BIGINT)
+          |    AS chars_per_token
+          |FROM dw JOIN dict USING (w)
+          |WHERE len(w) > 0
+          |GROUP BY doc_id, n_chars""".stripMargin),
     // KL(source‖corpus) with x17's decimal-grid log terms; only the final
     // three-term combination runs in double, left-to-right.
     "x23_source_divergence" ->

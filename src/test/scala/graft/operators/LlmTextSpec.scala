@@ -482,4 +482,50 @@ class LlmTextSpec extends SparkSpec {
     assert(out("A") == (3L, 2L, 0.0 / 3 - l3 + l4))
     assert(out("B") == (1L, 1L, 0.0 / 1 - 0.0 + l4))
   }
+
+  // fixture for the BPE family: repeated single-char runs exercise the
+  // documented 3-pass non-overlapping replace semantics, 'lrlr' chains a
+  // pair so the multi-pass rewrite matters, 'ab' gives a clean merge path
+  private def bpeDocs = Seq(
+    (1L, "aaaaa", 5L),
+    (2L, "lrlr lrlr ab", 12L),
+    (3L, "ab ab", 5L))
+    .toDF("doc_id", "text", "n_chars")
+
+  test("bpeTrain: greedy merges with deterministic tie-break") {
+    val merges = LlmText.bpeTrain(bpeDocs, nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // overlapping pair counts: 'aaaaa' contributes (a,a) 4×; two 'lrlr'
+    // words contribute (l,r) 2× each
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", 4L), (2, "l", "r", 4L), (3, "a", "b", 3L),
+      (4, "ab", "</w>", 3L), (5, "lr", "</w>", 2L), (6, "lr", "lr</w>", 2L)))
+  }
+
+  test("bpeVocab: 3-pass replace is non-overlapping left-to-right") {
+    val vocab = LlmText.bpeVocab(bpeDocs, nMerges = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'a a a a a </w>' merged with (a,a) leaves 'aa a aa </w>': replace
+    // scans left-to-right non-overlapping and the trailing space of a hit
+    // is consumed, so the middle 'a' survives — the spec pins THIS
+    // semantics (greedy subword-nmt would give 'aa aa a'), identical in
+    // Spark's UTF8String.replace and DuckDB's replace
+    assert(vocab == Map(
+      "aa" -> 2L, "a" -> 1L, "</w>" -> 1L, "ab</w>" -> 3L, "lrlr</w>" -> 2L))
+  }
+
+  test("bpeDocStats: dictionary-join apply, token totals reconcile") {
+    val stats = LlmText.bpeDocStats(bpeDocs, nMerges = 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // doc 1: 'aaaaa' → [aa, a, aa, </w>] = 4 tokens
+    assert(stats(1L) == (1L, 4L, 5L, 5.0 / 4))
+    // doc 2: two 'lrlr' → [lrlr</w>] each, 'ab' → [ab</w>] = 3 tokens
+    assert(stats(2L) == (3L, 3L, 12L, 12.0 / 3))
+    assert(stats(3L) == (2L, 2L, 5L, 5.0 / 2))
+    // corpus reconciliation: per-doc token totals == vocab frequency mass
+    val vocabMass = LlmText.bpeVocab(bpeDocs, nMerges = 6)
+      .agg(sum(col("freq"))).head().getLong(0)
+    assert(stats.values.map(_._2).sum == vocabMass)
+  }
 }
