@@ -249,6 +249,8 @@ object SparkEntry {
     "d22_keep_longest" -> ((s, d) =>
       Dedup.keepBestInCluster(T.documents(s, d))),
     "d23_lsh_curve" -> ((s, _) => Dedup.lshCandidateCurve(s)),
+    "d24_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborPairs(T.documents(s, d))),
     "q55_attribution" -> ((s, d) =>
       Temporal.lastTouchAttribution(T.events(s, d))),
     "q56_integrity" -> ((s, d) =>
@@ -2868,6 +2870,20 @@ object SparkEntry {
         |  CAST(levenshtein(a.title, b2.title) AS INT) AS edit_dist
         |FROM bk a JOIN bk b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
         |WHERE levenshtein(a.title, b2.title) <= 5""".stripMargin,
+    // sorted-neighborhood: the oracle's single-window row_number IS the
+    // semantic spec; the engine computes the same global rank with the
+    // two-phase range-partition + offset scheme and pairs neighbors via
+    // a rank-bucket equi-join (never a windowed global sort).
+    "d24_sorted_neighborhood" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title
+        |  FROM documents),
+        |r AS (SELECT doc_id, title,
+        |  row_number() OVER (ORDER BY title, doc_id) AS rk FROM t)
+        |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |  greatest(a.doc_id, b.doc_id) AS doc_b,
+        |  CAST(levenshtein(a.title, b.title) AS INT) AS edit_dist
+        |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
+        |WHERE levenshtein(a.title, b.title) <= 5""".stripMargin,
     "q42_retention" ->
       """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events GROUP BY user_id),

@@ -1039,4 +1039,59 @@ object Dedup {
         levenshtein(col("a.title"), col("b.title")).as("edit_dist"))
       .filter(col("edit_dist") <= maxEdit)
   }
+
+  /** Sorted-neighborhood near-dup blocking (d24): globally sort the corpus
+    * by the normalized blocking key and compare each record only against
+    * its `window` successors in that order — the classic complement to
+    * hash blocking ([[fuzzyTitlePairs]]'s prefix blocks): candidate count
+    * is O(n·window) by CONSTRUCTION regardless of key distribution, so a
+    * pathological hot key (which hash blocking must cap and drop) costs
+    * nothing here; the trade is that pairs whose keys sort far apart are
+    * never compared, even with a shared prefix.
+    *
+    * Global order without a global sort: range-partition on the key,
+    * per-partition row_number + broadcast partition-count offsets (the
+    * [[Relational.equiDepthHistogram]] two-phase rank — the collect is
+    * `partitions` longs of bounded driver state). Neighbor pairing is an
+    * EQUI-join on rank buckets of width `window` (right side replicated to
+    * its own and preceding bucket), so the pair generation shuffles on a
+    * dense integer key — no range-join nested loop, no single-partition
+    * window. Emitted pairs are canonicalized to (min, max) doc_id. */
+  def sortedNeighborPairs(documents: DataFrame, titleLen: Int = 40,
+      window: Int = 10, maxEdit: Int = 5, partitions: Int = 32): DataFrame = {
+    val sortKeys = Seq(col("title"), col("doc_id"))
+    val parted = documents
+      .select(col("doc_id"), substring(col("text"), 1, titleLen).as("title"))
+      .repartitionByRange(partitions, sortKeys: _*)
+      .withColumn("pid", spark_partition_id())
+    Caching.withPersisted(parted) {
+      val perPart = parted.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = {
+        var acc = 0L
+        (0 until partitions).map { p =>
+          val o = p -> acc; acc += perPart.getOrElse(p, 0L); o
+        }
+      }
+      val offDf = broadcast(
+        parted.sparkSession.createDataFrame(offsets).toDF("pid", "off"))
+      val pw = Window.partitionBy(col("pid"))
+        .orderBy(sortKeys.map(_.asc): _*)
+      val ranked = parted.join(offDf, "pid")
+        .select(col("doc_id"), col("title"),
+          (col("off") + row_number().over(pw)).as("rk"))
+        .withColumn("bk", floor((col("rk") - 1) / lit(window.toLong)))
+      val right = ranked.select(col("doc_id").as("r_doc_id"),
+        col("title").as("r_title"), col("rk").as("r_rk"),
+        explode(array(col("bk"), col("bk") - 1)).as("jb"))
+      ranked.join(right,
+          col("bk") === col("jb") &&
+            (col("r_rk") - col("rk")).between(1, window.toLong))
+        .select(
+          least(col("doc_id"), col("r_doc_id")).as("doc_a"),
+          greatest(col("doc_id"), col("r_doc_id")).as("doc_b"),
+          levenshtein(col("title"), col("r_title")).as("edit_dist"))
+        .filter(col("edit_dist") <= maxEdit)
+    }
+  }
 }

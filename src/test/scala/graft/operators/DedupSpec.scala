@@ -427,4 +427,32 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(out == Map((1L, 2L) -> 1))
   }
+
+  test("sortedNeighborPairs: rank-window candidates, partition-invariant") {
+    // titles sort as: "alpha ..."(1), "alphb ..."(2), then 13 spacers,
+    // then "zeta ..."(3), "zetb ..."(4). Pairs (1,2) and (3,4) are 1
+    // apart in rank; (2,3) are 13 ranks apart — beyond the window of 3,
+    // so that pair is never compared BY DESIGN (the documented
+    // sorted-neighborhood trade).
+    // spacers sort between the two planted pairs and are pairwise ≥15
+    // edits apart (distinct letter repeated), so none of them pair up
+    val spacers = (5L to 17L).map(i =>
+      (i, ('e' + (i - 5)).toChar.toString * 15))
+    val docs = (Seq(
+      (1L, "alpha bet gamma one"),
+      (2L, "alphb bet gamma one"),   // 1 edit from doc 1
+      (3L, "zeta bet gamma one"),
+      (4L, "zetb bet gamma one"))    // 1 edit from doc 3
+      ++ spacers).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborPairs(docs, window = 3, maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 2L) -> 1, (3L, 4L) -> 1))
+    // the two-phase global rank must not depend on the partition count
+    for (p <- Seq(1, 2, 7)) {
+      val alt = Dedup.sortedNeighborPairs(docs, window = 3, maxEdit = 2,
+        partitions = p).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(alt == out, s"partitions=$p drifted")
+    }
+  }
 }
