@@ -351,6 +351,8 @@ object SparkEntry {
       graft.operators.VectorOps.centroidOutliers(T.embeddings(s, d))),
     "e13_top2_power" -> ((s, d) =>
       graft.operators.VectorOps.top2PowerIteration(T.embeddings(s, d))),
+    "e14_cluster_quality" -> ((s, d) =>
+      graft.operators.VectorOps.clusterQuality(T.embeddings(s, d))),
     "e3_zscore_normalize" -> ((s, d) =>
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
     "e4_random_projection" -> ((s, d) =>
@@ -3036,6 +3038,39 @@ object SparkEntry {
         |    PARTITION BY label ORDER BY cos_centroid ASC, vec_id)
         |    AS outlier_rank
         |  FROM sc) t WHERE outlier_rank <= 5""".stripMargin,
+    // e12's cosine-to-centroid machinery scored against ALL centroids:
+    // cohesion (own), separation (best other), grid-exact per-label means.
+    "e14_cluster_quality" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x,
+        |  sqrt(list_reduce(list_transform(range(1,65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |dims AS (SELECT UNNEST(range(0, 64)) AS dim),
+        |cd AS (SELECT label, dim,
+        |    CAST(SUM(CAST(round(x[dim + 1] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS centroid
+        |  FROM v CROSS JOIN dims GROUP BY label, dim),
+        |c AS (SELECT label AS clabel, list(centroid ORDER BY dim) AS cx
+        |  FROM cd GROUP BY label),
+        |cn AS (SELECT clabel, cx,
+        |    sqrt(list_reduce(list_transform(range(1,65), i -> cx[i] * cx[i]), (a,b) -> a + b)) AS cnrm
+        |  FROM c),
+        |sc AS (SELECT v.vec_id, v.label, cn.clabel,
+        |    list_reduce(list_transform(range(1,65), i -> v.x[i] * cn.cx[i]), (a,b) -> a + b)
+        |      / (v.nrm * cn.cnrm) AS ccos
+        |  FROM v CROSS JOIN cn),
+        |pv AS (SELECT vec_id, label,
+        |    MAX(CASE WHEN label = clabel THEN ccos END) AS cos_own,
+        |    MAX(CASE WHEN label <> clabel THEN ccos END) AS cos_other
+        |  FROM sc GROUP BY vec_id, label),
+        |agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(CAST(round(cos_own * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS mean_cos_own,
+        |    CAST(SUM(CAST(round(cos_other * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS mean_cos_other
+        |  FROM pv GROUP BY label)
+        |SELECT label, n_vecs, mean_cos_own, mean_cos_other,
+        |  mean_cos_own - mean_cos_other AS margin
+        |FROM agg""".stripMargin,
     "s1_knn_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -529,6 +529,50 @@ object VectorOps {
     bottom.withColumn("outlier_rank", row_number().over(w))
   }
 
+  /** Per-label cluster-quality report (e14): a simplified silhouette at
+    * cluster granularity — every vector's cosine to its OWN label centroid
+    * (cohesion) and its best cosine to any OTHER label centroid
+    * (separation), aggregated per label with grid-exact decimal means;
+    * `margin` = cohesion − separation is the one number a curation
+    * reviewer reads per cluster (negative margin → the label's members sit
+    * closer to a different centroid than their own).
+    *
+    * Scale: centroids are labels·dims driver-free aggregates
+    * ([[groupCentroids]]); the label-count-sized centroid table broadcasts
+    * and each vector scores against all of them in one map-side pass
+    * (labels ≪ vectors), then ONE per-label aggregation — no shuffle
+    * beyond the two aggregations, no per-vector state. */
+  def clusterQuality(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("x"))
+      .withColumn("nrm", sqrt(norm2(col("x"))))
+    val cent = groupCentroids(embeddings)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid"))))
+        .as("pm"))
+      .select(col("label").as("clabel"),
+        transform(col("pm"), p => p.getField("centroid")).as("cx"))
+      .withColumn("cnrm", sqrt(norm2(col("cx"))))
+    val scored = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (graft.functions.GraftFunctions.dot(col("x"), col("cx")) /
+          (col("nrm") * col("cnrm"))).as("ccos"))
+    val perVec = scored.groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("label") === col("clabel"), col("ccos"))).as("cos_own"),
+        max(when(col("label") =!= col("clabel"), col("ccos"))).as("cos_other"))
+    def gridMean(c: Column): Column =
+      sum(round(c * lit(1.0e9)).cast(DecimalType(38, 0))).cast("double") /
+        (count(lit(1)) * lit(1.0e9))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        gridMean(col("cos_own")).as("mean_cos_own"),
+        gridMean(col("cos_other")).as("mean_cos_other"))
+      .withColumn("margin", col("mean_cos_own") - col("mean_cos_other"))
+  }
+
   def kmeansStep(embeddings: DataFrame, seedEvery: Int = 199): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val v = embeddings.transform(Partitioning.spread(_, col("vec_id")))

@@ -275,4 +275,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(out((2L, 0)) == (0.0, 1L))
     assert(out.size == 2 * 64)
   }
+
+  test("clusterQuality: cohesion vs best-other-centroid separation") {
+    // A sits alone on e0 → margin 1; B and C share the e1 direction, so
+    // each one's best OTHER centroid is as close as its own → margin 0
+    val embs = Seq(
+      (1L, "A", Array(1.0f, 0.0f)), (2L, "A", Array(1.0f, 0.0f)),
+      (3L, "B", Array(0.0f, 1.0f)), (4L, "B", Array(0.0f, 1.0f)),
+      (5L, "C", Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = VectorOps.clusterQuality(embs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("A") == (2L, 1.0, 0.0, 1.0))
+    assert(out("B") == (2L, 1.0, 1.0, 0.0))
+    assert(out("C") == (1L, 1.0, 1.0, 0.0))
+  }
 }
