@@ -214,6 +214,8 @@ object SparkEntry {
     "c19_epoch_expand" -> ((s, d) => Curation.epochExpand(T.documents(s, d))),
     "c21_pack_similar" -> ((s, d) =>
       Curation.packBySimilarity(T.documents(s, d), T.embeddings(s, d))),
+    "c22_neyman_alloc" -> ((s, d) =>
+      Curation.neymanAllocation(T.documents(s, d))),
     // snapshot split by doc_id parity: even = accepted corpus, odd = the
     // incoming crawl under review
     "c20_quality_drift" -> ((s, d) => {
@@ -2808,6 +2810,33 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS start_offset
         |FROM c""".stripMargin,
+    // Neyman allocation: exact decimal power sums → fixed-order double
+    // variance, grid-rounded N_h·σ_h weights, largest-remainder
+    // integerization (allocations sum exactly to the budget).
+    "c22_neyman_alloc" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sx2
+        |  FROM documents GROUP BY source),
+        |s1 AS (SELECT source, nh,
+        |    sqrt((CAST(sx2 AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh) / nh) AS sigma
+        |  FROM per),
+        |s2 AS (SELECT source, nh AS n_docs, sigma,
+        |    CAST(round(nh * sigma * 1.0e9) AS DECIMAL(38,0)) AS g FROM s1),
+        |s3 AS (SELECT source, n_docs, sigma,
+        |    1000.0 * (CAST(g AS DOUBLE) / CAST(SUM(g) OVER () AS DOUBLE))
+        |      AS raw
+        |  FROM s2),
+        |s4 AS (SELECT source, n_docs, sigma, floor(raw) AS base,
+        |    raw - floor(raw) AS frac FROM s3),
+        |s5 AS (SELECT source, n_docs, sigma, base, frac,
+        |    1000 - CAST(SUM(base) OVER () AS BIGINT) AS rem,
+        |    row_number() OVER (ORDER BY frac DESC, source) AS rn FROM s4)
+        |SELECT source, n_docs, sigma,
+        |  CAST(base AS BIGINT) +
+        |    (CASE WHEN rn <= rem THEN 1 ELSE 0 END) AS alloc
+        |FROM s5""".stripMargin,
     // q20's middle-statistics recipe applied twice: once on values, once
     // on |value - median| with the same deterministic (dev, id) rank.
     "q57_group_mad" ->

@@ -646,4 +646,47 @@ object Curation {
         (Relational.dsum(gap) / 2).as("tv_distance"))
       .withColumn("drifted", col("tv_distance") > driftBar)
   }
+
+  /** Neyman sampling allocation (c22): split a doc `budget` across sources
+    * proportionally to N_h·σ_h (stratum size × within-stratum stddev of
+    * n_chars) — the variance-minimizing allocation for a fixed sample
+    * budget, so high-variance sources get proportionally more audit/eval
+    * samples than uniform-or-size-proportional splits would give them.
+    *
+    * Arithmetic contract: per-stratum count and power sums are exact
+    * (decimal accumulation), variance/σ are then single-expression double
+    * math with fixed operation order; the N_h·σ_h weights are grid-rounded
+    * before the cross-strata total so the denominator is order-independent.
+    * Integerization is largest-remainder (floor everyone, then +1 by
+    * fractional-part rank, ties → source name) — allocations sum EXACTLY
+    * to `budget`. All windows run over the strata-count aggregate (the
+    * q54 summary-window shape), never the fact table. */
+  def neymanAllocation(documents: DataFrame, budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = documents.groupBy(col("source")).agg(
+      count(lit(1)).as("nh"),
+      sum(col("n_chars").cast(DecimalType(38, 0))).as("sx"),
+      sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
+        .as("sx2"))
+    val sxd = col("sx").cast("double")
+    val varH = (col("sx2").cast("double") -
+      sxd * sxd / col("nh")) / col("nh")
+    val sigma = sqrt(varH)
+    val scored = per.select(col("source"), col("nh").as("n_docs"),
+      sigma.as("sigma"),
+      round(col("nh") * sigma * lit(1.0e9)).cast(DecimalType(38, 0)).as("g"))
+    val all = Window.partitionBy()
+    val w = col("g").cast("double") /
+      sum(col("g")).over(all).cast("double")
+    val raw = lit(budget.toDouble) * w
+    val withBase = scored.select(col("source"), col("n_docs"), col("sigma"),
+      floor(raw).as("base"), (raw - floor(raw)).as("frac"))
+    val rem = lit(budget) - sum(col("base")).over(all).cast("long")
+    val rn = row_number().over(
+      Window.partitionBy().orderBy(col("frac").desc, col("source")))
+    withBase
+      .select(col("source"), col("n_docs"), col("sigma"),
+        (col("base").cast("long") +
+          when(rn <= rem, 1L).otherwise(0L)).as("alloc"))
+  }
 }

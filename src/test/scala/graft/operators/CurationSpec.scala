@@ -385,4 +385,22 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(re == out.map { case (k, v) => k -> v._3 })
   }
+
+  test("neymanAllocation: N·sigma shares, largest-remainder to budget") {
+    // A: {0,2} → σ=1, Nσ=2; B: {3,3} → σ=0, Nσ=0; C: {0,6} → σ=3, Nσ=6.
+    // Shares: A 1/4, C 3/4 of budget 10 → raw 2.5 / 7.5, floors 2+0+7=9,
+    // one remainder seat: frac tie (.5 = .5) → lexicographic source → A.
+    val docs = Seq(
+      (1L, "A", 0L), (2L, "A", 2L),
+      (3L, "B", 3L), (4L, "B", 3L),
+      (5L, "C", 0L), (6L, "C", 6L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.neymanAllocation(docs, budget = 10L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(out("A") == (2L, 1.0, 3L))
+    assert(out("B") == (2L, 0.0, 0L))
+    assert(out("C") == (2L, 3.0, 7L))
+    assert(out.values.map(_._3).sum == 10L, "allocations sum to budget")
+  }
 }
