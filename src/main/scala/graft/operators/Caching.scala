@@ -49,10 +49,20 @@ object Caching {
     * (default false) AND the driver GCs the RDD. Iterative callers on a real
     * cluster should set that conf, or clear the checkpoint dir between jobs
     * — otherwise per-round checkpoints accumulate unboundedly. */
-  def materialize(df: DataFrame): DataFrame =
+  /** The physical plan of the last frame [[materialize]] truncated —
+    * lineage truncation replaces the caller-visible plan with a checkpoint
+    * scan, so plan-quality pins (and humans debugging a slow operator)
+    * read the REAL executed shape here instead. Planning is forced anyway
+    * by the eager materialization; capturing its string costs nothing
+    * extra. */
+  @volatile private[graft] var lastMaterializedPlan: String = ""
+
+  def materialize(df: DataFrame): DataFrame = {
+    lastMaterializedPlan = df.queryExecution.executedPlan.toString
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       persistedCheckpoint(df)
     else df.localCheckpoint(true)
+  }
 
   /** The ONE copy of the single-compute reliable-checkpoint bracket:
     * persist → checkpoint(eager) → unpersist. Both [[materialize]] and

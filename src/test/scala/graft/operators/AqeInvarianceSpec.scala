@@ -147,4 +147,15 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on == off)
     assert(on.size == 4, "one query, four ranks")
   }
+
+  test("sortedNeighborPairs is AQE-invariant (rank self-join + window)") {
+    // near pairs (1,2) and (3,5): identical/1-edit titles sort adjacent
+    def run() = Dedup.sortedNeighborPairs(docs, window = 2, maxEdit = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty, "fixture actually produces neighbor pairs")
+  }
 }

@@ -161,4 +161,41 @@ class PlanQualitySpec extends SparkSpec {
       s"levenshtein must verify equi-join candidates only:\n$p")
     assert(p.contains("levenshtein"), p)
   }
+
+  // for operators whose public output is lineage-truncated (Caching
+  // bracket), the real executed shape is captured at the materialize seam
+  private def materializedPlan(q: String): String = {
+    plan(q)
+    Caching.lastMaterializedPlan
+  }
+
+  test("d24: neighbor pairing is a bucket equi-join, offsets broadcast") {
+    val p = materializedPlan("d24_sorted_neighborhood")
+    // the rank-distance predicate must ride on the bucket EQUI-join — a
+    // range-join fallback would nested-loop the whole corpus against itself
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rank-window join must stay an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"partition offsets must broadcast:\n$p")
+  }
+
+  test("e14: every vector scores against the broadcast centroid table") {
+    val p = plan("e14_cluster_quality")
+    // labels × vectors is intentionally a broadcast nested loop (the
+    // centroid side is label-count rows); what must NOT appear is a
+    // non-broadcast cartesian over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cartesian over the corpus:\n$p")
+  }
+
+  test("x27: the BPE apply joins docs to a broadcast dictionary") {
+    val p = materializedPlan("x27_bpe_doc_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word dictionary must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocab-sized dictionary must never SMJ:\n$p")
+  }
 }
