@@ -375,6 +375,7 @@ object SparkEntry {
     "s6_ann_tiered" -> ((s, d) => Similarity.annTiered(T.embeddings(s, d))),
     "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
     "s8_ann_pq_adc" -> ((s, d) => Similarity.pqAdcAnn(T.embeddings(s, d))),
+    "s13_ivf_adc" -> ((s, d) => Similarity.ivfAdcAnn(T.embeddings(s, d))),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -3198,6 +3199,117 @@ object SparkEntry {
     // training set = vec_id%5 sample, KMeansIters=2 unrolled Lloyd steps
     // (a0/g0/m1/c1 then a1/g1/m2/c2), per-dim means as DECIMAL(38,12) sums
     // divided in double, empty cells keep the previous centroid.
+    // s13 = s3's coarse-quantizer chain (verbatim, through `probes`) +
+    // s8's PQ chain (CTEs renamed pd0/pa0/pm1/pasg/plut) with the ADC sum
+    // restricted to probed-cell candidates (`ccand`), then the exact
+    // re-rank — the IVFADC composition mirrored CTE for CTE.
+    "s13_ivf_adc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |dims AS (SELECT UNNEST(range(1,65)) AS i),
+        |samp AS (SELECT vec_id, x FROM v WHERE vec_id % 5 = 0),
+        |c0 AS (SELECT vec_id AS cent_id, x AS cx FROM v WHERE vec_id % 50 = 0),
+        |a0 AS (SELECT s.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> s.x[i] * c.cx[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> s.x[i] * s.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.cx[i] * c.cx[i]), (p,q) -> p + q))) AS ccos
+        |  FROM samp s, c0 c),
+        |g0 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM a0) WHERE rn <= 1),
+        |m1 AS (SELECT cent_id, list(m ORDER BY i) AS mx FROM (
+        |  SELECT g.cent_id, d.i,
+        |    CAST(SUM(CAST(s.x[d.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM samp s JOIN g0 g ON s.vec_id = g.vec_id CROSS JOIN dims d
+        |  GROUP BY g.cent_id, d.i) GROUP BY cent_id),
+        |c1 AS (SELECT c.cent_id, COALESCE(m.mx, c.cx) AS cx
+        |  FROM c0 c LEFT JOIN m1 m ON c.cent_id = m.cent_id),
+        |a1 AS (SELECT s.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> s.x[i] * c.cx[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> s.x[i] * s.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.cx[i] * c.cx[i]), (p,q) -> p + q))) AS ccos
+        |  FROM samp s, c1 c),
+        |g1 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM a1) WHERE rn <= 1),
+        |m2 AS (SELECT cent_id, list(m ORDER BY i) AS mx FROM (
+        |  SELECT g.cent_id, d.i,
+        |    CAST(SUM(CAST(s.x[d.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM samp s JOIN g1 g ON s.vec_id = g.vec_id CROSS JOIN dims d
+        |  GROUP BY g.cent_id, d.i) GROUP BY cent_id),
+        |cent AS (SELECT c.cent_id, COALESCE(m.mx, c.cx) AS cx
+        |  FROM c1 c LEFT JOIN m2 m ON c.cent_id = m.cent_id),
+        |ac AS (SELECT a.vec_id, c.cent_id,
+        |  list_reduce(list_transform(range(1,65), i -> a.x[i] * c.cx[i]), (p,q) -> p + q) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> a.x[i] * a.x[i]), (p,q) -> p + q)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.cx[i] * c.cx[i]), (p,q) -> p + q))) AS ccos
+        |  FROM v a, cent c),
+        |asg AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM ac) WHERE rn <= 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+        |  FROM ac WHERE vec_id % 100 = 0) WHERE rn <= 2),
+        |ccand AS (SELECT p.query_id, s.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg s ON p.cent_id = s.cent_id
+        |  WHERE s.vec_id <> p.query_id GROUP BY 1, 2),
+        |sub AS (SELECT vec_id, s, x[(16*s+1):(16*s+16)] AS sx
+        |  FROM v CROSS JOIN (SELECT UNNEST(range(0, 4)) AS s)),
+        |seeds AS (SELECT s, sx AS cx,
+        |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) AS INT)
+        |      AS code
+        |  FROM sub WHERE vec_id % 61 = 0 AND vec_id < 61 * 256),
+        |pd0 AS (SELECT u.vec_id, u.s, se.code, u.sx,
+        |  list_reduce(list_transform(range(1, 17), i ->
+        |    (u.sx[i] - se.cx[i]) * (u.sx[i] - se.cx[i])), (a, b) -> a + b)
+        |    AS d2
+        |  FROM sub u JOIN seeds se ON u.s = se.s),
+        |pa0 AS (SELECT vec_id, s, code, sx FROM (SELECT vec_id, s, code, sx,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+        |      AS rn FROM pd0) WHERE rn = 1),
+        |pm1 AS (SELECT s, code, list(m ORDER BY i) AS mx FROM (
+        |  SELECT a.s, a.code, d.i,
+        |    CAST(SUM(CAST(round(a.sx[d.i] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS m
+        |  FROM pa0 a CROSS JOIN (SELECT UNNEST(range(1, 17)) AS i) d
+        |  GROUP BY a.s, a.code, d.i) GROUP BY s, code),
+        |cb AS (SELECT se.s, se.code, COALESCE(pm1.mx, se.cx) AS cx
+        |  FROM seeds se LEFT JOIN pm1 ON se.s = pm1.s AND se.code = pm1.code),
+        |pasg AS (SELECT vec_id, s, code FROM (SELECT u.vec_id, u.s, c.code,
+        |    row_number() OVER (PARTITION BY u.vec_id, u.s ORDER BY
+        |      list_reduce(list_transform(range(1, 17), i ->
+        |        (u.sx[i] - c.cx[i]) * (u.sx[i] - c.cx[i])), (a, b) -> a + b),
+        |      c.code) AS rn
+        |  FROM sub u JOIN cb c ON u.s = c.s) WHERE rn = 1),
+        |plut AS (SELECT q.vec_id AS query_id, c.s, c.code,
+        |  CAST(round(list_reduce(list_transform(range(1, 17), i ->
+        |    (q.sx[i] - c.cx[i]) * (q.sx[i] - c.cx[i])), (a, b) -> a + b)
+        |    * 1.0e9) AS BIGINT) AS g2
+        |  FROM sub q JOIN cb c ON q.s = c.s WHERE q.vec_id % 100 = 0),
+        |adc AS (SELECT cc.query_id, cc.neighbor_id,
+        |  CAST(CAST(SUM(g2) AS BIGINT) AS DOUBLE) / 1.0e9 AS adc_d2
+        |  FROM ccand cc JOIN pasg a ON a.vec_id = cc.neighbor_id
+        |    JOIN plut l ON l.query_id = cc.query_id
+        |      AND a.s = l.s AND a.code = l.code
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_d2, neighbor_id) AS r
+        |  FROM adc) WHERE r <= 30),
+        |fx AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |           JOIN v c ON c.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM fx) WHERE rank <= 10""".stripMargin,
     "s3_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |dims AS (SELECT UNNEST(range(1,65)) AS i),

@@ -404,6 +404,50 @@ object Similarity {
     }
   }
 
+  /** IVF-ADC ANN (s13): the production composition of the two scale tiers
+    * — the IVF coarse quantizer (s3) restricts each query's candidates to
+    * its probed cells, PQ asymmetric distance (s8) then scores ONLY those
+    * candidates via the broadcast per-query lookup table, and the ADC
+    * survivors get the exact re-rank. Per-query cost falls from
+    * full-corpus ADC to |probed cells| × subspaces table adds — the
+    * FAISS IVFADC shape that serves billion-vector corpora from code
+    * tables that fit in executor memory, here as three broadcast-join
+    * passes over one persisted corpus prep. */
+  def ivfAdcAnn(embeddings: DataFrame, k: Int = 10, probeK: Int = 30,
+      subspaces: Int = 4, subDim: Int = 16): DataFrame = {
+    val vc = vecs(embeddings)
+    val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
+    Caching.withPersisted(vc, sub) {
+      val cent = kmeansCentroids(vc).localCheckpoint(true)
+      val cells = bestCells(cent)(vc, 1)
+      val probes = bestCells(cent)(defaultQueries(vc), NProbe)
+        .withColumnRenamed("vec_id", "query_id")
+      val cellCand = probes.join(cells, "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val codebook = VectorOps.pqCodebook(sub)
+      val codes = VectorOps.pqNearest(sub, codebook)
+        .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
+      val lut = defaultQueries(sub)
+        .select(col("vec_id").as("query_id"), col("s"),
+          col("sx").as("qsx"))
+        .join(broadcast(codebook), "s")
+        .select(col("query_id"), col("s"), col("code"),
+          round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
+            .cast("long").as("g2"))
+      val adc = cellCand
+        .join(codes, "neighbor_id")
+        .join(broadcast(lut), Seq("query_id", "s", "code"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg((sum(col("g2")).cast("double") / lit(1.0e9)).as("adc_d2"))
+      val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
+        Seq(col("adc_d2"), col("neighbor_id")), probeK)
+        .select(col("query_id"), col("neighbor_id"))
+      rerankExact(vc, defaultQueries(vc), cands, k)
+    }
+  }
+
   /** ANN recall evaluation (s9): run the exact baseline and an approximate
     * tier over the SAME corpus and report per-query recall@k — the quality
     * gate an ANN deployment watches when retuning probeK/band counts. The
@@ -562,6 +606,21 @@ object Similarity {
     }
   }
 
+  /** Best `n` cells per vector by cosine against the broadcast centroid
+    * table — the IVF assignment/probe primitive shared by [[annIvf]] and
+    * [[ivfAdcAnn]]. */
+  private def bestCells(cent: DataFrame)(
+      side: DataFrame, n: Int): DataFrame = {
+    val scored = side
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        (GraftFunctions.dot(col("x"), col("cx")) /
+          (col("nrm") * col("cnrm"))).as("ccos"))
+    graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
+      Seq(col("ccos").desc, col("cent_id")), n)
+      .select(col("vec_id"), col("cent_id"))
+  }
+
   def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val v = vecs(embeddings)
     Caching.withPersisted(v) {
@@ -569,18 +628,8 @@ object Similarity {
       // corpus assignment and the query probes — without this each broadcast
       // would re-run the Lloyd iterations.
       val cent = kmeansCentroids(v).localCheckpoint(true)
-      def bestCells(side: DataFrame, n: Int): DataFrame = {
-        val scored = side
-          .join(broadcast(cent))
-          .select(col("vec_id"), col("cent_id"),
-            (GraftFunctions.dot(col("x"), col("cx")) /
-              (col("nrm") * col("cnrm"))).as("ccos"))
-        graft.plans.TopK.perKey(scored, Seq(col("vec_id")),
-          Seq(col("ccos").desc, col("cent_id")), n)
-          .select(col("vec_id"), col("cent_id"))
-      }
-      val cells = bestCells(v, 1)
-      val probes = bestCells(v.filter(col("vec_id") % 100 === 0), NProbe)
+      val cells = bestCells(cent)(v, 1)
+      val probes = bestCells(cent)(v.filter(col("vec_id") % 100 === 0), NProbe)
         .withColumnRenamed("vec_id", "query_id")
       val cand = probes.join(cells, "cent_id")
         .filter(col("query_id") =!= col("vec_id"))

@@ -229,6 +229,35 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("ivfAdcAnn: cell-restricted ADC keeps recall, exact re-rank cosines") {
+    import org.apache.spark.sql.functions._
+    // same 4-cluster layout as the pqAdcAnn spec: the coarse quantizer's
+    // cells align with the clusters, so restricting ADC to probed cells
+    // must not lose the cluster-mate neighbors the full ADC pass finds
+    val data = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i % 4)
+      val pat = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val noise = new scala.util.Random(1000 + i)
+      val v = pat.map(p => (p + noise.nextDouble() * 0.2 - 0.1).toFloat)
+      (i, v, (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteForce(data, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val ivfadc = Similarity.ivfAdcAnn(data, k = 5, probeK = 60)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ivfadc.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    info(s"ivfAdcAnn recall@5 on clustered vectors = $recall ($hits/$total)")
+    assert(recall >= 0.9, s"IVF-ADC recall@5 $recall below floor")
+    val mismatch = exact.as("e")
+      .join(ivfadc.as("t"), Seq("query_id", "neighbor_id"))
+      .filter(col("e.cos") =!= col("t.cos")).count()
+    assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
+  }
+
   test("annIvf recall vs exact brute force on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
