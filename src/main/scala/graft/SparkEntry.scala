@@ -165,6 +165,13 @@ object SparkEntry {
     "x25_bpe_train" -> ((s, d) => LlmText.bpeTrain(T.documents(s, d))),
     "x26_bpe_vocab" -> ((s, d) => LlmText.bpeVocab(T.documents(s, d))),
     "x27_bpe_doc_stats" -> ((s, d) => LlmText.bpeDocStats(T.documents(s, d))),
+    // x27 through the MATERIALIZED dictionary path (train-once artifact;
+    // ingest never re-runs a merge step). Same oracle SQL as x27 — the
+    // physical path differs, the semantics must not.
+    "x28_bpe_vs_dict" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      LlmText.bpeDocStatsVsDict(docs, LlmText.bpeDictionary(docs))
+    }),
     "x11_pii_redact" -> ((s, d) => LlmText.piiRedact(T.documents(s, d))),
     "x12_line_filter" -> ((s, d) => LlmText.lineFilter(T.documents(s, d))),
     "x13_char_diversity" -> ((s, d) =>
@@ -410,7 +417,9 @@ object SparkEntry {
     // both must be bit-identical to the same SQL.
     ("d8b_dedup_pipeline" -> oracleSqlBase("d8_dedup_apply")) +
     // d20 is d13 through the materialized-index path; same SQL.
-    ("d20_dedup_vs_index" -> oracleSqlBase("d13_incremental_dedup"))
+    ("d20_dedup_vs_index" -> oracleSqlBase("d13_incremental_dedup")) +
+    // x28 is x27 through the materialized-dictionary path; same SQL.
+    ("x28_bpe_vs_dict" -> oracleSqlBase("x27_bpe_doc_stats"))
 
   /** Unrolled BPE merge-step CTE chain shared by the x25/x26/x27 oracles:
     * w0 is the char-split word-count table (end-of-word marker appended),

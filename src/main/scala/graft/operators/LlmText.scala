@@ -1247,7 +1247,32 @@ object LlmText {
     val (_, state) = bpeTrainState(documents, nMerges)
     val dict = state.select(col("w"),
       size(split(col("sym"), " ")).cast("long").as("ntok"))
-    val out = Caching.materialize(documents
+    val out = Caching.materialize(bpeDocStatsVsDict(documents, dict))
+    state.unpersist()
+    out
+  }
+
+  /** The trained word→token-count dictionary as a standalone artifact
+    * (w, ntok) — the storable/shippable form of the tokenizer: train once
+    * ([[bpeTrainState]]), land as a lake table, and every later ingest
+    * tokenizes against it via [[bpeDocStatsVsDict]] without re-running a
+    * single merge step — the same train-once/apply-forever split as the
+    * materialized near-dup index (d20). */
+  def bpeDictionary(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val (_, state) = bpeTrainState(documents, nMerges)
+    val out = Caching.materialize(state.select(col("w"),
+      size(split(col("sym"), " ")).cast("long").as("ntok")))
+    state.unpersist()
+    out
+  }
+
+  /** x27's apply body against a PREBUILT dictionary (x28): one broadcast
+    * join per ingest batch, zero training work. Unknown words (absent
+    * from the dictionary) drop out of the join — production deployments
+    * union a char-fallback row per OOV word; the corpus-trained path here
+    * has none by construction. */
+  def bpeDocStatsVsDict(documents: DataFrame, dict: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("n_chars"), explode(words(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .join(broadcast(dict), "w")
@@ -1257,8 +1282,5 @@ object LlmText {
         first(col("n_chars")).as("n_chars"))
       .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
         (col("n_chars").cast("double") / col("n_tokens"))
-          .as("chars_per_token")))
-    state.unpersist()
-    out
-  }
+          .as("chars_per_token"))
 }

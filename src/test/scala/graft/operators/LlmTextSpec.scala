@@ -528,4 +528,20 @@ class LlmTextSpec extends SparkSpec {
       .agg(sum(col("freq"))).head().getLong(0)
     assert(stats.values.map(_._2).sum == vocabMass)
   }
+
+  test("bpeDocStatsVsDict: stored dictionary equals the retrain path") {
+    // train-once artifact survives a parquet round-trip and tokenizes
+    // identically to the retrain-per-call path (x27 vs x28 parity)
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe-dict-").toString + "/dict"
+    LlmText.bpeDictionary(bpeDocs, nMerges = 6).write.parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val viaDict = LlmText.bpeDocStatsVsDict(bpeDocs, stored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    val retrain = LlmText.bpeDocStats(bpeDocs, nMerges = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    assert(viaDict == retrain)
+  }
 }
