@@ -206,6 +206,26 @@ class SkewSpec extends SparkSpec {
       "capped run drops the >cap block entirely, like the LSH family")
   }
 
+  test("sortedNeighborPairs: a hot title costs O(n·window), never n²") {
+    // the SAME boilerplate scenario that forces fuzzyTitlePairs to drop
+    // its hot block entirely: 60 identical titles. Sorted-neighborhood
+    // needs no cap and no drop — identical titles sort adjacent and each
+    // record still compares against exactly `window` successors, so the
+    // hot run yields 60·w - w(w+1)/2 pairs (every one ≤ w ranks apart),
+    // not 60²/2.
+    val hot = (0 until 60).map(i =>
+      (1000L + i, "free shipping on all orders click here now"))
+    val cold = (0 until 40).map(i =>
+      (i.toLong, s"unique$i headline about topic $i with words $i"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val w = 5
+    val pairs = Dedup.sortedNeighborPairs(docs, window = w, maxEdit = 0)
+    // maxEdit=0: only the identical hot titles match; candidate volume is
+    // bounded by construction, and NO pair was dropped to get there
+    assert(pairs.count() == 60L * w - w.toLong * (w + 1) / 2,
+      "hot run must produce exactly the rank-window pairs")
+  }
+
   test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
     val plain = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"),
