@@ -266,6 +266,7 @@ object SparkEntry {
       R.integrityReport(T.customer(s, d), T.orders(s, d),
         T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
+    "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       R.latestPerKey(T.events(s, d))
@@ -2877,6 +2878,21 @@ object SparkEntry {
         |SELECT med.event_type, med.med AS median_value, mad.mad,
         |  med.n_rows
         |FROM med JOIN mad ON med.event_type = mad.event_type""".stripMargin,
+    // Rank trimming keeps a deterministic multiset of values under ties,
+    // so no tiebreak column; mean mirrors davg (DECIMAL(38,6) sum / count).
+    "q58_trimmed_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |k AS (SELECT event_type, value, n FROM r
+        |  WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1))
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(value) AS DOUBLE) AS trimmed_mean
+        |FROM k GROUP BY event_type""".stripMargin,
     // The S-curve uses multiplication-only arithmetic in the same order
     // as the Spark expression, so doubles match bit-for-bit.
     "d23_lsh_curve" ->

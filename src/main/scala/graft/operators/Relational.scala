@@ -756,6 +756,32 @@ object Relational {
         col("o_orderpriority").as("mode_priority"), col("n").as("n_mode"))
   }
 
+  /** Rank-trimmed robust group mean (q58): drop the lowest and highest
+    * ⌊trimFrac·n⌋ values per group BY RANK, then grid-exact mean of the
+    * kept middle — the outlier-insensitive center estimate a metrics
+    * pipeline reports next to the raw mean (one sensor stuck at 1e9 no
+    * longer moves it). Trimming by rank makes the kept MULTISET of values
+    * deterministic regardless of tie order, so no tiebreak column is
+    * needed and both engines agree bit-for-bit.
+    *
+    * Plan shape: one window partitioned by the group key (parallel across
+    * groups; per-group sort is the honest cost of exact rank trimming —
+    * same posture as [[Temporal.groupQuantiles]]), then one hash
+    * aggregate with decimal accumulation. */
+  def trimmedMean(events: DataFrame, trimFrac: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val nw = Window.partitionBy(col("event_type"))
+    events.select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nw))
+      .withColumn("lo", floor(col("n") * lit(trimFrac)))
+      .filter(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        davg(col("value")).as("trimmed_mean"))
+  }
+
   /** Weighted median (q49): per return flag, the smallest extended price
     * whose cumulative quantity weight reaches half the group's total —
     * the lower weighted median, the robust center estimate quality

@@ -349,4 +349,20 @@ class RelationalSpec extends SparkSpec {
     assert(out(4L) == (80.0, 3L))
     assert(out(5L) == (7.0, 1L))
   }
+
+  test("trimmedMean drops rank tails; outlier no longer moves the center") {
+    // group a: 1..10 plus a stuck-sensor 1000 → n=11, floor(1.1)=1 cut per
+    // side drops {1} and {1000}; mean(2..10) = 6. group b: too small to
+    // trim (n=2, floor(0.2)=0) → plain mean.
+    val events = ((1 to 10).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+      .++(Seq(("b", 4.0), ("b", 8.0)))
+      .zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Relational.trimmedMean(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out("a") == (11L, 9L, 6.0))
+    assert(out("b") == (2L, 2L, 6.0))
+  }
 }
