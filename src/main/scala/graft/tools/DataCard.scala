@@ -43,6 +43,7 @@ object DataCard {
   /** The card body, exposed for the spec. */
   def render(spark: SparkSession, sfDir: String): String = {
     val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
 
     val overview = docs.agg(
       count(lit(1)).as("n_docs"),
@@ -61,6 +62,10 @@ object DataCard {
       .orderBy(col("kl_nats").desc)
     val curve = Dedup.lshCandidateCurve(spark)
       .filter(col("jaccard").isin(0.5, 0.7, 0.9))
+    val audit = Curation.neymanAllocation(docs).orderBy(col("source"))
+    val merges = LlmText.bpeTrain(docs)
+    val clusters = graft.operators.VectorOps.clusterQuality(embs)
+      .orderBy(col("margin"))
 
     val sb = new StringBuilder
     sb ++= "# Data card\n\n"
@@ -79,6 +84,12 @@ object DataCard {
     sb ++= section(
       "Near-dup detector operating points (d23: P(candidate|jaccard))",
       curve)
+    sb ++= section(
+      "Audit sampling allocation (c22: Neyman, budget 1000)", audit)
+    sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
+    sb ++= section(
+      "Embedding cluster quality (e14: cohesion vs separation, worst first)",
+      clusters)
     sb.result()
   }
 

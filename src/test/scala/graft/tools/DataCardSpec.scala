@@ -15,7 +15,10 @@ class DataCardSpec extends SparkSpec {
         "## Per-source health (c13)",
         "## Dedup governance (d16: dropped mass + cap accounting)",
         "## Vocabulary divergence vs corpus (x23, KL nats)",
-        "## Near-dup detector operating points"))
+        "## Near-dup detector operating points",
+        "## Audit sampling allocation (c22: Neyman, budget 1000)",
+        "## Tokenizer merge table (x25: first BPE merges)",
+        "## Embedding cluster quality (e14"))
       assert(card.contains(section), s"missing section: $section\n$card")
     // overview numbers are real
     assert("- documents: (\\d+)".r.findFirstMatchIn(card)
