@@ -260,6 +260,7 @@ object SparkEntry {
     "d23_lsh_curve" -> ((s, _) => Dedup.lshCandidateCurve(s)),
     "d24_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborPairs(T.documents(s, d))),
+    "d25_lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
     "q55_attribution" -> ((s, d) =>
       Temporal.lastTouchAttribution(T.events(s, d))),
     "q56_integrity" -> ((s, d) =>
@@ -2893,6 +2894,40 @@ object SparkEntry {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
         |    / COUNT(value) AS DOUBLE) AS trimmed_mean
         |FROM k GROUP BY event_type""".stripMargin,
+    // d23's S-curve swept over every (bands, rows) factorization of the
+    // hash budget; powers are left-fold repeated multiplication (1.0·s ≡ s
+    // in IEEE so Spark aggregate-HOF and DuckDB list_reduce agree), error
+    // terms grid-rounded before the cross-grid integral.
+    "d25_lsh_tune" ->
+      """WITH combos AS (SELECT CAST(b AS INT) AS bands,
+        |    CAST(12 // b AS INT) AS rows_per_band
+        |  FROM (SELECT UNNEST(range(1, 13)) AS b) q WHERE 12 % b = 0),
+        |g AS (SELECT CAST(i AS DOUBLE) / 20 AS s FROM range(1, 20) t(i)),
+        |sc AS (SELECT bands, rows_per_band, s,
+        |    list_reduce(list_transform(range(1,
+        |      CAST(rows_per_band + 1 AS BIGINT)), i -> s),
+        |      (a, b) -> a * b) AS sr
+        |  FROM combos CROSS JOIN g),
+        |pc AS (SELECT bands, rows_per_band, s,
+        |    1.0 - list_reduce(list_transform(range(1,
+        |      CAST(bands + 1 AS BIGINT)), i -> 1.0 - sr),
+        |      (a, b) -> a * b) AS p
+        |  FROM sc),
+        |terms AS (SELECT bands, rows_per_band,
+        |    CASE WHEN s < 0.7 THEN p * 0.05 ELSE 0.0 END AS fp_term,
+        |    CASE WHEN s >= 0.7 THEN (1.0 - p) * 0.05 ELSE 0.0 END AS fn_term
+        |  FROM pc),
+        |errs AS (SELECT bands, rows_per_band,
+        |    CAST(SUM(CAST(round(fp_term * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / 1.0e9 AS fp_mass,
+        |    CAST(SUM(CAST(round(fn_term * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / 1.0e9 AS fn_mass
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT bands, rows_per_band, fp_mass, fn_mass,
+        |  fp_mass + fn_mass AS total_err,
+        |  row_number() OVER (ORDER BY fp_mass + fn_mass, bands) = 1
+        |    AS chosen
+        |FROM errs""".stripMargin,
     // The S-curve uses multiplication-only arithmetic in the same order
     // as the Spark expression, so doubles match bit-for-bit.
     "d23_lsh_curve" ->

@@ -981,6 +981,51 @@ object Dedup {
       .select(col("jaccard"),
         (lit(1.0) - col("q2") * col("q2")).as("p_candidate"))
 
+  /** LSH parameter auto-tuner (d25): for a fixed hash budget, score every
+    * (bands, rows) factorization's S-curve against a target similarity
+    * threshold and flag the argmin — the tuning artifact behind d2/d23's
+    * hardcoded (4, 3): `fp_mass` integrates P(candidate) below the
+    * threshold (wasted verify work), `fn_mass` integrates 1−P above it
+    * (missed near-dups), both on d23's 19-point grid.
+    *
+    * Arithmetic contract: powers are repeated multiplication via a
+    * left-fold from 1.0 (1.0·s ≡ s in IEEE, so Spark's `aggregate` HOF
+    * and DuckDB's `list_reduce` agree bit-for-bit); the per-point error
+    * terms are grid-rounded before the cross-grid sum so the integral is
+    * order-independent. All of it runs on a generated 6×19-row frame —
+    * there is no data input; the artifact is the decision table. */
+  def lshTune(spark: org.apache.spark.sql.SparkSession,
+      hashBudget: Int = 12, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val combos = (1 to hashBudget)
+      .filter(hashBudget % _ == 0)
+      .map(b => (b, hashBudget / b))
+    val base = spark.createDataFrame(combos).toDF("bands", "rows_per_band")
+      .crossJoin(spark.range(1, 20)
+        .select((col("id").cast("double") / 20).as("s")))
+    def powFold(x: Column, n: Column): Column =
+      aggregate(sequence(lit(1), n), lit(1.0), (acc, _) => acc * x)
+    val scored = base
+      .withColumn("sr", powFold(col("s"), col("rows_per_band")))
+      .withColumn("p",
+        lit(1.0) - powFold(lit(1.0) - col("sr"), col("bands")))
+      .withColumn("fp_term",
+        when(col("s") < threshold, col("p") * lit(0.05)).otherwise(lit(0.0)))
+      .withColumn("fn_term",
+        when(col("s") >= threshold, (lit(1.0) - col("p")) * lit(0.05))
+          .otherwise(lit(0.0)))
+    def gridSum(c: Column): Column =
+      (sum(round(c * lit(1.0e9)).cast(DecimalType(38, 0)))
+        .cast("double") / lit(1.0e9))
+    val errs = scored.groupBy(col("bands"), col("rows_per_band"))
+      .agg(gridSum(col("fp_term")).as("fp_mass"),
+        gridSum(col("fn_term")).as("fn_mass"))
+      .withColumn("total_err", col("fp_mass") + col("fn_mass"))
+    errs.withColumn("chosen",
+      row_number().over(Window.partitionBy()
+        .orderBy(col("total_err"), col("bands"))) === 1)
+  }
+
   /** Quality-ranked cluster winners (d22): within each near-dup cluster,
     * keep the LONGEST member (ties to the smaller doc_id) instead of
     * [[nearDupComponents]]' min-id representative — the RefinedWeb /

@@ -428,6 +428,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1))
   }
 
+  test("lshTune: argmin factorization of the hash budget at t=0.7") {
+    val rows = Dedup.lshTune(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(5))).toMap
+    assert(rows.size == 6, "all factorizations of 12 scored")
+    val chosen = rows.collect { case (k, (_, _, true)) => k }
+    assert(chosen.toSeq == Seq((3, 4)),
+      s"argmin at t=0.7 must be 3 bands x 4 rows: $rows")
+    // the engine's production (4,3) sits one step toward recall: it pays
+    // more false-positive verify work for a smaller miss mass
+    assert(rows((4, 3))._2 < rows((3, 4))._2)
+    assert(rows((4, 3))._1 > rows((3, 4))._1)
+  }
+
   test("sortedNeighborPairs: rank-window candidates, partition-invariant") {
     // titles sort as: "alpha ..."(1), "alphb ..."(2), then 13 spacers,
     // then "zeta ..."(3), "zetb ..."(4). Pairs (1,2) and (3,4) are 1
