@@ -529,6 +529,68 @@ class LlmTextSpec extends SparkSpec {
     assert(stats.values.map(_._2).sum == vocabMass)
   }
 
+  // plain-Scala reference BPE trainer: same word counting, pair counting,
+  // tie-break, and 3-pass java.lang.String.replace rewrite — an
+  // independent execution path (no Spark expressions) that must agree
+  // with the engine on any corpus
+  private def bpeRef(texts: Seq[String],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val wc = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var syms: Map[String, (Long, String)] = wc.map { case (w, c) =>
+      w -> (c, w.toCharArray.mkString(" ") + " </w>")
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to nMerges) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((_, (c, sym)) <- syms) {
+        val parts = sym.split(" ")
+        for (i <- 0 until parts.length - 1) {
+          val k = (parts(i), parts(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges += ((step, l, r, c))
+        val pat = s" $l $r "
+        val rep = s" $l$r "
+        syms = syms.map { case (w, (cnt, sym)) =>
+          val padded = " " + sym + " "
+          w -> (cnt,
+            padded.replace(pat, rep).replace(pat, rep).replace(pat, rep)
+              .trim)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("property: bpeTrain equals the plain-Scala reference on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    // tiny alphabet forces repeated chars and chained pairs — exactly the
+    // cases where replace-scan semantics could diverge between engines
+    val word = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val doc = Gen.choose(3, 8).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(5, doc)
+    val prop = forAll(corpus) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val engine = LlmText.bpeTrain(df, nMerges = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      Prop(engine == bpeRef(texts, 4))
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("bpeDocStatsVsDict: stored dictionary equals the retrain path") {
     // train-once artifact survives a parquet round-trip and tokenizes
     // identically to the retrain-per-call path (x27 vs x28 parity)
