@@ -99,4 +99,62 @@ object StreamCuration {
           - l(col("n_known")).cast("double")
           + l(col("cn")).cast("double")).as("kl_nats"))
   }
+
+  /** Per-micro-batch tokenizer-fertility gate: each batch is tokenized
+    * against the TRAINED dictionary ([[graft.operators.LlmText.bpeDictionary]],
+    * a stored lake table — never retrained here) and its corpus-level
+    * chars-per-token is compared to the training baseline. Rising
+    * fertility (more tokens per character budget) is the canonical signal
+    * that incoming data has drifted off the tokenizer's training
+    * distribution — new languages, markup, encodings — and it shows up
+    * here BEFORE it shows up as a training-loss anomaly. OOV words
+    * (absent from the dictionary) drop out of the broadcast join and are
+    * counted separately; a rising `n_oov_words` is the same drift signal
+    * at word granularity. Emits one row per batch:
+    * (n_docs, n_words, n_oov_words, n_tokens, chars_per_token, drifted,
+    * batch_id). */
+  def fertilityVsDict(
+      docs: DataFrame,
+      dict: DataFrame,
+      baselineCharsPerToken: Double,
+      sink: DataFrame => Unit,
+      driftFrac: Double = 0.2): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-tokenizer-fertility")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchFertility(batch, dict, baselineCharsPerToken, driftFrac)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Batch twin of [[fertilityVsDict]]'s per-batch body, exposed so the
+    * spec pins stream output == batch output on the same frames. */
+  def batchFertility(batch: DataFrame, dict: DataFrame,
+      baselineCharsPerToken: Double, driftFrac: Double = 0.2): DataFrame = {
+    import graft.operators.LlmText
+    val tokAgg = batch
+      .select(explode(LlmText.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(dict), Seq("w"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("n_oov_words"),
+        coalesce(sum(col("ntok")), lit(0L)).as("n_tokens"))
+    val docAgg = batch.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_chars")), lit(0L)).as("chars_total"))
+    docAgg.crossJoin(tokAgg)
+      // a batch whose every word is OOV has zero in-dictionary tokens:
+      // chars_per_token is null (ANSI-safe) and the gate trips outright
+      .select(col("n_docs"), col("n_words"), col("n_oov_words"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("chars_total").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
+      .withColumn("drifted",
+        col("n_tokens") === 0 ||
+          abs(col("chars_per_token") - lit(baselineCharsPerToken)) >
+            lit(driftFrac) * lit(baselineCharsPerToken))
+  }
 }

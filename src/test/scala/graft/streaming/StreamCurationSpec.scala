@@ -92,4 +92,52 @@ class StreamCurationSpec extends SparkSpec {
       assert(rows.asScala.toSet == want)
     } finally q.stop()
   }
+
+  test("fertilityVsDict: per-batch chars-per-token gate vs trained dict") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // train the dictionary on the accepted snapshot (the stored artifact)
+    val train = Seq(
+      (100L, "aaaa aaaa bb", 12L), (101L, "aaaa bb bb", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val dict = graft.operators.LlmText.bpeDictionary(train, nMerges = 4)
+    val baseline = graft.operators.LlmText
+      .bpeDocStatsVsDict(train, dict)
+      .agg(org.apache.spark.sql.functions
+        .sum(col("n_chars")).cast("double") /
+        org.apache.spark.sql.functions.sum(col("n_tokens")))
+      .head().getDouble(0)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long, Option[Double], Boolean, Long)]()
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamCuration.fertilityVsDict(
+      input.toDF().toDF("doc_id", "text", "n_chars"), dict, baseline,
+      df => df.collect().foreach(r => rows.add((r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5), r.getLong(6)))))
+    try {
+      // batch 0: on-distribution (chars/token 2.0 vs baseline 22/9,
+      // inside the 20% bar); batch 1: all-OOV drifted junk
+      val b0 = Seq((1L, "aaaa bb bb", 10L))
+      val b1 = Seq((2L, "zzzz qqqq wwww xxxx", 19L))
+      input.addData(b0)
+      q.processAllAvailable()
+      input.addData(b1)
+      q.processAllAvailable()
+      val got = rows.asScala.toSet
+      val want = Seq(b0 -> 0L, b1 -> 1L).map { case (b, id) =>
+        val r = StreamCuration.batchFertility(
+          b.toDF("doc_id", "text", "n_chars"), dict, baseline).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5), id)
+      }.toSet
+      assert(got == want, s"stream rows must equal batch twin:\n$got\n$want")
+      assert(got.exists(r => r._7 == 0L && !r._6),
+        "on-distribution batch passes the gate")
+      assert(got.exists(r => r._7 == 1L && r._6 && r._3 == 4L),
+        "OOV junk batch drifts and every word counts as OOV")
+    } finally q.stop()
+  }
 }
