@@ -385,6 +385,12 @@ object SparkEntry {
     "s7_ann_hamming" -> ((s, d) => Similarity.hammingAnn(T.embeddings(s, d))),
     "s8_ann_pq_adc" -> ((s, d) => Similarity.pqAdcAnn(T.embeddings(s, d))),
     "s13_ivf_adc" -> ((s, d) => Similarity.ivfAdcAnn(T.embeddings(s, d))),
+    // s13 through the MATERIALIZED index path (stored centroid/cell/code/
+    // codebook tables; search runs zero training). Same oracle SQL as s13.
+    "s14_ivf_adc_vs_index" -> ((s, d) => {
+      val em = T.embeddings(s, d)
+      Similarity.ivfAdcVsIndex(em, Similarity.ivfAdcIndex(em))
+    }),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -421,7 +427,9 @@ object SparkEntry {
     // d20 is d13 through the materialized-index path; same SQL.
     ("d20_dedup_vs_index" -> oracleSqlBase("d13_incremental_dedup")) +
     // x28 is x27 through the materialized-dictionary path; same SQL.
-    ("x28_bpe_vs_dict" -> oracleSqlBase("x27_bpe_doc_stats"))
+    ("x28_bpe_vs_dict" -> oracleSqlBase("x27_bpe_doc_stats")) +
+    // s14 is s13 through the materialized-index path; same SQL.
+    ("s14_ivf_adc_vs_index" -> oracleSqlBase("s13_ivf_adc"))
 
   /** Unrolled BPE merge-step CTE chain shared by the x25/x26/x27 oracles:
     * w0 is the char-split word-count table (end-of-word marker appended),

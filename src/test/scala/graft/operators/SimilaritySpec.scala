@@ -258,6 +258,34 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("ivfAdcVsIndex: parquet-stored index equals the end-to-end path") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(emb)
+    // land all four tables and reload — the index must be a plain lake
+    // artifact, not something alive only inside one driver
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc-").toString
+    idx.centroids.write.parquet(s"$dir/centroids")
+    idx.cells.write.parquet(s"$dir/cells")
+    idx.codes.write.parquet(s"$dir/codes")
+    idx.codebook.write.parquet(s"$dir/codebook")
+    val stored = Similarity.IvfAdcIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos")))).sortBy(t => (t._1, -t._3, t._2))
+      .toSeq
+    val viaIndex = key(Similarity.ivfAdcVsIndex(emb, stored))
+    val endToEnd = key(Similarity.ivfAdcAnn(emb))
+    assert(viaIndex == endToEnd,
+      "stored-index search must equal the end-to-end IVFADC path")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("annIvf recall vs exact brute force on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
