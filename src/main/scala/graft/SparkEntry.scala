@@ -343,9 +343,10 @@ object SparkEntry {
     "d14_url_dedup" -> ((s, d) => Dedup.urlDedup(T.documents(s, d))),
     "d15_containment" -> ((s, d) => Dedup.containment(T.documents(s, d))),
     // per-source dedup accounting + hot-key-cap accounting in ONE query
-    // slot (two kinds of rows) — round 7's 133rd registration silently got
-    // no correctness row, so the governance artifacts share a slot and the
-    // registered count stays at 132. Accounting cap=5 (not the production
+    // slot (two kinds of rows) — originally folded together after round
+    // 7's 133rd registration silently got no driver correctness row; the
+    // local gate (Verify's parity check + tools/verify_local.py) covers
+    // every registration regardless. Accounting cap=5 (not the production
     // 500) so the hot-key arithmetic is exercised by real data at every SF.
     "d16_dedup_report" -> ((s, d) =>
       Dedup.governanceReport(T.documents(s, d), cap = 5)),

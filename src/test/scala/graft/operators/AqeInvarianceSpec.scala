@@ -148,6 +148,21 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on.size == 4, "one query, four ranks")
   }
 
+  test("ivfAdcAnn is AQE-invariant (tiered broadcast joins + heap top-k)") {
+    val vecs = (0L until 120L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        if (d == (i % 3).toInt) 1f else 0.05f * ((i + d) % 5)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    def run() = Similarity.ivfAdcAnn(vecs, k = 3, probeK = 20).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos")))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty, "fixture actually produces neighbors")
+  }
+
   test("sortedNeighborPairs is AQE-invariant (rank self-join + window)") {
     // near pairs (1,2) and (3,5): identical/1-edit titles sort adjacent
     def run() = Dedup.sortedNeighborPairs(docs, window = 2, maxEdit = 5)

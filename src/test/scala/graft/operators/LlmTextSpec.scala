@@ -591,6 +591,15 @@ class LlmTextSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("bpeTrain is partition-invariant (order-independent pair counts)") {
+    val base = LlmText.bpeTrain(bpeDocs, nMerges = 6).collect().toSeq
+    for (p <- Seq(1, 3, 7)) {
+      val alt = LlmText.bpeTrain(bpeDocs.repartition(p), nMerges = 6)
+        .collect().toSeq
+      assert(alt == base, s"partitions=$p drifted")
+    }
+  }
+
   test("bpeDocStatsVsDict: stored dictionary equals the retrain path") {
     // train-once artifact survives a parquet round-trip and tokenizes
     // identically to the retrain-per-call path (x27 vs x28 parity)
