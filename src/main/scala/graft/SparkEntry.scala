@@ -2840,14 +2840,17 @@ object SparkEntry {
         |    SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sx2
         |  FROM documents GROUP BY source),
         |s1 AS (SELECT source, nh,
-        |    sqrt((CAST(sx2 AS DOUBLE) -
-        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh) / nh) AS sigma
+        |    sqrt(greatest((CAST(sx2 AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh) / nh, 0.0))
+        |      AS sigma
         |  FROM per),
         |s2 AS (SELECT source, nh AS n_docs, sigma,
         |    CAST(round(nh * sigma * 1.0e9) AS DECIMAL(38,0)) AS g FROM s1),
         |s3 AS (SELECT source, n_docs, sigma,
-        |    1000.0 * (CAST(g AS DOUBLE) / CAST(SUM(g) OVER () AS DOUBLE))
-        |      AS raw
+        |    1000.0 * (CASE WHEN CAST(SUM(g) OVER () AS DOUBLE) > 0
+        |      THEN CAST(g AS DOUBLE) / CAST(SUM(g) OVER () AS DOUBLE)
+        |      ELSE CAST(n_docs AS DOUBLE)
+        |        / CAST(SUM(n_docs) OVER () AS DOUBLE) END) AS raw
         |  FROM s2),
         |s4 AS (SELECT source, n_docs, sigma, floor(raw) AS base,
         |    raw - floor(raw) AS frac FROM s3),

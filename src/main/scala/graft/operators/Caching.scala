@@ -28,6 +28,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caching {
 
+  /** The physical plan of the last frame [[materialize]] truncated —
+    * lineage truncation replaces the caller-visible plan with a checkpoint
+    * scan, so plan-quality pins (and humans debugging a slow operator)
+    * read the REAL executed shape here instead. Planning is forced anyway
+    * by the eager materialization; capturing its string costs nothing
+    * extra. Last-writer-wins by design: read it immediately after a
+    * single-threaded operator call (the PlanQualitySpec pattern), not
+    * while concurrent queries may materialize. */
+  @volatile private[graft] var lastMaterializedPlan: String = ""
+
   /** Eager materialization with lineage truncation, fault-tolerance chosen
     * by session posture: a RELIABLE `checkpoint()` when the session has a
     * checkpoint directory (the 100 TB cluster setting — a lost executor
@@ -49,14 +59,6 @@ object Caching {
     * (default false) AND the driver GCs the RDD. Iterative callers on a real
     * cluster should set that conf, or clear the checkpoint dir between jobs
     * — otherwise per-round checkpoints accumulate unboundedly. */
-  /** The physical plan of the last frame [[materialize]] truncated —
-    * lineage truncation replaces the caller-visible plan with a checkpoint
-    * scan, so plan-quality pins (and humans debugging a slow operator)
-    * read the REAL executed shape here instead. Planning is forced anyway
-    * by the eager materialization; capturing its string costs nothing
-    * extra. */
-  @volatile private[graft] var lastMaterializedPlan: String = ""
-
   def materialize(df: DataFrame): DataFrame = {
     lastMaterializedPlan = df.queryExecution.executedPlan.toString
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)

@@ -669,15 +669,24 @@ object Curation {
       sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
         .as("sx2"))
     val sxd = col("sx").cast("double")
-    val varH = (col("sx2").cast("double") -
-      sxd * sxd / col("nh")) / col("nh")
+    // clamped at 0: for a large constant-valued stratum the double
+    // rounding of sx²/nh can exceed the exact sx2 by an ulp, and
+    // sqrt(negative) would poison the weight as NaN
+    val varH = greatest(
+      (col("sx2").cast("double") - sxd * sxd / col("nh")) / col("nh"),
+      lit(0.0))
     val sigma = sqrt(varH)
     val scored = per.select(col("source"), col("nh").as("n_docs"),
       sigma.as("sigma"),
       round(col("nh") * sigma * lit(1.0e9)).cast(DecimalType(38, 0)).as("g"))
     val all = Window.partitionBy()
-    val w = col("g").cast("double") /
-      sum(col("g")).over(all).cast("double")
+    // all-zero weights (every stratum constant-valued) degrade to
+    // SIZE-proportional allocation instead of a NaN-poisoned 0/0 — the
+    // exact-sum contract holds on that corpus too
+    val gTotal = sum(col("g")).over(all).cast("double")
+    val w = when(gTotal > 0, col("g").cast("double") / gTotal)
+      .otherwise(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(all).cast("double"))
     val raw = lit(budget.toDouble) * w
     val withBase = scored.select(col("source"), col("n_docs"), col("sigma"),
       floor(raw).as("base"), (raw - floor(raw)).as("frac"))

@@ -420,43 +420,60 @@ object Similarity {
     Caching.withPersisted(vc, sub) {
       val cent = kmeansCentroids(vc).localCheckpoint(true)
       val cells = bestCells(cent)(vc, 1)
-      val probes = bestCells(cent)(defaultQueries(vc), NProbe)
-        .withColumnRenamed("vec_id", "query_id")
-      val cellCand = probes.join(cells, "cent_id")
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
       val codebook = VectorOps.pqCodebook(sub)
       val codes = VectorOps.pqNearest(sub, codebook)
-        .select(col("vec_id").as("neighbor_id"), col("s"), col("code"))
-      val lut = defaultQueries(sub)
-        .select(col("vec_id").as("query_id"), col("s"),
-          col("sx").as("qsx"))
-        .join(broadcast(codebook), "s")
-        .select(col("query_id"), col("s"), col("code"),
-          round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
-            .cast("long").as("g2"))
-      val adc = cellCand
-        .join(codes, "neighbor_id")
-        .join(broadcast(lut), Seq("query_id", "s", "code"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg((sum(col("g2")).cast("double") / lit(1.0e9)).as("adc_d2"))
-      val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
-        Seq(col("adc_d2"), col("neighbor_id")), probeK)
-        .select(col("query_id"), col("neighbor_id"))
-      rerankExact(vc, defaultQueries(vc), cands, k)
+        .select(col("vec_id"), col("s"), col("code"))
+      ivfAdcSearch(vc, defaultQueries(sub),
+        cent, cells, codes, codebook, k, probeK)
     }
+  }
+
+  /** The ONE copy of the IVF-ADC search phase, shared by [[ivfAdcAnn]]
+    * (tables built in-memory) and [[ivfAdcVsIndex]] (tables loaded from
+    * the lake) so a tuning change cannot break the s13 == s14 identity:
+    * probe cells → cell-restricted candidates → ADC from the broadcast
+    * per-query LUT → exact re-rank. `qsub` is the QUERY side's subspace
+    * frame (vec_id, s, sx). */
+  private def ivfAdcSearch(vc: DataFrame, qsub: DataFrame,
+      centroids: DataFrame, cells: DataFrame, codes: DataFrame,
+      codebook: DataFrame, k: Int, probeK: Int): DataFrame = {
+    val probes = bestCells(centroids)(defaultQueries(vc), NProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cellCand = probes.join(cells, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val lut = qsub
+      .select(col("vec_id").as("query_id"), col("s"),
+        col("sx").as("qsx"))
+      .join(broadcast(codebook), "s")
+      .select(col("query_id"), col("s"), col("code"),
+        round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
+          .cast("long").as("g2"))
+    val adc = cellCand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id")
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("g2")).cast("double") / lit(1.0e9)).as("adc_d2"))
+    val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
+      Seq(col("adc_d2"), col("neighbor_id")), probeK)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(vc, defaultQueries(vc), cands, k)
   }
 
   /** The four stored tables of a materialized IVF-ADC index — each one a
     * plain lake-table shape (parquet round-trip pinned by the spec):
     * coarse centroids (cent_id, cx, cnrm), corpus cell assignments
     * (vec_id, cent_id), PQ codes (vec_id, s, code), and the PQ codebook
-    * (s, code, cx). Built ONCE by [[ivfAdcIndex]]; every later
+    * (s, code, cx) — plus the PQ geometry (subspaces, subDim) the tables
+    * were built with, so a search can never silently slice queries with
+    * the wrong layout. Built ONCE by [[ivfAdcIndex]]; every later
     * [[ivfAdcVsIndex]] search runs zero training work — the FAISS
     * build/search split as lake tables. */
   final case class IvfAdcIndex(centroids: DataFrame, cells: DataFrame,
-      codes: DataFrame, codebook: DataFrame)
+      codes: DataFrame, codebook: DataFrame,
+      subspaces: Int = 4, subDim: Int = 16)
 
   /** Build the IVF-ADC index tables from a corpus: one k-means training
     * pass, one PQ codebook pass, one assignment pass — all materialized
@@ -472,43 +489,24 @@ object Similarity {
       val codebook = Caching.materialize(VectorOps.pqCodebook(sub))
       val codes = Caching.materialize(VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code")))
-      IvfAdcIndex(cent, cells, codes, codebook)
+      IvfAdcIndex(cent, cells, codes, codebook, subspaces, subDim)
     } finally Seq(vc, sub).foreach(_.unpersist(false))
   }
 
   /** s13's search phase against a PREBUILT index (s14): the corpus scan
     * here serves only the query projection and the final exact re-rank —
-    * no quantizer or codebook is ever retrained at search time. Same
-    * oracle as s13: the physical path differs, the results must not. */
+    * no quantizer or codebook is ever retrained at search time. The PQ
+    * geometry comes FROM the index (never a caller parameter), so stored
+    * tables can't be sliced against the wrong layout. Same oracle as s13:
+    * the physical path differs, the results must not. */
   def ivfAdcVsIndex(corpus: DataFrame, index: IvfAdcIndex, k: Int = 10,
-      probeK: Int = 30, subspaces: Int = 4, subDim: Int = 16): DataFrame = {
+      probeK: Int = 30): DataFrame = {
     val vc = vecs(corpus)
     Caching.withPersisted(vc) {
-      val probes = bestCells(index.centroids)(defaultQueries(vc), NProbe)
-        .withColumnRenamed("vec_id", "query_id")
-      val cellCand = probes.join(index.cells, "cent_id")
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
-      val qsub = VectorOps.pqSubspaces(
-        corpus.filter(col("vec_id") % 100 === 0), subspaces, subDim)
-      val lut = qsub
-        .select(col("vec_id").as("query_id"), col("s"),
-          col("sx").as("qsx"))
-        .join(broadcast(index.codebook), "s")
-        .select(col("query_id"), col("s"), col("code"),
-          round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
-            .cast("long").as("g2"))
-      val adc = cellCand
-        .join(index.codes.withColumnRenamed("vec_id", "neighbor_id"),
-          "neighbor_id")
-        .join(broadcast(lut), Seq("query_id", "s", "code"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg((sum(col("g2")).cast("double") / lit(1.0e9)).as("adc_d2"))
-      val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
-        Seq(col("adc_d2"), col("neighbor_id")), probeK)
-        .select(col("query_id"), col("neighbor_id"))
-      rerankExact(vc, defaultQueries(vc), cands, k)
+      val qsub = defaultQueries(
+        VectorOps.pqSubspaces(corpus, index.subspaces, index.subDim))
+      ivfAdcSearch(vc, qsub, index.centroids, index.cells, index.codes,
+        index.codebook, k, probeK)
     }
   }
 

@@ -139,7 +139,10 @@ object StreamCuration {
       .join(broadcast(dict), Seq("w"), "left_outer")
       .agg(
         count(lit(1)).as("n_words"),
-        sum(when(col("ntok").isNull, 1L).otherwise(0L)).as("n_oov_words"),
+        // coalesced like n_tokens: a zero-word batch sums to NULL, and
+        // the row contract is all-long
+        coalesce(sum(when(col("ntok").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_oov_words"),
         coalesce(sum(col("ntok")), lit(0L)).as("n_tokens"))
     val docAgg = batch.agg(
       count(lit(1)).as("n_docs"),
@@ -153,8 +156,10 @@ object StreamCuration {
           col("chars_total").cast("double") / col("n_tokens"))
           .as("chars_per_token"))
       .withColumn("drifted",
-        col("n_tokens") === 0 ||
+        // a batch with no words at all has nothing to gate; a batch whose
+        // words are ALL OOV trips outright
+        col("n_words") > 0 && (col("n_tokens") === 0 ||
           abs(col("chars_per_token") - lit(baselineCharsPerToken)) >
-            lit(driftFrac) * lit(baselineCharsPerToken))
+            lit(driftFrac) * lit(baselineCharsPerToken)))
   }
 }

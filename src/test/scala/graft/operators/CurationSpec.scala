@@ -402,5 +402,14 @@ class CurationSpec extends SparkSpec {
     assert(out("B") == (2L, 0.0, 0L))
     assert(out("C") == (2L, 3.0, 7L))
     assert(out.values.map(_._3).sum == 10L, "allocations sum to budget")
+    // degenerate corpus: every stratum constant-valued → all sigmas 0 →
+    // SIZE-proportional fallback, never a NaN-poisoned 0/0
+    val flat = Seq((1L, "A", 5L), (2L, "A", 5L), (3L, "A", 5L),
+      (4L, "B", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val fb = Curation.neymanAllocation(flat, budget = 8L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fb == Map("A" -> 6L, "B" -> 2L),
+      s"size-proportional fallback sums to budget: $fb")
   }
 }
