@@ -261,6 +261,8 @@ object SparkEntry {
     "d24_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborPairs(T.documents(s, d))),
     "d25_lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
+    "d26_prefix_filter" -> ((s, d) =>
+      Dedup.prefixFilterPairs(T.documents(s, d))),
     "q55_attribution" -> ((s, d) =>
       Temporal.lastTouchAttribution(T.events(s, d))),
     "q56_integrity" -> ((s, d) =>
@@ -2940,6 +2942,36 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY fp_mass + fn_mass, bands) = 1
         |    AS chosen
         |FROM errs""".stripMargin,
+    // Prefix filtering: rare-first order (corpus frequency asc, hash asc),
+    // prefix length floor((1-t)*n)+1, size-ratio filter in the candidate
+    // join, exact Jaccard verify — the same pipeline as the engine, so the
+    // oracle pins the exact-recall semantics, not a sample of it.
+    "d26_prefix_filter" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, len(s) AS n,
+        |  unnest(list_transform(s, x -> md5('f:' || x))) AS h FROM sh),
+        |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
+        |rk AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
+        |  FROM tok t JOIN freq f ON f.h = t.h),
+        |pre AS (SELECT doc_id, n, h FROM rk
+        |  WHERE rn <= floor((1.0 - 0.7) * n) + 1),
+        |prec AS (SELECT p.* FROM pre p
+        |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |    JOIN sh y ON y.doc_id = doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM jac
+        |WHERE jaccard >= 0.7""".stripMargin,
     // The S-curve uses multiplication-only arithmetic in the same order
     // as the Spark expression, so doubles match bit-for-bit.
     "d23_lsh_curve" ->

@@ -705,6 +705,64 @@ object Dedup {
     }
   }
 
+  /** Frequency-ordered prefix-filter set-similarity self-join (d26): the
+    * EXACT-recall member of the candidate-generation family. MinHash bands
+    * (d2) and bottom-k sketches (d4/d15) trade recall for cost; prefix
+    * filtering (SSJoin / All-Pairs, Chaudhuri et al. ICDE'06, Bayardo et
+    * al. WWW'07) guarantees every pair with Jaccard ≥ t shares at least one
+    * token inside its PREFIX under any common total order: order each doc's
+    * shingle-hash set by ascending corpus frequency (ties by hash) and keep
+    * the first ⌊(1−t)·n⌋+1 tokens — two sets with ≥ ⌈t·n⌉ overlap cannot
+    * avoid colliding there. Candidates are the prefix-token equi-join with
+    * a size-ratio filter fused into the join (t·|A| ≤ |B| ≤ |A|/t is
+    * necessary for Jaccard ≥ t); verification is exact Jaccard on the full
+    * shingle sets of candidate pairs only.
+    *
+    * 100 TB shape: the rare-first order is the scale lever — prefixes hold
+    * each document's RAREST tokens, so join keys are near-unique by
+    * construction and the boilerplate shingle that breaks naive token
+    * joins (shared by 10⁶ docs) sorts to the very END of every prefix
+    * order and never enters a prefix unless the doc is mostly boilerplate.
+    * The per-doc rank is a window keyed by doc_id (one shuffle, no global
+    * sort); the frequency table is a plain count aggregate. `capHotKeys`
+    * stays on as defense-in-depth for the adversarial corpus whose docs
+    * are ALL near-identical (then every token is hot and capped pairs are
+    * accounted by [[bandCapReport]]'s mechanism) — with the default cap
+    * the result is exact whenever no prefix token is shared by more than
+    * `maxPrefixDocs` documents, and DedupSpec pins equality against the
+    * brute-force all-pairs join on an uncapped corpus. */
+  def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.7,
+      maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
+    val sh = docShingles(documents)
+    Caching.withPersisted(sh) {
+      val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(transform(col("sh"),
+          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+      val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("freq"), col("h"))
+      val prefix = tok.join(freq, "h")
+        .withColumn("rn", row_number().over(byRarity))
+        .filter(col("rn") <=
+          floor((lit(1.0) - threshold) * col("n")) + 1)
+        .select(col("doc_id"), col("n"), col("h"))
+      val pc = capHotKeys(prefix, Seq("h"), maxPrefixDocs)
+      val cand = pc.as("a")
+        .join(pc.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n").cast("double") >= lit(threshold) * col("b.n") &&
+            col("b.n").cast("double") >= lit(threshold) * col("a.n"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+  }
+
   /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
     * shingle hashes per group via the typed BottomKSketch Aggregator —
     * partial aggregation keeps the shuffle at k values per group, the

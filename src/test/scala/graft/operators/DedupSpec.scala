@@ -469,4 +469,54 @@ class DedupSpec extends SparkSpec {
       assert(alt == out, s"partitions=$p drifted")
     }
   }
+
+  test("prefixFilterPairs equals the brute-force all-pairs join (exact recall)") {
+    import org.apache.spark.sql.functions._
+    // a corpus with planted near-dups at several similarity levels plus a
+    // shared boilerplate tail on every doc (the hot-token stress: rare-first
+    // ordering must keep it out of the prefixes)
+    val boiler = "terms of service apply all rights reserved contact us"
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("spark", "table", "scan", "filter", "join", "group",
+      "agg", "sort", "window", "batch", "stream", "merge", "hash", "value",
+      "key", "row", "column", "part", "order", "data")
+    val bodies = (1L to 24L).map { i =>
+      val body = Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, s"$body $boiler")
+    }
+    // planted pairs: an exact dup and a one-word-edit near-dup of doc 1
+    val corpus = docs(bodies ++ Seq(
+      25L -> bodies.head._2,
+      26L -> bodies.head._2.replace("data", "datum")): _*)
+
+    val sh = corpus.select(col("doc_id"),
+      graft.operators.LlmText.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val out = Dedup.prefixFilterPairs(corpus, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == brute,
+      s"prefix filtering must lose nothing vs brute force: " +
+        s"missing=${brute -- out} extra=${out -- brute}")
+    assert(out.exists(p => p._1 == 1L && p._2 == 25L && p._3 == 1.0),
+      "exact dup pair present at jaccard 1.0")
+    assert(out.exists(p => p._1 == 1L && p._2 == 26L),
+      "one-word-edit near-dup pair present")
+  }
+
+  test("prefixFilterPairs: hot-prefix cap drops accountably, exact when uncapped") {
+    // every doc identical -> every prefix token shared by all 6 docs; a cap
+    // of 5 excludes them all (0 pairs), the default cap keeps all 15 pairs
+    val corpus = docs((1L to 6L).map(i => i -> base): _*)
+    assert(Dedup.prefixFilterPairs(corpus, 0.7, maxPrefixDocs = 5)
+      .count() == 0L)
+    assert(Dedup.prefixFilterPairs(corpus, 0.7).count() == 15L)
+  }
 }
