@@ -223,6 +223,8 @@ object SparkEntry {
       Curation.packBySimilarity(T.documents(s, d), T.embeddings(s, d))),
     "c22_neyman_alloc" -> ((s, d) =>
       Curation.neymanAllocation(T.documents(s, d))),
+    "c23_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(T.documents(s, d))),
     // snapshot split by doc_id parity: even = accepted corpus, odd = the
     // incoming crawl under review
     "c20_quality_drift" -> ((s, d) => {
@@ -2863,6 +2865,25 @@ object SparkEntry {
         |  CAST(base AS BIGINT) +
         |    (CASE WHEN rn <= rem THEN 1 ELSE 0 END) AS alloc
         |FROM s5""".stripMargin,
+    // Efraimidis–Spirakis A-ES keys: u from the shared 28-bit fold,
+    // ln grid-rounded to 5 decimals (x21 precedent) so the one libm call
+    // agrees across engines; everything else is IEEE-exact arithmetic.
+    "c23_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    md5('ws:' || doc_id) AS hx FROM documents),
+        |v AS (SELECT doc_id, n_chars,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(hx, c, 1)) <= 57
+        |         THEN ascii(substr(hx, c, 1)) - 48
+        |         ELSE ascii(substr(hx, c, 1)) - 87 END),
+        |    (a, x) -> a * 16 + x) AS BIGINT) AS hv
+        |  FROM h),
+        |k AS (SELECT doc_id, n_chars AS weight,
+        |  (0.0 - CAST(CAST(round(ln((hv + 1) / 268435456.0), 5)
+        |      AS DECIMAL(18,6)) AS DOUBLE)) / n_chars AS skey
+        |  FROM v)
+        |SELECT doc_id, weight, skey FROM k
+        |ORDER BY skey, doc_id LIMIT 100""".stripMargin,
     // q20's middle-statistics recipe applied twice: once on values, once
     // on |value - median| with the same deterministic (dev, id) rank.
     "q57_group_mad" ->

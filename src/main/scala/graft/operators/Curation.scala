@@ -698,4 +698,37 @@ object Curation {
         (col("base").cast("long") +
           when(rn <= rem, 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** Weighted sampling WITHOUT replacement (c23), Efraimidis–Spirakis
+    * A-ES: each document draws a deterministic uniform u from the 28-bit
+    * portable hash and ranks by the exponential key −ln(u)/w; the k
+    * smallest keys are exactly a weight-proportional sample without
+    * replacement (Efraimidis & Spirakis, IPL 2006 — P(doc i first) =
+    * wᵢ/Σw, then recursively on the remainder). Weight here is `n_chars`:
+    * "sample documents proportionally to their length", the audit-sample
+    * rule that makes per-TOKEN inspection rates uniform instead of
+    * over-representing short documents the way uniform per-DOC sampling
+    * does.
+    *
+    * Scale shape: one scan, zero shuffles — the key is a per-row
+    * projection and the k smallest rows come from TakeOrderedAndProject
+    * (per-partition heaps, k-row reduce at the driver), the same plan as
+    * q9/q23. At 100 TB this is scan-bound, the optimum for any global
+    * sample.
+    *
+    * Determinism/parity: u = (hash28+1)/2²⁸ ∈ (0,1]; ln(u) is the one
+    * libm call, grid-rounded to 5 decimals through DECIMAL(18,6) (the x21
+    * entropy precedent) so both engines see the identical key; division
+    * by the integer weight is IEEE-exact and ties break on doc_id. */
+  def weightedSample(documents: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val h = hash28("ws:", col("doc_id"))
+    val u = (h + lit(1L)).cast("double") / lit(268435456.0)
+    val lnu = round(log(u), 5).cast(DecimalType(18, 6)).cast("double")
+    val skey = (lit(0.0) - lnu) / col("n_chars").cast("double")
+    documents
+      .select(col("doc_id"), col("n_chars").as("weight"), skey.as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(k)
+  }
 }

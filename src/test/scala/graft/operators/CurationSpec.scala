@@ -412,4 +412,29 @@ class CurationSpec extends SparkSpec {
     assert(fb == Map("A" -> 6L, "B" -> 2L),
       s"size-proportional fallback sums to budget: $fb")
   }
+
+  test("weightedSample equals the plain-Scala A-ES reference, rank and key") {
+    val rows = (1L to 60L).map(i => (i, 1L + (i * 37) % 500))
+    val df = rows.toDF("doc_id", "n_chars")
+    def refKey(id: Long, w: Long): Double = {
+      val u = (graft.operators.PortableHash.hash28Jvm(s"ws:$id") + 1L)
+        .toDouble / 268435456.0
+      val l5 = BigDecimal(math.log(u))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (0.0 - l5) / w.toDouble
+    }
+    val expect = rows.map { case (id, w) => (id, w, refKey(id, w)) }
+      .sortBy(t => (t._3, t._1)).take(10)
+    val out = Curation.weightedSample(df, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1))
+    assert(out.toSeq == expect,
+      s"engine sample drifted from reference: $out vs $expect")
+    // partition-count invariance: the global top-k must not care how the
+    // scan was split
+    val alt = Curation.weightedSample(df.repartition(7), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1))
+    assert(alt.toSeq == expect)
+  }
 }
