@@ -65,6 +65,8 @@ object SparkEntry {
     "q24_range_join" -> ((s, d) => Temporal.rangeJoinCount(T.events(s, d))),
     "q35_interval_join" -> ((s, d) =>
       Temporal.intervalOverlapCount(T.events(s, d))),
+    "q59_interval_merge" -> ((s, d) =>
+      Temporal.coalesceIntervals(T.events(s, d))),
     // q22 verification harness around the sketch operator: sketch VALUES
     // are engine-specific, so the query surfaces them as within-tolerance
     // booleans against exact twins and the oracle pins the booleans to
@@ -589,6 +591,29 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(sec) AS session_start, max(sec) AS session_end
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // Running-max gaps-and-islands on epoch-microsecond longs; touching
+    // intervals merge (start == running max end is NOT a new island).
+    "q59_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS end_us
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, start_us, end_us,
+        |  max(end_us) OVER (PARTITION BY user_id
+        |    ORDER BY start_us, end_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |f AS (SELECT *, CASE WHEN prev_max IS NULL OR start_us > prev_max
+        |    THEN 1 ELSE 0 END AS is_new FROM m),
+        |s AS (SELECT user_id, start_us, end_us,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY start_us, end_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS island
+        |  FROM f)
+        |SELECT user_id, island, count(*) AS n_events,
+        |  min(start_us) AS span_start_us, max(end_us) AS span_end_us
+        |FROM s GROUP BY user_id, island""".stripMargin,
     "q20_exact_median" ->
       """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -221,6 +221,44 @@ object Temporal {
       .agg((count(lit(1)) - 1).as("n_overlaps"))
   }
 
+  /** Interval coalescing / union per key (q59): merge every overlapping or
+    * touching interval [ts, ts + ⌊value⌋ seconds) per user into maximal
+    * covered spans — the interval-union primitive behind "total engaged
+    * time", span-cut planning over [[graft.operators.LlmText.removableSpans]]
+    * output, and coverage accounting. VARIABLE-length intervals make this
+    * strictly harder than [[sessionize]]'s fixed-gap islands: an early long
+    * interval can swallow many later short ones, so the island flag must
+    * compare each start against the RUNNING MAX of all previous ends (not
+    * just the previous row's), the classic gaps-and-islands running-max
+    * formulation.
+    *
+    * Scale shape: one shuffle on user_id, two frame-bounded windows over
+    * it, one hash aggregate — O(events/user) per task with no join and no
+    * per-interval state. Arithmetic is entirely on epoch-microsecond longs
+    * (`unix_micros`), so the oracle (DuckDB `epoch_us`) matches exactly
+    * with no timestamp-format hazard. Touching intervals (next start ==
+    * running max end) merge, matching the half-open [start, end) reading. */
+  def coalesceIntervals(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"), col("event_id"))
+    val iv = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("start_us"),
+      (unix_micros(col("ts")) +
+        floor(col("value")).cast("long") * lit(1000000L)).as("end_us"))
+    val prevMax = max(col("end_us"))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("is_new",
+        when(prevMax.isNull || col("start_us") > prevMax, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("is_new")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("start_us")).as("span_start_us"),
+        max(col("end_us")).as("span_end_us"))
+  }
+
   /** As-of join (q21): for each event, the most recent order of the same
     * customer with o_orderdate <= ts. Spark has no native ASOF JOIN; the
     * scalable composition is the union trick — tag both sides, union,

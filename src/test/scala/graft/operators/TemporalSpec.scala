@@ -239,4 +239,28 @@ class TemporalSpec extends SparkSpec {
     assert(out(1L) == (2L, 3L, 5L, 0L))
     assert(out(2L) == (2L, 1L, 2L, 0L)) // tie on len → earliest start
   }
+
+  test("coalesceIntervals merges by running max end, not previous row") {
+    val events = Seq(
+      // user 1: long interval [0,100) swallows [10,20) and [50,60); the
+      // row BEFORE [50,60) ends at 20 — only a running max keeps them
+      // in one island. [100,110) touches end 100 → still merges.
+      (1L, 10L, ts(0), 100.9),
+      (1L, 11L, ts(10), 10.0),
+      (1L, 12L, ts(50), 10.0),
+      (1L, 13L, ts(100), 10.0),
+      // gap: [200, 205) is its own island
+      (1L, 14L, ts(200), 5.0),
+      // user 2: disjoint back-to-back with a 1-second gap stays split
+      (2L, 20L, ts(0), 10.0), (2L, 21L, ts(11), 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.coalesceIntervals(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 1L)) == (4L, 0L, 110L * 1000000L),
+      s"island 1 of user 1 wrong: $out")
+    assert(out((1L, 2L)) == (1L, 200L * 1000000L, 205L * 1000000L))
+    assert(out((2L, 1L)) == (1L, 0L, 10L * 1000000L))
+    assert(out((2L, 2L)) == (1L, 11L * 1000000L, 21L * 1000000L))
+  }
 }
