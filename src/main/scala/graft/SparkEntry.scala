@@ -164,6 +164,8 @@ object SparkEntry {
     "x23_source_divergence" -> ((s, d) =>
       LlmText.sourceDivergence(T.documents(s, d))),
     "x24_langid_eval" -> ((s, d) => LlmText.langIdEval(T.documents(s, d))),
+    "x29_pmi_collocations" -> ((s, d) =>
+      LlmText.pmiCollocations(T.documents(s, d))),
     "x25_bpe_train" -> ((s, d) => LlmText.bpeTrain(T.documents(s, d))),
     "x26_bpe_vocab" -> ((s, d) => LlmText.bpeVocab(T.documents(s, d))),
     "x27_bpe_doc_stats" -> ((s, d) => LlmText.bpeDocStats(T.documents(s, d))),
@@ -975,6 +977,38 @@ object SparkEntry {
         |    + CAST(CAST(round(ln(CAST(nn AS DOUBLE)), 5)
         |        AS DECIMAL(18,6)) AS DOUBLE) AS kl_nats
         |FROM g CROSS JOIN n""".stripMargin,
+    // PMI as a pure decimal-grid sum of six L(count) terms in the same
+    // association order as the Column expression; ties broken (w1, w2).
+    "x29_pmi_collocations" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, count(*) AS cw FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        |  FROM ws WHERE len(w) >= 2),
+        |bi AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY bigram
+        |  HAVING count(*) >= 5),
+        |b AS (SELECT count(*) AS b_total FROM bg),
+        |j AS (SELECT
+        |    split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2,
+        |    cab FROM bi),
+        |s AS (SELECT j.w1, j.w2, j.cab, a.cw AS ca, c.cw AS cb,
+        |    n.n_total, b.b_total
+        |  FROM j JOIN uni a ON a.tok = j.w1 JOIN uni c ON c.tok = j.w2
+        |  CROSS JOIN n CROSS JOIN b),
+        |p AS (SELECT w1, w2, cab, ca, cb, CAST(
+        |    CAST(round(ln(CAST(cab AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |    - CAST(round(ln(CAST(b_total AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |    - CAST(round(ln(CAST(ca AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |    + CAST(round(ln(CAST(n_total AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |    - CAST(round(ln(CAST(cb AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |    + CAST(round(ln(CAST(n_total AS DOUBLE)), 5) AS DECIMAL(18,6))
+        |  AS DOUBLE) AS pmi FROM s)
+        |SELECT w1, w2, cab, ca, cb, pmi FROM p
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

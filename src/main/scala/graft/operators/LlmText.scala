@@ -1053,6 +1053,70 @@ object LlmText {
     }
   }
 
+  /** PMI collocation mining (x29): the top-k word bigrams by pointwise
+    * mutual information, PMI(a,b) = ln(p(ab)) − ln(p(a)) − ln(p(b)) with
+    * p(ab) = c_ab/B and p(w) = c_w/N over exact corpus counts — the
+    * phrase-mining primitive behind tokenizer vocabulary construction
+    * (SentencePiece/WordPiece seed phrases), stopword-free keyphrase
+    * extraction, and collocation-aware text normalization. A minimum
+    * pair-count floor keeps the head statistical (a hapax pair of two
+    * hapax words has sky-high PMI and zero evidence — the classic PMI
+    * pathology).
+    *
+    * Engine-exact recipe (x17/x21/x23 precedent): every term is
+    * L(count) = ln rounded to 5 dp as DECIMAL(18,6) of an exact integer
+    * count, and PMI = ((((L(c_ab) − L(B)) − L(c_a)) + L(N)) − L(c_b)) +
+    * L(N) is exact decimal addition — bit-stable across engines, cast to
+    * double only on output.
+    *
+    * Scale shape: two corpus-wide aggregates off one persisted bigram
+    * explode (pair counts keyed by bigram, unigram counts keyed by word —
+    * both vocabulary-sized, both with map-side partial aggregation), two
+    * vocabulary-sized equi-joins, 1-row scalar totals broadcast, and a
+    * TakeOrderedAndProject head. Nothing scales with corpus size except
+    * the scan and the pre-aggregated explode. */
+  def pmiCollocations(documents: DataFrame, k: Int = 50,
+      minPairCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def l(c: Column): Column =
+      round(log(c.cast("double")), 5).cast(DecimalType(18, 6))
+    val ws = words(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val toks = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val docBi = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    Caching.withPersisted(toks, docBi) {
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+      val nTot = toks.agg(count(lit(1)).as("n_total"))
+      val bi = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= minPairCount)
+      val bTot = docBi.agg(count(lit(1)).as("b_total"))
+      val pmiDec =
+        l(col("cab")).minus(l(col("b_total"))).minus(l(col("ca")))
+          .plus(l(col("n_total"))).minus(l(col("cb")))
+          .plus(l(col("n_total")))
+      bi
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.withColumnRenamed("tok", "w1")
+          .withColumnRenamed("cw", "ca"), Seq("w1"))
+        .join(uni.withColumnRenamed("tok", "w2")
+          .withColumnRenamed("cw", "cb"), Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .crossJoin(broadcast(bTot))
+        .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+          pmiDec.cast("double").as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(k)
+    }
+  }
+
   /** Per-source vocabulary divergence (x23): KL(source ‖ corpus) over
     * unigram distributions, in nats — the domain-shift gauge for mixture
     * governance: a source whose vocabulary drifts from the corpus (new

@@ -615,4 +615,41 @@ class LlmTextSpec extends SparkSpec {
         r.getDouble(4))).sortBy(_._1).toSeq
     assert(viaDict == retrain)
   }
+
+  test("pmiCollocations: planted phrase tops the head, floor excludes rare pairs") {
+    // "new york" always co-occurs (6 times); filler words are frequent but
+    // pair randomly; "rare gem" appears twice — below the count floor
+    val corpus = Seq(
+      (1L, "new york is big and the city of new york is loud"),
+      (2L, "people in new york like the city and new york parks"),
+      (3L, "new york has the best parks and the best food"),
+      (4L, "rare gem here and the city has a rare gem too"),
+      (5L, "the city and the parks and the food are good"))
+      .toDF("doc_id", "text")
+    val out = LlmText.pmiCollocations(corpus, k = 10, minPairCount = 5)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(5))))
+    val byPair = out.toMap
+    assert(byPair.contains(("new", "york")), s"planted phrase missing: $out")
+    assert(byPair(("new", "york"))._1 == 5L)
+    assert(!byPair.contains(("rare", "gem")),
+      "pair below the count floor must not appear")
+    // perfectly-associated planted phrase outranks the common-word pairs
+    assert(out.head._1 == (("new", "york")), s"head is ${out.head}")
+    // reference PMI on the same decimal grid
+    def l5(c: Long): BigDecimal =
+      BigDecimal(math.log(c.toDouble))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP)
+    val toks = corpus.collect().flatMap(_.getString(1).split(" "))
+    val n = toks.length.toLong
+    val bTot = corpus.collect()
+      .map(_.getString(1).split(" ").length - 1).sum.toLong
+    val ca = toks.count(_ == "new").toLong
+    val cb = toks.count(_ == "york").toLong
+    val expect =
+      (l5(5L) - l5(bTot) - l5(ca) + l5(n) - l5(cb) + l5(n)).toDouble
+    assert(byPair(("new", "york"))._2 == expect,
+      s"pmi drifted: ${byPair(("new", "york"))._2} vs $expect")
+  }
 }
