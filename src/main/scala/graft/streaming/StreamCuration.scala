@@ -162,4 +162,48 @@ object StreamCuration {
           abs(col("chars_per_token") - lit(baselineCharsPerToken)) >
             lit(driftFrac) * lit(baselineCharsPerToken)))
   }
+
+  /** Streaming weighted reservoir (c23's streaming twin): maintain the k
+    * smallest Efraimidis–Spirakis keys across micro-batches — the A-ES
+    * key is a pure deterministic function of (doc_id, weight), so
+    * "union the stored reservoir with the batch's own top-k and re-take
+    * the k smallest" is EXACTLY the batch operator applied to the whole
+    * stream-so-far; A-ES is precisely the weighted-reservoir algorithm
+    * and the spec pins stream-final == batch-twin equality.
+    *
+    * State is the reservoir itself — k rows, read from and rewritten to
+    * `reservoirDir` each batch through the driver (bounded state, the
+    * [[graft.operators.Relational.equiDepthHistogram]] contract): no
+    * unbounded stream-side state store, restart-safe because the lake
+    * table IS the state. Per-batch cost: the batch's scan + its own
+    * TakeOrdered(k) + a 2k-row driver merge. */
+  def weightedReservoir(
+      docs: DataFrame,
+      reservoirDir: String,
+      k: Int = 100,
+      sink: DataFrame => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-weighted-reservoir")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchTop = graft.operators.Curation.weightedSample(batch, k)
+        val prev =
+          try spark.read.parquet(reservoirDir)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              batchTop.schema)
+          }
+        // k is small by contract — merge on the driver so the overwrite
+        // below never reads the files it is replacing
+        val merged = prev.unionByName(batchTop)
+          .orderBy(col("skey"), col("doc_id")).limit(k)
+          .collect()
+        val out = spark.createDataFrame(
+          java.util.Arrays.asList(merged: _*), batchTop.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(reservoirDir)
+        sink(out.withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
 }

@@ -140,4 +140,29 @@ class StreamCurationSpec extends SparkSpec {
         "OOV junk batch drifts and every word counts as OOV")
     } finally q.stop()
   }
+
+  test("weightedReservoir: stream-final reservoir equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("wres-").toString + "/reservoir"
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamCuration.weightedReservoir(
+      input.toDF().toDF("doc_id", "n_chars"), dir, k = 8)
+    val all = (1L to 40L).map(i => (i, 1L + (i * 53) % 300))
+    try {
+      all.grouped(13).foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    val want = Curation.weightedSample(
+        all.toDF("doc_id", "n_chars"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(got == want,
+      s"reservoir must equal batch A-ES over the whole stream:\n$got\n$want")
+  }
 }
