@@ -173,4 +173,14 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on == off)
     assert(on.nonEmpty, "fixture actually produces neighbor pairs")
   }
+
+  test("prefixFilterPairs is AQE-invariant (freq join + prefix self-join)") {
+    def run() = Dedup.prefixFilterPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty, "fixture actually produces prefix-filter pairs")
+  }
 }

@@ -198,4 +198,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the vocab-sized dictionary must never SMJ:\n$p")
   }
+
+  test("c23: the global weighted sample is TakeOrdered, never a full sort") {
+    val p = plan("c23_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global range-sort for a k-row sample:\n$p")
+  }
+
+  test("q59: interval coalescing is one user_id shuffle end to end") {
+    val p = plan("q59_interval_merge")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"windows and aggregate must share the user_id exchange ($shuffles):\n$p")
+  }
+
+  test("x29: scalar totals broadcast; the collocation head is TakeOrdered") {
+    val p = materializedPlan("x29_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"1-row totals must broadcast:\n$p")
+  }
 }
