@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{Curation, Dedup, LlmText, Multimodal, PipelineOps,
-  Relational => R, Similarity, Tables => T, Temporal}
+import graft.operators.{Curation, Dedup, Graph, LlmText, Multimodal,
+  PipelineOps, Relational => R, Similarity, Tables => T, Temporal}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{abs, broadcast, col, count, lit, pmod, when}
@@ -274,6 +274,8 @@ object SparkEntry {
     "q56_integrity" -> ((s, d) =>
       R.integrityReport(T.customer(s, d), T.orders(s, d),
         T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
+    "g1_pagerank" -> ((s, d) =>
+      Graph.pageRank(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -2924,6 +2926,53 @@ object SparkEntry {
         |  CAST(base AS BIGINT) +
         |    (CASE WHEN rn <= rem THEN 1 ELSE 0 END) AS alloc
         |FROM s5""".stripMargin,
+    // Three unrolled PageRank iterations on the same 1e-9 decimal grid as
+    // the engine: per-edge contributions in doubles (every literal CAST to
+    // DOUBLE — bare 1.0/0.85 would be DuckDB decimals with different
+    // rounding), grid-rounded, summed as DECIMAL(38,0).
+    "g1_pagerank" ->
+      """WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w FROM pairc
+        |  UNION ALL
+        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
+        |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, ed.w, ow.wout
+        |  FROM ed JOIN ow ON ed.src = ow.src),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr
+        |  FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, SUM(CAST(round(p0.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p0 ON e.src = p0.node GROUP BY e.dst),
+        |p1 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c1.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nd.node),
+        |c2 AS (SELECT e.dst, SUM(CAST(round(p1.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p1 ON e.src = p1.node GROUP BY e.dst),
+        |p2 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c2.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nd.node),
+        |c3 AS (SELECT e.dst, SUM(CAST(round(p2.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p2 ON e.src = p2.node GROUP BY e.dst),
+        |p3 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c3.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nd.node)
+        |SELECT node, pr FROM p3""".stripMargin,
     // Efraimidis–Spirakis A-ES keys: u from the shared 28-bit fold,
     // ln grid-rounded to 5 decimals (x21 precedent) so the one libm call
     // agrees across engines; everything else is IEEE-exact arithmetic.

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // purchase graph: supplier 1 is bought from by customers 10, 11, 12;
+  // supplier 2 only by customer 10 (and with fewer items)
+  private def fixture = {
+    val lineitem = Seq(
+      (100L, 1L), (100L, 1L), (101L, 1L), (102L, 1L),
+      (100L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val orders = Seq(
+      (100L, 10L), (101L, 11L), (102L, 12L))
+      .toDF("o_orderkey", "o_custkey")
+    (lineitem, orders)
+  }
+
+  test("pageRank: mass conserved, degree-central supplier ranks highest") {
+    val (li, ord) = fixture
+    val out = Graph.pageRank(li, ord).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // undirected walk has no dangling mass: ranks sum to 1 up to the
+    // 1e-9 contribution grid (|V| * iterations * 1e-9 worst case)
+    assert(math.abs(out.values.sum - 1.0) < 1e-6,
+      s"rank mass drifted: ${out.values.sum} in $out")
+    assert(out("s:1") > out("s:2"),
+      s"three-buyer supplier must outrank the single-buyer one: $out")
+    assert(out("c:10") > out("c:11"),
+      s"two-supplier customer must outrank single-supplier ones: $out")
+    // every node present
+    assert(out.keySet == Set("c:10", "c:11", "c:12", "s:1", "s:2"))
+  }
+
+  test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
+    val (li, ord) = fixture
+    def run(parts: Int) =
+      Graph.pageRank(li.repartition(parts), ord.repartition(parts))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val a = run(1)
+    val b = run(7)
+    assert(a == b, s"partitioning changed bit-exact ranks:\n$a\n$b")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(run(3) == a, "AQE-off drifted")
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
