@@ -67,6 +67,7 @@ object SparkEntry {
       Temporal.intervalOverlapCount(T.events(s, d))),
     "q59_interval_merge" -> ((s, d) =>
       Temporal.coalesceIntervals(T.events(s, d))),
+    "q60_ohlc_bars" -> ((s, d) => Temporal.ohlcBars(T.events(s, d))),
     // q22 verification harness around the sketch operator: sketch VALUES
     // are engine-specific, so the query surfaces them as within-tolerance
     // booleans against exact twins and the oracle pins the booleans to
@@ -618,6 +619,19 @@ object SparkEntry {
         |SELECT user_id, island, count(*) AS n_events,
         |  min(start_us) AS span_start_us, max(end_us) AS span_end_us
         |FROM s GROUP BY user_id, island""".stripMargin,
+    "q60_ohlc_bars" ->
+      """WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS cnt
+        |  FROM events)
+        |SELECT user_id, day,
+        |  max(CASE WHEN rn = 1 THEN value END) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max(CASE WHEN rn = cnt THEN value END) AS close,
+        |  count(*) AS n_events
+        |FROM r GROUP BY user_id, day""".stripMargin,
     "q20_exact_median" ->
       """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
         |    row_number() OVER (PARTITION BY o_orderpriority

@@ -259,6 +259,29 @@ object Temporal {
         max(col("end_us")).as("span_end_us"))
   }
 
+  /** OHLC bars (q60): per (user, day) open/high/low/close of `value` —
+    * the downsampling summary every time-series store exposes (candlestick
+    * aggregation), built as one window + one aggregate: rank events within
+    * the (user, day) partition by (ts, event_id), then take the rank-1
+    * value as open, the rank-n value as close, and plain min/max for the
+    * band. One shuffle on (user_id, day); conditional aggregation instead
+    * of a second first/last window pass. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn("day", to_date(col("ts")))
+    val byBar = Window.partitionBy(col("user_id"), col("day"))
+    val ordered = byBar.orderBy(col("ts"), col("event_id"))
+    keyed
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("cnt", count(lit(1)).over(byBar))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** As-of join (q21): for each event, the most recent order of the same
     * customer with o_orderdate <= ts. Spark has no native ASOF JOIN; the
     * scalable composition is the union trick — tag both sides, union,

@@ -263,4 +263,24 @@ class TemporalSpec extends SparkSpec {
     assert(out((2L, 1L)) == (1L, 0L, 10L * 1000000L))
     assert(out((2L, 2L)) == (1L, 11L * 1000000L, 21L * 1000000L))
   }
+
+  test("ohlcBars: open is first-by-time, close is last, band is min/max") {
+    val day0 = 0L
+    val day1 = 86400L
+    val events = Seq(
+      (1L, 10L, ts(day0 + 10), 5.0),   // open of day 0
+      (1L, 11L, ts(day0 + 20), 9.0),   // high
+      (1L, 12L, ts(day0 + 30), 1.0),   // low
+      (1L, 13L, ts(day0 + 40), 4.0),   // close
+      (1L, 14L, ts(day1 + 5), 7.0),    // lone bar next day
+      (2L, 20L, ts(day0 + 1), 2.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.ohlcBars(events).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(out((1L, "1970-01-01")) == (5.0, 9.0, 1.0, 4.0, 4L), s"$out")
+    assert(out((1L, "1970-01-02")) == (7.0, 7.0, 7.0, 7.0, 1L))
+    assert(out((2L, "1970-01-01")) == (2.0, 2.0, 2.0, 2.0, 1L))
+  }
 }
