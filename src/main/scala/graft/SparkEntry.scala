@@ -270,6 +270,13 @@ object SparkEntry {
     "d25_lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
     "d26_prefix_filter" -> ((s, d) =>
       Dedup.prefixFilterPairs(T.documents(s, d))),
+    "d27_prefix_vs_index" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.prefixFilterVsIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        Dedup.prefixFilterIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    }),
     "q55_attribution" -> ((s, d) =>
       Temporal.lastTouchAttribution(T.events(s, d))),
     "q56_integrity" -> ((s, d) =>
@@ -3114,6 +3121,44 @@ object SparkEntry {
         |  FROM cand JOIN sh x ON x.doc_id = doc_a
         |    JOIN sh y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM jac
+        |WHERE jaccard >= 0.7""".stripMargin,
+    // d26's pipeline split cross-set: the frequency order is frozen from
+    // the INDEX side only; incoming tokens unseen there rank with freq 0
+    // (before all seen tokens) — the same single total order both sides.
+    "d27_prefix_vs_index" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, len(s) AS n,
+        |  unnest(list_transform(s, x -> md5('f:' || x))) AS h FROM sh),
+        |freq AS (SELECT h, count(*) AS freq FROM tok
+        |  WHERE doc_id % 10 <> 0 GROUP BY h),
+        |rkk AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
+        |  FROM tok t JOIN freq f ON f.h = t.h WHERE t.doc_id % 10 <> 0),
+        |prek AS (SELECT p.doc_id, p.n, p.h
+        |  FROM (SELECT doc_id, n, h FROM rkk
+        |    WHERE rn <= floor((1.0 - 0.7) * n) + 1) p
+        |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
+        |rki AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id
+        |    ORDER BY COALESCE(f.freq, 0), t.h) AS rn
+        |  FROM tok t LEFT JOIN freq f ON f.h = t.h WHERE t.doc_id % 10 = 0),
+        |prei AS (SELECT p.doc_id, p.n, p.h
+        |  FROM (SELECT doc_id, n, h FROM rki
+        |    WHERE rn <= floor((1.0 - 0.7) * n) + 1) p
+        |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
+        |  FROM prei a JOIN prek b ON a.h = b.h
+        |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT c.doc_id, c.dup_of,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_id
+        |    JOIN sh y ON y.doc_id = c.dup_of)
+        |SELECT doc_id, dup_of, jaccard FROM jac
         |WHERE jaccard >= 0.7""".stripMargin,
     // The S-curve uses multiplication-only arithmetic in the same order
     // as the Spark expression, so doubles match bit-for-bit.

@@ -763,6 +763,95 @@ object Dedup {
     }
   }
 
+  /** The two stored tables of a materialized prefix-filter index (d27):
+    * the corpus token-frequency table (h, freq) — the FROZEN total order
+    * every later search ranks against — and the per-doc table (doc_id, n,
+    * sh, pre) holding the shingle set and its precomputed prefix hashes.
+    * Both are plain lake-table shapes (parquet round-trip pinned by
+    * DedupSpec), the [[graft.operators.Similarity.IvfAdcIndex]] pattern
+    * applied to the EXACT dedup family. */
+  final case class PrefixFilterIndex(freq: DataFrame, docs: DataFrame)
+
+  /** Build the prefix-filter index once: one token explode, one frequency
+    * aggregate, one rank window — after this, ingests never recompute the
+    * corpus order. */
+  def prefixFilterIndex(documents: DataFrame,
+      threshold: Double = 0.7): PrefixFilterIndex = {
+    val sh = docShingles(documents)
+    sh.persist()
+    try {
+      val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(transform(col("sh"),
+          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+      val freq = Caching.materialize(
+        tok.groupBy(col("h")).agg(count(lit(1)).as("freq")))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("freq"), col("h"))
+      val pre = tok.join(freq, "h")
+        .withColumn("rn", row_number().over(byRarity))
+        .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")) + 1)
+        .groupBy(col("doc_id")).agg(collect_list(col("h")).as("pre"))
+      val docs = Caching.materialize(sh.join(pre, "doc_id")
+        .select(col("doc_id"), size(col("sh")).as("n"), col("sh"),
+          col("pre")))
+      PrefixFilterIndex(freq, docs)
+    } finally sh.unpersist(false)
+  }
+
+  /** [[prefixFilterPairs]] against a PREBUILT [[prefixFilterIndex]] (d27):
+    * the incoming batch ranks its tokens by the STORED frequency order —
+    * tokens the index has never seen take frequency 0, sorting before all
+    * seen tokens, which keeps the order a single consistent total order
+    * over the whole token universe (a token's key is the same no matter
+    * which side evaluates it), so the prefix-filter recall guarantee
+    * stays EXACT for cross-set pairs. Candidates are incoming-prefix ×
+    * stored-prefix only (never index × index); verification reads the
+    * stored shingle sets. Same output contract as d13/d20
+    * (doc_id, dup_of, jaccard).
+    *
+    * Staleness contract (same as [[nearDupIndex]]): the frozen frequency
+    * order drifts as the corpus grows — drift changes which tokens land
+    * in NEW prefixes but never breaks the total-order consistency above,
+    * so recall stays exact; rebuild on the nightly cadence to keep
+    * prefixes rare-first (the performance property, not the correctness
+    * one). */
+  def prefixFilterVsIndex(incoming: DataFrame, index: PrefixFilterIndex,
+      threshold: Double = 0.7, maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
+    val shI = docShingles(incoming)
+    Caching.withPersisted(shI, index.freq, index.docs) {
+      val tokI = shI.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(transform(col("sh"),
+          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("freq"), col("h"))
+      val preI = capHotKeys(
+        tokI.join(index.freq, Seq("h"), "left_outer")
+          .withColumn("freq", coalesce(col("freq"), lit(0L)))
+          .withColumn("rn", row_number().over(byRarity))
+          .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")) + 1)
+          .select(col("doc_id"), col("n"), col("h")),
+        Seq("h"), maxPrefixDocs)
+      val preK = capHotKeys(
+        index.docs.select(col("doc_id"), col("n"),
+          explode(col("pre")).as("h")),
+        Seq("h"), maxPrefixDocs)
+      val cand = preI.as("a")
+        .join(preK.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.n").cast("double") >= lit(threshold) * col("b.n") &&
+            col("b.n").cast("double") >= lit(threshold) * col("a.n"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+        .distinct()
+      cand.as("c")
+        .join(shI.as("x"), col("c.doc_id") === col("x.doc_id"))
+        .join(index.docs.as("y"), col("c.dup_of") === col("y.doc_id"))
+        .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+  }
+
   /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
     * shingle hashes per group via the typed BottomKSketch Aggregator —
     * partial aggregation keeps the shuffle at k values per group, the

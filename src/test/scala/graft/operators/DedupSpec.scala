@@ -511,6 +511,60 @@ class DedupSpec extends SparkSpec {
       "one-word-edit near-dup pair present")
   }
 
+  test("prefixFilterVsIndex: exact cross-set recall, survives a parquet round-trip") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("spark", "table", "scan", "filter", "join", "group",
+      "agg", "sort", "window", "batch", "stream", "merge", "hash", "value")
+    val known = docs((1L to 15L).map { i =>
+      i -> Seq.fill(14)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }: _*)
+    val knownRows = known.collect().map(r => (r.getLong(0), r.getString(1)))
+    // incoming: a near-copy of known doc 3, an exact copy of doc 7 with a
+    // token the index never saw appended, and an unrelated doc
+    val inc = docs(
+      100L -> knownRows.find(_._1 == 3L).get._2.replace("spark", "sparkx"),
+      101L -> (knownRows.find(_._1 == 7L).get._2 + " zzznew"),
+      102L -> "totally different words that never appeared anywhere at all here")
+
+    val idx = Dedup.prefixFilterIndex(known)
+    // lake round-trip: the stored tables must behave identically
+    val dir = java.nio.file.Files.createTempDirectory("pfidx-").toString
+    idx.freq.write.parquet(s"$dir/freq")
+    idx.docs.write.parquet(s"$dir/docs")
+    val stored = Dedup.PrefixFilterIndex(
+      spark.read.parquet(s"$dir/freq"), spark.read.parquet(s"$dir/docs"))
+
+    def run(ix: Dedup.PrefixFilterIndex) =
+      Dedup.prefixFilterVsIndex(inc, ix, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val out = run(idx)
+    assert(out == run(stored), "stored index must behave identically")
+
+    // brute-force cross-set reference
+    val shI = inc.select(col("doc_id"),
+      graft.operators.LlmText.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val shK = known.select(col("doc_id"),
+      graft.operators.LlmText.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = shI.as("x").join(shK.as("y"), lit(true))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out == brute,
+      s"cross-set prefix filtering must lose nothing: " +
+        s"missing=${brute -- out} extra=${out -- brute}")
+    assert(out.exists(p => p._1 == 100L && p._2 == 3L),
+      "near-copy of doc 3 found")
+    assert(out.exists(p => p._1 == 101L && p._2 == 7L),
+      "copy with an index-unseen token still found (freq-0 ordering)")
+  }
+
   test("prefixFilterPairs: hot-prefix cap drops accountably, exact when uncapped") {
     // every doc identical -> every prefix token shared by all 6 docs; a cap
     // of 5 excludes them all (0 pairs), the default cap keeps all 15 pairs
