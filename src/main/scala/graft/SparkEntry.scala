@@ -432,6 +432,8 @@ object SparkEntry {
       Multimodal.frameSample(T.documents(s, d))),
     "mm5_resize" -> ((s, d) => Multimodal.resizeThumbs(T.documents(s, d))),
     "mm6_phash_pairs" -> ((s, d) => Multimodal.phashPairs(T.documents(s, d))),
+    "mm7_frame_energy" -> ((s, d) =>
+      Multimodal.frameEnergy(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -3743,6 +3745,23 @@ object SparkEntry {
         |      i -> substr(hx, CAST(8 * i + 1 AS BIGINT), 2)), ''))
         |  ELSE NULL END AS thumb_md5
         |FROM o""".stripMargin,
+    // PCM-at-128 read of the payload bytes via the hex dump; energy is
+    // exact integer math, RMS one IEEE division + correctly-rounded sqrt.
+    "mm7_frame_energy" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |u AS (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM b),
+        |s AS (SELECT doc_id, CAST(i // 64 AS BIGINT) AS frame_idx,
+        |    CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2)) AS INT)
+        |      - 128 AS sv
+        |  FROM u),
+        |fr AS (SELECT doc_id AS media_id, frame_idx,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(sv * sv) AS BIGINT) AS energy
+        |  FROM s GROUP BY 1, 2)
+        |SELECT media_id, frame_idx, n_samples, energy,
+        |  sqrt(CAST(energy AS DOUBLE) / n_samples) AS rms
+        |FROM fr""".stripMargin,
     // dHash over the stride-4 thumbnail, then d9's banded Hamming search:
     // 4 × 15-bit bands on the 60-bit hash, xor+bit_count on candidates.
     "mm6_phash_pairs" ->

@@ -235,6 +235,31 @@ object Multimodal {
     }
   }
 
+  /** Framed RMS energy (mm7): the audio-modality member of the family —
+    * the payload read as unsigned 8-bit PCM centered at 128, cut into
+    * fixed-size frames (last frame short), each scored by Σ s² and
+    * RMS = √(energy / n) — the silence-detection / loudness-normalization
+    * primitive of every audio ingest (a codec-backed deployment swaps the
+    * byte read for real sample decode behind the same frame columns).
+    *
+    * Typed flatMap with bounded fanout n_bytes/frame, no shuffle —
+    * the [[sampleFrames]] plan shape. Parity: energy is exact integer
+    * arithmetic; RMS is one IEEE division and one correctly-rounded
+    * `sqrt`, so both engines agree bit-for-bit. */
+  def frameEnergy(documents: DataFrame, frame: Int = 64): DataFrame = {
+    implicit val spark: SparkSession = documents.sparkSession
+    import spark.implicits._
+    toMediaRecords(documents).flatMap { m =>
+      m.media.grouped(frame).zipWithIndex.map { case (bytes, idx) =>
+        val e = bytes.foldLeft(0L) { (a, b) =>
+          val s = (b & 0xff) - 128; a + s.toLong * s
+        }
+        (m.media_id, idx.toLong, bytes.length.toLong, e,
+          math.sqrt(e.toDouble / bytes.length))
+      }
+    }.toDF("media_id", "frame_idx", "n_samples", "energy", "rms")
+  }
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

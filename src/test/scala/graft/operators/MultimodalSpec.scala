@@ -135,4 +135,19 @@ class MultimodalSpec extends SparkSpec {
       "short payloads never hash")
     assert(pairs.values.forall(_ <= 6))
   }
+
+  test("frameEnergy: per-frame PCM energy, short last frame, hand value") {
+    import spark.implicits._
+    // 70 'a' bytes → frame 0 has 64 samples, frame 1 has 6
+    val docs = Seq((1L, "a" * 70), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.frameEnergy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val s = 'a'.toInt - 128 // -31
+    assert(out((1L, 0L)) == (64L, 64L * s * s,
+      math.sqrt((64L * s * s).toDouble / 64)))
+    assert(out((1L, 1L)) == (6L, 6L * s * s,
+      math.sqrt((6L * s * s).toDouble / 6)))
+    assert(!out.keySet.exists(_._1 == 2L), "empty payload emits no frames")
+  }
 }
