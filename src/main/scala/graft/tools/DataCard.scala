@@ -63,6 +63,8 @@ object DataCard {
     val curve = Dedup.lshCandidateCurve(spark)
       .filter(col("jaccard").isin(0.5, 0.7, 0.9))
     val audit = Curation.neymanAllocation(docs).orderBy(col("source"))
+    val auditSample = Curation.weightedSample(docs, k = 10)
+    val phrases = LlmText.pmiCollocations(docs, k = 10)
     val merges = LlmText.bpeTrain(docs)
     val clusters = graft.operators.VectorOps.clusterQuality(embs)
       .orderBy(col("margin"))
@@ -86,6 +88,9 @@ object DataCard {
       curve)
     sb ++= section(
       "Audit sampling allocation (c22: Neyman, budget 1000)", audit)
+    sb ++= section(
+      "Length-weighted audit sample (c23: A-ES, first 10 keys)", auditSample)
+    sb ++= section("Top collocations (x29: PMI head)", phrases)
     sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
     sb ++= section(
       "Embedding cluster quality (e14: cohesion vs separation, worst first)",

@@ -17,6 +17,8 @@ class DataCardSpec extends SparkSpec {
         "## Vocabulary divergence vs corpus (x23, KL nats)",
         "## Near-dup detector operating points",
         "## Audit sampling allocation (c22: Neyman, budget 1000)",
+        "## Length-weighted audit sample (c23: A-ES, first 10 keys)",
+        "## Top collocations (x29: PMI head)",
         "## Tokenizer merge table (x25: first BPE merges)",
         "## Embedding cluster quality (e14"))
       assert(card.contains(section), s"missing section: $section\n$card")
