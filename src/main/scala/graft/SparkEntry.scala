@@ -167,6 +167,7 @@ object SparkEntry {
     "x24_langid_eval" -> ((s, d) => LlmText.langIdEval(T.documents(s, d))),
     "x29_pmi_collocations" -> ((s, d) =>
       LlmText.pmiCollocations(T.documents(s, d))),
+    "x30_novelty" -> ((s, d) => LlmText.noveltyScore(T.documents(s, d))),
     "x25_bpe_train" -> ((s, d) => LlmText.bpeTrain(T.documents(s, d))),
     "x26_bpe_vocab" -> ((s, d) => LlmText.bpeVocab(T.documents(s, d))),
     "x27_bpe_doc_stats" -> ((s, d) => LlmText.bpeDocStats(T.documents(s, d))),
@@ -1034,6 +1035,21 @@ object SparkEntry {
         |  AS DOUBLE) AS pmi FROM s)
         |SELECT w1, w2, cab, ca, cb, pmi FROM p
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "x30_novelty" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |intro AS (SELECT g, min(doc_id) AS introducer FROM tok GROUP BY g),
+        |per AS (SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN i.introducer = t.doc_id
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM tok t JOIN intro i ON i.g = t.g GROUP BY t.doc_id)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+        |FROM per""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

@@ -1117,6 +1117,38 @@ object LlmText {
     }
   }
 
+  /** Corpus-order novelty attribution (x30): for every word-3-shingle,
+    * the document that INTRODUCES it is the one with the smallest doc_id
+    * (ingest order); a document's novelty is the fraction of its shingles
+    * it introduces. The dedup family (d2/d4/d26) scores pairwise
+    * similarity; novelty is the complementary CORPUS-LEVEL signal — a doc
+    * can evade every pairwise detector by copying 30 sources a little
+    * (novelty near 0, no single pair above threshold), and memorization
+    * audits rank exactly this "nothing here is new" tail. Dually, the
+    * per-source mean of `novelty` is the freshness gauge mixture
+    * governance wants next to x23's KL.
+    *
+    * Scale shape: one shingle explode → min-aggregate keyed by shingle
+    * (map-side partial min), join back, one per-doc aggregate — two
+    * bounded shuffles, no self-join, no candidate blowup; the introducer
+    * table is the corpus's distinct-shingle table, the same cardinality
+    * every sketch in this library already aggregates over. */
+  def noveltyScore(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+    Caching.withPersisted(tok) {
+      val intro = tok.groupBy(col("g")).agg(min(col("doc_id")).as("introducer"))
+      tok.join(intro, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("introducer") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+    }
+  }
+
   /** Per-source vocabulary divergence (x23): KL(source ‖ corpus) over
     * unigram distributions, in nats — the domain-shift gauge for mixture
     * governance: a source whose vocabulary drifts from the corpus (new

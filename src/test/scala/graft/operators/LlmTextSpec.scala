@@ -652,4 +652,21 @@ class LlmTextSpec extends SparkSpec {
     assert(byPair(("new", "york"))._2 == expect,
       s"pmi drifted: ${byPair(("new", "york"))._2} vs $expect")
   }
+
+  test("noveltyScore: first doc introduces everything, a copy introduces nothing") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // 3 shingles, all novel
+      (2L, "alpha beta gamma delta epsilon"),  // exact copy → 0 novel
+      (3L, "alpha beta gamma zeta eta theta"), // shares "alpha beta gamma"
+      (4L, "xx yy"))                           // < 3 words → no row
+      .toDF("doc_id", "text")
+    val out = LlmText.noveltyScore(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == (3L, 3L, 1.0))
+    assert(out(2L) == (3L, 0L, 0.0))
+    assert(out(3L) == (4L, 3L, 0.75),
+      s"doc 3: one inherited shingle, three novel: ${out(3L)}")
+    assert(!out.contains(4L))
+  }
 }
