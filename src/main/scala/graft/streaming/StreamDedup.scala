@@ -79,6 +79,28 @@ object StreamDedup {
       }
       .start()
 
+  /** Streaming EXACT-recall dedup against a stored prefix-filter index
+    * (d27's streaming twin): each arriving batch ranks its tokens by the
+    * index's frozen frequency order and joins its prefixes against the
+    * stored ones — the [[nearDupVsPrebuiltIndex]] contract with the
+    * prefix-filter family's exact cross-set recall guarantee instead of
+    * the LSH bands' probabilistic one. The index tables
+    * ([[graft.operators.Dedup.PrefixFilterIndex]]) are lake scans rebuilt
+    * offline; per-batch cost scales with the batch. */
+  def prefixVsIndex(
+      docs: DataFrame,
+      index: graft.operators.Dedup.PrefixFilterIndex,
+      sink: DataFrame => Unit,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-prefix-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup
+          .prefixFilterVsIndex(batch, index, threshold))
+        ()
+      }
+      .start()
+
   /** Streaming span-level boilerplate scoring against a stored shared-span
     * index — the span-granularity sibling of [[nearDupVsIndex]] (batch
     * operator: `LlmText.spanScoreVsIndex`, d19; index builder:

@@ -117,6 +117,43 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prefixVsIndex: per-batch exact dedup equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog"
+    val known = Seq(
+      (100L, base),
+      (101L, "some other stored document with its own vocabulary entirely"))
+      .toDF("doc_id", "text")
+    // lake round-trip of both index tables, like production
+    val dir = java.nio.file.Files.createTempDirectory("graft-pfi").toString
+    val built = graft.operators.Dedup.prefixFilterIndex(known, 0.5)
+    built.freq.write.parquet(s"$dir/freq")
+    built.docs.write.parquet(s"$dir/docs")
+    val index = graft.operators.Dedup.PrefixFilterIndex(
+      spark.read.parquet(s"$dir/freq"), spark.read.parquet(s"$dir/docs"))
+    val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.prefixVsIndex(
+      input.toDF().toDF("doc_id", "text"), index,
+      sink = df => df.collect().foreach(r =>
+        pairs.add((r.getLong(0), r.getLong(1), r.getDouble(2)))),
+      threshold = 0.5)
+    try {
+      val b0 = Seq(
+        (1L, base.replace("dog", "cat")),
+        (2L, "completely different words forming another document here"))
+      input.addData(b0)
+      q.processAllAvailable()
+      val twin = graft.operators.Dedup.prefixFilterVsIndex(
+        b0.toDF("doc_id", "text"), index, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs.toArray(Array.empty[(Long, Long, Double)]).toSet == twin,
+        "stream output must equal the batch twin")
+      assert(twin.exists(p => p._1 == 1L && p._2 == 100L),
+        "near-dup of the stored doc flagged")
+    } finally q.stop()
+  }
+
   test("spanScoreVsIndex scores arriving docs against stored boilerplate") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.LlmText
