@@ -280,6 +280,8 @@ object SparkEntry {
     }),
     "q55_attribution" -> ((s, d) =>
       Temporal.lastTouchAttribution(T.events(s, d))),
+    "q61_linear_attribution" -> ((s, d) =>
+      Temporal.linearAttribution(T.events(s, d))),
     "q56_integrity" -> ((s, d) =>
       R.integrityReport(T.customer(s, d), T.orders(s, d),
         T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
@@ -629,6 +631,23 @@ object SparkEntry {
         |SELECT user_id, island, count(*) AS n_events,
         |  min(start_us) AS span_start_us, max(end_us) AS span_end_us
         |FROM s GROUP BY user_id, island""".stripMargin,
+    "q61_linear_attribution" ->
+      """WITH b AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_id, event_type, value FROM events),
+        |c AS (SELECT user_id, t AS ct, event_id AS click_id FROM b
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t AS pt, event_id AS purchase_id, value
+        |  FROM b WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+        |    p.pt - c.ct AS lag_sec, p.value
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ct <= p.pt AND p.pt - c.ct <= 604800),
+        |n AS (SELECT *, CAST(count(*) OVER (PARTITION BY purchase_id)
+        |    AS BIGINT) AS n_touches FROM j)
+        |SELECT purchase_id, user_id, click_id, lag_sec, n_touches,
+        |  CAST(1.0 AS DOUBLE) / n_touches AS credit,
+        |  value / n_touches AS value_credit
+        |FROM n""".stripMargin,
     "q60_ohlc_bars" ->
       """WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day, value,
         |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)

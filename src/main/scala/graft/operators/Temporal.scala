@@ -486,6 +486,42 @@ object Temporal {
           col("t") - col("cand_t")).as("lag_sec"))
   }
 
+  /** Linear multi-touch attribution (q61): every click within the
+    * lookback window of a same-user purchase shares the credit equally —
+    * the fractional complement of [[lastTouchAttribution]] (q55 awards the
+    * final click everything; this splits 1/n and value/n across all n
+    * touches, the other standard marketing-attribution policy). One row
+    * per (purchase, contributing click) with its lag, touch count, and
+    * both unit and value-weighted credit.
+    *
+    * Scale shape: unlike last-touch, the OUTPUT is the (purchase, click)
+    * pair list, so a per-user join is inherent, not overhead — the join is
+    * user_id-partitioned with the window predicate applied in the join
+    * condition (pairs outside the window never materialize), and the
+    * credit split is one count window over the pairs keyed by purchase.
+    * Cost is O(output) plus one shuffle family on user_id. */
+  def linearAttribution(events: DataFrame,
+      windowSec: Long = 7L * 86400): DataFrame = {
+    val base = events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("t"), col("event_id"),
+      col("event_type"), col("value"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t").as("ct"),
+        col("event_id").as("click_id"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("pt"),
+        col("event_id").as("purchase_id"), col("value"))
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("ct") <= col("pt") &&
+        col("pt") - col("ct") <= windowSec)
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (col("pt") - col("ct")).as("lag_sec"), col("n_touches"),
+        (lit(1.0) / col("n_touches")).as("credit"),
+        (col("value") / col("n_touches")).as("value_credit"))
+  }
+
   /** Time-series gap filling with forward fill (q48): one row per user per
     * calendar day between that user's first and last event, with the days
     * the user was silent carried forward from the last active day — the

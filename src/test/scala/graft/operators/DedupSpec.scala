@@ -565,6 +565,42 @@ class DedupSpec extends SparkSpec {
       "copy with an index-unseen token still found (freq-0 ordering)")
   }
 
+  test("property: prefixFilterPairs equals brute force on random corpora") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    // small vocab forces shared shingles and near-threshold Jaccards —
+    // exactly where a wrong prefix length or a broken tie order would
+    // show as a missed pair
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(3, 10).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, doc))
+    val prop = forAll(corpusGen) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = df.select(col("doc_id"),
+        graft.operators.LlmText.shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val brute = sh.as("x").join(sh.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+        .filter(col("j") >= 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val out = Dedup
+        .prefixFilterPairs(df, 0.6, maxPrefixDocs = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      Prop(out == brute)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("prefixFilterPairs: hot-prefix cap drops accountably, exact when uncapped") {
     // every doc identical -> every prefix token shared by all 6 docs; a cap
     // of 5 excludes them all (0 pairs), the default cap keeps all 15 pairs

@@ -264,6 +264,26 @@ class TemporalSpec extends SparkSpec {
     assert(out((2L, 2L)) == (1L, 11L * 1000000L, 21L * 1000000L))
   }
 
+  test("linearAttribution splits credit equally inside the window") {
+    val events = Seq(
+      (1L, 10L, ts(0), "click", 0.0),
+      (1L, 11L, ts(100), "click", 0.0),
+      (1L, 12L, ts(200), "purchase", 30.0),   // both clicks share
+      (1L, 13L, ts(200 + 700000), "purchase", 10.0), // outside 7d window
+      (2L, 20L, ts(50), "click", 0.0),
+      (2L, 21L, ts(60), "purchase", 8.0))     // single touch
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Temporal.linearAttribution(events).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(out((12L, 10L)) == (200L, 2L, 0.5, 15.0))
+    assert(out((12L, 11L)) == (100L, 2L, 0.5, 15.0))
+    assert(out((21L, 20L)) == (10L, 1L, 1.0, 8.0))
+    assert(!out.keySet.exists(_._1 == 13L),
+      "purchase outside the lookback window attributes nothing")
+  }
+
   test("ohlcBars: open is first-by-time, close is last, band is min/max") {
     val day0 = 0L
     val day1 = 86400L
