@@ -168,6 +168,8 @@ object SparkEntry {
     "x29_pmi_collocations" -> ((s, d) =>
       LlmText.pmiCollocations(T.documents(s, d))),
     "x30_novelty" -> ((s, d) => LlmText.noveltyScore(T.documents(s, d))),
+    "x31_vocab_growth" -> ((s, d) =>
+      LlmText.vocabGrowth(T.documents(s, d))),
     "x25_bpe_train" -> ((s, d) => LlmText.bpeTrain(T.documents(s, d))),
     "x26_bpe_vocab" -> ((s, d) => LlmText.bpeVocab(T.documents(s, d))),
     "x27_bpe_doc_stats" -> ((s, d) => LlmText.bpeDocStats(T.documents(s, d))),
@@ -1069,6 +1071,29 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_novel,
         |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
         |FROM per""".stripMargin,
+    "x31_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+        |tm AS (SELECT doc_id // 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tf GROUP BY 1),
+        |nt AS (SELECT first_doc // 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM (SELECT w, min(doc_id) AS first_doc FROM tf GROUP BY w)
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(tm.bucket, nt.bucket) AS bucket,
+        |    COALESCE(tm.n_tokens, 0) AS n_tokens,
+        |    COALESCE(nt.n_new_types, 0) AS n_new_types
+        |  FROM tm FULL OUTER JOIN nt ON tm.bucket = nt.bucket)
+        |SELECT bucket, n_tokens, n_new_types,
+        |  CAST(sum(n_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(n_new_types) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM j""".stripMargin,
     "x6_text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(

@@ -1149,6 +1149,46 @@ object LlmText {
     }
   }
 
+  /** Vocabulary-growth curve (x31): cumulative distinct word types vs
+    * cumulative tokens along ingest order, reported per `bucketDocs`-doc
+    * bucket — the empirical Heaps'-law curve (V ≈ K·Nᵝ). A flattening
+    * curve says the crawl is exhausting its domain (more tokens, no new
+    * vocabulary — diminishing returns for training); a kink upward marks
+    * a new source or language entering the mix. Complements [[
+    * noveltyScore]] (x30, per-doc shingle novelty) with the corpus-level
+    * word trajectory.
+    *
+    * Scale shape: each word's INTRODUCING bucket is a min-aggregate
+    * (map-side partial), token mass a per-bucket count — two bounded
+    * shuffles over vocabulary/bucket cardinality. Only the final running
+    * sum runs in a single-partition window, over the BUCKET table
+    * (corpus_docs / bucketDocs rows — hundreds, not billions), the same
+    * bounded-report contract as every governance query here. */
+  def vocabGrowth(documents: DataFrame, bucketDocs: Long = 100L): DataFrame = {
+    val toks = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    Caching.withPersisted(toks) {
+      val tokMass = toks
+        .groupBy(floor(col("doc_id") / bucketDocs).as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val newTypes = toks
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(floor(col("first_doc") / bucketDocs).as("bucket"))
+        .agg(count(lit(1)).as("n_new_types"))
+      val W = org.apache.spark.sql.expressions.Window
+      val run = W.orderBy(col("bucket"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      tokMass.join(newTypes, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
+        .withColumn("cum_types", sum(col("n_new_types")).over(run))
+    }
+  }
+
   /** Per-source vocabulary divergence (x23): KL(source ‖ corpus) over
     * unigram distributions, in nats — the domain-shift gauge for mixture
     * governance: a source whose vocabulary drifts from the corpus (new

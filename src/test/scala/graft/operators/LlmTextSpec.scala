@@ -653,6 +653,21 @@ class LlmTextSpec extends SparkSpec {
       s"pmi drifted: ${byPair(("new", "york"))._2} vs $expect")
   }
 
+  test("vocabGrowth: per-bucket new types and exact running sums") {
+    val corpus = Seq(
+      (0L, "a b c"),        // bucket 0: 3 tokens, 3 new types
+      (1L, "a b d"),        // +3 tokens, 1 new type (d)
+      (2L, "a a a"),        // +3 tokens, 0 new
+      (5L, "e f"))          // bucket 2 (width 2): 2 tokens, 2 new
+      .toDF("doc_id", "text")
+    val out = LlmText.vocabGrowth(corpus, bucketDocs = 2L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == (6L, 4L, 6L, 4L), s"bucket 0: $out")
+    assert(out(1L) == (3L, 0L, 9L, 4L))
+    assert(out(2L) == (2L, 2L, 11L, 6L))
+  }
+
   test("noveltyScore: first doc introduces everything, a copy introduces nothing") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),  // 3 shingles, all novel
