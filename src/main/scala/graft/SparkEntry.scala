@@ -273,6 +273,18 @@ object SparkEntry {
     "d25_lsh_tune" -> ((s, _) => Dedup.lshTune(s)),
     "d26_prefix_filter" -> ((s, d) =>
       Dedup.prefixFilterPairs(T.documents(s, d))),
+    // the exact-recall pipeline: ONE prefix-filter pass feeds components
+    // and the surviving-corpus apply — d8b's shape with d26's guarantee
+    // (every true near-dup pair reaches the component step; no LSH miss)
+    "d28_exact_pipeline" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val pairs = Dedup.prefixFilterPairs(docs, 0.7)
+        .select(col("doc_a"), col("doc_b"))
+      val comps = Dedup.connectedComponents(pairs)
+        .select(col("doc").as("doc_id"),
+          (col("doc") === col("lab")).as("keep"))
+      Dedup.dedupApply(docs, comps)
+    }),
     "d27_prefix_vs_index" -> ((s, d) => {
       val docs = T.documents(s, d)
       Dedup.prefixFilterVsIndex(
@@ -3184,6 +3196,45 @@ object SparkEntry {
         |    JOIN sh y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM jac
         |WHERE jaccard >= 0.7""".stripMargin,
+    // d26's pair chain + d8's component/apply tail: exact candidates →
+    // transitive closure → keep component minima → kept-per-source.
+    "d28_exact_pipeline" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, len(s) AS n,
+        |  unnest(list_transform(s, x -> md5('f:' || x))) AS h FROM sh),
+        |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
+        |rk AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
+        |  FROM tok t JOIN freq f ON f.h = t.h),
+        |pre AS (SELECT doc_id, n, h FROM rk
+        |  WHERE rn <= floor((1.0 - 0.7) * n) + 1),
+        |prec AS (SELECT p0.* FROM pre p0
+        |  QUALIFY count(*) OVER (PARTITION BY p0.h) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |    JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(doc, lab) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.lab FROM ed JOIN reach ON ed.b = reach.doc),
+        |dec AS (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc),
+        |drops AS (SELECT doc FROM dec WHERE doc <> rep)
+        |SELECT d.source, count(*) AS n_docs_kept
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
+        |WHERE drops.doc IS NULL
+        |GROUP BY d.source""".stripMargin,
     // d26's pipeline split cross-set: the frequency order is frozen from
     // the INDEX side only; incoming tokens unseen there rank with freq 0
     // (before all seen tokens) — the same single total order both sides.
