@@ -493,6 +493,28 @@ object Similarity {
     } finally Seq(vc, sub).foreach(_.unpersist(false))
   }
 
+  /** Incremental IVF-ADC index maintenance (s15): assign ARRIVING vectors
+    * to the stored coarse cells and PQ codes — the write path of the
+    * FAISS-style index lifecycle ([[ivfAdcIndex]] builds, [[ivfAdcVsIndex]]
+    * searches, this appends). No quantizer retrains: cell assignment is a
+    * broadcast-centroid argmax, codes a broadcast-codebook argmin, both
+    * one scan over the batch — per-ingest cost scales with the batch while
+    * the corpus-sized tables only ever append (the same staleness contract
+    * as [[graft.operators.Dedup.nearDupIndex]]: rebuild nightly to re-fit
+    * quantizers to drifted data; correctness of search over appended rows
+    * never depends on the rebuild). */
+  def ivfAdcAppend(incoming: DataFrame, index: IvfAdcIndex): IvfAdcIndex = {
+    val vc = vecs(incoming)
+    val sub = VectorOps.pqSubspaces(incoming, index.subspaces, index.subDim)
+    val newCells = Caching.materialize(bestCells(index.centroids)(vc, 1))
+    val newCodes = Caching.materialize(
+      VectorOps.pqNearest(sub, index.codebook)
+        .select(col("vec_id"), col("s"), col("code")))
+    IvfAdcIndex(index.centroids, index.cells.unionByName(newCells),
+      index.codes.unionByName(newCodes), index.codebook,
+      index.subspaces, index.subDim)
+  }
+
   /** s13's search phase against a PREBUILT index (s14): the corpus scan
     * here serves only the query projection and the final exact re-rank —
     * no quantizer or codebook is ever retrained at search time. The PQ

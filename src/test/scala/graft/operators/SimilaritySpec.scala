@@ -286,6 +286,44 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("ivfAdcAppend: appended vectors are searchable, quantizers frozen") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // split on % 7 so the quantizer's deterministic training sample
+    // (vec_id % 5 == 0) and seeds (% 50 == 0) stay in the stored side
+    val known = emb.filter(col("vec_id") % 7 =!= 3)
+    // arriving batch: the held-out vectors, plus an exact duplicate of a
+    // query vector under a fresh id — the append path must make it the
+    // query's top stored neighbor
+    val dupSrc = emb.filter(col("vec_id") === 100)
+      .select(lit(900001L).as("vec_id"), col("embedding"), col("label"))
+    val arriving = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(dupSrc)
+    val idx = Similarity.ivfAdcIndex(known)
+    val idx2 = Similarity.ivfAdcAppend(arriving, idx)
+    // quantizers untouched; cell/code tables grew by exactly the batch
+    assert(idx2.centroids eq idx.centroids)
+    assert(idx2.codebook eq idx.codebook)
+    val grown = idx2.cells.count() - idx.cells.count()
+    assert(grown == arriving.count(), s"cells grew by $grown")
+    // the duplicate lands in the same cell as its source vector
+    val cellOf = idx2.cells.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf(900001L) == cellOf(100L),
+      "identical vector must be assigned the identical stored cell")
+    // and search over the appended index surfaces it for query 100 —
+    // the corpus side is the post-ingest lake table (original ∪ appended),
+    // which supplies the exact re-rank vectors
+    val corpus2 = emb.unionByName(dupSrc)
+    val hits = Similarity.ivfAdcVsIndex(corpus2, idx2, k = 5)
+      .filter(col("query_id") === 100 && col("neighbor_id") === 900001L)
+      .collect()
+    assert(hits.nonEmpty && math.abs(hits.head.getDouble(
+      hits.head.fieldIndex("cos")) - 1.0) < 1e-12,
+      "appended exact duplicate must be found at cosine 1")
+  }
+
   test("annIvf recall vs exact brute force on real embeddings") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
