@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.DataFrame
+
+/** Empty-input robustness: a filter chain, a partition prune, or an
+  * unlucky ingest window can hand ANY operator a zero-row frame at 100 TB
+  * — the correct behavior is an empty (or all-zero-group) result, never a
+  * throw. One sweep over the documents- and embeddings-shaped operator
+  * surface; report-shaped operators must return zero rows too (no
+  * divide-by-zero poison rows). */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs: DataFrame =
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  private val embs: DataFrame =
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+
+  private val docOps: Seq[(String, () => DataFrame)] = Seq(
+    "exactDedup" -> (() => Dedup.exactDedup(docs)),
+    "minhashLsh" -> (() => Dedup.minhashLsh(docs)),
+    "simhash" -> (() => Dedup.simhash(docs)),
+    "simhashPairs" -> (() => Dedup.simhashPairs(docs)),
+    "ngramJaccard" -> (() => Dedup.ngramJaccard(docs)),
+    "containment" -> (() => Dedup.containment(docs)),
+    "prefixFilterPairs" -> (() => Dedup.prefixFilterPairs(docs)),
+    "sourceSketch" -> (() => Dedup.sourceSketch(docs)),
+    "sourceOverlap" -> (() => Dedup.sourceOverlap(docs)),
+    "urlDedup" -> (() => Dedup.urlDedup(docs)),
+    "nearDupComponents" -> (() => Dedup.nearDupComponents(docs)),
+    "keepBestInCluster" -> (() => Dedup.keepBestInCluster(docs)),
+    "fuzzyTitlePairs" -> (() => Dedup.fuzzyTitlePairs(docs)),
+    "sortedNeighborPairs" -> (() => Dedup.sortedNeighborPairs(docs)),
+    "dedupApply" -> (() => Dedup.dedupApply(docs)),
+    "dedupReport" -> (() => Dedup.dedupReport(docs)),
+    "tokenStats" -> (() => LlmText.tokenStats(docs)),
+    "langId" -> (() => LlmText.langId(docs)),
+    "qualityScore" -> (() => LlmText.qualityScore(docs)),
+    "fingerprint" -> (() => LlmText.fingerprint(docs)),
+    "tfidf" -> (() => LlmText.tfidf(docs)),
+    "repetitionSignals" -> (() => LlmText.repetitionSignals(docs)),
+    "vocabOov" -> (() => LlmText.vocabOov(docs)),
+    "bm25" -> (() => LlmText.bm25(docs, Seq("spark", "query"))),
+    "piiRedact" -> (() => LlmText.piiRedact(docs)),
+    "lineFilter" -> (() => LlmText.lineFilter(docs)),
+    "charEntropy" -> (() => LlmText.charEntropy(docs)),
+    "lexicalDiversity" -> (() => LlmText.lexicalDiversity(docs)),
+    "sourceDivergence" -> (() => LlmText.sourceDivergence(docs)),
+    "pmiCollocations" -> (() => LlmText.pmiCollocations(docs)),
+    "noveltyScore" -> (() => LlmText.noveltyScore(docs)),
+    "vocabGrowth" -> (() => LlmText.vocabGrowth(docs)),
+    "spanDedup" -> (() => LlmText.spanDedup(docs)),
+    "removableSpans" -> (() => LlmText.removableSpans(docs)),
+    "stratifiedSample" -> (() =>
+      Curation.stratifiedSample(docs, Map.empty, 50)),
+    "domainMix" -> (() => Curation.domainMix(docs)),
+    "qualitySample" -> (() => Curation.qualitySample(docs)),
+    "tokenBudgetSelect" -> (() => Curation.tokenBudgetSelect(docs)),
+    "sourceReport" -> (() => Curation.sourceReport(docs)),
+    "weightedSample" -> (() => Curation.weightedSample(docs)),
+    "neymanAllocation" -> (() => Curation.neymanAllocation(docs)),
+    "chunkOverlap" -> (() => Curation.chunkOverlap(docs)),
+    "mediaFeatures" -> (() => Multimodal.mediaFeatures(docs)),
+    "frameEnergy" -> (() => Multimodal.frameEnergy(docs)),
+    "patchExtract" -> (() => Multimodal.patchExtract(docs)),
+    "resizeThumbs" -> (() => Multimodal.resizeThumbs(docs)))
+
+  private val embOps: Seq[(String, () => DataFrame)] = Seq(
+    "embeddingDedup" -> (() => Dedup.embeddingDedup(embs)),
+    "knnBruteForce" -> (() => Similarity.knnBruteForce(embs)),
+    "rangeSearch" -> (() => Similarity.rangeSearch(embs)),
+    "groupCentroids" -> (() => VectorOps.groupCentroids(embs)),
+    "int8Quantize" -> (() => VectorOps.int8Quantize(embs)),
+    "zscoreNormalize" -> (() => VectorOps.zscoreNormalize(embs)),
+    "binaryQuantize" -> (() => VectorOps.binaryQuantize(embs)),
+    "matryoshkaTruncate" -> (() => VectorOps.matryoshkaTruncate(embs)),
+    "randomProjection" -> (() => VectorOps.randomProjection(embs)))
+
+  test("documents operators return empty on an empty corpus, never throw") {
+    val bad = (docOps ++ embOps).flatMap { case (name, op) =>
+      try {
+        val n = op().count()
+        if (n == 0) None else Some(s"$name emitted $n rows from nothing")
+      } catch {
+        case e: Throwable => Some(s"$name threw ${e.getClass.getSimpleName}: " +
+          e.getMessage.linesIterator.take(1).mkString)
+      }
+    }
+    assert(bad.isEmpty, s"empty-input violations:\n${bad.mkString("\n")}")
+  }
+}
