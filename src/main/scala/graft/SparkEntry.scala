@@ -68,6 +68,7 @@ object SparkEntry {
     "q59_interval_merge" -> ((s, d) =>
       Temporal.coalesceIntervals(T.events(s, d))),
     "q60_ohlc_bars" -> ((s, d) => Temporal.ohlcBars(T.events(s, d))),
+    "q62_winsorize" -> ((s, d) => Temporal.winsorize(T.events(s, d))),
     // q22 verification harness around the sketch operator: sketch VALUES
     // are engine-specific, so the query surfaces them as within-tolerance
     // booleans against exact twins and the oracle pins the booleans to
@@ -2800,6 +2801,27 @@ object SparkEntry {
         |SELECT from_type, event_type AS to_type, count(*) AS n_transitions
         |FROM s WHERE from_type IS NOT NULL
         |GROUP BY from_type, event_type""".stripMargin,
+    // ps CAST to DOUBLE in the rank targets: DuckDB's bare 0.05 literal is
+    // DECIMAL, and decimal ceil(p*n) parts ways with Spark's double at
+    // exact-integer boundaries (0.05·2000: double 200.0000…11 → 201).
+    "q62_winsorize" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT event_type, p, CAST(ceil(p * n) AS BIGINT) AS rnk
+        |  FROM c CROSS JOIN (SELECT UNNEST(
+        |    [CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p)),
+        |r AS (SELECT event_type, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rnk
+        |  FROM events),
+        |qv AS (SELECT r.event_type, t.p, r.value AS q_value
+        |  FROM r JOIN t ON t.event_type = r.event_type AND t.rnk = r.rnk),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN p = CAST(0.05 AS DOUBLE) THEN q_value END) AS lo_v,
+        |    min(CASE WHEN p = CAST(0.95 AS DOUBLE) THEN q_value END) AS hi_v
+        |  FROM qv GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  greatest(least(e.value, b.hi_v), b.lo_v) AS value_winsorized,
+        |  (e.value < b.lo_v OR e.value > b.hi_v) AS clipped
+        |FROM events e JOIN b ON b.event_type = e.event_type""".stripMargin,
     "q43_group_quantiles" ->
       """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
         |r AS (SELECT event_type, value,

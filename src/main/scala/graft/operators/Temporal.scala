@@ -377,6 +377,30 @@ object Temporal {
       .select(col("event_type"), col("p"), col("value").as("q_value"))
   }
 
+  /** Per-group winsorization (q62): clamp every value into its group's
+    * [⌈lo·n⌉-th, ⌈hi·n⌉-th] order-statistic band — the outlier-clipping
+    * step a curation pipeline runs before any mean-sensitive statistic
+    * (clip absurd doc lengths / quality scores instead of dropping the
+    * rows; [[graft.operators.Relational.trimmedMean]] is the drop-based
+    * sibling). Bounds come from the same exact rank machinery as
+    * [[groupQuantiles]]; the clamp itself is a broadcast join + two
+    * comparisons per row, so the operator stays one rank window + one
+    * scan at any scale. */
+  def winsorize(events: DataFrame,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val q = groupQuantiles(events, Seq(lo, hi))
+    val bounds = q.groupBy(col("event_type")).agg(
+      min(when(col("p") === lo, col("q_value"))).as("lo_v"),
+      min(when(col("p") === hi, col("q_value"))).as("hi_v"))
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(least(col("value"), col("hi_v")), col("lo_v"))
+          .as("value_winsorized"),
+        (col("value") < col("lo_v") || col("value") > col("hi_v"))
+          .as("clipped"))
+  }
+
   /** Interpolated per-group percentiles (q47): SQL-standard
     * PERCENTILE_CONT semantics — h = (n−1)·p + 1, result =
     * v_⌊h⌋ + (h−⌊h⌋)·(v_⌈h⌉ − v_⌊h⌋) — computed with EXPLICIT arithmetic

@@ -284,6 +284,23 @@ class TemporalSpec extends SparkSpec {
       "purchase outside the lookback window attributes nothing")
   }
 
+  test("winsorize clamps to the exact order-statistic band") {
+    // 20 values 1..20 in one group. IEEE doubles: 0.05·20 rounds to
+    // exactly 1.0 → lo rank 1 (bound 1.0, nothing clips below);
+    // 0.95·20 = 18.9999…9 → hi rank 19 (bound 19.0, only 20 clips).
+    // The spec pins the double arithmetic the oracle must mirror.
+    val events = (1 to 20).map(i =>
+      (1L, i.toLong, ts(i.toLong), "a", i.toDouble))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Temporal.winsorize(events).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    assert(out(1L) == (1.0, 1.0, false), s"lo rank is 1, bottom passes: $out")
+    assert(out(20L) == (20.0, 19.0, true), "top clips down to rank-19")
+    assert(out(10L) == (10.0, 10.0, false))
+    assert(out.values.count(_._3) == 1, "exactly the top extreme clips")
+  }
+
   test("ohlcBars: open is first-by-time, close is last, band is min/max") {
     val day0 = 0L
     val day1 = 86400L
