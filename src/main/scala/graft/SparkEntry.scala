@@ -69,6 +69,8 @@ object SparkEntry {
       Temporal.coalesceIntervals(T.events(s, d))),
     "q60_ohlc_bars" -> ((s, d) => Temporal.ohlcBars(T.events(s, d))),
     "q62_winsorize" -> ((s, d) => Temporal.winsorize(T.events(s, d))),
+    "q63_rolling_anomaly" -> ((s, d) =>
+      Temporal.rollingAnomaly(T.events(s, d))),
     // q22 verification harness around the sketch operator: sketch VALUES
     // are engine-specific, so the query surfaces them as within-tolerance
     // booleans against exact twins and the oracle pins the booleans to
@@ -2822,6 +2824,31 @@ object SparkEntry {
         |  greatest(least(e.value, b.hi_v), b.lo_v) AS value_winsorized,
         |  (e.value < b.lo_v OR e.value > b.hi_v) AS clipped
         |FROM events e JOIN b ON b.event_type = e.event_type""".stripMargin,
+    // Trailing-frame Σv/Σv² as DECIMAL(18,6)/(36,12) (exact both engines);
+    // mean/var/z in the same fixed-order double expressions.
+    "q63_rolling_anomaly" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |    count(*) OVER w AS n_prev,
+        |    SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s1,
+        |    SUM(CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6))) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id, event_id, value,
+        |    CAST(n_prev AS BIGINT) AS n_prev,
+        |    CAST(s1 AS DOUBLE) / n_prev AS mean_prev,
+        |    CAST(s2 AS DOUBLE) / n_prev AS ex2
+        |  FROM s WHERE n_prev >= 5),
+        |v AS (SELECT user_id, event_id, value, n_prev, mean_prev,
+        |    sqrt(greatest(ex2 - mean_prev * mean_prev, 0.0)) AS std_prev
+        |  FROM m)
+        |SELECT user_id, event_id, value, n_prev, mean_prev, std_prev,
+        |  CASE WHEN std_prev > 0
+        |    THEN (value - mean_prev) / std_prev END AS z,
+        |  (std_prev > 0 AND
+        |   abs((value - mean_prev) / std_prev) > 3.0) AS anomaly
+        |FROM v""".stripMargin,
     "q43_group_quantiles" ->
       """WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
         |r AS (SELECT event_type, value,

@@ -401,6 +401,46 @@ object Temporal {
           .as("clipped"))
   }
 
+  /** Rolling z-score anomaly detection (q63): each event scored against
+    * the mean/σ of its user's PREVIOUS `window` events (frame [-window,
+    * -1] — the current value never contaminates its own baseline). The
+    * per-entity drift detector for metrics pipelines: |z| > zBar with a
+    * minimum history floor flags the row. One (user, time) sort window;
+    * running Σv and Σv² accumulate as DECIMAL (exact, order-independent)
+    * and convert to doubles only in the final fixed-order mean/var/z
+    * expressions, so the flag is bit-stable across engines and
+    * partitionings.
+    *
+    * Numeric note: var = E[v²] − mean² is the cancellation-PRONE form in
+    * floating point, but here both Σ terms are EXACT decimals of
+    * 6/12-decimal inputs — the subtraction is the only rounding site and
+    * it is the same one IEEE op on both engines; `greatest(…, 0)` guards
+    * the σ=0 tail. */
+  def rollingAnomaly(events: DataFrame, window: Int = 20,
+      zBar: Double = 3.0, minHistory: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-window, -1)
+    val vDec = col("value").cast(DecimalType(18, 6))
+    val scored = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s1", sum(vDec).over(w))
+      .withColumn("s2", sum(vDec * vDec).over(w))
+    val mean = col("s1").cast("double") / col("n_prev")
+    val ex2 = col("s2").cast("double") / col("n_prev")
+    val variance = greatest(ex2 - mean * mean, lit(0.0))
+    val std = sqrt(variance)
+    scored
+      .filter(col("n_prev") >= minHistory)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("n_prev"), mean.as("mean_prev"), std.as("std_prev"),
+        when(std > 0, (col("value") - mean) / std).as("z"),
+        (std > 0 && abs((col("value") - mean) / std) > zBar)
+          .as("anomaly"))
+  }
+
   /** Interpolated per-group percentiles (q47): SQL-standard
     * PERCENTILE_CONT semantics — h = (n−1)·p + 1, result =
     * v_⌊h⌋ + (h−⌊h⌋)·(v_⌈h⌉ − v_⌊h⌋) — computed with EXPLICIT arithmetic

@@ -301,6 +301,25 @@ class TemporalSpec extends SparkSpec {
     assert(out.values.count(_._3) == 1, "exactly the top extreme clips")
   }
 
+  test("rollingAnomaly flags a spike against the trailing baseline only") {
+    // ten flat values then a spike; the spike's baseline is the flat run
+    // (std tiny but > 0? no — identical values → std 0 → no flag). Use a
+    // small alternation so σ > 0, then a 10× spike.
+    val base = (1 to 10).map(i =>
+      (1L, i.toLong, ts(i.toLong), if (i % 2 == 0) 10.0 else 12.0))
+    val events = (base :+ ((1L, 11L, ts(11L), 110.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.rollingAnomaly(events, window = 20, minHistory = 5)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(3), r.getBoolean(7))).toMap
+    assert(!out.contains(1L) && !out.contains(5L),
+      "rows below the history floor are not scored")
+    assert(out(11L)._1 == 10L)
+    assert(out(11L)._2, s"10x spike must flag: $out")
+    assert(out.filterNot(_._1 == 11L).values.forall(!_._2),
+      "alternating baseline rows do not flag")
+  }
+
   test("ohlcBars: open is first-by-time, close is last, band is min/max") {
     val day0 = 0L
     val day1 = 86400L
