@@ -213,6 +213,20 @@ class PlanQualitySpec extends SparkSpec {
       s"windows and aggregate must share the user_id exchange ($shuffles):\n$p")
   }
 
+  test("q62: quantile bounds broadcast back over the fact scan") {
+    val p = plan("q62_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group bounds must broadcast, not SMJ:\n$p")
+  }
+
+  test("q63: one user_id window family, no self-join") {
+    val p = plan("q63_rolling_anomaly")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"rolling stats must come from the window, not a join:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"one user_id exchange expected ($shuffles):\n$p")
+  }
+
   test("x29: scalar totals broadcast; the collocation head is TakeOrdered") {
     val p = materializedPlan("x29_pmi_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
