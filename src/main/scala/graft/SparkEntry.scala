@@ -288,6 +288,7 @@ object SparkEntry {
           (col("doc") === col("lab")).as("keep"))
       Dedup.dedupApply(docs, comps)
     }),
+    "d29_dup_trend" -> ((s, d) => Dedup.dupTrend(T.documents(s, d))),
     "d27_prefix_vs_index" -> ((s, d) => {
       val docs = T.documents(s, d)
       Dedup.prefixFilterVsIndex(
@@ -3245,6 +3246,18 @@ object SparkEntry {
         |    JOIN sh y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM jac
         |WHERE jaccard >= 0.7""".stripMargin,
+    "d29_dup_trend" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),
+        |j AS (SELECT x.doc_id, x.doc_id <> f.first_doc AS is_dup
+        |  FROM h x JOIN f ON f.h = x.h)
+        |SELECT doc_id // 100 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_frac
+        |FROM j GROUP BY 1""".stripMargin,
     // d26's pair chain + d8's component/apply tail: exact candidates →
     // transitive closure → keep component minima → kept-per-source.
     "d28_exact_pipeline" ->

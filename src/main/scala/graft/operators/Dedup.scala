@@ -852,6 +852,28 @@ object Dedup {
     }
   }
 
+  /** Duplication-rate trend (d29): exact-duplicate fraction per
+    * `bucketDocs`-doc ingest bucket — a doc counts as a duplicate when its
+    * content hash was first seen in an EARLIER doc ([[exactDedup]]'s
+    * keep-minimum rule read as a time series). The governance curve next
+    * to [[LlmText.vocabGrowth]]: a crawl whose dup_frac climbs bucket
+    * over bucket is re-fetching what it already has (frontier collapse,
+    * syndication storm), visible long before corpus-total dedup numbers
+    * move. One hash aggregate + one join + one bucket aggregate —
+    * the x30/x31 introducer shape at whole-doc granularity. */
+  def dupTrend(documents: DataFrame, bucketDocs: Long = 100L): DataFrame = {
+    val h = documents.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    h.join(first, "h")
+      .groupBy(floor(col("doc_id") / bucketDocs).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .select(col("bucket"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
   /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
     * shingle hashes per group via the typed BottomKSketch Aggregator —
     * partial aggregation keeps the shuffle at k values per group, the

@@ -565,6 +565,20 @@ class DedupSpec extends SparkSpec {
       "copy with an index-unseen token still found (freq-0 ordering)")
   }
 
+  test("dupTrend: duplicate fraction per ingest bucket, first copy exempt") {
+    // width 2 → buckets: {1}, {2,3}, {4,5}, {6}; firsts: 1=aaa 2=bbb 5=ccc
+    val corpus = docs(
+      1L -> "aaa", 2L -> "bbb", 3L -> "aaa",
+      4L -> "aaa", 5L -> "ccc", 6L -> "bbb")
+    val out = Dedup.dupTrend(corpus, bucketDocs = 2L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L) == (1L, 0L, 0.0), s"$out")
+    assert(out(1L) == (2L, 1L, 0.5))
+    assert(out(2L) == (2L, 1L, 0.5))
+    assert(out(3L) == (1L, 1L, 1.0))
+  }
+
   test("property: prefixFilterPairs equals brute force on random corpora") {
     import org.apache.spark.sql.functions._
     import org.scalacheck.{Gen, Prop}
