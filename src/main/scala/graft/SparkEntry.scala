@@ -171,6 +171,7 @@ object SparkEntry {
     "x29_pmi_collocations" -> ((s, d) =>
       LlmText.pmiCollocations(T.documents(s, d))),
     "x30_novelty" -> ((s, d) => LlmText.noveltyScore(T.documents(s, d))),
+    "x32_code_switch" -> ((s, d) => LlmText.codeSwitch(T.documents(s, d))),
     "x31_vocab_growth" -> ((s, d) =>
       LlmText.vocabGrowth(T.documents(s, d))),
     "x25_bpe_train" -> ((s, d) => LlmText.bpeTrain(T.documents(s, d))),
@@ -1087,6 +1088,80 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_novel,
         |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
         |FROM per""".stripMargin,
+    "x32_code_switch" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text,' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        |    AS bigram
+        | FROM ws WHERE len(w) >= 2),
+        |c AS (SELECT lang AS plang, bigram, count(*) AS cnt FROM bg
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT plang, bigram FROM (
+        |  SELECT plang, bigram, row_number() OVER (PARTITION BY plang
+        |    ORDER BY cnt DESC, bigram) AS rn FROM c) t WHERE rn <= 16),
+        |hv AS (SELECT doc_id, 0 AS half, w[1:len(w)//2] AS hw FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, 1, w[len(w)//2+1:len(w)] FROM ws),
+        |hb AS (SELECT DISTINCT doc_id, half, bigram FROM (
+        |  SELECT doc_id, half,
+        |    UNNEST(list_transform(range(1, len(hw)),
+        |      i -> hw[i] || ' ' || hw[i+1])) AS bigram
+        |  FROM hv WHERE len(hw) >= 2) q),
+        |hits AS (SELECT doc_id, half, plang, count(*) AS hits
+        |  FROM hb JOIN prof ON hb.bigram = prof.bigram GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, half, plang FROM (
+        |  SELECT doc_id, half, plang, row_number() OVER (
+        |    PARTITION BY doc_id, half ORDER BY hits DESC, plang) AS rn
+        |  FROM hits) t WHERE rn = 1),
+        |f AS (SELECT doc_id, plang AS lang_front FROM best WHERE half = 0),
+        |b AS (SELECT doc_id, plang AS lang_back FROM best WHERE half = 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(f.lang_front, 'und') AS lang_front,
+        |  COALESCE(b.lang_back, 'und') AS lang_back,
+        |  (COALESCE(f.lang_front, 'und') <> 'und'
+        |   AND COALESCE(b.lang_back, 'und') <> 'und'
+        |   AND COALESCE(f.lang_front, 'und') <> COALESCE(b.lang_back, 'und'))
+        |    AS switched
+        |FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+        |  LEFT JOIN b ON b.doc_id = d.doc_id""".stripMargin,
+    "x32_code_switch" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text,' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |  UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        |    AS bigram
+        | FROM ws WHERE len(w) >= 2),
+        |c AS (SELECT lang AS plang, bigram, count(*) AS cnt FROM bg
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT plang, bigram FROM (
+        |  SELECT plang, bigram, row_number() OVER (PARTITION BY plang
+        |    ORDER BY cnt DESC, bigram) AS rn FROM c) t WHERE rn <= 16),
+        |hv AS (SELECT doc_id, 0 AS half, w[1:len(w)//2] AS hw FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, 1, w[len(w)//2+1:len(w)] FROM ws),
+        |hb AS (SELECT DISTINCT doc_id, half, bigram FROM (
+        |  SELECT doc_id, half,
+        |    UNNEST(list_transform(range(1, len(hw)),
+        |      i -> hw[i] || ' ' || hw[i+1])) AS bigram
+        |  FROM hv WHERE len(hw) >= 2) q),
+        |hits AS (SELECT doc_id, half, plang, count(*) AS hits
+        |  FROM hb JOIN prof ON hb.bigram = prof.bigram GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, half, plang FROM (
+        |  SELECT doc_id, half, plang, row_number() OVER (
+        |    PARTITION BY doc_id, half ORDER BY hits DESC, plang) AS rn
+        |  FROM hits) t WHERE rn = 1),
+        |f AS (SELECT doc_id, plang AS lang_front FROM best WHERE half = 0),
+        |b AS (SELECT doc_id, plang AS lang_back FROM best WHERE half = 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(f.lang_front, 'und') AS lang_front,
+        |  COALESCE(b.lang_back, 'und') AS lang_back,
+        |  (COALESCE(f.lang_front, 'und') <> 'und'
+        |   AND COALESCE(b.lang_back, 'und') <> 'und'
+        |   AND COALESCE(f.lang_front, 'und') <> COALESCE(b.lang_back, 'und'))
+        |    AS switched
+        |FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+        |  LEFT JOIN b ON b.doc_id = d.doc_id""".stripMargin,
     "x31_vocab_growth" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

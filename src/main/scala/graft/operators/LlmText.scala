@@ -965,6 +965,67 @@ object LlmText {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Code-switch / mixed-language detection (x32): classify each HALF of
+    * a document independently against the x20/x24-style per-language
+    * bigram profiles and flag documents whose halves disagree — the
+    * mixed-language signal doc-level language ID structurally cannot see
+    * (a 50/50 en/fr spam page argmaxes to one language with full
+    * confidence; its halves disagree loudly). Halves below 2 words or
+    * with zero profile hits classify as "und" and never flag.
+    *
+    * Scale shape: profile training is one vocabulary-sized aggregate +
+    * heap top-k per language (the x24 path); classification explodes each
+    * half's DISTINCT bigrams against the broadcast profile and argmaxes
+    * per (doc, half) on the heap operator — corpus-linear, no shuffle
+    * beyond the (doc, half) aggregate. */
+  def codeSwitch(documents: DataFrame, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val ws = words(col("text"))
+    def bigramsOf(arr: Column): Column =
+      zip_with(slice(arr, lit(1), size(arr) - 1),
+        slice(arr, lit(2), size(arr) - 1),
+        (a, b) => concat(a, lit(" "), b))
+    val profile = graft.plans.TopK.perKey(
+      documents
+        .filter(size(ws) >= 2)
+        .select(col("lang").as("plang"), explode(bigramsOf(ws)).as("bigram"))
+        .groupBy(col("plang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq(col("plang")), Seq(col("cnt").desc, col("bigram")), k)
+      .select(col("plang"), col("bigram"))
+    val nFront = floor(size(ws) / 2).cast("int")
+    val halves = documents
+      .select(col("doc_id"),
+        posexplode(array(
+          slice(ws, lit(1), nFront),
+          slice(ws, nFront + 1, size(ws) - nFront))).as(Seq("half", "hw")))
+      .filter(size(col("hw")) >= 2)
+      .select(col("doc_id"), col("half"),
+        explode(array_distinct(bigramsOf(col("hw")))).as("bigram"))
+    val hits = halves
+      .join(broadcast(profile), Seq("bigram"))
+      .groupBy(col("doc_id"), col("half"), col("plang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = graft.plans.TopK.perKey(hits,
+        Seq(col("doc_id"), col("half")),
+        Seq(col("hits").desc, col("plang")), 1)
+      .select(col("doc_id"), col("half"), col("plang"))
+    val front = best.filter(col("half") === 0)
+      .select(col("doc_id"), col("plang").as("lang_front"))
+    val back = best.filter(col("half") === 1)
+      .select(col("doc_id"), col("plang").as("lang_back"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(front, Seq("doc_id"), "left_outer")
+      .join(back, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lang_front"), lit("und")).as("lang_front"),
+        coalesce(col("lang_back"), lit("und")).as("lang_back"))
+      .withColumn("switched",
+        col("lang_front") =!= lit("und") &&
+          col("lang_back") =!= lit("und") &&
+          col("lang_front") =!= col("lang_back"))
+  }
+
   /** Bigram language-model fluency scoring (x17): train an add-one-smoothed
     * bigram LM on the corpus itself and score every document by its average
     * bigram log-probability — the CCNet/KenLM-style quality signal ("does

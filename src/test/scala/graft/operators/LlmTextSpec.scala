@@ -668,6 +668,27 @@ class LlmTextSpec extends SparkSpec {
     assert(out(2L) == (2L, 2L, 11L, 6L))
   }
 
+  test("codeSwitch flags the half-and-half doc, not monolingual ones") {
+    // two "languages" with disjoint vocabularies; profiles train on the
+    // labeled corpus itself
+    val en = "the cat sat on the mat and the dog ran off"
+    val fr = "le chat dort sur le tapis et le chien court vite"
+    val corpus = Seq(
+      (1L, en, "en"), (2L, en + " again today", "en"),
+      (3L, fr, "fr"), (4L, fr + " encore maintenant", "fr"),
+      // half en, half fr — doc-level argmax hides it; halves disagree
+      (5L, "the cat sat on the mat le chat dort sur le tapis", "en"),
+      (6L, "xx", "en")) // 1 word → both halves und, never flags
+      .toDF("doc_id", "text", "lang")
+    val out = LlmText.codeSwitch(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ("en", "en", false), s"$out")
+    assert(out(3L) == ("fr", "fr", false))
+    assert(out(5L) == ("en", "fr", true), s"mixed doc must flag: $out")
+    assert(out(6L) == ("und", "und", false))
+  }
+
   test("noveltyScore: first doc introduces everything, a copy introduces nothing") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),  // 3 shingles, all novel
