@@ -53,6 +53,12 @@ object PipelineExample {
     val features = LlmText.featureHash(docs)
     val pq = graft.operators.VectorOps.pqEncode(Tables.embeddings(spark, dir))
 
+    // exact-recall family + audit sampling + governance trends (round 8)
+    val exactPairs = Dedup.prefixFilterPairs(docs)
+    val audit = Curation.weightedSample(docs, k = 25)
+    val trend = Dedup.dupTrend(docs)
+    val growth = LlmText.vocabGrowth(docs)
+
     println(s"docs=${docs.count()}")
     println(s"near-dup clusters=${components.filter("NOT keep").count()} drops")
     println(s"kept per source rows=${cleanedBySource.count()}")
@@ -72,6 +78,10 @@ object PipelineExample {
       .map(r => s"${r.getString(1)}:${r.getLong(2)}").take(3).mkString(" "))
     println(s"hashed feature cells=${features.count()}, " +
       s"pq codes=${pq.count()}")
+    println(s"exact-recall pairs=${exactPairs.count()}, " +
+      s"audit sample=${audit.count()}, " +
+      s"dup-trend buckets=${trend.count()}, " +
+      s"vocab-growth buckets=${growth.count()}")
     spark.stop()
   }
 }
