@@ -290,6 +290,7 @@ object SparkEntry {
       Dedup.dedupApply(docs, comps)
     }),
     "d29_dup_trend" -> ((s, d) => Dedup.dupTrend(T.documents(s, d))),
+    "d30_syndication" -> ((s, d) => Dedup.syndication(T.documents(s, d))),
     "d27_prefix_vs_index" -> ((s, d) => {
       val docs = T.documents(s, d)
       Dedup.prefixFilterVsIndex(
@@ -3321,6 +3322,16 @@ object SparkEntry {
         |    JOIN sh y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM jac
         |WHERE jaccard >= 0.7""".stripMargin,
+    "d30_syndication" ->
+      """WITH h AS (SELECT source,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+        |  FROM documents),
+        |c AS (SELECT h, source, count(*) AS n FROM h GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(SUM(a.n * b.n) AS BIGINT) AS n_dup_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_shared_texts
+        |FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "d29_dup_trend" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),

@@ -874,6 +874,38 @@ object Dedup {
         (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
   }
 
+  /** Cross-source syndication matrix (d30): for every source pair, how
+    * many EXACT-duplicate document pairs straddle it and how many distinct
+    * texts they share — the content-level "who republishes whom" table
+    * next to [[sourceOverlap]]'s approximate shingle-sketch estimate (d11
+    * answers "similar vocabulary?", this answers "literally the same
+    * documents?"). The shared key is the md5 of the OPENING `headWords`
+    * words — the headline fingerprint real syndication shares even when
+    * feeds append their own boilerplate tails; set `headWords` large to
+    * approach exact-text matching. The mixture-governance input for
+    * collapsing syndicated feeds before they double-count in training
+    * weights.
+    *
+    * Scale shape: one (hash, source) count aggregate (map-side combined),
+    * then a self-join ON THE HASH whose per-key fanout is bounded by the
+    * source count — a few hundred rows per hash at worst, no doc-level
+    * pair blowup no matter how many copies exist (counts multiply,
+    * n_a·n_b, instead of rows joining). */
+  def syndication(documents: DataFrame, headWords: Int = 8): DataFrame = {
+    val key = md5(array_join(
+      slice(LlmText.words(col("text")), 1, headWords), " ").cast("binary"))
+    val h = documents
+      .select(col("source"), key.as("h"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
+    h.as("a")
+      .join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(sum(col("a.n") * col("b.n")).as("n_dup_pairs"),
+        count(lit(1)).as("n_shared_texts"))
+  }
+
   /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
     * shingle hashes per group via the typed BottomKSketch Aggregator —
     * partial aggregation keeps the shuffle at k values per group, the

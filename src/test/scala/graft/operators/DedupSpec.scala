@@ -579,6 +579,24 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (1L, 1L, 1.0))
   }
 
+  test("syndication: cross-source dup pairs multiply counts, same-source excluded") {
+    import org.apache.spark.sql.functions._
+    // keyed on the opening words: identical heads match even when a
+    // feed appends its own tail
+    val corpus = Seq(
+      (1L, "aaa head words", "s1"), (2L, "aaa head words", "s1"),
+      (3L, "aaa head words extra tail from feed two", "s2"),
+      (4L, "bbb other head", "s1"), (5L, "bbb other head", "s3"),
+      (6L, "ccc unshared text", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.syndication(corpus, headWords = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("s1", "s2") -> (2L, 1L),
+      ("s1", "s3") -> (1L, 1L)), s"$out")
+  }
+
   test("property: prefixFilterPairs equals brute force on random corpora") {
     import org.apache.spark.sql.functions._
     import org.scalacheck.{Gen, Prop}
