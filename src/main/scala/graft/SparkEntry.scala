@@ -291,6 +291,13 @@ object SparkEntry {
     }),
     "d29_dup_trend" -> ((s, d) => Dedup.dupTrend(T.documents(s, d))),
     "d30_syndication" -> ((s, d) => Dedup.syndication(T.documents(s, d))),
+    // snapshot split by vec_id parity: even = accepted, odd = incoming
+    "e15_centroid_drift" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+      graft.operators.VectorOps.centroidDrift(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) =!= 0))
+    }),
     "d27_prefix_vs_index" -> ((s, d) => {
       val docs = T.documents(s, d)
       Dedup.prefixFilterVsIndex(
@@ -3322,6 +3329,35 @@ object SparkEntry {
         |    JOIN sh y ON y.doc_id = doc_b)
         |SELECT doc_a, doc_b, jaccard FROM jac
         |WHERE jaccard >= 0.7""".stripMargin,
+    "e15_centroid_drift" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
+        |  FROM embeddings),
+        |dims AS (SELECT UNNEST(range(0, 64)) AS dim),
+        |ca AS (SELECT label, CAST(dim AS INT) AS dim,
+        |    CAST(SUM(CAST(round(x[dim + 1] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS ca,
+        |    COUNT(*) AS n_accepted
+        |  FROM v CROSS JOIN dims WHERE vec_id % 2 = 0
+        |  GROUP BY label, dim),
+        |cb AS (SELECT label, CAST(dim AS INT) AS dim,
+        |    CAST(SUM(CAST(round(x[dim + 1] * 1.0e9) AS BIGINT)) AS DOUBLE)
+        |      / (COUNT(*) * 1.0e9) AS cb,
+        |    COUNT(*) AS n_incoming
+        |  FROM v CROSS JOIN dims WHERE vec_id % 2 <> 0
+        |  GROUP BY label, dim),
+        |j AS (SELECT ca.label, ca.n_accepted, cb.n_incoming,
+        |    CAST(SUM(CAST(round(ca.ca * cb.cb * 1.0e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1.0e12 AS dot,
+        |    CAST(SUM(CAST(round(ca.ca * ca.ca * 1.0e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1.0e12 AS na2,
+        |    CAST(SUM(CAST(round(cb.cb * cb.cb * 1.0e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1.0e12 AS nb2
+        |  FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim
+        |  GROUP BY 1, 2, 3)
+        |SELECT label, n_accepted, n_incoming,
+        |  dot / (sqrt(na2) * sqrt(nb2)) AS cos_drift,
+        |  (dot / (sqrt(na2) * sqrt(nb2))) < 0.95 AS drifted
+        |FROM j""".stripMargin,
     "d30_syndication" ->
       """WITH h AS (SELECT source,
         |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h

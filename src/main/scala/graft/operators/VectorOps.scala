@@ -599,4 +599,42 @@ object VectorOps {
           count(col("v")).as("n_vecs"))
     }
   }
+
+  /** Embedding centroid drift between snapshots (e15): per label, the
+    * cosine between the ACCEPTED corpus's centroid and the INCOMING
+    * snapshot's — the embedding-space member of the drift-gate family
+    * ([[graft.operators.Curation.qualityDrift]] watches score
+    * distributions, `LlmText.sourceDivergence` vocabulary; this watches
+    * where the vectors themselves moved, the signal that fires when an
+    * upstream embedding model silently changes version). A label whose
+    * centroids' cosine falls under `cosBar` flags.
+    *
+    * Parity shape: both centroid tables come from the grid-exact
+    * [[groupCentroids]]; the dot/norm reductions over the 64 dims
+    * re-quantize each product on a 1e-12 grid and sum as DECIMAL —
+    * order-independent, so the flag is bit-stable. Everything after the
+    * two centroid aggregates is label-count-sized. */
+  def centroidDrift(accepted: DataFrame, incoming: DataFrame,
+      cosBar: Double = 0.95): DataFrame = {
+    def gsum(c: Column): Column =
+      sum(round(c * lit(1.0e12)).cast(DecimalType(38, 0)))
+        .cast("double") / lit(1.0e12)
+    val a = groupCentroids(accepted)
+      .select(col("label"), col("dim"), col("centroid").as("ca"),
+        col("n_vecs").as("n_accepted"))
+    val b = groupCentroids(incoming)
+      .select(col("label"), col("dim"), col("centroid").as("cb"),
+        col("n_vecs").as("n_incoming"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_accepted")).as("n_accepted"),
+        max(col("n_incoming")).as("n_incoming"),
+        gsum(col("ca") * col("cb")).as("dot"),
+        gsum(col("ca") * col("ca")).as("na2"),
+        gsum(col("cb") * col("cb")).as("nb2"))
+      .select(col("label"), col("n_accepted"), col("n_incoming"),
+        (col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+          .as("cos_drift"))
+      .withColumn("drifted", col("cos_drift") < cosBar)
+  }
 }

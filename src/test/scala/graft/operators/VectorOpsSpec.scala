@@ -291,4 +291,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(out("B") == (2L, 1.0, 1.0, 0.0))
     assert(out("C") == (1L, 1.0, 1.0, 0.0))
   }
+
+  test("centroidDrift: stable label passes, rotated label flags") {
+    import spark.implicits._
+    // label 0: same direction in both snapshots → cos 1; label 1: the
+    // incoming snapshot rotated to an orthogonal direction → cos 0
+    val accepted = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (4L, 1, Array(0.0f, 1.0f, 0.0f)), (6L, 1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val incoming = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 0.0f, 1.0f)), (5L, 1, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = VectorOps.centroidDrift(accepted, incoming).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(0) == (2L, 1L, 1.0, false), s"$out")
+    assert(out(1)._3 == 0.0 && out(1)._4, "orthogonal drift must flag")
+  }
 }
