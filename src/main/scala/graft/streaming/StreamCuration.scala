@@ -163,6 +163,28 @@ object StreamCuration {
             lit(driftFrac) * lit(baselineCharsPerToken)))
   }
 
+  /** Per-micro-batch embedding centroid drift vs the accepted snapshot
+    * (the e15 gate, streaming form): every arriving vector batch's
+    * per-label centroids score against the accepted corpus's — the
+    * ingest-time alarm for a silently swapped embedding-model version.
+    * Same foreachBatch posture as [[driftVsAccepted]]; the accepted side's
+    * centroid aggregate recomputes from the snapshot frame each batch
+    * (persist or pre-aggregate it upstream for hot loops). */
+  def embeddingDriftVsAccepted(
+      vecs: DataFrame,
+      accepted: DataFrame,
+      sink: DataFrame => Unit,
+      cosBar: Double = 0.95): StreamingQuery =
+    vecs.writeStream
+      .queryName("graft-embedding-drift")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.VectorOps
+          .centroidDrift(accepted, batch, cosBar)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
   /** Streaming weighted reservoir (c23's streaming twin): maintain the k
     * smallest Efraimidis–Spirakis keys across micro-batches — the A-ES
     * key is a pure deterministic function of (doc_id, weight), so

@@ -141,6 +141,32 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embeddingDriftVsAccepted equals the batch e15 gate per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val accepted = Seq(
+      (0L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (4L, 1, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Double, Boolean, Long)]()
+    val input = MemoryStream[(Long, Int, Array[Float])]
+    val q = StreamCuration.embeddingDriftVsAccepted(
+      input.toDF().toDF("vec_id", "label", "embedding"), accepted,
+      df => df.collect().foreach(r =>
+        rows.add((r.getInt(0), r.getDouble(3), r.getBoolean(4),
+          r.getLong(5)))))
+    try {
+      // batch 0: label 0 aligned; batch 1: label 1 rotated orthogonal
+      input.addData(Seq((10L, 0, Array(1.0f, 0.0f))))
+      q.processAllAvailable()
+      input.addData(Seq((11L, 1, Array(1.0f, 0.0f))))
+      q.processAllAvailable()
+      val got = rows.toArray(Array.empty[(Int, Double, Boolean, Long)]).toSet
+      assert(got == Set((0, 1.0, false, 0L), (1, 0.0, true, 1L)),
+        s"stream drift rows: $got")
+    } finally q.stop()
+  }
+
   test("weightedReservoir: stream-final reservoir equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files
