@@ -309,6 +309,10 @@ object SparkEntry {
       Temporal.lastTouchAttribution(T.events(s, d))),
     "q61_linear_attribution" -> ((s, d) =>
       Temporal.linearAttribution(T.events(s, d))),
+    "q64_regional_revenue" -> ((s, d) =>
+      R.regionalRevenue(T.lineitem(s, d), T.orders(s, d),
+        T.customer(s, d), T.supplier(s, d), T.nation(s, d),
+        T.region(s, d))),
     "q56_integrity" -> ((s, d) =>
       R.integrityReport(T.customer(s, d), T.orders(s, d),
         T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
@@ -464,6 +468,7 @@ object SparkEntry {
     "mm6_phash_pairs" -> ((s, d) => Multimodal.phashPairs(T.documents(s, d))),
     "mm7_frame_energy" -> ((s, d) =>
       Multimodal.frameEnergy(T.documents(s, d))),
+    "mm8_media_mix" -> ((s, d) => Multimodal.mediaMix(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -2819,6 +2824,19 @@ object SparkEntry {
         |      AS rn FROM df) WHERE rn = 1""".stripMargin,
     // Bloom pre-filtering is a physical rewrite (false positives are removed
     // by the join) — the oracle is the plain join.
+    "q64_regional_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY r_name""".stripMargin,
     "q36_bloom_join" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
@@ -4040,6 +4058,13 @@ object SparkEntry {
         |      i -> substr(hx, CAST(8 * i + 1 AS BIGINT), 2)), ''))
         |  ELSE NULL END AS thumb_md5
         |FROM o""".stripMargin,
+    "mm8_media_mix" ->
+      """SELECT source,
+        |  ['png', 'jpeg', 'wav', 'mp4'][CAST(doc_id % 4 + 1 AS INT)]
+        |    AS format,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // PCM-at-128 read of the payload bytes via the hex dump; energy is
     // exact integer math, RMS one IEEE division + correctly-rounded sqrt.
     "mm7_frame_energy" ->

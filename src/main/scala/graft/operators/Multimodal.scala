@@ -260,6 +260,22 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "n_samples", "energy", "rms")
   }
 
+  /** Media-mix governance report (mm8): per (source, format), item count
+    * and payload byte mass — the modality-balance table a multimodal
+    * training mix is planned from (the c13 health report's media sibling).
+    * One map-side-combined aggregate over catalog columns; the binary
+    * payload itself is never read (`octet_length` prunes to metadata at
+    * scan time in a real lake layout). */
+  def mediaMix(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        element_at(typedlit(Seq("png", "jpeg", "wav", "mp4")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("format"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy(col("source"), col("format"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"))
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

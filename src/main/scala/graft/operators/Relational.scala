@@ -897,4 +897,33 @@ object Relational {
         .cast("double").as("trailing_revenue"),
       count(lit(1)).over(w).as("trailing_orders"))
   }
+
+  /** TPC-H Q5-shaped regional revenue (q64): the canonical six-table
+    * star join — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region, with Q5's signature LOCAL-SUPPLY twist (revenue counts only
+    * when the supplier sits in the customer's nation:
+    * `c_nationkey = s_nationkey`) and discounted revenue
+    * `Σ l_extendedprice·(1−l_discount)` per region.
+    *
+    * Plan shape: the two fact tables meet on a shuffle join keyed by
+    * orderkey; customer joins on o_custkey; supplier/nation/region are
+    * dimension-sized and broadcast, so the co-nation filter evaluates
+    * inside the fact pipeline without an extra exchange. Revenue
+    * accumulates through DECIMAL (order-independent, oracle-exact). */
+  def regionalRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"),
+        count_distinct(col("o_custkey")).as("n_customers"))
 }

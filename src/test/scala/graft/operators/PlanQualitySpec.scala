@@ -227,6 +227,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(shuffles == 1, s"one user_id exchange expected ($shuffles):\n$p")
   }
 
+  test("q64: the six-table star join broadcasts every dimension side") {
+    val p = plan("q64_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"co-nation filter must ride the joins, not a product:\n$p")
+  }
+
   test("x29: scalar totals broadcast; the collocation head is TakeOrdered") {
     val p = materializedPlan("x29_pmi_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
