@@ -423,7 +423,7 @@ object Similarity {
       val codebook = VectorOps.pqCodebook(sub)
       val codes = VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code"))
-      ivfAdcSearch(vc, defaultQueries(sub),
+      ivfAdcSearch(vc, defaultQueries(vc), defaultQueries(sub),
         cent, cells, codes, codebook, k, probeK)
     }
   }
@@ -434,10 +434,11 @@ object Similarity {
     * probe cells → cell-restricted candidates → ADC from the broadcast
     * per-query LUT → exact re-rank. `qsub` is the QUERY side's subspace
     * frame (vec_id, s, sx). */
-  private def ivfAdcSearch(vc: DataFrame, qsub: DataFrame,
+  private def ivfAdcSearch(vc: DataFrame, queries: DataFrame,
+      qsub: DataFrame,
       centroids: DataFrame, cells: DataFrame, codes: DataFrame,
       codebook: DataFrame, k: Int, probeK: Int): DataFrame = {
-    val probes = bestCells(centroids)(defaultQueries(vc), NProbe)
+    val probes = bestCells(centroids)(queries, NProbe)
       .withColumnRenamed("vec_id", "query_id")
     val cellCand = probes.join(cells, "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
@@ -459,7 +460,7 @@ object Similarity {
     val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
       Seq(col("adc_d2"), col("neighbor_id")), probeK)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(vc, defaultQueries(vc), cands, k)
+    rerankExact(vc, queries, cands, k)
   }
 
   /** The four stored tables of a materialized IVF-ADC index — each one a
@@ -491,6 +492,25 @@ object Similarity {
         .select(col("vec_id"), col("s"), col("code")))
       IvfAdcIndex(cent, cells, codes, codebook, subspaces, subDim)
     } finally Seq(vc, sub).foreach(_.unpersist(false))
+  }
+
+  /** IVF-ADC serving form: CALLER-SUPPLIED queries against the stored
+    * index — the online-retrieval twin of [[ivfAdcVsIndex]] (whose
+    * benchmark queries are a fixed corpus slice). Query ids are the
+    * caller's namespace; the corpus frame supplies only the exact re-rank
+    * vectors for stored neighbors. The [[mmrVsCorpus]] caller-supplied-
+    * queries precedent applied to the ANN index path; the streaming twin
+    * is `streaming.StreamSimilarity.ivfAdcVsIndex`. */
+  def ivfAdcServe(queries: DataFrame, corpus: DataFrame,
+      index: IvfAdcIndex, k: Int = 10, probeK: Int = 30): DataFrame = {
+    val vc = vecs(corpus)
+    val qv = vecs(queries)
+    Caching.withPersisted(vc, qv, index.cells, index.codes) {
+      val qsub = VectorOps.pqSubspaces(queries, index.subspaces,
+        index.subDim)
+      ivfAdcSearch(vc, qv, qsub, index.centroids, index.cells,
+        index.codes, index.codebook, k, probeK)
+    }
   }
 
   /** Incremental IVF-ADC index maintenance (s15): assign ARRIVING vectors
@@ -527,7 +547,8 @@ object Similarity {
     Caching.withPersisted(vc) {
       val qsub = defaultQueries(
         VectorOps.pqSubspaces(corpus, index.subspaces, index.subDim))
-      ivfAdcSearch(vc, qsub, index.centroids, index.cells, index.codes,
+      ivfAdcSearch(vc, defaultQueries(vc), qsub,
+        index.centroids, index.cells, index.codes,
         index.codebook, k, probeK)
     }
   }

@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object StreamSimilarity {
 
+  /** ANN serving: each micro-batch of queries searches the STORED IVF-ADC
+    * index ([[graft.operators.Similarity.IvfAdcIndex]] lake tables) via
+    * the s13/s14 search phase — probe cells, ADC-score only probed cells'
+    * codes, exact re-rank against the stored corpus frame. The
+    * production online-retrieval path: per-batch cost is the batch's
+    * probes + candidate ADC, never a corpus scan beyond the re-rank
+    * gather. Spec pins stream output == `Similarity.ivfAdcServe` on the
+    * same rows. */
+  def ivfAdcVsIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: graft.operators.Similarity.IvfAdcIndex,
+      sink: DataFrame => Unit,
+      k: Int = 10,
+      probeK: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .queryName("graft-ivfadc-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity
+          .ivfAdcServe(batch, corpus, index, k, probeK))
+        ()
+      }
+      .start()
+
   /** Exact cosine top-k per streaming query against the static index.
     *
     * A plain stream-static join: the query stream stays append-only (no

@@ -76,4 +76,37 @@ class StreamSimilaritySpec extends SparkSpec {
         "diversity demotes the near-duplicate")
     } finally q.stop()
   }
+
+  test("ivfAdcVsIndex serves streaming queries from the stored index") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.operators.Similarity.ivfAdcIndex(emb)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double)]()
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = StreamSimilarity.ivfAdcVsIndex(
+      input.toDF().toDF("vec_id", "embedding", "label"), emb, index,
+      sink = df => df.collect().foreach(r => got.add((
+        r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos"))))), k = 5)
+    try {
+      // serve the vector of corpus id 100 under a fresh query id: the
+      // stored duplicate must come back at cosine 1
+      val v100 = emb.filter("vec_id = 100").collect().head
+        .getSeq[Float](1).toArray
+      val batch = Seq((990001L, v100, 0))
+      input.addData(batch)
+      q.processAllAvailable()
+      val rows = got.toArray(Array.empty[(Long, Long, Double)]).toSet
+      val want = graft.operators.Similarity.ivfAdcServe(
+          batch.toDF("vec_id", "embedding", "label"), emb, index, k = 5)
+        .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getLong(r.fieldIndex("neighbor_id")),
+          r.getDouble(r.fieldIndex("cos")))).toSet
+      assert(rows == want, s"stream must equal the batch serve:\n$rows\n$want")
+      assert(rows.exists(t => t._2 == 100L && math.abs(t._3 - 1.0) < 1e-12),
+        s"stored duplicate found at cosine 1: $rows")
+    } finally q.stop()
+  }
 }
