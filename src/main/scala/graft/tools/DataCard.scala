@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{Curation, Dedup, LlmText, Tables}
+import graft.operators.{Curation, Dedup, LlmText, Multimodal, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,6 +65,13 @@ object DataCard {
     val audit = Curation.neymanAllocation(docs).orderBy(col("source"))
     val auditSample = Curation.weightedSample(docs, k = 10)
     val phrases = LlmText.pmiCollocations(docs, k = 10)
+    val trend = Dedup.dupTrend(docs).orderBy(col("bucket"))
+    val growth = LlmText.vocabGrowth(docs).orderBy(col("bucket"))
+    val synd = Dedup.syndication(docs)
+      .orderBy(col("n_dup_pairs").desc, col("source_a"), col("source_b"))
+      .limit(10)
+    val media = Multimodal.mediaMix(docs)
+      .orderBy(col("source"), col("format")).limit(12)
     val merges = LlmText.bpeTrain(docs)
     val clusters = graft.operators.VectorOps.clusterQuality(embs)
       .orderBy(col("margin"))
@@ -91,6 +98,11 @@ object DataCard {
     sb ++= section(
       "Length-weighted audit sample (c23: A-ES, first 10 keys)", auditSample)
     sb ++= section("Top collocations (x29: PMI head)", phrases)
+    sb ++= section("Duplication-rate trend by ingest bucket (d29)", trend)
+    sb ++= section("Vocabulary growth / Heaps curve (x31)", growth)
+    sb ++= section("Top syndication pairs (d30: shared opening fingerprints)",
+      synd)
+    sb ++= section("Media mix (mm8: first rows)", media)
     sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
     sb ++= section(
       "Embedding cluster quality (e14: cohesion vs separation, worst first)",

@@ -19,6 +19,10 @@ class DataCardSpec extends SparkSpec {
         "## Audit sampling allocation (c22: Neyman, budget 1000)",
         "## Length-weighted audit sample (c23: A-ES, first 10 keys)",
         "## Top collocations (x29: PMI head)",
+        "## Duplication-rate trend by ingest bucket (d29)",
+        "## Vocabulary growth / Heaps curve (x31)",
+        "## Top syndication pairs (d30: shared opening fingerprints)",
+        "## Media mix (mm8: first rows)",
         "## Tokenizer merge table (x25: first BPE merges)",
         "## Embedding cluster quality (e14"))
       assert(card.contains(section), s"missing section: $section\n$card")
