@@ -237,6 +237,8 @@ object SparkEntry {
       Curation.neymanAllocation(T.documents(s, d))),
     "c23_weighted_sample" -> ((s, d) =>
       Curation.weightedSample(T.documents(s, d))),
+    "c24_token_temperature" -> ((s, d) =>
+      Curation.temperatureMixTokens(T.documents(s, d))),
     // snapshot split by doc_id parity: even = accepted corpus, odd = the
     // incoming crawl under review
     "c20_quality_drift" -> ((s, d) => {
@@ -1425,6 +1427,24 @@ object SparkEntry {
         |  CAST(len(w[start:start+63]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start:start+63], ' ') AS chunk_text
         |FROM e""".stripMargin,
+    "c24_token_temperature" ->
+      """WITH masses AS (SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_total
+        |  FROM documents GROUP BY 1),
+        |mn AS (SELECT min(t_total) AS min_t FROM masses),
+        |rates AS (SELECT lang,
+        |  CAST(floor(10000.0 * sqrt(CAST(min_t AS DOUBLE) / t_total)) AS BIGINT)
+        |    AS keep_per_10k
+        |  FROM masses CROSS JOIN mn),
+        |h AS (SELECT doc_id, source, d.lang,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('tmt:' || doc_id), c, 1)) <= 57
+        |         THEN ascii(substr(md5('tmt:' || doc_id), c, 1)) - 48
+        |         ELSE ascii(substr(md5('tmt:' || doc_id), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 10000 AS b
+        | FROM documents d)
+        |SELECT doc_id, source, h.lang FROM h JOIN rates ON h.lang = rates.lang
+        |WHERE b < keep_per_10k""".stripMargin,
     "c10_temperature_mix" ->
       """WITH counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
         |mn AS (SELECT min(n_total) AS min_n FROM counts),

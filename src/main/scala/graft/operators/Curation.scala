@@ -458,6 +458,33 @@ object Curation {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Temperature mixing over TOKEN mass (c24): [[temperatureMix]]'s
+    * α=0.5 flattening with the domain size measured in whitespace tokens
+    * instead of documents — the form production mixtures actually use
+    * (a domain of few huge documents and one of many tiny ones have the
+    * same TRAINING mass only under token accounting). Same deterministic
+    * per-doc hash gate, same broadcast rate table; only the size
+    * statistic changes. */
+  def temperatureMixTokens(documents: DataFrame,
+      domain: String = "lang"): DataFrame = {
+    val dkey = coalesce(col(domain).cast("string"), lit("\u0000null"))
+    val keyed = documents.withColumn("mix_domain", dkey)
+    val masses = keyed.groupBy(col("mix_domain"))
+      .agg(sum(size(LlmText.words(col("text")))).as("t_total"))
+    val minT = masses.agg(min(col("t_total")).as("min_t"))
+    val rates = masses.crossJoin(broadcast(minT))
+      .select(col("mix_domain"),
+        floor(lit(10000.0) *
+          sqrt(col("min_t").cast("double") / col("t_total")))
+          .as("keep_per_10k"))
+    keyed
+      .withColumn("mix_bucket",
+        pmod(hash28("tmt:", col("doc_id")), lit(10000)))
+      .join(broadcast(rates), Seq("mix_domain"))
+      .filter(col("mix_bucket") < col("keep_per_10k"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** DSIR-style importance-weighted selection (c17): score every raw-corpus
     * document by how much it reads like a small high-quality `target` set,
     * then keep the top `budget` docs — the hashed-n-gram importance

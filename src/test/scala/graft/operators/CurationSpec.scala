@@ -413,6 +413,24 @@ class CurationSpec extends SparkSpec {
       s"size-proportional fallback sums to budget: $fb")
   }
 
+  test("temperatureMixTokens: rates derive from token mass, not doc counts") {
+    import org.apache.spark.sql.functions._
+    // domain A: 2 docs x 2 tokens = 4 tokens; domain B: 1 doc x 16 tokens.
+    // Token accounting: min_t=4, rate_A=10000, rate_B=floor(10000*sqrt(4/16))
+    // = 5000 — doc accounting would instead keep ALL of B (fewest docs).
+    val docs = Seq(
+      (1L, "a b", "s", "A"), (2L, "c d", "s", "A"),
+      (3L, Seq.fill(16)("w").mkString(" "), "s", "B"))
+      .toDF("doc_id", "text", "source", "lang")
+    val kept = Curation.temperatureMixTokens(docs).collect()
+      .map(_.getLong(0)).toSet
+    // domain A's rate is 10000 → both A docs always survive
+    assert(Set(1L, 2L).subsetOf(kept), s"$kept")
+    // doc 3 survives iff its deterministic bucket < 5000 — recompute
+    val b = graft.operators.PortableHash.hash28Jvm("tmt:3") % 10000
+    assert(kept.contains(3L) == (b < 5000), s"bucket $b, kept $kept")
+  }
+
   test("weightedSample equals the plain-Scala A-ES reference, rank and key") {
     val rows = (1L to 60L).map(i => (i, 1L + (i * 37) % 500))
     val df = rows.toDF("doc_id", "n_chars")
