@@ -311,6 +311,8 @@ object SparkEntry {
       Temporal.lastTouchAttribution(T.events(s, d))),
     "q61_linear_attribution" -> ((s, d) =>
       Temporal.linearAttribution(T.events(s, d))),
+    "q65_monthly_growth" -> ((s, d) =>
+      R.monthlyGrowth(T.orders(s, d))),
     "q64_regional_revenue" -> ((s, d) =>
       R.regionalRevenue(T.lineitem(s, d), T.orders(s, d),
         T.customer(s, d), T.supplier(s, d), T.nation(s, d),
@@ -2844,6 +2846,19 @@ object SparkEntry {
         |      AS rn FROM df) WHERE rn = 1""".stripMargin,
     // Bloom pre-filtering is a physical rewrite (false positives are removed
     // by the join) — the oracle is the plain join.
+    "q65_monthly_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n_orders,
+        |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  CASE WHEN lag(revenue) OVER (ORDER BY month) > 0
+        |    THEN (revenue - lag(revenue) OVER (ORDER BY month))
+        |      / lag(revenue) OVER (ORDER BY month) END AS growth
+        |FROM m""".stripMargin,
     "q64_regional_revenue" ->
       """SELECT r_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

@@ -898,6 +898,26 @@ object Relational {
       count(lit(1)).over(w).as("trailing_orders"))
   }
 
+  /** Month-over-month revenue growth (q65): the period-over-period
+    * reporting primitive — revenue per calendar month with the previous
+    * month's figure and the growth fraction alongside. The LAG window
+    * runs over the MONTHLY SUMMARY (tens of rows at any corpus size —
+    * the q54 ratio-to-report stance), never the fact table; revenue
+    * accumulates through DECIMAL, the growth division is one IEEE op. */
+  def monthlyGrowth(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val byMonth = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(byMonth))
+      .withColumn("growth",
+        when(col("prev_revenue") > 0,
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue")))
+  }
+
   /** TPC-H Q5-shaped regional revenue (q64): the canonical six-table
     * star join — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
     * region, with Q5's signature LOCAL-SUPPLY twist (revenue counts only

@@ -365,4 +365,25 @@ class RelationalSpec extends SparkSpec {
     assert(out("a") == (11L, 9L, 6.0))
     assert(out("b") == (2L, 2L, 6.0))
   }
+
+  test("monthlyGrowth: previous-month figure and growth fraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = Seq(
+      (1L, "2024-01-05", 100.0), (2L, "2024-01-20", 100.0),
+      (3L, "2024-02-10", 300.0),
+      (4L, "2024-04-01", 150.0)) // March missing entirely
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp"))
+    val out = Relational.monthlyGrowth(orders).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getDouble(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("2024-01-01") == (200.0, 2L, None, None))
+    assert(out("2024-02-01") == (300.0, 1L, Some(200.0), Some(0.5)))
+    // the gap month is simply absent; April compares against February
+    assert(out("2024-04-01") == (150.0, 1L, Some(300.0), Some(-0.5)))
+    assert(!out.contains("2024-03-01"))
+  }
 }
