@@ -171,6 +171,8 @@ object SparkEntry {
     "x29_pmi_collocations" -> ((s, d) =>
       LlmText.pmiCollocations(T.documents(s, d))),
     "x30_novelty" -> ((s, d) => LlmText.noveltyScore(T.documents(s, d))),
+    "x33_quality_quantiles" -> ((s, d) =>
+      LlmText.qualityQuantiles(T.documents(s, d))),
     "x32_code_switch" -> ((s, d) => LlmText.codeSwitch(T.documents(s, d))),
     "x31_vocab_growth" -> ((s, d) =>
       LlmText.vocabGrowth(T.documents(s, d))),
@@ -1090,6 +1092,23 @@ object SparkEntry {
         |  AS DOUBLE) AS pmi FROM s)
         |SELECT w1, w2, cab, ca, cb, pmi FROM p
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    "x33_quality_quantiles" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0) AS qs
+        | FROM t),
+        |c AS (SELECT source, count(*) AS n FROM m GROUP BY 1),
+        |tg AS (SELECT source, p, CAST(ceil(p * n) AS BIGINT) AS rnk
+        |  FROM c CROSS JOIN (SELECT UNNEST([0.25, 0.5, 0.75]) AS p)),
+        |r AS (SELECT source, qs, row_number() OVER (PARTITION BY source
+        |    ORDER BY qs, doc_id) AS rnk FROM m)
+        |SELECT r.source, p, r.qs AS q_value
+        |FROM r JOIN tg ON tg.source = r.source AND tg.rnk = r.rnk""".stripMargin,
     "x30_novelty" ->
       """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

@@ -1178,6 +1178,36 @@ object LlmText {
     }
   }
 
+  /** Per-source quality-score quantiles (x33): the ⌈p·n⌉-th order
+    * statistics of the x3 quality score per source — the distribution
+    * SHAPE next to [[graft.operators.Curation.sourceReport]]'s means
+    * (two sources with equal mean quality and wildly different spreads
+    * need different curation thresholds; the mean cannot see that).
+    * The [[graft.operators.Temporal.groupQuantiles]] exact-rank recipe
+    * applied to a derived score: one rank window keyed by source, a
+    * broadcast (source × p) target table, binary-exact p literals. */
+  def qualityQuantiles(documents: DataFrame,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val scored = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), col("source"),
+        qualityScoreExpr(col("text")).as("qs"))
+    Caching.withPersisted(scored) {
+      val counts = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val targets = counts
+        .select(col("source"), explode(typedlit(ps)).as("p"), col("n"))
+        .select(col("source"), col("p"),
+          ceil(col("p") * col("n")).cast("long").as("rnk"))
+      val ranked = scored
+        .withColumn("rnk", row_number().over(
+          W.partitionBy(col("source")).orderBy(col("qs"), col("doc_id"))))
+      ranked.join(broadcast(targets), Seq("source", "rnk"))
+        .select(col("source"), col("p"), col("qs").as("q_value"))
+    }
+  }
+
   /** Corpus-order novelty attribution (x30): for every word-3-shingle,
     * the document that INTRODUCES it is the one with the smallest doc_id
     * (ingest order); a document's novelty is the fraction of its shingles

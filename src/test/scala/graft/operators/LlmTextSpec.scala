@@ -689,6 +689,30 @@ class LlmTextSpec extends SparkSpec {
     assert(out(6L) == ("und", "und", false))
   }
 
+  test("qualityQuantiles: exact order statistics per source") {
+    // source A: 4 docs with strictly increasing quality (more stopwords);
+    // ranks for p=(0.25,0.5,0.75) over n=4 are ceil(1,2,3)
+    val corpus = Seq(
+      (1L, "zz qq ww rr", "A"),
+      (2L, "the cat runs far", "A"),
+      (3L, "the cat is in the house", "A"),
+      (4L, "the cat is in the house and that is a thing", "A"),
+      (5L, "one lone doc here", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = LlmText.qualityQuantiles(corpus).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val scores = corpus
+      .select(col("doc_id"),
+        LlmText.qualityScoreExpr(col("text")).as("qs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val aSorted = Seq(1L, 2L, 3L, 4L).map(scores).sorted
+    assert(out(("A", 0.25)) == aSorted(0), s"$out vs $aSorted")
+    assert(out(("A", 0.5)) == aSorted(1))
+    assert(out(("A", 0.75)) == aSorted(2))
+    // a single-doc source reports its one score at every p
+    assert(Seq(0.25, 0.5, 0.75).forall(p => out(("B", p)) == scores(5L)))
+  }
+
   test("noveltyScore: first doc introduces everything, a copy introduces nothing") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),  // 3 shingles, all novel
