@@ -1161,43 +1161,6 @@ object SparkEntry {
         |    AS switched
         |FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
         |  LEFT JOIN b ON b.doc_id = d.doc_id""".stripMargin,
-    "x32_code_switch" ->
-      """WITH ws AS (SELECT doc_id, lang, string_split(text,' ') AS w
-        |  FROM documents),
-        |bg AS (SELECT doc_id, lang,
-        |  UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
-        |    AS bigram
-        | FROM ws WHERE len(w) >= 2),
-        |c AS (SELECT lang AS plang, bigram, count(*) AS cnt FROM bg
-        |  GROUP BY 1, 2),
-        |prof AS (SELECT plang, bigram FROM (
-        |  SELECT plang, bigram, row_number() OVER (PARTITION BY plang
-        |    ORDER BY cnt DESC, bigram) AS rn FROM c) t WHERE rn <= 16),
-        |hv AS (SELECT doc_id, 0 AS half, w[1:len(w)//2] AS hw FROM ws
-        |  UNION ALL
-        |  SELECT doc_id, 1, w[len(w)//2+1:len(w)] FROM ws),
-        |hb AS (SELECT DISTINCT doc_id, half, bigram FROM (
-        |  SELECT doc_id, half,
-        |    UNNEST(list_transform(range(1, len(hw)),
-        |      i -> hw[i] || ' ' || hw[i+1])) AS bigram
-        |  FROM hv WHERE len(hw) >= 2) q),
-        |hits AS (SELECT doc_id, half, plang, count(*) AS hits
-        |  FROM hb JOIN prof ON hb.bigram = prof.bigram GROUP BY 1, 2, 3),
-        |best AS (SELECT doc_id, half, plang FROM (
-        |  SELECT doc_id, half, plang, row_number() OVER (
-        |    PARTITION BY doc_id, half ORDER BY hits DESC, plang) AS rn
-        |  FROM hits) t WHERE rn = 1),
-        |f AS (SELECT doc_id, plang AS lang_front FROM best WHERE half = 0),
-        |b AS (SELECT doc_id, plang AS lang_back FROM best WHERE half = 1)
-        |SELECT d.doc_id, d.lang,
-        |  COALESCE(f.lang_front, 'und') AS lang_front,
-        |  COALESCE(b.lang_back, 'und') AS lang_back,
-        |  (COALESCE(f.lang_front, 'und') <> 'und'
-        |   AND COALESCE(b.lang_back, 'und') <> 'und'
-        |   AND COALESCE(f.lang_front, 'und') <> COALESCE(b.lang_back, 'und'))
-        |    AS switched
-        |FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
-        |  LEFT JOIN b ON b.doc_id = d.doc_id""".stripMargin,
     "x31_vocab_growth" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
@@ -3387,7 +3350,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
         |  FROM tok t JOIN freq f ON f.h = t.h),
         |pre AS (SELECT doc_id, n, h FROM rk
-        |  WHERE rn <= floor((1.0 - 0.7) * n) + 1),
+        |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
         |prec AS (SELECT p.* FROM pre p
         |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3466,7 +3429,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
         |  FROM tok t JOIN freq f ON f.h = t.h),
         |pre AS (SELECT doc_id, n, h FROM rk
-        |  WHERE rn <= floor((1.0 - 0.7) * n) + 1),
+        |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
         |prec AS (SELECT p0.* FROM pre p0
         |  QUALIFY count(*) OVER (PARTITION BY p0.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3508,7 +3471,7 @@ object SparkEntry {
         |  FROM tok t JOIN freq f ON f.h = t.h WHERE t.doc_id % 10 <> 0),
         |prek AS (SELECT p.doc_id, p.n, p.h
         |  FROM (SELECT doc_id, n, h FROM rkk
-        |    WHERE rn <= floor((1.0 - 0.7) * n) + 1) p
+        |    WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1) p
         |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
         |rki AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id
@@ -3516,7 +3479,7 @@ object SparkEntry {
         |  FROM tok t LEFT JOIN freq f ON f.h = t.h WHERE t.doc_id % 10 = 0),
         |prei AS (SELECT p.doc_id, p.n, p.h
         |  FROM (SELECT doc_id, n, h FROM rki
-        |    WHERE rn <= floor((1.0 - 0.7) * n) + 1) p
+        |    WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1) p
         |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
         |  FROM prei a JOIN prek b ON a.h = b.h

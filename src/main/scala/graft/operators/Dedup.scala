@@ -731,6 +731,19 @@ object Dedup {
     * the result is exact whenever no prefix token is shared by more than
     * `maxPrefixDocs` documents, and DedupSpec pins equality against the
     * brute-force all-pairs join on an uncapped corpus. */
+  /** Prefix length ⌊(1−t)·n⌋+1 — mathematically identical to the SSJoin
+    * bound n−⌈t·n⌉+1 — computed with a +1e-9 nudge before the floor. In
+    * bare IEEE doubles, (1.0 − t) rounds DOWN for t = 0.8/0.9 (e.g.
+    * 1.0−0.8 = 0.19999999999999996), so (1−t)·n lands an ulp below the
+    * exact integer and floor() under-shoots by one — one prefix token
+    * short, and a pair at Jaccard exactly t can be missed, breaking the
+    * exact-recall guarantee. The nudge errs LONG (a longer prefix never
+    * loses recall): exact (1−t)·n for few-decimal-digit t is never within
+    * 1e-9 below an integer, so the nudge can't overshoot either. The
+    * DuckDB oracle twins (d26/d27/d28) carry the same `+ 1e-9`. */
+  private def prefixLen(n: Column, threshold: Double): Column =
+    floor((lit(1.0) - threshold) * n + lit(1e-9)) + 1
+
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.7,
       maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
     val sh = docShingles(documents)
@@ -743,8 +756,7 @@ object Dedup {
         .orderBy(col("freq"), col("h"))
       val prefix = tok.join(freq, "h")
         .withColumn("rn", row_number().over(byRarity))
-        .filter(col("rn") <=
-          floor((lit(1.0) - threshold) * col("n")) + 1)
+        .filter(col("rn") <= prefixLen(col("n"), threshold))
         .select(col("doc_id"), col("n"), col("h"))
       val pc = capHotKeys(prefix, Seq("h"), maxPrefixDocs)
       val cand = pc.as("a")
@@ -789,7 +801,7 @@ object Dedup {
         .orderBy(col("freq"), col("h"))
       val pre = tok.join(freq, "h")
         .withColumn("rn", row_number().over(byRarity))
-        .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")) + 1)
+        .filter(col("rn") <= prefixLen(col("n"), threshold))
         .groupBy(col("doc_id")).agg(collect_list(col("h")).as("pre"))
       val docs = Caching.materialize(sh.join(pre, "doc_id")
         .select(col("doc_id"), size(col("sh")).as("n"), col("sh"),
@@ -828,7 +840,7 @@ object Dedup {
         tokI.join(index.freq, Seq("h"), "left_outer")
           .withColumn("freq", coalesce(col("freq"), lit(0L)))
           .withColumn("rn", row_number().over(byRarity))
-          .filter(col("rn") <= floor((lit(1.0) - threshold) * col("n")) + 1)
+          .filter(col("rn") <= prefixLen(col("n"), threshold))
           .select(col("doc_id"), col("n"), col("h")),
         Seq("h"), maxPrefixDocs)
       val preK = capHotKeys(

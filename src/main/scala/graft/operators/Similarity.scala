@@ -424,7 +424,7 @@ object Similarity {
       val codes = VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code"))
       ivfAdcSearch(vc, defaultQueries(vc), defaultQueries(sub),
-        cent, cells, codes, codebook, k, probeK)
+        cent, cells, codes, codebook, k, probeK, excludeSelf = true)
     }
   }
 
@@ -433,15 +433,23 @@ object Similarity {
     * the lake) so a tuning change cannot break the s13 == s14 identity:
     * probe cells → cell-restricted candidates → ADC from the broadcast
     * per-query LUT → exact re-rank. `qsub` is the QUERY side's subspace
-    * frame (vec_id, s, sx). */
+    * frame (vec_id, s, sx). `excludeSelf` drops the candidate whose
+    * vec_id equals the query_id — correct ONLY for the benchmark
+    * self-search forms ([[ivfAdcAnn]]/[[ivfAdcVsIndex]]), where queries
+    * ARE corpus rows; [[ivfAdcServe]] passes false because its query ids
+    * live in the CALLER's namespace, and a caller id that numerically
+    * collides with a stored vec_id must not silently lose that stored
+    * vector from its top-k. */
   private def ivfAdcSearch(vc: DataFrame, queries: DataFrame,
       qsub: DataFrame,
       centroids: DataFrame, cells: DataFrame, codes: DataFrame,
-      codebook: DataFrame, k: Int, probeK: Int): DataFrame = {
+      codebook: DataFrame, k: Int, probeK: Int,
+      excludeSelf: Boolean): DataFrame = {
     val probes = bestCells(centroids)(queries, NProbe)
       .withColumnRenamed("vec_id", "query_id")
     val cellCand = probes.join(cells, "cent_id")
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+              else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val lut = qsub
@@ -509,7 +517,7 @@ object Similarity {
       val qsub = VectorOps.pqSubspaces(queries, index.subspaces,
         index.subDim)
       ivfAdcSearch(vc, qv, qsub, index.centroids, index.cells,
-        index.codes, index.codebook, k, probeK)
+        index.codes, index.codebook, k, probeK, excludeSelf = false)
     }
   }
 
@@ -549,7 +557,7 @@ object Similarity {
         VectorOps.pqSubspaces(corpus, index.subspaces, index.subDim))
       ivfAdcSearch(vc, defaultQueries(vc), qsub,
         index.centroids, index.cells, index.codes,
-        index.codebook, k, probeK)
+        index.codebook, k, probeK, excludeSelf = true)
     }
   }
 

@@ -217,8 +217,15 @@ object StreamCuration {
               batchTop.schema)
           }
         // k is small by contract — merge on the driver so the overwrite
-        // below never reads the files it is replacing
+        // below never reads the files it is replacing.
+        // dropDuplicates first: foreachBatch is at-least-once, so a
+        // replayed batch re-offers rows already in the stored reservoir;
+        // the A-ES key is a pure function of (doc_id, weight), so the
+        // replayed copy is row-identical and dedup-by-doc_id restores the
+        // exactly-once merge (without it, the duplicate occupies a slot
+        // and displaces a distinct doc, breaking the batch-twin identity).
         val merged = prev.unionByName(batchTop)
+          .dropDuplicates("doc_id")
           .orderBy(col("skey"), col("doc_id")).limit(k)
           .collect()
         val out = spark.createDataFrame(

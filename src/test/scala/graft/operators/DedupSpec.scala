@@ -641,4 +641,49 @@ class DedupSpec extends SparkSpec {
       .count() == 0L)
     assert(Dedup.prefixFilterPairs(corpus, 0.7).count() == 15L)
   }
+
+  test("prefixFilterPairs: exact recall at t=0.8/0.9 where (1-t) rounds down") {
+    import org.apache.spark.sql.functions._
+    // (1.0 - 0.8) in IEEE doubles is 0.19999999999999996, so without the
+    // +1e-9 nudge in prefixLen the prefix is ONE TOKEN SHORT whenever
+    // (1-t)·n is an exact integer, and a pair at Jaccard exactly t is
+    // missed — the latent break the defaults (0.5/0.6/0.7, where 1-t
+    // rounds UP) never exercised.
+    def brute(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val sh = df.select(col("doc_id"),
+        graft.operators.LlmText.shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+    // t=0.8: doc 2 is a one-word-shorter sub-span of doc 1 → shingle sets
+    // share 4 of a 5-element union = Jaccard exactly 0.8, and doc 1's
+    // n=5 makes (1-t)·n the exact integer 1.0
+    val c8 = docs(
+      1L -> "aa bb cc dd ee ff gg",
+      2L -> "aa bb cc dd ee ff",
+      3L -> "zz yy xx vv uu tt ss")
+    val out8 = Dedup.prefixFilterPairs(c8, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out8 == brute(c8, 0.8), s"t=0.8 recall: $out8")
+    assert(out8.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.8),
+      s"the pair at exactly the threshold must be kept: $out8")
+    // t=0.9: 9 shared of a 10-element union = Jaccard exactly 0.9; n=10
+    // puts (1-t)·n at the exact integer 1.0 again
+    val w = "aa bb cc dd ee ff gg hh ii jj kk ll".split(" ")
+    val c9 = docs(
+      1L -> w.mkString(" "),
+      2L -> w.take(11).mkString(" "),
+      3L -> "zz yy xx vv uu tt ss rr qq pp oo nn")
+    val out9 = Dedup.prefixFilterPairs(c9, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out9 == brute(c9, 0.9), s"t=0.9 recall: $out9")
+    assert(out9.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.9),
+      s"the pair at exactly the threshold must be kept: $out9")
+  }
 }

@@ -457,4 +457,28 @@ class SimilaritySpec extends SparkSpec {
         r.getLong(r.fieldIndex("neighbor_id"))).toMap
     assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
   }
+
+  test("ivfAdcServe: query id colliding with a stored vec_id keeps it") {
+    import org.apache.spark.sql.functions._
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(data)
+    // the caller's query id 100 numerically collides with stored corpus
+    // vec_id 100 AND carries that very vector — ids are the CALLER's
+    // namespace, so the stored twin must come back at cosine 1, not be
+    // silently dropped by the benchmark paths' self-exclusion
+    val q = data.filter(col("vec_id") === 100)
+    val hits = Similarity.ivfAdcServe(q, data, idx, k = 5)
+      .filter(col("query_id") === 100 && col("neighbor_id") === 100)
+      .collect()
+    assert(hits.nonEmpty,
+      "serve must not exclude the stored vector whose id collides with " +
+        "the caller's query id")
+    assert(math.abs(
+      hits.head.getDouble(hits.head.fieldIndex("cos")) - 1.0) < 1e-12)
+    // the benchmark self-search form still excludes: queries there ARE
+    // corpus rows and a self-hit would be vacuous
+    assert(Similarity.ivfAdcVsIndex(data, idx, k = 5)
+      .filter(col("query_id") === col("neighbor_id")).count() == 0L)
+  }
 }

@@ -191,4 +191,37 @@ class StreamCurationSpec extends SparkSpec {
     assert(got == want,
       s"reservoir must equal batch A-ES over the whole stream:\n$got\n$want")
   }
+
+  test("weightedReservoir: a replayed batch does not double-insert") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("wres-replay-").toString + "/reservoir"
+    val all = (1L to 40L).map(i => (i, 1L + (i * 53) % 300))
+    val first = all.take(13)
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamCuration.weightedReservoir(
+      input.toDF().toDF("doc_id", "n_chars"), dir, k = 8)
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(all.drop(13))
+      q.processAllAvailable()
+      // foreachBatch is at-least-once: a crash between the reservoir
+      // overwrite and the offset commit re-offers an already-merged batch.
+      // The A-ES key is a pure function of (doc_id, weight), so the replay
+      // is row-identical — the merge must dedup it, not let the duplicate
+      // occupy a second of the k slots and displace a distinct doc.
+      input.addData(first)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    val want = Curation.weightedSample(
+        all.toDF("doc_id", "n_chars"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._3, t._1)).toSeq
+    assert(got == want,
+      s"replay must be idempotent — stream-final == batch twin:\n$got\n$want")
+  }
 }
