@@ -450,6 +450,22 @@ object SparkEntry {
       val em = T.embeddings(s, d)
       Similarity.ivfAdcVsIndex(em, Similarity.ivfAdcIndex(em))
     }),
+    // s15: the index LIFECYCLE path — build on the vec_id % 7 != 3 split,
+    // ivfAdcAppend the held-out arrivals (quantizers frozen: assignment
+    // and codes only), then search the full corpus. The oracle is s13's
+    // SQL with its quantizer-TRAINING CTEs restricted to the same split
+    // (see restrictTrainingToStoredSplit); everything downstream of
+    // training — cell assignment, codes, probes, ADC, re-rank — runs
+    // full-corpus on both sides, because append-with-frozen-quantizers
+    // assigns arrivals exactly as a build over the union would.
+    "s15_append_vs_rebuild" -> ((s, d) => {
+      val em = T.embeddings(s, d)
+      val stored = em.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val arriving = em.filter(pmod(col("vec_id"), lit(7)) === 3)
+      val idx = Similarity.ivfAdcAppend(arriving,
+        Similarity.ivfAdcIndex(stored))
+      Similarity.ivfAdcVsIndex(em, idx)
+    }),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -491,7 +507,39 @@ object SparkEntry {
     // x28 is x27 through the materialized-dictionary path; same SQL.
     ("x28_bpe_vs_dict" -> oracleSqlBase("x27_bpe_doc_stats")) +
     // s14 is s13 through the materialized-index path; same SQL.
-    ("s14_ivf_adc_vs_index" -> oracleSqlBase("s13_ivf_adc"))
+    ("s14_ivf_adc_vs_index" -> oracleSqlBase("s13_ivf_adc")) +
+    // s15 is s13 with the quantizers trained on the stored split only.
+    ("s15_append_vs_rebuild" ->
+      restrictTrainingToStoredSplit(oracleSqlBase("s13_ivf_adc")))
+
+  /** Derive the s15 oracle from s13's: restrict the four quantizer-TRAINING
+    * surfaces (k-means sample, k-means seeds, PQ codebook seeds, PQ
+    * one-Lloyd-step members) to the stored split `vec_id % 7 <> 3`, leaving
+    * every post-training CTE (full-corpus assignment, probes, ADC, re-rank)
+    * untouched — exactly what ivfAdcIndex-on-split + ivfAdcAppend computes.
+    * Deriving instead of copying keeps the two oracles in lockstep; each
+    * replace REQUIRES its anchor so a future edit to the s13 SQL cannot
+    * silently detach this one. */
+  private def restrictTrainingToStoredSplit(s13: String): String = {
+    val edits = Seq(
+      // k-means training sample (samp CTE)
+      "WHERE vec_id % 5 = 0" ->
+        "WHERE vec_id % 5 = 0 AND vec_id % 7 <> 3",
+      // k-means seeds (c0 CTE)
+      "WHERE vec_id % 50 = 0" ->
+        "WHERE vec_id % 50 = 0 AND vec_id % 7 <> 3",
+      // PQ codebook seeds (seeds CTE)
+      "WHERE vec_id % 61 = 0 AND vec_id < 61 * 256" ->
+        "WHERE vec_id % 61 = 0 AND vec_id % 7 <> 3 AND vec_id < 61 * 256",
+      // PQ one-Lloyd-step members (pd0 CTE feeding pa0/pm1)
+      "FROM sub u JOIN seeds se ON u.s = se.s)" ->
+        "FROM sub u JOIN seeds se ON u.s = se.s WHERE u.vec_id % 7 <> 3)")
+    edits.foldLeft(s13) { case (sql, (anchor, repl)) =>
+      require(sql.contains(anchor),
+        s"s13 oracle SQL lost the s15 anchor: $anchor")
+      sql.replace(anchor, repl)
+    }
+  }
 
   /** Unrolled BPE merge-step CTE chain shared by the x25/x26/x27 oracles:
     * w0 is the char-split word-count table (end-of-word marker appended),

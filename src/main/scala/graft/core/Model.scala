@@ -125,6 +125,17 @@ case class GraftConf(
     // Keep it NEXT TO the checkpoint (same store, same lifecycle); empty =
     // plain at-least-once sinks.
     commitDir: String = "",
+    // Persistent per-key state for the stateful pipelines, the Spark
+    // analog of the reference's RocksDB KeyValueStore choice
+    // (TopologyBuilder.java:66-69): when true, [[graft.streaming
+    // .GraftStream.delta]] sets the RocksDB state store provider and
+    // changelog checkpointing on the SESSION before starting — per-key
+    // state lives off-heap/on-disk, so an unbounded business-key space
+    // does not grow the executor heap. Session-wide by Spark's design:
+    // every streaming query started on the session afterwards inherits
+    // the provider (which is what a production deployment wants — one
+    // session posture, not per-query drift).
+    useRocksDbStateStore: Boolean = false,
     // Kafka security plumbing, first-class like the reference's
     // (KafkaPropertiesBuilder.java:43-67, KafkaCommonProperties.java:11-16) —
     // every production consumer of the reference sets these. Empty = unset.

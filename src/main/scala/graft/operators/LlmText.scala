@@ -1400,12 +1400,18 @@ object LlmText {
     * pair) — followed by the merge rewrite. The single collected row per
     * step is bounded driver state (the chosen pair), the two-phase-exact
     * pattern of [[graft.operators.VectorOps.kmeansStep]]. Each rewritten
-    * table is materialized before its parent unpersists, so lineage never
-    * re-runs the corpus scan; for nMerges in the thousands (a production
-    * vocab), checkpoint every ~50 steps — the loop shape is unchanged. */
+    * table is computed eagerly before its parent unpersists, so lineage
+    * never re-runs the corpus scan; every `checkpointEvery` steps the
+    * table additionally routes through [[Caching.materialize]] (lineage
+    * truncation), so a production vocabulary's thousands of merges never
+    * grow an unbounded plan/persist chain — without the cadence, step N's
+    * plan references all N parents and analysis cost + task-binary size
+    * climb without bound. The rewrite arithmetic is cadence-independent
+    * (pinned by spec), so the default 50 is purely a plan-depth knob. */
   private[operators] def bpeTrainState(
       documents: DataFrame,
-      nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+      nMerges: Int,
+      checkpointEvery: Int = 50): (Seq[(Int, String, String, Long)], DataFrame) = {
     var cur = bpeWordTable(documents).persist()
     cur.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -1424,9 +1430,22 @@ object LlmText {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, l, r, c))
-        val next = cur.select(col("w"), col("cnt"),
-          bpeMergeOnce(col("sym"), l, r).as("sym")).persist()
-        next.count()
+        val rewritten = cur.select(col("w"), col("cnt"),
+          bpeMergeOnce(col("sym"), l, r).as("sym"))
+        val next =
+          if (step % checkpointEvery == 0) {
+            // lineage truncation: materialize owns its blocks (no extra
+            // persist — localCheckpoint already stores them), and the
+            // plan chain resets to a checkpoint scan
+            Caching.materialize(rewritten)
+          } else {
+            val n = rewritten.persist()
+            n.count()
+            n
+          }
+        // a no-op for a just-materialized cur (its blocks are owned by the
+        // checkpoint RDD and reclaimed by the ContextCleaner once the loop
+        // drops the reference), a real uncache for a persisted one
         cur.unpersist()
         cur = next
       }

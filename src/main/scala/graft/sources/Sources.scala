@@ -59,11 +59,11 @@ object Sources {
     *  - AQE on: runtime coalescing and skew-join splitting;
     *  - shuffle partitions sized to the cluster, not the 200 default.
     */
-  def recommendedConfigs(parallelism: Int): Map[String, String] = Map(
-    "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-      "true",
+  def recommendedConfigs(parallelism: Int): Map[String, String] =
+    // the same RocksDB pair GraftConf.useRocksDbStateStore applies at
+    // pipeline start — one definition, so flag and recommendation can't
+    // drift
+    graft.streaming.GraftStream.RocksDbStateStoreConfigs ++ Map(
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.shuffle.partitions" -> parallelism.toString,

@@ -401,6 +401,7 @@ object GraftStream extends Logging {
       implicit enc: Encoder[Envelope[T]],
       pairEnc: Encoder[(String, Envelope[T])]): StreamingQuery = {
     import source.sparkSession.implicits._
+    applyStateStoreConf(conf, source.sparkSession)
     val decoded = RecordLog.consumerLogging(
       conf.enabledConsumerRecordLogging)(decodeEnvelope(source)(decodeFn))
     // Re-key on the business key (T3); key-extraction exceptions flip the
@@ -451,6 +452,24 @@ object GraftStream extends Logging {
       .foreachBatch(guarded)
       .trigger(trigger).start()
   }
+
+  /** The RocksDB state-store session confs [[graft.core.GraftConf
+    * .useRocksDbStateStore]] turns on — the same pair
+    * [[graft.sources.Sources.recommendedConfigs]] recommends, factored
+    * here so the conf flag and the recommendation can never drift. The
+    * provider class is a runtime-settable SQL conf read at QUERY start,
+    * so setting it just before `.start()` is race-free for that query. */
+  private[graft] val RocksDbStateStoreConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  private def applyStateStoreConf(
+      conf: GraftConf,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (conf.useRocksDbStateStore)
+      RocksDbStateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
 
   private def checkpointOrTemp(conf: GraftConf): String =
     if (conf.checkpointLocation.nonEmpty) conf.checkpointLocation

@@ -502,6 +502,24 @@ class LlmTextSpec extends SparkSpec {
       (4, "ab", "</w>", 3L), (5, "lr", "</w>", 2L), (6, "lr", "lr</w>", 2L)))
   }
 
+  test("bpeTrainState: checkpoint cadence leaves merges and words unchanged") {
+    // cross the materialize boundary twice (steps 3 and 6): the cadence is
+    // a plan-depth knob for production-size vocabularies and must be
+    // invisible to the arithmetic — identical merge table, identical final
+    // word table vs the never-checkpointing run
+    def run(every: Int) = {
+      val (merges, state) = LlmText.bpeTrainState(bpeDocs, 7, every)
+      val words = state.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      state.unpersist()
+      (merges, words)
+    }
+    val (mPlain, wPlain) = run(1000)
+    val (mCkpt, wCkpt) = run(3)
+    assert(mCkpt == mPlain, s"merge table drifted:\n$mCkpt\n$mPlain")
+    assert(wCkpt == wPlain, s"word table drifted:\n$wCkpt\n$wPlain")
+  }
+
   test("bpeVocab: 3-pass replace is non-overlapping left-to-right") {
     val vocab = LlmText.bpeVocab(bpeDocs, nMerges = 6).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -55,6 +55,62 @@ class DeltaDedupRocksDbSpec extends SparkSpec {
     }
   }
 
+  test("GraftConf.useRocksDbStateStore wires the provider, fixture passes") {
+    import java.sql.Timestamp
+    import graft.core.GraftConf
+    // snapshot/restore both confs: the flag mutates the SESSION by design
+    val keys = GraftStream.RocksDbStateStoreConfigs.keys.toSeq
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val outRows = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Long)]()
+      val input = MemoryStream[
+        (String, Array[Byte], String, Int, Long, Timestamp)]
+      val source = input.toDF()
+        .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+      val conf = GraftConf(applicationId = "graft-rocks-conf-app",
+        useRocksDbStateStore = true)
+      val q = GraftStream.delta[Dummy](
+        source, conf, GraftStreamSpec.decodeFn,
+        keyFn = _.busKey,
+        seqFn = _.offset,
+        isUpdated = (old, nw) => old.value.contains(nw.value),
+        outputSink = df => df.collect().foreach(r => outRows.add(
+          (r.getString(r.fieldIndex("key")),
+            r.getLong(r.fieldIndex("offset"))))),
+        errorSink = _ => ())
+      try {
+        // the conf flag must have landed on the session at pipeline start
+        assert(spark.conf.get(
+          "spark.sql.streaming.stateStore.providerClass") == Provider)
+        def rec(idx: Long, payload: String) =
+          (idx.toString, payload.getBytes("UTF-8"), "in-topic", 0, idx,
+            new Timestamp(1700000000000L + idx))
+        input.addData(Seq(
+          rec(0, "key-1|should_pass"),
+          rec(1, "key-1|should_not_pass"),
+          rec(2, "key-1|should_pass"),
+          rec(3, "key-2|should_pass"),
+          rec(4, "key-2|should_not_pass"),
+          rec(5, "key-2|should_pass")))
+        q.processAllAvailable()
+        // the canonical delta fixture must still emit {0,2,3,5} — and the
+        // stateful operator must actually be running on RocksDB
+        val emitted = outRows.toArray(Array.empty[(String, Long)])
+          .sortBy(_._2).toSeq
+        assert(emitted == Seq(("key-1", 0L), ("key-1", 2L),
+          ("key-2", 3L), ("key-2", 5L)), s"fixture drifted: $emitted")
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.keySet().toString.toLowerCase.contains("rocksdb"),
+          s"expected RocksDB state metrics, got $metrics")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("ttlMs evicts idle keys: expired state re-emits the next duplicate") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
