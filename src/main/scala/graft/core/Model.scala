@@ -136,6 +136,23 @@ case class GraftConf(
     // the provider (which is what a production deployment wants — one
     // session posture, not per-query drift).
     useRocksDbStateStore: Boolean = false,
+    // Opt-in exactly-once Kafka TOPIC sink
+    // (graft.streaming.TransactionalKafka): per-partition transactional
+    // producers with the batchId committed atomically alongside the data
+    // on a control topic, closing the reference's read_committed/EOS
+    // posture (KafkaPropertiesBuilder.java:73,89-93) that the default
+    // connector sink (at-least-once) leaves open. When true,
+    // GraftStream.kafkaSink routes through the transactional writer.
+    transactionalKafkaSink: Boolean = false,
+    // Control topic for the transactional sink's committed-batch records;
+    // empty = "<applicationId>.txn-commits". Make it compacted (key =
+    // transactional id) on a real cluster.
+    txnControlTopic: String = "",
+    // FIXED partition count for the transactional sink's key-hash
+    // repartition — replay dedup is per (partition, transactional.id), so
+    // this must not drift between a batch's first attempt and its replay.
+    // Change only at a clean stop.
+    txnSinkPartitions: Int = 32,
     // Kafka security plumbing, first-class like the reference's
     // (KafkaPropertiesBuilder.java:43-67, KafkaCommonProperties.java:11-16) —
     // every production consumer of the reference sets these. Empty = unset.
@@ -204,4 +221,18 @@ case class GraftConf(
       requestTimeoutMs.getOrElse(300000).toString,
     "kafka.connections.max.idle.ms" ->
       connectionsMaxIdleMs.getOrElse(540000).toString)
+
+  /** Control topic for the transactional sink, defaulted per application
+    * so two apps sharing a cluster never read each other's commit
+    * records. */
+  def txnControlTopicOrDefault: String =
+    if (txnControlTopic.nonEmpty) txnControlTopic
+    else s"$applicationId.txn-commits"
+
+  /** [[kafkaClientOptions]] with the connector's `kafka.` prefix stripped —
+    * the RAW client configs a directly-constructed producer/consumer (the
+    * transactional sink's reflective factory) expects. */
+  def rawKafkaClientProps: Map[String, String] =
+    kafkaClientOptions.map { case (k, v) =>
+      k.stripPrefix("kafka.") -> v }
 }

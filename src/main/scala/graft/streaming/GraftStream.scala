@@ -68,15 +68,33 @@ object GraftStream extends Logging {
     * unbounded retries/blocking) — see that scaladoc for the documented
     * at-least-once delta vs Kafka Streams EOS. */
   def kafkaSink(conf: GraftConf, topic: String): DataFrame => Unit =
+    if (conf.transactionalKafkaSink)
+      kafkaTxnSink(conf, topic,
+        new TransactionalKafka.ReflectiveKafkaTxnFactory(
+          conf.bootstrapServers, conf.rawKafkaClientProps))
+    else
+      RecordLog.producerLogging(topic, conf.enabledProducerRecordLogging) { df =>
+        val base = df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")
+          .write.format("kafka")
+          .option("kafka.bootstrap.servers", conf.bootstrapServers)
+          .option("topic", topic)
+          .option("includeHeaders", "true")
+        (conf.kafkaProducerOptions ++ conf.kafkaClientOptions)
+          .foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+          .save()
+      }
+
+  /** The exactly-once topic sink body behind
+    * [[graft.core.GraftConf.transactionalKafkaSink]] — see
+    * [[TransactionalKafka]] for the mechanics and semantics. Public with
+    * an explicit factory so specs (and alternative client stacks) can
+    * substitute the producer; the batchId comes from the surrounding
+    * pipeline's micro-batch context. */
+  def kafkaTxnSink(conf: GraftConf, topic: String,
+      factory: TransactionalKafka.TxnProducerFactory): DataFrame => Unit =
     RecordLog.producerLogging(topic, conf.enabledProducerRecordLogging) { df =>
-      val base = df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")
-        .write.format("kafka")
-        .option("kafka.bootstrap.servers", conf.bootstrapServers)
-        .option("topic", topic)
-        .option("includeHeaders", "true")
-      (conf.kafkaProducerOptions ++ conf.kafkaClientOptions)
-        .foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
-        .save()
+      TransactionalKafka.write(df, conf, topic,
+        TransactionalKafka.requireBatchId(), factory)
     }
 
   /** Marker-file commit log for micro-batch idempotence: one empty file per
@@ -377,7 +395,11 @@ object GraftStream extends Logging {
     source.writeStream
       .queryName(s"${conf.applicationId}-simple")
       .option("checkpointLocation", checkpointOrTemp(conf))
-      .foreachBatch(guarded)
+      // publish the batchId for the duration of the batch so a
+      // transactional Kafka sink inside can fence replays (the sink SPI
+      // stays DataFrame => Unit)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        TransactionalKafka.withBatchId(id)(guarded(b, id)))
       .start()
   }
 
@@ -449,7 +471,9 @@ object GraftStream extends Logging {
     deduped.union(invalid).writeStream
       .queryName(s"${conf.applicationId}-delta")
       .option("checkpointLocation", checkpointOrTemp(conf))
-      .foreachBatch(guarded)
+      // publish the batchId for the duration of the batch (see simple)
+      .foreachBatch((b: Dataset[Envelope[T]], id: Long) =>
+        TransactionalKafka.withBatchId(id)(guarded(b, id)))
       .trigger(trigger).start()
   }
 

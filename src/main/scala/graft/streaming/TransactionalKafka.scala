@@ -1,0 +1,304 @@
+package graft.streaming
+
+import graft.core.GraftConf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Opt-in exactly-once Kafka topic sink — the Spark analog of the
+  * reference's transactional-producer posture (read_committed consumers +
+  * "tend to be exactly-once", README.md:85, KafkaPropertiesBuilder.java:73,
+  * 89-93). The default [[GraftStream.kafkaSink]] is at-least-once into
+  * Kafka (Spark's connector has no transactional writer; a failed
+  * micro-batch replays); this sink closes that delta when
+  * [[graft.core.GraftConf.transactionalKafkaSink]] is enabled.
+  *
+  * Mechanics, per micro-batch:
+  *
+  *   1. The frame is hash-repartitioned on `key` into a FIXED number of
+  *      partitions ([[graft.core.GraftConf.txnSinkPartitions]]), so a
+  *      replayed batch routes every record to the same partition it went
+  *      to the first time — the per-partition dedup below depends on this,
+  *      and AQE/plan drift must not re-deal the rows.
+  *   2. Each partition opens its own transactional producer with
+  *      `transactional.id = <applicationId>-<topic>-p<partitionId>` — the
+  *      Kafka-Streams per-task shape. `initTransactions()` fences any
+  *      zombie from a previous attempt of the same partition (epoch bump;
+  *      the zombie's in-flight transaction is aborted by the broker).
+  *   3. If the control topic already holds a COMMITTED record for this
+  *      transactional id with `batchId >= current` the partition is a
+  *      replay of an already-committed write: it drains and skips.
+  *   4. Otherwise: begin → produce every record → produce ONE control
+  *      record (key = transactional id, value = batchId, onto
+  *      [[graft.core.GraftConf.txnControlTopicOrDefault]]) → commit. The
+  *      control record commits ATOMICALLY with the data, so the replay
+  *      check in (3) can never see a half-written batch: either the
+  *      transaction committed (skip) or it aborted (rewrite) — this is
+  *      what makes the sink exactly-once rather than the marker-file
+  *      guard's at-least-once-minus-the-last-crash-window.
+  *
+  * Semantics notes, stated honestly:
+  *   - Atomicity is PER PARTITION, not per batch (Kafka Streams is the
+  *     same: per stream task). A crash can commit partition 3 and not 7;
+  *     the replay commits 7 and skips 3 — every record still lands exactly
+  *     once, but a read_committed consumer can observe the batch arriving
+  *     in two pieces.
+  *   - Changing `txnSinkPartitions` while a batch is half-committed
+  *     re-deals rows across transactional ids and can duplicate that one
+  *     batch. Change it only at a clean stop (the same rule as changing a
+  *     Kafka Streams topology's task count).
+  *   - Downstream consumers must read with `isolation.level =
+  *     read_committed` (the reference's consumer default, and what
+  *     [[GraftStream.kafkaSource]] sets) — read_uncommitted sees aborted
+  *     attempts.
+  *   - The control topic should be compacted (key = transactional id, one
+  *     live record per partition writer); with default broker configs an
+  *     uncompacted control topic merely grows by one tiny record per
+  *     (partition × batch).
+  *
+  * The producer is a tiny SPI ([[TxnProducer]]/[[TxnProducerFactory]])
+  * rather than a kafka-clients dependency: this build is zero-egress and
+  * carries no Kafka jars, and the pipelines must remain testable without a
+  * broker. [[ReflectiveKafkaTxnFactory]] is the real implementation —
+  * resolved by name at RUNTIME from the spark-sql-kafka connector's
+  * kafka-clients (present on any cluster that uses Kafka at all); specs
+  * drive the same sink through an in-memory stub broker.
+  */
+object TransactionalKafka {
+
+  /** One partition's transactional producer. `create` returns it already
+    * `initTransactions()`-ed (zombies of the same transactional.id are
+    * fenced before the caller sees the handle). */
+  trait TxnProducer extends AutoCloseable {
+    def beginTransaction(): Unit
+    def send(topic: String, key: Array[Byte], value: Array[Byte],
+        headers: Seq[(String, Array[Byte])]): Unit
+    def commitTransaction(): Unit
+    def abortTransaction(): Unit
+  }
+
+  /** Executor-side factory; serialized into the foreachPartition closure.
+    * `lastCommitted` must read with read_committed isolation — an aborted
+    * control record MUST NOT count. */
+  trait TxnProducerFactory extends Serializable {
+    def create(transactionalId: String): TxnProducer
+    /** Highest batchId whose control record COMMITTED for this
+      * transactional id, or -1 if none. */
+    def lastCommitted(transactionalId: String, controlTopic: String): Long
+  }
+
+  /** The batch-id bridge: foreachBatch hands (frame, batchId) to the
+    * pipeline, but sink callbacks are plain DataFrame => Unit (so custom
+    * sinks stay trivial to write). The pipelines publish the current
+    * batchId here for the duration of each batch; [[GraftStream
+    * .kafkaSink]]'s transactional branch reads it. Driver-side
+    * micro-batch threads only — never read on executors. */
+  private val currentBatchId = new ThreadLocal[java.lang.Long]
+
+  private[streaming] def withBatchId[A](batchId: Long)(body: => A): A = {
+    currentBatchId.set(batchId)
+    try body finally currentBatchId.remove()
+  }
+
+  private[streaming] def requireBatchId(): Long = {
+    val id = currentBatchId.get()
+    require(id != null,
+      "transactional Kafka sink used outside a pipeline micro-batch: the " +
+        "exactly-once guard needs the foreachBatch batchId (route the " +
+        "sink through GraftStream.simple/delta, or wrap the call in " +
+        "TransactionalKafka.withBatchId)")
+    id.longValue()
+  }
+
+  /** The sink body: write `df` to `topic` inside per-partition
+    * transactions for micro-batch `batchId`. Exposed with an explicit
+    * batchId for tools that manage their own foreachBatch. */
+  def write(df: DataFrame, conf: GraftConf, topic: String, batchId: Long,
+      factory: TxnProducerFactory): Unit = {
+    val controlTopic = conf.txnControlTopicOrDefault
+    val appId = conf.applicationId
+    // the same record shape the non-transactional kafkaSink writes: key as
+    // UTF-8 string bytes, binary value, passthrough headers
+    val shaped = df
+      .selectExpr("CAST(key AS STRING) AS key",
+        "CAST(value AS BINARY) AS value", "headers")
+      .repartition(conf.txnSinkPartitions, col("key"))
+    shaped.foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val txnId = s"$appId-$topic-p$pid"
+        val producer = factory.create(txnId)
+        try {
+          if (factory.lastCommitted(txnId, controlTopic) >= batchId) {
+            // replay of a committed partition: every record here already
+            // landed inside a committed transaction — drain and skip
+            ()
+          } else {
+            producer.beginTransaction()
+            try {
+              rows.foreach { r =>
+                val key = r.getAs[String]("key") match {
+                  case null => null
+                  case s => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                }
+                val hs = r.getAs[scala.collection.Seq[
+                  org.apache.spark.sql.Row]]("headers") match {
+                  case null => Seq.empty[(String, Array[Byte])]
+                  case seq => seq.toSeq.map(h =>
+                    h.getString(0) -> h.getAs[Array[Byte]](1))
+                }
+                producer.send(topic, key, r.getAs[Array[Byte]]("value"), hs)
+              }
+              producer.send(controlTopic,
+                txnId.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                java.nio.ByteBuffer.allocate(8).putLong(batchId).array(),
+                Seq.empty)
+              producer.commitTransaction()
+            } catch {
+              case t: Throwable =>
+                try producer.abortTransaction()
+                catch { case s: Throwable => t.addSuppressed(s) }
+                throw t
+            }
+          }
+        } finally producer.close()
+    }
+  }
+
+  /** Real factory: builds `org.apache.kafka.clients.producer.KafkaProducer`
+    * / `...consumer.KafkaConsumer` by NAME from the connector's bundled
+    * kafka-clients. `producerProps`/`consumerProps` are plain (unprefixed)
+    * client configs — [[graft.core.GraftConf.rawKafkaClientProps]] derives
+    * them from the same security fields the connector options use. */
+  final class ReflectiveKafkaTxnFactory(
+      bootstrapServers: String,
+      clientProps: Map[String, String]) extends TxnProducerFactory {
+
+    private def propsMap(extra: (String, String)*): java.util.Map[String, AnyRef] = {
+      val m = new java.util.HashMap[String, AnyRef]()
+      clientProps.foreach { case (k, v) => m.put(k, v) }
+      m.put("bootstrap.servers", bootstrapServers)
+      extra.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+
+    def create(transactionalId: String): TxnProducer = {
+      val cfg = propsMap(
+        "transactional.id" -> transactionalId,
+        "enable.idempotence" -> "true",
+        "acks" -> "all",
+        "key.serializer" ->
+          "org.apache.kafka.common.serialization.ByteArraySerializer",
+        "value.serializer" ->
+          "org.apache.kafka.common.serialization.ByteArraySerializer")
+      val cls = Class.forName("org.apache.kafka.clients.producer.KafkaProducer")
+      val recCls = Class.forName(
+        "org.apache.kafka.clients.producer.ProducerRecord")
+      val raw = cls.getConstructor(classOf[java.util.Map[_, _]])
+        .newInstance(cfg)
+      val recCtor = recCls.getConstructor(classOf[String],
+        classOf[java.lang.Integer], classOf[Object], classOf[Object],
+        classOf[java.lang.Iterable[_]])
+      val headerCls = Class.forName(
+        "org.apache.kafka.common.header.internals.RecordHeader")
+      val headerCtor = headerCls.getConstructor(classOf[String],
+        classOf[Array[Byte]])
+      def call(name: String, args: AnyRef*): AnyRef = {
+        val m = cls.getMethods.find(m => m.getName == name &&
+          m.getParameterCount == args.length).getOrElse(
+          throw new NoSuchMethodException(s"KafkaProducer.$name"))
+        m.invoke(raw, args: _*)
+      }
+      call("initTransactions")
+      new TxnProducer {
+        def beginTransaction(): Unit = call("beginTransaction")
+        def send(topic: String, key: Array[Byte], value: Array[Byte],
+            headers: Seq[(String, Array[Byte])]): Unit = {
+          val hs = new java.util.ArrayList[AnyRef]()
+          headers.foreach { case (k, v) =>
+            hs.add(headerCtor.newInstance(k, v).asInstanceOf[AnyRef]) }
+          val rec = recCtor.newInstance(topic, null, key, value, hs)
+            .asInstanceOf[AnyRef]
+          call("send", rec)
+          ()
+        }
+        def commitTransaction(): Unit = call("commitTransaction")
+        def abortTransaction(): Unit = call("abortTransaction")
+        def close(): Unit = call("close")
+      }
+    }
+
+    def lastCommitted(transactionalId: String, controlTopic: String): Long = {
+      val cfg = propsMap(
+        "group.id" -> s"graft-txn-guard-${java.util.UUID.randomUUID()}",
+        "enable.auto.commit" -> "false",
+        "isolation.level" -> "read_committed",
+        "auto.offset.reset" -> "earliest",
+        "key.deserializer" ->
+          "org.apache.kafka.common.serialization.ByteArrayDeserializer",
+        "value.deserializer" ->
+          "org.apache.kafka.common.serialization.ByteArrayDeserializer")
+      val cls = Class.forName("org.apache.kafka.clients.consumer.KafkaConsumer")
+      val tpCls = Class.forName("org.apache.kafka.common.TopicPartition")
+      val raw = cls.getConstructor(classOf[java.util.Map[_, _]])
+        .newInstance(cfg)
+      def call(name: String, args: AnyRef*): AnyRef = {
+        val m = cls.getMethods.find(m => m.getName == name &&
+          m.getParameterCount == args.length &&
+          m.getParameterTypes.zip(args).forall { case (t, a) =>
+            a == null || t.isInstance(a) || t.isPrimitive }).getOrElse(
+          throw new NoSuchMethodException(s"KafkaConsumer.$name"))
+        m.invoke(raw, args: _*)
+      }
+      try {
+        val parts = call("partitionsFor", controlTopic)
+          .asInstanceOf[java.util.List[AnyRef]]
+        if (parts == null || parts.isEmpty) return -1L
+        val tps = new java.util.ArrayList[AnyRef]()
+        val piCls = Class.forName("org.apache.kafka.common.PartitionInfo")
+        val partOf = piCls.getMethod("partition")
+        val tpCtor = tpCls.getConstructor(classOf[String], classOf[Int])
+        parts.forEach(pi => tps.add(tpCtor.newInstance(controlTopic,
+          partOf.invoke(pi).asInstanceOf[java.lang.Integer])
+          .asInstanceOf[AnyRef]))
+        call("assign", tps)
+        call("seekToBeginning", tps)
+        val end = call("endOffsets", tps)
+          .asInstanceOf[java.util.Map[AnyRef, java.lang.Long]]
+        var best = -1L
+        def done: Boolean = {
+          var ok = true
+          end.forEach { (tp, off) =>
+            val pos = call("position", tp).asInstanceOf[java.lang.Long]
+            if (pos < off) ok = false
+          }
+          ok
+        }
+        val dur = java.time.Duration.ofMillis(500)
+        val recsCls = Class.forName(
+          "org.apache.kafka.clients.consumer.ConsumerRecords")
+        val recCls = Class.forName(
+          "org.apache.kafka.clients.consumer.ConsumerRecord")
+        val keyOf = recCls.getMethod("key")
+        val valOf = recCls.getMethod("value")
+        val iterOf = recsCls.getMethod("iterator")
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!done && System.nanoTime() < deadline) {
+          val recs = call("poll", dur)
+          val it = iterOf.invoke(recs).asInstanceOf[java.util.Iterator[AnyRef]]
+          while (it.hasNext) {
+            val r = it.next()
+            val k = keyOf.invoke(r).asInstanceOf[Array[Byte]]
+            val v = valOf.invoke(r).asInstanceOf[Array[Byte]]
+            if (k != null && v != null && v.length == 8 &&
+                new String(k, java.nio.charset.StandardCharsets.UTF_8)
+                  == transactionalId)
+              best = math.max(best,
+                java.nio.ByteBuffer.wrap(v).getLong)
+          }
+        }
+        best
+      } finally call("close")
+    }
+  }
+}

@@ -136,4 +136,63 @@ class KafkaRoundTripSpec extends SparkSpec {
     assert(out.toSet == Set(("a", "a|v1"), ("a", "a|v2"), ("b", "b|v1")),
       s"got ${out.toSeq}")
   }
+
+  test("transactional sink over a real broker: commits visible, EOS shape") {
+    assume(live, "SPARK_GRAFT_KAFKA != 1: no broker in this environment")
+    val inTopic = s"graft-it-txn-in-$runId"
+    val errTopic = s"graft-it-txn-err-$runId"
+    KafkaRoundTripSpec.processed.clear()
+
+    Seq("k1|ok-one", "not-a-valid-payload", "k3|ok-two")
+      .toDF("value")
+      .selectExpr("CAST(NULL AS STRING) AS key", "CAST(value AS BINARY) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", inTopic)
+      .save()
+
+    val conf = GraftConf(
+      applicationId = s"graft-it-txn-$runId",
+      bootstrapServers = bootstrap,
+      topic = inTopic,
+      errorTopic = errTopic,
+      transactionalKafkaSink = true,
+      txnSinkPartitions = 2,
+      checkpointLocation = java.nio.file.Files
+        .createTempDirectory("graft-it-ckpt").toString)
+    // kafkaSink routes through the ReflectiveKafkaTxnFactory when the
+    // conf flag is on — this exercises the real reflective producer +
+    // control-topic consumer against the broker
+    val q = GraftStream.simple[Dummy](
+      GraftStream.kafkaSource(spark, conf), conf, GraftStreamSpec.decodeFn,
+      process = d => { KafkaRoundTripSpec.processed.add(d.value); None },
+      errorSink = GraftStream.kafkaSink(conf, errTopic))
+    try q.processAllAvailable() finally q.stop()
+
+    assert(KafkaRoundTripSpec.processed.toArray.toSet ==
+      Set("ok-one", "ok-two"))
+    // read_committed consumer (kafka source default here) sees exactly the
+    // committed error record, once
+    val errs = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", errTopic)
+      .option("startingOffsets", "earliest")
+      .option("kafka.isolation.level", "read_committed")
+      .load()
+      .select(col("value").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(errs == Seq("not-a-valid-payload"), s"got $errs")
+    // the control topic carries committed batch markers for the app
+    val ctl = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", conf.txnControlTopicOrDefault)
+      .option("startingOffsets", "earliest")
+      .option("kafka.isolation.level", "read_committed")
+      .load()
+      .select(col("key").cast("string"))
+      .collect().map(_.getString(0))
+    assert(ctl.nonEmpty &&
+      ctl.forall(_.startsWith(s"${conf.applicationId}-$errTopic-p")),
+      s"control records: ${ctl.toSeq}")
+  }
 }

@@ -1,0 +1,204 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.SparkSpec
+import graft.core.GraftConf
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Exactly-once semantics of the transactional Kafka sink, driven through
+  * an in-memory stub broker (the build sandbox has no Kafka jars — the
+  * real path is [[TransactionalKafka.ReflectiveKafkaTxnFactory]], exercised
+  * by the env-gated KafkaRoundTripSpec). The replay cases mirror
+  * LakeSinkSpec's: a committed batch re-offered must not duplicate, an
+  * aborted attempt must leave nothing visible, and the retry after an
+  * abort must land exactly one copy. */
+object TransactionalKafkaSpec {
+
+  /** One in-memory "cluster" per test (keyed so parallel suites can't
+    * collide): committed records per topic, plus open-transaction buffers
+    * per transactional id. Commit appends the buffer atomically under the
+    * broker lock — a reader of `committed` can never see half a
+    * transaction, which is exactly the read_committed contract the real
+    * control-topic scan relies on. */
+  final class StubBroker {
+    val committed =
+      scala.collection.mutable.Map[String,
+        Vector[(Array[Byte], Array[Byte])]]().withDefaultValue(Vector.empty)
+    private val open =
+      scala.collection.mutable.Map[String,
+        Vector[(String, Array[Byte], Array[Byte])]]()
+    // test hook: transactional ids whose NEXT commit should fail once
+    // (emulating a crash between the produce and the commit)
+    val failCommitOnce = scala.collection.mutable.Set[String]()
+
+    def fence(txnId: String): Unit = synchronized { open.remove(txnId); () }
+    def begin(txnId: String): Unit = synchronized {
+      require(!open.contains(txnId), s"nested begin for $txnId")
+      open(txnId) = Vector.empty
+    }
+    def send(txnId: String, topic: String, key: Array[Byte],
+        value: Array[Byte]): Unit = synchronized {
+      open(txnId) = open(txnId) :+ ((topic, key, value))
+    }
+    def commit(txnId: String): Unit = synchronized {
+      if (failCommitOnce.remove(txnId)) {
+        open.remove(txnId)
+        throw new RuntimeException(s"injected commit failure for $txnId")
+      }
+      open.remove(txnId).getOrElse(
+        throw new IllegalStateException(s"commit without begin: $txnId"))
+        .foreach { case (t, k, v) => committed(t) = committed(t) :+ ((k, v)) }
+    }
+    def abort(txnId: String): Unit = synchronized { open.remove(txnId); () }
+
+    def records(topic: String): Vector[(String, String)] = synchronized {
+      committed(topic).map { case (k, v) =>
+        (if (k == null) null else new String(k, "UTF-8"),
+          if (v == null) null else new String(v, "UTF-8"))
+      }
+    }
+    def lastCommitted(txnId: String, controlTopic: String): Long =
+      synchronized {
+        committed(controlTopic).collect {
+          case (k, v) if k != null &&
+              new String(k, "UTF-8") == txnId && v.length == 8 =>
+            java.nio.ByteBuffer.wrap(v).getLong
+        }.foldLeft(-1L)(math.max)
+      }
+  }
+
+  // static registry: factories are serialized into foreachPartition
+  // closures, but in local mode the tasks share this JVM and find the
+  // broker by id
+  val brokers = new java.util.concurrent.ConcurrentHashMap[String, StubBroker]()
+
+  final class StubTxnFactory(brokerId: String)
+      extends TransactionalKafka.TxnProducerFactory {
+    private def broker = brokers.get(brokerId)
+    def create(txnId: String): TransactionalKafka.TxnProducer = {
+      val b = broker
+      b.fence(txnId) // initTransactions(): abort the zombie's open txn
+      new TransactionalKafka.TxnProducer {
+        def beginTransaction(): Unit = b.begin(txnId)
+        def send(topic: String, key: Array[Byte], value: Array[Byte],
+            headers: Seq[(String, Array[Byte])]): Unit =
+          b.send(txnId, topic, key, value)
+        def commitTransaction(): Unit = b.commit(txnId)
+        def abortTransaction(): Unit = b.abort(txnId)
+        def close(): Unit = ()
+      }
+    }
+    def lastCommitted(txnId: String, controlTopic: String): Long =
+      broker.lastCommitted(txnId, controlTopic)
+  }
+
+  val processed = new ConcurrentLinkedQueue[String]()
+}
+
+class TransactionalKafkaSpec extends SparkSpec {
+  import spark.implicits._
+  import TransactionalKafkaSpec._
+
+  private def newBroker(): (String, StubBroker) = {
+    val id = java.util.UUID.randomUUID().toString
+    val b = new StubBroker
+    brokers.put(id, b)
+    (id, b)
+  }
+
+  private def conf(app: String) = GraftConf(applicationId = app,
+    transactionalKafkaSink = true, txnSinkPartitions = 3)
+
+  private def frame(rows: (String, String)*) =
+    rows.toDF("k", "v").selectExpr("k AS key",
+      "CAST(v AS BINARY) AS value",
+      "CAST(NULL AS array<struct<key: string, value: binary>>) AS headers")
+
+  test("write commits data + control record atomically; replay skips") {
+    val (id, broker) = newBroker()
+    val c = conf("txn-app")
+    val df = frame("k1" -> "v1", "k2" -> "v2", "k3" -> "v3")
+    TransactionalKafka.write(df, c, "out", batchId = 0L,
+      new StubTxnFactory(id))
+    val got = broker.records("out").toSet
+    assert(got == Set(("k1", "v1"), ("k2", "v2"), ("k3", "v3")), s"$got")
+    // control records committed alongside the data, one per non-empty...
+    // actually per PARTITION (empty partitions commit their marker too,
+    // keeping lastCommitted monotonic for every transactional id)
+    assert(broker.committed(c.txnControlTopicOrDefault).nonEmpty)
+    // a full batch replay (sink committed, offsets lost) must not
+    // double-deliver: every partition sees lastCommitted >= batchId
+    TransactionalKafka.write(df, c, "out", batchId = 0L,
+      new StubTxnFactory(id))
+    assert(broker.records("out").size == 3,
+      s"replay duplicated: ${broker.records("out")}")
+  }
+
+  test("a later batch with new data still goes through") {
+    val (id, broker) = newBroker()
+    val c = conf("txn-app2")
+    TransactionalKafka.write(frame("a" -> "1"), c, "out", 0L,
+      new StubTxnFactory(id))
+    TransactionalKafka.write(frame("b" -> "2"), c, "out", 1L,
+      new StubTxnFactory(id))
+    assert(broker.records("out").toSet == Set(("a", "1"), ("b", "2")))
+  }
+
+  test("crash between produce and commit: nothing visible, retry lands once") {
+    val (id, broker) = newBroker()
+    val c = conf("txn-app3")
+    val df = frame("k1" -> "v1")
+    // k1 hashes into exactly one of the 3 partitions; fail that partition's
+    // first commit — arm the injection for every partition writer, only
+    // the one holding k1 matters (empty partitions that trip it are
+    // retried by the second write call identically)
+    (0 until c.txnSinkPartitions).foreach(p =>
+      broker.failCommitOnce.add(s"${c.applicationId}-out-p$p"))
+    val failed = intercept[Exception] {
+      TransactionalKafka.write(df, c, "out", 0L, new StubTxnFactory(id))
+    }
+    assert(failed != null)
+    assert(broker.records("out").isEmpty,
+      "aborted attempt must leave nothing visible to read_committed")
+    // the replayed batch (Spark restarts foreachBatch) commits exactly once
+    TransactionalKafka.write(df, c, "out", 0L, new StubTxnFactory(id))
+    assert(broker.records("out") == Vector(("k1", "v1")))
+  }
+
+  test("simple pipeline routes errors through the txn sink exactly once") {
+    val (id, broker) = newBroker()
+    processed.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Array[Byte], String, Int, Long, Timestamp)]
+    val source = input.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val c = conf("txn-pipe")
+    val q = GraftStream.simple[Dummy](
+      source, c, GraftStreamSpec.decodeFn,
+      process = d => { processed.add(d.value); None },
+      errorSink = GraftStream.kafkaTxnSink(c, "errs", new StubTxnFactory(id)))
+    try {
+      input.addData(Seq(
+        ("0", "k1|ok-one".getBytes("UTF-8"), "t", 0, 0L, new Timestamp(0)),
+        ("1", "garbage".getBytes("UTF-8"), "t", 0, 1L, new Timestamp(1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(processed.toArray.toSet == Set("ok-one"))
+    val errs = broker.records("errs")
+    assert(errs.map(_._2) == Vector("garbage"),
+      s"exactly the bad payload, exactly once: $errs")
+  }
+
+  test("txn sink outside a micro-batch context fails loudly") {
+    val (id, _) = newBroker()
+    val c = conf("txn-naked")
+    val e = intercept[IllegalArgumentException] {
+      GraftStream.kafkaTxnSink(c, "out",
+        new StubTxnFactory(id))(frame("a" -> "1"))
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+  }
+}
