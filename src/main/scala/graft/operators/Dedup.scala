@@ -873,9 +873,33 @@ object Dedup {
     * syndication storm), visible long before corpus-total dedup numbers
     * move. One hash aggregate + one join + one bucket aggregate —
     * the x30/x31 introducer shape at whole-doc granularity. */
-  def dupTrend(documents: DataFrame, bucketDocs: Long = 100L): DataFrame = {
-    val h = documents.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h"))
+  def dupTrend(documents: DataFrame, bucketDocs: Long = 100L): DataFrame =
+    dupTrendFromFingerprints(dupFingerprints(documents), bucketDocs)
+
+  /** ONE text scan computing both duplication fingerprints — the full-text
+    * hash [[dupTrend]] buckets on AND the opening-words hash
+    * [[syndication]] pairs on: (doc_id, source, full_h, head_h). The
+    * governance report (tools/DataCard) persists this once and feeds both
+    * sections from it, instead of re-scanning (and re-hashing) the corpus
+    * per section — at 100 TB the text scan IS the cost and everything
+    * downstream is hash-sized. */
+  def dupFingerprints(documents: DataFrame, headWords: Int = 8): DataFrame = {
+    // trend-only corpora may carry no source column; syndication needs it,
+    // but the shared pass shouldn't force it on every caller
+    val src =
+      if (documents.columns.contains("source")) col("source")
+      else lit(null).cast("string")
+    documents.select(col("doc_id"), src.as("source"),
+      md5(col("text").cast("binary")).as("full_h"),
+      md5(array_join(
+        slice(LlmText.words(col("text")), 1, headWords), " ")
+        .cast("binary")).as("head_h"))
+  }
+
+  /** [[dupTrend]]'s body over a precomputed [[dupFingerprints]] frame. */
+  def dupTrendFromFingerprints(fp: DataFrame,
+      bucketDocs: Long = 100L): DataFrame = {
+    val h = fp.select(col("doc_id"), col("full_h").as("h"))
     val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     h.join(first, "h")
       .groupBy(floor(col("doc_id") / bucketDocs).as("bucket"))
@@ -903,11 +927,13 @@ object Dedup {
     * source count — a few hundred rows per hash at worst, no doc-level
     * pair blowup no matter how many copies exist (counts multiply,
     * n_a·n_b, instead of rows joining). */
-  def syndication(documents: DataFrame, headWords: Int = 8): DataFrame = {
-    val key = md5(array_join(
-      slice(LlmText.words(col("text")), 1, headWords), " ").cast("binary"))
-    val h = documents
-      .select(col("source"), key.as("h"))
+  def syndication(documents: DataFrame, headWords: Int = 8): DataFrame =
+    syndicationFromFingerprints(dupFingerprints(documents, headWords))
+
+  /** [[syndication]]'s body over a precomputed [[dupFingerprints]] frame. */
+  def syndicationFromFingerprints(fp: DataFrame): DataFrame = {
+    val h = fp
+      .select(col("source"), col("head_h").as("h"))
       .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
     h.as("a")
       .join(h.as("b"),

@@ -65,9 +65,17 @@ object DataCard {
     val audit = Curation.neymanAllocation(docs).orderBy(col("source"))
     val auditSample = Curation.weightedSample(docs, k = 10)
     val phrases = LlmText.pmiCollocations(docs, k = 10)
-    val trend = Dedup.dupTrend(docs).orderBy(col("bucket"))
+    // ONE text-scan fingerprint pass feeds both duplication sections (d29
+    // trend + d30 syndication); the frames are materialized (lineage
+    // truncated) off the persisted pass so the later section-collects
+    // can't silently re-run it
+    val fp = Dedup.dupFingerprints(docs)
+    val (trendRaw, syndRaw) = graft.operators.Caching.withPersisted2(fp)((
+      Dedup.dupTrendFromFingerprints(fp),
+      Dedup.syndicationFromFingerprints(fp)))
+    val trend = trendRaw.orderBy(col("bucket"))
     val growth = LlmText.vocabGrowth(docs).orderBy(col("bucket"))
-    val synd = Dedup.syndication(docs)
+    val synd = syndRaw
       .orderBy(col("n_dup_pairs").desc, col("source_a"), col("source_b"))
       .limit(10)
     val media = Multimodal.mediaMix(docs)

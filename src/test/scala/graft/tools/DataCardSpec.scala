@@ -39,4 +39,32 @@ class DataCardSpec extends SparkSpec {
         s"empty table in section:\n$t")
     }
   }
+
+  test("d29/d30 sections derive from ONE shared fingerprint pass") {
+    import graft.operators.{Caching, Dedup, Tables}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the card's shape: one persisted fingerprint scan, both sections off it
+    val fp = Dedup.dupFingerprints(docs)
+    val (trend, synd) = Caching.withPersisted2(fp)((
+      Dedup.dupTrendFromFingerprints(fp),
+      Dedup.syndicationFromFingerprints(fp)))
+    // identical to the standalone oracle-pinned operators
+    assert(trend.collect().map(_.toSeq).toSet ==
+      Dedup.dupTrend(docs).collect().map(_.toSeq).toSet)
+    assert(synd.collect().map(_.toSeq).toSet ==
+      Dedup.syndication(docs).collect().map(_.toSeq).toSet)
+    // and the SECOND section's executed plan read the persisted pass, not
+    // the corpus: a cached-scan leaf, zero parquet leaves — the compiled
+    // guarantee that the card never re-runs the text scan per section
+    val plan = Caching.lastMaterializedPlan
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the shared cached pass in the plan:\n$plan")
+    // every parquet mention must live INSIDE a cached-relation description
+    // (InMemoryRelation prints its stored build plan); a LIVE re-scan
+    // would add a FileScan leaf with no matching InMemoryRelation
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(occurrences("FileScan") == occurrences("InMemoryRelation"),
+      s"second section re-scanned the corpus:\n$plan")
+  }
 }
