@@ -324,6 +324,8 @@ object SparkEntry {
         T.lineitem(s, d), T.part(s, d), T.supplier(s, d), T.nation(s, d))),
     "g1_pagerank" -> ((s, d) =>
       Graph.pageRank(T.lineitem(s, d), T.orders(s, d))),
+    "g2_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -3284,6 +3286,46 @@ object SparkEntry {
         |      (CAST(COALESCE(c3.gs, 0) AS DOUBLE) / 1.0e9) AS pr
         |  FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nd.node)
         |SELECT node, pr FROM p3""".stripMargin,
+    // g2: three unrolled SEMI-synchronous LPA rounds over g1's edge CTEs
+    // (bipartite 2-coloring: round 1/3 update c:-side dsts, round 2 the
+    // s:-side — fully synchronous LPA oscillates on bipartite graphs).
+    // Integer vote weights, winner = (vw DESC, lab ASC), pure
+    // string/integer arithmetic so no grid rounding is needed anywhere.
+    "g2_label_prop" ->
+      """WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w FROM pairc
+        |  UNION ALL
+        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS lab FROM nd),
+        |v1 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+        |  FROM e JOIN l0 l ON e.src = l.node
+        |  WHERE e.dst LIKE 'c:%' GROUP BY 1, 2),
+        |w1 AS (SELECT dst, lab FROM (
+        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+        |    ORDER BY vw DESC, lab) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, COALESCE(w1.lab, l0.lab) AS lab
+        |  FROM l0 LEFT JOIN w1 ON w1.dst = l0.node),
+        |v2 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+        |  FROM e JOIN l1 l ON e.src = l.node
+        |  WHERE e.dst LIKE 's:%' GROUP BY 1, 2),
+        |w2 AS (SELECT dst, lab FROM (
+        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+        |    ORDER BY vw DESC, lab) AS rn FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT l1.node, COALESCE(w2.lab, l1.lab) AS lab
+        |  FROM l1 LEFT JOIN w2 ON w2.dst = l1.node),
+        |v3 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+        |  FROM e JOIN l2 l ON e.src = l.node
+        |  WHERE e.dst LIKE 'c:%' GROUP BY 1, 2),
+        |w3 AS (SELECT dst, lab FROM (
+        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+        |    ORDER BY vw DESC, lab) AS rn FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT l2.node, COALESCE(w3.lab, l2.lab) AS lab
+        |  FROM l2 LEFT JOIN w3 ON w3.dst = l2.node)
+        |SELECT node, lab AS label FROM l3""".stripMargin,
     // Efraimidis–Spirakis A-ES keys: u from the shared 28-bit fold,
     // ln grid-rounded to 5 decimals (x21 precedent) so the one libm call
     // agrees across engines; everything else is IEEE-exact arithmetic.

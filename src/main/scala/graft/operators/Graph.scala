@@ -40,10 +40,12 @@ object Graph {
     * rank-sink rows — the standard Pregel-free PageRank data flow; 3
     * iterations ≡ 6 bounded shuffles at any scale. Ranks are materialized
     * per round (lineage truncation), the same policy as the CC loop. */
-  def pageRank(lineitem: DataFrame, orders: DataFrame,
-      iters: Int = 3, damp: Double = 0.85): DataFrame = {
-    // undirected weighted edges: c:<custkey> ↔ s:<suppkey>, one row per
-    // direction, weight = lineitem count of the pair
+  /** Undirected weighted customer↔supplier edges: c:<custkey> ↔
+    * s:<suppkey>, one row per direction, weight = lineitem count of the
+    * pair. ONE aggregate over the fact table; shared by [[pageRank]] and
+    * [[labelPropagation]] so both walk the identical graph. */
+  private def custSuppEdges(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
     val pair = lineitem.join(orders,
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
@@ -54,7 +56,12 @@ object Graph {
     val rev = pair.select(
       concat(lit("s:"), col("supp")).as("src"),
       concat(lit("c:"), col("cust")).as("dst"), col("w"))
-    val rawEdges = fwd.unionByName(rev)
+    fwd.unionByName(rev)
+  }
+
+  def pageRank(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3, damp: Double = 0.85): DataFrame = {
+    val rawEdges = custSuppEdges(lineitem, orders)
     val outW = rawEdges.groupBy(col("src"))
       .agg(sum(col("w")).as("wout"))
     val edges = Caching.materialize(rawEdges.join(outW, "src"))
@@ -84,5 +91,64 @@ object Graph {
       }
       pr
     } finally { edges.unpersist(false); nodes.unpersist(false) }
+  }
+
+  /** Semi-synchronous weighted label propagation (g2) over the same
+    * customer↔supplier graph [[pageRank]] walks — the community-detection
+    * primitive (Raghavan et al. 2007) next to PageRank's centrality: after
+    * `iters` rounds each node carries the label that keeps winning its
+    * neighborhood's weighted vote, and label = community. On doc-link /
+    * co-purchase graphs this is the cheap clustering pass that groups
+    * entities before per-community curation.
+    *
+    * SEMI-synchronous, not synchronous: a bipartite graph under fully
+    * synchronous LPA oscillates with period 2 (each side adopts the
+    * other's previous labels forever — hit by the GraphSpec star
+    * fixture); the standard fix (Cordasco & Gargano 2012) updates one
+    * color class per round, and this graph ships its 2-coloring in the
+    * node ids — customers (`c:`) update on odd rounds, suppliers (`s:`)
+    * on even.
+    *
+    * Determinism contract, STRONGER than g1's: votes are integer edge
+    * weights summed as longs and the winner is (total weight DESC, label
+    * ASC) — no floats anywhere, so partitioning/AQE/engine cannot move a
+    * single label and the DuckDB oracle unrolls the identical rounds with
+    * plain integer arithmetic.
+    *
+    * Scale shape: label init is the node list itself; each round is one
+    * equi-join of the |V|-row label table to the (side-filtered) edge
+    * table on src, one (dst, label) weight aggregate, one top-1-per-dst
+    * (partial TopK, no global sort), one left join back to the label
+    * table — 2 bounded shuffles per round, no driver graph state, labels
+    * materialized per round for lineage truncation (the g1/CC policy). */
+  def labelPropagation(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3): DataFrame = {
+    // the top-1-per-dst step plans through the TopKPerKey strategy
+    graft.functions.GraftFunctions.register(lineitem.sparkSession)
+    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
+    edges.persist()
+    try {
+      var lab = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab"))
+      for (r <- 1 to iters) {
+        val side = if (r % 2 == 1) "c:" else "s:"
+        val votes = edges
+          .filter(substring(col("dst"), 1, 2) === side)
+          .join(lab.select(col("node").as("src"), col("lab").as("slab")),
+            "src")
+          .groupBy(col("dst"), col("slab"))
+          .agg(sum(col("w")).as("vw"))
+        val winner = graft.plans.TopK.perKey(votes, Seq(col("dst")),
+          Seq(col("vw").desc, col("slab")), 1)
+          .select(col("dst").as("node"), col("slab").as("new_lab"))
+        // only the updated side has winner rows (edges were side-filtered);
+        // everyone else keeps their label through the coalesce
+        lab = Caching.materialize(lab
+          .join(winner, Seq("node"), "left_outer")
+          .select(col("node"),
+            coalesce(col("new_lab"), col("lab")).as("lab")))
+      }
+      lab.select(col("node"), col("lab").as("label"))
+    } finally edges.unpersist(false)
   }
 }

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * main measures it instead of asserting it.
   *
   * Corpus construction: `factor` epochs of the sf0.1 documents table, each
-  * epoch's text re-tokenized by inserting an epoch-specific marker word
-  * between every pair of words (`regexp_replace(text, " ", " z<e>q ")`)
-  * and doc_ids offset per epoch. The marker makes every 3-word shingle
-  * epoch-specific, so epochs share NO shingles: the expanded corpus is
+  * epoch's text re-tokenized by suffixing every word with an epoch marker
+  * (`regexp_replace(text, "\\S+", "$0z<e>")` — word and shingle COUNTS
+  * stay identical to the base, so per-doc cost is scale-invariant). The
+  * suffix makes every 3-word shingle epoch-specific, so epochs share NO
+  * shingles: the expanded corpus is
   * `factor` disjoint shards, each isomorphic to the base — duplicate
   * DENSITY stays constant while document count scales, which is exactly
   * the regime where a linear-scaling candidate generator must show linear
@@ -51,11 +52,12 @@ object ScaleSmoke {
     finally spark.stop()
   }
 
-  /** One epoch: marker word between every word pair, offset doc_ids. */
+  /** One epoch: every word suffixed with the epoch marker, doc_ids
+    * offset. */
   private def epoch(base: DataFrame, e: Int): DataFrame =
     base.select(
       (col("doc_id") + lit(e.toLong * 10_000_000L)).as("doc_id"),
-      regexp_replace(col("text"), " ", s" z${e}q ").as("text"),
+      regexp_replace(col("text"), "\\S+", s"$$0z$e").as("text"),
       col("source"), col("lang"))
 
   private def expand(base: DataFrame, epochs: Range): DataFrame =

@@ -34,6 +34,37 @@ class GraphSpec extends SparkSpec {
     assert(out.keySet == Set("c:10", "c:11", "c:12", "s:1", "s:2"))
   }
 
+  test("labelPropagation: weighted votes converge, community = label") {
+    val (li, ord) = fixture
+    val out = Graph.labelPropagation(li, ord).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("c:10", "c:11", "c:12", "s:1", "s:2"))
+    // round 1: every customer's only/heaviest neighbor is s:1's label
+    // 's:1'... after 3 synchronous rounds, the dense star around s:1
+    // agrees on ONE community label; s:2 (one weak edge to c:10) follows
+    // c:10's label — a single community, as the structure demands
+    assert(out.values.toSet.size == 1,
+      s"one dense community expected, got $out")
+    // deterministic: re-running under different partitioning is identical
+    val alt = Graph.labelPropagation(li.repartition(7), ord.repartition(3))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(alt == out, s"partitioning moved labels:\n$alt\n$out")
+  }
+
+  test("labelPropagation separates disconnected communities") {
+    // two disjoint purchase stars: {c:10,c:11}↔s:1 and {c:20,c:21}↔s:2
+    val li = Seq((100L, 1L), (101L, 1L), (200L, 2L), (201L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (200L, 20L), (201L, 21L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.labelPropagation(li, ord).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("c:10") == out("c:11") && out("c:10") == out("s:1"))
+    assert(out("c:20") == out("c:21") && out("c:20") == out("s:2"))
+    assert(out("s:1") != out("s:2"),
+      s"disconnected components must not share a label: $out")
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =
