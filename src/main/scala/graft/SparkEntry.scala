@@ -173,6 +173,7 @@ object SparkEntry {
     "x30_novelty" -> ((s, d) => LlmText.noveltyScore(T.documents(s, d))),
     "x33_quality_quantiles" -> ((s, d) =>
       LlmText.qualityQuantiles(T.documents(s, d))),
+    "x34_readability" -> ((s, d) => LlmText.readability(T.documents(s, d))),
     "x32_code_switch" -> ((s, d) => LlmText.codeSwitch(T.documents(s, d))),
     "x31_vocab_growth" -> ((s, d) =>
       LlmText.vocabGrowth(T.documents(s, d))),
@@ -241,6 +242,8 @@ object SparkEntry {
       Curation.weightedSample(T.documents(s, d))),
     "c24_token_temperature" -> ((s, d) =>
       Curation.temperatureMixTokens(T.documents(s, d))),
+    "c25_dedup_weighted_mix" -> ((s, d) =>
+      Curation.dedupWeightedMix(T.documents(s, d))),
     // snapshot split by doc_id parity: even = accepted corpus, odd = the
     // incoming crawl under review
     "c20_quality_drift" -> ((s, d) => {
@@ -1142,6 +1145,31 @@ object SparkEntry {
         |  AS DOUBLE) AS pmi FROM s)
         |SELECT w1, w2, cab, ca, cb, pmi FROM p
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // x34: Flesch reading ease — pure IEEE ±·/ in the same left-assoc
+    // expression tree on both engines; decimal literals cast to DOUBLE
+    // (DuckDB parses bare 206.835 as DECIMAL).
+    "x34_readability" ->
+      """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w) AS n_words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS n_sentences,
+        |  list_sum(list_transform(w, x ->
+        |    greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+        |    AS n_syllables
+        |  FROM ws)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE)
+        |      * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE)
+        |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    AS flesch
+        |FROM m""".stripMargin,
     "x33_quality_quantiles" ->
       """WITH t AS (SELECT doc_id, source, text,
         |    len(string_split(text,' ')) AS n FROM documents),
@@ -1461,6 +1489,22 @@ object SparkEntry {
         |  CAST(len(w[start:start+63]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start:start+63], ' ') AS chunk_text
         |FROM e""".stripMargin,
+    // c25: token mass per source over exact-dedup survivors (first copy
+    // by doc_id); weight = survivor tokens / total survivor tokens.
+    "c25_dedup_weighted_mix" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5(text) AS h, len(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),
+        |kept AS (SELECT h.* FROM h JOIN f ON f.h = h.h
+        |  WHERE h.doc_id = f.first_doc),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |  FROM kept GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS weight
+        |FROM per CROSS JOIN t""".stripMargin,
     "c24_token_temperature" ->
       """WITH masses AS (SELECT lang,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_total

@@ -758,4 +758,33 @@ object Curation {
       .orderBy(col("skey"), col("doc_id"))
       .limit(k)
   }
+
+  /** Dedup-weighted mixture (c25): per-source token mass measured over the
+    * EXACT-DEDUP SURVIVORS (first copy by doc_id, [[graft.operators.Dedup
+    * .exactDedup]]'s keep-minimum rule) and the resulting mixture weight —
+    * the honest version of a by-source sampling table: a syndicated feed
+    * that republishes another source's documents contributes its token
+    * mass ONCE, where a naive by-source count would double-weight exactly
+    * the most-duplicated content. Composes the [[graft.operators.Dedup
+    * .dupFingerprints]] full-text hash with c24's token-mass weighting.
+    *
+    * Scale shape: one hash + token-count projection, one min-per-hash
+    * aggregate, one join back, one per-source aggregate, one broadcast
+    * 1-row total — no pairwise work anywhere. */
+  def dedupWeightedMix(documents: DataFrame): DataFrame = {
+    val h = documents.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"),
+      size(LlmText.words(col("text"))).as("tok"))
+    val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val kept = h.join(first, "h")
+      .filter(col("doc_id") === col("first_doc"))
+    val per = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("t"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("t").cast("double"))
+          .as("weight"))
+  }
 }

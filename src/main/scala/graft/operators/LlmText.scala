@@ -153,6 +153,36 @@ object LlmText {
       (score >= 0.5).as("is_quality"))
   }
 
+  /** Flesch reading-ease readability (x34): 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), the curation-side difficulty
+    * score next to x3's quality composite — training mixtures routinely
+    * stratify on readability bands (textbook-like vs forum-like prose).
+    * Sentences are [.!?]+ runs (min 1), syllables per word are [aeiouy]+
+    * vowel GROUPS lowercased (min 1, the standard cheap approximation).
+    * Only +,−,·,/ on doubles in a fixed expression tree — no
+    * transcendentals, so the score is bit-stable across engines and the
+    * DuckDB twin needs no grid rounding. One projection, no shuffle. */
+  def readability(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val nSent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val syll = aggregate(
+      transform(ws, w => greatest(
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))),
+        lit(1))),
+      lit(0), (acc, x) => acc + x)
+    documents.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nSent.cast("long").as("n_sentences"),
+      syll.cast("long").as("n_syllables"),
+      (lit(206.835)
+        - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+        - lit(84.6) * (syll.cast("double") / nWords.cast("double")))
+        .as("flesch"))
+  }
+
   /** Gopher-style rule filter (x18): the published-heuristic counterpart of
     * x3's composite score — each document is judged by NAMED structural
     * rules (word-count bounds, mean-word-length bounds, symbol ratio,

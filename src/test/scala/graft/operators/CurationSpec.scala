@@ -455,4 +455,20 @@ class CurationSpec extends SparkSpec {
       .sortBy(t => (t._3, t._1))
     assert(alt.toSeq == expect)
   }
+
+  test("dedupWeightedMix: syndicated copy counts once, for the first source") {
+    // source B republishes doc 1's text; the survivor (min doc_id) is A's,
+    // so B's weight must come only from its unique doc
+    val docs = Seq(
+      (1L, "a b c", "A"),
+      (2L, "d e f g", "A"),
+      (3L, "a b c", "B"),   // exact duplicate of doc 1 — dropped
+      (4L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.dedupWeightedMix(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((2L, 7L, 7.0 / 9.0)), s"${out("A")}")
+    assert(out("B") == ((1L, 2L, 2.0 / 9.0)), s"${out("B")}")
+  }
 }

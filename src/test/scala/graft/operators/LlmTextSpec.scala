@@ -502,6 +502,28 @@ class LlmTextSpec extends SparkSpec {
       (4, "ab", "</w>", 3L), (5, "lr", "</w>", 2L), (6, "lr", "lr</w>", 2L)))
   }
 
+  test("readability: Flesch from vowel-group syllables, hand-checked") {
+    val docs = Seq(
+      // 4 words; 2 sentence marks (. !); syllables: hel-lo 2 (e,o),
+      // world. 1 (o), it 1, works! 1 → 5
+      (1L, "Hello world. It works!"),
+      // no sentence punctuation → sentence floor of 1;
+      // "xyz" has no aeiouy → syllable floor of 1 per word ("y" IS a
+      // vowel here, but xz... "xyz" contains y → 1 group anyway; use a
+      // truly vowel-free token)
+      (2L, "xz qrst"))
+      .toDF("doc_id", "text")
+    val out = LlmText.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val f1 = 206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (5.0 / 4.0)
+    assert(out(1L)._1 == 4L && out(1L)._2 == 2L && out(1L)._3 == 5L)
+    assert(out(1L)._4 == f1, s"${out(1L)._4} vs $f1")
+    // both floors engaged: 2 words, 1 sentence, 2 syllables (1 per word)
+    val f2 = 206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (2.0 / 2.0)
+    assert(out(2L) == ((2L, 1L, 2L, f2)), s"${out(2L)}")
+  }
+
   test("bpeTrainState: checkpoint cadence leaves merges and words unchanged") {
     // cross the materialize boundary twice (steps 3 and 6): the cadence is
     // a plan-depth knob for production-size vocabularies and must be

@@ -234,6 +234,25 @@ class PlanQualitySpec extends SparkSpec {
       s"co-nation filter must ride the joins, not a product:\n$p")
   }
 
+  test("g2: per-round winner is the TopKPerKey heap, never a rank window") {
+    // the final round's materialized plan: top-1-per-dst must be the
+    // partial-aggregating heap exec (map-side prune), not a
+    // row_number window (full shuffle + sort of every vote)
+    val p = materializedPlan("g2_label_prop")
+    assert(p.contains("TopKPerKey"),
+      s"expected the TopKPerKey exec in the LPA round:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank window in the vote-winner step:\n$p")
+  }
+
+  test("x34: readability is one projection over a two-column pruned scan") {
+    val p = plan("x34_readability")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned doc_id+text scan:\n$p")
+    assert(!p.contains("Exchange"),
+      s"a per-row score must not shuffle:\n$p")
+  }
+
   test("x29: scalar totals broadcast; the collocation head is TakeOrdered") {
     val p = materializedPlan("x29_pmi_collocations")
     assert(p.contains("TakeOrderedAndProject"), p)
