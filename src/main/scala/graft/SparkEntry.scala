@@ -471,6 +471,13 @@ object SparkEntry {
         Similarity.ivfAdcIndex(stored))
       Similarity.ivfAdcVsIndex(em, idx)
     }),
+    // s16: range search (all neighbors above the s4 threshold) served
+    // from the stored IVF index's probed cells — the "all sufficiently
+    // close" serving form next to s14's top-k.
+    "s16_range_vs_index" -> ((s, d) => {
+      val em = T.embeddings(s, d)
+      Similarity.ivfRangeVsIndex(em, Similarity.ivfAdcIndex(em))
+    }),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -515,7 +522,31 @@ object SparkEntry {
     ("s14_ivf_adc_vs_index" -> oracleSqlBase("s13_ivf_adc")) +
     // s15 is s13 with the quantizers trained on the stored split only.
     ("s15_append_vs_rebuild" ->
-      restrictTrainingToStoredSplit(oracleSqlBase("s13_ivf_adc")))
+      restrictTrainingToStoredSplit(oracleSqlBase("s13_ivf_adc"))) +
+    // s16 is s13's coarse chain with an exact-cosine threshold instead of
+    // the PQ/top-k tail.
+    ("s16_range_vs_index" -> coarseRangeOracle(oracleSqlBase("s13_ivf_adc")))
+
+  /** Derive the s16 oracle from s13's: keep the coarse-quantizer chain
+    * through `ccand` (training, assignment, probes, self-excluded cell
+    * candidates — byte-identical CTEs, so the two oracles cannot drift),
+    * drop the PQ/ADC/top-k tail, and score candidates with the exact
+    * cosine against the s4 threshold. The ccand CTE is the FIRST
+    * "GROUP BY 1, 2)" in the s13 text (the adc CTE's is later). */
+  private def coarseRangeOracle(s13: String): String = {
+    val anchor = "GROUP BY 1, 2)"
+    val i = s13.indexOf(anchor)
+    require(i >= 0, "s13 oracle SQL lost the ccand anchor for s16")
+    s13.substring(0, i + anchor.length) + """,
+fx AS (SELECT cc.query_id, cc.neighbor_id,
+  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+ FROM ccand cc JOIN v q ON q.vec_id = cc.query_id
+           JOIN v c ON c.vec_id = cc.neighbor_id)
+SELECT query_id, neighbor_id, cos FROM fx
+WHERE cos >= CAST(0.3 AS DOUBLE)"""
+  }
 
   /** Derive the s15 oracle from s13's: restrict the four quantizer-TRAINING
     * surfaces (k-means sample, k-means seeds, PQ codebook seeds, PQ

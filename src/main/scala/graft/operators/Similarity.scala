@@ -561,6 +561,38 @@ object Similarity {
     }
   }
 
+  /** IVF-probed range search against the stored index (s16): every stored
+    * neighbor with exact cosine ≥ `minCos` inside the query's probed
+    * cells — [[rangeSearch]]'s threshold semantics served through the
+    * [[IvfAdcIndex]] coarse tier, the retrieval shape when the answer is
+    * "all sufficiently close", not top-k (dedup sweeps, blocklist
+    * expansion). Per-query cost drops from the full corpus to probed-cell
+    * candidates (n·nprobe/cells); the exact cosine runs on candidates
+    * only. Recall contract is IVF's: a neighbor assigned outside the
+    * probed cells is missed — raise NProbe to trade cost for recall. */
+  def ivfRangeVsIndex(corpus: DataFrame, index: IvfAdcIndex,
+      minCos: Double = 0.3): DataFrame = {
+    val vc = vecs(corpus)
+    Caching.withPersisted(vc, index.cells) {
+      val probes = bestCells(index.centroids)(defaultQueries(vc), NProbe)
+        .withColumnRenamed("vec_id", "query_id")
+      val cand = probes.join(index.cells, "cent_id")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      cand
+        .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
+          col("nrm")), Seq("neighbor_id"))
+        .join(broadcast(defaultQueries(vc).select(
+          col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+        .filter(col("cos") >= minCos)
+    }
+  }
+
   /** ANN recall evaluation (s9): run the exact baseline and an approximate
     * tier over the SAME corpus and report per-query recall@k — the quality
     * gate an ANN deployment watches when retuning probeK/band counts. The

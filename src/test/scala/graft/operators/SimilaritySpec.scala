@@ -458,6 +458,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(1 -> 1L, 2 -> 3L, 3 -> 2L))
   }
 
+  test("ivfRangeVsIndex: nonempty probed-cell subset of exact range search") {
+    import org.apache.spark.sql.functions.col
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(data)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos")))).toSet
+    val served = key(Similarity.ivfRangeVsIndex(data, idx))
+    val exact = key(Similarity.rangeSearch(data))
+    assert(served.nonEmpty, "the served range search must find neighbors")
+    assert(served.subsetOf(exact),
+      s"every served pair must be an exact range hit with the identical " +
+        s"cosine: ${served -- exact}")
+    // and the threshold is real: nothing below the s4 bar sneaks through
+    assert(served.forall(_._3 >= 0.3))
+  }
+
   test("ivfAdcServe: query id colliding with a stored vec_id keeps it") {
     import org.apache.spark.sql.functions._
     val data = spark.read
