@@ -574,23 +574,48 @@ object Similarity {
       minCos: Double = 0.3): DataFrame = {
     val vc = vecs(corpus)
     Caching.withPersisted(vc, index.cells) {
-      val probes = bestCells(index.centroids)(defaultQueries(vc), NProbe)
-        .withColumnRenamed("vec_id", "query_id")
-      val cand = probes.join(index.cells, "cent_id")
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
-      cand
-        .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
-          col("nrm")), Seq("neighbor_id"))
-        .join(broadcast(defaultQueries(vc).select(
-          col("vec_id").as("query_id"), col("x").as("qx"),
-          col("nrm").as("qnrm"))), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (GraftFunctions.dot(col("qx"), col("x")) /
-            (col("qnrm") * col("nrm"))).as("cos"))
-        .filter(col("cos") >= minCos)
+      ivfRangeSearch(vc, defaultQueries(vc), index, minCos,
+        excludeSelf = true)
     }
+  }
+
+  /** [[ivfRangeVsIndex]] for CALLER-SUPPLIED queries — the online serving
+    * form ([[ivfAdcServe]]'s precedent): query ids are the caller's
+    * namespace, so no self-exclusion (a query id that numerically
+    * collides with a stored vec_id must still see that stored vector).
+    * Streaming twin: `streaming.StreamSimilarity.rangeVsIndex`. */
+  def ivfRangeServe(queries: DataFrame, corpus: DataFrame,
+      index: IvfAdcIndex, minCos: Double = 0.3): DataFrame = {
+    val vc = vecs(corpus)
+    val qv = vecs(queries)
+    Caching.withPersisted(vc, qv, index.cells) {
+      ivfRangeSearch(vc, qv, index, minCos, excludeSelf = false)
+    }
+  }
+
+  /** The ONE copy of the probed-cell range search shared by the benchmark
+    * and serving forms (the [[ivfAdcSearch]] pattern): probe cells →
+    * cell-restricted candidates → exact cosine ≥ threshold. */
+  private def ivfRangeSearch(vc: DataFrame, queries: DataFrame,
+      index: IvfAdcIndex, minCos: Double,
+      excludeSelf: Boolean): DataFrame = {
+    val probes = bestCells(index.centroids)(queries, NProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = probes.join(index.cells, "cent_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
+              else lit(true))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    cand
+      .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
+        col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("x").as("qx"),
+        col("nrm").as("qnrm"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.dot(col("qx"), col("x")) /
+          (col("qnrm") * col("nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** ANN recall evaluation (s9): run the exact baseline and an approximate

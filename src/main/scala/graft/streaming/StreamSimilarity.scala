@@ -35,6 +35,28 @@ object StreamSimilarity {
       }
       .start()
 
+  /** Streaming range serving (s16's twin): each micro-batch of queries
+    * finds ALL stored neighbors above the cosine threshold inside its
+    * probed cells — the online "is this incoming document near anything
+    * we already have" advisory gate, where the answer set is every
+    * sufficiently-close match (dedup advisories, blocklist expansion),
+    * not a fixed k. Spec pins stream output == `Similarity.ivfRangeServe`
+    * on the same rows; caller-namespace query ids (no self-exclusion). */
+  def rangeVsIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: graft.operators.Similarity.IvfAdcIndex,
+      sink: DataFrame => Unit,
+      minCos: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .queryName("graft-range-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity
+          .ivfRangeServe(batch, corpus, index, minCos))
+        ()
+      }
+      .start()
+
   /** Exact cosine top-k per streaming query against the static index.
     *
     * A plain stream-static join: the query stream stays append-only (no

@@ -77,6 +77,40 @@ class StreamSimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rangeVsIndex streams every above-threshold stored neighbor") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.operators.Similarity.ivfAdcIndex(emb)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double)]()
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = StreamSimilarity.rangeVsIndex(
+      input.toDF().toDF("vec_id", "embedding", "label"), emb, index,
+      sink = df => df.collect().foreach(r => got.add((
+        r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos"))))))
+    try {
+      // query id 100 COLLIDES with stored vec_id 100 and carries its
+      // vector: the serve form must return the stored twin at cosine 1
+      val v100 = emb.filter("vec_id = 100").collect().head
+        .getSeq[Float](1).toArray
+      val batch = Seq((100L, v100, 0))
+      input.addData(batch)
+      q.processAllAvailable()
+      val rows = got.toArray(Array.empty[(Long, Long, Double)]).toSet
+      val want = graft.operators.Similarity.ivfRangeServe(
+          batch.toDF("vec_id", "embedding", "label"), emb, index)
+        .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getLong(r.fieldIndex("neighbor_id")),
+          r.getDouble(r.fieldIndex("cos")))).toSet
+      assert(rows == want, s"stream must equal the batch serve:\n$rows\n$want")
+      assert(rows.exists(t => t._2 == 100L && math.abs(t._3 - 1.0) < 1e-12),
+        s"colliding-id stored twin found at cosine 1: $rows")
+      assert(rows.forall(_._3 >= 0.3))
+    } finally q.stop()
+  }
+
   test("ivfAdcVsIndex serves streaming queries from the stored index") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
