@@ -500,6 +500,16 @@ object SparkEntry {
       Multimodal.frameSample(T.documents(s, d))),
     "mm5_resize" -> ((s, d) => Multimodal.resizeThumbs(T.documents(s, d))),
     "mm6_phash_pairs" -> ((s, d) => Multimodal.phashPairs(T.documents(s, d))),
+    // mm9: the stored-signature path — index built on the doc_id % 10 != 0
+    // split, the % 10 == 0 ingest probed against it (d13/d27's split
+    // convention for the vs-index family).
+    "mm9_phash_vs_index" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val idx = Multimodal.phashIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      Multimodal.phashVsIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), idx)
+    }),
     "mm7_frame_energy" -> ((s, d) =>
       Multimodal.frameEnergy(T.documents(s, d))),
     "mm8_media_mix" -> ((s, d) => Multimodal.mediaMix(T.documents(s, d))),
@@ -4288,6 +4298,34 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
         |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
         |    AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 6""".stripMargin,
+    // mm9: mm6's signature/band CTEs with the corpus split at the band
+    // stage — stored side doc_id % 10 <> 0, incoming % 10 = 0, no
+    // ordering constraint (cross-set namespaces).
+    "mm9_phash_vs_index" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |th AS (SELECT doc_id,
+        |    list_transform(range(0, 61),
+        |      i -> CAST(('0x' || substr(hx, CAST(i * 8 + 1 AS INT), 2))
+        |        AS INT)) AS b
+        |  FROM t WHERE n >= 241),
+        |ph AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 60),
+        |      i -> CASE WHEN b[CAST(i + 1 AS INT)] < b[CAST(i + 2 AS INT)]
+        |           THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+        |      (a, x) -> a | x) AS phash
+        |  FROM th),
+        |bandsk AS (SELECT doc_id, phash, j,
+        |    (phash >> CAST(15 * j AS INT)) & 32767 AS bv
+        |  FROM ph, range(4) r(j) WHERE doc_id % 10 <> 0),
+        |bandsi AS (SELECT doc_id, phash, j,
+        |    (phash >> CAST(15 * j AS INT)) & 32767 AS bv
+        |  FROM ph, range(4) r(j) WHERE doc_id % 10 = 0),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM bandsi a JOIN bandsk b ON a.j = b.j AND a.bv = b.bv)
+        |SELECT doc_id, dup_of, bit_count(xor(pa, pb)) AS hamming
         |FROM cand WHERE bit_count(xor(pa, pb)) <= 6""".stripMargin,
   )
 }

@@ -202,9 +202,29 @@ object Multimodal {
     * — both engines run the identical expression. */
   def phashPairs(documents: DataFrame, stride: Int = 4,
       maxHamming: Int = 6): DataFrame = {
+    val sigs = phashSigs(documents, stride)
+    Caching.withPersisted(sigs) {
+      val bands = phashBands(sigs)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(pa ^ pb)"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
+  }
+
+  /** Per-document 60-bit gradient perceptual hash (doc_id, phash) —
+    * the ONE copy of mm6's signature arithmetic, shared by the self-join
+    * and the stored-index path so the two cannot drift. */
+  private def phashSigs(documents: DataFrame, stride: Int): DataFrame = {
     val media = col("text").cast("binary")
     val hexStep = 2 * stride
-    val sigs = documents
+    documents
       .select(col("doc_id"), hex(media).as("hx"),
         length(media).cast("long").as("n_bytes"))
       .filter(col("n_bytes") >= (60 * stride + 1))
@@ -217,21 +237,47 @@ object Multimodal {
           "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"))
       .select(col("doc_id"), col("phash"))
       .transform(Partitioning.spread(_, col("doc_id")))
-    Caching.withPersisted(sigs) {
-      val bands = sigs
-        .select(col("doc_id"), col("phash"),
-          explode(sequence(lit(0), lit(3))).as("j"))
-        .withColumn("bv", expr("shiftright(phash, 15 * j) & 32767"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+  }
+
+  /** 15-bit LSH bands of a signature frame: (doc_id, phash, j, bv). */
+  private def phashBands(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("bv", expr("shiftright(phash, 15 * j) & 32767"))
+
+  /** Stored perceptual-hash index (mm9): the (doc_id, phash) signature
+    * table as a plain lake artifact — the
+    * [[graft.operators.Dedup.PrefixFilterIndex]] /
+    * [[graft.operators.Similarity.IvfAdcIndex]] pattern applied to the
+    * multimodal dedup family. Signatures are computed ONCE at build;
+    * ingests never re-hash the stored corpus. */
+  final case class PhashIndex(sigs: DataFrame)
+
+  def phashIndex(documents: DataFrame, stride: Int = 4): PhashIndex =
+    PhashIndex(Caching.materialize(phashSigs(documents, stride)))
+
+  /** Cross-set perceptual near-dup check (mm9): each INCOMING medium's
+    * band keys probe the stored index's bands; survivors get the exact
+    * 60-bit Hamming check. Per-ingest cost scales with the batch (its
+    * own hash + band join), never the stored corpus size — the online
+    * "have we already got this image" gate. Returns (doc_id, dup_of,
+    * hamming); id spaces are the caller's (no ordering constraint —
+    * incoming and stored are different namespaces). */
+  def phashVsIndex(incoming: DataFrame, index: PhashIndex,
+      stride: Int = 4, maxHamming: Int = 6): DataFrame = {
+    val sigsI = phashSigs(incoming, stride)
+    Caching.withPersisted(sigsI, index.sigs) {
+      phashBands(sigsI).as("a")
+        .join(phashBands(index.sigs).as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv"))
+        .select(col("a.doc_id").as("doc_id"),
+          col("b.doc_id").as("dup_of"),
           col("a.phash").as("pa"), col("b.phash").as("pb"))
         .distinct()
         .withColumn("hamming", expr("bit_count(pa ^ pb)"))
         .filter(col("hamming") <= maxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .select(col("doc_id"), col("dup_of"), col("hamming"))
     }
   }
 

@@ -136,6 +136,33 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 6))
   }
 
+  test("phashVsIndex: cross-set hits via a parquet-stored signature table") {
+    import spark.implicits._
+    val base = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val other = (0 until 300).map(i => ('a' + (i * 11 + 5) % 26).toChar)
+      .mkString
+    val known = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    // incoming: an exact re-upload of known doc 1 under a fresh id, and
+    // an unrelated payload
+    val inc = Seq((100L, base), (101L, other.reverse))
+      .toDF("doc_id", "text")
+    val idx = Multimodal.phashIndex(known)
+    // the index is a plain lake table: round-trip it
+    val dir = java.nio.file.Files.createTempDirectory("phidx-").toString
+    idx.sigs.write.parquet(s"$dir/sigs")
+    val stored = Multimodal.PhashIndex(spark.read.parquet(s"$dir/sigs"))
+    def run(ix: Multimodal.PhashIndex) =
+      Multimodal.phashVsIndex(inc, ix).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val out = run(idx)
+    assert(out == run(stored), "stored signatures must behave identically")
+    assert(out.get((100L, 1L)).contains(0),
+      s"re-uploaded payload found at hamming 0: $out")
+    assert(!out.keySet.exists(_._1 == 101L) ||
+      out.filter(_._1._1 == 101L).values.forall(_ <= 6))
+  }
+
   test("frameEnergy: per-frame PCM energy, short last frame, hand value") {
     import spark.implicits._
     // 70 'a' bytes → frame 0 has 64 samples, frame 1 has 6
