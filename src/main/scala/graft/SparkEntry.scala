@@ -329,6 +329,8 @@ object SparkEntry {
       Graph.pageRank(T.lineitem(s, d), T.orders(s, d))),
     "g2_label_prop" -> ((s, d) =>
       Graph.labelPropagation(T.lineitem(s, d), T.orders(s, d))),
+    "g3_community_stats" -> ((s, d) =>
+      Graph.communityStats(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -535,7 +537,33 @@ object SparkEntry {
       restrictTrainingToStoredSplit(oracleSqlBase("s13_ivf_adc"))) +
     // s16 is s13's coarse chain with an exact-cosine threshold instead of
     // the PQ/top-k tail.
-    ("s16_range_vs_index" -> coarseRangeOracle(oracleSqlBase("s13_ivf_adc")))
+    ("s16_range_vs_index" ->
+      coarseRangeOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // g3 is g2's unrolled label chain + per-community mass aggregation.
+    ("g3_community_stats" ->
+      communityStatsOracle(oracleSqlBase("g2_label_prop")))
+
+  /** Derive the g3 oracle from g2's: keep the whole unrolled LPA chain
+    * (byte-identical CTEs) and swap the final projection for the
+    * per-community node/edge-mass aggregate. */
+  private def communityStatsOracle(g2: String): String = {
+    val anchor = "SELECT node, lab AS label FROM l3"
+    require(g2.contains(anchor), "g2 oracle SQL lost the g3 anchor")
+    g2.replace(anchor,
+      """SELECT nn2.lab AS label, nn2.n_nodes, ew.internal_w,
+        |  ew.incident_w,
+        |  CAST(ew.internal_w AS DOUBLE) / CAST(ew.incident_w AS DOUBLE)
+        |    AS internal_frac
+        |FROM (SELECT lab, CAST(count(*) AS BIGINT) AS n_nodes
+        |      FROM l3 GROUP BY lab) nn2
+        |JOIN (SELECT ls.lab,
+        |        CAST(SUM(e.w) AS BIGINT) AS incident_w,
+        |        CAST(SUM(CASE WHEN ld.lab = ls.lab THEN e.w ELSE 0 END)
+        |          AS BIGINT) AS internal_w
+        |      FROM e JOIN l3 ls ON e.src = ls.node
+        |             JOIN l3 ld ON e.dst = ld.node
+        |      GROUP BY ls.lab) ew ON ew.lab = nn2.lab""".stripMargin)
+  }
 
   /** Derive the s16 oracle from s13's: keep the coarse-quantizer chain
     * through `ccand` (training, assignment, probes, self-excluded cell

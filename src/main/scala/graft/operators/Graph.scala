@@ -123,32 +123,76 @@ object Graph {
     * materialized per round for lineage truncation (the g1/CC policy). */
   def labelPropagation(lineitem: DataFrame, orders: DataFrame,
       iters: Int = 3): DataFrame = {
+    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
+    edges.persist()
+    try lpaLabels(edges, iters).select(col("node"), col("lab").as("label"))
+    finally edges.unpersist(false)
+  }
+
+  /** The LPA round loop over a PERSISTED edge frame — shared by
+    * [[labelPropagation]] and [[communityStats]] so the label arithmetic
+    * cannot drift between the two. Returns (node, lab). */
+  private def lpaLabels(edges: DataFrame, iters: Int): DataFrame = {
     // the top-1-per-dst step plans through the TopKPerKey strategy
-    graft.functions.GraftFunctions.register(lineitem.sparkSession)
+    graft.functions.GraftFunctions.register(edges.sparkSession)
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (r <- 1 to iters) {
+      val side = if (r % 2 == 1) "c:" else "s:"
+      val votes = edges
+        .filter(substring(col("dst"), 1, 2) === side)
+        .join(lab.select(col("node").as("src"), col("lab").as("slab")),
+          "src")
+        .groupBy(col("dst"), col("slab"))
+        .agg(sum(col("w")).as("vw"))
+      val winner = graft.plans.TopK.perKey(votes, Seq(col("dst")),
+        Seq(col("vw").desc, col("slab")), 1)
+        .select(col("dst").as("node"), col("slab").as("new_lab"))
+      // only the updated side has winner rows (edges were side-filtered);
+      // everyone else keeps their label through the coalesce
+      lab = Caching.materialize(lab
+        .join(winner, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("new_lab"), col("lab")).as("lab")))
+    }
+    lab
+  }
+
+  /** Per-community governance readout (g3) over [[labelPropagation]]'s
+    * labels: node count, internal edge mass (both endpoints share the
+    * label), total incident edge mass, and their ratio — the
+    * modularity-style "is this community real or an artifact" number a
+    * curation review reads next to the label table (a community whose
+    * internal_frac is low is a propagation accident, not a market).
+    * Weights stay integers until the single final division, so the
+    * DuckDB twin (g2's unrolled chain + two label joins + one aggregate)
+    * is exact with no grid rounding. Edge mass counts the DOUBLED edge
+    * table (each undirected edge once per direction) — consistent on
+    * both sides of the ratio, so the ratio is the undirected one. */
+  def communityStats(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3): DataFrame = {
     val edges = Caching.materialize(custSuppEdges(lineitem, orders))
     edges.persist()
     try {
-      var lab = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lab"))
-      for (r <- 1 to iters) {
-        val side = if (r % 2 == 1) "c:" else "s:"
-        val votes = edges
-          .filter(substring(col("dst"), 1, 2) === side)
-          .join(lab.select(col("node").as("src"), col("lab").as("slab")),
+      val lab = lpaLabels(edges, iters)
+      Caching.withPersisted(lab) {
+        val nodes = lab.groupBy(col("lab"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val mass = edges
+          .join(lab.select(col("node").as("src"), col("lab").as("lab_s")),
             "src")
-          .groupBy(col("dst"), col("slab"))
-          .agg(sum(col("w")).as("vw"))
-        val winner = graft.plans.TopK.perKey(votes, Seq(col("dst")),
-          Seq(col("vw").desc, col("slab")), 1)
-          .select(col("dst").as("node"), col("slab").as("new_lab"))
-        // only the updated side has winner rows (edges were side-filtered);
-        // everyone else keeps their label through the coalesce
-        lab = Caching.materialize(lab
-          .join(winner, Seq("node"), "left_outer")
-          .select(col("node"),
-            coalesce(col("new_lab"), col("lab")).as("lab")))
+          .join(lab.select(col("node").as("dst"), col("lab").as("lab_d")),
+            "dst")
+          .groupBy(col("lab_s").as("lab"))
+          .agg(sum(col("w")).as("incident_w"),
+            sum(when(col("lab_s") === col("lab_d"), col("w"))
+              .otherwise(0L)).as("internal_w"))
+        nodes.join(mass, "lab")
+          .select(col("lab").as("label"), col("n_nodes"),
+            col("internal_w"), col("incident_w"),
+            (col("internal_w").cast("double") /
+              col("incident_w").cast("double")).as("internal_frac"))
       }
-      lab.select(col("node"), col("lab").as("label"))
     } finally edges.unpersist(false)
   }
 }

@@ -65,6 +65,25 @@ class GraphSpec extends SparkSpec {
       s"disconnected components must not share a label: $out")
   }
 
+  test("communityStats: node counts and edge mass per detected community") {
+    // two disjoint stars → two communities, each fully internal
+    val li = Seq((100L, 1L), (101L, 1L), (200L, 2L), (201L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (200L, 20L), (201L, 21L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.communityStats(li, ord).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.size == 2, s"two communities expected: $out")
+    // each star: 3 nodes, 2 undirected edges → 4 rows of the doubled
+    // table, weight 1 each; everything internal
+    out.values.foreach { case (n, internal, incident, frac) =>
+      assert(n == 3L && internal == 4L && incident == 4L && frac == 1.0,
+        s"star community stats: $out")
+    }
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =
