@@ -242,11 +242,15 @@ object TransactionalKafka {
       val tpCls = Class.forName("org.apache.kafka.common.TopicPartition")
       val raw = cls.getConstructor(classOf[java.util.Map[_, _]])
         .newInstance(cfg)
+      // every arg on this path is a non-primitive object, so demand
+      // assignability: poll(Duration) must win over the deprecated
+      // poll(long) overload (same name, same arity — a primitive escape
+      // hatch here would let reflection pick the wrong one)
       def call(name: String, args: AnyRef*): AnyRef = {
         val m = cls.getMethods.find(m => m.getName == name &&
           m.getParameterCount == args.length &&
           m.getParameterTypes.zip(args).forall { case (t, a) =>
-            a == null || t.isInstance(a) || t.isPrimitive }).getOrElse(
+            a == null || t.isInstance(a) }).getOrElse(
           throw new NoSuchMethodException(s"KafkaConsumer.$name"))
         m.invoke(raw, args: _*)
       }
