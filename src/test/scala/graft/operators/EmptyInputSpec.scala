@@ -67,7 +67,24 @@ class EmptyInputSpec extends SparkSpec {
     "mediaFeatures" -> (() => Multimodal.mediaFeatures(docs)),
     "frameEnergy" -> (() => Multimodal.frameEnergy(docs)),
     "patchExtract" -> (() => Multimodal.patchExtract(docs)),
-    "resizeThumbs" -> (() => Multimodal.resizeThumbs(docs)))
+    "resizeThumbs" -> (() => Multimodal.resizeThumbs(docs)),
+    // round-9 additions
+    "readability" -> (() => LlmText.readability(docs)),
+    "dedupWeightedMix" -> (() => Curation.dedupWeightedMix(docs)),
+    "dupFingerprints" -> (() => Dedup.dupFingerprints(docs)),
+    "dupTrend" -> (() => Dedup.dupTrend(docs)),
+    "syndication" -> (() => Dedup.syndication(docs)),
+    "phashPairs" -> (() => Multimodal.phashPairs(docs)),
+    "phashVsIndex" -> (() =>
+      Multimodal.phashVsIndex(docs, Multimodal.phashIndex(docs))),
+    // an empty FACT side against itself: the graph family must survive a
+    // zero-edge graph (no nodes → no labels → no communities)
+    "labelPropagation" -> (() => Graph.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "communityStats" -> (() => Graph.communityStats(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
     "embeddingDedup" -> (() => Dedup.embeddingDedup(embs)),
@@ -78,7 +95,9 @@ class EmptyInputSpec extends SparkSpec {
     "zscoreNormalize" -> (() => VectorOps.zscoreNormalize(embs)),
     "binaryQuantize" -> (() => VectorOps.binaryQuantize(embs)),
     "matryoshkaTruncate" -> (() => VectorOps.matryoshkaTruncate(embs)),
-    "randomProjection" -> (() => VectorOps.randomProjection(embs)))
+    "randomProjection" -> (() => VectorOps.randomProjection(embs)),
+    "ivfRangeVsIndex" -> (() =>
+      Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))))
 
   test("documents operators return empty on an empty corpus, never throw") {
     val bad = (docOps ++ embOps).flatMap { case (name, op) =>
