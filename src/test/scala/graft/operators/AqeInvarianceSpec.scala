@@ -183,4 +183,38 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(on == off)
     assert(on.nonEmpty, "fixture actually produces prefix-filter pairs")
   }
+
+  test("labelPropagation and communityStats are AQE-invariant") {
+    // join+agg+TopK rounds over a small purchase graph: AQE may flip the
+    // vote join strategy per round, the labels must not move
+    val li = Seq((100L, 1L), (100L, 1L), (101L, 1L), (102L, 1L),
+      (100L, 2L), (200L, 3L), (201L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (102L, 12L),
+      (200L, 20L), (201L, 21L)).toDF("o_orderkey", "o_custkey")
+    def labels() = Graph.labelPropagation(li, ord).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    def stats() = Graph.communityStats(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sorted.toSeq
+    val (lOn, sOn) = withAqe(true) { (labels(), stats()) }
+    val (lOff, sOff) = withAqe(false) { (labels(), stats()) }
+    assert(lOn == lOff, "labels must not depend on AQE")
+    assert(sOn == sOff, "community stats must not depend on AQE")
+    assert(lOn.nonEmpty && sOn.size >= 2, "fixture forms communities")
+  }
+
+  test("phashVsIndex is AQE-invariant (cross-set band join)") {
+    val long = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val known = Seq((1L, long), (2L, long.reverse)).toDF("doc_id", "text")
+    val inc = Seq((100L, long)).toDF("doc_id", "text")
+    val idx = Multimodal.phashIndex(known)
+    def run() = Multimodal.phashVsIndex(inc, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val on = withAqe(true)(run())
+    val off = withAqe(false)(run())
+    assert(on == off)
+    assert(on.nonEmpty, "fixture actually hits the index")
+  }
 }
