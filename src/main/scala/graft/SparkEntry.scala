@@ -298,6 +298,8 @@ object SparkEntry {
     }),
     "d29_dup_trend" -> ((s, d) => Dedup.dupTrend(T.documents(s, d))),
     "d30_syndication" -> ((s, d) => Dedup.syndication(T.documents(s, d))),
+    "d31_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(T.documents(s, d))),
     // snapshot split by vec_id parity: even = accepted, odd = incoming
     "e15_centroid_drift" -> ((s, d) => {
       val e = T.embeddings(s, d)
@@ -480,6 +482,10 @@ object SparkEntry {
       val em = T.embeddings(s, d)
       Similarity.ivfRangeVsIndex(em, Similarity.ivfAdcIndex(em))
     }),
+    // s17: per-query recall of the served range search vs the exact one —
+    // the probe-coverage gauge for retuning NProbe.
+    "s17_range_recall" -> ((s, d) =>
+      Similarity.rangeRecall(T.embeddings(s, d))),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -541,7 +547,61 @@ object SparkEntry {
       coarseRangeOracle(oracleSqlBase("s13_ivf_adc"))) +
     // g3 is g2's unrolled label chain + per-community mass aggregation.
     ("g3_community_stats" ->
-      communityStatsOracle(oracleSqlBase("g2_label_prop")))
+      communityStatsOracle(oracleSqlBase("g2_label_prop"))) +
+    // s17 is s16's chain + the exact range side + a per-query recall agg.
+    ("s17_range_recall" ->
+      rangeRecallOracle(
+        coarseRangeOracle(oracleSqlBase("s13_ivf_adc")))) +
+    // d31 is d7's recursive-CC chain + the size histogram.
+    ("d31_cluster_sizes" ->
+      clusterSizesOracle(oracleSqlBase("d7_neardup_components")))
+
+  /** Derive the d31 oracle from d7's: keep the LSH + recursive-reach chain
+    * byte-identical and swap the per-doc projection for the size
+    * histogram. */
+  private def clusterSizesOracle(d7: String): String = {
+    val anchor = "SELECT doc AS doc_id, min(lab) AS cluster_rep,\n" +
+      "  doc = min(lab) AS keep\nFROM reach GROUP BY doc"
+    require(d7.endsWith(anchor), "d7 oracle SQL lost the d31 anchor")
+    d7.dropRight(anchor.length) +
+      """SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+        |      FROM (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc)
+        |      GROUP BY rep)
+        |GROUP BY cluster_size""".stripMargin
+  }
+
+  /** Derive the s17 oracle from s16's: the served set becomes a CTE, the
+    * exact above-threshold set is the s4 scan over the SAME `v` CTE, and
+    * the result is the per-query left-join recall aggregate (queries
+    * with no exact neighbor drop out — no 0/0 rows, matching the Spark
+    * side's inner-exact shape). */
+  private def rangeRecallOracle(s16: String): String = {
+    val anchor = "SELECT query_id, neighbor_id, cos FROM fx\n" +
+      "WHERE cos >= CAST(0.3 AS DOUBLE)"
+    require(s16.endsWith(anchor), "s16 oracle SQL lost the s17 anchor")
+    s16.dropRight(anchor.length) +
+      """, served AS (SELECT query_id, neighbor_id FROM fx
+        |  WHERE cos >= CAST(0.3 AS DOUBLE)),
+        |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 100 = 0),
+        |exh AS (SELECT query_id, neighbor_id FROM ex
+        |  WHERE cos >= CAST(0.3 AS DOUBLE))
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM exh e LEFT JOIN served s
+        |  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id""".stripMargin
+  }
 
   /** Derive the g3 oracle from g2's: keep the whole unrolled LPA chain
     * (byte-identical CTEs) and swap the final projection for the

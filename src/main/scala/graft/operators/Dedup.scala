@@ -202,6 +202,24 @@ object Dedup {
         (col("doc") === col("lab")).as("keep"))
   }
 
+  /** Near-dup cluster-size histogram (d31): how many duplicate clusters
+    * exist at each size, and the document mass they hold — the governance
+    * readout that separates "pairs of near-identical posts" (size-2 tail)
+    * from a syndication storm (one 500-member cluster). Sizes count only
+    * docs that ARE in some near-dup pair ([[nearDupComponents]]'s
+    * domain); singletons aren't duplication and would drown the
+    * histogram. Two count aggregates over the components table — free at
+    * any scale once the components pass has run. */
+  def clusterSizeHistogram(documents: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    nearDupComponents(documents, threshold)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** Connected components over an undirected pair list → (doc, lab) where
     * lab is the component's minimum id — the transitive closure the oracle
     * computes with a recursive CTE.

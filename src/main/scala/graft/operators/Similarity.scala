@@ -644,6 +644,28 @@ object Similarity {
     }
   }
 
+  /** Range-search recall evaluation (s17): [[annRecall]]'s quality gate
+    * applied to the threshold family — per query, how many of the EXACT
+    * above-threshold neighbors ([[rangeSearch]]) the IVF-served form
+    * ([[ivfRangeVsIndex]]) finds. The number an operator watches when
+    * retuning NProbe for the range tier: range semantics make missed
+    * recall structurally visible (the served set is always a subset, so
+    * recall IS the probe-coverage fraction). Queries with no exact
+    * neighbor are vacuous and excluded (no 0/0 rows). */
+  def rangeRecall(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
+    val exact = rangeSearch(embeddings, minCos)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = ivfRangeVsIndex(embeddings, ivfAdcIndex(embeddings),
+        minCos)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(served, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Hard-negative mining (s10): for each anchor, the k most-similar
     * vectors with a DIFFERENT label — the contrastive-training staple
     * (negatives that are hard precisely because they look like the

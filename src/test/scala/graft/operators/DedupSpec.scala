@@ -565,6 +565,23 @@ class DedupSpec extends SparkSpec {
       "copy with an index-unseen token still found (freq-0 ordering)")
   }
 
+  test("clusterSizeHistogram: one row per cluster size, masses reconcile") {
+    // planted clusters: docs 1-2-3 mutually near-identical (size 3),
+    // docs 4-5 a separate pair (size 2), doc 6 a singleton (excluded)
+    val corpus = docs(
+      1L -> base,
+      2L -> base.replace("merge", "mergex"),
+      3L -> base.replace("value", "valuex"),
+      4L -> ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii " * 2),
+      5L -> ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii " * 2 +
+        "tail"),
+      6L -> "totally different words forming an unrelated tiny document")
+    val hist = Dedup.clusterSizeHistogram(corpus, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L))),
+      s"expected one size-3 and one size-2 cluster: $hist")
+  }
+
   test("dupTrend: duplicate fraction per ingest bucket, first copy exempt") {
     // width 2 → buckets: {1}, {2,3}, {4,5}, {6}; firsts: 1=aaa 2=bbb 5=ccc
     val corpus = docs(

@@ -477,6 +477,33 @@ class SimilaritySpec extends SparkSpec {
     assert(served.forall(_._3 >= 0.3))
   }
 
+  test("rangeRecall: per-query probe-coverage fraction, bounded and exact") {
+    import org.apache.spark.sql.functions.col
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rec = Similarity.rangeRecall(data).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rec.nonEmpty, "queries with exact neighbors exist")
+    rec.foreach { case (q, nExact, nHit, recall) =>
+      assert(nExact > 0 && nHit <= nExact, s"query $q: $nHit/$nExact")
+      assert(recall == nHit.toDouble / nExact && recall >= 0.0 &&
+        recall <= 1.0, s"query $q recall $recall")
+    }
+    // consistency with the operands: hits are exactly the served pairs
+    // that are also exact pairs
+    val idx = Similarity.ivfAdcIndex(data)
+    val served = Similarity.ivfRangeVsIndex(data, idx)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.rangeSearch(data)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantHits = exact.groupBy(_._1).map { case (q, es) =>
+      q -> es.count(served.contains) }
+    rec.foreach { case (q, _, nHit, _) =>
+      assert(wantHits(q) == nHit, s"query $q hit count drifted") }
+  }
+
   test("ivfAdcServe: query id colliding with a stored vec_id keeps it") {
     import org.apache.spark.sql.functions._
     val data = spark.read
