@@ -115,12 +115,54 @@ object ScaleSmoke {
         s"[stress] cap $fam: $keys keys, $hot hot, $dropped dropped entries")
     }
 
-    val json =
-      s"""{"sf":"$sfDir","factor":$factor,"docs1":$nOne,"docsN":$nMany,""" +
-      s""""ops":{${results.map { case (n, t1, tN, r1, rN, ratio) =>
+    // the ITERATIVE graph family under the same regime: epoch-offset
+    // order/customer/supplier keys make each epoch a disjoint subgraph,
+    // so community structure stays constant while node/edge counts scale
+    def graphEpoch(e: Int): (DataFrame, DataFrame) = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select((col("l_orderkey") + lit(e.toLong * 100_000_000L))
+          .as("l_orderkey"),
+          (col("l_suppkey") + lit(e.toLong * 1_000_000L)).as("l_suppkey"))
+      val ord = Tables.orders(spark, sfDir)
+        .select((col("o_orderkey") + lit(e.toLong * 100_000_000L))
+          .as("o_orderkey"),
+          (col("o_custkey") + lit(e.toLong * 1_000_000L)).as("o_custkey"))
+      (li, ord)
+    }
+    def graphTables(epochs: Range): (DataFrame, DataFrame) = {
+      val parts = epochs.map(graphEpoch)
+      (parts.map(_._1).reduce(_.unionByName(_)).repartition(32).persist(),
+        parts.map(_._2).reduce(_.unionByName(_)).repartition(32).persist())
+    }
+    val (li1, ord1) = graphTables(1 to 1)
+    val (liN, ordN) = graphTables(1 to factor)
+    li1.count(); ord1.count(); liN.count(); ordN.count()
+    val graphOps: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      "g1_pagerank" -> ((l, o) => graft.operators.Graph.pageRank(l, o)),
+      "g2_label_prop" -> ((l, o) =>
+        graft.operators.Graph.labelPropagation(l, o)))
+    graphOps.foreach { case (_, fn) => fn(li1, ord1).count() } // warm
+    val graphResults = graphOps.map { case (name, fn) =>
+      val t0 = System.nanoTime(); val r1 = fn(li1, ord1).count()
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime(); val rN = fn(liN, ordN).count()
+      val tN = (System.nanoTime() - t2) / 1e9
+      val ratio = tN / math.max(t1, 1e-9)
+      System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
+        f"${factor}x=$tN%7.1fs ($rN rows)  ratio=$ratio%5.2f")
+      (name, t1, tN, r1, rN, ratio)
+    }
+    Seq(li1, ord1, liN, ordN).foreach(_.unpersist())
+
+    def opsJson(rs: Seq[(String, Double, Double, Long, Long, Double)]) =
+      rs.map { case (n, t1, tN, r1, rN, ratio) =>
         s""""$n":{"sec1":${f"$t1%.3f"},"secN":${f"$tN%.3f"},""" +
         s""""rows1":$r1,"rowsN":$rN,"ratio":${f"$ratio%.3f"}}"""
-      }.mkString(",")}},""" +
+      }.mkString(",")
+    val json =
+      s"""{"sf":"$sfDir","factor":$factor,"docs1":$nOne,"docsN":$nMany,""" +
+      s""""ops":{${opsJson(results)}},""" +
+      s""""graphOps":{${opsJson(graphResults)}},""" +
       s""""cap":{${cap.map { case (fam, keys, hot, dropped) =>
         s""""$fam":{"keys":$keys,"hot":$hot,"dropped":$dropped}"""
       }.mkString(",")}}}"""
