@@ -493,6 +493,8 @@ object SparkEntry {
       graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
     "e8_gram_matrix" -> ((s, d) =>
       graft.operators.VectorOps.gramMatrix(T.embeddings(s, d))),
+    "e16_dim_stats" -> ((s, d) =>
+      graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     "e9_pc1_power" -> ((s, d) =>
       graft.operators.VectorOps.pc1PowerIteration(T.embeddings(s, d))),
     "e10_remove_pc1" -> ((s, d) =>
@@ -2936,6 +2938,24 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
         |  CAST(len(list_filter(x, y -> y >= 0)) AS BIGINT) AS n_pos
         |FROM v""".stripMargin,
     // Grid sums stay within int64 (|x_i·x_j|·1e9 ≤ ~3.5e8 per row here);
+    // e16: per-dimension mean/variance from 1e-9-grid integer sums (the
+    // e8/g1 parity pattern); the divisions and the E[x²]−E[x]² subtraction
+    // are plain IEEE after the exact sums.
+    "e16_dim_stats" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+        |d AS (SELECT UNNEST(range(1, 65)) AS i),
+        |g AS (SELECT d.i - 1 AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(v.x[d.i] * 1.0e9) AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(round(v.x[d.i] * v.x[d.i] * 1.0e9)
+        |      AS DECIMAL(38,0))) AS s2
+        |  FROM v CROSS JOIN d GROUP BY d.i)
+        |SELECT dim, n,
+        |  (CAST(s AS DOUBLE) / 1.0e9) / n AS mean,
+        |  (CAST(s2 AS DOUBLE) / 1.0e9) / n
+        |    - ((CAST(s AS DOUBLE) / 1.0e9) / n)
+        |      * ((CAST(s AS DOUBLE) / 1.0e9) / n) AS variance
+        |FROM g""".stripMargin,
     // DuckDB SUM(BIGINT) yields HUGEINT → CAST back to BIGINT before the
     // double divide (the q33 int128 quirk).
     "e8_gram_matrix" ->

@@ -286,6 +286,33 @@ object VectorOps {
     * |xᵢxⱼ|·1e9 ≤ ~1e9 per row, the int64 accumulator holds ~9e9 rows per
     * cell before overflow — beyond that, shard by vec_id range and sum the
     * (tiny) per-shard matrices. */
+  /** Per-dimension embedding health stats (e16): mean and variance of
+    * every coordinate over the corpus — the diagnostic that catches DEAD
+    * dimensions (a projection bug or a collapsed encoder head shows as
+    * near-zero variance) and mis-centered dims before they poison cosine
+    * geometry. Var = E[x²] − E[x]² with both expectations built from
+    * exact 1e-9-grid integer sums (the [[gramMatrix]]/g1 parity pattern),
+    * so the result is partition-order-independent and engine-exact; the
+    * two final divisions and one subtraction are plain IEEE. One
+    * posexplode + one (dim)-keyed aggregate — map-side combined, 64
+    * output rows at any corpus size. */
+  def dimStats(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = embeddings
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * lit(1.0e9))
+          .cast(DecimalType(38, 0))).as("s"),
+        sum(round(col("v") * col("v") * lit(1.0e9))
+          .cast(DecimalType(38, 0))).as("s2"))
+    val mean = (col("s").cast("double") / lit(1.0e9)) / col("n")
+    g.select(col("dim"), col("n"), mean.as("mean"),
+      ((col("s2").cast("double") / lit(1.0e9)) / col("n") - mean * mean)
+        .as("variance"))
+  }
+
   def gramMatrix(embeddings: DataFrame, vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession

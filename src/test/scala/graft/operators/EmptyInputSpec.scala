@@ -97,7 +97,10 @@ class EmptyInputSpec extends SparkSpec {
     "matryoshkaTruncate" -> (() => VectorOps.matryoshkaTruncate(embs)),
     "randomProjection" -> (() => VectorOps.randomProjection(embs)),
     "ivfRangeVsIndex" -> (() =>
-      Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))))
+      Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))),
+    "rangeRecall" -> (() => Similarity.rangeRecall(embs)),
+    "dimStats" -> (() => VectorOps.dimStats(embs)),
+    "clusterSizeHistogram" -> (() => Dedup.clusterSizeHistogram(docs)))
 
   test("documents operators return empty on an empty corpus, never throw") {
     val bad = (docOps ++ embOps).flatMap { case (name, op) =>

@@ -310,4 +310,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(0) == (2L, 1L, 1.0, false), s"$out")
     assert(out(1)._3 == 0.0 && out(1)._4, "orthogonal drift must flag")
   }
+
+  test("dimStats: hand-computed per-dimension mean and variance") {
+    import spark.implicits._
+    def vec(v0: Float, v1: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = v0; a(1) = v1; a
+    }
+    // dim 0: values {1, 3} → mean 2, var ((1+9)/2) − 4 = 1
+    // dim 1: constant 0.5 → mean 0.5, var 0 (a DEAD dim)
+    // dims 2..63: all zero → mean 0, var 0
+    val embs = Seq((1L, vec(1f, 0.5f), 0), (2L, vec(3f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.dimStats(embs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out(0) == ((2L, 2.0, 1.0)), s"dim0: ${out(0)}")
+    assert(out(1) == ((2L, 0.5, 0.0)), s"dim1: ${out(1)}")
+    assert(out(5) == ((2L, 0.0, 0.0)))
+    assert(out.size == 64)
+    // partition-order independence: grid sums are exact
+    val alt = VectorOps.dimStats(embs.repartition(7)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(alt == out)
+  }
 }
