@@ -120,4 +120,26 @@ object StreamDedup {
         ()
       }
       .start()
+
+  /** Streaming perceptual-hash dedup advisory against the stored
+    * signature table (mm9's twin, completing the vs-index streaming
+    * family across modalities: text prefixes ([[prefixVsIndex]]), spans
+    * ([[spanScoreVsIndex]]), embeddings (StreamSimilarity), and now
+    * media): each arriving medium is hashed, its band keys probe the
+    * index, survivors get the exact Hamming check — the online "have we
+    * already got this image" gate. Spec pins stream output ==
+    * `Multimodal.phashVsIndex` on the same rows. */
+  def phashVsIndex(
+      docs: DataFrame,
+      index: graft.operators.Multimodal.PhashIndex,
+      sink: DataFrame => Unit,
+      maxHamming: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-phash-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Multimodal
+          .phashVsIndex(batch, index, maxHamming = maxHamming))
+        ()
+      }
+      .start()
 }

@@ -193,4 +193,39 @@ class StreamDedupSpec extends SparkSpec {
       assert(scores.toArray.toSet == batchTwin)
     } finally q.stop()
   }
+
+  test("phashVsIndex: arriving media probe the stored signature table") {
+    implicit val sqlCtx = spark.sqlContext
+    val long = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val known = Seq((100L, long), (101L, long.reverse))
+      .toDF("doc_id", "text")
+    // lake round-trip like production
+    val dir = java.nio.file.Files.createTempDirectory("graft-phi").toString
+    graft.operators.Multimodal.phashIndex(known).sigs
+      .write.parquet(s"$dir/sigs")
+    val index = graft.operators.Multimodal.PhashIndex(
+      spark.read.parquet(s"$dir/sigs"))
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Int)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.phashVsIndex(
+      input.toDF().toDF("doc_id", "text"), index,
+      sink = df => df.collect().foreach(r =>
+        hits.add((r.getLong(0), r.getLong(1), r.getInt(2)))))
+    try {
+      val b0 = Seq(
+        (1L, long),                          // re-upload of stored 100
+        (2L, "short unrelated"))             // under the size floor
+      input.addData(b0)
+      q.processAllAvailable()
+      val twin = graft.operators.Multimodal.phashVsIndex(
+        b0.toDF("doc_id", "text"), index).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = hits.toArray(Array.empty[(Long, Long, Int)]).toSet
+      assert(got == twin, s"stream must equal the batch twin:\n$got\n$twin")
+      assert(got.contains((1L, 100L, 0)),
+        s"re-upload found at hamming 0: $got")
+    } finally q.stop()
+  }
 }
