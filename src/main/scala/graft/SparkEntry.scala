@@ -523,6 +523,8 @@ object SparkEntry {
     "mm7_frame_energy" -> ((s, d) =>
       Multimodal.frameEnergy(T.documents(s, d))),
     "mm8_media_mix" -> ((s, d) => Multimodal.mediaMix(T.documents(s, d))),
+    "mm10_silence_report" -> ((s, d) =>
+      Multimodal.silenceReport(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -556,7 +558,32 @@ object SparkEntry {
         coarseRangeOracle(oracleSqlBase("s13_ivf_adc")))) +
     // d31 is d7's recursive-CC chain + the size histogram.
     ("d31_cluster_sizes" ->
-      clusterSizesOracle(oracleSqlBase("d7_neardup_components")))
+      clusterSizesOracle(oracleSqlBase("d7_neardup_components"))) +
+    // mm10 is mm7's frame chain + the per-media silence aggregate.
+    ("mm10_silence_report" ->
+      silenceReportOracle(oracleSqlBase("mm7_frame_energy")))
+
+  /** Derive the mm10 oracle from mm7's: keep the byte→frame→energy chain
+    * byte-identical and swap the per-frame projection for the per-media
+    * quiet-fraction aggregate (floor 30.0, blank at ≥ 0.9). */
+  private def silenceReportOracle(mm7: String): String = {
+    val anchor = "SELECT media_id, frame_idx, n_samples, energy,\n" +
+      "  sqrt(CAST(energy AS DOUBLE) / n_samples) AS rms\nFROM fr"
+    require(mm7.endsWith(anchor), "mm7 oracle SQL lost the mm10 anchor")
+    mm7.dropRight(anchor.length) +
+      """SELECT media_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN sqrt(CAST(energy AS DOUBLE) / n_samples)
+        |      < CAST(30.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quiet,
+        |  CAST(SUM(CASE WHEN sqrt(CAST(energy AS DOUBLE) / n_samples)
+        |      < CAST(30.0 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS quiet_frac,
+        |  CAST(SUM(CASE WHEN sqrt(CAST(energy AS DOUBLE) / n_samples)
+        |      < CAST(30.0 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) >= CAST(0.9 AS DOUBLE) AS is_blank
+        |FROM fr GROUP BY media_id""".stripMargin
+  }
 
   /** Derive the d31 oracle from d7's: keep the LSH + recursive-reach chain
     * byte-identical and swap the per-doc projection for the size

@@ -306,6 +306,27 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "n_samples", "energy", "rms")
   }
 
+  /** Silence / blank-media detector (mm10): per medium, how many of its
+    * [[frameEnergy]] frames fall below the RMS floor, the quiet fraction,
+    * and the blank verdict — the audio-curation gate that drops
+    * dead-air clips (and, byte-read as here, near-constant payloads)
+    * before they spend tokenizer/encoder budget. The frame RMS is
+    * computed identically on both engines (sqrt of an exact integer
+    * ratio), so the floor comparison and the fraction are engine-exact.
+    * One aggregate over the frame table — bounded fanout, no shuffle
+    * beyond the per-media grouping. */
+  def silenceReport(documents: DataFrame, rmsFloor: Double = 30.0,
+      blankFrac: Double = 0.9): DataFrame = {
+    val quietFrac = col("n_quiet").cast("double") / col("n_frames")
+    frameEnergy(documents)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("rms") < rmsFloor, 1L).otherwise(0L)).as("n_quiet"))
+      .select(col("media_id"), col("n_frames"), col("n_quiet"),
+        quietFrac.as("quiet_frac"),
+        (quietFrac >= blankFrac).as("is_blank"))
+  }
+
   /** Media-mix governance report (mm8): per (source, format), item count
     * and payload byte mass — the modality-balance table a multimodal
     * training mix is planned from (the c13 health report's media sibling).

@@ -100,7 +100,8 @@ class EmptyInputSpec extends SparkSpec {
       Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))),
     "rangeRecall" -> (() => Similarity.rangeRecall(embs)),
     "dimStats" -> (() => VectorOps.dimStats(embs)),
-    "clusterSizeHistogram" -> (() => Dedup.clusterSizeHistogram(docs)))
+    "clusterSizeHistogram" -> (() => Dedup.clusterSizeHistogram(docs)),
+    "silenceReport" -> (() => Multimodal.silenceReport(docs)))
 
   test("documents operators return empty on an empty corpus, never throw") {
     val bad = (docOps ++ embOps).flatMap { case (name, op) =>

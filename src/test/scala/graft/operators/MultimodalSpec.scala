@@ -163,6 +163,22 @@ class MultimodalSpec extends SparkSpec {
       out.filter(_._1._1 == 101L).values.forall(_ <= 6))
   }
 
+  test("silenceReport: quiet-frame fraction and blank verdict, hand values") {
+    import spark.implicits._
+    // '~' = 126 → sample -2 → rms 2 (quiet); 'a' = 97 → -31 → rms 31
+    val docs = Seq(
+      (1L, "~" * 70),           // both frames quiet → blank
+      (2L, "a" * 70),           // rms 31 ≥ floor → never quiet
+      (3L, "~" * 64 + "a" * 6)) // frame 0 quiet, frame 1 not → 0.5
+      .toDF("doc_id", "text")
+    val out = Multimodal.silenceReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0, true)), s"${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 0.0, false)), s"${out(2L)}")
+    assert(out(3L) == ((2L, 1L, 0.5, false)), s"${out(3L)}")
+  }
+
   test("frameEnergy: per-frame PCM energy, short last frame, hand value") {
     import spark.implicits._
     // 70 'a' bytes → frame 0 has 64 samples, frame 1 has 6
