@@ -300,6 +300,8 @@ object SparkEntry {
     "d30_syndication" -> ((s, d) => Dedup.syndication(T.documents(s, d))),
     "d31_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(T.documents(s, d))),
+    "d32_dup_by_source" -> ((s, d) =>
+      Dedup.dupBySource(T.documents(s, d))),
     // snapshot split by vec_id parity: even = accepted, odd = incoming
     "e15_centroid_drift" -> ((s, d) => {
       val e = T.embeddings(s, d)
@@ -3713,6 +3715,19 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
         |  CAST(count(*) AS BIGINT) AS n_shared_texts
         |FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+    // d32: d29's first-copy rule grouped by source — which feed re-posts.
+    "d32_dup_by_source" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),
+        |j AS (SELECT x.source, x.doc_id <> f.first_doc AS is_dup
+        |  FROM h x JOIN f ON f.h = x.h)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_frac
+        |FROM j GROUP BY source""".stripMargin,
     "d29_dup_trend" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),

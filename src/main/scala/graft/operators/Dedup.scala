@@ -948,6 +948,27 @@ object Dedup {
   def syndication(documents: DataFrame, headWords: Int = 8): DataFrame =
     syndicationFromFingerprints(dupFingerprints(documents, headWords))
 
+  /** Per-source duplicate contribution (d32): [[dupTrend]]'s first-copy
+    * rule grouped by source instead of ingest bucket — which FEED is
+    * re-posting content the corpus already holds. The mixture-governance
+    * number next to [[syndication]]'s pair matrix: syndication says who
+    * copies whom, this says how much of each source is copies (of
+    * anything, including itself). Same cost shape as d29: one hash
+    * projection, one min-per-hash aggregate, one join, one per-source
+    * aggregate. */
+  def dupBySource(documents: DataFrame): DataFrame = {
+    val h = dupFingerprints(documents)
+      .select(col("doc_id"), col("source"), col("full_h").as("h"))
+    val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    h.join(first, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
   /** [[syndication]]'s body over a precomputed [[dupFingerprints]] frame. */
   def syndicationFromFingerprints(fp: DataFrame): DataFrame = {
     val h = fp

@@ -565,6 +565,21 @@ class DedupSpec extends SparkSpec {
       "copy with an index-unseen token still found (freq-0 ordering)")
   }
 
+  test("dupBySource: re-posting feed carries the dup fraction, origin clean") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c", "A"),
+      (2L, "d e f", "A"),
+      (3L, "a b c", "B"),   // B re-posts A's doc 1
+      (4L, "x y z", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupBySource(corpus).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((2L, 0L, 0.0)), s"${out("A")}")
+    assert(out("B") == ((2L, 1L, 0.5)), s"${out("B")}")
+  }
+
   test("clusterSizeHistogram: one row per cluster size, masses reconcile") {
     // planted clusters: docs 1-2-3 mutually near-identical (size 3),
     // docs 4-5 a separate pair (size 2), doc 6 a singleton (excluded)
