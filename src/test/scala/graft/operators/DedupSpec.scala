@@ -630,12 +630,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("property: prefixFilterPairs equals brute force on random corpora") {
+    // t=0.6 (the 1−t rounds-UP regime) and t=0.8 (rounds DOWN — the
+    // regime the +1e-9 prefix-length nudge exists for): small vocab
+    // forces shared shingles and near-threshold Jaccards, exactly where
+    // a wrong prefix length or a broken tie order shows as a missed pair
+    prefixFilterProperty(0.6)
+    prefixFilterProperty(0.8)
+  }
+
+  private def prefixFilterProperty(threshold: Double): Unit = {
     import org.apache.spark.sql.functions._
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Prop.forAll
-    // small vocab forces shared shingles and near-threshold Jaccards —
-    // exactly where a wrong prefix length or a broken tie order would
-    // show as a missed pair
     val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
     val doc = Gen.choose(3, 10).flatMap(n =>
       Gen.listOfN(n, word).map(_.mkString(" ")))
@@ -651,18 +657,18 @@ class DedupSpec extends SparkSpec {
         .select(col("x.doc_id"), col("y.doc_id"),
           (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
             size(array_union(col("x.sh"), col("y.sh")))).as("j"))
-        .filter(col("j") >= 0.6)
+        .filter(col("j") >= threshold)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       val out = Dedup
-        .prefixFilterPairs(df, 0.6, maxPrefixDocs = Int.MaxValue)
+        .prefixFilterPairs(df, threshold, maxPrefixDocs = Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       Prop(out == brute)
     }
     val result = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
-    assert(result.passed, result.status.toString)
+    assert(result.passed, s"t=$threshold: ${result.status}")
   }
 
   test("prefixFilterPairs: hot-prefix cap drops accountably, exact when uncapped") {
