@@ -192,6 +192,25 @@ class TransactionalKafkaSpec extends SparkSpec {
       s"exactly the bad payload, exactly once: $errs")
   }
 
+  test("raw client props strip the connector prefix; control topic defaults") {
+    val c = GraftConf(applicationId = "app-x",
+      securityProtocol = "SASL_SSL",
+      saslMechanism = "PLAIN",
+      requestTimeoutMs = Some(1234))
+    val raw = c.rawKafkaClientProps
+    // a directly-constructed producer/consumer wants UNprefixed configs —
+    // a leaked "kafka." prefix would be silently ignored by the client
+    assert(raw == Map(
+      "security.protocol" -> "SASL_SSL",
+      "sasl.mechanism" -> "PLAIN",
+      "request.timeout.ms" -> "1234"), s"$raw")
+    assert(raw.keys.forall(!_.startsWith("kafka.")))
+    // control topic namespaced per application unless overridden
+    assert(c.txnControlTopicOrDefault == "app-x.txn-commits")
+    assert(c.copy(txnControlTopic = "ops.commits")
+      .txnControlTopicOrDefault == "ops.commits")
+  }
+
   test("txn sink outside a micro-batch context fails loudly") {
     val (id, _) = newBroker()
     val c = conf("txn-naked")
