@@ -157,8 +157,15 @@ object Bench {
     // two-pass records); both pass totals now land in the driver record via
     // the stdout line's passTotals field. Set =1 for quick local iteration.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    // Diagnostic interleaving: with SPARK_GRAFT_PROGRESS=1 each query name
+    // is printed to stderr BEFORE it runs, so log WARNs (e.g. DAGScheduler
+    // "Broadcasting large task binary") can be attributed to the query that
+    // emitted them. Off by default — the driver keeps only the log tail and
+    // these lines would push the JSON record's context out of it.
+    val progress = sys.env.get("SPARK_GRAFT_PROGRESS").contains("1")
     def measurePass(): Map[String, Telemetry] =
       selected.map { case (name, fn) =>
+        if (progress) System.err.println(s"[bench:q] $name")
         val storageAtStart = storageUsedBytes
         taskGcMs.set(0); peakExecMem.set(0); spillBytes.set(0)
         val gc0 = driverGcMs

@@ -235,4 +235,14 @@ case class GraftConf(
   def rawKafkaClientProps: Map[String, String] =
     kafkaClientOptions.map { case (k, v) =>
       k.stripPrefix("kafka.") -> v }
+
+  /** [[kafkaProducerOptions]] with the connector prefix stripped, minus
+    * the keys the transactional factory pins itself (idempotence, acks —
+    * it also sets the serializers and transactional.id). Without this the
+    * txn producer would run with client-DEFAULT retries/blocking while
+    * the non-transactional sink gets the unbounded-retry hardening —
+    * the durability posture must not depend on which sink is selected. */
+  def rawKafkaProducerProps: Map[String, String] =
+    (kafkaProducerOptions.map { case (k, v) =>
+      k.stripPrefix("kafka.") -> v }) -- Seq("enable.idempotence", "acks")
 }

@@ -71,7 +71,8 @@ object GraftStream extends Logging {
     if (conf.transactionalKafkaSink)
       kafkaTxnSink(conf, topic,
         new TransactionalKafka.ReflectiveKafkaTxnFactory(
-          conf.bootstrapServers, conf.rawKafkaClientProps))
+          conf.bootstrapServers, conf.rawKafkaClientProps,
+          conf.rawKafkaProducerProps))
     else
       RecordLog.producerLogging(topic, conf.enabledProducerRecordLogging) { df =>
         val base = df.selectExpr("CAST(key AS STRING) AS key", "value", "headers")

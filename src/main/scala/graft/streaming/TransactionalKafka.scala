@@ -110,6 +110,46 @@ object TransactionalKafka {
     id.longValue()
   }
 
+  /** Driver-side replay-guard cache: highest batchId known COMMITTED per
+    * transactional id. The naive guard re-reads the control topic from
+    * every partition of every micro-batch (txnSinkPartitions consumers ×
+    * an O(topic-size) scan × every batch) — on a short-interval stream
+    * that scan is the latency floor, and it grows with stream lifetime
+    * until compaction catches up. Instead the driver primes each txnId
+    * ONCE (first batch that writes through it in this JVM), ships the
+    * primed map inside the foreachPartition closure, and advances it
+    * locally after each successful batch — replays within a run can only
+    * be of batches this run already committed, so the steady-state guard
+    * read is free.
+    *
+    * The two paths that can NOT trust the primed map both fall back to a
+    * live control-topic read:
+    *   - a task RETRY (attemptNumber/stageAttemptNumber > 0, which also
+    *     covers speculative copies): the failed attempt may have committed
+    *     its transaction right before dying, and the primed map predates
+    *     it;
+    *   - a batch retried after a partition failure: `write` invalidates
+    *     the topic's entries on the way out, so the retry re-primes and
+    *     sees whatever the failed attempt managed to commit.
+    * A driver restart starts a fresh JVM → fresh cache → re-prime, which
+    * is exactly the one-scan-per-query-run the design wants. */
+  private[streaming] object ReplayGuard {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def prime(txnIds: Seq[String], controlTopic: String,
+        factory: TxnProducerFactory): Map[String, Long] =
+      txnIds.map { id =>
+        id -> cache.computeIfAbsent(id,
+          _ => factory.lastCommitted(id, controlTopic)).longValue()
+      }.toMap
+    def advance(txnIds: Seq[String], batchId: Long): Unit =
+      txnIds.foreach(id => cache.merge(id, batchId,
+        (a, b) => if (a.longValue() >= b.longValue()) a else b))
+    def invalidate(txnIds: Seq[String]): Unit =
+      txnIds.foreach(cache.remove)
+    private[streaming] def reset(): Unit = cache.clear()
+  }
+
   /** The sink body: write `df` to `topic` inside per-partition
     * transactions for micro-batch `batchId`. Exposed with an explicit
     * batchId for tools that manage their own foreachBatch. */
@@ -123,13 +163,24 @@ object TransactionalKafka {
       .selectExpr("CAST(key AS STRING) AS key",
         "CAST(value AS BINARY) AS value", "headers")
       .repartition(conf.txnSinkPartitions, col("key"))
-    shaped.foreachPartition {
+    val txnIds = (0 until conf.txnSinkPartitions)
+      .map(pid => s"$appId-$topic-p$pid")
+    // one control-topic read per txnId per query run (driver-side), not
+    // one per partition per batch — see ReplayGuard
+    val primed = ReplayGuard.prime(txnIds, controlTopic, factory)
+    try shaped.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val txnId = s"$appId-$topic-p$pid"
+        val tc = org.apache.spark.TaskContext.get()
+        val isRetry = tc != null &&
+          (tc.attemptNumber() > 0 || tc.stageAttemptNumber() > 0)
+        val committedUpTo =
+          if (isRetry) factory.lastCommitted(txnId, controlTopic)
+          else primed.getOrElse(txnId, -1L)
         val producer = factory.create(txnId)
         try {
-          if (factory.lastCommitted(txnId, controlTopic) >= batchId) {
+          if (committedUpTo >= batchId) {
             // replay of a committed partition: every record here already
             // landed inside a committed transaction — drain and skip
             ()
@@ -162,7 +213,17 @@ object TransactionalKafka {
             }
           }
         } finally producer.close()
+    } catch {
+      case t: Throwable =>
+        // some partitions may have committed before the failure; the
+        // primed map must not be trusted for the retry — drop the topic's
+        // entries so the next attempt re-reads the control topic
+        ReplayGuard.invalidate(txnIds)
+        throw t
     }
+    // every partition committed (or skipped an already-committed replay):
+    // the guard can advance locally, no control-topic read needed
+    ReplayGuard.advance(txnIds, batchId)
   }
 
   /** Real factory: builds `org.apache.kafka.clients.producer.KafkaProducer`
@@ -172,18 +233,25 @@ object TransactionalKafka {
     * them from the same security fields the connector options use. */
   final class ReflectiveKafkaTxnFactory(
       bootstrapServers: String,
-      clientProps: Map[String, String]) extends TxnProducerFactory {
+      clientProps: Map[String, String],
+      producerProps: Map[String, String] = Map.empty)
+      extends TxnProducerFactory {
 
-    private def propsMap(extra: (String, String)*): java.util.Map[String, AnyRef] = {
+    private def propsMap(base: Map[String, String],
+        extra: (String, String)*): java.util.Map[String, AnyRef] = {
       val m = new java.util.HashMap[String, AnyRef]()
-      clientProps.foreach { case (k, v) => m.put(k, v) }
+      base.foreach { case (k, v) => m.put(k, v) }
       m.put("bootstrap.servers", bootstrapServers)
       extra.foreach { case (k, v) => m.put(k, v) }
       m
     }
 
     def create(transactionalId: String): TxnProducer = {
-      val cfg = propsMap(
+      // producerProps carries the sink's durability hardening (unbounded
+      // retries/max.block.ms, timeout tuning — GraftConf
+      // .rawKafkaProducerProps); the pinned extras below override anything
+      // that would conflict with the transactional contract
+      val cfg = propsMap(clientProps ++ producerProps,
         "transactional.id" -> transactionalId,
         "enable.idempotence" -> "true",
         "acks" -> "all",
@@ -229,7 +297,7 @@ object TransactionalKafka {
     }
 
     def lastCommitted(transactionalId: String, controlTopic: String): Long = {
-      val cfg = propsMap(
+      val cfg = propsMap(clientProps,
         "group.id" -> s"graft-txn-guard-${java.util.UUID.randomUUID()}",
         "enable.auto.commit" -> "false",
         "isolation.level" -> "read_committed",
@@ -301,6 +369,21 @@ object TransactionalKafka {
                 java.nio.ByteBuffer.wrap(v).getLong)
           }
         }
+        // Only a FULLY-drained read (position == captured end offset on
+        // every partition) may return a verdict. Returning the partial
+        // `best` on deadline expiry would make a committed partition look
+        // uncommitted and re-write its records — a silent exactly-once
+        // violation in the guard that exists to prevent exactly that.
+        // Throw instead: the Spark task fails and retries, and a broker
+        // too slow to serve the control topic in 30s blocks the sink
+        // loudly rather than corrupting it.
+        if (!done)
+          throw new IllegalStateException(
+            s"transactional replay guard could not drain control topic " +
+              s"'$controlTopic' to its end offsets within 30s — refusing " +
+              "to answer from a partial read (a partial answer could " +
+              "report a committed batch as uncommitted and double-write " +
+              "it); check broker health / control-topic size and retry")
         best
       } finally call("close")
     }

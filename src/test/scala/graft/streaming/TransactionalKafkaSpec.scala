@@ -60,7 +60,12 @@ object TransactionalKafkaSpec {
           if (v == null) null else new String(v, "UTF-8"))
       }
     }
-    def lastCommitted(txnId: String, controlTopic: String): Long =
+    // how many times the replay guard actually read the control topic —
+    // the driver-primed cache should make this once per txnId per run,
+    // not once per partition per batch
+    val guardReads = new java.util.concurrent.atomic.AtomicLong()
+    def lastCommitted(txnId: String, controlTopic: String): Long = {
+      guardReads.incrementAndGet()
       synchronized {
         committed(controlTopic).collect {
           case (k, v) if k != null &&
@@ -68,6 +73,7 @@ object TransactionalKafkaSpec {
             java.nio.ByteBuffer.wrap(v).getLong
         }.foldLeft(-1L)(math.max)
       }
+    }
   }
 
   // static registry: factories are serialized into foreachPartition
@@ -190,6 +196,72 @@ class TransactionalKafkaSpec extends SparkSpec {
     val errs = broker.records("errs")
     assert(errs.map(_._2) == Vector("garbage"),
       s"exactly the bad payload, exactly once: $errs")
+  }
+
+  test("replay guard reads the control topic once per txnId per run") {
+    TransactionalKafka.ReplayGuard.reset()
+    val (id, broker) = newBroker()
+    val c = conf("txn-guard-count")
+    // three successive batches through the same sink: the guard must prime
+    // each of the 3 transactional ids exactly once (first batch), then
+    // advance locally — NOT re-scan per partition per batch
+    TransactionalKafka.write(frame("a" -> "1"), c, "out", 0L,
+      new StubTxnFactory(id))
+    TransactionalKafka.write(frame("b" -> "2"), c, "out", 1L,
+      new StubTxnFactory(id))
+    TransactionalKafka.write(frame("c" -> "3"), c, "out", 2L,
+      new StubTxnFactory(id))
+    assert(broker.guardReads.get == c.txnSinkPartitions,
+      s"guard read ${broker.guardReads.get} times for 3 batches × " +
+        s"${c.txnSinkPartitions} partitions — the primed cache regressed")
+    // a full replay of an already-committed batch still skips (cache
+    // answers without a broker read) and does not duplicate
+    TransactionalKafka.write(frame("c" -> "3"), c, "out", 2L,
+      new StubTxnFactory(id))
+    assert(broker.guardReads.get == c.txnSinkPartitions,
+      "replay of a committed batch should be answered from the cache")
+    assert(broker.records("out").toSet ==
+      Set(("a", "1"), ("b", "2"), ("c", "3")),
+      s"replay duplicated: ${broker.records("out")}")
+  }
+
+  test("guard cache invalidates on failure so the retry re-reads") {
+    TransactionalKafka.ReplayGuard.reset()
+    val (id, broker) = newBroker()
+    val c = conf("txn-guard-inval")
+    TransactionalKafka.write(frame("a" -> "1"), c, "out", 0L,
+      new StubTxnFactory(id))
+    val afterPrime = broker.guardReads.get
+    assert(afterPrime == c.txnSinkPartitions)
+    // fail every partition's commit on the next batch: the cache must be
+    // dropped so the batch retry cannot trust a stale primed answer
+    (0 until c.txnSinkPartitions).foreach(p =>
+      broker.failCommitOnce.add(s"${c.applicationId}-out-p$p"))
+    intercept[Exception] {
+      TransactionalKafka.write(frame("b" -> "2"), c, "out", 1L,
+        new StubTxnFactory(id))
+    }
+    TransactionalKafka.write(frame("b" -> "2"), c, "out", 1L,
+      new StubTxnFactory(id))
+    assert(broker.guardReads.get > afterPrime,
+      "the retry after a failed batch must re-read the control topic, " +
+        "not trust the pre-failure cache")
+    assert(broker.records("out").toSet == Set(("a", "1"), ("b", "2")),
+      s"${broker.records("out")}")
+  }
+
+  test("producer props carry durability hardening minus factory-pinned keys") {
+    val c = GraftConf(applicationId = "app-y",
+      requestTimeoutMs = Some(9999))
+    val p = c.rawKafkaProducerProps
+    // the hardening the non-transactional sink gets must reach the txn
+    // producer too (ADVICE r9): unbounded retries + blocking
+    assert(p("retries") == Int.MaxValue.toString)
+    assert(p("max.block.ms") == Long.MaxValue.toString)
+    assert(p("request.timeout.ms") == "9999")
+    // …but not the keys the factory pins itself
+    assert(!p.contains("enable.idempotence") && !p.contains("acks"), s"$p")
+    assert(p.keys.forall(!_.startsWith("kafka.")))
   }
 
   test("raw client props strip the connector prefix; control topic defaults") {
