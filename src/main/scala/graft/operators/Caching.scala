@@ -61,6 +61,79 @@ object Caching {
     * — otherwise per-round checkpoints accumulate unboundedly. */
   def materialize(df: DataFrame): DataFrame = {
     lastMaterializedPlan = df.queryExecution.executedPlan.toString
+    // SPARK_GRAFT_PLANSIZE=1: report what the DAGScheduler will serialize
+    // for this materialization — the task-binary-bloat diagnostic (find
+    // which plan node drags a ~MiB subtree into every task binary)
+    if (sys.env.get("SPARK_GRAFT_PLANSIZE").contains("1")) {
+      val ser = org.apache.spark.SparkEnv.get.closureSerializer.newInstance()
+      def sz(o: AnyRef): Long =
+        try ser.serialize(o).limit().toLong
+        catch { case _: Throwable => -1L }
+      val top = df.queryExecution.executedPlan.collect {
+        case p => (sz(p), p.getClass.getSimpleName)
+      }.sortBy(-_._1).take(6)
+      // cumulative serialized size along the narrow-dependency lineage:
+      // the first big jump names the RDD whose closure drags the weight
+      def walk(r: org.apache.spark.rdd.RDD[_]): List[org.apache.spark.rdd.RDD[_]] =
+        r :: r.dependencies.collect {
+          case d: org.apache.spark.NarrowDependency[_] => walk(d.rdd)
+        }.toList.flatten
+      val chain = walk(df.queryExecution.toRdd)
+        .map(r => (sz(r), r.id, r.getClass.getSimpleName))
+      System.err.println(
+        s"[plansize] rdd=${sz(df.queryExecution.toRdd)} top=$top chain=$chain")
+      // field-level breakdown of the heaviest lineage RDD: which captured
+      // object carries the weight
+      def fields(o: AnyRef): Seq[(Long, String, AnyRef)] = {
+        var c: Class[_] = o.getClass
+        val out = scala.collection.mutable.ArrayBuffer[(Long, String, AnyRef)]()
+        while (c != null) {
+          c.getDeclaredFields.foreach { f =>
+            if (!java.lang.reflect.Modifier.isStatic(f.getModifiers) &&
+                f.getName != "deps" && f.getName != "dependencies_") {
+              f.setAccessible(true)
+              val v = f.get(o)
+              if (v != null && v.isInstanceOf[AnyRef] &&
+                  !v.isInstanceOf[org.apache.spark.rdd.RDD[_]])
+                out += ((sz(v.asInstanceOf[AnyRef]),
+                  s"${c.getSimpleName}.${f.getName}:${v.getClass.getSimpleName}",
+                  v.asInstanceOf[AnyRef]))
+            }
+          }
+          c = c.getSuperclass
+        }
+        out.toSeq
+      }
+      // the RDD where the cumulative size JUMPS is the one whose own
+      // closure carries the weight
+      val lineage = walk(df.queryExecution.toRdd)
+      val jumps = lineage.map { r =>
+        val parent = r.dependencies.collectFirst {
+          case d: org.apache.spark.NarrowDependency[_] => sz(d.rdd) }
+        (sz(r) - parent.getOrElse(0L), r)
+      }
+      jumps.maxByOption(_._1).foreach { case (jump, r) =>
+        var level: Seq[(Long, String, AnyRef)] =
+          fields(r).sortBy(-_._1)
+        val path = scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0
+        while (level.nonEmpty && depth < 8) {
+          val (s0, n0, v0) = level.head
+          path += s"$n0=$s0"
+          v0 match {
+            case arr: Array[AnyRef] =>
+              path += arr.map(e => if (e == null) (0L, "null")
+                else (sz(e), e.getClass.getName)).sortBy(-_._1).take(4)
+                .mkString("[", "; ", "]")
+              level = Nil
+            case _ => level = fields(v0).sortBy(-_._1)
+          }
+          depth += 1
+        }
+        System.err.println(
+          s"[plansize]   jump=$jump at rdd ${r.id}: ${path.mkString(" -> ")}")
+      }
+    }
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       persistedCheckpoint(df)
     else df.localCheckpoint(true)
@@ -94,6 +167,19 @@ object Caching {
       result: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     try { val (a, b) = result; (materialize(a), materialize(b)) }
+    finally intermediates.foreach(_.unpersist(false))
+  }
+
+  /** Three-result form of [[withPersisted2]] — for the card's media pass
+    * (mix + silence + phash advisory off one persisted catalog scan). */
+  def withPersisted3(intermediates: DataFrame*)(
+      result: => (DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame) = {
+    intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    try {
+      val (a, b, c) = result
+      (materialize(a), materialize(b), materialize(c))
+    }
     finally intermediates.foreach(_.unpersist(false))
   }
 

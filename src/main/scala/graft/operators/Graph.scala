@@ -129,6 +129,15 @@ object Graph {
     finally edges.unpersist(false)
   }
 
+  /** Per-round changed-label counts of the LAST [[lpaLabels]] run — the
+    * d12-style convergence telemetry for a FIXED-budget iteration: a
+    * healthy run trends toward zero; a final round that still moves many
+    * labels means the budget is too small for this graph (the loop also
+    * logs a warning). Last-writer-wins like
+    * [[Caching.lastMaterializedPlan]]: read right after a
+    * single-threaded operator call (the GraphSpec pattern). */
+  @volatile var lastLpaRoundChanges: Seq[Long] = Seq.empty
+
   /** The LPA round loop over a PERSISTED edge frame — shared by
     * [[labelPropagation]] and [[communityStats]] so the label arithmetic
     * cannot drift between the two. Returns (node, lab). */
@@ -137,6 +146,7 @@ object Graph {
     graft.functions.GraftFunctions.register(edges.sparkSession)
     var lab = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
+    val roundChanges = Seq.newBuilder[Long]
     for (r <- 1 to iters) {
       val side = if (r % 2 == 1) "c:" else "s:"
       val votes = edges
@@ -149,12 +159,26 @@ object Graph {
         Seq(col("vw").desc, col("slab")), 1)
         .select(col("dst").as("node"), col("slab").as("new_lab"))
       // only the updated side has winner rows (edges were side-filtered);
-      // everyone else keeps their label through the coalesce
-      lab = Caching.materialize(lab
+      // everyone else keeps their label through the coalesce. The chg
+      // flag rides the round's own projection (the d12 pattern), so the
+      // convergence count is one filter+count on the already-materialized
+      // round — no extra pass over the join.
+      val round = Caching.materialize(lab
         .join(winner, Seq("node"), "left_outer")
         .select(col("node"),
-          coalesce(col("new_lab"), col("lab")).as("lab")))
+          coalesce(col("new_lab"), col("lab")).as("lab"),
+          (col("new_lab").isNotNull &&
+            col("new_lab") =!= col("lab")).as("chg")))
+      roundChanges += round.filter(col("chg")).count()
+      lab = round.drop("chg")
     }
+    lastLpaRoundChanges = roundChanges.result()
+    if (lastLpaRoundChanges.lastOption.exists(_ > 0))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"labelPropagation: labels still moving after $iters rounds " +
+          s"(changed per round: ${lastLpaRoundChanges.mkString(", ")}) — " +
+          "communities have not stabilized; raise `iters` if downstream " +
+          "reads labels as converged communities")
     lab
   }
 

@@ -609,15 +609,19 @@ object Relational {
     * both codegen'd; the updater/probe agree on raw-long put/might-contain).
     *
     * Scale shape: the ~1 MB sketch is the only thing that crosses the
-    * cluster (embedded as a literal → broadcast with the task binary), the
-    * fact table is filtered at scan parallelism with no shuffle, and only
+    * cluster — as a BROADCAST VARIABLE, not a plan literal: an inlined
+    * Literal is re-serialized into every task binary of every stage the
+    * predicate touches (measured 1.9 MiB task binaries at sf0.1), while
+    * the broadcast ships once per executor and the probe expression
+    * serializes as a handle ([[graft.functions.BloomProbeBc]]). The fact
+    * table is filtered at scan parallelism with no shuffle, and only
     * survivors enter the join. False positives are removed by the join
     * itself, so results are EXACT — the oracle is the plain join SQL.
     * Returns the filtered fact joined to the dim subset. */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedKeys: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftinternal.Bridge
     val spark = dim.sparkSession
@@ -635,8 +639,9 @@ object Relational {
     // the same round trip Spark's own runtime-filter rewrite performs via
     // a scalar subquery.
     val bytes = dim.select(Bridge.column(agg)).head().getAs[Array[Byte]](0)
-    val might = Bridge.column(BloomFilterMightContain(
-      Literal(bytes), Bridge.expr(spark, xxhash64(col(factKey)))))
+    val bc = spark.sparkContext.broadcast(bytes)
+    val might = Bridge.column(graft.functions.BloomProbeBc(
+      bc, Bridge.expr(spark, xxhash64(col(factKey)))))
     fact.filter(might).join(dim, col(factKey) === col(dimKey))
   }
 

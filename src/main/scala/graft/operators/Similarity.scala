@@ -66,10 +66,18 @@ object Similarity {
       .transform(Partitioning.spread(_, col("vec_id")))
   }
 
-  /** Heap top-k per query + rank column over the reduced k·q rows. */
+  /** Heap top-k per query + rank column over the reduced k·q rows.
+    *
+    * The heap output (q×k rows) is MATERIALIZED before the rank window:
+    * whole-stage codegen carries the window's SortExec as a runtime
+    * reference, and serializing a SortExec serializes its ENTIRE child
+    * plan into every task binary of the final stage — over the full
+    * ANN/rerank tree that measured >1 MiB per task launch ("Broadcasting
+    * large task binary"); over a checkpoint scan it is a few KB. The cut
+    * costs one eager job over a k·q-row frame. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val top = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
-      Seq(col("cos").desc, col("neighbor_id")), k)
+    val top = Caching.materialize(graft.plans.TopK.perKey(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("neighbor_id")), k))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     top.withColumn("rank", row_number().over(w))
@@ -418,11 +426,16 @@ object Similarity {
     val vc = vecs(embeddings)
     val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
     Caching.withPersisted(vc, sub) {
-      val cent = kmeansCentroids(vc).localCheckpoint(true)
-      val cells = bestCells(cent)(vc, 1)
-      val codebook = VectorOps.pqCodebook(sub)
-      val codes = VectorOps.pqNearest(sub, codebook)
-        .select(col("vec_id"), col("s"), col("code"))
+      // every index table is materialized (lineage-truncated): the search
+      // stages below re-reference them several times, and an un-truncated
+      // codebook/cells tree re-serializes the whole training plan into
+      // every downstream task binary (measured 2-6 MiB task binaries —
+      // a per-task-launch tax at cluster scale)
+      val cent = Caching.materialize(kmeansCentroids(vc))
+      val cells = Caching.materialize(bestCells(cent)(vc, 1))
+      val codebook = Caching.materialize(VectorOps.pqCodebook(sub))
+      val codes = Caching.materialize(VectorOps.pqNearest(sub, codebook)
+        .select(col("vec_id"), col("s"), col("code")))
       ivfAdcSearch(vc, defaultQueries(vc), defaultQueries(sub),
         cent, cells, codes, codebook, k, probeK, excludeSelf = true)
     }
@@ -447,18 +460,22 @@ object Similarity {
       excludeSelf: Boolean): DataFrame = {
     val probes = bestCells(centroids)(queries, NProbe)
       .withColumnRenamed("vec_id", "query_id")
-    val cellCand = probes.join(cells, "cent_id")
+    // both intermediates are queries-sized (q×probed-cells candidates,
+    // q×M×K table cells) and each feeds a multi-join stage: materialize
+    // so the ADC/re-rank task binaries carry a checkpoint scan, not the
+    // whole probe/codebook plan tree (the 2-6 MiB task-binary fix)
+    val cellCand = Caching.materialize(probes.join(cells, "cent_id")
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
               else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-    val lut = qsub
+      .distinct())
+    val lut = Caching.materialize(qsub
       .select(col("vec_id").as("query_id"), col("s"),
         col("sx").as("qsx"))
       .join(broadcast(codebook), "s")
       .select(col("query_id"), col("s"), col("code"),
         round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
-          .cast("long").as("g2"))
+          .cast("long").as("g2")))
     val adc = cellCand
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id")
@@ -601,11 +618,11 @@ object Similarity {
       excludeSelf: Boolean): DataFrame = {
     val probes = bestCells(index.centroids)(queries, NProbe)
       .withColumnRenamed("vec_id", "query_id")
-    val cand = probes.join(index.cells, "cent_id")
+    val cand = Caching.materialize(probes.join(index.cells, "cent_id")
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
               else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
+      .distinct())
     cand
       .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
         col("nrm")), Seq("neighbor_id"))
@@ -652,11 +669,19 @@ object Similarity {
     * recall structurally visible (the served set is always a subset, so
     * recall IS the probe-coverage fraction). Queries with no exact
     * neighbor are vacuous and excluded (no 0/0 rows). */
-  def rangeRecall(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
+  def rangeRecall(embeddings: DataFrame, minCos: Double = 0.3): DataFrame =
+    rangeRecall(embeddings, ivfAdcIndex(embeddings), minCos)
+
+  /** [[rangeRecall]] against a CALLER-SUPPLIED prebuilt index — the form a
+    * deployment actually runs (the index it serves from is the index whose
+    * recall it watches; rebuilding one inline would gauge a DIFFERENT
+    * index and double the cost). The no-index overload above stays as the
+    * self-contained quality gauge. */
+  def rangeRecall(embeddings: DataFrame, index: IvfAdcIndex,
+      minCos: Double): DataFrame = {
     val exact = rangeSearch(embeddings, minCos)
       .select(col("query_id"), col("neighbor_id"))
-    val served = ivfRangeVsIndex(embeddings, ivfAdcIndex(embeddings),
-        minCos)
+    val served = ivfRangeVsIndex(embeddings, index, minCos)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     exact.join(served, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy(col("query_id"))
@@ -709,11 +734,18 @@ object Similarity {
     * hash-join gather of probeK rows per query. */
   private def rerankExact(vc: DataFrame, q: DataFrame, cands: DataFrame,
       k: Int): DataFrame = {
-    val scored = broadcast(cands)
+    // both broadcast sides are materialized first: a broadcast-exchange
+    // build job serializes its whole child plan into its (single) task
+    // binary, and the candidate tree / cached-corpus query projection both
+    // measured ~1 MiB at sf0.1 — over checkpoint scans the builds are KBs
+    // and the broadcast VALUES (q×probeK ids, q query vectors) unchanged
+    val candsM = Caching.materialize(cands)
+    val qM = Caching.materialize(q.select(col("vec_id").as("query_id"),
+      col("x").as("qx"), col("nrm").as("qnrm")))
+    val scored = broadcast(candsM)
       .join(vc.select(col("vec_id").as("neighbor_id"), col("x"),
         col("nrm")), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("vec_id").as("query_id"),
-        col("x").as("qx"), col("nrm").as("qnrm"))), Seq("query_id"))
+      .join(broadcast(qM), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (GraftFunctions.dot(col("qx"), col("x")) /
           (col("qnrm") * col("nrm"))).as("cos"))
@@ -819,14 +851,17 @@ object Similarity {
       // Materialized eagerly: the centroid table is referenced by both the
       // corpus assignment and the query probes — without this each broadcast
       // would re-run the Lloyd iterations.
-      val cent = kmeansCentroids(v).localCheckpoint(true)
-      val cells = bestCells(cent)(v, 1)
+      val cent = Caching.materialize(kmeansCentroids(v))
+      val cells = Caching.materialize(bestCells(cent)(v, 1))
       val probes = bestCells(cent)(v.filter(col("vec_id") % 100 === 0), NProbe)
         .withColumnRenamed("vec_id", "query_id")
-      val cand = probes.join(cells, "cent_id")
+      // candidate list is queries×probed-cells rows; materialized so the
+      // exact re-rank joins carry a checkpoint scan instead of the whole
+      // probe tree in their task binaries
+      val cand = Caching.materialize(probes.join(cells, "cent_id")
         .filter(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
+        .distinct())
       topKPerQuery(rescored(cand, v), k)
     }
   }

@@ -51,6 +51,18 @@ class GraphSpec extends SparkSpec {
     assert(alt == out, s"partitioning moved labels:\n$alt\n$out")
   }
 
+  test("labelPropagation reports per-round convergence (changed labels)") {
+    val (li, ord) = fixture
+    Graph.labelPropagation(li, ord)
+    // round 1 (customer side): all three customers adopt s:1's label;
+    // round 2 (supplier side): s:1 keeps its own label (unanimous votes),
+    // s:2 follows c:10 into the s:1 community; round 3: fixpoint — the
+    // star has converged, so the loud non-convergence warning stays quiet
+    assert(Graph.lastLpaRoundChanges == Seq(3L, 1L, 0L),
+      s"per-round changed-label telemetry drifted: " +
+        s"${Graph.lastLpaRoundChanges}")
+  }
+
   test("labelPropagation separates disconnected communities") {
     // two disjoint purchase stars: {c:10,c:11}↔s:1 and {c:20,c:21}↔s:2
     val li = Seq((100L, 1L), (101L, 1L), (200L, 2L), (201L, 2L))

@@ -86,7 +86,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q36: the bloom probe filters the fact scan stage, before the join") {
     val p = plan("q36_bloom_join")
-    val probeAt = p.indexOf("might_contain")
+    val probeAt = p.indexOf("graft_bloom_probe")
     val joinAt = p.indexOf("HashJoin")
     assert(probeAt >= 0, s"bloom probe survived planning:\n$p")
     assert(joinAt >= 0 && probeAt > joinAt,
@@ -95,7 +95,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("c15: the bloom probe prunes corpus shingles below the overlap join") {
     val p = plan("c15_decontaminate_bloom")
-    val probeAt = p.indexOf("might_contain")
+    val probeAt = p.indexOf("graft_bloom_probe")
     val joinAt = p.indexOf("HashJoin")
     assert(probeAt >= 0, s"bloom probe survived planning:\n$p")
     assert(joinAt >= 0 && probeAt > joinAt,

@@ -101,7 +101,7 @@ class RelationalSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
-  test("bloomPrefilteredJoin: exact join results behind a might_contain scan filter") {
+  test("bloomPrefilteredJoin: exact join results behind a bloom-probe scan filter") {
     val fact = (1L to 1000L).map(k => (k, k * 2.0)).toDF("fk", "v")
     val dim = Seq(10L, 20L, 30L, 40L).map(k => (k, s"d$k")).toDF("dk", "attr")
     val out = Relational.bloomPrefilteredJoin(fact, dim, "fk", "dk",
@@ -114,7 +114,7 @@ class RelationalSpec extends SparkSpec {
     // legitimately evaluates the filter at optimization time; on a file
     // source it stays in the scan stage — PlanQualitySpec pins that)
     val plan = out.queryExecution.analyzed.toString
-    assert(plan.contains("might_contain"), s"bloom probe in plan:\n$plan")
+    assert(plan.contains("graft_bloom_probe"), s"bloom probe in plan:\n$plan")
   }
 
   test("equiDepthHistogram reproduces ntile over a distributed rank") {
