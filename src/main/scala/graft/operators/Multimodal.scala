@@ -343,6 +343,49 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"))
 
+  /** The ONE media-catalog scan the data card's media sections share (the
+    * d29/d30 fingerprint-pass pattern): (doc_id, source, text-payload).
+    * [[mediaMix]], [[silenceSummaryFromCatalog]] and
+    * [[phashAdvisoryFromCatalog]] all run over this frame, so a card
+    * render reads the payload column from the lake ONCE — persisted by
+    * the caller for the duration of the sections (DataCard brackets it
+    * with `Caching.withPersisted3`). */
+  def mediaCatalog(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"), col("text"))
+
+  /** Per-source silence/blank rates (mm10's card form): media count,
+    * blank count, and mean quiet fraction — the dead-air budget line a
+    * release reviews next to the media mix. One [[silenceReport]] pass
+    * plus a metadata join back to the shared catalog for the source. */
+  def silenceSummaryFromCatalog(cat: DataFrame, rmsFloor: Double = 30.0,
+      blankFrac: Double = 0.9): DataFrame =
+    silenceReport(cat, rmsFloor, blankFrac)
+      .join(cat.select(col("doc_id").as("media_id"), col("source")),
+        "media_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("is_blank"), 1L).otherwise(0L)).as("n_blank"),
+        avg(col("quiet_frac")).as("mean_quiet_frac"))
+
+  /** Per-source perceptual-duplicate advisory (mm6/mm9's card form):
+    * media count, phash near-dup pair count (pairs attributed to the
+    * FIRST doc's source), and the closest observed Hamming distance —
+    * the "stored media contains re-encodes" flag next to the mix table.
+    * Sources with no pairs report 0 with a null min_hamming. */
+  def phashAdvisoryFromCatalog(cat: DataFrame, stride: Int = 4,
+      maxHamming: Int = 6): DataFrame = {
+    val bySrc = phashPairs(cat, stride, maxHamming)
+      .join(cat.select(col("doc_id").as("doc_a"), col("source")), "doc_a")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        min(col("hamming")).as("min_hamming"))
+    cat.groupBy(col("source")).agg(count(lit(1)).as("n_media"))
+      .join(bySrc, Seq("source"), "left_outer")
+      .select(col("source"), col("n_media"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        col("min_hamming"))
+  }
+
   /** Documents table lifted into a media catalog (deterministic fake
     * payload = UTF-8 bytes), with decode-free column-level features the
     * DuckDB oracle can mirror: byte length, content md5, char-slice

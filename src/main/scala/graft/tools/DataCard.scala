@@ -78,8 +78,18 @@ object DataCard {
     val synd = syndRaw
       .orderBy(col("n_dup_pairs").desc, col("source_a"), col("source_b"))
       .limit(10)
-    val media = Multimodal.mediaMix(docs)
-      .orderBy(col("source"), col("format")).limit(12)
+    // ONE media-catalog scan feeds ALL media sections (mm8 mix + mm10
+    // silence rates + mm6/mm9 phash dup advisory) — the d29/d30
+    // one-pass pattern applied to the payload column
+    val cat = Multimodal.mediaCatalog(docs)
+    val (mediaRaw, silenceRaw, phashRaw) =
+      graft.operators.Caching.withPersisted3(cat)((
+        Multimodal.mediaMix(cat),
+        Multimodal.silenceSummaryFromCatalog(cat),
+        Multimodal.phashAdvisoryFromCatalog(cat)))
+    val media = mediaRaw.orderBy(col("source"), col("format")).limit(12)
+    val silence = silenceRaw.orderBy(col("source"))
+    val phashAdv = phashRaw.orderBy(col("source"))
     val merges = LlmText.bpeTrain(docs)
     val clusters = graft.operators.VectorOps.clusterQuality(embs)
       .orderBy(col("margin"))
@@ -111,6 +121,9 @@ object DataCard {
     sb ++= section("Top syndication pairs (d30: shared opening fingerprints)",
       synd)
     sb ++= section("Media mix (mm8: first rows)", media)
+    sb ++= section("Silence/blank rates by source (mm10)", silence)
+    sb ++= section(
+      "Perceptual-hash duplicate advisory by source (mm6/mm9)", phashAdv)
     sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
     sb ++= section(
       "Embedding cluster quality (e14: cohesion vs separation, worst first)",

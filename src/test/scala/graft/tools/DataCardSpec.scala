@@ -23,6 +23,8 @@ class DataCardSpec extends SparkSpec {
         "## Vocabulary growth / Heaps curve (x31)",
         "## Top syndication pairs (d30: shared opening fingerprints)",
         "## Media mix (mm8: first rows)",
+        "## Silence/blank rates by source (mm10)",
+        "## Perceptual-hash duplicate advisory by source (mm6/mm9)",
         "## Tokenizer merge table (x25: first BPE merges)",
         "## Embedding cluster quality (e14"))
       assert(card.contains(section), s"missing section: $section\n$card")
@@ -38,6 +40,35 @@ class DataCardSpec extends SparkSpec {
       assert(t.linesIterator.count(_.startsWith("| ")) >= 3,
         s"empty table in section:\n$t")
     }
+  }
+
+  test("media sections derive from ONE shared catalog scan") {
+    import graft.operators.{Caching, Multimodal, Tables}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the card's shape: one persisted media-catalog scan, all three media
+    // sections (mm8 mix, mm10 silence, mm6/mm9 phash advisory) off it
+    val cat = Multimodal.mediaCatalog(docs)
+    val (mix, silence, phash) = Caching.withPersisted3(cat)((
+      Multimodal.mediaMix(cat),
+      Multimodal.silenceSummaryFromCatalog(cat),
+      Multimodal.phashAdvisoryFromCatalog(cat)))
+    // the mix off the catalog is exactly the standalone oracle-pinned mm8
+    assert(mix.collect().map(_.toSeq).toSet ==
+      Multimodal.mediaMix(docs).collect().map(_.toSeq).toSet)
+    // silence/advisory rows exist for every source in the corpus
+    val sources = docs.select("source").distinct().count()
+    assert(silence.count() == sources, "one silence row per source")
+    assert(phash.count() == sources, "one advisory row per source")
+    // the LAST section's executed plan read the persisted catalog, not
+    // the corpus (the d29/d30 plan pin): cached-scan leaves only, every
+    // FileScan mention living inside a cached-relation description
+    val plan = Caching.lastMaterializedPlan
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the shared cached catalog in the plan:\n$plan")
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    assert(occurrences("FileScan") == occurrences("InMemoryRelation"),
+      s"a media section re-scanned the corpus:\n$plan")
   }
 
   test("d29/d30 sections derive from ONE shared fingerprint pass") {
