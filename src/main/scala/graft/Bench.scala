@@ -136,6 +136,20 @@ object Bench {
     // (the md5/HOF/native-kernel code paths the d/x/c families share) —
     // restricted to the selected subset so a single-query local iteration
     // doesn't pay for unrelated warm-up queries.
+    // First-touch parquet warm-up (untimed): the driver record's pass-1
+    // inflation vs pass-2 (r9: 11.8% drift) is dominated by cold
+    // page-cache / footer reads of the corpus files — every first query
+    // that touches a table pays them. One full untimed scan of every
+    // table in the sf dir moves that cost out of the measured region, so
+    // both passes start from the same warm-file state.
+    Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getPath)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the
     // subset's own first query once untimed instead, so the first measurement

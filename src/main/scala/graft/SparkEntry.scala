@@ -330,6 +330,12 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(T.documents(s, d))),
     "d32_dup_by_source" -> ((s, d) =>
       Dedup.dupBySource(T.documents(s, d))),
+    // d33/d34: the CCNet/C4 boilerplate-line family — cross-document
+    // repeated lines detected, then removed per doc (detect/apply pair)
+    "d33_boilerplate_lines" -> ((s, d) =>
+      Dedup.boilerplateLines(T.documents(s, d))),
+    "d34_boilerplate_apply" -> ((s, d) =>
+      Dedup.boilerplateApply(T.documents(s, d))),
     // snapshot split by vec_id parity: even = accepted, odd = incoming
     "e15_centroid_drift" -> ((s, d) => {
       val e = T.embeddings(s, d)
@@ -3754,6 +3760,37 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
         |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) AS dup_frac
         |FROM j GROUP BY source""".stripMargin,
+    // d33: x12's 8-word line segmentation; boilerplate = a line whose
+    // exact text occurs in >= 2 distinct docs.
+    "d33_boilerplate_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |l AS (SELECT doc_id, i AS li,
+        |  list_aggr(w[i:i+7], 'string_agg', ' ') AS line
+        |  FROM t, UNNEST(range(1, len(w)+1, 8)) AS u(i))
+        |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM l GROUP BY line
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // d34: d33's detector applied per doc — surviving lines rejoined in
+    // order and md5'd so every output byte is pinned.
+    "d34_boilerplate_apply" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |l AS (SELECT doc_id, i AS li,
+        |  list_aggr(w[i:i+7], 'string_agg', ' ') AS line
+        |  FROM t, UNNEST(range(1, len(w)+1, 8)) AS u(i)),
+        |b AS (SELECT line FROM (SELECT line,
+        |    count(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+        |  WHERE nd >= 2),
+        |f AS (SELECT l.doc_id, l.li, l.line, (b.line IS NOT NULL) AS flag
+        |  FROM l LEFT JOIN b ON l.line = b.line)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boiler,
+        |  CAST(count(*) - SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS kept_ratio,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT flag THEN line END,
+        |    ' | ' ORDER BY li), '')) AS kept_md5
+        |FROM f GROUP BY doc_id""".stripMargin,
     "d29_dup_trend" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),

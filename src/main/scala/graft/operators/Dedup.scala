@@ -1417,4 +1417,76 @@ object Dedup {
         .filter(col("edit_dist") <= maxEdit)
     }
   }
+
+  /** One row per fixed-width "line" of each document: (doc_id, li, line)
+    * with `li` the line's position. The x12 segmentation (the corpus has
+    * no newlines, so a line is a `lineLen`-word window), shared by the
+    * boilerplate family so the detector and the apply cannot drift.
+    * One posexplode with bounded fanout n_words/lineLen, no shuffle. */
+  private def docLines(documents: DataFrame, lineLen: Int): DataFrame = {
+    val ws = LlmText.words(col("text"))
+    documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(ws), lit(lineLen)),
+          i => array_join(slice(ws, i, lit(lineLen)), " ")))
+          .as(Seq("li", "line")))
+  }
+
+  /** Cross-document repeated-line detector (d33): lines whose exact text
+    * occurs in at least `minDocs` DISTINCT documents — the
+    * boilerplate-removal primitive of the CCNet/C4 lineage (navigation
+    * chrome, cookie banners, license footers repeat across pages;
+    * in-document prose does not). Returns (line, n_docs, n_occurrences).
+    *
+    * 100 TB shape: explode to n_words/lineLen rows per doc, then ONE
+    * map-side-combinable aggregate on the line text — the same
+    * key-cardinality regime as a token count. A hot boilerplate line is
+    * exactly a heavy aggregation key, which partial aggregation absorbs;
+    * nothing here is quadratic in duplication. */
+  def boilerplateLines(documents: DataFrame, lineLen: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    boilerFrom(docLines(documents, lineLen), minDocs)
+      .select(col("line"), col("n_docs"), col("n_occurrences"))
+
+  private def boilerFrom(lines: DataFrame, minDocs: Int): DataFrame =
+    lines
+      .groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Boilerplate-line removal report (d34): per document, how many lines
+    * the [[boilerplateLines]] set removes, the kept ratio, and the md5 of
+    * the surviving text (lines rejoined in order) — the apply step next
+    * to d33's detector, mirroring the d8/d26 detect/apply pairing.
+    *
+    * ONE line-explode pass feeds both the detector aggregate and the
+    * per-doc rebuild (persisted bracket); the rebuild is a
+    * collect_list-per-doc of its own lines — bounded at n_words/lineLen
+    * entries, the row the doc already was. */
+  def boilerplateApply(documents: DataFrame, lineLen: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val lines = docLines(documents, lineLen)
+    Caching.withPersisted(lines) {
+      val boiler = boilerFrom(lines, minDocs)
+        .select(col("line"), lit(true).as("is_boiler"))
+      val kept = filter(
+        array_sort(collect_list(struct(col("li"), col("flag"), col("line")))),
+        s => !s.getField("flag"))
+      lines
+        .join(boiler, Seq("line"), "left_outer")
+        .select(col("doc_id"), col("li"), col("line"),
+          coalesce(col("is_boiler"), lit(false)).as("flag"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_boiler"),
+          md5(array_join(transform(kept, s => s.getField("line")), " | ")
+            .cast("binary")).as("kept_md5"))
+        .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+          ((col("n_lines") - col("n_boiler")).cast("double") /
+            col("n_lines")).as("kept_ratio"),
+          col("kept_md5"))
+    }
+  }
 }

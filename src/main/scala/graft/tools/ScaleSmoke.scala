@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * Measures d26 (exact-recall prefix-filter self-join), d28 (the full
   * exact pipeline: pairs → components → apply), d2 (MinHash-LSH pairs),
-  * d12 (large-star/small-star components), and the d17 cap accounting at
-  * 10× (dropped candidate mass must stay a bounded fraction of entries).
+  * d12 (large-star/small-star components), the d17 cap accounting at
+  * 10× (dropped candidate mass must stay a bounded fraction of entries),
+  * the iterative graph family (g1/g2), and the index LIFECYCLE family —
+  * IVF-ADC build/search/append, range serve, and the mm9 phash probe —
+  * where build may scale with the corpus but the append/probe serve
+  * paths must scale with the batch (warned loudly if they don't).
   *
   * Usage: `sbt "runMain graft.tools.ScaleSmoke [sfDir] [factor]"`.
   * Prints one JSON line and writes STRESS_LOCAL.json next to
@@ -154,6 +158,108 @@ object ScaleSmoke {
     }
     Seq(li1, ord1, liN, ordN).foreach(_.unpersist())
 
+    // ---- the ANN / multimodal INDEX-LIFECYCLE family (VERDICT r9 #3) ----
+    // Build cost legitimately scales with the corpus (that's what a
+    // nightly rebuild pays); the APPEND and PROBE serve paths are the ones
+    // whose cost must track the BATCH. Epochs reuse the id-offset recipe:
+    // identical vectors under disjoint ids keep per-item cost constant
+    // while corpus size scales (candidate growth stays linear — every
+    // query's probed cells hold `factor` copies, not factor² pairs).
+    import graft.operators.{Multimodal, Similarity}
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // epoch 1 keeps the BASE ids: the PQ codebook's deterministic seed
+    // gate (`vec_id % 61 == 0 AND vec_id < 61·256`) must see its seed
+    // rows, or the codebook trains EMPTY and every ADC search returns
+    // zero rows (the quantizer-sampling-split trap — the s15 spec hit
+    // the same thing with a % 5 split). Later epochs land above the
+    // gate, which just means the bounded seed set stays epoch-1-only —
+    // the same fixed-size-codebook regime a real corpus has.
+    def embEpoch(e: Int): DataFrame = embBase.select(
+      (col("vec_id") + lit((e - 1).toLong * 10_000_000L)).as("vec_id"),
+      col("embedding"))
+    def embExpand(epochs: Range): DataFrame =
+      epochs.map(embEpoch).reduce(_.unionByName(_)).repartition(32).persist()
+    val emb1 = embExpand(1 to 1)
+    val embN = embExpand(1 to factor)
+    emb1.count(); embN.count()
+    def timedAction[A](body: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = body
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    // build = the rebuild yardstick (index tables materialize eagerly, so
+    // constructing the IvfAdcIndex IS the timed work)
+    Similarity.ivfAdcIndex(emb1) // warm (codegen, shuffle machinery)
+    val (build1, idx1) = timedAction(Similarity.ivfAdcIndex(emb1))
+    val (buildN, idxN) = timedAction(Similarity.ivfAdcIndex(embN))
+    // s13/s14 search phase against the prebuilt index, each at its scale
+    val (search1, sr1) =
+      timedAction(Similarity.ivfAdcVsIndex(emb1, idx1).count())
+    val (searchN, srN) =
+      timedAction(Similarity.ivfAdcVsIndex(embN, idxN).count())
+    // a zero-row search means a quantizer trained empty (the seed-gate
+    // trap above) — the timing would measure nothing; fail loudly
+    require(sr1 > 0 && srN > 0,
+      s"IVF-ADC search returned $sr1/$srN rows — empty quantizer; " +
+        "check the epoch id offsets against the codebook seed gate")
+    // s15 append: the SAME fixed batch (one epoch under fresh ids) onto
+    // the 1x and the factor-x index — per-ingest cost must track the
+    // batch; growth here comes only from the corpus-sized centroid table
+    // the argmax broadcasts (corpus/50 seeds in this toy parameterization)
+    val batch = embEpoch(factor + 1).repartition(32).persist()
+    batch.count()
+    Similarity.ivfAdcAppend(batch, idx1) // warm
+    val (append1, _) = timedAction(Similarity.ivfAdcAppend(batch, idx1))
+    val (appendN, _) = timedAction(Similarity.ivfAdcAppend(batch, idxN))
+    // s16 range serve: fixed caller query set against both indexes (the
+    // corpus argument feeds the exact re-rank gather; its prep is the
+    // stored-vector-table cost a lake deployment pays once, not per call)
+    val queries = embEpoch(factor + 2)
+      .filter(col("vec_id") % 100 === 0).repartition(8).persist()
+    queries.count()
+    val (serve1, rs1) = timedAction(
+      Similarity.ivfRangeServe(queries, emb1, idx1).count())
+    val (serveN, rsN) = timedAction(
+      Similarity.ivfRangeServe(queries, embN, idxN).count())
+    // mm9 phash probe: fixed incoming batch against stored sig indexes
+    val pIdx1 = Multimodal.phashIndex(one)
+    val pIdxN = Multimodal.phashIndex(many)
+    val incoming = epoch(base, factor + 1).repartition(32).persist()
+    incoming.count()
+    Multimodal.phashVsIndex(incoming, pIdx1).count() // warm
+    val (probe1, pr1) = timedAction(
+      Multimodal.phashVsIndex(incoming, pIdx1).count())
+    val (probeN, prN) = timedAction(
+      Multimodal.phashVsIndex(incoming, pIdxN).count())
+    val lifecycle = Seq(
+      ("s13_index_build", build1, buildN, 0L, 0L, buildN / math.max(build1, 1e-9)),
+      ("s13_index_search", search1, searchN, sr1, srN,
+        searchN / math.max(search1, 1e-9)),
+      ("s15_append_batch", append1, appendN, batch.count(), batch.count(),
+        appendN / math.max(append1, 1e-9)),
+      ("s16_range_serve", serve1, serveN, rs1, rsN,
+        serveN / math.max(serve1, 1e-9)),
+      ("mm9_phash_probe", probe1, probeN, pr1, prN,
+        probeN / math.max(probe1, 1e-9)))
+    lifecycle.foreach { case (name, t1, tN, r1, rN, ratio) =>
+      System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
+        f"${factor}x=$tN%7.1fs ($rN rows)  ratio=$ratio%5.2f")
+    }
+    // the serve-path claim, asserted loudly: append/probe ratios at
+    // factor-x must sit well below the corpus ratio (they scale with the
+    // batch); build is ALLOWED to scale with the corpus — that's the
+    // rebuild-vs-append tradeoff s15 exists to demonstrate
+    Seq("s15_append_batch" -> (appendN / math.max(append1, 1e-9)),
+        "mm9_phash_probe" -> (probeN / math.max(probe1, 1e-9)))
+      .foreach { case (name, ratio) =>
+        if (ratio > factor / 2.0)
+          System.err.println(s"[stress] WARNING: $name ratio $ratio " +
+            s"approaches the corpus ratio $factor — serve path is NOT " +
+            "batch-scaled; investigate before the next scale-up")
+      }
+    Seq(emb1, embN, batch, queries, incoming).foreach(_.unpersist())
+
     def opsJson(rs: Seq[(String, Double, Double, Long, Long, Double)]) =
       rs.map { case (n, t1, tN, r1, rN, ratio) =>
         s""""$n":{"sec1":${f"$t1%.3f"},"secN":${f"$tN%.3f"},""" +
@@ -163,6 +269,7 @@ object ScaleSmoke {
       s"""{"sf":"$sfDir","factor":$factor,"docs1":$nOne,"docsN":$nMany,""" +
       s""""ops":{${opsJson(results)}},""" +
       s""""graphOps":{${opsJson(graphResults)}},""" +
+      s""""lifecycle":{${opsJson(lifecycle)}},""" +
       s""""cap":{${cap.map { case (fam, keys, hot, dropped) =>
         s""""$fam":{"keys":$keys,"hot":$hot,"dropped":$dropped}"""
       }.mkString(",")}}}"""
