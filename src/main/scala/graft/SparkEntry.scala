@@ -556,6 +556,16 @@ object SparkEntry {
     }),
     "mm7_frame_energy" -> ((s, d) =>
       Multimodal.frameEnergy(T.documents(s, d))),
+    // mm11: per-format participation rate in mm6's near-dup pairs.
+    "mm11_format_dup_rate" -> ((s, d) =>
+      Multimodal.formatDupRate(T.documents(s, d))),
+    // mm12: duplicate patch tiles across documents (mm3's patches grouped
+    // by content hash, kept where >= 2 distinct docs share the bytes).
+    "mm12_dup_patches" -> ((s, d) =>
+      Multimodal.duplicatePatches(T.documents(s, d))),
+    // g4: community boundary nodes over g2's labels.
+    "g4_bridge_nodes" -> ((s, d) =>
+      Graph.bridgeNodes(T.lineitem(s, d), T.orders(s, d))),
     "mm8_media_mix" -> ((s, d) => Multimodal.mediaMix(T.documents(s, d))),
     "mm10_silence_report" -> ((s, d) =>
       Multimodal.silenceReport(T.documents(s, d))),
@@ -595,7 +605,83 @@ object SparkEntry {
       clusterSizesOracle(oracleSqlBase("d7_neardup_components"))) +
     // mm10 is mm7's frame chain + the per-media silence aggregate.
     ("mm10_silence_report" ->
-      silenceReportOracle(oracleSqlBase("mm7_frame_energy")))
+      silenceReportOracle(oracleSqlBase("mm7_frame_energy"))) +
+    // mm11 is mm6's pair chain + the per-format participation aggregate.
+    ("mm11_format_dup_rate" ->
+      formatDupRateOracle(oracleSqlBase("mm6_phash_pairs"))) +
+    // mm12 is mm3's patch chain + the cross-doc duplicate aggregate.
+    ("mm12_dup_patches" ->
+      duplicatePatchesOracle(oracleSqlBase("mm3_patch_extract"))) +
+    // g4 is g2's unrolled label chain + the per-node boundary aggregate.
+    ("g4_bridge_nodes" ->
+      bridgeNodesOracle(oracleSqlBase("g2_label_prop")))
+
+  /** Derive the mm11 oracle from mm6's: keep the signature/band/candidate
+    * chain byte-identical, lift the verified pairs into a CTE, and swap
+    * the projection for the per-format participation aggregate. */
+  private def formatDupRateOracle(mm6: String): String = {
+    val anchor = "SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming\n" +
+      "FROM cand WHERE bit_count(xor(pa, pb)) <= 6"
+    require(mm6.endsWith(anchor), "mm6 oracle SQL lost the mm11 anchor")
+    // the dropped text leaves the CTE list ending at "...cand AS (...)\n";
+    // the appended chain must re-open it with a comma
+    mm6.dropRight(anchor.length).stripSuffix("\n") + ",\n" +
+      """pairs AS (SELECT doc_a, doc_b FROM cand
+        |  WHERE bit_count(xor(pa, pb)) <= 6),
+        |dup AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM pairs
+        |  UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+        |fm AS (SELECT doc_id,
+        |  ['png','jpeg','wav','mp4'][CAST(doc_id % 4 + 1 AS INT)]
+        |    AS format FROM documents)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_media,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS dup_rate
+        |FROM fm LEFT JOIN dup d ON fm.doc_id = d.doc_id
+        |GROUP BY format""".stripMargin
+  }
+
+  /** Derive the mm12 oracle from mm3's: keep the hex-dump patch chain
+    * byte-identical and swap the per-patch projection for the
+    * cross-document duplicate aggregate. */
+  private def duplicatePatchesOracle(mm3: String): String = {
+    val anchor = "SELECT doc_id, patch_idx,\n" +
+      "  CAST(length(ph) // 2 AS BIGINT) AS patch_len,\n" +
+      "  md5(ph) AS patch_md5,\n" +
+      "  CAST((strpos('0123456789ABCDEF', substr(ph, 1, 1)) - 1) * 16\n" +
+      "    + (strpos('0123456789ABCDEF', substr(ph, 2, 1)) - 1) AS INT)\n" +
+      "    AS first_byte\nFROM e"
+    require(mm3.endsWith(anchor), "mm3 oracle SQL lost the mm12 anchor")
+    mm3.dropRight(anchor.length) +
+      """SELECT md5(ph) AS patch_md5,
+        |  CAST(length(ph) // 2 AS BIGINT) AS patch_len,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_patches
+        |FROM e GROUP BY md5(ph), length(ph)
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+  }
+
+  /** Derive the g4 oracle from g2's: keep the unrolled LPA chain and swap
+    * the final projection for the per-node boundary aggregate (distinct
+    * neighbor labels, external edge mass, bridge verdict). */
+  private def bridgeNodesOracle(g2: String): String = {
+    val anchor = "SELECT node, lab AS label FROM l3"
+    require(g2.contains(anchor), "g2 oracle SQL lost the g4 anchor")
+    g2.replace(anchor,
+      """SELECT ls.node, ls.lab AS label,
+        |  CAST(count(DISTINCT ld.lab) AS BIGINT) AS n_neighbor_labels,
+        |  CAST(SUM(e.w) AS BIGINT) AS w_total,
+        |  CAST(SUM(CASE WHEN ld.lab <> ls.lab THEN e.w ELSE 0 END)
+        |    AS BIGINT) AS w_external,
+        |  CAST(SUM(CASE WHEN ld.lab <> ls.lab THEN e.w ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(e.w) AS DOUBLE) AS external_frac,
+        |  count(DISTINCT ld.lab) >= 2 AS is_bridge
+        |FROM e JOIN l3 ls ON e.src = ls.node
+        |       JOIN l3 ld ON e.dst = ld.node
+        |GROUP BY ls.node, ls.lab""".stripMargin)
+  }
 
   /** Derive the mm10 oracle from mm7's: keep the byte→frame→energy chain
     * byte-identical and swap the per-frame projection for the per-media

@@ -193,6 +193,43 @@ object Graph {
     * is exact with no grid rounding. Edge mass counts the DOUBLED edge
     * table (each undirected edge once per direction) — consistent on
     * both sides of the ratio, so the ratio is the undirected one. */
+  /** Community bridge report (g4): per node, how many DISTINCT community
+    * labels its neighborhood spans, its total and external (cross-label)
+    * incident edge mass, and the bridge verdict (≥2 neighbor labels) —
+    * the boundary-detection readout next to g3's per-community stats: a
+    * bridge node is where communities touch (the account buying from two
+    * otherwise-separate supplier markets; on doc-link graphs, the hub
+    * page joining two topics), and curation treats its rows differently
+    * from community-interior ones (ambiguous domain, mixed context).
+    * Integer weights end to end except the single final division — the
+    * g2/g3 parity posture; one equi-join of labels to each edge endpoint
+    * and one per-src aggregate over the already-doubled edge table. */
+  def bridgeNodes(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
+    edges.persist()
+    try {
+      val lab = lpaLabels(edges, iters)
+      Caching.withPersisted(lab) {
+        edges
+          .join(lab.select(col("node").as("src"), col("lab").as("lab_s")),
+            "src")
+          .join(lab.select(col("node").as("dst"), col("lab").as("lab_d")),
+            "dst")
+          .groupBy(col("src").as("node"), col("lab_s").as("label"))
+          .agg(count_distinct(col("lab_d")).as("n_neighbor_labels"),
+            sum(col("w")).as("w_total"),
+            sum(when(col("lab_d") =!= col("lab_s"), col("w"))
+              .otherwise(0L)).as("w_external"))
+          .select(col("node"), col("label"), col("n_neighbor_labels"),
+            col("w_total"), col("w_external"),
+            (col("w_external").cast("double") /
+              col("w_total").cast("double")).as("external_frac"),
+            (col("n_neighbor_labels") >= 2).as("is_bridge"))
+      }
+    } finally edges.unpersist(false)
+  }
+
   def communityStats(lineitem: DataFrame, orders: DataFrame,
       iters: Int = 3): DataFrame = {
     val edges = Caching.materialize(custSuppEdges(lineitem, orders))

@@ -327,6 +327,49 @@ object Multimodal {
         (quietFrac >= blankFrac).as("is_blank"))
   }
 
+  /** Duplicate media patches (mm12): [[patchExtract]]'s tiles grouped by
+    * content hash — patches whose exact bytes recur in at least `minDocs`
+    * distinct documents, the sub-document dedup granularity of image
+    * pipelines (shared logos, watermarks, letterboxing bars recur across
+    * files whose full payloads differ; whole-file dedup never sees them).
+    * Returns (patch_md5, patch_len, n_docs, n_patches).
+    *
+    * 100 TB shape: the explode is mm3's bounded fanout; the aggregate is
+    * one map-side-combinable groupBy on the hash — the d33 boilerplate
+    * regime at patch granularity. */
+  def duplicatePatches(documents: DataFrame, patchBytes: Int = 32,
+      minDocs: Int = 2): DataFrame =
+    patchExtract(documents, patchBytes)
+      .groupBy(col("patch_md5"), col("patch_len"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_patches"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("patch_md5"), col("patch_len"), col("n_docs"),
+        col("n_patches"))
+
+  /** Per-format perceptual-duplicate rate (mm11): what fraction of each
+    * media format's items participate in at least one [[phashPairs]]
+    * near-dup pair — the modality-balance view of duplication (a feed
+    * that re-encodes its images shows up as a high jpeg dup rate while
+    * its audio stays clean; the mm8 mix table says how much of each
+    * format there IS, this says how much is redundant). */
+  def formatDupRate(documents: DataFrame, stride: Int = 4,
+      maxHamming: Int = 6): DataFrame = {
+    val fmt = element_at(typedlit(Seq("png", "jpeg", "wav", "mp4")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val dupDocs = phashPairs(documents, stride, maxHamming)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    documents.select(col("doc_id"), fmt.as("format"))
+      .join(dupDocs, Seq("doc_id"), "left_outer")
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_media"))
+      .select(col("format"), col("n_media"), col("n_dup_media"),
+        (col("n_dup_media").cast("double") / col("n_media")).as("dup_rate"))
+  }
+
   /** Media-mix governance report (mm8): per (source, format), item count
     * and payload byte mass — the modality-balance table a multimodal
     * training mix is planned from (the c13 health report's media sibling).
