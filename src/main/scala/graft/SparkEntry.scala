@@ -520,6 +520,12 @@ object SparkEntry {
     "s17_range_recall" -> ((s, d) =>
       Similarity.rangeRecall(T.embeddings(s, d), storedIvfIndex(s, d),
         minCos = 0.3)),
+    // s18: ADC-vs-exact quantization error over s13's candidate set.
+    "s18_adc_error" -> ((s, d) =>
+      Similarity.adcErrorStats(T.embeddings(s, d))),
+    // s19: per-query probed-cell candidate fanout (serving-cost gauge).
+    "s19_probe_fanout" -> ((s, d) =>
+      Similarity.probeFanout(T.embeddings(s, d))),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -614,7 +620,52 @@ object SparkEntry {
       duplicatePatchesOracle(oracleSqlBase("mm3_patch_extract"))) +
     // g4 is g2's unrolled label chain + the per-node boundary aggregate.
     ("g4_bridge_nodes" ->
-      bridgeNodesOracle(oracleSqlBase("g2_label_prop")))
+      bridgeNodesOracle(oracleSqlBase("g2_label_prop"))) +
+    // s18 is s13's chain through adc + the exact-grid error aggregate.
+    ("s18_adc_error" -> adcErrorOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // s19 is s13's coarse chain through ccand + the per-query count.
+    ("s19_probe_fanout" ->
+      probeFanoutOracle(oracleSqlBase("s13_ivf_adc")))
+
+  /** Derive the s18 oracle from s13's: keep every CTE through `adc`
+    * byte-identical, widen the top-30 candidate CTE to carry adc_d2,
+    * join both pair sides back to the subspace slices for the exact
+    * grid distance, and aggregate the per-query error stats. */
+  private def adcErrorOracle(s13: String): String = {
+    val anchor = "cand AS (SELECT query_id, neighbor_id FROM ("
+    val i = s13.indexOf(anchor)
+    require(i >= 0, "s13 oracle SQL lost the cand anchor for s18")
+    s13.substring(0, i) +
+      """cand AS (SELECT query_id, neighbor_id, adc_d2 FROM (
+        |  SELECT query_id, neighbor_id, adc_d2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_d2, neighbor_id) AS r
+        |  FROM adc) WHERE r <= 30),
+        |exd AS (SELECT cd.query_id, cd.neighbor_id, cd.adc_d2,
+        |  CAST(CAST(SUM(CAST(round(list_reduce(list_transform(range(1, 17),
+        |    i -> (q.sx[i] - c.sx[i]) * (q.sx[i] - c.sx[i])), (a, b) -> a + b)
+        |    * 1.0e9) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e9 AS exact_d2
+        |  FROM cand cd JOIN sub q ON q.vec_id = cd.query_id
+        |    JOIN sub c ON c.vec_id = cd.neighbor_id AND c.s = q.s
+        |  GROUP BY 1, 2, 3)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_cands,
+        |  CAST(SUM(CAST(round(abs(adc_d2 - exact_d2) * 1.0e9) AS BIGINT))
+        |    AS DOUBLE) / (count(*) * 1.0e9) AS mean_abs_err,
+        |  max(abs(adc_d2 - exact_d2)) AS max_abs_err
+        |FROM exd GROUP BY query_id""".stripMargin
+  }
+
+  /** Derive the s19 oracle from s13's: cut after the ccand CTE (the
+    * FIRST "GROUP BY 1, 2)" — the coarseRangeOracle anchor) and count
+    * candidates per query. */
+  private def probeFanoutOracle(s13: String): String = {
+    val anchor = "GROUP BY 1, 2)"
+    val i = s13.indexOf(anchor)
+    require(i >= 0, "s13 oracle SQL lost the ccand anchor for s19")
+    s13.substring(0, i + anchor.length) +
+      "\nSELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates" +
+      "\nFROM ccand GROUP BY query_id"
+  }
 
   /** Derive the mm11 oracle from mm6's: keep the signature/band/candidate
     * chain byte-identical, lift the verified pairs into a CTE, and swap

@@ -458,17 +458,39 @@ object Similarity {
       centroids: DataFrame, cells: DataFrame, codes: DataFrame,
       codebook: DataFrame, k: Int, probeK: Int,
       excludeSelf: Boolean): DataFrame = {
+    val adc = adcScores(queries, qsub, centroids, cells, codes, codebook,
+      excludeSelf)
+    val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
+      Seq(col("adc_d2"), col("neighbor_id")), probeK)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(vc, queries, cands, k)
+  }
+
+  /** Probed-cell candidates only (query_id, neighbor_id) — the coarse
+    * tier's output before any PQ scoring; shared by the search body
+    * (via [[adcScores]]) and the s19 fanout gauge. */
+  private def probedCandidates(queries: DataFrame, centroids: DataFrame,
+      cells: DataFrame, excludeSelf: Boolean): DataFrame = {
     val probes = bestCells(centroids)(queries, NProbe)
       .withColumnRenamed("vec_id", "query_id")
-    // both intermediates are queries-sized (q×probed-cells candidates,
-    // q×M×K table cells) and each feeds a multi-join stage: materialize
-    // so the ADC/re-rank task binaries carry a checkpoint scan, not the
-    // whole probe/codebook plan tree (the 2-6 MiB task-binary fix)
-    val cellCand = Caching.materialize(probes.join(cells, "cent_id")
+    // queries-sized and feeding multi-join stages: materialized so the
+    // ADC/re-rank task binaries carry a checkpoint scan, not the whole
+    // probe/codebook plan tree (the 2-6 MiB task-binary fix)
+    Caching.materialize(probes.join(cells, "cent_id")
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id")
               else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct())
+  }
+
+  /** The ADC scoring stage (query_id, neighbor_id, adc_d2) — the ONE
+    * copy shared by [[ivfAdcSearch]] and the s18 quantization-error
+    * gauge, so the gauge measures exactly the distances the search
+    * ranks by. */
+  private def adcScores(queries: DataFrame, qsub: DataFrame,
+      centroids: DataFrame, cells: DataFrame, codes: DataFrame,
+      codebook: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val cellCand = probedCandidates(queries, centroids, cells, excludeSelf)
     val lut = Caching.materialize(qsub
       .select(col("vec_id").as("query_id"), col("s"),
         col("sx").as("qsx"))
@@ -476,16 +498,75 @@ object Similarity {
       .select(col("query_id"), col("s"), col("code"),
         round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
           .cast("long").as("g2")))
-    val adc = cellCand
+    cellCand
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id")
       .join(broadcast(lut), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg((sum(col("g2")).cast("double") / lit(1.0e9)).as("adc_d2"))
-    val cands = graft.plans.TopK.perKey(adc, Seq(col("query_id")),
-      Seq(col("adc_d2"), col("neighbor_id")), probeK)
-      .select(col("query_id"), col("neighbor_id"))
-    rerankExact(vc, queries, cands, k)
+  }
+
+  /** ADC quantization-error gauge (s18): for each query's top-`probeK`
+    * ADC candidates (exactly the set s13 re-ranks), compare the ADC
+    * approximate distance against the EXACT subspace-grid squared L2 and
+    * report per-query error stats — the number an embedding store
+    * watches when sizing the PQ codebook (error creeping up means the
+    * codebook no longer fits the data and re-rank depth must grow to
+    * hold recall). Both distances live on the shared 1e-9 grid, so the
+    * error is engine-exact; the mean accumulates grid longs (order-free).
+    * Returns (query_id, n_cands, mean_abs_err, max_abs_err). */
+  def adcErrorStats(embeddings: DataFrame, probeK: Int = 30,
+      subspaces: Int = 4, subDim: Int = 16): DataFrame = {
+    val vc = vecs(embeddings)
+    val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
+    Caching.withPersisted(vc, sub) {
+      val cent = Caching.materialize(kmeansCentroids(vc))
+      val cells = Caching.materialize(bestCells(cent)(vc, 1))
+      val codebook = Caching.materialize(VectorOps.pqCodebook(sub))
+      val codes = Caching.materialize(VectorOps.pqNearest(sub, codebook)
+        .select(col("vec_id"), col("s"), col("code")))
+      val adc = adcScores(defaultQueries(vc), defaultQueries(sub),
+        cent, cells, codes, codebook, excludeSelf = true)
+      val cands = Caching.materialize(
+        graft.plans.TopK.perKey(adc, Seq(col("query_id")),
+          Seq(col("adc_d2"), col("neighbor_id")), probeK))
+      // exact distance over the SAME subspace grid the LUT uses: per
+      // (pair, subspace) round(d2·1e9) longs, summed exactly
+      val exact = broadcast(cands)
+        .join(sub.select(col("vec_id").as("query_id"), col("s"),
+          col("sx").as("qsx")), Seq("query_id"))
+        .join(sub.select(col("vec_id").as("neighbor_id"), col("s"),
+          col("sx").as("nsx")), Seq("neighbor_id", "s"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("adc_d2"))
+        .agg((sum(round(VectorOps.pqD2(col("qsx"), col("nsx")) *
+          lit(1.0e9), 0).cast("long")).cast("double") / lit(1.0e9))
+          .as("exact_d2"))
+      val err = round(abs(col("adc_d2") - col("exact_d2")) * lit(1.0e9), 0)
+        .cast("long")
+      exact.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_cands"),
+          (sum(err).cast("double") /
+            (count(lit(1)) * lit(1.0e9))).as("mean_abs_err"),
+          max(abs(col("adc_d2") - col("exact_d2"))).as("max_abs_err"))
+    }
+  }
+
+  /** IVF probe-fanout gauge (s19): per query, how many candidates its
+    * probed cells contribute to the ADC stage — the serving-cost
+    * telemetry an IVF deployment watches when retuning NProbe/cell count
+    * (fanout IS the per-query work; a fat tail here means skewed cells
+    * and a slow tail latency). Same coarse chain as s13 up to the
+    * candidate set, then one count per query. */
+  def probeFanout(embeddings: DataFrame): DataFrame = {
+    val vc = vecs(embeddings)
+    Caching.withPersisted(vc) {
+      val cent = Caching.materialize(kmeansCentroids(vc))
+      val cells = Caching.materialize(bestCells(cent)(vc, 1))
+      probedCandidates(defaultQueries(vc), cent, cells,
+        excludeSelf = true)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_candidates"))
+    }
   }
 
   /** The four stored tables of a materialized IVF-ADC index — each one a
