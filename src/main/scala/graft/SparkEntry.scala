@@ -464,6 +464,9 @@ object SparkEntry {
       graft.operators.VectorOps.kmeansStep(T.embeddings(s, d))),
     "e12_centroid_outliers" -> ((s, d) =>
       graft.operators.VectorOps.centroidOutliers(T.embeddings(s, d))),
+    // e17: every embedding projected onto e13's top-2 directions.
+    "e17_pc_project" -> ((s, d) =>
+      graft.operators.VectorOps.pcProject(T.embeddings(s, d))),
     "e13_top2_power" -> ((s, d) =>
       graft.operators.VectorOps.top2PowerIteration(T.embeddings(s, d))),
     "e14_cluster_quality" -> ((s, d) =>
@@ -625,7 +628,31 @@ object SparkEntry {
     ("s18_adc_error" -> adcErrorOracle(oracleSqlBase("s13_ivf_adc"))) +
     // s19 is s13's coarse chain through ccand + the per-query count.
     ("s19_probe_fanout" ->
-      probeFanoutOracle(oracleSqlBase("s13_ivf_adc")))
+      probeFanoutOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // e17 is e13's recursive power-iteration chain + the per-vector
+    // in-order projection onto both final iterates.
+    ("e17_pc_project" -> pcProjectOracle(oracleSqlBase("e13_top2_power")))
+
+  /** Derive the e17 oracle from e13's: keep the recursive chain and swap
+    * the loading dump for the per-vector projection onto the two final
+    * iterates (lists re-assembled in dim order; in-order dot — the e10
+    * parity shape). */
+  private def pcProjectOracle(e13: String): String = {
+    val anchor = "SELECT 1 AS component, CAST(d AS INT) AS dim, vv AS loading,\n" +
+      "  lam AS eigenvalue FROM pw WHERE it = 24\n" +
+      "UNION ALL\n" +
+      "SELECT 2, CAST(d AS INT), vv, lam FROM pw2 WHERE it = 24"
+    require(e13.endsWith(anchor), "e13 oracle SQL lost the e17 anchor")
+    e13.dropRight(anchor.length) +
+      """SELECT vec_id,
+        |  list_reduce(list_transform(range(1,65), i -> x[i] * v1[i]),
+        |    (a,b) -> a + b) AS pc1_score,
+        |  list_reduce(list_transform(range(1,65), i -> x[i] * v2[i]),
+        |    (a,b) -> a + b) AS pc2_score
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
+        |CROSS JOIN (SELECT list(vv ORDER BY d) AS v1 FROM pw WHERE it = 24)
+        |CROSS JOIN (SELECT list(vv ORDER BY d) AS v2 FROM pw2 WHERE it = 24)""".stripMargin
+  }
 
   /** Derive the s18 oracle from s13's: keep every CTE through `adc`
     * byte-identical, widen the top-30 candidate CTE to carry adc_d2,

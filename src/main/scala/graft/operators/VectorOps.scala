@@ -444,6 +444,28 @@ object VectorOps {
     rows.toSeq.toDF("component", "dim", "loading", "eigenvalue")
   }
 
+  /** Principal-component projection (e17): every embedding's coordinates
+    * on the top-2 grid-stabilized principal directions from
+    * [[top2PowerIteration]] — the 2-D embedding map a corpus QA review
+    * plots (cluster structure, outlier shelves, source separation), and
+    * the cheap stratification key for embedding-aware sampling. The two
+    * loadings collapse to 64-double literals folded into the plan, so
+    * the projection is a pure per-row in-order dot — no shuffle, scan
+    * speed at any corpus size (the e10 shape, twice). */
+  def pcProject(embeddings: DataFrame, iters: Int = 24, dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val comps = top2PowerIteration(embeddings, iters, dim, vecCol)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val v1 = typedlit((0 until dim).map(d => comps((1, d))))
+    val v2 = typedlit((0 until dim).map(d => comps((2, d))))
+    embeddings
+      .select(col("vec_id"), asDouble(col(vecCol)).as("x"))
+      .select(col("vec_id"),
+        dot(col("x"), v1).as("pc1_score"),
+        dot(col("x"), v2).as("pc2_score"))
+  }
+
   /** All-but-the-top postprocessing (e10): subtract each embedding's
     * projection onto the dominant direction — x′ = x − (v·x)·v with v from
     * [[pc1PowerIteration]] — the Mu & Viswanath ("All-but-the-Top", 2018)
