@@ -336,6 +336,16 @@ object SparkEntry {
       Dedup.boilerplateLines(T.documents(s, d))),
     "d34_boilerplate_apply" -> ((s, d) =>
       Dedup.boilerplateApply(T.documents(s, d))),
+    // d35: MinHash estimate vs exact Jaccard over d2's candidate set.
+    "d35_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(T.documents(s, d))),
+    // c26: c6's contamination verdicts rolled up per source.
+    "c26_contamination_report" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     // snapshot split by vec_id parity: even = accepted, odd = incoming
     "e15_centroid_drift" -> ((s, d) => {
       val e = T.embeddings(s, d)
@@ -631,7 +641,62 @@ object SparkEntry {
       probeFanoutOracle(oracleSqlBase("s13_ivf_adc"))) +
     // e17 is e13's recursive power-iteration chain + the per-vector
     // in-order projection onto both final iterates.
-    ("e17_pc_project" -> pcProjectOracle(oracleSqlBase("e13_top2_power")))
+    ("e17_pc_project" -> pcProjectOracle(oracleSqlBase("e13_top2_power"))) +
+    // d35 is d2's signature/band/candidate chain + the estimator-vs-exact
+    // comparison (no jaccard threshold).
+    ("d35_minhash_calibration" ->
+      minhashCalibrationOracle(oracleSqlBase("d2_minhash_lsh"))) +
+    // c26 is c6's overlap chain + the per-source rollup.
+    ("c26_contamination_report" ->
+      contaminationReportOracle(oracleSqlBase("c6_decontaminate")))
+
+  /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
+    * candidate CTEs byte-identical, drop the jaccard threshold, and set
+    * the estimate (matching components / 12) next to the exact value. */
+  private def minhashCalibrationOracle(d2: String): String = {
+    val anchor = "jac AS (SELECT doc_a, doc_b,\n" +
+      "  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)\n" +
+      "    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard\n" +
+      "  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)\n" +
+      "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7"
+    require(d2.endsWith(anchor), "d2 oracle SQL lost the d35 anchor")
+    d2.dropRight(anchor.length) +
+      """jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b),
+        |est AS (SELECT c.doc_a, c.doc_b,
+        |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 12
+        |    AS est_jaccard
+        |  FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+        |    JOIN mh b ON b.doc_id = c.doc_b AND b.k = a.k
+        |  GROUP BY 1, 2)
+        |SELECT j.doc_a, j.doc_b, e.est_jaccard,
+        |  j.jaccard AS exact_jaccard,
+        |  abs(e.est_jaccard - j.jaccard) AS abs_err
+        |FROM jac j JOIN est e
+        |  ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b""".stripMargin
+  }
+
+  /** Derive the c26 oracle from c6's: keep the shingle-overlap chain and
+    * swap the per-doc verdict projection for the per-source rollup. */
+  private def contaminationReportOracle(c6: String): String = {
+    val anchor = "SELECT d.doc_id, d.source,\n" +
+      "  COALESCE(ov.shared, 0) AS n_shared,\n" +
+      "  COALESCE(ov.shared, 0) >= 3 AS contaminated\n" +
+      "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id\n" +
+      "WHERE d.doc_id % 97 <> 0"
+    require(c6.endsWith(anchor), "c6 oracle SQL lost the c26 anchor")
+    c6.dropRight(anchor.length) +
+      """SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN COALESCE(ov.shared, 0) >= 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN COALESCE(ov.shared, 0) >= 3 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS contamination_rate
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.source""".stripMargin
+  }
 
   /** Derive the e17 oracle from e13's: keep the recursive chain and swap
     * the loading dump for the per-vector projection onto the two final

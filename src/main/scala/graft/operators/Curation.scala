@@ -230,10 +230,29 @@ object Curation {
     * broadcast threshold, impossible when the held-out set is itself
     * corpus-sized (e.g. decontaminating one crawl snapshot against
     * another). Here only a ~MB Bloom sketch of the shingle fingerprints
-    * ships with the task binary; corpus shingles are pruned at scan
+    * ships — as a broadcast variable ([[graft.functions.BloomProbeBc]]),
+    * once per executor, not per task binary; corpus shingles are pruned at scan
     * parallelism BEFORE any shuffle, and the exact equi-join over the few
     * survivors removes the false positives — results are identical to c6
     * (the oracle is the same plain-join SQL). */
+  /** Per-source contamination report (c26): [[decontaminate]]'s per-doc
+    * verdicts rolled up to the governance table a release review reads —
+    * doc count, contaminated count, and the rate per source. The number
+    * that says WHICH feed is leaking the eval set (one scraped mirror of
+    * a benchmark site shows up as a single hot source, not a uniform
+    * haze), and therefore where the ingest fix goes. Aggregation is free
+    * on top of the c6 pass. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int = 3): DataFrame =
+    decontaminate(corpus, benchmark, minShared)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_docs"))
+          .as("contamination_rate"))
+
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       minShared: Int = 3): DataFrame = {
     val bsh = benchmark

@@ -163,21 +163,67 @@ object Dedup {
     * them BEFORE any shuffle, where a QUALIFY-style window count would
     * funnel a 100 TB boilerplate key's rows through one window task. */
   private def lshPairs(sh: DataFrame, threshold: Double,
-      maxBandDocs: Int): DataFrame = {
+      maxBandDocs: Int): DataFrame =
+    shingleJaccard(lshCandidates(sh, maxBandDocs), sh)
+      .filter(col("jaccard") >= threshold)
+
+  /** The band-bucket candidate join of a [[shinglesWithBases]] frame —
+    * (doc_a, doc_b), capped and distinct; shared by [[lshPairs]] and the
+    * d35 calibration gauge so both see the identical candidate set. */
+  private def lshCandidates(sh: DataFrame, maxBandDocs: Int): DataFrame = {
     val bands = capHotKeys(bandTable(sh), Seq("band", "bkey"), maxBandDocs)
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val jac = cand
+  }
+
+  /** Exact word-shingle Jaccard for a candidate pair frame. */
+  private def shingleJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
           size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
-    jac.filter(col("jaccard") >= threshold)
+
+  /** MinHash estimator calibration (d35): for every LSH candidate pair
+    * (NO jaccard threshold — the sub-threshold pairs are exactly where
+    * the estimator earns its keep), the MinHash-estimated Jaccard
+    * (matching signature components / K) next to the exact word-shingle
+    * Jaccard and their absolute gap — the detector-QA gauge that says
+    * whether K=12 components still calibrate on this corpus or the d23/
+    * d25 operating points need retuning. Same candidate generation and
+    * signature kernel as d2 (shared helpers), so the gauge measures the
+    * production detector, not a replica. */
+  def minhashCalibration(documents: DataFrame,
+      maxBandDocs: Int = MaxBandDocs): DataFrame = {
+    val sh = shinglesWithBases(documents)
+    Caching.withPersisted(sh) {
+      val cand = lshCandidates(sh, maxBandDocs)
+      val siged = sh.select(col("doc_id"),
+        org.apache.spark.sql.graftinternal.Bridge.column(
+          graft.functions.MinHashSig(
+            org.apache.spark.sql.graftinternal.Bridge.expression(col("bases")),
+            HashA, HashB, HashP)).as("mhs"))
+      val est = cand
+        .join(siged.select(col("doc_id").as("doc_a"), col("mhs").as("ma")),
+          "doc_a")
+        .join(siged.select(col("doc_id").as("doc_b"), col("mhs").as("mb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("ma"), col("mb"),
+            (a, b) => a === b), m => m)).cast("double") /
+            lit(MinHashK)).as("est_jaccard"))
+      est.join(shingleJaccard(cand, sh)
+          .withColumnRenamed("jaccard", "exact_jaccard"),
+          Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          col("exact_jaccard"),
+          abs(col("est_jaccard") - col("exact_jaccard")).as("abs_err"))
+    }
   }
 
   /** Near-dup cluster decisions (d7): connected components over the
