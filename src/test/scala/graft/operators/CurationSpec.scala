@@ -136,6 +136,24 @@ class CurationSpec extends SparkSpec {
       asMap(Curation.decontaminate(corpus, bench, minShared = 3)))
   }
 
+  test("contaminationReport attributes the leak to the right source") {
+    // source "a" carries the contaminated doc (3 shared shingles) plus a
+    // clean one; source "b" is entirely clean — the report must say WHICH
+    // feed leaks, not just that something does
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon", "en", "a"),
+      (2L, "alpha beta gamma nothing else here", "en", "a"),
+      (3L, "completely different words entirely now", "en", "b"),
+      (4L, "other clean material lives here too", "en", "b"))
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta", "en", "x"))
+    val out = Curation.contaminationReport(corpus, bench, minShared = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((2L, 1L, 0.5)), s"$out")
+    assert(out("b") == ((2L, 0L, 0.0)), s"$out")
+    assert(out.size == 2)
+  }
+
   test("shuffleShard is a deterministic permutation; the writer round-trips it") {
     val d = docs((0L to 49L).map(i => (i, s"doc $i text", "en", "a")): _*)
     val assign = Curation.shuffleShard(d, shards = 4).collect()

@@ -724,4 +724,70 @@ class DedupSpec extends SparkSpec {
     assert(out9.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.9),
       s"the pair at exactly the threshold must be kept: $out9")
   }
+
+  test("boilerplateLines finds lines recurring across distinct documents") {
+    val d = docs(
+      1L -> "cookie banner alpha beta",
+      2L -> "cookie banner gamma delta",
+      3L -> "unique words only here")
+    val out = Dedup.boilerplateLines(d, lineLen = 2, minDocs = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // only the shared 2-word "line" survives the minDocs gate; the
+    // in-document prose windows are all singletons
+    assert(out.toSeq == Seq("cookie banner" -> ((2L, 2L))), s"$out")
+  }
+
+  test("boilerplateLines counts occurrences separately from documents") {
+    // the same line twice INSIDE one doc is one n_docs but two occurrences
+    val d = docs(
+      1L -> "cookie banner cookie banner",
+      2L -> "cookie banner other words")
+    val out = Dedup.boilerplateLines(d, lineLen = 2, minDocs = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("cookie banner") == ((2L, 3L)), s"$out")
+  }
+
+  test("boilerplateApply drops the shared lines, keeps prose in order") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      1L -> "cookie banner alpha beta",
+      2L -> "cookie banner gamma delta",
+      3L -> "unique words only here")
+    val out = Dedup.boilerplateApply(d, lineLen = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5, md5hex("alpha beta"))), s"$out")
+    assert(out(2L) == ((2L, 1L, 0.5, md5hex("gamma delta"))), s"$out")
+    assert(out(3L) ==
+      ((2L, 0L, 1.0, md5hex("unique words | only here"))), s"$out")
+  }
+
+  test("minhashCalibration reports estimator-vs-exact gap per candidate") {
+    val nearDup = base.replace("window", "windowpane")
+    val distinct = base.split(" ").reverse.mkString(" ")
+    val rows = Dedup.minhashCalibration(docs(
+      1L -> base, 2L -> base, 3L -> nearDup, 4L -> distinct))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // identical docs: every signature component matches AND every word
+    // shingle is shared — estimator and exact agree at 1 with zero gap
+    assert(rows((1L, 2L)) == ((1.0, 1.0, 0.0)), s"$rows")
+    // every row is internally consistent: est is a multiple of 1/K on
+    // [0,1], exact is a true Jaccard, and the gap is their |difference|
+    rows.values.foreach { case (est, exact, err) =>
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      val scaled = est * Dedup.MinHashK
+      assert(math.abs(scaled - math.round(scaled)) < 1e-9,
+        s"estimate must be (matching components)/K: $est")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-12)
+    }
+    // the near-dup candidate is present: calibration covers the
+    // sub-threshold region where the estimator's error matters
+    assert(rows.keySet.exists(p => p._2 == 3L || p._1 == 3L), s"$rows")
+  }
 }

@@ -96,6 +96,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bridgeNodes flags the customer straddling two communities") {
+    // two purchase stars, plus customer 30 buying once from EACH
+    // supplier — the one node whose neighborhood spans both communities
+    val li = Seq((100L, 1L), (101L, 1L), (200L, 2L), (201L, 2L),
+      (300L, 1L), (301L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (200L, 20L), (201L, 21L),
+      (300L, 30L), (301L, 30L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.bridgeNodes(li, ord).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    // c:30 sees both labels: 2 incident unit edges, one external
+    assert(out("c:30") == ((2L, 2L, 1L, 0.5, true)), s"$out")
+    // interior customers see exactly their own community
+    assert(out("c:10") == ((1L, 1L, 0L, 0.0, false)), s"$out")
+    assert(out("c:20") == ((1L, 1L, 0L, 0.0, false)), s"$out")
+    // the supplier c:30 did NOT side with sees one external edge (c:30's)
+    val bridgeSuppliers = Seq("s:1", "s:2").filter(s => out(s)._5)
+    assert(bridgeSuppliers.size == 1, s"$out")
+    val (nl, wt, wx, frac, _) = out(bridgeSuppliers.head)
+    assert(nl == 2L && wt == 3L && wx == 1L &&
+      math.abs(frac - 1.0 / 3.0) < 1e-15, s"$out")
+    // every node of the graph is reported
+    assert(out.keySet ==
+      Set("c:10", "c:11", "c:20", "c:21", "c:30", "s:1", "s:2"))
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =

@@ -193,4 +193,58 @@ class MultimodalSpec extends SparkSpec {
       math.sqrt((6L * s * s).toDouble / 6)))
     assert(!out.keySet.exists(_._1 == 2L), "empty payload emits no frames")
   }
+
+  test("duplicatePatches finds the exact tile shared across documents") {
+    import spark.implicits._
+    // docs 1 and 2 share the first 32-byte tile; their second tiles
+    // differ, and doc 3 shares nothing — only the shared tile reaches
+    // the minDocs gate (whole-file dedup would see three distinct files)
+    val docs = Seq(
+      (1L, ("a" * 32) + ("b" * 32)),
+      (2L, ("a" * 32) + ("c" * 32)),
+      (3L, "d" * 64))
+      .toDF("doc_id", "text")
+    val out = Multimodal.duplicatePatches(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // patch hash runs over the hex-pair string form (mm3's cross-engine
+    // byte representation): 'a' = 0x61 → "61" * 32
+    val sharedMd5 = md5hex(("61" * 32).getBytes("UTF-8"))
+    assert(out.toSeq == Seq((sharedMd5, 32L, 2L, 2L)), s"${out.toSeq}")
+  }
+
+  test("duplicatePatches counts within-doc repeats once per doc") {
+    import spark.implicits._
+    // the tile repeats twice inside doc 1 and once in doc 2:
+    // n_docs = 2 (distinct), n_patches = 3 (occurrences)
+    val docs = Seq(
+      (1L, ("a" * 32) + ("a" * 32)),
+      (2L, ("a" * 32) + ("z" * 32)))
+      .toDF("doc_id", "text")
+    val out = Multimodal.duplicatePatches(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 3L)), s"${out.toSeq}")
+  }
+
+  test("formatDupRate: near-dup membership rolled up per media format") {
+    import spark.implicits._
+    // the phashPairs fixture: docs 1/2 identical payloads → the one
+    // near-dup pair; doc 3 distinct; doc 4 too short to hash at all.
+    // formats are the deterministic doc_id%4 catalog tags
+    val base = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val other = (0 until 300).map(i => ('a' + (i * 11 + 5) % 26).toChar)
+      .mkString
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, other), (4L, base.take(100)))
+      .toDF("doc_id", "text")
+    val out = Multimodal.formatDupRate(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1 → jpeg, doc 2 → wav (both in the dup pair); doc 3 → mp4,
+    // doc 4 → png (clean) — each format has exactly one item here
+    assert(out("jpeg") == ((1L, 1L, 1.0)), s"$out")
+    assert(out("wav") == ((1L, 1L, 1.0)), s"$out")
+    assert(out("mp4") == ((1L, 0L, 0.0)), s"$out")
+    assert(out("png") == ((1L, 0L, 0.0)), s"$out")
+  }
 }

@@ -527,4 +527,52 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfAdcVsIndex(data, idx, k = 5)
       .filter(col("query_id") === col("neighbor_id")).count() == 0L)
   }
+
+  test("probeFanout counts each query's probed-cell candidate set") {
+    import org.apache.spark.sql.functions._
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.probeFanout(data).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = data.count()
+    val queries = data.filter(col("vec_id") % 100 === 0).count()
+    // every query reports, fanout is a real subset: at least one
+    // candidate (its own cell minus itself), never the whole corpus
+    assert(out.size == queries, s"${out.size} of $queries queries")
+    assert(out.values.forall(c => c >= 1L && c < n), s"$out")
+    assert(out.values.sum < queries * n,
+      "probe fanout must restrict candidates below brute force")
+    // deterministic under repartitioning — telemetry cannot drift with
+    // the physical layout
+    val alt = Similarity.probeFanout(data.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == out)
+  }
+
+  test("adcErrorStats: per-query gauge is bounded and self-consistent") {
+    import org.apache.spark.sql.functions._
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probeK = 30
+    val rows = Similarity.adcErrorStats(data, probeK = probeK).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val queries = data.filter(col("vec_id") % 100 === 0).count()
+    assert(rows.size == queries, s"${rows.size} of $queries queries")
+    rows.values.foreach { case (nCands, meanErr, maxErr) =>
+      assert(nCands >= 1L && nCands <= probeK.toLong, s"n_cands $nCands")
+      assert(meanErr >= 0.0 && maxErr >= 0.0)
+      // the mean of |err| can never exceed the max (shared 1e-9 grid
+      // keeps both exact, so no float-slop tolerance is needed)
+      assert(meanErr <= maxErr + 1e-12, s"mean $meanErr > max $maxErr")
+      assert(!meanErr.isNaN && !maxErr.isNaN && !maxErr.isInfinite)
+    }
+    // determinism: the gauge is a pure function of the corpus
+    val again = Similarity.adcErrorStats(data, probeK = probeK).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(again == rows)
+  }
 }

@@ -233,6 +233,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.size == 2 * 64)
   }
 
+  test("pcProject: per-vector coordinates on the two planted directions") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // the top2PowerIteration fixture: PC1 = dim-0 axis, PC2 = dim-1 axis
+    val embs = ((0L until 10L).map(i => (i, vec(0 -> 4f))) ++
+      (10L until 15L).map(i => (i, vec(1 -> 2f))))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.pcProject(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.size == 15)
+    // dim-0 vectors land at |pc1| ≈ 4 with ~no pc2 coordinate; dim-1
+    // vectors at |pc2| ≈ 2 with ~no pc1 — the 2-D map separates the
+    // two populations on orthogonal axes
+    (0L until 10L).foreach { i =>
+      assert(math.abs(math.abs(out(i)._1) - 4.0) < 1e-6, s"${out(i)}")
+      assert(math.abs(out(i)._2) < 1e-6, s"${out(i)}")
+    }
+    (10L until 15L).foreach { i =>
+      assert(math.abs(out(i)._1) < 1e-6, s"${out(i)}")
+      assert(math.abs(math.abs(out(i)._2) - 2.0) < 1e-6, s"${out(i)}")
+    }
+    // within a population every projection is IDENTICAL (same input row),
+    // so the map is usable as a stratification key
+    assert((0L until 10L).map(out).toSet.size == 1)
+    assert((10L until 15L).map(out).toSet.size == 1)
+  }
+
   test("centroidOutliers ranks members by distance from their label centroid") {
     import spark.implicits._
     def vec(parts: (Int, Float)*): Array[Float] = {
