@@ -626,7 +626,11 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(LlmText.words(col("text"))).cast("long")).as("tokens"))
       .withColumn("cap", col("tokens") * maxEpochs)
-    val byCap = Window.orderBy(col("cap").asc, col("lang").asc)
+    // constant partition key: the frame is the per-language summary
+    // (#langs rows at any corpus size), so single-partition is the
+    // intended shape — declaring it spares WindowExec's scale warning
+    val byCap = Window.partitionBy(lit(0))
+      .orderBy(col("cap").asc, col("lang").asc)
     val ranked = perLang
       .withColumn("i", row_number().over(byCap))
       .withColumn("pre",

@@ -851,11 +851,15 @@ object LlmText {
       val total = counts.agg(sum(col("cnt")).as("total"))
       val W = org.apache.spark.sql.expressions.Window
       val order = Seq(col("cnt").desc, col("tok").asc)
-      val w = W.orderBy(order: _*).rowsBetween(W.unboundedPreceding, 0)
+      // constant partition key: the windows run over the k-row Zipf head
+      // (TakeOrdered output), single-partition by design
+      val w = W.partitionBy(lit(0)).orderBy(order: _*)
+        .rowsBetween(W.unboundedPreceding, 0)
       counts.orderBy(order: _*).limit(k)
         .crossJoin(broadcast(total))
         .select(
-          row_number().over(W.orderBy(order: _*)).as("rank"),
+          row_number().over(W.partitionBy(lit(0)).orderBy(order: _*))
+            .as("rank"),
           col("tok"), col("cnt"),
           sum(col("cnt")).over(w).as("cum_cnt"),
           (sum(col("cnt")).over(w).cast("double") / col("total"))
@@ -1299,7 +1303,9 @@ object LlmText {
         .groupBy(floor(col("first_doc") / bucketDocs).as("bucket"))
         .agg(count(lit(1)).as("n_new_types"))
       val W = org.apache.spark.sql.expressions.Window
-      val run = W.orderBy(col("bucket"))
+      // constant partition key: the running sum covers the per-bucket
+      // summary (corpus_docs / bucketDocs rows), single-partition by design
+      val run = W.partitionBy(lit(0)).orderBy(col("bucket"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
       tokMass.join(newTypes, Seq("bucket"), "full_outer")
         .select(col("bucket"),

@@ -915,7 +915,9 @@ object Relational {
         .as("month"))
       .agg(dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
-    val byMonth = Window.orderBy(col("month"))
+    // constant partition key: the frame is the monthly summary (tens of
+    // rows at any corpus size) — single-partition by design
+    val byMonth = Window.partitionBy(lit(0)).orderBy(col("month"))
     monthly
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(byMonth))
       .withColumn("growth",
