@@ -202,6 +202,12 @@ object SparkEntry {
     "x33_quality_quantiles" -> ((s, d) =>
       LlmText.qualityQuantiles(T.documents(s, d))),
     "x34_readability" -> ((s, d) => LlmText.readability(T.documents(s, d))),
+    // x35: per-source char-class + encoding-sanity (control/U+FFFD) profile
+    "x35_charclass_profile" -> ((s, d) =>
+      LlmText.charClassProfile(T.documents(s, d))),
+    // x36: corpus token mass covered by the top-N vocabulary
+    "x36_vocab_coverage" -> ((s, d) =>
+      LlmText.vocabCoverage(T.documents(s, d))),
     "x32_code_switch" -> ((s, d) => LlmText.codeSwitch(T.documents(s, d))),
     "x31_vocab_growth" -> ((s, d) =>
       LlmText.vocabGrowth(T.documents(s, d))),
@@ -339,6 +345,9 @@ object SparkEntry {
     // d35: MinHash estimate vs exact Jaccard over d2's candidate set.
     "d35_minhash_calibration" -> ((s, d) =>
       Dedup.minhashCalibration(T.documents(s, d))),
+    // d36: bottom-k (KMV) distinct-shingle estimate vs exact, per source.
+    "d36_cardinality_sketch" -> ((s, d) =>
+      Dedup.cardinalitySketch(T.documents(s, d))),
     // c26: c6's contamination verdicts rolled up per source.
     "c26_contamination_report" -> ((s, d) => {
       val docs = T.documents(s, d)
@@ -379,6 +388,9 @@ object SparkEntry {
       Graph.labelPropagation(T.lineitem(s, d), T.orders(s, d))),
     "g3_community_stats" -> ((s, d) =>
       Graph.communityStats(T.lineitem(s, d), T.orders(s, d))),
+    // g5: one-mode supplier projection of the purchase graph, hub-capped.
+    "g5_copurchase" -> ((s, d) =>
+      Graph.coPurchasePairs(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -539,6 +551,9 @@ object SparkEntry {
     // s19: per-query probed-cell candidate fanout (serving-cost gauge).
     "s19_probe_fanout" -> ((s, d) =>
       Similarity.probeFanout(T.embeddings(s, d))),
+    // s20: coarse-quantizer cell-balance summary (imbalance factor).
+    "s20_cell_balance" -> ((s, d) =>
+      Similarity.cellBalance(T.embeddings(s, d))),
     "s9_ann_recall" -> ((s, d) => Similarity.annRecall(T.embeddings(s, d))),
     "s10_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(T.embeddings(s, d))),
@@ -639,6 +654,9 @@ object SparkEntry {
     // s19 is s13's coarse chain through ccand + the per-query count.
     ("s19_probe_fanout" ->
       probeFanoutOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // s20 is s13's chain through asg + the cell-population summary.
+    ("s20_cell_balance" ->
+      cellBalanceOracle(oracleSqlBase("s13_ivf_adc"))) +
     // e17 is e13's recursive power-iteration chain + the per-vector
     // in-order projection onto both final iterates.
     ("e17_pc_project" -> pcProjectOracle(oracleSqlBase("e13_top2_power"))) +
@@ -745,6 +763,28 @@ object SparkEntry {
         |    AS DOUBLE) / (count(*) * 1.0e9) AS mean_abs_err,
         |  max(abs(adc_d2 - exact_d2)) AS max_abs_err
         |FROM exd GROUP BY query_id""".stripMargin
+  }
+
+  /** Derive the s20 oracle from s13's: cut after the full-corpus `asg`
+    * CTE (the probes anchor) and aggregate per-cell populations into the
+    * one-row balance summary. Every aggregate is an exact integer; only
+    * the final mean and imbalance divide, in the same left-assoc IEEE
+    * expression tree on both engines. */
+  private def cellBalanceOracle(s13: String): String = {
+    val anchor = "probes AS (SELECT vec_id AS query_id"
+    val i = s13.indexOf(anchor)
+    require(i >= 0, "s13 oracle SQL lost the asg anchor for s20")
+    s13.substring(0, i) +
+      """cells AS (SELECT cent_id, count(*) AS n FROM asg GROUP BY cent_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(n) AS BIGINT) AS n_vecs,
+        |  CAST(min(n) AS BIGINT) AS min_cell,
+        |  CAST(max(n) AS BIGINT) AS max_cell,
+        |  CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS mean_cell,
+        |  CAST(count(*) AS DOUBLE) * CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) AS DOUBLE)
+        |    AS imbalance
+        |FROM cells""".stripMargin
   }
 
   /** Derive the s19 oracle from s13's: cut after the ccand CTE (the
@@ -1569,6 +1609,54 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
     // x34: Flesch reading ease — pure IEEE ±·/ in the same left-assoc
     // expression tree on both engines; decimal literals cast to DOUBLE
     // (DuckDB parses bare 206.835 as DECIMAL).
+    "x35_charclass_profile" ->
+      """WITH p AS (SELECT source,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+        |    AS BIGINT) AS lo,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |    AS BIGINT) AS up,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS di,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+        |    AS BIGINT) AS sp,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x1f]', '', 'g'))
+        |    AS BIGINT) AS ctl,
+        |  CAST(length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+        |    AS BIGINT) AS rep
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_chars,
+        |  CAST(sum(lo) AS BIGINT) AS n_lower,
+        |  CAST(sum(up) AS BIGINT) AS n_upper,
+        |  CAST(sum(di) AS BIGINT) AS n_digit,
+        |  CAST(sum(sp) AS BIGINT) AS n_space,
+        |  CAST(sum(ctl) AS BIGINT) AS n_control,
+        |  CAST(sum(rep) AS BIGINT) AS n_replacement,
+        |  CAST(CAST(sum(lo) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(n) AS BIGINT) AS lower_frac,
+        |  CAST(CAST(sum(sp) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(n) AS BIGINT) AS space_frac,
+        |  CAST(sum(ctl) AS BIGINT) + CAST(sum(rep) AS BIGINT) > 0
+        |    AS encoding_suspect
+        |FROM p GROUP BY source""".stripMargin,
+    "x36_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c),
+        |top AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        |  FROM c ORDER BY cnt DESC, tok LIMIT 10000),
+        |n AS (SELECT unnest([100, 1000, 10000]) AS n_vocab)
+        |SELECT CAST(n.n_vocab AS INT) AS n_vocab,
+        |  CAST(sum(top.cnt) AS BIGINT) AS covered_tokens,
+        |  tot.total_tokens,
+        |  CAST(CAST(sum(top.cnt) AS BIGINT) AS DOUBLE) / tot.total_tokens
+        |    AS coverage
+        |FROM n JOIN top ON top.rank <= n.n_vocab CROSS JOIN tot
+        |GROUP BY n.n_vocab, tot.total_tokens""".stripMargin,
     "x34_readability" ->
       """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w
         |  FROM documents),
@@ -3769,6 +3857,22 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
         |      (CAST(COALESCE(c3.gs, 0) AS DOUBLE) / 1.0e9) AS pr
         |  FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nd.node)
         |SELECT node, pr FROM p3""".stripMargin,
+    // g5: supplier pairs sharing customers, hub-capped at 100 suppliers
+    // per customer (QUALIFY mirrors the agg+anti-join), min-weight
+    // affinity — integers end to end.
+    "g5_copurchase" ->
+      """WITH pair AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT * FROM pair
+        |  QUALIFY count(*) OVER (PARTITION BY cust) <= 100)
+        |SELECT a.supp AS supp_a, b.supp AS supp_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_customers,
+        |  CAST(sum(least(a.w, b.w)) AS BIGINT) AS affinity
+        |FROM capped a JOIN capped b
+        |  ON a.cust = b.cust AND a.supp < b.supp
+        |GROUP BY 1, 2""".stripMargin,
     // g2: three unrolled SEMI-synchronous LPA rounds over g1's edge CTEs
     // (bipartite 2-coloring: round 1/3 update c:-side dsts, round 2 the
     // s:-side — fully synchronous LPA oscillates on bipartite graphs).
@@ -4020,6 +4124,35 @@ WHERE cos >= CAST(0.3 AS DOUBLE)"""
         |  md5(COALESCE(string_agg(CASE WHEN NOT flag THEN line END,
         |    ' | ' ORDER BY li), '')) AS kept_md5
         |FROM f GROUP BY doc_id""".stripMargin,
+    // d36: bottom-k (KMV) distinct-shingle cardinality per source — the
+    // 28-bit portable-hash fold (x15's idiom) over d6's shingle chain;
+    // est = (k-1)*2^28/h_k with k = 64 once a source holds >= k hashes.
+    "d36_cardinality_sketch" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |t AS (SELECT DISTINCT source, unnest(s) AS sg FROM sh),
+        |ex AS (SELECT source, count(*) AS n_exact FROM t GROUP BY source),
+        |h AS (SELECT DISTINCT source,
+        |  CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('card:' || sg), c, 1)) <= 57
+        |         THEN ascii(substr(md5('card:' || sg), c, 1)) - 48
+        |         ELSE ascii(substr(md5('card:' || sg), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS h FROM t),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+        |st AS (SELECT source, count(*) AS n_sketch, max(h) AS h_k
+        |  FROM r WHERE rn <= 64 GROUP BY source),
+        |fin AS (SELECT ex.source, ex.n_exact, st.n_sketch,
+        |  CASE WHEN st.n_sketch < 64 THEN CAST(st.n_sketch AS DOUBLE)
+        |       ELSE CAST(16911433728 AS DOUBLE) / CAST(st.h_k AS DOUBLE)
+        |  END AS est
+        |  FROM ex JOIN st ON st.source = ex.source)
+        |SELECT source, n_exact, n_sketch, est,
+        |  (est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+        |    AS rel_err
+        |FROM fin""".stripMargin,
     "d29_dup_trend" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |f AS (SELECT h, min(doc_id) AS first_doc FROM h GROUP BY h),

@@ -1535,4 +1535,51 @@ object Dedup {
           col("kept_md5"))
     }
   }
+
+  /** Bottom-k distinct-cardinality calibration (d36): per source, the
+    * bottom-k estimate of its distinct-shingle count next to the exact
+    * count and the relative error — the d35-style QA gauge for the
+    * OTHER sketch this library serves (d6/d11's bottom-k overlap family
+    * rests on the same order statistics; this says whether k is sized
+    * right for the corpus before anyone trusts a Jaccard estimate).
+    *
+    * Estimator: with k-th smallest distinct 28-bit hash h_k, the classic
+    * KMV estimate is (k−1) · 2^28 / h_k; a source with fewer than k
+    * distinct hashes was seen WHOLE, so its estimate is the exact count
+    * of its hashes. Every input to the one floating division is an exact
+    * integer, so both engines compute the identical double.
+    *
+    * Scale shape: per-doc distinct shingles explode once (d6's regime),
+    * distinct (source, hash) map-side combines, bottom-k runs on the
+    * heap TopK operator (k values of state per source). The exact side
+    * is one count-distinct per source — the calibration cost, paid by
+    * the gauge so production sketches don't have to. */
+  def cardinalitySketch(documents: DataFrame, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val sh = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(LlmText.words(col("text"))) >= 3)
+      .select(col("source"),
+        explode(LlmText.shingles(col("text"))).as("s"))
+    Caching.withPersisted(sh) {
+      val exact = sh.select(col("source"), col("s")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      val hashed = sh
+        .select(col("source"),
+          PortableHash.hash28("card:", col("s")).as("h"))
+        .distinct()
+      val bottomK = graft.plans.TopK.perKey(hashed,
+        Seq(col("source")), Seq(col("h")), k)
+      val stats = bottomK.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("h_k"))
+      val est = when(col("n_sketch") < k, col("n_sketch").cast("double"))
+        .otherwise(lit((k - 1).toDouble * 268435456.0) /
+          col("h_k").cast("double"))
+      exact.join(stats, "source")
+        .select(col("source"), col("n_exact"), col("n_sketch"),
+          est.as("est"),
+          ((est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double")).as("rel_err"))
+    }
+  }
 }

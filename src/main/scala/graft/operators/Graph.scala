@@ -256,4 +256,39 @@ object Graph {
       }
     } finally edges.unpersist(false)
   }
+
+  /** Co-purchase projection (g5): supplier pairs that share customers,
+    * with the shared-customer count and a min-weight affinity — the
+    * one-mode projection of the bipartite purchase graph (on doc-entity
+    * graphs: "documents citing the same entities"), the substrate market
+    * analyses and recommender co-occurrence counts are computed from.
+    *
+    * The projection is where bipartite graphs explode: a customer with S
+    * suppliers emits S² pair rows, so one promiscuous hub (the
+    * boilerplate key of graphs) can dwarf the rest of the output
+    * combined. The cap is the d21/d26 posture — customers above
+    * `maxSupp` suppliers are excluded by an aggregate + broadcast
+    * anti-join BEFORE the self-join, so the hub's rows never reach a
+    * shuffle; per-customer fanout is bounded at maxSupp² by
+    * construction. Affinity sums min(w_a, w_b) over shared customers —
+    * integer end to end. */
+  def coPurchasePairs(lineitem: DataFrame, orders: DataFrame,
+      maxSupp: Int = 100): DataFrame = {
+    val pair = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(count(lit(1)).as("w"))
+    Caching.withPersisted(pair) {
+      val hot = pair.groupBy(col("cust"))
+        .agg(count(lit(1)).as("n_supp"))
+        .filter(col("n_supp") > maxSupp)
+        .select(col("cust"))
+      val capped = pair.join(broadcast(hot), Seq("cust"), "left_anti")
+      capped.as("a").join(capped.as("b"),
+          col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("supp_a"), col("b.supp").as("supp_b"))
+        .agg(count(lit(1)).as("n_shared_customers"),
+          sum(least(col("a.w"), col("b.w"))).as("affinity"))
+    }
+  }
 }

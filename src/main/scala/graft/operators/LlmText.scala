@@ -1565,4 +1565,88 @@ object LlmText {
       .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
         (col("n_chars").cast("double") / col("n_tokens"))
           .as("chars_per_token"))
+
+  /** Per-source character-class / encoding-sanity profile (x35): counts
+    * of lowercase, uppercase, digit and space characters per source with
+    * their fractions, plus the two encoding red flags an ingest gate
+    * watches — C0 control bytes and U+FFFD replacement characters (the
+    * mojibake signature of a mis-declared charset: a decoder that hit
+    * invalid bytes leaves FFFD droppings; raw control bytes mean the
+    * "text" was never text). Healthy prose has zero of either, so any
+    * nonzero count localizes a broken decode to its feed.
+    *
+    * Counting is length-differencing against a class-stripped copy —
+    * the regex classes are plain byte ranges that mean the same thing to
+    * every engine. All counts are exact integers map-side-combined per
+    * source; only the final fractions divide. No shuffle beyond the
+    * #sources-cardinality aggregate. */
+  def charClassProfile(documents: DataFrame): DataFrame = {
+    def stripped(pattern: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), pattern, ""))
+    val profiled = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("source"),
+        length(col("text")).cast("long").as("n"),
+        stripped("[a-z]").cast("long").as("lo"),
+        stripped("[A-Z]").cast("long").as("up"),
+        stripped("[0-9]").cast("long").as("di"),
+        stripped(" ").cast("long").as("sp"),
+        stripped("[\\x00-\\x1f]").cast("long").as("ctl"),
+        stripped("\\uFFFD").cast("long").as("rep"))
+    profiled
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_chars"),
+        sum(col("lo")).as("n_lower"),
+        sum(col("up")).as("n_upper"),
+        sum(col("di")).as("n_digit"),
+        sum(col("sp")).as("n_space"),
+        sum(col("ctl")).as("n_control"),
+        sum(col("rep")).as("n_replacement"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_lower"), col("n_upper"), col("n_digit"), col("n_space"),
+        col("n_control"), col("n_replacement"),
+        (col("n_lower").cast("double") / col("n_chars")).as("lower_frac"),
+        (col("n_space").cast("double") / col("n_chars")).as("space_frac"),
+        ((col("n_control") + col("n_replacement")) > 0L)
+          .as("encoding_suspect"))
+  }
+
+  /** Vocabulary coverage curve (x36): what fraction of the corpus token
+    * mass the top-N vocabulary covers, for the candidate vocabulary
+    * sizes a tokenizer design weighs — the OOV-budget number read
+    * together with the Zipf head (x16) and OOV gauge (x9): coverage at
+    * N IS 1 − OOV-rate of an N-word vocabulary.
+    *
+    * Scale shape: token counts map-side combine; the top-max(N) head
+    * arrives via TakeOrdered (distributed heap, never a global sort);
+    * ranking then runs single-partition over that bounded head only.
+    * Counts stay exact longs until the one division per output row. */
+  def vocabCoverage(documents: DataFrame,
+      ns: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    val counts = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    Caching.withPersisted(counts) {
+      val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+      val order = Seq(col("cnt").desc, col("tok").asc)
+      val W = org.apache.spark.sql.expressions.Window
+      // constant partition key: ranks cover the max(ns)-row head only
+      val head = counts.orderBy(order: _*).limit(ns.max)
+        .withColumn("rank",
+          row_number().over(W.partitionBy(lit(0)).orderBy(order: _*)))
+      head
+        .select(explode(typedlit(ns)).as("n_vocab"), col("rank"),
+          col("cnt"))
+        .filter(col("rank") <= col("n_vocab"))
+        .groupBy(col("n_vocab"))
+        .agg(sum(col("cnt")).as("covered_tokens"))
+        .crossJoin(broadcast(total))
+        .select(col("n_vocab"), col("covered_tokens"), col("total_tokens"),
+          (col("covered_tokens").cast("double") / col("total_tokens"))
+            .as("coverage"))
+    }
+  }
 }

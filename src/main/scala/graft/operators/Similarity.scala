@@ -569,6 +569,31 @@ object Similarity {
     }
   }
 
+  /** IVF cell-balance gauge (s20): one-row health summary of the coarse
+    * quantizer's cell assignment — non-empty cell count, corpus size,
+    * min/max/mean cell population, and the FAISS-style imbalance factor
+    * C·Σnᵢ²/N² (1.0 = perfectly even cells; the expected per-query
+    * candidate fanout is this factor × N/C, so a drifting value is the
+    * early warning that retraining the centroids — not raising NProbe —
+    * is the fix for s19's fat fanout tail). Shares s13's training and
+    * assignment stages; the summary itself is two integer aggregates. */
+  def cellBalance(embeddings: DataFrame): DataFrame = {
+    val vc = vecs(embeddings)
+    Caching.withPersisted(vc) {
+      val cent = Caching.materialize(kmeansCentroids(vc))
+      val cells = Caching.materialize(bestCells(cent)(vc, 1))
+      cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+          min(col("n")).as("min_cell"), max(col("n")).as("max_cell"),
+          sum(col("n") * col("n")).as("sum_n2"))
+        .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+          col("max_cell"),
+          (col("n_vecs").cast("double") / col("n_cells")).as("mean_cell"),
+          (col("n_cells").cast("double") * col("sum_n2").cast("double") /
+            (col("n_vecs") * col("n_vecs")).cast("double")).as("imbalance"))
+    }
+  }
+
   /** The four stored tables of a materialized IVF-ADC index — each one a
     * plain lake-table shape (parquet round-trip pinned by the spec):
     * coarse centroids (cent_id, cx, cnrm), corpus cell assignments

@@ -790,4 +790,35 @@ class DedupSpec extends SparkSpec {
     // sub-threshold region where the estimator's error matters
     assert(rows.keySet.exists(p => p._2 == 3L || p._1 == 3L), s"$rows")
   }
+
+  test("cardinalitySketch: sub-k sources report exact counts, zero error") {
+    // "web" holds 5 distinct shingles across two docs (one shared),
+    // "book" holds 2 — both far below k, so the sketch saw every hash
+    // and the estimate IS the sketch size
+    val d = Seq(
+      (1L, "a b c d e", "web"),
+      (2L, "a b c x y", "web"),
+      (3L, "p q r s", "book"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.cardinalitySketch(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("web") == ((5L, 5L, 5.0, 0.0)), s"$out")
+    assert(out("book") == ((2L, 2L, 2.0, 0.0)), s"$out")
+  }
+
+  test("cardinalitySketch: past k the KMV estimator engages, consistent") {
+    // 70 distinct words -> 68 distinct shingles >= k=64: the sketch
+    // truncates to its bottom 64 hashes and the (k-1)*2^28/h_k estimate
+    // takes over; rel_err must be the reported est vs exact, and a
+    // k=64 sketch of n=68 cannot be wildly off (sigma ~ n/sqrt(k))
+    val text = (1 to 70).map("w" + _).mkString(" ")
+    val r = Dedup.cardinalitySketch(
+      Seq((1L, text, "big")).toDF("doc_id", "text", "source")).head()
+    assert(r.getLong(1) == 68L && r.getLong(2) == 64L, s"$r")
+    val est = r.getDouble(3)
+    assert(math.abs(r.getDouble(4) - (est - 68.0) / 68.0) < 1e-12)
+    assert(est > 30.0 && est < 140.0, s"KMV estimate implausible: $est")
+  }
 }

@@ -125,6 +125,47 @@ class GraphSpec extends SparkSpec {
       Set("c:10", "c:11", "c:20", "c:21", "c:30", "s:1", "s:2"))
   }
 
+  test("coPurchasePairs: shared-customer pairs with min-weight affinity") {
+    // cust 10: s1 w=2, s2 w=1; cust 11: s1 w=1, s2 w=3; cust 12: s1 only
+    val li = Seq(
+      (100L, 1L), (100L, 1L), (101L, 2L),
+      (110L, 1L), (111L, 2L), (111L, 2L), (111L, 2L),
+      (120L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 10L), (110L, 11L), (111L, 11L),
+      (120L, 12L)).toDF("o_orderkey", "o_custkey")
+    val out = Graph.coPurchasePairs(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // one pair, ordered supp_a < supp_b; affinity = min(2,1) + min(1,3)
+    assert(out == Map((1L, 2L) -> ((2L, 2L))), s"$out")
+  }
+
+  test("coPurchasePairs: hub customers are excluded before the self-join") {
+    // cust 99 buys from three suppliers; with maxSupp=2 every pair it
+    // would contribute disappears, leaving only cust 10's (s1,s2)
+    val li = Seq(
+      (100L, 1L), (101L, 2L),
+      (900L, 1L), (901L, 2L), (902L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 10L),
+      (900L, 99L), (901L, 99L), (902L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+    val capped = Graph.coPurchasePairs(li, ord, maxSupp = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(capped == Map((1L, 2L) -> ((1L, 1L))), s"$capped")
+    // default cap admits the hub: all three pairs appear, (s1,s2) gains
+    // cust 99's shared row
+    val open = Graph.coPurchasePairs(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(open == Map(
+      (1L, 2L) -> ((2L, 2L)),
+      (1L, 3L) -> ((1L, 1L)),
+      (2L, 3L) -> ((1L, 1L))), s"$open")
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =

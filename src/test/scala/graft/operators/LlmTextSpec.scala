@@ -769,4 +769,50 @@ class LlmTextSpec extends SparkSpec {
       s"doc 3: one inherited shingle, three novel: ${out(3L)}")
     assert(!out.contains(4L))
   }
+
+  test("charClassProfile: per-source class counts and encoding flags") {
+    val d = Seq(
+      (1L, "Ab 12", "clean"),
+      (2L, "okok", "dirty"),   // one C0 control byte
+      (3L, "b�d", "dirty"))     // one replacement character
+      .toDF("doc_id", "text", "source")
+    val out = LlmText.charClassProfile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = out("clean")
+    assert((c.getLong(1), c.getLong(2)) == ((1L, 5L)), s"$c")
+    // "Ab 12": 1 lower, 1 upper, 2 digits, 1 space, nothing suspicious
+    assert((c.getLong(3), c.getLong(4), c.getLong(5), c.getLong(6),
+      c.getLong(7), c.getLong(8)) == ((1L, 1L, 2L, 1L, 0L, 0L)), s"$c")
+    assert(c.getDouble(9) == 0.2 && c.getDouble(10) == 0.2, s"$c")
+    assert(!c.getBoolean(11), "clean source must not be flagged")
+    val x = out("dirty")
+    // 2 docs, 8 chars, 6 lowercase, one control + one replacement
+    assert((x.getLong(1), x.getLong(2), x.getLong(3)) == ((2L, 8L, 6L)))
+    assert((x.getLong(7), x.getLong(8)) == ((1L, 1L)), s"$x")
+    assert(x.getDouble(9) == 0.75 && x.getDouble(10) == 0.0, s"$x")
+    assert(x.getBoolean(11), "control/replacement chars must flag")
+  }
+
+  test("vocabCoverage: cumulative token mass of the top-N vocabulary") {
+    // counts a:3 b:2 c:1 (total 6) — coverage 3/6, 5/6, 6/6
+    val d = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = LlmText.vocabCoverage(d, ns = Seq(1, 2, 3)).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((3L, 6L, 0.5)), s"$out")
+    assert(out(2) == ((5L, 6L, 5.0 / 6.0)), s"$out")
+    assert(out(3) == ((6L, 6L, 1.0)), s"$out")
+  }
+
+  test("vocabCoverage breaks count ties by token (deterministic head)") {
+    // b and c tie at 2; with N=2 the head is {a, b} — b wins the tie
+    // alphabetically, so coverage is (3+2)/7 regardless of partitioning
+    val d = Seq((1L, "a a a c c b b")).toDF("doc_id", "text")
+    def run(parts: Int) = LlmText.vocabCoverage(
+      d.repartition(parts), ns = Seq(2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+    val one = run(1)
+    assert(one == Seq((2, 5L, 5.0 / 7.0)), s"$one")
+    assert(run(7) == one, "partitioning changed the tie-broken head")
+  }
 }
