@@ -118,33 +118,45 @@ object TransactionalKafka {
     * until compaction catches up. Instead the driver primes each txnId
     * ONCE (first batch that writes through it in this JVM), ships the
     * primed map inside the foreachPartition closure, and advances it
-    * locally after each successful batch — replays within a run can only
-    * be of batches this run already committed, so the steady-state guard
+    * locally after each successful batch — in the steady state the guard
     * read is free.
     *
-    * The two paths that can NOT trust the primed map both fall back to a
-    * live control-topic read:
-    *   - a task RETRY (attemptNumber/stageAttemptNumber > 0, which also
-    *     covers speculative copies): the failed attempt may have committed
-    *     its transaction right before dying, and the primed map predates
-    *     it;
-    *   - a batch retried after a partition failure: `write` invalidates
-    *     the topic's entries on the way out, so the retry re-primes and
-    *     sees whatever the failed attempt managed to commit.
-    * A driver restart starts a fresh JVM → fresh cache → re-prime, which
-    * is exactly the one-scan-per-query-run the design wants. */
+    * SAFETY against concurrent duplicate producers (a zombie from a
+    * previous driver, a hung task from a failed run, a speculative copy):
+    * a cached value is only ever a LOWER BOUND on what committed, so the
+    * "already committed → skip" direction is always safe (a commit cannot
+    * be undone). The "not committed → write" direction is where a stale
+    * value double-writes, and the task body defends it with ORDERING:
+    * the producer is created FIRST (initTransactions fences every prior
+    * producer of the txnId — after that point nobody else can commit),
+    * and only then is the verdict taken. The fenced verdict uses the
+    * primed value ONLY when it is `trusted` — advanced by a batch THIS
+    * JVM's producers committed under their own fences, with no task retry
+    * and speculation disabled. Every other case (first batch of a run,
+    * re-prime after a failure, a retried/speculative attempt, speculation
+    * enabled) does one live control-topic read AFTER the fence, which by
+    * construction sees any commit a now-fenced duplicate managed to slip
+    * in before the fence.
+    *
+    * A driver restart starts a fresh JVM → fresh cache → re-prime +
+    * one fenced read per partition on the first batch, then free. */
   private[streaming] object ReplayGuard {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    /** (highest known committed batchId, trusted). `trusted` means the
+      * value was advanced by a batch this JVM committed end-to-end under
+      * its own producer fences; primed values read from the control topic
+      * BEFORE any fence are not (a concurrent duplicate could commit in
+      * the read-to-fence window). */
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Boolean)]()
     def prime(txnIds: Seq[String], controlTopic: String,
-        factory: TxnProducerFactory): Map[String, Long] =
+        factory: TxnProducerFactory): Map[String, (Long, Boolean)] =
       txnIds.map { id =>
         id -> cache.computeIfAbsent(id,
-          _ => factory.lastCommitted(id, controlTopic)).longValue()
+          _ => (factory.lastCommitted(id, controlTopic), false))
       }.toMap
     def advance(txnIds: Seq[String], batchId: Long): Unit =
-      txnIds.foreach(id => cache.merge(id, batchId,
-        (a, b) => if (a.longValue() >= b.longValue()) a else b))
+      txnIds.foreach(id => cache.merge(id, (batchId, true),
+        (a, b) => if (a._1 >= b._1) (a._1, true) else b))
     def invalidate(txnIds: Seq[String]): Unit =
       txnIds.foreach(cache.remove)
     private[streaming] def reset(): Unit = cache.clear()
@@ -168,6 +180,14 @@ object TransactionalKafka {
     // one control-topic read per txnId per query run (driver-side), not
     // one per partition per batch — see ReplayGuard
     val primed = ReplayGuard.prime(txnIds, controlTopic, factory)
+    // with speculation on, a duplicate attempt of ANY task can be running
+    // concurrently with attempt 0 — no cached value is fence-safe then.
+    // Auto-detected from the launch conf; the graft key is a runtime
+    // override for deployments that know duplicates can race anyway.
+    val speculation = df.sparkSession.sparkContext.getConf
+      .getBoolean("spark.speculation", defaultValue = false) ||
+      df.sparkSession.conf
+        .get("spark.graft.txn.forceFencedReads", "false").toBoolean
     try shaped.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -175,11 +195,28 @@ object TransactionalKafka {
         val tc = org.apache.spark.TaskContext.get()
         val isRetry = tc != null &&
           (tc.attemptNumber() > 0 || tc.stageAttemptNumber() > 0)
-        val committedUpTo =
-          if (isRetry) factory.lastCommitted(txnId, controlTopic)
-          else primed.getOrElse(txnId, -1L)
+        // FENCE FIRST: create() calls initTransactions(), which bumps the
+        // txnId's epoch and fences every prior producer — only after this
+        // point is "nothing else can commit this txnId" true, so the
+        // replay verdict must not be taken before it (a zombie driver, a
+        // hung task from a failed run, or a speculative copy could commit
+        // the batch in a read-to-fence window and a pre-fence "not
+        // committed" answer would double-write it).
         val producer = factory.create(txnId)
         try {
+          val committedUpTo = primed.get(txnId) match {
+            // the skip direction is monotone-safe from ANY reading: a
+            // commit observed once cannot be undone by a later fence
+            case Some((v, _)) if v >= batchId => v
+            // steady state: the value was advanced under this JVM's own
+            // fences and no duplicate attempt can exist — trust it, the
+            // control topic is not read at all
+            case Some((v, trusted)) if trusted && !isRetry &&
+                !speculation => v
+            // everything else answers from a POST-fence live read: any
+            // commit by a now-fenced duplicate is visible to it
+            case _ => factory.lastCommitted(txnId, controlTopic)
+          }
           if (committedUpTo >= batchId) {
             // replay of a committed partition: every record here already
             // landed inside a committed transaction — drain and skip

@@ -202,23 +202,27 @@ class TransactionalKafkaSpec extends SparkSpec {
     TransactionalKafka.ReplayGuard.reset()
     val (id, broker) = newBroker()
     val c = conf("txn-guard-count")
-    // three successive batches through the same sink: the guard must prime
-    // each of the 3 transactional ids exactly once (first batch), then
-    // advance locally — NOT re-scan per partition per batch
+    // three successive batches through the same sink: the first batch
+    // pays one driver prime + one POST-fence confirmation per partition
+    // (the primed value predates the fence, so the not-committed verdict
+    // must be re-taken after initTransactions); batches 2 and 3 run on
+    // locally-advanced trusted values — NOT a re-scan per partition per
+    // batch
     TransactionalKafka.write(frame("a" -> "1"), c, "out", 0L,
       new StubTxnFactory(id))
     TransactionalKafka.write(frame("b" -> "2"), c, "out", 1L,
       new StubTxnFactory(id))
     TransactionalKafka.write(frame("c" -> "3"), c, "out", 2L,
       new StubTxnFactory(id))
-    assert(broker.guardReads.get == c.txnSinkPartitions,
+    assert(broker.guardReads.get == 2L * c.txnSinkPartitions,
       s"guard read ${broker.guardReads.get} times for 3 batches × " +
-        s"${c.txnSinkPartitions} partitions — the primed cache regressed")
+        s"${c.txnSinkPartitions} partitions — expected prime + fenced " +
+        "confirm on batch 0 only; the primed cache regressed")
     // a full replay of an already-committed batch still skips (cache
     // answers without a broker read) and does not duplicate
     TransactionalKafka.write(frame("c" -> "3"), c, "out", 2L,
       new StubTxnFactory(id))
-    assert(broker.guardReads.get == c.txnSinkPartitions,
+    assert(broker.guardReads.get == 2L * c.txnSinkPartitions,
       "replay of a committed batch should be answered from the cache")
     assert(broker.records("out").toSet ==
       Set(("a", "1"), ("b", "2"), ("c", "3")),
@@ -232,7 +236,7 @@ class TransactionalKafkaSpec extends SparkSpec {
     TransactionalKafka.write(frame("a" -> "1"), c, "out", 0L,
       new StubTxnFactory(id))
     val afterPrime = broker.guardReads.get
-    assert(afterPrime == c.txnSinkPartitions)
+    assert(afterPrime == 2L * c.txnSinkPartitions)
     // fail every partition's commit on the next batch: the cache must be
     // dropped so the batch retry cannot trust a stale primed answer
     (0 until c.txnSinkPartitions).foreach(p =>
@@ -248,6 +252,64 @@ class TransactionalKafkaSpec extends SparkSpec {
         "not trust the pre-failure cache")
     assert(broker.records("out").toSet == Set(("a", "1"), ("b", "2")),
       s"${broker.records("out")}")
+  }
+
+  test("a zombie commit in the prime-to-fence window cannot double-write") {
+    TransactionalKafka.ReplayGuard.reset()
+    val (id, broker) = newBroker()
+    val c = conf("txn-zombie")
+    val factory = new StubTxnFactory(id)
+    val txnIds = (0 until c.txnSinkPartitions)
+      .map(p => s"${c.applicationId}-out-p$p")
+    // the driver primes first and sees nothing committed (untrusted -1)…
+    val primed = TransactionalKafka.ReplayGuard.prime(txnIds,
+      c.txnControlTopicOrDefault, factory)
+    assert(primed.values.forall(_._1 == -1L))
+    // …then a concurrent duplicate producer (hung task of a failed run, a
+    // zombie driver) commits the WHOLE batch 0 — data + control markers —
+    // before the new attempt creates its producers. The old guard took
+    // the replay verdict from the pre-fence primed map and double-wrote
+    // exactly this window.
+    broker.synchronized {
+      broker.committed("out") = broker.committed("out") :+
+        (("k1".getBytes("UTF-8"), "v1".getBytes("UTF-8")))
+      txnIds.foreach { t =>
+        broker.committed(c.txnControlTopicOrDefault) =
+          broker.committed(c.txnControlTopicOrDefault) :+
+            ((t.getBytes("UTF-8"),
+              java.nio.ByteBuffer.allocate(8).putLong(0L).array()))
+      }
+    }
+    // the new attempt must fence, re-read POST-fence, see the zombie's
+    // commit, and skip — exactly one copy survives
+    TransactionalKafka.write(frame("k1" -> "v1"), c, "out", 0L, factory)
+    assert(broker.records("out") == Vector(("k1", "v1")),
+      s"pre-fence primed answer trusted → batch double-written: " +
+        s"${broker.records("out")}")
+  }
+
+  test("speculation disables the trusted fast path") {
+    TransactionalKafka.ReplayGuard.reset()
+    val (id, broker) = newBroker()
+    val c = conf("txn-spec")
+    // spark.speculation itself is launch-time-only (CANNOT_MODIFY_CONFIG
+    // through RuntimeConfig) — the sink auto-detects it from the
+    // SparkConf and honors this runtime override for everything else
+    spark.conf.set("spark.graft.txn.forceFencedReads", "true")
+    try {
+      TransactionalKafka.write(frame("a" -> "1"), c, "out", 0L,
+        new StubTxnFactory(id))
+      val first = broker.guardReads.get
+      // with speculation on, a duplicate of any attempt-0 task may be
+      // racing — every batch must take its verdict from a post-fence
+      // read, never the locally-advanced cache
+      TransactionalKafka.write(frame("b" -> "2"), c, "out", 1L,
+        new StubTxnFactory(id))
+      assert(broker.guardReads.get == first + c.txnSinkPartitions,
+        s"guard reads ${broker.guardReads.get} (was $first): speculation " +
+          "must force one post-fence read per partition per batch")
+    } finally spark.conf.unset("spark.graft.txn.forceFencedReads")
+    assert(broker.records("out").toSet == Set(("a", "1"), ("b", "2")))
   }
 
   test("producer props carry durability hardening minus factory-pinned keys") {
