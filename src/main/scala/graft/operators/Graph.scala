@@ -129,6 +129,33 @@ object Graph {
     finally edges.unpersist(false)
   }
 
+  /** A MATERIALIZED community-label index — the graph family's stored/
+    * serve split, matching the house pattern of
+    * [[Dedup.nearDupIndex]]/[[Similarity.ivfAdcIndex]]/
+    * [[Multimodal.phashIndex]]: `labels` (node, lab) and the `edges`
+    * table they were propagated over, both lineage-truncated and ready to
+    * write as lake tables. Built ONCE; every consumer ([[communityStats]],
+    * [[bridgeNodes]], streaming membership lookups) reads the stored
+    * tables instead of rerunning the `iters`-round LPA — at 100 TB the
+    * propagation is a nightly build job, and the per-query/per-batch
+    * serve cost is two equi-joins. Staleness contract is the index
+    * family's usual: labels lag the graph until the next build; lookups
+    * of nodes that arrived since simply miss (left-join null), they never
+    * see a wrong label. */
+  final case class LabelIndex(labels: DataFrame, edges: DataFrame,
+      iters: Int)
+
+  /** Build the [[LabelIndex]]: one edge aggregate + one `iters`-round
+    * semi-synchronous LPA, both materialized. */
+  def labelIndex(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3): LabelIndex = {
+    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
+    edges.persist()
+    try LabelIndex(
+      Caching.materialize(lpaLabels(edges, iters)), edges, iters)
+    finally edges.unpersist(false)
+  }
+
   /** Per-round changed-label counts of the LAST [[lpaLabels]] run — the
     * d12-style convergence telemetry for a FIXED-budget iteration: a
     * healthy run trends toward zero; a final round that still moves many
@@ -205,56 +232,59 @@ object Graph {
     * g2/g3 parity posture; one equi-join of labels to each edge endpoint
     * and one per-src aggregate over the already-doubled edge table. */
   def bridgeNodes(lineitem: DataFrame, orders: DataFrame,
-      iters: Int = 3): DataFrame = {
-    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
-    edges.persist()
-    try {
-      val lab = lpaLabels(edges, iters)
-      Caching.withPersisted(lab) {
-        edges
-          .join(lab.select(col("node").as("src"), col("lab").as("lab_s")),
-            "src")
-          .join(lab.select(col("node").as("dst"), col("lab").as("lab_d")),
-            "dst")
-          .groupBy(col("src").as("node"), col("lab_s").as("label"))
-          .agg(count_distinct(col("lab_d")).as("n_neighbor_labels"),
-            sum(col("w")).as("w_total"),
-            sum(when(col("lab_d") =!= col("lab_s"), col("w"))
-              .otherwise(0L)).as("w_external"))
-          .select(col("node"), col("label"), col("n_neighbor_labels"),
-            col("w_total"), col("w_external"),
-            (col("w_external").cast("double") /
-              col("w_total").cast("double")).as("external_frac"),
-            (col("n_neighbor_labels") >= 2).as("is_bridge"))
-      }
-    } finally edges.unpersist(false)
+      iters: Int = 3): DataFrame =
+    bridgeNodes(labelIndex(lineitem, orders, iters))
+
+  /** [[bridgeNodes]] served from a PREBUILT [[LabelIndex]] — zero LPA
+    * rounds at read time: one equi-join of the stored labels to each
+    * edge endpoint and one per-src aggregate. */
+  def bridgeNodes(index: LabelIndex): DataFrame = {
+    val (lab, edges) = (index.labels, index.edges)
+    Caching.withPersisted(lab, edges) {
+      edges
+        .join(lab.select(col("node").as("src"), col("lab").as("lab_s")),
+          "src")
+        .join(lab.select(col("node").as("dst"), col("lab").as("lab_d")),
+          "dst")
+        .groupBy(col("src").as("node"), col("lab_s").as("label"))
+        .agg(count_distinct(col("lab_d")).as("n_neighbor_labels"),
+          sum(col("w")).as("w_total"),
+          sum(when(col("lab_d") =!= col("lab_s"), col("w"))
+            .otherwise(0L)).as("w_external"))
+        .select(col("node"), col("label"), col("n_neighbor_labels"),
+          col("w_total"), col("w_external"),
+          (col("w_external").cast("double") /
+            col("w_total").cast("double")).as("external_frac"),
+          (col("n_neighbor_labels") >= 2).as("is_bridge"))
+    }
   }
 
   def communityStats(lineitem: DataFrame, orders: DataFrame,
-      iters: Int = 3): DataFrame = {
-    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
-    edges.persist()
-    try {
-      val lab = lpaLabels(edges, iters)
-      Caching.withPersisted(lab) {
-        val nodes = lab.groupBy(col("lab"))
-          .agg(count(lit(1)).as("n_nodes"))
-        val mass = edges
-          .join(lab.select(col("node").as("src"), col("lab").as("lab_s")),
-            "src")
-          .join(lab.select(col("node").as("dst"), col("lab").as("lab_d")),
-            "dst")
-          .groupBy(col("lab_s").as("lab"))
-          .agg(sum(col("w")).as("incident_w"),
-            sum(when(col("lab_s") === col("lab_d"), col("w"))
-              .otherwise(0L)).as("internal_w"))
-        nodes.join(mass, "lab")
-          .select(col("lab").as("label"), col("n_nodes"),
-            col("internal_w"), col("incident_w"),
-            (col("internal_w").cast("double") /
-              col("incident_w").cast("double")).as("internal_frac"))
-      }
-    } finally edges.unpersist(false)
+      iters: Int = 3): DataFrame =
+    communityStats(labelIndex(lineitem, orders, iters))
+
+  /** [[communityStats]] served from a PREBUILT [[LabelIndex]] — zero LPA
+    * rounds at read time. */
+  def communityStats(index: LabelIndex): DataFrame = {
+    val (lab, edges) = (index.labels, index.edges)
+    Caching.withPersisted(lab, edges) {
+      val nodes = lab.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val mass = edges
+        .join(lab.select(col("node").as("src"), col("lab").as("lab_s")),
+          "src")
+        .join(lab.select(col("node").as("dst"), col("lab").as("lab_d")),
+          "dst")
+        .groupBy(col("lab_s").as("lab"))
+        .agg(sum(col("w")).as("incident_w"),
+          sum(when(col("lab_s") === col("lab_d"), col("w"))
+            .otherwise(0L)).as("internal_w"))
+      nodes.join(mass, "lab")
+        .select(col("lab").as("label"), col("n_nodes"),
+          col("internal_w"), col("incident_w"),
+          (col("internal_w").cast("double") /
+            col("incident_w").cast("double")).as("internal_frac"))
+    }
   }
 
   /** Co-purchase projection (g5): supplier pairs that share customers,
@@ -272,12 +302,19 @@ object Graph {
     * shuffle; per-customer fanout is bounded at maxSupp² by
     * construction. Affinity sums min(w_a, w_b) over shared customers —
     * integer end to end. */
-  def coPurchasePairs(lineitem: DataFrame, orders: DataFrame,
-      maxSupp: Int = 100): DataFrame = {
-    val pair = lineitem.join(orders,
+  /** The (cust, supp, w) purchase-pair aggregate [[coPurchasePairs]] and
+    * [[coPurchaseGovernance]] both start from — ONE copy so the report
+    * accounts for exactly the rows the projection caps. */
+  private def purchasePairs(lineitem: DataFrame,
+      orders: DataFrame): DataFrame =
+    lineitem.join(orders,
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .agg(count(lit(1)).as("w"))
+
+  def coPurchasePairs(lineitem: DataFrame, orders: DataFrame,
+      maxSupp: Int = 100): DataFrame = {
+    val pair = purchasePairs(lineitem, orders)
     Caching.withPersisted(pair) {
       val hot = pair.groupBy(col("cust"))
         .agg(count(lit(1)).as("n_supp"))
@@ -290,5 +327,38 @@ object Graph {
         .agg(count(lit(1)).as("n_shared_customers"),
           sum(least(col("a.w"), col("b.w"))).as("affinity"))
     }
+  }
+
+  /** Hub-cap governance report for [[coPurchasePairs]] (g6) — the "no
+    * silent caps" companion (the d16 `governanceReport` posture): the
+    * projection anti-joins away customers with more than `maxSupp`
+    * suppliers, and this one-row readout says exactly what that cost —
+    * how many customers were excluded, how much edge mass (lineitem
+    * count) left with them, the worst fanout seen, and the bounded
+    * pair-row budget Σ C(n,2) the kept customers feed the self-join.
+    * Integer arithmetic end to end except the final excluded-mass
+    * fraction; one aggregate over the same (cust, supp, w) frame the
+    * projection caps, so the numbers cannot drift from the cap. */
+  def coPurchaseGovernance(lineitem: DataFrame, orders: DataFrame,
+      maxSupp: Int = 100): DataFrame = {
+    val deg = purchasePairs(lineitem, orders)
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("w")).as("wsum"))
+    val hub = col("n_supp") > maxSupp
+    deg.agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(hub, 1L).otherwise(0L)).as("n_excluded_hubs"),
+        sum(when(hub, col("wsum")).otherwise(0L)).as("excluded_edge_w"),
+        sum(when(hub, lit(0L)).otherwise(col("wsum"))).as("kept_edge_w"),
+        max(col("n_supp")).as("max_fanout"),
+        sum(when(hub, lit(0L)).otherwise(
+          (col("n_supp") * (col("n_supp") - 1) / 2).cast("long")))
+          .as("kept_pair_budget"))
+      .select(col("n_customers"), col("n_excluded_hubs"),
+        col("excluded_edge_w"), col("kept_edge_w"), col("max_fanout"),
+        col("kept_pair_budget"),
+        (col("excluded_edge_w").cast("double") /
+          (col("excluded_edge_w") + col("kept_edge_w")).cast("double"))
+          .as("excluded_frac"))
   }
 }

@@ -487,17 +487,25 @@ object Similarity {
     * copy shared by [[ivfAdcSearch]] and the s18 quantization-error
     * gauge, so the gauge measures exactly the distances the search
     * ranks by. */
-  private def adcScores(queries: DataFrame, qsub: DataFrame,
-      centroids: DataFrame, cells: DataFrame, codes: DataFrame,
-      codebook: DataFrame, excludeSelf: Boolean): DataFrame = {
-    val cellCand = probedCandidates(queries, centroids, cells, excludeSelf)
-    val lut = Caching.materialize(qsub
+  /** Per-query ADC lookup table (query_id, s, code, g2): every query
+    * subspace scored against every codebook entry on the 1e-9 grid — the
+    * ONE copy shared by [[adcScores]] and the s21 per-subspace error
+    * drilldown, so the drilldown audits exactly the table the search
+    * adds from. */
+  private def queryLut(qsub: DataFrame, codebook: DataFrame): DataFrame =
+    Caching.materialize(qsub
       .select(col("vec_id").as("query_id"), col("s"),
         col("sx").as("qsx"))
       .join(broadcast(codebook), "s")
       .select(col("query_id"), col("s"), col("code"),
         round(VectorOps.pqD2(col("qsx"), col("cx")) * lit(1.0e9), 0)
           .cast("long").as("g2")))
+
+  private def adcScores(queries: DataFrame, qsub: DataFrame,
+      centroids: DataFrame, cells: DataFrame, codes: DataFrame,
+      codebook: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val cellCand = probedCandidates(queries, centroids, cells, excludeSelf)
+    val lut = queryLut(qsub, codebook)
     cellCand
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id")
@@ -525,29 +533,100 @@ object Similarity {
       val codebook = Caching.materialize(VectorOps.pqCodebook(sub))
       val codes = Caching.materialize(VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code")))
+      adcErrorBody(vc, sub,
+        IvfAdcIndex(cent, cells, codes, codebook, subspaces, subDim),
+        probeK)
+    }
+  }
+
+  /** [[adcErrorStats]] against a PREBUILT [[IvfAdcIndex]] — the serving
+    * form: the gauge re-derives NOTHING (no k-means, no codebook, no
+    * corpus re-coding), it audits the stored tables a deployment actually
+    * searches with. s14 pins stored ≡ inline training, so the two forms
+    * share one oracle. */
+  def adcErrorStats(embeddings: DataFrame, index: IvfAdcIndex,
+      probeK: Int): DataFrame = {
+    val vc = vecs(embeddings)
+    val sub = VectorOps.pqSubspaces(embeddings, index.subspaces,
+      index.subDim)
+    Caching.withPersisted(vc, sub) {
+      adcErrorBody(vc, sub, index, probeK)
+    }
+  }
+
+  /** The s18 gauge body over caller-persisted vc/sub and any index. */
+  private def adcErrorBody(vc: DataFrame, sub: DataFrame,
+      index: IvfAdcIndex, probeK: Int): DataFrame = {
+    val adc = adcScores(defaultQueries(vc), defaultQueries(sub),
+      index.centroids, index.cells, index.codes, index.codebook,
+      excludeSelf = true)
+    val cands = Caching.materialize(
+      graft.plans.TopK.perKey(adc, Seq(col("query_id")),
+        Seq(col("adc_d2"), col("neighbor_id")), probeK))
+    // exact distance over the SAME subspace grid the LUT uses: per
+    // (pair, subspace) round(d2·1e9) longs, summed exactly
+    val exact = broadcast(cands)
+      .join(sub.select(col("vec_id").as("query_id"), col("s"),
+        col("sx").as("qsx")), Seq("query_id"))
+      .join(sub.select(col("vec_id").as("neighbor_id"), col("s"),
+        col("sx").as("nsx")), Seq("neighbor_id", "s"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("adc_d2"))
+      .agg((sum(round(VectorOps.pqD2(col("qsx"), col("nsx")) *
+        lit(1.0e9), 0).cast("long")).cast("double") / lit(1.0e9))
+        .as("exact_d2"))
+    val err = round(abs(col("adc_d2") - col("exact_d2")) * lit(1.0e9), 0)
+      .cast("long")
+    exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        (sum(err).cast("double") /
+          (count(lit(1)) * lit(1.0e9))).as("mean_abs_err"),
+        max(abs(col("adc_d2") - col("exact_d2"))).as("max_abs_err"))
+  }
+
+  /** Per-SUBSPACE ADC quantization-error drilldown (s21): s18 reports the
+    * corpus-level error; this splits it by PQ subspace over the SAME
+    * candidate pairs — per (query, candidate, s), |LUT grid term − exact
+    * grid term| — so a drifting s18 reading points at WHICH codebook went
+    * lossy (the actionable retuning signal: retrain that subspace's 256
+    * entries, or give its dimensions more bits, instead of rebuilding the
+    * whole index). All terms are 1e-9-grid longs; only the final mean/max
+    * divide. Returns one row per subspace (s, n_pairs, mean_abs_err,
+    * max_abs_err). */
+  def adcErrorBySubspace(embeddings: DataFrame, index: IvfAdcIndex,
+      probeK: Int = 30): DataFrame = {
+    val vc = vecs(embeddings)
+    val sub = VectorOps.pqSubspaces(embeddings, index.subspaces,
+      index.subDim)
+    Caching.withPersisted(vc, sub) {
       val adc = adcScores(defaultQueries(vc), defaultQueries(sub),
-        cent, cells, codes, codebook, excludeSelf = true)
+        index.centroids, index.cells, index.codes, index.codebook,
+        excludeSelf = true)
       val cands = Caching.materialize(
         graft.plans.TopK.perKey(adc, Seq(col("query_id")),
-          Seq(col("adc_d2"), col("neighbor_id")), probeK))
-      // exact distance over the SAME subspace grid the LUT uses: per
-      // (pair, subspace) round(d2·1e9) longs, summed exactly
-      val exact = broadcast(cands)
+          Seq(col("adc_d2"), col("neighbor_id")), probeK)
+          .select(col("query_id"), col("neighbor_id")))
+      val lut = queryLut(defaultQueries(sub), index.codebook)
+      // per (pair, subspace): the LUT term the search added (via the
+      // neighbor's stored code) vs the exact grid term of the real
+      // subvectors — both longs on the shared 1e-9 grid
+      val terms = broadcast(cands)
+        .join(index.codes.withColumnRenamed("vec_id", "neighbor_id"),
+          "neighbor_id")
+        .join(lut.withColumnRenamed("g2", "lut_g2"),
+          Seq("query_id", "s", "code"))
         .join(sub.select(col("vec_id").as("query_id"), col("s"),
-          col("sx").as("qsx")), Seq("query_id"))
+          col("sx").as("qsx")), Seq("query_id", "s"))
         .join(sub.select(col("vec_id").as("neighbor_id"), col("s"),
           col("sx").as("nsx")), Seq("neighbor_id", "s"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("adc_d2"))
-        .agg((sum(round(VectorOps.pqD2(col("qsx"), col("nsx")) *
-          lit(1.0e9), 0).cast("long")).cast("double") / lit(1.0e9))
-          .as("exact_d2"))
-      val err = round(abs(col("adc_d2") - col("exact_d2")) * lit(1.0e9), 0)
-        .cast("long")
-      exact.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_cands"),
-          (sum(err).cast("double") /
+        .select(col("s"),
+          abs(col("lut_g2") - round(VectorOps.pqD2(col("qsx"),
+            col("nsx")) * lit(1.0e9), 0).cast("long")).as("err_g"))
+      terms.groupBy(col("s"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("err_g")).cast("double") /
             (count(lit(1)) * lit(1.0e9))).as("mean_abs_err"),
-          max(abs(col("adc_d2") - col("exact_d2"))).as("max_abs_err"))
+          (max(col("err_g")).cast("double") / lit(1.0e9))
+            .as("max_abs_err"))
     }
   }
 
@@ -562,12 +641,26 @@ object Similarity {
     Caching.withPersisted(vc) {
       val cent = Caching.materialize(kmeansCentroids(vc))
       val cells = Caching.materialize(bestCells(cent)(vc, 1))
-      probedCandidates(defaultQueries(vc), cent, cells,
-        excludeSelf = true)
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_candidates"))
+      fanoutBody(vc, cent, cells)
     }
   }
+
+  /** [[probeFanout]] against a PREBUILT [[IvfAdcIndex]]: the gauge of
+    * the index actually being served — no coarse-quantizer retraining,
+    * just probes against the stored centroids counted over the stored
+    * cell assignments. */
+  def probeFanout(embeddings: DataFrame, index: IvfAdcIndex): DataFrame = {
+    val vc = vecs(embeddings)
+    Caching.withPersisted(vc) {
+      fanoutBody(vc, index.centroids, index.cells)
+    }
+  }
+
+  private def fanoutBody(vc: DataFrame, cent: DataFrame,
+      cells: DataFrame): DataFrame =
+    probedCandidates(defaultQueries(vc), cent, cells, excludeSelf = true)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
 
   /** IVF cell-balance gauge (s20): one-row health summary of the coarse
     * quantizer's cell assignment — non-empty cell count, corpus size,
@@ -582,7 +675,17 @@ object Similarity {
     Caching.withPersisted(vc) {
       val cent = Caching.materialize(kmeansCentroids(vc))
       val cells = Caching.materialize(bestCells(cent)(vc, 1))
-      cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
+      balanceBody(cells)
+    }
+  }
+
+  /** [[cellBalance]] over a PREBUILT [[IvfAdcIndex]]'s stored cell
+    * table — no quantizer retraining; the whole gauge is two integer
+    * aggregates over (vec_id, cent_id). */
+  def cellBalance(index: IvfAdcIndex): DataFrame = balanceBody(index.cells)
+
+  private def balanceBody(cells: DataFrame): DataFrame =
+    cells.groupBy(col("cent_id")).agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
           min(col("n")).as("min_cell"), max(col("n")).as("max_cell"),
           sum(col("n") * col("n")).as("sum_n2"))
@@ -591,8 +694,6 @@ object Similarity {
           (col("n_vecs").cast("double") / col("n_cells")).as("mean_cell"),
           (col("n_cells").cast("double") * col("sum_n2").cast("double") /
             (col("n_vecs") * col("n_vecs")).cast("double")).as("imbalance"))
-    }
-  }
 
   /** The four stored tables of a materialized IVF-ADC index — each one a
     * plain lake-table shape (parquet round-trip pinned by the spec):

@@ -166,6 +166,55 @@ class GraphSpec extends SparkSpec {
       (2L, 3L) -> ((1L, 1L))), s"$open")
   }
 
+  test("coPurchaseGovernance accounts for every excluded hub (no silent cap)") {
+    // same planted hub as the cap test: cust 99 has 3 suppliers (w=1
+    // each), cust 10 has 2 (w=1 each); with maxSupp=2 the hub and its 3
+    // edge-weight units must be REPORTED, not silently dropped
+    val li = Seq(
+      (100L, 1L), (101L, 2L),
+      (900L, 1L), (901L, 2L), (902L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 10L),
+      (900L, 99L), (901L, 99L), (902L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+    val r = Graph.coPurchaseGovernance(li, ord, maxSupp = 2).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_customers")) == 2L)
+    assert(row.getLong(row.fieldIndex("n_excluded_hubs")) == 1L, s"$row")
+    assert(row.getLong(row.fieldIndex("excluded_edge_w")) == 3L, s"$row")
+    assert(row.getLong(row.fieldIndex("kept_edge_w")) == 2L, s"$row")
+    assert(row.getLong(row.fieldIndex("max_fanout")) == 3L)
+    // kept self-join budget: C(2,2 choose)=1 pair row from cust 10
+    assert(row.getLong(row.fieldIndex("kept_pair_budget")) == 1L)
+    assert(math.abs(row.getDouble(row.fieldIndex("excluded_frac")) - 0.6)
+      < 1e-12, s"$row")
+    // no hubs under the default cap: zero excluded, zero excluded mass
+    val open = Graph.coPurchaseGovernance(li, ord).collect().head
+    assert(open.getLong(open.fieldIndex("n_excluded_hubs")) == 0L)
+    assert(open.getLong(open.fieldIndex("excluded_edge_w")) == 0L)
+  }
+
+  test("labelIndex: stored labels serve g3/g4 identically to inline LPA") {
+    val (li, ord) = fixture
+    val inlineStats = Graph.communityStats(li, ord).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val inlineBridges = Graph.bridgeNodes(li, ord).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    // the index round-trips through parquet — the stored-lake-table
+    // shape every other *VsIndex family pins
+    val idx = Graph.labelIndex(li, ord)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa-spec-")
+    idx.labels.write.parquet(s"$dir/labels")
+    idx.edges.write.parquet(s"$dir/edges")
+    val stored = Graph.LabelIndex(spark.read.parquet(s"$dir/labels"),
+      spark.read.parquet(s"$dir/edges"), idx.iters)
+    assert(Graph.communityStats(stored).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq == inlineStats.toSeq)
+    assert(Graph.bridgeNodes(stored).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq == inlineBridges.toSeq)
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =

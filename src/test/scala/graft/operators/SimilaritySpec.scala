@@ -575,4 +575,54 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     assert(again == rows)
   }
+
+  test("index-backed gauges match their inline-training twins") {
+    import org.apache.spark.sql.functions._
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(data)
+    // the gauges a deployment runs against its STORED tables must read
+    // exactly what inline training computes (the s14 identity, extended
+    // to s18/s19/s20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Similarity.adcErrorStats(data, idx, probeK = 30)) ==
+      rows(Similarity.adcErrorStats(data)))
+    assert(rows(Similarity.probeFanout(data, idx)) ==
+      rows(Similarity.probeFanout(data)))
+    assert(rows(Similarity.cellBalance(idx)) ==
+      rows(Similarity.cellBalance(data)))
+  }
+
+  test("adcErrorBySubspace: per-subspace split is consistent with s18") {
+    import org.apache.spark.sql.functions._
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(data)
+    val by = Similarity.adcErrorBySubspace(data, idx).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // one row per PQ subspace, every pair count equal (each candidate
+    // pair contributes exactly one term per subspace)
+    assert(by.keySet == Set(0, 1, 2, 3), s"${by.keySet}")
+    assert(by.values.map(_._1).toSet.size == 1,
+      s"subspace pair counts diverged: $by")
+    by.values.foreach { case (n, meanErr, maxErr) =>
+      assert(n >= 1L)
+      assert(meanErr >= 0.0 && meanErr <= maxErr + 1e-12, s"$by")
+    }
+    // the sum of per-subspace mean errors bounds the corpus-level s18
+    // mean from above (triangle inequality: |Σa-Σb| <= Σ|a-b|, applied
+    // per pair then averaged — candidate sets are identical)
+    val s18 = Similarity.adcErrorStats(data, idx, probeK = 30).collect()
+    val totalPairs = s18.map(_.getLong(1)).sum
+    val s18MeanAll = s18.map(r => r.getLong(1) * r.getDouble(2)).sum /
+      totalPairs
+    assert(by.values.map(_._1).head == totalPairs,
+      s"subspace pair universe ${by.values.map(_._1).head} != s18 " +
+        s"candidate universe $totalPairs")
+    val bySumMean = by.values.map(_._2).sum
+    assert(s18MeanAll <= bySumMean + 1e-9,
+      s"s18 mean $s18MeanAll exceeds per-subspace sum $bySumMean")
+  }
 }
