@@ -22,10 +22,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * any sketch size — the difference between a 1 MiB and a 64 MiB
   * dimension fingerprint on a 1000-executor cluster.
   *
-  * The filter deserializes lazily once per executor JVM (transient lazy
-  * val), and the probe stays inside whole-stage codegen via a reference
-  * object (same technique Spark uses for `references`-carried state).
-  * Null hash → null (same three-valued logic as might_contain).
+  * The filter deserializes ONCE PER EXECUTOR JVM: each task deserializes
+  * its own copy of the expression tree, so a plain per-instance lazy val
+  * would re-parse the ~MiB sketch once per task — the deserialized
+  * filter is memoized in a JVM-level cache keyed by the broadcast id
+  * (soft-referenced, so a memory-pressured executor can reclaim filters
+  * of finished queries). The probe stays inside whole-stage codegen via
+  * a reference object (same technique Spark uses for `references`-
+  * carried state). Null hash → null (same three-valued logic as
+  * might_contain).
   */
 case class BloomProbeBc(bloomBytes: Broadcast[Array[Byte]],
     child: Expression) extends UnaryExpression {
@@ -41,7 +46,7 @@ case class BloomProbeBc(bloomBytes: Broadcast[Array[Byte]],
         child.dataType.simpleString)
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes.value))
+    BloomProbeBc.filterFor(bloomBytes)
 
   /** Called from generated code — must stay public. */
   def mightContain(h: Long): Boolean = filter.mightContainLong(h)
@@ -60,4 +65,24 @@ case class BloomProbeBc(bloomBytes: Broadcast[Array[Byte]],
 
   override protected def withNewChildInternal(
       newChild: Expression): BloomProbeBc = copy(child = newChild)
+}
+
+object BloomProbeBc {
+  /** Executor-JVM-level memo of deserialized filters, keyed by broadcast
+    * id (unique per broadcast variable per application). Soft references:
+    * a filter is re-parsed after a GC reclaim rather than pinning ~MiB
+    * sketches of finished queries forever. */
+  private val filters = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.lang.ref.SoftReference[BloomFilter]]()
+
+  private[functions] def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter = {
+    val ref = filters.get(bc.id)
+    val cached = if (ref == null) null else ref.get()
+    if (cached != null) cached
+    else {
+      val f = BloomFilter.readFrom(new ByteArrayInputStream(bc.value))
+      filters.put(bc.id, new java.lang.ref.SoftReference(f))
+      f
+    }
+  }
 }

@@ -224,17 +224,6 @@ object Curation {
         (coalesce(col("shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
-  /** Bloom-prefiltered decontamination (c15): same contract as
-    * [[decontaminate]], different 100 TB posture. c6 broadcasts the
-    * benchmark's distinct shingle ROWS — right while the suite fits the
-    * broadcast threshold, impossible when the held-out set is itself
-    * corpus-sized (e.g. decontaminating one crawl snapshot against
-    * another). Here only a ~MB Bloom sketch of the shingle fingerprints
-    * ships — as a broadcast variable ([[graft.functions.BloomProbeBc]]),
-    * once per executor, not per task binary; corpus shingles are pruned at scan
-    * parallelism BEFORE any shuffle, and the exact equi-join over the few
-    * survivors removes the false positives — results are identical to c6
-    * (the oracle is the same plain-join SQL). */
   /** Per-source contamination report (c26): [[decontaminate]]'s per-doc
     * verdicts rolled up to the governance table a release review reads —
     * doc count, contaminated count, and the rate per source. The number
@@ -253,6 +242,17 @@ object Curation {
         (col("n_contaminated").cast("double") / col("n_docs"))
           .as("contamination_rate"))
 
+  /** Bloom-prefiltered decontamination (c15): same contract as
+    * [[decontaminate]], different 100 TB posture. c6 broadcasts the
+    * benchmark's distinct shingle ROWS — right while the suite fits the
+    * broadcast threshold, impossible when the held-out set is itself
+    * corpus-sized (e.g. decontaminating one crawl snapshot against
+    * another). Here only a ~MB Bloom sketch of the shingle fingerprints
+    * ships — as a broadcast variable ([[graft.functions.BloomProbeBc]]),
+    * once per executor, not per task binary; corpus shingles are pruned at scan
+    * parallelism BEFORE any shuffle, and the exact equi-join over the few
+    * survivors removes the false positives — results are identical to c6
+    * (the oracle is the same plain-join SQL). */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       minShared: Int = 3): DataFrame = {
     val bsh = benchmark

@@ -617,7 +617,17 @@ object Relational {
     * table is filtered at scan parallelism with no shuffle, and only
     * survivors enter the join. False positives are removed by the join
     * itself, so results are EXACT — the oracle is the plain join SQL.
-    * Returns the filtered fact joined to the dim subset. */
+    * Returns the filtered fact joined to the dim subset.
+    *
+    * Broadcast lifecycle: each call creates one broadcast variable whose
+    * only strong root is the returned frame's probe expression — the
+    * ContextCleaner reclaims the executor blocks once the caller drops
+    * the frame and the driver GCs the handle, NOT at query end. A tight
+    * loop of calls that pins its result frames (a per-batch streaming
+    * rebuild would be the worst case) accumulates sketch blocks until
+    * GC; such callers should build the sketch once outside the loop and
+    * reuse the returned frame, which is also the cheaper plan (the
+    * sketch-build action reruns per call). */
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedKeys: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.operators.Graph
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming community membership: per-batch lookups against the stored
+  * label index must equal the batch twin on the same frames, through a
+  * parquet round-trip of the index (the lake-table shape the nightly
+  * build writes). */
+class StreamGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the GraphSpec star: s:1 bought by c:10/c:11/c:12, s:2 only by c:10 —
+  // one dense community; c:10 is the only multi-supplier customer
+  private def index = {
+    val lineitem = Seq(
+      (100L, 1L), (100L, 1L), (101L, 1L), (102L, 1L),
+      (100L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val orders = Seq(
+      (100L, 10L), (101L, 11L), (102L, 12L))
+      .toDF("o_orderkey", "o_custkey")
+    Graph.labelIndex(lineitem, orders)
+  }
+
+  test("batchMembership: stored labels serve lookups; unknown nodes flagged") {
+    val idx = index
+    val dir = java.nio.file.Files.createTempDirectory("graft-sg-")
+    idx.labels.write.parquet(s"$dir/labels")
+    Graph.bridgeNodes(idx).write.parquet(s"$dir/bridges")
+    val labels = spark.read.parquet(s"$dir/labels")
+    val bridges = spark.read.parquet(s"$dir/bridges")
+
+    val batch = Seq(("c:10", 7L), ("s:2", 8L), ("c:99", 9L))
+      .toDF("node", "payload")
+    val out = StreamGraph.batchMembership(batch, labels, bridges)
+      .collect()
+      .map(r => r.getString(r.fieldIndex("node")) ->
+        ((Option(r.getString(r.fieldIndex("label"))),
+          r.getBoolean(r.fieldIndex("is_known")),
+          r.getBoolean(r.fieldIndex("is_bridge"))))).toMap
+    // known nodes carry the community label the batch LPA assigned
+    val lab = idx.labels.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("c:10") == ((Some(lab("c:10")), true, false)), s"$out")
+    assert(out("s:2") == ((Some(lab("s:2")), true, false)), s"$out")
+    // a node that arrived after the build misses loudly, never wrongly
+    assert(out("c:99") == ((None, false, false)), s"$out")
+    // the single-community star has no bridges; payload survives the joins
+    assert(StreamGraph.batchMembership(batch, labels, bridges)
+      .select("payload").collect().map(_.getLong(0)).toSet ==
+      Set(7L, 8L, 9L))
+  }
+
+  test("membershipVsIndex emits the batch-twin rows per micro-batch") {
+    val idx = index
+    val dir = java.nio.file.Files.createTempDirectory("graft-sg2-")
+    idx.labels.write.parquet(s"$dir/labels")
+    Graph.bridgeNodes(idx).write.parquet(s"$dir/bridges")
+    val labels = spark.read.parquet(s"$dir/labels")
+    val bridges = spark.read.parquet(s"$dir/bridges")
+
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Option[String], Boolean, Boolean, Long)]()
+    val input = MemoryStream[(String, Long)]
+    val q = StreamGraph.membershipVsIndex(
+      input.toDF().toDF("node", "payload"), labels, bridges,
+      df => df.collect().foreach(r => rows.add((
+        r.getString(r.fieldIndex("node")),
+        Option(r.getString(r.fieldIndex("label"))),
+        r.getBoolean(r.fieldIndex("is_known")),
+        r.getBoolean(r.fieldIndex("is_bridge")),
+        r.getLong(r.fieldIndex("batch_id"))))))
+    try {
+      input.addData(Seq(("c:11", 1L), ("c:99", 2L)))
+      q.processAllAvailable()
+      input.addData(Seq(("s:1", 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.asScala.toSet
+    def twin(batch: Seq[(String, Long)], id: Long) =
+      StreamGraph.batchMembership(
+          batch.toDF("node", "payload"), labels, bridges)
+        .collect().map(r => (
+          r.getString(r.fieldIndex("node")),
+          Option(r.getString(r.fieldIndex("label"))),
+          r.getBoolean(r.fieldIndex("is_known")),
+          r.getBoolean(r.fieldIndex("is_bridge")), id))
+    val want = (twin(Seq(("c:11", 1L), ("c:99", 2L)), 0L) ++
+      twin(Seq(("s:1", 3L)), 1L)).toSet
+    assert(got == want, s"stream rows must equal batch twin:\n$got\n$want")
+    assert(got.exists(r => r._1 == "c:99" && !r._3),
+      "post-build node must be flagged unknown")
+  }
+}
