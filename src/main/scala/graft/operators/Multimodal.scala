@@ -306,6 +306,37 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "n_samples", "energy", "rms")
   }
 
+  /** Frame-delta motion profile (mm13): per medium, the absolute RMS
+    * change between CONSECUTIVE [[frameEnergy]] frames — mean, max, and
+    * how many deltas exceed the scene-cut bar. The sampling-priority
+    * signal a video pipeline reads next to mm10's silence gate: frames
+    * where the energy jumps are scene boundaries / motion (sample them
+    * for captioning), a flat profile is a static slide (sample once).
+    * The per-frame RMS is engine-exact (sqrt of an exact integer ratio,
+    * mm7's contract), so the deltas are too; the mean accumulates
+    * round(delta·1e9) longs (order-free), max/cut-compare run on the
+    * identical doubles. Media with a single frame have no delta and drop
+    * out. One window pass per medium (partitioned, never global) + one
+    * aggregate — bounded fanout, no cross-media shuffle. */
+  def motionProfile(documents: DataFrame, frame: Int = 64,
+      cutBar: Double = 40.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val deltas = frameEnergy(documents, frame)
+      .select(col("media_id"), col("frame_idx"), col("rms"))
+      .select(col("media_id"),
+        abs(col("rms") - lag(col("rms"), 1).over(w)).as("delta"))
+      .filter(col("delta").isNotNull)
+    deltas.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_deltas"),
+        (sum(round(col("delta") * lit(1.0e9))
+          .cast(DecimalType(38, 0))).cast("double") /
+          (count(lit(1)) * lit(1.0e9))).as("mean_abs_delta"),
+        max(col("delta")).as("max_abs_delta"),
+        sum(when(col("delta") > cutBar, 1L).otherwise(0L)).as("n_cuts"))
+  }
+
   /** Silence / blank-media detector (mm10): per medium, how many of its
     * [[frameEnergy]] frames fall below the RMS floor, the quiet fraction,
     * and the blank verdict — the audio-curation gate that drops

@@ -313,6 +313,28 @@ object VectorOps {
         .as("variance"))
   }
 
+  /** Per-dimension standardization (e18): z = (x − μ_d)/√(σ²_d + ε) for
+    * every (vector, dimension) — the whitening preprocessing an embedding
+    * pipeline applies before cosine/ANN when dimensions carry wildly
+    * different scales (a hot dimension otherwise dominates every
+    * distance; the all-but-the-top literature's first step). μ/σ² come
+    * from [[dimStats]]'s grid-exact accumulation, so the z-scores are
+    * bit-identical across engines/partitionings; the per-element
+    * arithmetic is one broadcast join of the 64-row stats table into the
+    * corpus explode — corpus-linear, no shuffle beyond the scan. */
+  def standardize(embeddings: DataFrame, eps: Double = 1e-9,
+      vecCol: String = "embedding"): DataFrame = {
+    val stats = dimStats(embeddings, vecCol)
+      .select(col("dim"), col("mean"), col("variance"))
+    embeddings
+      .select(col("vec_id"), posexplode(asDouble(col(vecCol)))
+        .as(Seq("dim", "v")))
+      .join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        ((col("v") - col("mean")) /
+          sqrt(col("variance") + lit(eps))).as("z"))
+  }
+
   def gramMatrix(embeddings: DataFrame, vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession

@@ -1,0 +1,139 @@
+package graft.oracles
+
+/** DuckDB oracle SQL for the graph query family — the
+  * literal twins split out of SparkEntry (one object per family;
+  * `SparkEntry.oracleSqlBase` unions them). Entry text is
+  * byte-identical to the pre-split map: derived oracles anchor on
+  * exact substrings of these strings. */
+object GraphOracles {
+  val sql: Map[String, String] = Map(
+    // Three unrolled PageRank iterations on the same 1e-9 decimal grid as
+    // the engine: per-edge contributions in doubles (every literal CAST to
+    // DOUBLE — bare 1.0/0.85 would be DuckDB decimals with different
+    // rounding), grid-rounded, summed as DECIMAL(38,0).
+    "g1_pagerank" ->
+      """WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w FROM pairc
+        |  UNION ALL
+        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
+        |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, ed.w, ow.wout
+        |  FROM ed JOIN ow ON ed.src = ow.src),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr
+        |  FROM nd CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, SUM(CAST(round(p0.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p0 ON e.src = p0.node GROUP BY e.dst),
+        |p1 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c1.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nd.node),
+        |c2 AS (SELECT e.dst, SUM(CAST(round(p1.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p1 ON e.src = p1.node GROUP BY e.dst),
+        |p2 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c2.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nd.node),
+        |c3 AS (SELECT e.dst, SUM(CAST(round(p2.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p2 ON e.src = p2.node GROUP BY e.dst),
+        |p3 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c3.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nd.node)
+        |SELECT node, pr FROM p3""".stripMargin,
+    // g5: supplier pairs sharing customers, hub-capped at 100 suppliers
+    // per customer (QUALIFY mirrors the agg+anti-join), min-weight
+    // affinity — integers end to end.
+    "g5_copurchase" ->
+      """WITH pair AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT * FROM pair
+        |  QUALIFY count(*) OVER (PARTITION BY cust) <= 100)
+        |SELECT a.supp AS supp_a, b.supp AS supp_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_customers,
+        |  CAST(sum(least(a.w, b.w)) AS BIGINT) AS affinity
+        |FROM capped a JOIN capped b
+        |  ON a.cust = b.cust AND a.supp < b.supp
+        |GROUP BY 1, 2""".stripMargin,
+    // g6: the g5 hub cap's accounting row — same pair aggregate, one
+    // per-customer degree rollup, all-integer except the final fraction.
+    "g6_copurchase_report" ->
+      """WITH pair AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT cust, count(*) AS n_supp, sum(w) AS wsum
+        |  FROM pair GROUP BY cust)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN n_supp > 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_excluded_hubs,
+        |  CAST(SUM(CASE WHEN n_supp > 100 THEN wsum ELSE 0 END) AS BIGINT)
+        |    AS excluded_edge_w,
+        |  CAST(SUM(CASE WHEN n_supp > 100 THEN 0 ELSE wsum END) AS BIGINT)
+        |    AS kept_edge_w,
+        |  CAST(max(n_supp) AS BIGINT) AS max_fanout,
+        |  CAST(SUM(CASE WHEN n_supp > 100 THEN 0
+        |    ELSE n_supp * (n_supp - 1) // 2 END) AS BIGINT)
+        |    AS kept_pair_budget,
+        |  CAST(SUM(CASE WHEN n_supp > 100 THEN wsum ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN n_supp > 100 THEN wsum ELSE 0 END)
+        |      + SUM(CASE WHEN n_supp > 100 THEN 0 ELSE wsum END) AS DOUBLE)
+        |    AS excluded_frac
+        |FROM deg""".stripMargin,
+    // g2: three unrolled SEMI-synchronous LPA rounds over g1's edge CTEs
+    // (bipartite 2-coloring: round 1/3 update c:-side dsts, round 2 the
+    // s:-side — fully synchronous LPA oscillates on bipartite graphs).
+    // Integer vote weights, winner = (vw DESC, lab ASC), pure
+    // string/integer arithmetic so no grid rounding is needed anywhere.
+    "g2_label_prop" ->
+      """WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w FROM pairc
+        |  UNION ALL
+        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS lab FROM nd),
+        |v1 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+        |  FROM e JOIN l0 l ON e.src = l.node
+        |  WHERE e.dst LIKE 'c:%' GROUP BY 1, 2),
+        |w1 AS (SELECT dst, lab FROM (
+        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+        |    ORDER BY vw DESC, lab) AS rn FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, COALESCE(w1.lab, l0.lab) AS lab
+        |  FROM l0 LEFT JOIN w1 ON w1.dst = l0.node),
+        |v2 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+        |  FROM e JOIN l1 l ON e.src = l.node
+        |  WHERE e.dst LIKE 's:%' GROUP BY 1, 2),
+        |w2 AS (SELECT dst, lab FROM (
+        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+        |    ORDER BY vw DESC, lab) AS rn FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT l1.node, COALESCE(w2.lab, l1.lab) AS lab
+        |  FROM l1 LEFT JOIN w2 ON w2.dst = l1.node),
+        |v3 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+        |  FROM e JOIN l2 l ON e.src = l.node
+        |  WHERE e.dst LIKE 'c:%' GROUP BY 1, 2),
+        |w3 AS (SELECT dst, lab FROM (
+        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+        |    ORDER BY vw DESC, lab) AS rn FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT l2.node, COALESCE(w3.lab, l2.lab) AS lab
+        |  FROM l2 LEFT JOIN w3 ON w3.dst = l2.node)
+        |SELECT node, lab AS label FROM l3""".stripMargin,
+  )
+}

@@ -94,7 +94,10 @@ object ScaleSmoke {
         Dedup.dedupApply(d, comps)
       },
       "d2_minhash_lsh" -> (d => Dedup.minhashLsh(d)),
-      "d12_cc_star" -> (d => Dedup.nearDupComponentsStar(d)))
+      "d12_cc_star" -> (d => Dedup.nearDupComponentsStar(d)),
+      // d35: estimator-vs-exact over the LSH candidate set only — must
+      // track the candidate count (linear here), never go all-pairs
+      "d35_minhash_calib" -> (d => Dedup.minhashCalibration(d)))
 
     // warm the JVM (codegen, shuffle machinery) so the first 1× timing
     // isn't charged startup cost — without this the 1× leg of the first
@@ -144,7 +147,13 @@ object ScaleSmoke {
     val graphOps: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
       "g1_pagerank" -> ((l, o) => graft.operators.Graph.pageRank(l, o)),
       "g2_label_prop" -> ((l, o) =>
-        graft.operators.Graph.labelPropagation(l, o)))
+        graft.operators.Graph.labelPropagation(l, o)),
+      // g5: THE quadratic-per-key candidate (the one-mode projection) —
+      // the hub cap must hold it near-linear under epoch expansion
+      "g5_copurchase" -> ((l, o) =>
+        graft.operators.Graph.coPurchasePairs(l, o)),
+      "g6_copurchase_rep" -> ((l, o) =>
+        graft.operators.Graph.coPurchaseGovernance(l, o)))
     graphOps.foreach { case (_, fn) => fn(li1, ord1).count() } // warm
     val graphResults = graphOps.map { case (name, fn) =>
       val t0 = System.nanoTime(); val r1 = fn(li1, ord1).count()
@@ -232,8 +241,36 @@ object ScaleSmoke {
       Multimodal.phashVsIndex(incoming, pIdx1).count())
     val (probeN, prN) = timedAction(
       Multimodal.phashVsIndex(incoming, pIdxN).count())
+    // the s18–s21 gauges against the PREBUILT indexes (the post-reuse
+    // serve forms SparkEntry registers): query count scales with the
+    // corpus here (vec_id % 100 queries), so the expected ratio is
+    // ~linear — what must NOT appear is a quantizer retrain (which
+    // would add a corpus-sized k-means on every gauge read)
+    Similarity.cellBalance(idx1).count() // warm
+    val (gErr1, ge1) = timedAction(
+      Similarity.adcErrorStats(emb1, idx1, probeK = 30).count())
+    val (gErrN, geN) = timedAction(
+      Similarity.adcErrorStats(embN, idxN, probeK = 30).count())
+    val (gFan1, gf1) = timedAction(
+      Similarity.probeFanout(emb1, idx1).count())
+    val (gFanN, gfN) = timedAction(
+      Similarity.probeFanout(embN, idxN).count())
+    val (gBal1, gb1) = timedAction(Similarity.cellBalance(idx1).count())
+    val (gBalN, gbN) = timedAction(Similarity.cellBalance(idxN).count())
+    val (gSub1, gs1) = timedAction(
+      Similarity.adcErrorBySubspace(emb1, idx1).count())
+    val (gSubN, gsN) = timedAction(
+      Similarity.adcErrorBySubspace(embN, idxN).count())
     val lifecycle = Seq(
       ("s13_index_build", build1, buildN, 0L, 0L, buildN / math.max(build1, 1e-9)),
+      ("s18_adc_error", gErr1, gErrN, ge1, geN,
+        gErrN / math.max(gErr1, 1e-9)),
+      ("s19_probe_fanout", gFan1, gFanN, gf1, gfN,
+        gFanN / math.max(gFan1, 1e-9)),
+      ("s20_cell_balance", gBal1, gBalN, gb1, gbN,
+        gBalN / math.max(gBal1, 1e-9)),
+      ("s21_adc_err_sub", gSub1, gSubN, gs1, gsN,
+        gSubN / math.max(gSub1, 1e-9)),
       ("s13_index_search", search1, searchN, sr1, srN,
         searchN / math.max(search1, 1e-9)),
       ("s15_append_batch", append1, appendN, batch.count(), batch.count(),

@@ -358,6 +358,31 @@ class LlmTextSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - (-0.22314 * 2 + -0.40547) / 3) < 1e-9)
   }
 
+  test("bigramLmVsRef: held-out docs scored under the reference LM only") {
+    // refMod=2: odd doc_ids train the LM, even ones are held out.
+    // ref corpus (docs 1, 3): bigrams "a b"x2, "b a"x1; ctx a=2, b=1; V=2
+    val docs = Seq((1L, "a b a"), (3L, "a b"),
+      (2L, "a b"),    // held out, fully in-distribution
+      (4L, "q r"))    // held out, NOTHING seen by the ref LM
+      .toDF("doc_id", "text")
+    val out = LlmText.bigramLmVsRef(docs, refMod = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 && out(3L)._1 && !out(2L)._1 && !out(4L)._1)
+    // in-distribution held-out doc: p(a b) = (2+1)/(2+2) → ln(0.75)
+    val lnAB = math.rint(math.log(3.0 / 4.0) * 1e5) / 1e5
+    assert(math.abs(out(2L)._3 - lnAB) < 1e-9, s"${out(2L)}")
+    // fully-unseen doc: cb=0, UNSEEN CONTEXT cw=0 → p = 1/(0+2) — finite,
+    // and strictly less likely than the in-distribution doc
+    val lnQR = math.rint(math.log(1.0 / 2.0) * 1e5) / 1e5
+    assert(math.abs(out(4L)._3 - lnQR) < 1e-9, s"${out(4L)}")
+    assert(out(4L)._3 < out(2L)._3,
+      "reference LM must rank off-distribution text below in-distribution")
+    // the reference docs themselves score under their own LM (x17 math)
+    assert(out(3L)._3 == out(2L)._3,
+      "identical text must score identically regardless of split side")
+  }
+
   test("gopherRules reports per-rule verdicts and the conjunction") {
     val docs = Seq(
       // 5 words, mwl=4.2, no symbols, all alpha, no dups, 2 stopwords

@@ -194,6 +194,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 2L), "empty payload emits no frames")
   }
 
+  test("motionProfile: constant payload is flat, a byte jump is a cut") {
+    import spark.implicits._
+    // doc 1: three 64-byte frames of constant 'a' → two deltas of 0, no
+    // cuts; doc 2: 64 'a' then 64 'z' → one delta |rms_z - rms_a|;
+    // doc 3: single frame → no delta row at all
+    val docs = Seq((1L, "a" * 192), (2L, "a" * 64 + "z" * 64),
+      (3L, "a" * 10)).toDF("doc_id", "text")
+    val out = Multimodal.motionProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 0.0, 0.0, 0L)), s"${out.get(1L)}")
+    val rmsA = math.abs('a'.toInt - 128).toDouble // constant bytes: |s|
+    val rmsZ = math.abs('z'.toInt - 128).toDouble
+    val jump = math.abs(rmsZ - rmsA) // |6 − 31| = 25 — below the 40 bar
+    val (n2, mean2, max2, cuts2) = out(2L)
+    assert(n2 == 1L && cuts2 == 0L, s"${out(2L)}")
+    assert(math.abs(max2 - jump) < 1e-9 && math.abs(mean2 - jump) < 1e-9)
+    assert(!out.contains(3L), "single-frame media has no motion row")
+    // a real scene cut (constant 0x20 -> constant 0xFF region via chars)
+    val cut = Seq((9L, " " * 64 + "~" * 64)).toDF("doc_id", "text")
+    val r9 = Multimodal.motionProfile(cut, cutBar = 50.0).collect().head
+    assert(r9.getLong(4) == 1L, s"$r9") // rms 96 -> 2: delta 94 > 50
+  }
+
   test("duplicatePatches finds the exact tile shared across documents") {
     import spark.implicits._
     // docs 1 and 2 share the first 32-byte tile; their second tiles

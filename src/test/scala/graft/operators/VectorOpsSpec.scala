@@ -365,4 +365,27 @@ class VectorOpsSpec extends SparkSpec {
         r.getDouble(3)))).toMap
     assert(alt == out)
   }
+
+  test("standardize: hand-computed z-scores; dead dims stay finite") {
+    import spark.implicits._
+    def vec(v0: Float, v1: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = v0; a(1) = v1; a
+    }
+    // dim 0: {1, 3} → mean 2, var 1 → z = ±1/sqrt(1 + 1e-9);
+    // dim 1: constant (var 0) → z = 0/sqrt(1e-9) = 0, never NaN/Inf
+    val embs = Seq((1L, vec(1f, 0.5f), 0), (2L, vec(3f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.standardize(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val z = 1.0 / math.sqrt(1.0 + 1e-9)
+    assert(out((1L, 0)) == -z && out((2L, 0)) == z,
+      s"${out((1L, 0))} / ${out((2L, 0))}")
+    assert(out((1L, 1)) == 0.0 && out((2L, 1)) == 0.0)
+    assert(out.size == 2 * 64)
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite))
+    // whitened: every dim's z-scores sum to ~0
+    (0 until 64).foreach { d =>
+      assert(math.abs(out((1L, d)) + out((2L, d))) < 1e-9, s"dim $d")
+    }
+  }
 }
