@@ -13,6 +13,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark's runtime bloom-filter injection defaults to 8M bits; the
+      // built filter is INLINED into every task binary of the filtered
+      // stage as a literal (~1 MiB task binaries — a per-task-launch tax,
+      // and the driver-record ">1 MiB binary" noise bar). Our candidate-
+      // pruning joins carry ~10^4-10^5 build-side rows, so a 1M-bit
+      // filter holds the same (negligible) false-positive rate at 1/8th
+      // the shipping cost. False positives only re-admit rows the exact
+      // join drops — results are unaffected.
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "1048576")
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "131072")
       // The app-status store retains per-job/stage/task/SQL-execution data
       // IN HEAP even with the UI off (defaults: 1000 jobs, 1000 stages,
       // 100k tasks, 1000 SQL executions with their full plan-graph
@@ -39,6 +50,16 @@ object Bench {
     // is the one stable anchor).
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // WindowExec WARNs "No Partition Defined" on every empty-partition
+    // window, including the DECLARED-INTENT `Window.partitionBy()` forms
+    // over bounded summary frames (≤ sources/quantile-bucket rows — the
+    // r10 "single-partition intent" audit), ~260 lines per bench run.
+    // Silenced for this measurement JVM only; an ACCIDENTAL global window
+    // on fact-sized data is still caught where it matters —
+    // PlanQualitySpec pins the per-group windows to hash-partitioning.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Timed action: write to the noop sink, which consumes every row and
     // every column. A bare count() would let Catalyst prune all projections
     // under Aggregate(count(1)) and measure scan+count instead of operator
@@ -150,6 +171,20 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // Stored-index warm-up (untimed): the shared IVF/label indexes are
+    // nightly-build lake tables in the deployment story; prime them here
+    // so their one-time build doesn't land on the first consumer in
+    // pass 1 (the r11 passTotals drift source). s13/s15 still measure
+    // builds inline; ScaleSmoke times the build explicitly.
+    locally {
+      val ivfConsumers = Set("s14_ivf_adc_vs_index", "s16_range_vs_index",
+        "s17_range_recall", "s18_adc_error", "s19_probe_fanout",
+        "s20_cell_balance", "s21_adc_error_subspace")
+      val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes")
+      SparkEntry.primeStoredIndexes(spark, sfDir,
+        ivf = selected.keys.exists(ivfConsumers),
+        labels = selected.keys.exists(labelConsumers))
+    }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the
     // subset's own first query once untimed instead, so the first measurement

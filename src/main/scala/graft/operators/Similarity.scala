@@ -608,8 +608,11 @@ object Similarity {
       val lut = queryLut(defaultQueries(sub), index.codebook)
       // per (pair, subspace): the LUT term the search added (via the
       // neighbor's stored code) vs the exact grid term of the real
-      // subvectors — both longs on the shared 1e-9 grid
-      val terms = broadcast(cands)
+      // subvectors — both longs on the shared 1e-9 grid. Materialized
+      // (bounded at pairs × subspaces rows) so the final aggregate's
+      // task binary carries a checkpoint scan, not the five-way join
+      // tree (measured 4-5 MiB per task without it).
+      val terms = Caching.materialize(broadcast(cands)
         .join(index.codes.withColumnRenamed("vec_id", "neighbor_id"),
           "neighbor_id")
         .join(lut.withColumnRenamed("g2", "lut_g2"),
@@ -620,7 +623,7 @@ object Similarity {
           col("sx").as("nsx")), Seq("neighbor_id", "s"))
         .select(col("s"),
           abs(col("lut_g2") - round(VectorOps.pqD2(col("qsx"),
-            col("nsx")) * lit(1.0e9), 0).cast("long")).as("err_g"))
+            col("nsx")) * lit(1.0e9), 0).cast("long")).as("err_g")))
       terms.groupBy(col("s"))
         .agg(count(lit(1)).as("n_pairs"),
           (sum(col("err_g")).cast("double") /

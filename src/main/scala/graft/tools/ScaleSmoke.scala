@@ -50,6 +50,17 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark's runtime bloom-filter injection defaults to 8M bits; the
+      // built filter is INLINED into every task binary of the filtered
+      // stage as a literal (~1 MiB task binaries — a per-task-launch tax,
+      // and the driver-record ">1 MiB binary" noise bar). Our candidate-
+      // pruning joins carry ~10^4-10^5 build-side rows, so a 1M-bit
+      // filter holds the same (negligible) false-positive rate at 1/8th
+      // the shipping cost. False positives only re-admit rows the exact
+      // join drops — results are unaffected.
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "1048576")
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, sfDir, factor)

@@ -260,4 +260,33 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastExchange"),
       s"1-row totals must broadcast:\n$p")
   }
+
+  test("s20-from-index: the gauge is join-free aggregates over stored cells") {
+    // the serve form must read the stored table and aggregate — any Join
+    // in the plan means a quantizer retrain sneaked back in (the r10
+    // inline-retraining regression this overload removed)
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(emb)
+    val p = Similarity.cellBalance(idx).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"stored-cell gauge must not join:\n$p")
+    assert(!p.contains("kmeans"), p)
+  }
+
+  test("e18: whitening is one broadcast of the 64-row stats table") {
+    val p = plan("e18_standardize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim stats must broadcast into the corpus explode:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"64-row side must never SMJ:\n$p")
+  }
+
+  test("mm13: the motion window partitions by media, never globally") {
+    val p = plan("mm13_motion_profile")
+    assert(p.contains("Window"), p)
+    // a global (unpartitioned) window logs 'No Partition Defined' and
+    // plans a single-partition exchange; the per-media window must
+    // partition by media_id
+    assert(p.contains("hashpartitioning(media_id"),
+      s"window must hash-partition by media_id:\n$p")
+  }
 }
