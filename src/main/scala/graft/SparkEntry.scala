@@ -447,6 +447,8 @@ object SparkEntry {
     // g6: the cap's accounting row — what the g5 hub exclusion dropped.
     "g6_copurchase_report" -> ((s, d) =>
       Graph.coPurchaseGovernance(T.lineitem(s, d), T.orders(s, d))),
+    // g7: Newman modularity of the LPA partition, off the stored index.
+    "g7_modularity" -> ((s, d) => Graph.modularity(storedLabelIndex(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -730,6 +732,8 @@ object SparkEntry {
     // s21 is s18's candidate set with the error split per PQ subspace.
     ("s21_adc_error_subspace" ->
       adcErrorBySubspaceOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // g7 is g2's unrolled chain + the modularity fold.
+    ("g7_modularity" -> modularityOracle(oracleSqlBase("g2_label_prop"))) +
     // e18 is e16's moment chain + the per-element z-score join.
     ("e18_standardize" -> standardizeOracle(oracleSqlBase("e16_dim_stats"))) +
     // mm13 is mm7's frame chain + the per-media LAG delta aggregate.
@@ -841,6 +845,34 @@ object SparkEntry {
         |    AS DOUBLE) / (count(*) * 1.0e9) AS mean_abs_err,
         |  max(abs(adc_d2 - exact_d2)) AS max_abs_err
         |FROM exd GROUP BY query_id""".stripMargin
+  }
+
+  /** Derive the g7 oracle from g2's: keep the unrolled LPA chain and
+    * swap the final projection for the per-community mass aggregate
+    * folded into Newman's Q = I/T − ΣD²/T² — all-integer masses (D²
+    * as DECIMAL(38,0)), two IEEE divisions in the identical shape. */
+  private def modularityOracle(g2: String): String = {
+    val anchor = "SELECT node, lab AS label FROM l3"
+    require(g2.contains(anchor), "g2 oracle SQL lost the g7 anchor")
+    g2.replace(anchor,
+      """SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |  CAST(SUM(ew.incident_w) AS BIGINT) AS total_w,
+        |  CAST(SUM(ew.internal_w) AS BIGINT) AS internal_w,
+        |  CAST(CAST(SUM(ew.internal_w) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(ew.incident_w) AS BIGINT) AS DOUBLE)
+        |    - CAST(SUM(CAST(ew.incident_w AS DECIMAL(38,0))
+        |          * ew.incident_w) AS DOUBLE)
+        |      / (CAST(CAST(SUM(ew.incident_w) AS BIGINT) AS DOUBLE)
+        |         * CAST(CAST(SUM(ew.incident_w) AS BIGINT) AS DOUBLE))
+        |    AS modularity
+        |FROM (SELECT ls.lab,
+        |        CAST(SUM(e.w) AS BIGINT) AS incident_w,
+        |        CAST(SUM(CASE WHEN ld.lab = ls.lab THEN e.w ELSE 0 END)
+        |          AS BIGINT) AS internal_w
+        |      FROM e JOIN l3 ls ON e.src = ls.node
+        |             JOIN l3 ld ON e.dst = ld.node
+        |      GROUP BY ls.lab) ew
+        |GROUP BY (1=1)""".stripMargin)
   }
 
   /** Derive the e18 oracle from e16's: lift the grid-exact per-dim

@@ -287,6 +287,37 @@ object Graph {
     }
   }
 
+  /** Newman modularity of the LPA partition (g7): Q = Σ_c [I_c/T −
+    * (D_c/T)²] over the DOUBLED edge table (T = total doubled mass,
+    * I_c = doubled internal mass, D_c = community degree mass) — the one
+    * number that says whether the label partition beats random chance
+    * (Q≈0 random, Q>0.3 strong structure), read next to g3's
+    * per-community table when deciding if community-aware curation is
+    * worth wiring at all. Served from the stored [[LabelIndex]] via
+    * [[communityStats]] — zero LPA rounds; arithmetic is three integer
+    * aggregates (D_c² accumulated as DECIMAL(38,0) — at 100 TB the
+    * squared masses overflow longs) and two IEEE divisions at the end,
+    * identical expression shape on both engines. */
+  def modularity(index: LabelIndex): DataFrame = {
+    val t = col("total_w").cast("double")
+    communityStats(index)
+      // constant-group (not global) aggregate: zero communities → zero
+      // rows, never a null-poison row (the empty-input house contract)
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("incident_w")).as("total_w"),
+        sum(col("internal_w")).as("internal_w"),
+        sum(col("incident_w").cast(DecimalType(38, 0)) *
+          col("incident_w")).as("s2"))
+      .select(col("n_communities"), col("total_w"), col("internal_w"),
+        (col("internal_w").cast("double") / t -
+          col("s2").cast("double") / (t * t)).as("modularity"))
+  }
+
+  def modularity(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3): DataFrame =
+    modularity(labelIndex(lineitem, orders, iters))
+
   /** Co-purchase projection (g5): supplier pairs that share customers,
     * with the shared-customer count and a min-weight affinity — the
     * one-mode projection of the bipartite purchase graph (on doc-entity
@@ -345,7 +376,10 @@ object Graph {
       .groupBy(col("cust"))
       .agg(count(lit(1)).as("n_supp"), sum(col("w")).as("wsum"))
     val hub = col("n_supp") > maxSupp
-    deg.agg(
+    // constant-group aggregate, not a global one: an empty fact side
+    // yields ZERO report rows (the empty-input house contract), not one
+    // row of nulls a downstream divide would poison
+    deg.groupBy(lit(true).as("all")).agg(
         count(lit(1)).as("n_customers"),
         sum(when(hub, 1L).otherwise(0L)).as("n_excluded_hubs"),
         sum(when(hub, col("wsum")).otherwise(0L)).as("excluded_edge_w"),

@@ -1182,24 +1182,51 @@ object LlmText {
       val ctxCnt = ref
         .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
         .agg(count(lit(1)).as("cw"))
-      val vocab = ctxCnt.agg(count(lit(1)).as("vsz"))
-      val lp = round(
-        log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
-          (coalesce(col("cw"), lit(0L)) + col("vsz")).cast("double")),
-        5).cast(DecimalType(18, 6))
-      docBi
-        .join(biCnt, Seq("bigram"), "left_outer")
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
-        .join(ctxCnt, Seq("w1"), "left_outer")
-        .crossJoin(broadcast(vocab))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp_sum"))
+      scoreBigramsVsRef(docBi, biCnt, ctxCnt)
         .select(col("doc_id"),
           (col("doc_id") % refMod =!= 0).as("in_ref"),
-          col("n_bigrams"),
-          (col("lp_sum").cast("double") / col("n_bigrams"))
-            .as("avg_logprob"))
+          col("n_bigrams"), col("avg_logprob"))
     }
+  }
+
+  /** The x37 scoring body over PRECOMPUTED reference LM tables — shared
+    * with the per-batch streaming serve path
+    * ([[graft.streaming.StreamCuration.lmScoreVsRef]]) so stream and
+    * batch cannot drift: `docBi` is (doc_id, bigram) exploded rows,
+    * `refBigramCounts` (bigram, cb), `refContextCounts` (w1, cw) —
+    * at snapshot-build time these are lake tables. Returns (doc_id,
+    * n_bigrams, avg_logprob). */
+  private[graft] def scoreBigramsVsRef(docBi: DataFrame,
+      refBigramCounts: DataFrame,
+      refContextCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vocab = refContextCounts.agg(count(lit(1)).as("vsz"))
+    val lp = round(
+      log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("cw"), lit(0L)) + col("vsz")).cast("double")),
+      5).cast(DecimalType(18, 6))
+    docBi
+      .join(refBigramCounts, Seq("bigram"), "left_outer")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(refContextCounts, Seq("w1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_sum").cast("double") / col("n_bigrams"))
+          .as("avg_logprob"))
+  }
+
+  /** The (doc_id, bigram) explode [[scoreBigramsVsRef]] consumes —
+    * exposed so streaming batches build the identical rows. */
+  private[graft] def docBigrams(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    documents
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
   }
 
   /** PMI collocation mining (x29): the top-k word bigrams by pointwise

@@ -94,7 +94,7 @@ object GraphOracles {
         |    / CAST(SUM(CASE WHEN n_supp > 100 THEN wsum ELSE 0 END)
         |      + SUM(CASE WHEN n_supp > 100 THEN 0 ELSE wsum END) AS DOUBLE)
         |    AS excluded_frac
-        |FROM deg""".stripMargin,
+        |FROM deg GROUP BY (1=1)""".stripMargin,
     // g2: three unrolled SEMI-synchronous LPA rounds over g1's edge CTEs
     // (bipartite 2-coloring: round 1/3 update c:-side dsts, round 2 the
     // s:-side — fully synchronous LPA oscillates on bipartite graphs).

@@ -60,6 +60,39 @@ object StreamCuration {
       }
       .start()
 
+  /** Per-micro-batch LM quality scoring against STORED reference counts
+    * (x37's serve path): each arriving doc's average bigram log-prob
+    * under the add-1-smoothed LM whose count tables were built once at
+    * snapshot time (`refBigramCounts` (bigram, cb), `refContextCounts`
+    * (w1, cw) — lake tables, the [[graft.operators.Graph.LabelIndex]]
+    * staleness contract). The ingest gate thresholds this score to
+    * reject gibberish before it spends tokenizer budget; per-batch cost
+    * is the batch's bigram explode + two joins against the stored
+    * vocabulary-sized tables. Emits (doc_id, n_bigrams, avg_logprob,
+    * batch_id). */
+  def lmScoreVsRef(
+      docs: DataFrame,
+      refBigramCounts: DataFrame,
+      refContextCounts: DataFrame,
+      sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-lm-score")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchLmScore(batch, refBigramCounts, refContextCounts)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Batch twin of [[lmScoreVsRef]]'s per-batch body — the exact x37
+    * scoring arithmetic ([[graft.operators.LlmText.scoreBigramsVsRef]]),
+    * so the stream cannot drift from the batch gauge. */
+  def batchLmScore(batch: DataFrame, refBigramCounts: DataFrame,
+      refContextCounts: DataFrame): DataFrame =
+    graft.operators.LlmText.scoreBigramsVsRef(
+      graft.operators.LlmText.docBigrams(batch),
+      refBigramCounts, refContextCounts)
+
   /** Batch twin of [[divergenceVsAccepted]]'s per-batch body, exposed so
     * the spec pins stream output == batch output on the same frames:
     * KL(batch-source ‖ accepted) using the x23 decimal-grid recipe, with

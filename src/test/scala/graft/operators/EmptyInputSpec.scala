@@ -84,6 +84,19 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
     "communityStats" -> (() => Graph.communityStats(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    // round-11 additions
+    "bigramLmVsRef" -> (() => LlmText.bigramLmVsRef(docs)),
+    "motionProfile" -> (() => Multimodal.motionProfile(docs)),
+    "coPurchasePairs" -> (() => Graph.coPurchasePairs(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    // constant-group reports: empty in → ZERO rows, no null-poison row
+    "coPurchaseGovernance" -> (() => Graph.coPurchaseGovernance(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "modularity" -> (() => Graph.modularity(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
@@ -100,6 +113,7 @@ class EmptyInputSpec extends SparkSpec {
       Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))),
     "rangeRecall" -> (() => Similarity.rangeRecall(embs)),
     "dimStats" -> (() => VectorOps.dimStats(embs)),
+    "standardize" -> (() => VectorOps.standardize(embs)),
     "clusterSizeHistogram" -> (() => Dedup.clusterSizeHistogram(docs)),
     "silenceReport" -> (() => Multimodal.silenceReport(docs)))
 

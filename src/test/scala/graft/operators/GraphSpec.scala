@@ -215,6 +215,26 @@ class GraphSpec extends SparkSpec {
       .map(_.toSeq).sortBy(_.toString).toSeq == inlineBridges.toSeq)
   }
 
+  test("modularity: one community scores 0; two disjoint stars score 0.5") {
+    // the star fixture converges to ONE community: I = D = T, so
+    // Q = T/T − (T/T)² = 0 exactly — the "no structure beyond chance"
+    // reading a single all-absorbing label deserves
+    val (li, ord) = fixture
+    val r = Graph.modularity(li, ord).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L &&
+      r.getLong(2) == 10L, s"$r")
+    assert(r.getDouble(3) == 0.0, s"$r")
+    // two disjoint stars: T=8, two communities each I=D=4 →
+    // Q = 8/8 − 2·(4/8)² = 0.5 — strong structure
+    val li2 = Seq((100L, 1L), (101L, 1L), (200L, 2L), (201L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord2 = Seq((100L, 10L), (101L, 11L), (200L, 20L), (201L, 21L))
+      .toDF("o_orderkey", "o_custkey")
+    val r2 = Graph.modularity(li2, ord2).collect().head
+    assert(r2.getLong(0) == 2L, s"$r2")
+    assert(math.abs(r2.getDouble(3) - 0.5) < 1e-12, s"$r2")
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =

@@ -224,4 +224,40 @@ class StreamCurationSpec extends SparkSpec {
     assert(got == want,
       s"replay must be idempotent — stream-final == batch twin:\n$got\n$want")
   }
+
+  test("lmScoreVsRef scores each batch under the stored reference LM") {
+    // stored snapshot tables (built once, offline): bigram counts and
+    // context counts of a reference corpus "a b a b / b a"
+    val biCnt = Seq(("a b", 2L), ("b a", 2L)).toDF("bigram", "cb")
+    val ctxCnt = Seq(("a", 2L), ("b", 2L)).toDF("w1", "cw")
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCuration.lmScoreVsRef(
+      input.toDF().toDF("doc_id", "text"), biCnt, ctxCnt,
+      df => df.collect().foreach(r =>
+        rows.add((r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))))
+    try {
+      input.addData(Seq((1L, "a b"), (2L, "q r")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, "b a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.asScala.toSet
+    def twin(batch: Seq[(Long, String)], id: Long) =
+      StreamCuration.batchLmScore(batch.toDF("doc_id", "text"),
+          biCnt, ctxCnt)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), id))
+    val want = (twin(Seq((1L, "a b"), (2L, "q r")), 0L) ++
+      twin(Seq((3L, "b a")), 1L)).toSet
+    assert(got == want, s"stream rows must equal batch twin:\n$got\n$want")
+    // in-distribution "a b": p=(2+1)/(2+2); unseen "q r": p=1/(0+2) —
+    // finite, and ranked strictly lower
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    assert(byDoc(2L) < byDoc(1L), s"$byDoc")
+    assert(!byDoc(2L).isNaN && !byDoc(2L).isInfinite)
+  }
 }
