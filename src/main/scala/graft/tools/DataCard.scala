@@ -93,6 +93,21 @@ object DataCard {
     val merges = LlmText.bpeTrain(docs)
     val clusters = graft.operators.VectorOps.clusterQuality(embs)
       .orderBy(col("margin"))
+    // motion summary rides its own frame pass (frame RMS needs the raw
+    // payload bytes, not the catalog's per-media features): one row —
+    // media with motion data, mean of per-media mean deltas, total cuts
+    val motion = Multimodal.motionProfile(docs)
+      .agg(count(lit(1)).as("n_media"),
+        avg(col("mean_abs_delta")).as("avg_mean_delta"),
+        max(col("max_abs_delta")).as("max_delta"),
+        sum(col("n_cuts")).as("n_scene_cuts"))
+    // the purchase-graph community readout (ONE shared label index feeds
+    // g7's quality number; the g6 cap accounting shares the fact scan)
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val labelIdx = graft.operators.Graph.labelIndex(li, ord)
+    val modularity = graft.operators.Graph.modularity(labelIdx)
+    val copurchase = graft.operators.Graph.coPurchaseGovernance(li, ord)
 
     val sb = new StringBuilder
     sb ++= "# Data card\n\n"
@@ -124,10 +139,14 @@ object DataCard {
     sb ++= section("Silence/blank rates by source (mm10)", silence)
     sb ++= section(
       "Perceptual-hash duplicate advisory by source (mm6/mm9)", phashAdv)
+    sb ++= section("Motion / scene-cut profile (mm13: summary)", motion)
     sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
     sb ++= section(
       "Embedding cluster quality (e14: cohesion vs separation, worst first)",
       clusters)
+    sb ++= section("Purchase-graph community quality (g7: Newman Q)",
+      modularity)
+    sb ++= section("Co-purchase hub-cap accounting (g6)", copurchase)
     sb.result()
   }
 

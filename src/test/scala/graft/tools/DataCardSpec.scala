@@ -25,8 +25,11 @@ class DataCardSpec extends SparkSpec {
         "## Media mix (mm8: first rows)",
         "## Silence/blank rates by source (mm10)",
         "## Perceptual-hash duplicate advisory by source (mm6/mm9)",
+        "## Motion / scene-cut profile (mm13: summary)",
         "## Tokenizer merge table (x25: first BPE merges)",
-        "## Embedding cluster quality (e14"))
+        "## Embedding cluster quality (e14",
+        "## Purchase-graph community quality (g7: Newman Q)",
+        "## Co-purchase hub-cap accounting (g6)"))
       assert(card.contains(section), s"missing section: $section\n$card")
     // overview numbers are real
     assert("- documents: (\\d+)".r.findFirstMatchIn(card)
