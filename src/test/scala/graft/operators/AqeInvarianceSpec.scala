@@ -204,6 +204,38 @@ class AqeInvarianceSpec extends SparkSpec {
     assert(lOn.nonEmpty && sOn.size >= 2, "fixture forms communities")
   }
 
+  test("round-11 surface is AQE-invariant (projection, reports, gauges)") {
+    // the co-purchase self-join + its governance/modularity folds, the
+    // held-out LM scorer (left joins may flip strategy), and the motion
+    // window — none may move a value when AQE re-plans
+    val li = Seq((100L, 1L), (100L, 1L), (101L, 1L), (102L, 1L),
+      (100L, 2L), (200L, 3L), (201L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (102L, 12L),
+      (200L, 20L), (201L, 21L)).toDF("o_orderkey", "o_custkey")
+    def g5() = Graph.coPurchasePairs(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    def g6() = Graph.coPurchaseGovernance(li, ord).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    def g7() = Graph.modularity(li, ord).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    def x37() = LlmText.bigramLmVsRef(docs, refMod = 2).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    // multi-frame payloads (>= 2 × 64-byte frames) so deltas exist
+    val media = Seq((1L, "a" * 100 + "z" * 100), (2L, "b" * 200))
+      .toDF("doc_id", "text")
+    def mm13() = Multimodal.motionProfile(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sorted.toSeq
+    val on = withAqe(true) { (g5(), g6(), g7(), x37(), mm13()) }
+    val off = withAqe(false) { (g5(), g6(), g7(), x37(), mm13()) }
+    assert(on == off, s"round-11 ops moved under AQE:\n$on\n$off")
+    assert(on._1.nonEmpty && on._4.nonEmpty && on._5.nonEmpty,
+      "fixtures actually produce rows")
+  }
+
   test("phashVsIndex is AQE-invariant (cross-set band join)") {
     val long = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
       .mkString
