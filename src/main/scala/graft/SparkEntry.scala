@@ -449,6 +449,9 @@ object SparkEntry {
       Graph.coPurchaseGovernance(T.lineitem(s, d), T.orders(s, d))),
     // g7: Newman modularity of the LPA partition, off the stored index.
     "g7_modularity" -> ((s, d) => Graph.modularity(storedLabelIndex(s, d))),
+    // g8: bipartite degree histogram (the g5 cap-tuning input).
+    "g8_degree_distribution" -> ((s, d) =>
+      Graph.degreeDistribution(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -632,6 +635,9 @@ object SparkEntry {
     // e18: whitening z-scores off e16's grid-exact per-dim moments.
     "e18_standardize" -> ((s, d) =>
       graft.operators.VectorOps.standardize(T.embeddings(s, d))),
+    // e19: worst-quantized vectors off e5's encode (grid-summed).
+    "e19_pq_worst" -> ((s, d) =>
+      graft.operators.VectorOps.pqWorstVectors(T.embeddings(s, d))),
     "e9_pc1_power" -> ((s, d) =>
       graft.operators.VectorOps.pc1PowerIteration(T.embeddings(s, d))),
     "e10_remove_pc1" -> ((s, d) =>
@@ -734,6 +740,8 @@ object SparkEntry {
       adcErrorBySubspaceOracle(oracleSqlBase("s13_ivf_adc"))) +
     // g7 is g2's unrolled chain + the modularity fold.
     ("g7_modularity" -> modularityOracle(oracleSqlBase("g2_label_prop"))) +
+    // e19 is e5's encode + the grid-summed per-vector distortion head.
+    ("e19_pq_worst" -> pqWorstOracle(oracleSqlBase("e5_pq_encode"))) +
     // e18 is e16's moment chain + the per-element z-score join.
     ("e18_standardize" -> standardizeOracle(oracleSqlBase("e16_dim_stats"))) +
     // mm13 is mm7's frame chain + the per-media LAG delta aggregate.
@@ -845,6 +853,29 @@ object SparkEntry {
         |    AS DOUBLE) / (count(*) * 1.0e9) AS mean_abs_err,
         |  max(abs(adc_d2 - exact_d2)) AS max_abs_err
         |FROM exd GROUP BY query_id""".stripMargin
+  }
+
+  /** Derive the e19 oracle from e5's: lift the per-(vector, subspace)
+    * winner errors into a CTE, sum them per vector on the 1e-9 grid
+    * (order-free longs), and keep the deterministic top-k head. */
+  private def pqWorstOracle(e5: String): String = {
+    val anchor = "SELECT vec_id, CAST(s AS INT) AS subspace, code, d2 AS err2\n" +
+      "FROM (SELECT vec_id, s, code, d2,\n" +
+      "    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)\n" +
+      "      AS rn FROM df) WHERE rn = 1"
+    require(e5.endsWith(anchor), "e5 oracle SQL lost the e19 anchor")
+    e5.dropRight(anchor.length).stripSuffix("\n").stripSuffix(",") + ",\n" +
+      """pe AS (SELECT vec_id, d2 FROM (SELECT vec_id, s, code, d2,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+        |      AS rn FROM df) WHERE rn = 1),
+        |tv AS (SELECT vec_id,
+        |  CAST(CAST(SUM(CAST(round(d2 * 1.0e9) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / 1.0e9 AS distortion
+        |  FROM pe GROUP BY vec_id)
+        |SELECT vec_id, distortion, CAST(rank AS INT) AS rank
+        |FROM (SELECT vec_id, distortion,
+        |    row_number() OVER (ORDER BY distortion DESC, vec_id) AS rank
+        |  FROM tv) WHERE rank <= 50""".stripMargin
   }
 
   /** Derive the g7 oracle from g2's: keep the unrolled LPA chain and

@@ -360,6 +360,29 @@ object Graph {
     }
   }
 
+  /** Bipartite degree distribution (g8): how many customers have N
+    * suppliers and how many suppliers have N customers — the graph-shape
+    * telemetry that SETS [[coPurchasePairs]]'s `maxSupp`: the histogram's
+    * tail says where the hub cap starts costing real mass (read next to
+    * g6's accounting of what the chosen cap actually dropped). One
+    * aggregate per side over the shared purchase-pair frame; integers end
+    * to end. */
+  def degreeDistribution(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val pair = purchasePairs(lineitem, orders)
+    Caching.withPersisted(pair) {
+      val cd = pair.groupBy(col("cust").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .select(lit("customer").as("side"), col("degree"))
+      val sd = pair.groupBy(col("supp").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .select(lit("supplier").as("side"), col("degree"))
+      cd.unionByName(sd)
+        .groupBy(col("side"), col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }
+  }
+
   /** Hub-cap governance report for [[coPurchasePairs]] (g6) — the "no
     * silent caps" companion (the d16 `governanceReport` posture): the
     * projection anti-joins away customers with more than `maxSupp`

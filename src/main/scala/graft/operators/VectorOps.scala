@@ -143,6 +143,27 @@ object VectorOps {
         col("d2").as("err2"))
   }
 
+  /** Worst PQ-quantized vectors (e19): per vector, the TOTAL squared
+    * reconstruction error across subspaces (e5's per-subspace err2 summed
+    * on the 1e-9 grid — order-free), top-`k` worst first — the outlier
+    * audit an embedding store runs before switching on PQ serving: the
+    * head names the vectors quantization actually hurts (cluster
+    * boundary cases, out-of-distribution rows) so they can ride a
+    * full-precision lane or trigger codebook retraining. One aggregate
+    * over the e5 encode + a TakeOrdered head; the rank window runs over
+    * the k-row head only (bounded by construction). */
+  def pqWorstVectors(embeddings: DataFrame, k: Int = 50,
+      subspaces: Int = 4, subDim: Int = 16): DataFrame = {
+    val enc = pqEncode(embeddings, subspaces, subDim)
+    val tv = enc.groupBy(col("vec_id"))
+      .agg((sum(round(col("err2") * lit(1.0e9), 0).cast("long"))
+        .cast("double") / lit(1.0e9)).as("distortion"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy(col("distortion").desc, col("vec_id"))
+    tv.orderBy(col("distortion").desc, col("vec_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Per-vector subspace slices: (vec_id, s, sx) with sx the s-th
     * `subDim`-wide slice of the embedding. Shared by PQ encode (e5) and
     * the ADC retrieval tier ([[Similarity.pqAdcAnn]]). */

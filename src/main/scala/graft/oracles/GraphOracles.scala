@@ -95,6 +95,20 @@ object GraphOracles {
         |      + SUM(CASE WHEN n_supp > 100 THEN 0 ELSE wsum END) AS DOUBLE)
         |    AS excluded_frac
         |FROM deg GROUP BY (1=1)""".stripMargin,
+    // g8: per-side degree histogram over the shared purchase-pair
+    // aggregate — the cap-tuning input for g5/g6.
+    "g8_degree_distribution" ->
+      """WITH pair AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cd AS (SELECT 'customer' AS side, CAST(count(*) AS BIGINT)
+        |    AS degree FROM pair GROUP BY cust),
+        |sd AS (SELECT 'supplier' AS side, CAST(count(*) AS BIGINT)
+        |    AS degree FROM pair GROUP BY supp)
+        |SELECT side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM (SELECT * FROM cd UNION ALL SELECT * FROM sd)
+        |GROUP BY side, degree""".stripMargin,
     // g2: three unrolled SEMI-synchronous LPA rounds over g1's edge CTEs
     // (bipartite 2-coloring: round 1/3 update c:-side dsts, round 2 the
     // s:-side — fully synchronous LPA oscillates on bipartite graphs).

@@ -252,6 +252,51 @@ object ScaleSmoke {
       Multimodal.phashVsIndex(incoming, pIdx1).count())
     val (probeN, prN) = timedAction(
       Multimodal.phashVsIndex(incoming, pIdxN).count())
+    // g-family membership serve: a FIXED node batch looked up against the
+    // stored label index of the 1x and factor-x graphs — two equi-joins,
+    // per-batch cost, must not track graph size
+    val lIdx1 = graft.operators.Graph.labelIndex(li1, ord1)
+    val lIdxN = graft.operators.Graph.labelIndex(liN, ordN)
+    val (bridges1, bridgesN) = (
+      graft.operators.Caching.materialize(
+        graft.operators.Graph.bridgeNodes(lIdx1)),
+      graft.operators.Caching.materialize(
+        graft.operators.Graph.bridgeNodes(lIdxN)))
+    val nodeBatch = lIdx1.labels.select(col("node")).limit(500)
+      .withColumn("payload", lit(1L)).repartition(8).persist()
+    nodeBatch.count()
+    graft.streaming.StreamGraph.batchMembership(nodeBatch,
+      lIdx1.labels, bridges1).count() // warm
+    val (member1, mb1) = timedAction(graft.streaming.StreamGraph
+      .batchMembership(nodeBatch, lIdx1.labels, bridges1).count())
+    val (memberN, mbN) = timedAction(graft.streaming.StreamGraph
+      .batchMembership(nodeBatch, lIdxN.labels, bridgesN).count())
+    // x37 serve: a FIXED doc batch scored against stored reference LM
+    // count tables built from the 1x and factor-x corpora — the count
+    // tables are vocabulary-sized, so the join cost tracks the batch
+    val refBi1 = graft.operators.Caching.materialize(
+      graft.operators.LlmText.docBigrams(one)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cb")))
+    val refCtx1 = graft.operators.Caching.materialize(
+      graft.operators.LlmText.docBigrams(one)
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("cw")))
+    val refBiN = graft.operators.Caching.materialize(
+      graft.operators.LlmText.docBigrams(many)
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cb")))
+    val refCtxN = graft.operators.Caching.materialize(
+      graft.operators.LlmText.docBigrams(many)
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("cw")))
+    val docBatch = epoch(base, factor + 3).limit(500)
+      .repartition(8).persist()
+    docBatch.count()
+    graft.streaming.StreamCuration.batchLmScore(docBatch, refBi1,
+      refCtx1).count() // warm
+    val (lm1, ls1) = timedAction(graft.streaming.StreamCuration
+      .batchLmScore(docBatch, refBi1, refCtx1).count())
+    val (lmN, lsN) = timedAction(graft.streaming.StreamCuration
+      .batchLmScore(docBatch, refBiN, refCtxN).count())
     // the s18–s21 gauges against the PREBUILT indexes (the post-reuse
     // serve forms SparkEntry registers): query count scales with the
     // corpus here (vec_id % 100 queries), so the expected ratio is
@@ -289,7 +334,11 @@ object ScaleSmoke {
       ("s16_range_serve", serve1, serveN, rs1, rsN,
         serveN / math.max(serve1, 1e-9)),
       ("mm9_phash_probe", probe1, probeN, pr1, prN,
-        probeN / math.max(probe1, 1e-9)))
+        probeN / math.max(probe1, 1e-9)),
+      ("g_member_serve", member1, memberN, mb1, mbN,
+        memberN / math.max(member1, 1e-9)),
+      ("x37_lm_serve", lm1, lmN, ls1, lsN,
+        lmN / math.max(lm1, 1e-9)))
     lifecycle.foreach { case (name, t1, tN, r1, rN, ratio) =>
       System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
         f"${factor}x=$tN%7.1fs ($rN rows)  ratio=$ratio%5.2f")
@@ -299,14 +348,17 @@ object ScaleSmoke {
     // batch); build is ALLOWED to scale with the corpus — that's the
     // rebuild-vs-append tradeoff s15 exists to demonstrate
     Seq("s15_append_batch" -> (appendN / math.max(append1, 1e-9)),
-        "mm9_phash_probe" -> (probeN / math.max(probe1, 1e-9)))
+        "mm9_phash_probe" -> (probeN / math.max(probe1, 1e-9)),
+        "g_member_serve" -> (memberN / math.max(member1, 1e-9)),
+        "x37_lm_serve" -> (lmN / math.max(lm1, 1e-9)))
       .foreach { case (name, ratio) =>
         if (ratio > factor / 2.0)
           System.err.println(s"[stress] WARNING: $name ratio $ratio " +
             s"approaches the corpus ratio $factor — serve path is NOT " +
             "batch-scaled; investigate before the next scale-up")
       }
-    Seq(emb1, embN, batch, queries, incoming).foreach(_.unpersist())
+    Seq(emb1, embN, batch, queries, incoming, nodeBatch, docBatch)
+      .foreach(_.unpersist())
 
     def opsJson(rs: Seq[(String, Double, Double, Long, Long, Double)]) =
       rs.map { case (n, t1, tN, r1, rN, ratio) =>

@@ -215,6 +215,17 @@ class GraphSpec extends SparkSpec {
       .map(_.toSeq).sortBy(_.toString).toSeq == inlineBridges.toSeq)
   }
 
+  test("degreeDistribution: per-side histogram, hand-checked") {
+    val (li, ord) = fixture
+    // customers: c10 has 2 suppliers, c11/c12 have 1; suppliers: s1 has
+    // 3 customers, s2 has 1
+    val out = Graph.degreeDistribution(li, ord).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("customer", 2L) -> 1L, ("customer", 1L) -> 2L,
+      ("supplier", 3L) -> 1L, ("supplier", 1L) -> 1L), s"$out")
+  }
+
   test("modularity: one community scores 0; two disjoint stars score 0.5") {
     // the star fixture converges to ONE community: I = D = T, so
     // Q = T/T − (T/T)² = 0 exactly — the "no structure beyond chance"

@@ -366,6 +366,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(alt == out)
   }
 
+  test("pqWorstVectors: head equals the grid-summed e5 distortions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 10
+    val head = VectorOps.pqWorstVectors(data, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(head.length == k)
+    // ranks are 1..k, distortions non-increasing, ties broken by vec_id
+    assert(head.map(_._3).toSeq == (1 to k), s"${head.toSeq}")
+    head.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), s"$a !>= $b")
+    }
+    // the head is exactly the top-k of the full per-vector grid sums
+    val full = VectorOps.pqEncode(data)
+      .groupBy(col("vec_id"))
+      .agg((sum(round(col("err2") * lit(1.0e9), 0).cast("long"))
+        .cast("double") / lit(1.0e9)).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1)).take(k).toSeq
+    assert(head.map(t => (t._1, t._2)).toSeq == full, s"$full")
+  }
+
   test("standardize: hand-computed z-scores; dead dims stay finite") {
     import spark.implicits._
     def vec(v0: Float, v1: Float): Array[Float] = {
