@@ -97,6 +97,9 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
     "modularity" -> (() => Graph.modularity(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "degreeDistribution" -> (() => Graph.degreeDistribution(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
@@ -114,6 +117,7 @@ class EmptyInputSpec extends SparkSpec {
     "rangeRecall" -> (() => Similarity.rangeRecall(embs)),
     "dimStats" -> (() => VectorOps.dimStats(embs)),
     "standardize" -> (() => VectorOps.standardize(embs)),
+    "pqWorstVectors" -> (() => VectorOps.pqWorstVectors(embs)),
     "clusterSizeHistogram" -> (() => Dedup.clusterSizeHistogram(docs)),
     "silenceReport" -> (() => Multimodal.silenceReport(docs)))
 
