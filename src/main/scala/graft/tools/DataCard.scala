@@ -96,6 +96,11 @@ object DataCard {
     // motion summary rides its own frame pass (frame RMS needs the raw
     // payload bytes, not the catalog's per-media features): one row —
     // media with motion data, mean of per-media mean deltas, total cuts
+    // the x37 clean-model fluency gate's worst offenders: the docs the
+    // held-out reference LM finds least plausible — the review queue a
+    // curation pass reads before tightening the score threshold
+    val lmWorst = LlmText.bigramLmVsRef(docs)
+      .orderBy(col("avg_logprob"), col("doc_id")).limit(10)
     val motion = Multimodal.motionProfile(docs)
       .agg(count(lit(1)).as("n_media"),
         avg(col("mean_abs_delta")).as("avg_mean_delta"),
@@ -139,6 +144,9 @@ object DataCard {
     sb ++= section("Silence/blank rates by source (mm10)", silence)
     sb ++= section(
       "Perceptual-hash duplicate advisory by source (mm6/mm9)", phashAdv)
+    sb ++= section(
+      "Least-plausible docs under the reference LM (x37: review queue)",
+      lmWorst)
     sb ++= section("Motion / scene-cut profile (mm13: summary)", motion)
     sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
     sb ++= section(

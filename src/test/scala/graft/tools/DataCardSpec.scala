@@ -25,6 +25,7 @@ class DataCardSpec extends SparkSpec {
         "## Media mix (mm8: first rows)",
         "## Silence/blank rates by source (mm10)",
         "## Perceptual-hash duplicate advisory by source (mm6/mm9)",
+        "## Least-plausible docs under the reference LM (x37: review queue)",
         "## Motion / scene-cut profile (mm13: summary)",
         "## Tokenizer merge table (x25: first BPE merges)",
         "## Embedding cluster quality (e14",
