@@ -405,6 +405,9 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
+    // c27: quality deciles × exact-dup rate (gate-independence check).
+    "c27_quality_dup_calibration" -> ((s, d) =>
+      Curation.qualityDupCalibration(T.documents(s, d))),
     // snapshot split by vec_id parity: even = accepted, odd = incoming
     "e15_centroid_drift" -> ((s, d) => {
       val e = T.embeddings(s, d)
@@ -742,6 +745,9 @@ object SparkEntry {
     ("g7_modularity" -> modularityOracle(oracleSqlBase("g2_label_prop"))) +
     // e19 is e5's encode + the grid-summed per-vector distortion head.
     ("e19_pq_worst" -> pqWorstOracle(oracleSqlBase("e5_pq_encode"))) +
+    // c27 is x3's quality chain + d1's keeper rule, bucketed.
+    ("c27_quality_dup_calibration" ->
+      qualityDupOracle(oracleSqlBase("x3_quality_score"))) +
     // e18 is e16's moment chain + the per-element z-score join.
     ("e18_standardize" -> standardizeOracle(oracleSqlBase("e16_dim_stats"))) +
     // mm13 is mm7's frame chain + the per-media LAG delta aggregate.
@@ -853,6 +859,34 @@ object SparkEntry {
         |    AS DOUBLE) / (count(*) * 1.0e9) AS mean_abs_err,
         |  max(abs(adc_d2 - exact_d2)) AS max_abs_err
         |FROM exd GROUP BY query_id""".stripMargin
+  }
+
+  /** Derive the c27 oracle from x3's: lift the quality expression into a
+    * CTE, add d1's keeper-rule duplicate flag, and aggregate dup rate
+    * per score decile (floor(score·10 + 1e-9), the boundary nudge). */
+  private def qualityDupOracle(x3: String): String = {
+    val anchor = "SELECT doc_id, n_chars, n AS n_tokens, mwl AS avg_token_len,\n" +
+      "  sr AS stopword_ratio, pr AS punct_ratio,\n" +
+      "  0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0) AS quality_score,\n" +
+      "  (0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0)) >= 0.5 AS is_quality\n" +
+      "FROM m"
+    require(x3.endsWith(anchor), "x3 oracle SQL lost the c27 anchor")
+    x3.dropRight(anchor.length).stripSuffix("\n").stripSuffix(",") + ",\n" +
+      """qv AS (SELECT doc_id,
+        |  0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0)
+        |    AS quality_score FROM m),
+        |dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |kk AS (SELECT h, min(doc_id) AS keeper FROM dh GROUP BY h),
+        |fl AS (SELECT dh.doc_id, dh.doc_id <> kk.keeper AS is_dup
+        |  FROM dh JOIN kk USING (h))
+        |SELECT CAST(floor(qv.quality_score * 10 + 1.0e-9) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN fl.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  CAST(SUM(CASE WHEN fl.is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM qv JOIN fl ON qv.doc_id = fl.doc_id
+        |GROUP BY 1""".stripMargin
   }
 
   /** Derive the e19 oracle from e5's: lift the per-(vector, subspace)

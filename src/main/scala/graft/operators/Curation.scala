@@ -231,6 +231,32 @@ object Curation {
     * a benchmark site shows up as a single hot source, not a uniform
     * haze), and therefore where the ingest fix goes. Aggregation is free
     * on top of the c6 pass. */
+  /** Quality-vs-duplication calibration (c27): the x3 quality score
+    * bucketed into deciles, with each bucket's exact-duplicate rate
+    * (d1's keeper rule: a doc is a dup when it is not its content
+    * hash's min-id keeper) — the cross-family sanity check behind
+    * quality-weighted dedup policies: if low-quality buckets carry most
+    * of the duplication (boilerplate IS low-quality and viral), dedup
+    * first and the quality filter's job shrinks; a flat profile means
+    * the two gates are independent and both must run. Bucket = floor
+    * (score·10 + 1e-9) (the c22 boundary nudge); integer counts, one
+    * final division. */
+  def qualityDupCalibration(documents: DataFrame): DataFrame = {
+    val q = LlmText.qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val h = documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val keep = h.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val fl = h.join(keep, "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+    q.join(fl, "doc_id")
+      .groupBy(floor(col("quality_score") * 10 + lit(1.0e-9))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
+  }
+
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
       minShared: Int = 3): DataFrame =
     decontaminate(corpus, benchmark, minShared)

@@ -489,4 +489,33 @@ class CurationSpec extends SparkSpec {
     assert(out("A") == ((2L, 7L, 7.0 / 9.0)), s"${out("A")}")
     assert(out("B") == ((1L, 2L, 2.0 / 9.0)), s"${out("B")}")
   }
+
+  test("qualityDupCalibration: dup mass lands in the duplicated text's bucket") {
+    // two identical symbol-soup docs (stopword-free, punct-heavy → low
+    // quality; one is the dup) + two DISTINCT stopword-rich clean docs
+    val junk = "!!! ??? zzz $$$ %%% ^^^"
+    val docs = Seq(
+      (1L, junk), (2L, junk),
+      (3L, "the cat is in the hat and that is that"),
+      (4L, "a dog of the town is to bark and that is fine"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val out = Curation.qualityDupCalibration(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3))))
+    // buckets partition the corpus; exactly one planted duplicate
+    assert(out.map(_._2._1).sum == 4L, s"${out.toSeq}")
+    assert(out.map(_._2._2).sum == 1L, s"${out.toSeq}")
+    // the dup sits in the junk pair's bucket (rate 0.5 over its 2 docs);
+    // every clean-doc bucket reads 0
+    val dupBuckets = out.filter(_._2._2 > 0)
+    assert(dupBuckets.length == 1 && dupBuckets.head._2 == ((2L, 1L, 0.5)),
+      s"${out.toSeq}")
+    // the junk bucket scores BELOW every clean bucket (calibration is
+    // reading real quality, not arbitrary ids)
+    val junkBucket = dupBuckets.head._1
+    assert(out.filter(_._2._2 == 0).forall(_._1 > junkBucket),
+      s"${out.toSeq}")
+  }
 }
