@@ -455,6 +455,13 @@ object SparkEntry {
     // g8: bipartite degree histogram (the g5 cap-tuning input).
     "g8_degree_distribution" -> ((s, d) =>
       Graph.degreeDistribution(T.lineitem(s, d), T.orders(s, d))),
+    // g9: per-node triangles + clustering coefficient over the top-k
+    // affinity neighbor graph (g5's capped projection, sparsified).
+    "g9_triangle_lcc" -> ((s, d) =>
+      Graph.triangleStats(T.lineitem(s, d), T.orders(s, d))),
+    // g10: the graph-level transitivity fold over g9's per-node table.
+    "g10_transitivity" -> ((s, d) =>
+      Graph.transitivity(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -762,7 +769,10 @@ object SparkEntry {
       minhashCalibrationOracle(oracleSqlBase("d2_minhash_lsh"))) +
     // c26 is c6's overlap chain + the per-source rollup.
     ("c26_contamination_report" ->
-      contaminationReportOracle(oracleSqlBase("c6_decontaminate")))
+      contaminationReportOracle(oracleSqlBase("c6_decontaminate"))) +
+    // g10 is g9's per-node triangle chain + the global transitivity fold.
+    ("g10_transitivity" ->
+      transitivityOracle(oracleSqlBase("g9_triangle_lcc")))
 
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
@@ -938,6 +948,29 @@ object SparkEntry {
         |             JOIN l3 ld ON e.dst = ld.node
         |      GROUP BY ls.lab) ew
         |GROUP BY (1=1)""".stripMargin)
+  }
+
+  /** Derive the g10 oracle from g9's: keep the projection/knn/
+    * orientation/triangle CTEs byte-identical and swap the per-node
+    * projection for the constant-group transitivity fold — Σ per-node
+    * triangle counts is exactly 3T and Σ C(d,2) the wedge count, so
+    * transitivity = Σt/Σwedges with one IEEE division (guarded to 0.0
+    * on a wedge-free graph on both engines). */
+  private def transitivityOracle(g9: String): String = {
+    val anchor = "SELECT deg.node AS supp"
+    require(g9.contains(anchor), "g9 oracle SQL lost the g10 anchor")
+    g9.substring(0, g9.indexOf(anchor)) +
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(deg.degree) // 2 AS BIGINT) AS n_edges,
+        |  CAST(sum((deg.degree * (deg.degree - 1)) // 2) AS BIGINT)
+        |    AS n_wedges,
+        |  CAST(sum(COALESCE(tc.t, 0)) // 3 AS BIGINT) AS n_triangles,
+        |  CASE WHEN sum((deg.degree * (deg.degree - 1)) // 2) > 0
+        |    THEN CAST(sum(COALESCE(tc.t, 0)) AS DOUBLE) /
+        |      CAST(sum((deg.degree * (deg.degree - 1)) // 2) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS transitivity
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node
+        |GROUP BY (1=1)""".stripMargin
   }
 
   /** Derive the e18 oracle from e16's: lift the grid-exact per-dim

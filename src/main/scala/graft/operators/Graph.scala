@@ -383,6 +383,140 @@ object Graph {
     }
   }
 
+  /** Top-k affinity neighbor graph over the hub-capped co-purchase
+    * projection — the sparsifier [[triangleStats]]/[[transitivity]] count
+    * triangles on. The raw projection is far too dense for triangle
+    * analytics (on this data it is COMPLETE — every supplier pair shares
+    * a customer — and on any co-occurrence graph density grows with
+    * corpus size, not structure), so the standard practice applies:
+    * keep each node's k strongest neighbors (affinity DESC, neighbor ASC
+    * — deterministic under ties) and symmetrize by UNION (an edge
+    * survives if EITHER endpoint picked it). Output is the canonical
+    * undirected edge list (u < v, distinct).
+    *
+    * Scale shape: the projection is already hub-capped (fanout ≤
+    * maxSupp² per customer); top-k is a bounded per-key selection (the
+    * TopKPerKey partial-TopK plan, no global sort), and the result is at
+    * most 2k·|V| edges — the degree distribution triangle counting needs
+    * to stay subquadratic. */
+  private def knnAffinityEdges(lineitem: DataFrame, orders: DataFrame,
+      maxSupp: Int, k: Int): DataFrame = {
+    val pairs = coPurchasePairs(lineitem, orders, maxSupp)
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    Caching.withPersisted(pairs) {
+      val directed = pairs.select(col("supp_a").as("src"),
+          col("supp_b").as("dst"), col("affinity"))
+        .unionByName(pairs.select(col("supp_b").as("src"),
+          col("supp_a").as("dst"), col("affinity")))
+      graft.plans.TopK.perKey(directed, Seq(col("src")),
+        Seq(col("affinity").desc, col("dst")), k)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+    }
+  }
+
+  /** (degree, node) lexicographic order — the degree-ordered orientation
+    * triangle counting hangs on (Ortmann & Brandes 2014; the compact-
+    * forward algorithm): orienting every edge from the order-smaller to
+    * the order-larger endpoint bounds each node's oriented out-degree at
+    * O(√m), so the wedge join's per-key fanout cannot blow up on hubs
+    * the way node-id ordering can. */
+  private def ordLt(d1: org.apache.spark.sql.Column,
+      n1: org.apache.spark.sql.Column, d2: org.apache.spark.sql.Column,
+      n2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    d1 < d2 || (d1 === d2 && n1 < n2)
+
+  /** Per-node triangle count + local clustering coefficient (g9) over
+    * the [[knnAffinityEdges]] neighbor graph: for each supplier, its
+    * degree, the number of triangles through it, and lcc =
+    * 2·T/(d·(d−1)) — the local-density readout that separates tight
+    * co-purchase cliques (substitutable-supplier markets; on doc-entity
+    * graphs, topically-closed citation pockets) from star hubs whose
+    * neighbors never co-occur. Counting is degree-ordered: each
+    * undirected edge is oriented low→high in (degree, node) order, a
+    * wedge join pairs the out-neighbors of each low node, and a final
+    * equi-join closes the wedge — every triangle is found exactly once,
+    * per-key fanout is bounded by the oriented out-degree.
+    *
+    * Parity: integers end to end except the single final lcc division
+    * (exact small doubles, IEEE-identical); nodes with degree < 2 read
+    * lcc 0.0 on both engines. */
+  def triangleStats(lineitem: DataFrame, orders: DataFrame,
+      maxSupp: Int = 100, k: Int = 10): DataFrame = {
+    // knnAffinityEdges already returns a materialized frame and the
+    // inner withPersisted bracket materializes the result, so the outer
+    // bracket is a plain persist/unpersist — a second materialize at
+    // either level would double-checkpoint the same RDD (the
+    // BlockManager "already exists" WARN)
+    val und = knnAffinityEdges(lineitem, orders, maxSupp, k)
+    und.persist()
+    try {
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val lt = ordLt(col("du"), col("u"), col("dv"), col("v"))
+      val oriented = Caching.materialize(und
+        .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+        .select(when(lt, col("u")).otherwise(col("v")).as("lo"),
+          when(lt, col("v")).otherwise(col("u")).as("hi"),
+          when(lt, col("dv")).otherwise(col("du")).as("dhi")))
+      Caching.withPersisted(oriented, deg) {
+        val a = oriented.select(col("lo").as("ctr"), col("hi").as("x"),
+          col("dhi").as("dx"))
+        val b = oriented.select(col("lo").as("ctr"), col("hi").as("y"),
+          col("dhi").as("dy"))
+        val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
+        // wedge endpoints kept in orientation order, so the closing edge
+        // (oriented the same way) matches with one equi-join
+        val tri = a.join(b, Seq("ctr"))
+          .filter(ordLt(col("dx"), col("x"), col("dy"), col("y")))
+          .join(closing, Seq("x", "y"))
+          .select(col("ctr").as("n1"), col("x").as("n2"),
+            col("y").as("n3"))
+        val perNode = tri.select(col("n1").as("node"))
+          .unionByName(tri.select(col("n2").as("node")))
+          .unionByName(tri.select(col("n3").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("t"))
+        deg.join(perNode, Seq("node"), "left_outer")
+          .select(col("node").as("supp"), col("degree"),
+            coalesce(col("t"), lit(0L)).as("n_triangles"),
+            when(col("degree") >= 2,
+              (coalesce(col("t"), lit(0L)) * 2).cast("double") /
+                (col("degree").cast("double") *
+                  (col("degree") - 1).cast("double")))
+              .otherwise(0.0).as("lcc"))
+      }
+    } finally und.unpersist(false)
+  }
+
+  /** Global transitivity of the neighbor graph (g10): node/edge/wedge/
+    * triangle counts and 3·T/wedges — the one-number "how clustered is
+    * this graph" gauge (transitivity ≈ 0 means star-like co-occurrence,
+    * high means cliquey markets), read next to g9's per-node table the
+    * way g7's modularity sits next to g3's per-community one. A pure
+    * fold over [[triangleStats]]'s output: Σ per-node triangle counts is
+    * exactly 3T and Σ C(d,2) is the wedge count, so the aggregate adds
+    * nothing the per-node pass didn't already have. Constant-group
+    * aggregate: empty graph → zero rows (the g6/g7 empty-input
+    * contract). */
+  def transitivity(lineitem: DataFrame, orders: DataFrame,
+      maxSupp: Int = 100, k: Int = 10): DataFrame =
+    triangleStats(lineitem, orders, maxSupp, k)
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("degree")).as("deg_sum"),
+        sum((col("degree") * (col("degree") - 1) / 2).cast("long"))
+          .as("n_wedges"),
+        sum(col("n_triangles")).as("t3"))
+      .select(col("n_nodes"),
+        (col("deg_sum") / 2).cast("long").as("n_edges"), col("n_wedges"),
+        (col("t3") / 3).cast("long").as("n_triangles"),
+        when(col("n_wedges") > 0,
+          col("t3").cast("double") / col("n_wedges").cast("double"))
+          .otherwise(0.0).as("transitivity"))
+
   /** Hub-cap governance report for [[coPurchasePairs]] (g6) — the "no
     * silent caps" companion (the d16 `governanceReport` posture): the
     * projection anti-joins away customers with more than `maxSupp`

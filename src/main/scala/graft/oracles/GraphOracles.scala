@@ -109,6 +109,59 @@ object GraphOracles {
         |SELECT side, degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM (SELECT * FROM cd UNION ALL SELECT * FROM sd)
         |GROUP BY side, degree""".stripMargin,
+    // g9: per-node triangle count + local clustering coefficient over the
+    // top-10 affinity neighbor graph (g5's capped projection, sparsified
+    // by per-node top-k then symmetrized by union). Degree-ordered
+    // orientation — every triangle found exactly once; integers end to
+    // end except the final lcc division.
+    "g9_triangle_lcc" ->
+      """WITH pair AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT * FROM pair
+        |  QUALIFY count(*) OVER (PARTITION BY cust) <= 100),
+        |cop AS (SELECT a.supp AS sa, b.supp AS sb,
+        |    CAST(sum(least(a.w, b.w)) AS BIGINT) AS aff
+        |  FROM capped a JOIN capped b
+        |    ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY 1, 2),
+        |dir AS (SELECT sa AS src, sb AS dst, aff FROM cop
+        |  UNION ALL SELECT sb, sa, aff FROM cop),
+        |knn AS (SELECT src, dst FROM (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src
+        |      ORDER BY aff DESC, dst) AS rn FROM dir) WHERE rn <= 10),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM knn),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |ed AS (SELECT
+        |    CASE WHEN du.degree < dv.degree
+        |      OR (du.degree = dv.degree AND und.u < und.v)
+        |      THEN und.u ELSE und.v END AS lo,
+        |    CASE WHEN du.degree < dv.degree
+        |      OR (du.degree = dv.degree AND und.u < und.v)
+        |      THEN und.v ELSE und.u END AS hi,
+        |    CASE WHEN du.degree < dv.degree
+        |      OR (du.degree = dv.degree AND und.u < und.v)
+        |      THEN dv.degree ELSE du.degree END AS dhi
+        |  FROM und JOIN deg du ON du.node = und.u
+        |    JOIN deg dv ON dv.node = und.v),
+        |tri AS (SELECT a.lo AS n1, a.hi AS n2, b.hi AS n3
+        |  FROM ed a JOIN ed b ON a.lo = b.lo
+        |    AND (a.dhi < b.dhi OR (a.dhi = b.dhi AND a.hi < b.hi))
+        |  JOIN ed c ON c.lo = a.hi AND c.hi = b.hi),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM
+        |  (SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri
+        |   UNION ALL SELECT n3 FROM tri) GROUP BY node)
+        |SELECT deg.node AS supp, deg.degree,
+        |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    CAST(2 * COALESCE(tc.t, 0) AS DOUBLE) /
+        |    (CAST(deg.degree AS DOUBLE) * CAST(deg.degree - 1 AS DOUBLE))
+        |  ELSE CAST(0 AS DOUBLE) END AS lcc
+        |FROM deg LEFT JOIN tc ON tc.node = deg.node""".stripMargin,
     // g2: three unrolled SEMI-synchronous LPA rounds over g1's edge CTEs
     // (bipartite 2-coloring: round 1/3 update c:-side dsts, round 2 the
     // s:-side — fully synchronous LPA oscillates on bipartite graphs).

@@ -100,6 +100,12 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
     "degreeDistribution" -> (() => Graph.degreeDistribution(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "triangleStats" -> (() => Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "transitivity" -> (() => Graph.transitivity(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(

@@ -246,6 +246,64 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(3) - 0.5) < 1e-12, s"$r2")
   }
 
+  // one customer buying from s1,s2,s3 makes the projection triangle
+  // {1,2,3}; customer 11 hangs s4 off s1 as a degree-1 pendant
+  private def triangleFixture = {
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L), (110L, 1L),
+      (110L, 4L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (110L, 11L)).toDF("o_orderkey", "o_custkey")
+    (li, ord)
+  }
+
+  test("triangleStats: hand-checked triangle, pendant, lcc values") {
+    val (li, ord) = triangleFixture
+    val out = Graph.triangleStats(li, ord).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // edges: (1,2),(1,3),(2,3),(1,4) — degrees 3,2,2,1; one triangle
+    assert(out(1L) == ((3L, 1L, 2.0 / 6.0)), s"$out")
+    assert(out(2L) == ((2L, 1L, 1.0)), s"$out")
+    assert(out(3L) == ((2L, 1L, 1.0)), s"$out")
+    assert(out(4L) == ((1L, 0L, 0.0)), s"$out")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("triangleStats: k=1 sparsification breaks the triangle (ties by id)") {
+    val (li, ord) = triangleFixture
+    // each node keeps only its strongest neighbor (ties → lowest id):
+    // s1→s2, s2→s1, s3→s1, s4→s1; the union is the star around s1 —
+    // no triangles survive the sparsifier
+    val out = Graph.triangleStats(li, ord, k = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 0L)), s"$out")
+    assert(out(2L) == ((1L, 0L)), s"$out")
+    assert(out(3L) == ((1L, 0L)), s"$out")
+    assert(out(4L) == ((1L, 0L)), s"$out")
+  }
+
+  test("transitivity: 3T over wedge count, hand-checked") {
+    val (li, ord) = triangleFixture
+    val r = Graph.transitivity(li, ord).collect().head
+    assert(r.getLong(r.fieldIndex("n_nodes")) == 4L, s"$r")
+    assert(r.getLong(r.fieldIndex("n_edges")) == 4L, s"$r")
+    // wedges: per node C(d,2) over degrees 3,2,2,1 → 3+1+1+0 = 5
+    assert(r.getLong(r.fieldIndex("n_wedges")) == 5L, s"$r")
+    assert(r.getLong(r.fieldIndex("n_triangles")) == 1L, s"$r")
+    assert(r.getDouble(r.fieldIndex("transitivity")) == 3.0 / 5.0, s"$r")
+    // star graph (k=1 sparsified): wedges but no triangles → 0.0
+    val star = Graph.transitivity(li, ord, k = 1).collect().head
+    assert(star.getLong(star.fieldIndex("n_triangles")) == 0L, s"$star")
+    assert(star.getDouble(star.fieldIndex("transitivity")) == 0.0, s"$star")
+  }
+
+  test("triangleStats is partition-invariant") {
+    val (li, ord) = triangleFixture
+    def run(parts: Int) =
+      Graph.triangleStats(li.repartition(parts), ord.repartition(parts))
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =
