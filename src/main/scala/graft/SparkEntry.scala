@@ -640,6 +640,9 @@ object SparkEntry {
       graft.operators.VectorOps.binaryQuantize(T.embeddings(s, d))),
     "e8_gram_matrix" -> ((s, d) =>
       graft.operators.VectorOps.gramMatrix(T.embeddings(s, d))),
+    // e20: corpus anisotropy (mean random-pair cosine, closed form).
+    "e20_anisotropy" -> ((s, d) =>
+      graft.operators.VectorOps.anisotropy(T.embeddings(s, d))),
     "e16_dim_stats" -> ((s, d) =>
       graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     // e18: whitening z-scores off e16's grid-exact per-dim moments.
@@ -691,6 +694,9 @@ object SparkEntry {
     // mm13: consecutive-frame RMS deltas (scene-cut / motion telemetry).
     "mm13_motion_profile" -> ((s, d) =>
       Multimodal.motionProfile(T.documents(s, d))),
+    // mm14: per-media clipping gauge (full-scale sample pileup).
+    "mm14_clipping_report" -> ((s, d) =>
+      Multimodal.clippingReport(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -772,7 +778,10 @@ object SparkEntry {
       contaminationReportOracle(oracleSqlBase("c6_decontaminate"))) +
     // g10 is g9's per-node triangle chain + the global transitivity fold.
     ("g10_transitivity" ->
-      transitivityOracle(oracleSqlBase("g9_triangle_lcc")))
+      transitivityOracle(oracleSqlBase("g9_triangle_lcc"))) +
+    // mm14 is mm7's per-sample chain + the per-media clipping aggregate.
+    ("mm14_clipping_report" ->
+      clippingOracle(oracleSqlBase("mm7_frame_energy")))
 
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
@@ -1155,6 +1164,29 @@ object SparkEntry {
   /** Derive the mm10 oracle from mm7's: keep the byte→frame→energy chain
     * byte-identical and swap the per-frame projection for the per-media
     * quiet-fraction aggregate (floor 30.0, blank at ≥ 0.9). */
+  /** Derive the mm14 oracle from mm7's: keep the hex→sample CTEs and
+    * swap the frame aggregation for a per-media clipping aggregate over
+    * the per-sample CTE `s` (|sv| ≥ 100 on the ±128 scale; verdict at
+    * ≥ 5% clipped). Zero-sample media are naturally absent on both
+    * engines. */
+  private def clippingOracle(mm7: String): String = {
+    val anchor = "fr AS (SELECT doc_id AS media_id"
+    require(mm7.contains(anchor), "mm7 oracle SQL lost the mm14 anchor")
+    mm7.substring(0, mm7.indexOf(anchor)) +
+      """cl AS (SELECT doc_id AS media_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(CASE WHEN abs(sv) >= 100 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(max(abs(sv)) AS BIGINT) AS peak
+        |  FROM s GROUP BY 1)
+        |SELECT media_id, n_samples, n_clipped, peak,
+        |  CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)
+        |    AS clip_frac,
+        |  CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE)
+        |    >= CAST(0.05 AS DOUBLE) AS is_clipped
+        |FROM cl""".stripMargin
+  }
+
   private def silenceReportOracle(mm7: String): String = {
     val anchor = "SELECT media_id, frame_idx, n_samples, energy,\n" +
       "  sqrt(CAST(energy AS DOUBLE) / n_samples) AS rms\nFROM fr"

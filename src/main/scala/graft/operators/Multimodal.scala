@@ -346,6 +346,39 @@ object Multimodal {
     * ratio), so the floor comparison and the fraction are engine-exact.
     * One aggregate over the frame table — bounded fanout, no shuffle
     * beyond the per-media grouping. */
+  /** Audio clipping gauge (mm14): per medium, how many samples sit at or
+    * beyond the clip level (|s| ≥ clipLevel on the ±128 scale), the peak
+    * absolute sample, the clipped fraction, and the verdict — the
+    * complement of [[silenceReport]] at the loud end: a recording whose
+    * samples pile up at full scale was over-driven, and its spectral
+    * features are garbage no matter how good the transcript looks.
+    * One typed per-record pass (no explode — the per-sample loop stays
+    * inside the task, emitting 4 longs per medium), then pure IEEE
+    * divisions; the DuckDB twin aggregates mm7's per-sample CTE.
+    * Media with zero samples are absent (no NaN-poison rows), matching
+    * the oracle's empty range(). */
+  def clippingReport(documents: DataFrame, clipLevel: Int = 100,
+      clipFracBar: Double = 0.05): DataFrame = {
+    implicit val spark: SparkSession = documents.sparkSession
+    import spark.implicits._
+    val frac = col("n_clipped").cast("double") /
+      col("n_samples").cast("double")
+    toMediaRecords(documents).map { m =>
+      var n = 0L; var nClip = 0L; var peak = 0L
+      m.media.foreach { b =>
+        val a = math.abs((b & 0xff) - 128).toLong
+        if (a >= clipLevel) nClip += 1
+        if (a > peak) peak = a
+        n += 1
+      }
+      (m.media_id, n, nClip, peak)
+    }.toDF("media_id", "n_samples", "n_clipped", "peak")
+      .filter(col("n_samples") > 0)
+      .select(col("media_id"), col("n_samples"), col("n_clipped"),
+        col("peak"), frac.as("clip_frac"),
+        (frac >= clipFracBar).as("is_clipped"))
+  }
+
   def silenceReport(documents: DataFrame, rmsFloor: Double = 30.0,
       blankFrac: Double = 0.9): DataFrame = {
     val quietFrac = col("n_quiet").cast("double") / col("n_frames")

@@ -307,6 +307,50 @@ object VectorOps {
     * |xᵢxⱼ|·1e9 ≤ ~1e9 per row, the int64 accumulator holds ~9e9 rows per
     * cell before overflow — beyond that, shard by vec_id range and sum the
     * (tiny) per-shard matrices. */
+  /** Corpus anisotropy gauge (e20): the mean cosine between all ordered
+    * pairs of DISTINCT vectors, computed in closed form — for unit
+    * vectors, mean_{i≠j} cos(v̂ᵢ, v̂ⱼ) = (‖Σᵢ v̂ᵢ‖² − n) / (n·(n−1)) —
+    * so the all-pairs quantity costs ONE per-dim aggregate, never a
+    * pairwise join. High anisotropy (Ethayarajh 2019) means the corpus
+    * embeddings crowd a narrow cone: cosine thresholds stop
+    * discriminating and dedup/ANN recall quietly degrades — this is the
+    * one-row health check read before trusting e.g. the d5/c14 cosine
+    * cutoffs, and the "did it help" gauge after e10's common-direction
+    * removal.
+    *
+    * Parity contract: per-vector normalization is an in-order fold +
+    * sqrt + divide (IEEE-identical); the per-dim sums of unit
+    * coordinates and the final Σ S_d² both accumulate on the 1e-9
+    * decimal grid (order-independent, the e16/g1 pattern); the closing
+    * subtraction/division is plain IEEE. Zero vectors are excluded (no
+    * direction to compare). Constant-group aggregate: empty input →
+    * zero rows. */
+  def anisotropy(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val x = asDouble(col(vecCol))
+    val perDim = embeddings
+      .withColumn("nrm", sqrt(norm2(x)))
+      .filter(col("nrm") > 0.0)
+      .select(col("nrm"), posexplode(x).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round((col("v") / col("nrm")) * lit(1.0e9))
+          .cast(DecimalType(38, 0))).as("s"))
+    val sd = col("s").cast("double") / lit(1.0e9)
+    val nD = col("n_vectors").cast("double")
+    perDim
+      .groupBy(lit(true).as("all"))
+      .agg(max(col("n")).as("n_vectors"),
+        sum(round(sd * sd * lit(1.0e9)).cast(DecimalType(38, 0)))
+          .as("ss"))
+      .select(col("n_vectors"),
+        (col("ss").cast("double") / lit(1.0e9)).as("sum_sq"),
+        when(col("n_vectors") >= 2,
+          ((col("ss").cast("double") / lit(1.0e9)) - nD) /
+            (nD * (col("n_vectors") - 1).cast("double")))
+          .otherwise(0.0).as("anisotropy"))
+  }
+
   /** Per-dimension embedding health stats (e16): mean and variance of
     * every coordinate over the corpus — the diagnostic that catches DEAD
     * dimensions (a projection bug or a collapsed encoder head shows as

@@ -67,6 +67,30 @@ object EmbeddingOracles {
     // e16: per-dimension mean/variance from 1e-9-grid integer sums (the
     // e8/g1 parity pattern); the divisions and the E[x²]−E[x]² subtraction
     // are plain IEEE after the exact sums.
+    // e20: mean random-pair cosine in closed form — normalize each
+    // vector (in-order fold + sqrt), grid-sum unit coordinates per dim,
+    // grid-sum the squared per-dim sums, then (ΣS² − n)/(n(n−1)).
+    "e20_anisotropy" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+        |nv AS (SELECT x, sqrt(list_reduce(list_transform(range(1, 65),
+        |    i -> x[i] * x[i]), (a, b) -> a + b)) AS nrm FROM v),
+        |f AS (SELECT * FROM nv WHERE nrm > 0),
+        |d AS (SELECT UNNEST(range(1, 65)) AS i),
+        |g AS (SELECT d.i - 1 AS dim, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(f.x[d.i] / f.nrm * 1.0e9) AS DECIMAL(38,0)))
+        |      AS s
+        |  FROM f CROSS JOIN d GROUP BY d.i),
+        |t AS (SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+        |    SUM(CAST(round((CAST(s AS DOUBLE) / 1.0e9)
+        |      * (CAST(s AS DOUBLE) / 1.0e9) * 1.0e9) AS DECIMAL(38,0)))
+        |      AS ss
+        |  FROM g GROUP BY (1=1))
+        |SELECT n_vectors, CAST(ss AS DOUBLE) / 1.0e9 AS sum_sq,
+        |  CASE WHEN n_vectors >= 2 THEN
+        |    (CAST(ss AS DOUBLE) / 1.0e9 - CAST(n_vectors AS DOUBLE)) /
+        |    (CAST(n_vectors AS DOUBLE) * CAST(n_vectors - 1 AS DOUBLE))
+        |  ELSE CAST(0 AS DOUBLE) END AS anisotropy
+        |FROM t""".stripMargin,
     "e16_dim_stats" ->
       """WITH v AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
         |d AS (SELECT UNNEST(range(1, 65)) AS i),

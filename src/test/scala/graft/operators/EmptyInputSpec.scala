@@ -88,6 +88,7 @@ class EmptyInputSpec extends SparkSpec {
     // round-11 additions
     "bigramLmVsRef" -> (() => LlmText.bigramLmVsRef(docs)),
     "motionProfile" -> (() => Multimodal.motionProfile(docs)),
+    "clippingReport" -> (() => Multimodal.clippingReport(docs)),
     "coPurchasePairs" -> (() => Graph.coPurchasePairs(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
@@ -110,6 +111,7 @@ class EmptyInputSpec extends SparkSpec {
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
     "embeddingDedup" -> (() => Dedup.embeddingDedup(embs)),
+    "anisotropy" -> (() => VectorOps.anisotropy(embs)),
     "knnBruteForce" -> (() => Similarity.knnBruteForce(embs)),
     "rangeSearch" -> (() => Similarity.rangeSearch(embs)),
     "groupCentroids" -> (() => VectorOps.groupCentroids(embs)),

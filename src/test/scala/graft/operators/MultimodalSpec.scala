@@ -194,6 +194,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 2L), "empty payload emits no frames")
   }
 
+  test("clippingReport: full-scale pileup counted, peak tracked, verdict") {
+    import spark.implicits._
+    // 'a' = 97 → |s| 31 (clean); '\n' = 10 → |s| 118 ≥ 100 (clipped);
+    // 'ÿ' encodes as UTF-8 0xC3 0xBF → |s| 67, 63 (clean, peak 67)
+    val docs = Seq(
+      (1L, "a" * 100),               // nothing at full scale
+      (2L, "a" * 90 + "\n" * 10),    // 10% clipped → verdict true
+      (3L, "a" * 99 + "\n"),         // 1% clipped → under the 5% bar
+      (4L, ""))                      // zero samples → absent
+      .toDF("doc_id", "text")
+    val out = Multimodal.clippingReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((100L, 0L, 31L, 0.0, false)), s"${out(1L)}")
+    assert(out(2L) == ((100L, 10L, 118L, 0.1, true)), s"${out(2L)}")
+    assert(out(3L) == ((100L, 1L, 118L, 0.01, false)), s"${out(3L)}")
+    assert(!out.contains(4L), s"zero-sample media must be absent: $out")
+  }
+
   test("motionProfile: constant payload is flat, a byte jump is a cut") {
     import spark.implicits._
     // doc 1: three 64-byte frames of constant 'a' → two deltas of 0, no

@@ -342,6 +342,38 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1)._3 == 0.0 && out(1)._4, "orthogonal drift must flag")
   }
 
+  test("anisotropy: closed-form mean pairwise cosine, hand-checked") {
+    import spark.implicits._
+    def vec(v0: Float, v1: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = v0; a(1) = v1; a
+    }
+    def run(vs: (Float, Float)*) = {
+      val df = vs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, vec(a, b)) }
+        .toDF("vec_id", "embedding")
+      VectorOps.anisotropy(df).collect()
+    }
+    // two identical directions: mean pairwise cosine = 1
+    val same = run((1f, 0f), (2f, 0f)).head
+    assert(same.getLong(0) == 2L, s"$same")
+    assert(math.abs(same.getDouble(2) - 1.0) < 1e-9, s"$same")
+    // orthogonal pair: 0; opposite pair: -1
+    val orth = run((1f, 0f), (0f, 1f)).head
+    assert(math.abs(orth.getDouble(2)) < 1e-9, s"$orth")
+    val opp = run((1f, 0f), (-1f, 0f)).head
+    assert(math.abs(opp.getDouble(2) + 1.0) < 1e-9, s"$opp")
+    // a zero vector has no direction: excluded, not NaN-poisoning
+    val withZero = run((1f, 0f), (2f, 0f), (0f, 0f)).head
+    assert(withZero.getLong(0) == 2L, s"$withZero")
+    assert(math.abs(withZero.getDouble(2) - 1.0) < 1e-9, s"$withZero")
+    // n < 2 → gauge pinned to 0.0, no 0/0
+    val single = run((1f, 0f)).head
+    assert(single.getLong(0) == 1L && single.getDouble(2) == 0.0,
+      s"$single")
+    // empty input → zero rows (constant-group contract)
+    assert(run().isEmpty)
+  }
+
   test("dimStats: hand-computed per-dimension mean and variance") {
     import spark.implicits._
     def vec(v0: Float, v1: Float): Array[Float] = {
