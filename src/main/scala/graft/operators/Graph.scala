@@ -503,7 +503,15 @@ object Graph {
     * contract). */
   def transitivity(lineitem: DataFrame, orders: DataFrame,
       maxSupp: Int = 100, k: Int = 10): DataFrame =
-    triangleStats(lineitem, orders, maxSupp, k)
+    transitivityOf(triangleStats(lineitem, orders, maxSupp, k))
+
+  /** [[transitivity]] as a pure fold over an ALREADY-COMPUTED per-node
+    * triangle table — the serve path when g9's output is a stored lake
+    * table (the s13-builds/s14-serves split): one constant-group
+    * aggregate over |V| rows, zero projection/triangle work at read
+    * time. */
+  def transitivityOf(perNode: DataFrame): DataFrame =
+    perNode
       .groupBy(lit(true).as("all"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(col("degree")).as("deg_sum"),

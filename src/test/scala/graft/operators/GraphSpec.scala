@@ -296,6 +296,16 @@ class GraphSpec extends SparkSpec {
     assert(star.getDouble(star.fieldIndex("transitivity")) == 0.0, s"$star")
   }
 
+  test("transitivityOf a parquet-stored per-node table equals inline") {
+    val (li, ord) = triangleFixture
+    val inline = Graph.transitivity(li, ord).collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri-spec-")
+    Graph.triangleStats(li, ord).write.parquet(s"$dir/pernode")
+    val served = Graph.transitivityOf(spark.read.parquet(s"$dir/pernode"))
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline, s"stored serve drifted:\n$served\n$inline")
+  }
+
   test("triangleStats is partition-invariant") {
     val (li, ord) = triangleFixture
     def run(parts: Int) =
