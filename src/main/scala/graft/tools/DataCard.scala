@@ -106,6 +106,18 @@ object DataCard {
         avg(col("mean_abs_delta")).as("avg_mean_delta"),
         max(col("max_abs_delta")).as("max_delta"),
         sum(col("n_cuts")).as("n_scene_cuts"))
+    // e20: the one-row geometry gauge cosine thresholds depend on
+    val aniso = graft.operators.VectorOps.anisotropy(embs)
+    // mm14 rolled up per source (the silence-section shape, loud end)
+    val clipping = Multimodal.clippingReport(docs)
+      .join(docs.select(col("doc_id").as("media_id"), col("source")),
+        "media_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("is_clipped"), 1L).otherwise(0L)).as("n_clipped"),
+        avg(col("clip_frac")).as("avg_clip_frac"),
+        max(col("peak")).as("max_peak"))
+      .orderBy(col("source"))
     // the purchase-graph community readout (ONE shared label index feeds
     // g7's quality number; the g6 cap accounting shares the fact scan)
     val li = Tables.lineitem(spark, sfDir)
@@ -113,6 +125,8 @@ object DataCard {
     val labelIdx = graft.operators.Graph.labelIndex(li, ord)
     val modularity = graft.operators.Graph.modularity(labelIdx)
     val copurchase = graft.operators.Graph.coPurchaseGovernance(li, ord)
+    // g10: one-row clustering readout next to g7's modularity
+    val transitivity = graft.operators.Graph.transitivity(li, ord)
 
     val sb = new StringBuilder
     sb ++= "# Data card\n\n"
@@ -142,6 +156,8 @@ object DataCard {
       synd)
     sb ++= section("Media mix (mm8: first rows)", media)
     sb ++= section("Silence/blank rates by source (mm10)", silence)
+    sb ++= section("Clipping rates by source (mm14: full-scale pileup)",
+      clipping)
     sb ++= section(
       "Perceptual-hash duplicate advisory by source (mm6/mm9)", phashAdv)
     sb ++= section(
@@ -152,8 +168,11 @@ object DataCard {
     sb ++= section(
       "Embedding cluster quality (e14: cohesion vs separation, worst first)",
       clusters)
+    sb ++= section("Embedding geometry (e20: corpus anisotropy)", aniso)
     sb ++= section("Purchase-graph community quality (g7: Newman Q)",
       modularity)
+    sb ++= section("Co-purchase clustering (g10: transitivity of the " +
+      "top-k affinity graph)", transitivity)
     sb ++= section("Co-purchase hub-cap accounting (g6)", copurchase)
     sb.result()
   }

@@ -108,7 +108,10 @@ object ScaleSmoke {
       "d12_cc_star" -> (d => Dedup.nearDupComponentsStar(d)),
       // d35: estimator-vs-exact over the LSH candidate set only — must
       // track the candidate count (linear here), never go all-pairs
-      "d35_minhash_calib" -> (d => Dedup.minhashCalibration(d)))
+      "d35_minhash_calib" -> (d => Dedup.minhashCalibration(d)),
+      // mm14: per-media sample loop — cost must track media bytes 1:1
+      "mm14_clipping" -> (d =>
+        graft.operators.Multimodal.clippingReport(d)))
 
     // warm the JVM (codegen, shuffle machinery) so the first 1× timing
     // isn't charged startup cost — without this the 1× leg of the first
@@ -164,7 +167,12 @@ object ScaleSmoke {
       "g5_copurchase" -> ((l, o) =>
         graft.operators.Graph.coPurchasePairs(l, o)),
       "g6_copurchase_rep" -> ((l, o) =>
-        graft.operators.Graph.coPurchaseGovernance(l, o)))
+        graft.operators.Graph.coPurchaseGovernance(l, o)),
+      // g9: the triangle build (projection + top-k sparsifier + wedge
+      // join) — epochs are disjoint subgraphs, so the degree-ordered
+      // count must stay near-linear under epoch expansion
+      "g9_triangle_lcc" -> ((l, o) =>
+        graft.operators.Graph.triangleStats(l, o)))
     graphOps.foreach { case (_, fn) => fn(li1, ord1).count() } // warm
     val graphResults = graphOps.map { case (name, fn) =>
       val t0 = System.nanoTime(); val r1 = fn(li1, ord1).count()

@@ -29,7 +29,11 @@ class DataCardSpec extends SparkSpec {
         "## Motion / scene-cut profile (mm13: summary)",
         "## Tokenizer merge table (x25: first BPE merges)",
         "## Embedding cluster quality (e14",
+        "## Clipping rates by source (mm14: full-scale pileup)",
+        "## Embedding geometry (e20: corpus anisotropy)",
         "## Purchase-graph community quality (g7: Newman Q)",
+        "## Co-purchase clustering (g10: transitivity of the top-k " +
+          "affinity graph)",
         "## Co-purchase hub-cap accounting (g6)"))
       assert(card.contains(section), s"missing section: $section\n$card")
     // overview numbers are real
