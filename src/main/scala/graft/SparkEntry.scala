@@ -249,6 +249,12 @@ object SparkEntry {
     // x37: avg bigram logprob under the held-out REFERENCE split's LM
     // (the CCNet-style clean-model quality filter next to x17).
     "x37_lm_vs_ref" -> ((s, d) => LlmText.bigramLmVsRef(T.documents(s, d))),
+    // x38: tokenizer fertility (tokens/word under the induced BPE) by lang.
+    "x38_tokenizer_fertility" -> ((s, d) =>
+      LlmText.tokenizerFertility(T.documents(s, d))),
+    // c28: per-source curriculum ranks + training-phase tags.
+    "c28_curriculum" -> ((s, d) =>
+      Curation.curriculumOrder(T.documents(s, d))),
     "x18_gopher_rules" -> ((s, d) => LlmText.gopherRules(T.documents(s, d))),
     "x19_cdc_chunks" -> ((s, d) => LlmText.cdcChunks(T.documents(s, d))),
     "x20_lang_ngram_profile" -> ((s, d) =>
@@ -659,6 +665,9 @@ object SparkEntry {
     // e20: corpus anisotropy (mean random-pair cosine, closed form).
     "e20_anisotropy" -> ((s, d) =>
       graft.operators.VectorOps.anisotropy(T.embeddings(s, d))),
+    // e21: effective dimensionality (participation ratio off e8's Gram).
+    "e21_participation_ratio" -> ((s, d) =>
+      graft.operators.VectorOps.participationRatio(T.embeddings(s, d))),
     "e16_dim_stats" -> ((s, d) =>
       graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     // e18: whitening z-scores off e16's grid-exact per-dim moments.
@@ -797,7 +806,15 @@ object SparkEntry {
       transitivityOracle(oracleSqlBase("g9_triangle_lcc"))) +
     // mm14 is mm7's per-sample chain + the per-media clipping aggregate.
     ("mm14_clipping_report" ->
-      clippingOracle(oracleSqlBase("mm7_frame_energy")))
+      clippingOracle(oracleSqlBase("mm7_frame_energy"))) +
+    // e21 is e8's Gram chain + the trace/trace² participation-ratio fold.
+    ("e21_participation_ratio" ->
+      participationRatioOracle(oracleSqlBase("e8_gram_matrix"))) +
+    // c28 is x34's readability chain + the per-source rank/phase windows.
+    ("c28_curriculum" -> curriculumOracle(oracleSqlBase("x34_readability"))) +
+    // x38 is x27's BPE-dictionary chain with the rollup keyed by lang.
+    ("x38_tokenizer_fertility" ->
+      fertilityOracle(oracleSqlBase("x27_bpe_doc_stats")))
 
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
@@ -973,6 +990,79 @@ object SparkEntry {
         |             JOIN l3 ld ON e.dst = ld.node
         |      GROUP BY ls.lab) ew
         |GROUP BY (1=1)""".stripMargin)
+  }
+
+  /** Derive the c28 oracle from x34's: lift the per-doc readability
+    * projection into a CTE VERBATIM (the flesch formula is reused, not
+    * copied) and rank easy→hard within source with the progress/phase
+    * windows on top. */
+  private def curriculumOracle(x34: String): String = {
+    val anchor = "SELECT doc_id,\n  CAST(n_words AS BIGINT) AS n_words,"
+    require(x34.contains(anchor), "x34 oracle SQL lost the c28 anchor")
+    val idx = x34.indexOf(anchor)
+    x34.substring(0, idx).stripSuffix("\n") + ",\n" +
+      "f AS (" + x34.substring(idx) + ")\n" +
+      """SELECT doc_id, source, flesch, within_rank, n_in_source,
+        |  CAST(within_rank - 1 AS DOUBLE) / CAST(n_in_source AS DOUBLE)
+        |    AS progress,
+        |  CASE WHEN CAST(within_rank - 1 AS DOUBLE)
+        |      / CAST(n_in_source AS DOUBLE) < CAST(0.33 AS DOUBLE)
+        |    THEN 'warmup'
+        |    WHEN CAST(within_rank - 1 AS DOUBLE)
+        |      / CAST(n_in_source AS DOUBLE) < CAST(0.66 AS DOUBLE)
+        |    THEN 'main'
+        |    ELSE 'polish' END AS phase
+        |FROM (SELECT f.doc_id, d.source, f.flesch,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY f.flesch DESC, f.doc_id) AS BIGINT) AS within_rank,
+        |    CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT)
+        |      AS n_in_source
+        |  FROM f JOIN documents d USING (doc_id))""".stripMargin
+  }
+
+  /** Derive the x38 oracle from x27's: keep the BPE training +
+    * dictionary CTEs byte-identical and swap the per-doc rollup for the
+    * per-language fertility aggregate. */
+  private def fertilityOracle(x27: String): String = {
+    val anchor = "dw AS (SELECT doc_id, n_chars, UNNEST(string_split(text,' ')) AS w"
+    require(x27.contains(anchor), "x27 oracle SQL lost the x38 anchor")
+    x27.substring(0, x27.indexOf(anchor)) +
+      """dw AS (SELECT doc_id, lang, UNNEST(string_split(text,' ')) AS w
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(SUM(ntok) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS tokens_per_word
+        |FROM dw JOIN dict USING (w)
+        |WHERE len(w) > 0
+        |GROUP BY lang""".stripMargin
+  }
+
+  /** Derive the e21 oracle from e8's: lift the Gram projection into a
+    * CTE and fold it into PR = tr(C)²/tr(C²) — the trace from the
+    * diagonal cells, tr(C²) from all squared cells (off-diagonals
+    * twice), both re-gridded before the decimal sum, one IEEE division
+    * at the end. */
+  private def participationRatioOracle(e8: String): String = {
+    val anchor = "SELECT CAST(p.i AS INT) AS i"
+    require(e8.contains(anchor), "e8 oracle SQL lost the e21 anchor")
+    val idx = e8.indexOf(anchor)
+    e8.substring(0, idx).stripSuffix("\n") + ",\n" +
+      "g AS (" + e8.substring(idx) + ")\n" +
+      """SELECT n_vectors, trace, trace_sq,
+        |  CASE WHEN trace_sq > 0 THEN (trace * trace) / trace_sq
+        |    ELSE CAST(0 AS DOUBLE) END AS participation_ratio
+        |FROM (SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(CASE WHEN i = j
+        |        THEN CAST(round(gram * 1.0e9) AS DECIMAL(38,0))
+        |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 1.0e9
+        |      AS trace,
+        |    CAST(SUM(CAST(round(((gram * gram) *
+        |        (CASE WHEN i = j THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(2.0 AS DOUBLE) END)) * 1.0e9)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1.0e9 AS trace_sq
+        |  FROM g GROUP BY (1=1))""".stripMargin
   }
 
   /** Derive the g10 oracle from g9's: keep the projection/knn/

@@ -836,4 +836,38 @@ object Curation {
         (col("n_tokens").cast("double") / col("t").cast("double"))
           .as("weight"))
   }
+
+  /** Curriculum ordering (c28): rank every document easy→hard WITHIN its
+    * source by Flesch readability (x34's exact score; ties by doc_id) and
+    * tag the training phase its rank falls in — the deterministic
+    * "curriculum learning" export order (Bengio et al. 2009): early
+    * epochs read the high-readability head, late epochs the hard tail,
+    * and interleaving by (within_rank, source) keeps every phase
+    * source-balanced without a global shuffle. The anti-shuffle
+    * complement of c16: where shuffle-shard destroys order on purpose,
+    * this pins a pedagogically-meaningful one.
+    *
+    * Scale shape: one window per source partition (rank + count — a
+    * per-source sort, the cost any curriculum export pays at write time)
+    * and zero joins beyond re-attaching the source column; no global
+    * sort — shard writers order by the (within_rank, source) key
+    * locally. Phase cuts compare exact progress fractions
+    * (rank−1)/n — plain IEEE on both engines. */
+  def curriculumOrder(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("flesch").desc, col("doc_id"))
+    val progress = (col("within_rank") - 1).cast("double") /
+      col("n_in_source").cast("double")
+    LlmText.readability(documents).select(col("doc_id"), col("flesch"))
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("flesch"),
+        row_number().over(w).cast("long").as("within_rank"),
+        count(lit(1)).over(Window.partitionBy(col("source")))
+          .cast("long").as("n_in_source"))
+      .select(col("doc_id"), col("source"), col("flesch"),
+        col("within_rank"), col("n_in_source"), progress.as("progress"),
+        when(progress < 0.33, "warmup")
+          .when(progress < 0.66, "main")
+          .otherwise("polish").as("phase"))
+  }
 }

@@ -401,19 +401,23 @@ object Graph {
     * to stay subquadratic. */
   private def knnAffinityEdges(lineitem: DataFrame, orders: DataFrame,
       maxSupp: Int, k: Int): DataFrame = {
+    // coPurchasePairs returns a MATERIALIZED frame (checkpoint blocks
+    // already built), so the two union arms below read blocks instead of
+    // recomputing — no lazy persist bracket, whose cache build would
+    // RACE across the union's concurrent stages (the BlockManager
+    // "already exists" WARN)
     val pairs = coPurchasePairs(lineitem, orders, maxSupp)
     graft.functions.GraftFunctions.register(pairs.sparkSession)
-    Caching.withPersisted(pairs) {
-      val directed = pairs.select(col("supp_a").as("src"),
-          col("supp_b").as("dst"), col("affinity"))
-        .unionByName(pairs.select(col("supp_b").as("src"),
-          col("supp_a").as("dst"), col("affinity")))
+    val directed = pairs.select(col("supp_a").as("src"),
+        col("supp_b").as("dst"), col("affinity"))
+      .unionByName(pairs.select(col("supp_b").as("src"),
+        col("supp_a").as("dst"), col("affinity")))
+    Caching.materialize(
       graft.plans.TopK.perKey(directed, Seq(col("src")),
         Seq(col("affinity").desc, col("dst")), k)
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
-        .distinct()
-    }
+        .distinct())
   }
 
   /** (degree, node) lexicographic order — the degree-ordered orientation
@@ -444,51 +448,46 @@ object Graph {
     * lcc 0.0 on both engines. */
   def triangleStats(lineitem: DataFrame, orders: DataFrame,
       maxSupp: Int = 100, k: Int = 10): DataFrame = {
-    // knnAffinityEdges already returns a materialized frame and the
-    // inner withPersisted bracket materializes the result, so the outer
-    // bracket is a plain persist/unpersist — a second materialize at
-    // either level would double-checkpoint the same RDD (the
-    // BlockManager "already exists" WARN)
+    // Every shared intermediate is EAGERLY materialized (checkpoint
+    // blocks), never lazily persisted: the wedge phase scans `oriented`
+    // three times and `deg` twice in single queries, and a lazy cache's
+    // first build races across those concurrent stages (the BlockManager
+    // "already exists" WARN). Checkpoint blocks exist before any
+    // consumer plans, so multi-scan queries just read them.
     val und = knnAffinityEdges(lineitem, orders, maxSupp, k)
-    und.persist()
-    try {
-      val deg = und.select(col("u").as("node"))
-        .unionByName(und.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      val lt = ordLt(col("du"), col("u"), col("dv"), col("v"))
-      val oriented = Caching.materialize(und
-        .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
-        .select(when(lt, col("u")).otherwise(col("v")).as("lo"),
-          when(lt, col("v")).otherwise(col("u")).as("hi"),
-          when(lt, col("dv")).otherwise(col("du")).as("dhi")))
-      Caching.withPersisted(oriented, deg) {
-        val a = oriented.select(col("lo").as("ctr"), col("hi").as("x"),
-          col("dhi").as("dx"))
-        val b = oriented.select(col("lo").as("ctr"), col("hi").as("y"),
-          col("dhi").as("dy"))
-        val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
-        // wedge endpoints kept in orientation order, so the closing edge
-        // (oriented the same way) matches with one equi-join
-        val tri = a.join(b, Seq("ctr"))
-          .filter(ordLt(col("dx"), col("x"), col("dy"), col("y")))
-          .join(closing, Seq("x", "y"))
-          .select(col("ctr").as("n1"), col("x").as("n2"),
-            col("y").as("n3"))
-        val perNode = tri.select(col("n1").as("node"))
-          .unionByName(tri.select(col("n2").as("node")))
-          .unionByName(tri.select(col("n3").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("t"))
-        deg.join(perNode, Seq("node"), "left_outer")
-          .select(col("node").as("supp"), col("degree"),
-            coalesce(col("t"), lit(0L)).as("n_triangles"),
-            when(col("degree") >= 2,
-              (coalesce(col("t"), lit(0L)) * 2).cast("double") /
-                (col("degree").cast("double") *
-                  (col("degree") - 1).cast("double")))
-              .otherwise(0.0).as("lcc"))
-      }
-    } finally und.unpersist(false)
+    val deg = Caching.materialize(und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree")))
+    val lt = ordLt(col("du"), col("u"), col("dv"), col("v"))
+    val oriented = Caching.materialize(und
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .select(when(lt, col("u")).otherwise(col("v")).as("lo"),
+        when(lt, col("v")).otherwise(col("u")).as("hi"),
+        when(lt, col("dv")).otherwise(col("du")).as("dhi")))
+    val a = oriented.select(col("lo").as("ctr"), col("hi").as("x"),
+      col("dhi").as("dx"))
+    val b = oriented.select(col("lo").as("ctr"), col("hi").as("y"),
+      col("dhi").as("dy"))
+    val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
+    // wedge endpoints kept in orientation order, so the closing edge
+    // (oriented the same way) matches with one equi-join
+    val tri = a.join(b, Seq("ctr"))
+      .filter(ordLt(col("dx"), col("x"), col("dy"), col("y")))
+      .join(closing, Seq("x", "y"))
+      .select(col("ctr").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    val perNode = tri.select(col("n1").as("node"))
+      .unionByName(tri.select(col("n2").as("node")))
+      .unionByName(tri.select(col("n3").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node").as("supp"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("t"), lit(0L)) * 2).cast("double") /
+            (col("degree").cast("double") *
+              (col("degree") - 1).cast("double")))
+          .otherwise(0.0).as("lcc"))
   }
 
   /** Global transitivity of the neighbor graph (g10): node/edge/wedge/

@@ -1634,6 +1634,34 @@ object LlmText {
     * from the dictionary) drop out of the join — production deployments
     * union a char-fallback row per OOV word; the corpus-trained path here
     * has none by construction. */
+  /** Tokenizer fertility by language (x38): tokens-per-word under the
+    * induced BPE vocabulary, rolled up per declared language — the
+    * budget-planning number next to UniMax's language allocation (c18):
+    * a language whose fertility is 2× pays 2× the context-window cost
+    * per word, so token budgets, packing estimates, and per-language
+    * sampling weights all mis-price it if planned from word counts.
+    * Same chain as [[bpeDocStats]] (train once, broadcast the word→token
+    * dictionary, one explode+join) with the rollup keyed by lang instead
+    * of doc — integers everywhere, one final IEEE division. */
+  def tokenizerFertility(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val (_, state) = bpeTrainState(documents, nMerges)
+    val dict = state.select(col("w"),
+      size(split(col("sym"), " ")).cast("long").as("ntok"))
+    val out = Caching.materialize(documents
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(dict), "w")
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word")))
+    state.unpersist()
+    out
+  }
+
   def bpeDocStatsVsDict(documents: DataFrame, dict: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("n_chars"), explode(words(col("text"))).as("w"))

@@ -307,6 +307,42 @@ object VectorOps {
     * |xᵢxⱼ|·1e9 ≤ ~1e9 per row, the int64 accumulator holds ~9e9 rows per
     * cell before overflow — beyond that, shard by vec_id range and sum the
     * (tiny) per-shard matrices. */
+  /** Effective dimensionality via the participation ratio (e21):
+    * PR = (Σλ)²/Σλ² over the second-moment spectrum — computed WITHOUT an
+    * eigendecomposition, because tr(C) is the Gram diagonal and
+    * tr(C²) = Σᵢⱼ Cᵢⱼ² for symmetric C, both plain folds over
+    * [[gramMatrix]]'s 2080 upper-triangle cells (off-diagonals counted
+    * twice). PR ranges from 1 (rank-1 collapse: every embedding on one
+    * line) to dim (isotropic), and is the "how many dimensions actually
+    * carry signal" readout next to [[anisotropy]]'s cone-width gauge and
+    * [[dimStats]]'s per-dim table — the capacity check run before
+    * matryoshka truncation (e6) or PQ subspace sizing (e5) decide how
+    * much to keep.
+    *
+    * Parity: gram cells are already 1e-9-grid values; the trace and the
+    * squared-cell total re-enter the grid before summation (decimal,
+    * order-independent), and the final ratio is one IEEE division.
+    * Constant-group: empty corpus → zero rows. */
+  def participationRatio(embeddings: DataFrame,
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val diag = col("i") === col("j")
+    val tr = sum(when(diag, round(col("gram") * lit(1.0e9))
+        .cast(DecimalType(38, 0)))
+      .otherwise(lit(0).cast(DecimalType(38, 0))))
+    val trSq = sum(round(((col("gram") * col("gram")) *
+        when(diag, lit(1.0)).otherwise(lit(2.0))) * lit(1.0e9))
+      .cast(DecimalType(38, 0)))
+    gramMatrix(embeddings, vecCol, dim)
+      .groupBy(lit(true).as("all"))
+      .agg(max(col("n")).as("n_vectors"),
+        (tr.cast("double") / lit(1.0e9)).as("trace"),
+        (trSq.cast("double") / lit(1.0e9)).as("trace_sq"))
+      .select(col("n_vectors"), col("trace"), col("trace_sq"),
+        when(col("trace_sq") > 0,
+          (col("trace") * col("trace")) / col("trace_sq"))
+          .otherwise(0.0).as("participation_ratio"))
+  }
+
   /** Corpus anisotropy gauge (e20): the mean cosine between all ordered
     * pairs of DISTINCT vectors, computed in closed form — for unit
     * vectors, mean_{i≠j} cos(v̂ᵢ, v̂ⱼ) = (‖Σᵢ v̂ᵢ‖² − n) / (n·(n−1)) —

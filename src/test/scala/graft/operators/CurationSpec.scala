@@ -518,4 +518,30 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._2._2 == 0).forall(_._1 > junkBucket),
       s"${out.toSeq}")
   }
+
+  test("curriculumOrder: easy-first ranks within source, phase cuts") {
+    import spark.implicits._
+    // source A, easy → hard: short monosyllabic sentences score a higher
+    // flesch than one long many-syllable run-on
+    val easy = "the cat sat. the dog ran. we go now."
+    val mid = "the quick brown fox jumps over the lazy dog near town."
+    val hard = "extraordinarily complicated multisyllabic terminology " +
+      "necessitates considerable concentration understanding everything"
+    val docs = Seq(
+      (1L, hard, "A"), (2L, easy, "A"), (3L, mid, "A"),
+      (4L, easy, "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.curriculumOrder(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getString(6)))).toMap
+    // within A: easy(2) < mid(3) < hard(1) in rank order
+    assert(out(2L)._2 == 1L && out(3L)._2 == 2L && out(1L)._2 == 3L,
+      s"$out")
+    assert(out.values.filter(_._1 == "A").forall(_._3 == 3L))
+    // n=3 progress grid: 0, 1/3, 2/3 → warmup, main, polish
+    assert(out(2L)._4 == 0.0 && out(2L)._5 == "warmup", s"$out")
+    assert(out(3L)._5 == "main" && out(1L)._5 == "polish", s"$out")
+    // a single-doc source is all warmup, rank 1 of 1
+    assert(out(4L) == (("B", 1L, 1L, 0.0, "warmup")), s"$out")
+  }
 }

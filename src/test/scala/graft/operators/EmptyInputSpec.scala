@@ -70,6 +70,8 @@ class EmptyInputSpec extends SparkSpec {
     "resizeThumbs" -> (() => Multimodal.resizeThumbs(docs)),
     // round-9 additions
     "readability" -> (() => LlmText.readability(docs)),
+    "curriculumOrder" -> (() => Curation.curriculumOrder(docs)),
+    "tokenizerFertility" -> (() => LlmText.tokenizerFertility(docs)),
     "dedupWeightedMix" -> (() => Curation.dedupWeightedMix(docs)),
     "dupFingerprints" -> (() => Dedup.dupFingerprints(docs)),
     "dupTrend" -> (() => Dedup.dupTrend(docs)),
@@ -112,6 +114,7 @@ class EmptyInputSpec extends SparkSpec {
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
     "embeddingDedup" -> (() => Dedup.embeddingDedup(embs)),
     "anisotropy" -> (() => VectorOps.anisotropy(embs)),
+    "participationRatio" -> (() => VectorOps.participationRatio(embs)),
     "knnBruteForce" -> (() => Similarity.knnBruteForce(embs)),
     "rangeSearch" -> (() => Similarity.rangeSearch(embs)),
     "groupCentroids" -> (() => VectorOps.groupCentroids(embs)),

@@ -665,6 +665,26 @@ class LlmTextSpec extends SparkSpec {
     }
   }
 
+  test("tokenizerFertility: per-lang totals reconcile with per-doc stats") {
+    import org.apache.spark.sql.functions.lit
+    // doc 1 tokenizes worst (5 chars → 4 tokens of 1 word); langs split
+    // the same corpus the per-doc stats run on
+    val docs = bpeDocs.withColumn("lang",
+      when(col("doc_id") === 1L, lit("aa")).otherwise(lit("xx")))
+    val out = LlmText.tokenizerFertility(docs, nMerges = 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    // from the bpeDocStats hand values: doc1 = 1 word / 4 tokens;
+    // docs 2+3 = 5 words / 5 tokens
+    assert(out("aa") == ((1L, 1L, 4L, 4.0)), s"$out")
+    assert(out("xx") == ((2L, 5L, 5L, 1.0)), s"$out")
+    // reconciliation against the per-doc rollup
+    val perDoc = LlmText.bpeDocStats(bpeDocs, nMerges = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out("aa")._3 == perDoc(1L))
+    assert(out("xx")._3 == perDoc(2L) + perDoc(3L))
+  }
+
   test("bpeDocStatsVsDict: stored dictionary equals the retrain path") {
     // train-once artifact survives a parquet round-trip and tokenizes
     // identically to the retrain-per-call path (x27 vs x28 parity)

@@ -342,6 +342,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1)._3 == 0.0 && out(1)._4, "orthogonal drift must flag")
   }
 
+  test("participationRatio: rank-1 collapse is 1, k orthogonal dims is k") {
+    import spark.implicits._
+    def vec(vals: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); vals.foreach { case (i, v) => a(i) = v }; a
+    }
+    def run(vs: Array[Float]*) = {
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      VectorOps.participationRatio(df).collect().head
+    }
+    // colinear vectors: trace 5, tr(C²) 25 → PR exactly 1
+    val rank1 = run(vec(0 -> 1f), vec(0 -> 2f))
+    assert(rank1.getLong(0) == 2L, s"$rank1")
+    assert(rank1.getDouble(3) == 1.0, s"$rank1")
+    // four orthonormal one-hot vectors: trace 4, tr(C²) 4 → PR 4
+    val iso = run(vec(0 -> 1f), vec(1 -> 1f), vec(2 -> 1f), vec(3 -> 1f))
+    assert(iso.getDouble(3) == 4.0, s"$iso")
+    // uneven mass: diag(2,1) → 9/5
+    val mixed = run(vec(0 -> 1f), vec(0 -> 1f), vec(1 -> 1f))
+    assert(math.abs(mixed.getDouble(3) - 1.8) < 1e-12, s"$mixed")
+  }
+
   test("anisotropy: closed-form mean pairwise cosine, hand-checked") {
     import spark.implicits._
     def vec(v0: Float, v1: Float): Array[Float] = {
