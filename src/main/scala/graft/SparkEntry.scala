@@ -484,6 +484,10 @@ object SparkEntry {
     // inline and the oracle is unchanged).
     "g10_transitivity" -> ((s, d) =>
       Graph.transitivityOf(storedTriangleStats(s, d))),
+    // g11: 2-core membership after a fixed peel budget on the same
+    // neighbor graph g9 counts triangles on.
+    "g11_kcore" -> ((s, d) =>
+      Graph.kcore(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
@@ -814,7 +818,9 @@ object SparkEntry {
     ("c28_curriculum" -> curriculumOracle(oracleSqlBase("x34_readability"))) +
     // x38 is x27's BPE-dictionary chain with the rollup keyed by lang.
     ("x38_tokenizer_fertility" ->
-      fertilityOracle(oracleSqlBase("x27_bpe_doc_stats")))
+      fertilityOracle(oracleSqlBase("x27_bpe_doc_stats"))) +
+    // g11 is g9's projection/knn chain + three unrolled peel rounds.
+    ("g11_kcore" -> kcoreOracle(oracleSqlBase("g9_triangle_lcc")))
 
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
@@ -1063,6 +1069,43 @@ object SparkEntry {
         |         ELSE CAST(2.0 AS DOUBLE) END)) * 1.0e9)
         |      AS DECIMAL(38,0))) AS DOUBLE) / 1.0e9 AS trace_sq
         |  FROM g GROUP BY (1=1))""".stripMargin
+  }
+
+  /** Derive the g11 oracle from g9's: keep the projection/knn/und CTEs
+    * byte-identical and unroll three degree-peel rounds (drop nodes of
+    * degree < 2, induce, recount) — all-integer; the final left join
+    * reports original degree, core membership, and in-core degree. */
+  private def kcoreOracle(g9: String): String = {
+    val anchor = "deg AS (SELECT node,"
+    require(g9.contains(anchor), "g9 oracle SQL lost the g11 anchor")
+    g9.substring(0, g9.indexOf(anchor)) +
+      """d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY node),
+        |e1 AS (SELECT u, v FROM und
+        |  WHERE u IN (SELECT node FROM d0 WHERE deg >= 2)
+        |    AND v IN (SELECT node FROM d0 WHERE deg >= 2)),
+        |d1 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY node),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM d1 WHERE deg >= 2)
+        |    AND v IN (SELECT node FROM d1 WHERE deg >= 2)),
+        |d2 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY node),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM d2 WHERE deg >= 2)
+        |    AND v IN (SELECT node FROM d2 WHERE deg >= 2)),
+        |d3 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |  GROUP BY node)
+        |SELECT d0.node AS supp, d0.deg AS degree,
+        |  CAST(COALESCE(k3.deg, 0) AS BIGINT) AS core_degree,
+        |  k3.deg IS NOT NULL AS in_core
+        |FROM d0 LEFT JOIN
+        |  (SELECT node, deg FROM d3 WHERE deg >= 2) k3
+        |  ON k3.node = d0.node""".stripMargin
   }
 
   /** Derive the g10 oracle from g9's: keep the projection/knn/

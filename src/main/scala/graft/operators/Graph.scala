@@ -476,9 +476,11 @@ object Graph {
       .filter(ordLt(col("dx"), col("x"), col("dy"), col("y")))
       .join(closing, Seq("x", "y"))
       .select(col("ctr").as("n1"), col("x").as("n2"), col("y").as("n3"))
-    val perNode = tri.select(col("n1").as("node"))
-      .unionByName(tri.select(col("n2").as("node")))
-      .unionByName(tri.select(col("n3").as("node")))
+    // one wedge-join pass: explode each triangle into its three member
+    // rows (a 3-way union of tri re-plans — and re-executes — the whole
+    // join chain once per arm; the explain audit showed exactly that)
+    val perNode = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("t"))
     deg.join(perNode, Seq("node"), "left_outer")
       .select(col("node").as("supp"), col("degree"),
@@ -488,6 +490,67 @@ object Graph {
             (col("degree").cast("double") *
               (col("degree") - 1).cast("double")))
           .otherwise(0.0).as("lcc"))
+  }
+
+  /** Per-round peel counts of the LAST [[kcore]] run — the LPA-style
+    * convergence telemetry for the fixed peel budget: a healthy run
+    * trends to zero; a final round that still peeled nodes means the
+    * budget undershot this graph (the loop also logs a warning). */
+  @volatile var lastKcorePeeled: Seq[Long] = Seq.empty
+
+  /** k-core membership after a fixed peel budget (g11): iteratively
+    * remove nodes of degree < k from the [[knnAffinityEdges]] neighbor
+    * graph and report, per node, its original degree, whether it
+    * survived all `rounds` peels, and its degree inside the surviving
+    * subgraph — the degeneracy readout next to g9's density one: a
+    * node in the 2-core sits on a cycle of mutual affinity (a real
+    * market/topic), while a peeled node only ever hung off others
+    * (citation chains, drive-by co-occurrence), and curation weights
+    * core evidence above pendant evidence. Fixed-budget semantics like
+    * g1/g2: the oracle unrolls the identical rounds; per-round peel
+    * counts land in [[lastKcorePeeled]] with a loud warning if the
+    * budget undershot.
+    *
+    * Scale shape: each round is two semi-joins (edge endpoints against
+    * the kept set) and one degree aggregate, all materialized per round
+    * (the CC/LPA lineage policy) — 3 bounded shuffles per round at any
+    * scale, no driver graph state beyond the per-round counts. */
+  def kcore(lineitem: DataFrame, orders: DataFrame, k: Int = 2,
+      rounds: Int = 3, maxSupp: Int = 100, knn: Int = 10): DataFrame = {
+    val und = knnAffinityEdges(lineitem, orders, maxSupp, knn)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val deg0 = Caching.materialize(degrees(und))
+    var edges = und
+    var deg = deg0
+    val peels = Seq.newBuilder[Long]
+    var prevKept = deg0.count()
+    for (_ <- 1 to rounds) {
+      val kept = deg.filter(col("deg") >= k).select(col("node"))
+      edges = Caching.materialize(edges
+        .join(kept.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(kept.select(col("node").as("v")), Seq("v"), "left_semi"))
+      deg = Caching.materialize(degrees(edges))
+      val n = deg.filter(col("deg") >= k).count()
+      peels += prevKept - n
+      prevKept = n
+    }
+    lastKcorePeeled = peels.result()
+    if (lastKcorePeeled.lastOption.exists(_ > 0))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kcore: still peeling after $rounds rounds " +
+          s"(peeled per round: ${lastKcorePeeled.mkString(", ")}) — " +
+          "the core has not stabilized; raise `rounds` if downstream " +
+          "reads in_core as the converged k-core")
+    deg0.select(col("node").as("supp"), col("deg").as("degree"))
+      .join(deg.filter(col("deg") >= k)
+        .select(col("node").as("supp"), col("deg").as("core_deg")),
+        Seq("supp"), "left_outer")
+      .select(col("supp"), col("degree"),
+        coalesce(col("core_deg"), lit(0L)).as("core_degree"),
+        col("core_deg").isNotNull.as("in_core"))
   }
 
   /** Global transitivity of the neighbor graph (g10): node/edge/wedge/

@@ -236,6 +236,40 @@ class AqeInvarianceSpec extends SparkSpec {
       "fixtures actually produce rows")
   }
 
+  test("late round-11 surface is AQE-invariant (triangles, gauges, ranks)") {
+    // g9/g10 (projection + top-k + wedge self-joins — the most
+    // join-shaped chain of the family), the e20/e21 geometry folds, the
+    // c28 per-source windows, and mm14's typed per-media pass
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L), (110L, 1L),
+      (110L, 4L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (110L, 11L)).toDF("o_orderkey", "o_custkey")
+    def g9() = Graph.triangleStats(li, ord).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    def g10() = Graph.transitivity(li, ord).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    val embs = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 0) 1f else 0.25f)),
+      (2L, Array.tabulate(64)(i => if (i == 1) 2f else -0.5f)),
+      (3L, Array.tabulate(64)(_ => 0.75f)))
+      .toDF("vec_id", "embedding")
+    def e20() = VectorOps.anisotropy(embs).collect()
+      .map(_.toSeq).map(_.toString).toSeq
+    def e21() = VectorOps.participationRatio(embs).collect()
+      .map(_.toSeq).map(_.toString).toSeq
+    val cdocs = docs.withColumn("source",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("s"), $"doc_id" % 2))
+    def c28() = Curation.curriculumOrder(cdocs).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    def mm14() = Multimodal.clippingReport(docs).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    val on = withAqe(true) { (g9(), g10(), e20(), e21(), c28(), mm14()) }
+    val off = withAqe(false) { (g9(), g10(), e20(), e21(), c28(), mm14()) }
+    assert(on == off, s"late round-11 ops moved under AQE:\n$on\n$off")
+    assert(on._1.nonEmpty && on._3.nonEmpty && on._5.nonEmpty &&
+      on._6.nonEmpty, "fixtures actually produce rows")
+  }
+
   test("phashVsIndex is AQE-invariant (cross-set band join)") {
     val long = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
       .mkString

@@ -109,6 +109,9 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
     "transitivity" -> (() => Graph.transitivity(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "kcore" -> (() => Graph.kcore(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(

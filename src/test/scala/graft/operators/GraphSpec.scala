@@ -296,6 +296,31 @@ class GraphSpec extends SparkSpec {
     assert(star.getDouble(star.fieldIndex("transitivity")) == 0.0, s"$star")
   }
 
+  test("kcore: triangle survives, pendant peels, path fully peels") {
+    val (li, ord) = triangleFixture
+    val out = Graph.kcore(li, ord).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // the triangle {1,2,3} is the 2-core; s1 loses its pendant edge so
+    // its in-core degree is 2, not 3; pendant s4 is peeled
+    assert(out(1L) == ((3L, 2L, true)), s"$out")
+    assert(out(2L) == ((2L, 2L, true)), s"$out")
+    assert(out(3L) == ((2L, 2L, true)), s"$out")
+    assert(out(4L) == ((1L, 0L, false)), s"$out")
+    // converged in round 1: peel telemetry trends to zero, no warning
+    assert(Graph.lastKcorePeeled == Seq(1L, 0L, 0L),
+      s"${Graph.lastKcorePeeled}")
+    // a pure path has NO 2-core: peeling the endpoints strands the
+    // middle node, so everything unravels
+    val li2 = Seq((100L, 1L), (100L, 2L), (110L, 2L), (110L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord2 = Seq((100L, 10L), (110L, 11L))
+      .toDF("o_orderkey", "o_custkey")
+    val path = Graph.kcore(li2, ord2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(path == Map(1L -> false, 2L -> false, 3L -> false), s"$path")
+  }
+
   test("transitivityOf a parquet-stored per-node table equals inline") {
     val (li, ord) = triangleFixture
     val inline = Graph.transitivity(li, ord).collect().map(_.toSeq).toSeq
