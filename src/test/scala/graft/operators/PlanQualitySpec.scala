@@ -289,4 +289,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(media_id"),
       s"window must hash-partition by media_id:\n$p")
   }
+
+  test("c28: curriculum windows partition by source, no global sort") {
+    val p = plan("c28_curriculum")
+    assert(p.contains("hashpartitioning(source"),
+      s"rank/count windows must partition by source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a curriculum export must never serialize into one task:\n$p")
+  }
+
+  test("e20/e21: geometry gauges are aggregate folds, no pairwise join") {
+    // e20's closed form exists precisely to avoid the n² cosine join
+    val p20 = plan("e20_anisotropy")
+    assert(!p20.contains("SortMergeJoin") && !p20.contains("Cartesian"),
+      s"anisotropy must not plan a pairwise join:\n$p20")
+    // e21 folds the 2080 Gram cells; its only join is the broadcast of
+    // the 2080-row (k,i,j) index map
+    val p21 = plan("e21_participation_ratio")
+    assert(!p21.contains("SortMergeJoin") && !p21.contains("Cartesian"),
+      s"participation ratio must not plan a pairwise join:\n$p21")
+  }
+
+  test("g9: one wedge pass — a single Generate, at most three joins") {
+    // the per-node counting explodes each triangle once; a 3-way union
+    // would re-execute the wedge-join chain per arm (caught by the r11
+    // explain audit, pinned here)
+    val p = plan("g9_triangle_lcc")
+    assert("(?m)^\\s*\\+?-?\\s*Generate ".r.findAllIn(p).size <= 1 &&
+      p.contains("Generate explode"),
+      s"triangle member rows must come from ONE explode:\n$p")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins <= 3, s"expected wedge+closing+leftouter only, got " +
+      s"$joins joins:\n$p")
+  }
 }
