@@ -89,11 +89,22 @@ object ScaleSmoke {
     val nOne = one.count()
     val nMany = many.count()
 
-    def timed(fn: DataFrame => DataFrame)(df: DataFrame): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val rows = fn(df).count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+    // best-of-2 on every measured leg: single-shot timings on a shared
+    // box swing >3× under neighbor load (one run recorded 181s for an
+    // op that times 12-21s in every other run) — the min of two
+    // back-to-back runs reads through the spikes while the ratio story
+    // stays the algorithm's, not the neighbors'
+    def best2[A](once: () => (Double, A)): (Double, A) = {
+      val (ta, _) = once()
+      val (tb, b) = once()
+      (math.min(ta, tb), b)
     }
+    def timed(fn: DataFrame => DataFrame)(df: DataFrame): (Double, Long) =
+      best2 { () =>
+        val t0 = System.nanoTime()
+        val rows = fn(df).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d26_prefix_filter" -> (d => Dedup.prefixFilterPairs(d, 0.7)),
       "d28_exact_pipeline" -> { d =>
@@ -175,10 +186,12 @@ object ScaleSmoke {
         graft.operators.Graph.triangleStats(l, o)))
     graphOps.foreach { case (_, fn) => fn(li1, ord1).count() } // warm
     val graphResults = graphOps.map { case (name, fn) =>
-      val t0 = System.nanoTime(); val r1 = fn(li1, ord1).count()
-      val t1 = (System.nanoTime() - t0) / 1e9
-      val t2 = System.nanoTime(); val rN = fn(liN, ordN).count()
-      val tN = (System.nanoTime() - t2) / 1e9
+      def leg(l: DataFrame, o: DataFrame): (Double, Long) = best2 { () =>
+        val t0 = System.nanoTime(); val r = fn(l, o).count()
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      val (t1, r1) = leg(li1, ord1)
+      val (tN, rN) = leg(liN, ordN)
       val ratio = tN / math.max(t1, 1e-9)
       System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
         f"${factor}x=$tN%7.1fs ($rN rows)  ratio=$ratio%5.2f")
@@ -211,7 +224,7 @@ object ScaleSmoke {
     val emb1 = embExpand(1 to 1)
     val embN = embExpand(1 to factor)
     emb1.count(); embN.count()
-    def timedAction[A](body: => A): (Double, A) = {
+    def timedAction[A](body: => A): (Double, A) = best2 { () =>
       val t0 = System.nanoTime()
       val a = body
       ((System.nanoTime() - t0) / 1e9, a)
