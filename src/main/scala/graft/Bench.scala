@@ -179,7 +179,8 @@ object Bench {
     locally {
       val ivfConsumers = Set("s14_ivf_adc_vs_index", "s16_range_vs_index",
         "s17_range_recall", "s18_adc_error", "s19_probe_fanout",
-        "s20_cell_balance", "s21_adc_error_subspace")
+        "s20_cell_balance", "s21_adc_error_subspace",
+        "s22_filtered_vs_index")
       val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes")
       val triangleConsumers = Set("g10_transitivity")
       SparkEntry.primeStoredIndexes(spark, sfDir,

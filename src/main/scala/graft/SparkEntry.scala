@@ -613,6 +613,10 @@ object SparkEntry {
     "s13_ivf_adc" -> ((s, d) => Similarity.ivfAdcAnn(T.embeddings(s, d))),
     // s13 through the MATERIALIZED index path (stored centroid/cell/code/
     // codebook tables; search runs zero training). Same oracle SQL as s13.
+    // s22: the s14 serve path with a metadata allow-filter semi-joined
+    // into the stored codes BEFORE candidate scoring (filtered ANN).
+    "s22_filtered_vs_index" -> ((s, d) =>
+      Similarity.filteredVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
     "s14_ivf_adc_vs_index" -> ((s, d) =>
       Similarity.ivfAdcVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
     // s15: the index LIFECYCLE path — build on the vec_id % 7 != 3 split,
@@ -820,7 +824,11 @@ object SparkEntry {
     ("x38_tokenizer_fertility" ->
       fertilityOracle(oracleSqlBase("x27_bpe_doc_stats"))) +
     // g11 is g9's projection/knn chain + three unrolled peel rounds.
-    ("g11_kcore" -> kcoreOracle(oracleSqlBase("g9_triangle_lcc")))
+    ("g11_kcore" -> kcoreOracle(oracleSqlBase("g9_triangle_lcc"))) +
+    // s22 is s13's chain with the allow-list semi-joined into the ADC
+    // candidate set (pre-filter, the filtered-vector-search form).
+    ("s22_filtered_vs_index" ->
+      filteredVsIndexOracle(oracleSqlBase("s13_ivf_adc")))
 
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
@@ -1069,6 +1077,24 @@ object SparkEntry {
         |         ELSE CAST(2.0 AS DOUBLE) END)) * 1.0e9)
         |      AS DECIMAL(38,0))) AS DOUBLE) / 1.0e9 AS trace_sq
         |  FROM g GROUP BY (1=1))""".stripMargin
+  }
+
+  /** Derive the s22 oracle from s13's: inject the allow-list CTE
+    * (label % 2 = 0, the s11 predicate) and semi-join it into the ADC
+    * candidate aggregation — disallowed vectors never reach the ADC
+    * top-k or the exact re-rank, the pre-filter semantics the Spark
+    * side implements by semi-joining the stored codes table. */
+  private def filteredVsIndexOracle(s13: String): String = {
+    val anchor = "adc AS (SELECT cc.query_id, cc.neighbor_id,"
+    val joinAnchor =
+      "FROM ccand cc JOIN pasg a ON a.vec_id = cc.neighbor_id"
+    require(s13.contains(anchor) && s13.contains(joinAnchor),
+      "s13 oracle SQL lost the s22 anchors")
+    s13.replace(anchor,
+      """alw AS (SELECT vec_id FROM embeddings WHERE label % 2 = 0),
+        |adc AS (SELECT cc.query_id, cc.neighbor_id,""".stripMargin)
+      .replace(joinAnchor,
+        joinAnchor + "\n    JOIN alw w ON w.vec_id = cc.neighbor_id")
   }
 
   /** Derive the g11 oracle from g9's: keep the projection/knn/und CTEs

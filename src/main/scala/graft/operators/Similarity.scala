@@ -776,6 +776,34 @@ object Similarity {
     * geometry comes FROM the index (never a caller parameter), so stored
     * tables can't be sliced against the wrong layout. Same oracle as s13:
     * the physical path differs, the results must not. */
+  /** Metadata-filtered ANN against the stored index (s22): the s14 serve
+    * path with an allow-predicate (label % 2 == 0, the s11 convention)
+    * PRE-filtered into the candidate set — a semi-join of the stored
+    * codes table against the allowed ids, so disallowed vectors never
+    * reach the ADC scoring or occupy probe-k slots. This is the
+    * "filtered vector search" serving form (search only docs matching a
+    * metadata predicate) done the pre-filter way; post-filtering the
+    * final top-k instead silently returns < k rows whenever the filter
+    * is selective — the classic filtered-ANN recall bug. At scale the
+    * predicate column lives IN the stored codes lake table (or arrives
+    * as an id list, as here); either way the filter lands before the
+    * expensive stages and the exact re-rank sees only allowed
+    * candidates. */
+  def filteredVsIndex(corpus: DataFrame, index: IvfAdcIndex, k: Int = 10,
+      probeK: Int = 30): DataFrame = {
+    val vc = vecs(corpus)
+    Caching.withPersisted(vc) {
+      val allowed = corpus.filter(col("label") % 2 === 0)
+        .select(col("vec_id"))
+      val fCodes = index.codes.join(allowed, Seq("vec_id"), "left_semi")
+      val qsub = defaultQueries(
+        VectorOps.pqSubspaces(corpus, index.subspaces, index.subDim))
+      ivfAdcSearch(vc, defaultQueries(vc), qsub,
+        index.centroids, index.cells, fCodes,
+        index.codebook, k, probeK, excludeSelf = true)
+    }
+  }
+
   def ivfAdcVsIndex(corpus: DataFrame, index: IvfAdcIndex, k: Int = 10,
       probeK: Int = 30): DataFrame = {
     val vc = vecs(corpus)

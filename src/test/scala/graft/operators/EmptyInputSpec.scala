@@ -128,6 +128,8 @@ class EmptyInputSpec extends SparkSpec {
     "randomProjection" -> (() => VectorOps.randomProjection(embs)),
     "ivfRangeVsIndex" -> (() =>
       Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))),
+    "filteredVsIndex" -> (() =>
+      Similarity.filteredVsIndex(embs, Similarity.ivfAdcIndex(embs))),
     "rangeRecall" -> (() => Similarity.rangeRecall(embs)),
     "dimStats" -> (() => VectorOps.dimStats(embs)),
     "standardize" -> (() => VectorOps.standardize(embs)),

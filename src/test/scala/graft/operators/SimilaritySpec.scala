@@ -258,6 +258,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0, "re-ranked cosine must equal the exact cosine")
   }
 
+  test("filteredVsIndex: only allowed neighbors; vacuous filter ≡ s14") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.ivfAdcIndex(emb)
+    val out = Similarity.filteredVsIndex(emb, idx).collect()
+    assert(out.nonEmpty)
+    // every returned neighbor satisfies the allow predicate
+    val allowed = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r =>
+      allowed(r.getLong(r.fieldIndex("neighbor_id")))),
+      "a disallowed neighbor leaked through the pre-filter")
+    // with a vacuous predicate (all labels even) the filtered path must
+    // equal the unfiltered serve path bit-for-bit
+    val allEven = emb.withColumn("label", lit(2))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos")))).sortBy(t => (t._1, -t._3, t._2))
+      .toSeq
+    assert(key(Similarity.filteredVsIndex(allEven, idx)) ==
+      key(Similarity.ivfAdcVsIndex(emb, idx)))
+  }
+
   test("ivfAdcVsIndex: parquet-stored index equals the end-to-end path") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
