@@ -748,6 +748,20 @@ object Similarity {
     }
   }
 
+  /** [[ivfAdcServe]] with a caller-supplied allow-list (the s22
+    * pre-filter applied to the online serve path): `allowed` is an id
+    * frame (`vec_id`) semi-joined into the stored codes before candidate
+    * scoring, so each batch's probe-k budget is spent entirely on
+    * rows matching the metadata predicate. */
+  def filteredServe(queries: DataFrame, corpus: DataFrame,
+      index: IvfAdcIndex, allowed: DataFrame, k: Int = 10,
+      probeK: Int = 30): DataFrame = {
+    val fCodes = index.codes
+      .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    ivfAdcServe(queries, corpus,
+      index.copy(codes = fCodes), k, probeK)
+  }
+
   /** Incremental IVF-ADC index maintenance (s15): assign ARRIVING vectors
     * to the stored coarse cells and PQ codes — the write path of the
     * FAISS-style index lifecycle ([[ivfAdcIndex]] builds, [[ivfAdcVsIndex]]

@@ -35,6 +35,31 @@ object StreamSimilarity {
       }
       .start()
 
+  /** Streaming FILTERED ANN serving (s22's twin): each micro-batch of
+    * queries searches only the stored rows in the caller-supplied
+    * allow-list (a `vec_id` frame — a metadata predicate evaluated
+    * against the lake, a tenant scope, a freshness window), with the
+    * filter semi-joined into the codes table BEFORE candidate scoring —
+    * pre-filter semantics per batch, so a selective filter cannot
+    * starve the per-query top-k. Spec pins stream output ==
+    * `Similarity.filteredServe` on the same rows. */
+  def filteredVsIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: graft.operators.Similarity.IvfAdcIndex,
+      allowed: DataFrame,
+      sink: DataFrame => Unit,
+      k: Int = 10,
+      probeK: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .queryName("graft-filtered-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity
+          .filteredServe(batch, corpus, index, allowed, k, probeK))
+        ()
+      }
+      .start()
+
   /** Streaming range serving (s16's twin): each micro-batch of queries
     * finds ALL stored neighbors above the cosine threshold inside its
     * probed cells — the online "is this incoming document near anything

@@ -111,6 +111,44 @@ class StreamSimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filteredVsIndex streams only allow-listed neighbors (batch twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = graft.operators.Similarity.ivfAdcIndex(emb)
+    val allowed = emb.filter(col("label") % 2 === 0).select("vec_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Double)]()
+    val input = MemoryStream[(Long, Array[Float], Int)]
+    val q = StreamSimilarity.filteredVsIndex(
+      input.toDF().toDF("vec_id", "embedding", "label"), emb, index,
+      allowed,
+      sink = df => df.collect().foreach(r => got.add((
+        r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("neighbor_id")),
+        r.getDouble(r.fieldIndex("cos"))))), k = 5)
+    try {
+      val v100 = emb.filter("vec_id = 100").collect().head
+        .getSeq[Float](1).toArray
+      val batch = Seq((990001L, v100, 0))
+      input.addData(batch)
+      q.processAllAvailable()
+      val rows = got.toArray(Array.empty[(Long, Long, Double)]).toSet
+      assert(rows.nonEmpty)
+      assert(rows.forall(t => allowedIds(t._2)),
+        s"a disallowed neighbor leaked into the stream: $rows")
+      val want = graft.operators.Similarity.filteredServe(
+          batch.toDF("vec_id", "embedding", "label"), emb, index,
+          allowed, k = 5)
+        .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getLong(r.fieldIndex("neighbor_id")),
+          r.getDouble(r.fieldIndex("cos")))).toSet
+      assert(rows == want,
+        s"stream must equal the batch filtered serve:\n$rows\n$want")
+    } finally q.stop()
+  }
+
   test("ivfAdcVsIndex serves streaming queries from the stored index") {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
