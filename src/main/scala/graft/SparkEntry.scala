@@ -403,6 +403,10 @@ object SparkEntry {
     "d30_syndication" -> ((s, d) => Dedup.syndication(T.documents(s, d))),
     "d31_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(T.documents(s, d))),
+    // d37: within-vs-cross-source duplicate split (can dedup shard by
+    // source, or is the global pass load-bearing?).
+    "d37_dup_source_split" -> ((s, d) =>
+      Dedup.dupSourceSplit(T.documents(s, d))),
     "d32_dup_by_source" -> ((s, d) =>
       Dedup.dupBySource(T.documents(s, d))),
     // d33/d34: the CCNet/C4 boilerplate-line family — cross-document
@@ -828,7 +832,10 @@ object SparkEntry {
     // s22 is s13's chain with the allow-list semi-joined into the ADC
     // candidate set (pre-filter, the filtered-vector-search form).
     ("s22_filtered_vs_index" ->
-      filteredVsIndexOracle(oracleSqlBase("s13_ivf_adc")))
+      filteredVsIndexOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // d37 is d32's fingerprint/keeper chain + the keeper-source lookup.
+    ("d37_dup_source_split" ->
+      dupSourceSplitOracle(oracleSqlBase("d32_dup_by_source")))
 
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
@@ -1077,6 +1084,38 @@ object SparkEntry {
         |         ELSE CAST(2.0 AS DOUBLE) END)) * 1.0e9)
         |      AS DECIMAL(38,0))) AS DOUBLE) / 1.0e9 AS trace_sq
         |  FROM g GROUP BY (1=1))""".stripMargin
+  }
+
+  /** Derive the d37 oracle from d32's: swap the full-text hash for the
+    * 8-word opening fingerprint (d30's syndication identity — the
+    * full-hash rule is vacuous on this corpus: zero exact dups at
+    * sf0.01), keep the keeper CTE, and replace the per-source dup
+    * rollup with the duplicate-only rows joined to their keeper's
+    * source — within/cross split per source. */
+  private def dupSourceSplitOracle(d32: String): String = {
+    val anchor = "j AS (SELECT x.source, x.doc_id <> f.first_doc AS is_dup"
+    val hashAnchor =
+      "WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents)"
+    require(d32.contains(anchor) && d32.contains(hashAnchor),
+      "d32 oracle SQL lost the d37 anchors")
+    val headHashed = d32.replace(hashAnchor,
+      """WITH h AS (SELECT doc_id, source,
+        |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h
+        |  FROM documents)""".stripMargin)
+    headHashed.substring(0, headHashed.indexOf(anchor)) +
+      """d AS (SELECT x.source, fs.source AS first_source
+        |  FROM h x JOIN f ON f.h = x.h
+        |  JOIN h fs ON fs.doc_id = f.first_doc
+        |  WHERE x.doc_id <> f.first_doc)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN source = first_source THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_within_source,
+        |  CAST(SUM(CASE WHEN source <> first_source THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross_source,
+        |  CAST(SUM(CASE WHEN source <> first_source THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cross_frac
+        |FROM d GROUP BY source""".stripMargin
   }
 
   /** Derive the s22 oracle from s13's: inject the allow-list CTE

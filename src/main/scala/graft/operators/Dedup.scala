@@ -1002,6 +1002,44 @@ object Dedup {
     * anything, including itself). Same cost shape as d29: one hash
     * projection, one min-per-hash aggregate, one join, one per-source
     * aggregate. */
+  /** Within-vs-cross-source duplicate split (d37): for every duplicate
+    * document (non-keeper of its exact-hash group, the d32 convention),
+    * does its keeper live in the SAME source or a different one — the
+    * shuffle-planning gauge for dedup at 100 TB: a corpus whose
+    * duplication is overwhelmingly within-source can dedup SHARDED BY
+    * SOURCE (each shard fits its partition, zero cross-shard shuffle)
+    * and only run the expensive global pass on the small cross-source
+    * residue; a high cross fraction says the global pass is
+    * load-bearing and cannot be skipped. Duplicate identity is the
+    * 8-word OPENING fingerprint (the d29/d30 syndication convention —
+    * re-posts keep openings and drift in the tail; full-hash identity
+    * is d32's stricter rule). One fingerprint pass + one keeper
+    * aggregate + one keeper-source lookup join — the d32 chain plus a
+    * single |groups|-row join. */
+  def dupSourceSplit(documents: DataFrame): DataFrame = {
+    val h = dupFingerprints(documents)
+      .select(col("doc_id"), col("source"), col("head_h").as("h"))
+    Caching.withPersisted(h) {
+      val first = h.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val firstSrc = h.select(col("doc_id").as("first_doc"),
+        col("source").as("first_source"))
+      h.join(first, "h")
+        .filter(col("doc_id") =!= col("first_doc"))
+        .join(firstSrc, "first_doc")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_dup_docs"),
+          sum(when(col("source") === col("first_source"), 1L)
+            .otherwise(0L)).as("n_within_source"),
+          sum(when(col("source") =!= col("first_source"), 1L)
+            .otherwise(0L)).as("n_cross_source"))
+        .select(col("source"), col("n_dup_docs"), col("n_within_source"),
+          col("n_cross_source"),
+          (col("n_cross_source").cast("double") /
+            col("n_dup_docs").cast("double")).as("cross_frac"))
+    }
+  }
+
   def dupBySource(documents: DataFrame): DataFrame = {
     val h = dupFingerprints(documents)
       .select(col("doc_id"), col("source"), col("full_h").as("h"))

@@ -580,6 +580,26 @@ class DedupSpec extends SparkSpec {
     assert(out("B") == ((2L, 1L, 0.5)), s"${out("B")}")
   }
 
+  test("dupSourceSplit: within-source vs cross-source keepers, hand case") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c", "A"),   // keeper of the "a b c" group
+      (2L, "a b c", "A"),   // within-A dup
+      (3L, "a b c", "B"),   // cross dup: keeper lives in A
+      (4L, "x y z", "B"),   // unique
+      (5L, "q r s", "B"),   // keeper of the "q r s" group
+      (6L, "q r s", "A"),   // cross dup: keeper lives in B
+      (7L, "u v w", "C"))   // unique source → absent from the report
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupSourceSplit(corpus).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out("A") == ((2L, 1L, 1L, 0.5)), s"$out")
+    assert(out("B") == ((1L, 0L, 1L, 1.0)), s"$out")
+    assert(!out.contains("C"), s"dup-free source must be absent: $out")
+  }
+
   test("clusterSizeHistogram: one row per cluster size, masses reconcile") {
     // planted clusters: docs 1-2-3 mutually near-identical (size 3),
     // docs 4-5 a separate pair (size 2), doc 6 a singleton (excluded)

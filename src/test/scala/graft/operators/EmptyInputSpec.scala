@@ -30,6 +30,7 @@ class EmptyInputSpec extends SparkSpec {
     "prefixFilterPairs" -> (() => Dedup.prefixFilterPairs(docs)),
     "sourceSketch" -> (() => Dedup.sourceSketch(docs)),
     "sourceOverlap" -> (() => Dedup.sourceOverlap(docs)),
+    "dupSourceSplit" -> (() => Dedup.dupSourceSplit(docs)),
     "urlDedup" -> (() => Dedup.urlDedup(docs)),
     "nearDupComponents" -> (() => Dedup.nearDupComponents(docs)),
     "keepBestInCluster" -> (() => Dedup.keepBestInCluster(docs)),
