@@ -493,6 +493,8 @@ object SparkEntry {
     "g11_kcore" -> ((s, d) =>
       Graph.kcore(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
+    // q66: per-user EWMA (α = ½ — dyadic weights, bit-exact, no grid).
+    "q66_ewma" -> ((s, d) => Temporal.ewma(T.events(s, d))),
     "q58_trimmed_mean" -> ((s, d) => R.trimmedMean(T.events(s, d))),
     "q31_latest_upsert" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)

@@ -660,4 +660,34 @@ object Temporal {
         min(struct(col("len") * -1, col("streak_start")))
           .getField("streak_start").as("longest_start"))
   }
+
+  /** Exponentially weighted moving average (q66): per user, the last
+    * `taps` values blended with weights 1, ½, ¼, … — the recency-biased
+    * smoother for activity levels, quality trends, and rate estimates
+    * (the one-line alternative to q63's mean/σ window when "recent
+    * matters more" is the point). Partial heads renormalize over the
+    * PRESENT taps, so row 1's ewma is its own value, not a damped one.
+    *
+    * Parity contract, stronger than the grid family's: α = ½ makes
+    * every weight an exact power of two, and multiplying/dividing any
+    * double by 2ᵏ is EXACT in IEEE — so with the term order pinned
+    * left-to-right there is no rounding site at all beyond the two
+    * final IEEE ops, and both engines agree bit-for-bit with no decimal
+    * grid anywhere. One per-user window (hash-partitioned, never
+    * global), `taps` LAG reads per row. */
+  def ewma(events: DataFrame, taps: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def v(i: Int) =
+      if (i == 0) col("value") else lag(col("value"), i).over(w)
+    def wt(i: Int) = lit(math.pow(0.5, i))
+    val num = (0 until taps)
+      .map(i => when(v(i).isNotNull, v(i) * wt(i)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val den = (0 until taps)
+      .map(i => when(v(i).isNotNull, wt(i)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    events.select(col("event_id"), col("user_id"), col("value"),
+      (num / den).as("ewma"))
+  }
 }

@@ -474,6 +474,39 @@ object RelationalOracles {
         |  greatest(least(e.value, b.hi_v), b.lo_v) AS value_winsorized,
         |  (e.value < b.lo_v OR e.value > b.hi_v) AS clipped
         |FROM events e JOIN b ON b.event_type = e.event_type""".stripMargin,
+    // q66: EWMA with α = ½ — every weight an exact power of two, so the
+    // fixed left-to-right term order is bit-exact with NO decimal grid;
+    // partial heads renormalize over the present taps.
+    "q66_ewma" ->
+      """WITH w AS (SELECT event_id, user_id, value,
+        |  LAG(value, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS v1,
+        |  LAG(value, 2) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS v2,
+        |  LAG(value, 3) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS v3
+        |  FROM events)
+        |SELECT event_id, user_id, value,
+        |  ((((CASE WHEN value IS NOT NULL
+        |        THEN value * CAST(1.0 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CASE WHEN v1 IS NOT NULL THEN v1 * CAST(0.5 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CASE WHEN v2 IS NOT NULL THEN v2 * CAST(0.25 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CASE WHEN v3 IS NOT NULL THEN v3 * CAST(0.125 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |  /
+        |  ((((CASE WHEN value IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CASE WHEN v1 IS NOT NULL THEN CAST(0.5 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CASE WHEN v2 IS NOT NULL THEN CAST(0.25 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CASE WHEN v3 IS NOT NULL THEN CAST(0.125 AS DOUBLE)
+        |        ELSE CAST(0.0 AS DOUBLE) END)
+        |  AS ewma
+        |FROM w""".stripMargin,
     // Trailing-frame Σv/Σv² as DECIMAL(18,6)/(36,12) (exact both engines);
     // mean/var/z in the same fixed-order double expressions.
     "q63_rolling_anomaly" ->

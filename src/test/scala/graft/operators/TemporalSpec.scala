@@ -301,6 +301,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.values.count(_._3) == 1, "exactly the top extreme clips")
   }
 
+  test("ewma: dyadic weights, partial-head renormalization, per-user") {
+    val events = Seq(
+      (1L, 1L, ts(1L), 10.0), (1L, 2L, ts(2L), 20.0),
+      (1L, 3L, ts(3L), 40.0),
+      (2L, 4L, ts(1L), 100.0)) // another user: own head, ewma = value
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.ewma(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // head rows renormalize over present taps (exact dyadic arithmetic,
+    // asserted with the identical expression order — no tolerance)
+    assert(out(1L) == 10.0, s"$out")
+    assert(out(2L) == (20.0 * 1.0 + 10.0 * 0.5) / (1.0 + 0.5), s"$out")
+    assert(out(3L) ==
+      ((40.0 * 1.0 + 20.0 * 0.5) + 10.0 * 0.25) / ((1.0 + 0.5) + 0.25),
+      s"$out")
+    assert(out(4L) == 100.0, s"$out")
+  }
+
   test("rollingAnomaly flags a spike against the trailing baseline only") {
     // ten flat values then a spike; the spike's baseline is the flat run
     // (std tiny but > 0? no — identical values → std 0 → no flag). Use a
