@@ -1017,27 +1017,33 @@ object Dedup {
     * aggregate + one keeper-source lookup join — the d32 chain plus a
     * single |groups|-row join. */
   def dupSourceSplit(documents: DataFrame): DataFrame = {
-    val h = dupFingerprints(documents)
-      .select(col("doc_id"), col("source"), col("head_h").as("h"))
-    Caching.withPersisted(h) {
-      val first = h.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      val firstSrc = h.select(col("doc_id").as("first_doc"),
-        col("source").as("first_source"))
-      h.join(first, "h")
-        .filter(col("doc_id") =!= col("first_doc"))
-        .join(firstSrc, "first_doc")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_dup_docs"),
-          sum(when(col("source") === col("first_source"), 1L)
-            .otherwise(0L)).as("n_within_source"),
-          sum(when(col("source") =!= col("first_source"), 1L)
-            .otherwise(0L)).as("n_cross_source"))
-        .select(col("source"), col("n_dup_docs"), col("n_within_source"),
-          col("n_cross_source"),
-          (col("n_cross_source").cast("double") /
-            col("n_dup_docs").cast("double")).as("cross_frac"))
-    }
+    val fp = dupFingerprints(documents)
+    Caching.withPersisted(fp)(dupSourceSplitFromFingerprints(fp))
+  }
+
+  /** [[dupSourceSplit]] over an already-computed (and persisted)
+    * [[dupFingerprints]] frame — the d29/d30 one-pass sharing shape the
+    * data card uses so all three duplication sections ride one text
+    * scan. */
+  def dupSourceSplitFromFingerprints(fp: DataFrame): DataFrame = {
+    val h = fp.select(col("doc_id"), col("source"), col("head_h").as("h"))
+    val first = h.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val firstSrc = h.select(col("doc_id").as("first_doc"),
+      col("source").as("first_source"))
+    h.join(first, "h")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .join(firstSrc, "first_doc")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+        sum(when(col("source") === col("first_source"), 1L)
+          .otherwise(0L)).as("n_within_source"),
+        sum(when(col("source") =!= col("first_source"), 1L)
+          .otherwise(0L)).as("n_cross_source"))
+      .select(col("source"), col("n_dup_docs"), col("n_within_source"),
+        col("n_cross_source"),
+        (col("n_cross_source").cast("double") /
+          col("n_dup_docs").cast("double")).as("cross_frac"))
   }
 
   def dupBySource(documents: DataFrame): DataFrame = {

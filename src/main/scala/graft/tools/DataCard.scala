@@ -65,15 +65,18 @@ object DataCard {
     val audit = Curation.neymanAllocation(docs).orderBy(col("source"))
     val auditSample = Curation.weightedSample(docs, k = 10)
     val phrases = LlmText.pmiCollocations(docs, k = 10)
-    // ONE text-scan fingerprint pass feeds both duplication sections (d29
-    // trend + d30 syndication); the frames are materialized (lineage
-    // truncated) off the persisted pass so the later section-collects
-    // can't silently re-run it
+    // ONE text-scan fingerprint pass feeds all three duplication sections
+    // (d29 trend + d30 syndication + d37 within/cross split); the frames
+    // are materialized (lineage truncated) off the persisted pass so the
+    // later section-collects can't silently re-run it
     val fp = Dedup.dupFingerprints(docs)
-    val (trendRaw, syndRaw) = graft.operators.Caching.withPersisted2(fp)((
-      Dedup.dupTrendFromFingerprints(fp),
-      Dedup.syndicationFromFingerprints(fp)))
+    val (trendRaw, syndRaw, splitRaw) =
+      graft.operators.Caching.withPersisted3(fp)((
+        Dedup.dupTrendFromFingerprints(fp),
+        Dedup.syndicationFromFingerprints(fp),
+        Dedup.dupSourceSplitFromFingerprints(fp)))
     val trend = trendRaw.orderBy(col("bucket"))
+    val dupSplit = splitRaw.orderBy(col("source"))
     val growth = LlmText.vocabGrowth(docs).orderBy(col("bucket"))
     val synd = syndRaw
       .orderBy(col("n_dup_pairs").desc, col("source_a"), col("source_b"))
@@ -154,6 +157,9 @@ object DataCard {
     sb ++= section("Vocabulary growth / Heaps curve (x31)", growth)
     sb ++= section("Top syndication pairs (d30: shared opening fingerprints)",
       synd)
+    sb ++= section(
+      "Within/cross-source duplicate split (d37: can dedup shard by source?)",
+      dupSplit)
     sb ++= section("Media mix (mm8: first rows)", media)
     sb ++= section("Silence/blank rates by source (mm10)", silence)
     sb ++= section("Clipping rates by source (mm14: full-scale pileup)",

@@ -22,6 +22,8 @@ class DataCardSpec extends SparkSpec {
         "## Duplication-rate trend by ingest bucket (d29)",
         "## Vocabulary growth / Heaps curve (x31)",
         "## Top syndication pairs (d30: shared opening fingerprints)",
+        "## Within/cross-source duplicate split (d37: can dedup shard " +
+          "by source?)",
         "## Media mix (mm8: first rows)",
         "## Silence/blank rates by source (mm10)",
         "## Perceptual-hash duplicate advisory by source (mm6/mm9)",
