@@ -181,12 +181,15 @@ object Bench {
         "s17_range_recall", "s18_adc_error", "s19_probe_fanout",
         "s20_cell_balance", "s21_adc_error_subspace",
         "s22_filtered_vs_index")
-      val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes")
+      val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes",
+        "g7_modularity")
       val triangleConsumers = Set("g10_transitivity")
+      val neighborConsumers = Set("g11_kcore", "g12_components")
       SparkEntry.primeStoredIndexes(spark, sfDir,
         ivf = selected.keys.exists(ivfConsumers),
         labels = selected.keys.exists(labelConsumers),
-        triangles = selected.keys.exists(triangleConsumers))
+        triangles = selected.keys.exists(triangleConsumers),
+        neighbors = selected.keys.exists(neighborConsumers))
     }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the

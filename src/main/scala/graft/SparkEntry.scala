@@ -65,10 +65,12 @@ object SparkEntry {
     * itself stays measured where building IS the benchmark: s13/s15
     * train inline, and ScaleSmoke times `s13_index_build` explicitly. */
   def primeStoredIndexes(s: SparkSession, d: String,
-      ivf: Boolean, labels: Boolean, triangles: Boolean = false): Unit = {
+      ivf: Boolean, labels: Boolean, triangles: Boolean = false,
+      neighbors: Boolean = false): Unit = {
     if (ivf) { storedIvfIndex(s, d); () }
     if (labels) { storedLabelIndex(s, d); () }
     if (triangles) { storedTriangleStats(s, d); () }
+    if (neighbors) { storedNeighborIndex(s, d); () }
   }
 
   private def storedIvfIndex(s: SparkSession, d: String): Similarity.IvfAdcIndex = {
@@ -94,16 +96,34 @@ object SparkEntry {
       idx.edges.write.parquet(s"$tmp/edges")
     }
     Graph.LabelIndex(s.read.parquet(s"$dir/labels"),
-      s.read.parquet(s"$dir/edges"), iters = 3)
+      s.read.parquet(s"$dir/edges"), maxIters = 24)
+  }
+
+  /** ONE stored top-k affinity neighbor-edge table per scale factor (the
+    * [[storedLabelIndex]] pattern for the triangle/core family): g9
+    * benchmarks the projection+kNN build itself; g11's peel, g12's
+    * components, and the stored triangle table below all read the stored
+    * edges instead of rerunning g5's capped self-join per consumer (the
+    * round-11 verdict's g11 fix). */
+  private def storedNeighborIndex(s: SparkSession,
+      d: String): Graph.NeighborIndex = {
+    val dir = storedTempDir(s"knn:$d") { tmp =>
+      Graph.neighborIndex(T.lineitem(s, d), T.orders(s, d))
+        .edges.write.parquet(s"$tmp/edges")
+    }
+    Graph.NeighborIndex(s.read.parquet(s"$dir/edges"),
+      maxSupp = 100, k = 10)
   }
 
   /** ONE stored per-node triangle table per scale factor (g9's output as
     * a lake table — the nightly-build artifact): g9 benchmarks the
     * projection+kNN+triangle build itself; g10's transitivity is the
-    * serve path, a constant-group fold over the stored |V|-row table. */
+    * serve path, a constant-group fold over the stored |V|-row table.
+    * Built FROM the stored neighbor edges — the nightly pipeline builds
+    * the edge table once and derives the triangle table from it. */
   private def storedTriangleStats(s: SparkSession, d: String): DataFrame = {
     val dir = storedTempDir(s"tri:$d") { tmp =>
-      Graph.triangleStats(T.lineitem(s, d), T.orders(s, d))
+      Graph.triangleStats(storedNeighborIndex(s, d))
         .write.parquet(s"$tmp/pernode")
     }
     s.read.parquet(s"$dir/pernode")
@@ -488,10 +508,16 @@ object SparkEntry {
     // inline and the oracle is unchanged).
     "g10_transitivity" -> ((s, d) =>
       Graph.transitivityOf(storedTriangleStats(s, d))),
-    // g11: 2-core membership after a fixed peel budget on the same
-    // neighbor graph g9 counts triangles on.
-    "g11_kcore" -> ((s, d) =>
-      Graph.kcore(T.lineitem(s, d), T.orders(s, d))),
+    // g11: converged 2-core membership, peeled to fixpoint on the STORED
+    // neighbor-edge table (g9 benchmarks the build; the peel is the
+    // serve-side consumer — edges parquet-round-trip exactly, so the
+    // oracle, g9's chain + an over-unrolled peel, is unchanged).
+    "g11_kcore" -> ((s, d) => Graph.kcore(storedNeighborIndex(s, d),
+      k = 2, maxRounds = 64)),
+    // g12: connected components of the same stored neighbor graph —
+    // star-contraction CC, per-component node/edge counts.
+    "g12_components" -> ((s, d) =>
+      Graph.componentSizes(storedNeighborIndex(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     // q66: per-user EWMA (α = ½ — dyadic weights, bit-exact, no grid).
     "q66_ewma" -> ((s, d) => Temporal.ewma(T.events(s, d))),
@@ -829,8 +855,12 @@ object SparkEntry {
     // x38 is x27's BPE-dictionary chain with the rollup keyed by lang.
     ("x38_tokenizer_fertility" ->
       fertilityOracle(oracleSqlBase("x27_bpe_doc_stats"))) +
-    // g11 is g9's projection/knn chain + three unrolled peel rounds.
+    // g11 is g9's projection/knn chain + an over-unrolled peel (the
+    // Spark side peels to fixpoint; extra unrolled rounds are no-ops).
     ("g11_kcore" -> kcoreOracle(oracleSqlBase("g9_triangle_lcc"))) +
+    // g12 is g9's projection/knn chain + recursive-reach CC + the
+    // per-component node/edge aggregates.
+    ("g12_components" -> componentsOracle(oracleSqlBase("g9_triangle_lcc"))) +
     // s22 is s13's chain with the allow-list semi-joined into the ADC
     // candidate set (pre-filter, the filtered-vector-search form).
     ("s22_filtered_vs_index" ->
@@ -992,10 +1022,11 @@ object SparkEntry {
     * folded into Newman's Q = I/T − ΣD²/T² — all-integer masses (D²
     * as DECIMAL(38,0)), two IEEE divisions in the identical shape. */
   private def modularityOracle(g2: String): String = {
-    val anchor = "SELECT node, lab AS label FROM l3"
+    val anchor = graft.oracles.GraphOracles.lpaFinalSelect
+    val lf = graft.oracles.GraphOracles.lpaFinalTable
     require(g2.contains(anchor), "g2 oracle SQL lost the g7 anchor")
     g2.replace(anchor,
-      """SELECT CAST(count(*) AS BIGINT) AS n_communities,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_communities,
         |  CAST(SUM(ew.incident_w) AS BIGINT) AS total_w,
         |  CAST(SUM(ew.internal_w) AS BIGINT) AS internal_w,
         |  CAST(CAST(SUM(ew.internal_w) AS BIGINT) AS DOUBLE)
@@ -1009,8 +1040,8 @@ object SparkEntry {
         |        CAST(SUM(e.w) AS BIGINT) AS incident_w,
         |        CAST(SUM(CASE WHEN ld.lab = ls.lab THEN e.w ELSE 0 END)
         |          AS BIGINT) AS internal_w
-        |      FROM e JOIN l3 ls ON e.src = ls.node
-        |             JOIN l3 ld ON e.dst = ld.node
+        |      FROM e JOIN $lf ls ON e.src = ls.node
+        |             JOIN $lf ld ON e.dst = ld.node
         |      GROUP BY ls.lab) ew
         |GROUP BY (1=1)""".stripMargin)
   }
@@ -1139,40 +1170,66 @@ object SparkEntry {
   }
 
   /** Derive the g11 oracle from g9's: keep the projection/knn/und CTEs
-    * byte-identical and unroll three degree-peel rounds (drop nodes of
-    * degree < 2, induce, recount) — all-integer; the final left join
-    * reports original degree, core membership, and in-core degree. */
-  private def kcoreOracle(g9: String): String = {
+    * byte-identical and unroll `rounds` degree-peel rounds (drop nodes
+    * of degree < 2, induce, recount) — all-integer. The Spark side peels
+    * to FIXPOINT; peeling past the fixpoint is a no-op (the kept set
+    * stops changing), so any unroll ≥ the data's fixpoint depth matches.
+    * 12 rounds is 2× the measured depth at sf0.1 (and 3× sf0.01's) —
+    * GraphSpec pins the no-op-past-fixpoint algebra on a fixture. */
+  private def kcoreOracle(g9: String, rounds: Int = 12): String = {
     val anchor = "deg AS (SELECT node,"
     require(g9.contains(anchor), "g9 oracle SQL lost the g11 anchor")
+    // MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    // references the previous one 3× — an inlined 12-round unroll
+    // re-opens the base parquet 3^12 times ("Too many open files");
+    // materialization makes the unroll 12 linear passes.
+    def degCte(i: Int, edges: String) =
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT u AS node FROM $edges UNION ALL SELECT v FROM $edges)
+         |  GROUP BY node)""".stripMargin
+    def peelCte(i: Int) =
+      s"""e$i AS MATERIALIZED (SELECT u, v FROM ${if (i == 1) "und" else s"e${i - 1}"}
+         |  WHERE u IN (SELECT node FROM d${i - 1} WHERE deg >= 2)
+         |    AND v IN (SELECT node FROM d${i - 1} WHERE deg >= 2))""".stripMargin
+    val peelChain = (1 to rounds)
+      .map(i => peelCte(i) + ",\n" + degCte(i, s"e$i"))
+      .mkString(",\n")
     g9.substring(0, g9.indexOf(anchor)) +
-      """d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      degCte(0, "und") + ",\n" + peelChain + "\n" +
+      s"""SELECT d0.node AS supp, d0.deg AS degree,
+         |  CAST(COALESCE(kf.deg, 0) AS BIGINT) AS core_degree,
+         |  kf.deg IS NOT NULL AS in_core
+         |FROM d0 LEFT JOIN
+         |  (SELECT node, deg FROM d$rounds WHERE deg >= 2) kf
+         |  ON kf.node = d0.node""".stripMargin
+  }
+
+  /** Derive the g12 oracle from g9's: keep the projection/knn/und CTEs
+    * byte-identical and swap the triangle tail for a recursive-reach
+    * connected-components pass (the d7 oracle's CC idiom) plus the
+    * per-component node/edge aggregates — component = min reachable
+    * node id, exactly what star-contraction CC converges to. */
+  private def componentsOracle(g9: String): String = {
+    val head = "WITH pair AS"
+    val anchor = "deg AS (SELECT node,"
+    require(g9.startsWith(head) && g9.contains(anchor),
+      "g9 oracle SQL lost the g12 anchors")
+    "WITH RECURSIVE" +
+      g9.substring("WITH".length, g9.indexOf(anchor)) +
+      """ed2 AS (SELECT u AS a, v AS b FROM und
+        |  UNION SELECT v, u FROM und),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM ed2
+        |  UNION
+        |  SELECT ed2.a, reach.lab FROM ed2 JOIN reach ON ed2.b = reach.node),
+        |comp AS (SELECT node, min(lab) AS component FROM reach
         |  GROUP BY node),
-        |e1 AS (SELECT u, v FROM und
-        |  WHERE u IN (SELECT node FROM d0 WHERE deg >= 2)
-        |    AND v IN (SELECT node FROM d0 WHERE deg >= 2)),
-        |d1 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
-        |  GROUP BY node),
-        |e2 AS (SELECT u, v FROM e1
-        |  WHERE u IN (SELECT node FROM d1 WHERE deg >= 2)
-        |    AND v IN (SELECT node FROM d1 WHERE deg >= 2)),
-        |d2 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
-        |  GROUP BY node),
-        |e3 AS (SELECT u, v FROM e2
-        |  WHERE u IN (SELECT node FROM d2 WHERE deg >= 2)
-        |    AND v IN (SELECT node FROM d2 WHERE deg >= 2)),
-        |d3 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
-        |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
-        |  GROUP BY node)
-        |SELECT d0.node AS supp, d0.deg AS degree,
-        |  CAST(COALESCE(k3.deg, 0) AS BIGINT) AS core_degree,
-        |  k3.deg IS NOT NULL AS in_core
-        |FROM d0 LEFT JOIN
-        |  (SELECT node, deg FROM d3 WHERE deg >= 2) k3
-        |  ON k3.node = d0.node""".stripMargin
+        |cn AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM comp GROUP BY component),
+        |ce AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM und e JOIN comp c ON c.node = e.u GROUP BY c.component)
+        |SELECT cn.component, cn.n_nodes, ce.n_edges
+        |FROM cn JOIN ce ON ce.component = cn.component""".stripMargin
   }
 
   /** Derive the g10 oracle from g9's: keep the projection/knn/
@@ -1361,10 +1418,11 @@ object SparkEntry {
     * the final projection for the per-node boundary aggregate (distinct
     * neighbor labels, external edge mass, bridge verdict). */
   private def bridgeNodesOracle(g2: String): String = {
-    val anchor = "SELECT node, lab AS label FROM l3"
+    val anchor = graft.oracles.GraphOracles.lpaFinalSelect
+    val lf = graft.oracles.GraphOracles.lpaFinalTable
     require(g2.contains(anchor), "g2 oracle SQL lost the g4 anchor")
     g2.replace(anchor,
-      """SELECT ls.node, ls.lab AS label,
+      s"""SELECT ls.node, ls.lab AS label,
         |  CAST(count(DISTINCT ld.lab) AS BIGINT) AS n_neighbor_labels,
         |  CAST(SUM(e.w) AS BIGINT) AS w_total,
         |  CAST(SUM(CASE WHEN ld.lab <> ls.lab THEN e.w ELSE 0 END)
@@ -1372,8 +1430,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ld.lab <> ls.lab THEN e.w ELSE 0 END)
         |    AS DOUBLE) / CAST(SUM(e.w) AS DOUBLE) AS external_frac,
         |  count(DISTINCT ld.lab) >= 2 AS is_bridge
-        |FROM e JOIN l3 ls ON e.src = ls.node
-        |       JOIN l3 ld ON e.dst = ld.node
+        |FROM e JOIN $lf ls ON e.src = ls.node
+        |       JOIN $lf ld ON e.dst = ld.node
         |GROUP BY ls.node, ls.lab""".stripMargin)
   }
 
@@ -1473,21 +1531,22 @@ object SparkEntry {
     * (byte-identical CTEs) and swap the final projection for the
     * per-community node/edge-mass aggregate. */
   private def communityStatsOracle(g2: String): String = {
-    val anchor = "SELECT node, lab AS label FROM l3"
+    val anchor = graft.oracles.GraphOracles.lpaFinalSelect
+    val lf = graft.oracles.GraphOracles.lpaFinalTable
     require(g2.contains(anchor), "g2 oracle SQL lost the g3 anchor")
     g2.replace(anchor,
-      """SELECT nn2.lab AS label, nn2.n_nodes, ew.internal_w,
+      s"""SELECT nn2.lab AS label, nn2.n_nodes, ew.internal_w,
         |  ew.incident_w,
         |  CAST(ew.internal_w AS DOUBLE) / CAST(ew.incident_w AS DOUBLE)
         |    AS internal_frac
         |FROM (SELECT lab, CAST(count(*) AS BIGINT) AS n_nodes
-        |      FROM l3 GROUP BY lab) nn2
+        |      FROM $lf GROUP BY lab) nn2
         |JOIN (SELECT ls.lab,
         |        CAST(SUM(e.w) AS BIGINT) AS incident_w,
         |        CAST(SUM(CASE WHEN ld.lab = ls.lab THEN e.w ELSE 0 END)
         |          AS BIGINT) AS internal_w
-        |      FROM e JOIN l3 ls ON e.src = ls.node
-        |             JOIN l3 ld ON e.dst = ld.node
+        |      FROM e JOIN $lf ls ON e.src = ls.node
+        |             JOIN $lf ld ON e.dst = ld.node
         |      GROUP BY ls.lab) ew ON ew.lab = nn2.lab""".stripMargin)
   }
 

@@ -167,40 +167,55 @@ object GraphOracles {
     // s:-side — fully synchronous LPA oscillates on bipartite graphs).
     // Integer vote weights, winner = (vw DESC, lab ASC), pure
     // string/integer arithmetic so no grid rounding is needed anywhere.
-    "g2_label_prop" ->
-      """WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
-        |    count(*) AS w
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |e AS (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w FROM pairc
-        |  UNION ALL
-        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
-        |nd AS (SELECT DISTINCT src AS node FROM e),
-        |l0 AS (SELECT node, node AS lab FROM nd),
-        |v1 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
-        |  FROM e JOIN l0 l ON e.src = l.node
-        |  WHERE e.dst LIKE 'c:%' GROUP BY 1, 2),
-        |w1 AS (SELECT dst, lab FROM (
-        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
-        |    ORDER BY vw DESC, lab) AS rn FROM v1) WHERE rn = 1),
-        |l1 AS (SELECT l0.node, COALESCE(w1.lab, l0.lab) AS lab
-        |  FROM l0 LEFT JOIN w1 ON w1.dst = l0.node),
-        |v2 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
-        |  FROM e JOIN l1 l ON e.src = l.node
-        |  WHERE e.dst LIKE 's:%' GROUP BY 1, 2),
-        |w2 AS (SELECT dst, lab FROM (
-        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
-        |    ORDER BY vw DESC, lab) AS rn FROM v2) WHERE rn = 1),
-        |l2 AS (SELECT l1.node, COALESCE(w2.lab, l1.lab) AS lab
-        |  FROM l1 LEFT JOIN w2 ON w2.dst = l1.node),
-        |v3 AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
-        |  FROM e JOIN l2 l ON e.src = l.node
-        |  WHERE e.dst LIKE 'c:%' GROUP BY 1, 2),
-        |w3 AS (SELECT dst, lab FROM (
-        |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
-        |    ORDER BY vw DESC, lab) AS rn FROM v3) WHERE rn = 1),
-        |l3 AS (SELECT l2.node, COALESCE(w3.lab, l2.lab) AS lab
-        |  FROM l2 LEFT JOIN w3 ON w3.dst = l2.node)
-        |SELECT node, lab AS label FROM l3""".stripMargin,
+    // g2: semi-synchronous LPA unrolled PAST the measured fixpoint over
+    // g1's edge CTEs (bipartite 2-coloring: odd rounds update c:-side
+    // dsts, even rounds the s:-side — fully synchronous LPA oscillates
+    // on bipartite graphs). The Spark side propagates TO FIXPOINT (two
+    // consecutive zero-change rounds); a stationary label table is a
+    // fixed point of every further round, so the over-unroll matches
+    // whatever round the engine stops at. Integer vote weights, winner
+    // = (vw DESC, lab ASC), pure string/integer arithmetic so no grid
+    // rounding is needed anywhere. Every l-CTE is MATERIALIZED: DuckDB
+    // inlines CTEs by default and each round references the previous
+    // one twice — an inlined 12-round unroll re-opens the base parquet
+    // 2^12 times ("Too many open files").
+    "g2_label_prop" -> lpaSql,
   )
+
+  /** Rounds unrolled in the g2 oracle — 1.5x the measured fixpoint
+    * (7 rounds at sf0.01, 8 at sf0.1; see `Graph.lpaLabels`). */
+  final val lpaUnrolledRounds = 12
+
+  /** Final projection of the g2 oracle — the anchor the derived oracles
+    * (g3/g4/g7) swap their aggregates into. */
+  def lpaFinalTable: String = s"l$lpaUnrolledRounds"
+  def lpaFinalSelect: String =
+    s"SELECT node, lab AS label FROM $lpaFinalTable"
+
+  private def lpaSql: String = {
+    val rounds = (1 to lpaUnrolledRounds).map { i =>
+      val side = if (i % 2 == 1) "c:%" else "s:%"
+      s"""v$i AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node
+         |  WHERE e.dst LIKE '$side' GROUP BY 1, 2),
+         |w$i AS (SELECT dst, lab FROM (
+         |  SELECT dst, lab, row_number() OVER (PARTITION BY dst
+         |    ORDER BY vw DESC, lab) AS rn FROM v$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT l${i - 1}.node,
+         |  COALESCE(w$i.lab, l${i - 1}.lab) AS lab
+         |  FROM l${i - 1} LEFT JOIN w$i ON w$i.dst = l${i - 1}.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+       |    count(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w
+       |  FROM pairc
+       |  UNION ALL
+       |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
+       |nd AS (SELECT DISTINCT src AS node FROM e),
+       |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nd),
+       |$rounds
+       |$lpaFinalSelect""".stripMargin
+  }
 }

@@ -56,9 +56,10 @@ class GraphSpec extends SparkSpec {
     Graph.labelPropagation(li, ord)
     // round 1 (customer side): all three customers adopt s:1's label;
     // round 2 (supplier side): s:1 keeps its own label (unanimous votes),
-    // s:2 follows c:10 into the s:1 community; round 3: fixpoint — the
-    // star has converged, so the loud non-convergence warning stays quiet
-    assert(Graph.lastLpaRoundChanges == Seq(3L, 1L, 0L),
+    // s:2 follows c:10 into the s:1 community; rounds 3 and 4 both move
+    // nothing — two consecutive zero-change rounds prove both color
+    // classes stable, so the fixpoint loop stops there (no fixed budget)
+    assert(Graph.lastLpaRoundChanges == Seq(3L, 1L, 0L, 0L),
       s"per-round changed-label telemetry drifted: " +
         s"${Graph.lastLpaRoundChanges}")
   }
@@ -208,7 +209,7 @@ class GraphSpec extends SparkSpec {
     idx.labels.write.parquet(s"$dir/labels")
     idx.edges.write.parquet(s"$dir/edges")
     val stored = Graph.LabelIndex(spark.read.parquet(s"$dir/labels"),
-      spark.read.parquet(s"$dir/edges"), idx.iters)
+      spark.read.parquet(s"$dir/edges"), idx.maxIters)
     assert(Graph.communityStats(stored).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq == inlineStats.toSeq)
     assert(Graph.bridgeNodes(stored).collect()
@@ -307,8 +308,9 @@ class GraphSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, true)), s"$out")
     assert(out(3L) == ((2L, 2L, true)), s"$out")
     assert(out(4L) == ((1L, 0L, false)), s"$out")
-    // converged in round 1: peel telemetry trends to zero, no warning
-    assert(Graph.lastKcorePeeled == Seq(1L, 0L, 0L),
+    // fixpoint semantics: the loop stops at the first zero-peel round
+    // (round 2 proves round 1's survivor set stable) — no fixed budget
+    assert(Graph.lastKcorePeeled == Seq(1L, 0L),
       s"${Graph.lastKcorePeeled}")
     // a pure path has NO 2-core: peeling the endpoints strands the
     // middle node, so everything unravels
@@ -319,6 +321,61 @@ class GraphSpec extends SparkSpec {
     val path = Graph.kcore(li2, ord2).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(path == Map(1L -> false, 2L -> false, 3L -> false), s"$path")
+  }
+
+  test("kcore peels a long path to fixpoint (needs more than 3 rounds)") {
+    // path s1-s2-…-s8 via one customer per adjacent pair: a 2-core peel
+    // unravels it from the endpoints inward, needing 4 rounds — the
+    // exact regime where round 11's fixed 3-round budget stopped early
+    // and reported the half-peeled middle as in_core
+    val li = Seq((100L, 1L), (100L, 2L), (110L, 2L), (110L, 3L),
+      (120L, 3L), (120L, 4L), (130L, 4L), (130L, 5L),
+      (140L, 5L), (140L, 6L), (150L, 6L), (150L, 7L),
+      (160L, 7L), (160L, 8L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (110L, 11L), (120L, 12L), (130L, 13L),
+      (140L, 14L), (150L, 15L), (160L, 16L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.kcore(li, ord).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 8 && out.values.forall(_ == false),
+      s"a path has no 2-core; fixpoint peel must empty it: $out")
+    // round 1 drops {1,8} and strands {2,7} (peel compounds within the
+    // round: n counts deg>=2 AFTER induction); then {3,6}, then {4,5},
+    // then the stability round — 4 rounds, past the old 3-round budget
+    assert(Graph.lastKcorePeeled == Seq(4L, 2L, 2L, 0L),
+      s"${Graph.lastKcorePeeled}")
+  }
+
+  test("kcore/componentSizes served from a parquet-stored neighbor index" +
+    " equal inline") {
+    val (li, ord) = triangleFixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-spec-")
+    Graph.neighborIndex(li, ord).edges.write.parquet(s"$dir/edges")
+    val stored = Graph.NeighborIndex(
+      spark.read.parquet(s"$dir/edges"), maxSupp = 100, k = 10)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sorted(Graph.kcore(stored, k = 2, maxRounds = 64)) ==
+      sorted(Graph.kcore(li, ord)), "stored kcore drifted from inline")
+    assert(sorted(Graph.componentSizes(stored)) ==
+      sorted(Graph.componentSizes(li, ord)),
+      "stored componentSizes drifted from inline")
+    assert(sorted(Graph.triangleStats(stored)) ==
+      sorted(Graph.triangleStats(li, ord)),
+      "stored triangleStats drifted from inline")
+  }
+
+  test("componentSizes: two disjoint affinity cliques, hand-checked") {
+    // two disjoint purchase stars that project to two disjoint supplier
+    // cliques: {1,2,3} (customer 10) and {7,8} (customer 20)
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 7L), (200L, 8L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (200L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.componentSizes(li, ord).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((3L, 3L)), 7L -> ((2L, 1L))), s"$out")
   }
 
   test("transitivityOf a parquet-stored per-node table equals inline") {
