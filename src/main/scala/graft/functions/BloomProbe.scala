@@ -68,21 +68,39 @@ case class BloomProbeBc(bloomBytes: Broadcast[Array[Byte]],
 }
 
 object BloomProbeBc {
-  /** Executor-JVM-level memo of deserialized filters, keyed by broadcast
-    * id (unique per broadcast variable per application). Soft references:
-    * a filter is re-parsed after a GC reclaim rather than pinning ~MiB
-    * sketches of finished queries forever. */
+  /** Executor-JVM-level memo of deserialized filters, keyed by
+    * (application id, broadcast id). Broadcast ids alone are a
+    * per-SparkContext counter: after a context restart in the same JVM a
+    * fresh broadcast could collide with a stale entry and the probe
+    * would silently use the WRONG filter — false negatives that drop
+    * rows the exact join would have kept (ADVICE r11 medium). The app id
+    * is unique per context, so stale entries can only miss, never serve.
+    * Soft references: a filter is re-parsed after a GC reclaim rather
+    * than pinning ~MiB sketches of finished queries forever. */
   private val filters = new java.util.concurrent.ConcurrentHashMap[
-    Long, java.lang.ref.SoftReference[BloomFilter]]()
+    String, java.lang.ref.SoftReference[BloomFilter]]()
 
-  private[functions] def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter = {
-    val ref = filters.get(bc.id)
-    val cached = if (ref == null) null else ref.get()
-    if (cached != null) cached
-    else {
-      val f = BloomFilter.readFrom(new ByteArrayInputStream(bc.value))
-      filters.put(bc.id, new java.lang.ref.SoftReference(f))
-      f
+  /** Context-unique memo key. SparkEnv is present wherever the
+    * expression evaluates (driver in local mode, executor otherwise);
+    * if it is somehow absent, fall back to a never-cached key rather
+    * than risking a cross-context collision. */
+  private def keyFor(bc: Broadcast[Array[Byte]]): Option[String] =
+    Option(org.apache.spark.SparkEnv.get)
+      .flatMap(env => scala.util.Try(env.conf.getAppId).toOption)
+      .map(appId => s"$appId:${bc.id}")
+
+  private[functions] def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter =
+    keyFor(bc) match {
+      case None =>
+        BloomFilter.readFrom(new ByteArrayInputStream(bc.value))
+      case Some(key) =>
+        val ref = filters.get(key)
+        val cached = if (ref == null) null else ref.get()
+        if (cached != null) cached
+        else {
+          val f = BloomFilter.readFrom(new ByteArrayInputStream(bc.value))
+          filters.put(key, new java.lang.ref.SoftReference(f))
+          f
+        }
     }
-  }
 }

@@ -503,9 +503,18 @@ object Similarity {
 
   private def adcScores(queries: DataFrame, qsub: DataFrame,
       centroids: DataFrame, cells: DataFrame, codes: DataFrame,
-      codebook: DataFrame, excludeSelf: Boolean): DataFrame = {
+      codebook: DataFrame, excludeSelf: Boolean): DataFrame =
+    adcScoresFromLut(queries, queryLut(qsub, codebook), centroids, cells,
+      codes, excludeSelf)
+
+  /** [[adcScores]] over a CALLER-BUILT LUT — lets s21 build the
+    * (materialized) per-query lookup table once and share it between the
+    * scoring pass and its standalone drilldown join, instead of two
+    * identical checkpoint builds per call (ADVICE r11). */
+  private def adcScoresFromLut(queries: DataFrame, lut: DataFrame,
+      centroids: DataFrame, cells: DataFrame, codes: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
     val cellCand = probedCandidates(queries, centroids, cells, excludeSelf)
-    val lut = queryLut(qsub, codebook)
     cellCand
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id")
@@ -598,14 +607,15 @@ object Similarity {
     val sub = VectorOps.pqSubspaces(embeddings, index.subspaces,
       index.subDim)
     Caching.withPersisted(vc, sub) {
-      val adc = adcScores(defaultQueries(vc), defaultQueries(sub),
-        index.centroids, index.cells, index.codes, index.codebook,
-        excludeSelf = true)
+      // ONE LUT build shared by the scoring pass and the drilldown join
+      // below (each call to queryLut materializes a checkpoint)
+      val lut = queryLut(defaultQueries(sub), index.codebook)
+      val adc = adcScoresFromLut(defaultQueries(vc), lut,
+        index.centroids, index.cells, index.codes, excludeSelf = true)
       val cands = Caching.materialize(
         graft.plans.TopK.perKey(adc, Seq(col("query_id")),
           Seq(col("adc_d2"), col("neighbor_id")), probeK)
           .select(col("query_id"), col("neighbor_id")))
-      val lut = queryLut(defaultQueries(sub), index.codebook)
       // per (pair, subspace): the LUT term the search added (via the
       // neighbor's stored code) vs the exact grid term of the real
       // subvectors — both longs on the shared 1e-9 grid. Materialized

@@ -117,6 +117,33 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_probe"), s"bloom probe in plan:\n$plan")
   }
 
+  test("bloomPrefilteredJoin memoizes the sketch broadcast across calls") {
+    val fact = (1L to 500L).map(k => (k, k * 2.0)).toDF("fk", "v")
+    // two INDEPENDENTLY-built but identical dim frames: the memo keys on
+    // the canonicalized plan, so the second call must reuse the first
+    // call's broadcast instead of building (and leaking) a new sketch
+    def dim() = Seq(10L, 20L, 30L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    Relational.clearBloomSketchCache()
+    val before = Relational.sketchBuilds.get()
+    val a = Relational.bloomPrefilteredJoin(fact, dim(), "fk", "dk",
+      expectedKeys = 500L).collect().toSet
+    assert(Relational.sketchBuilds.get() == before + 1)
+    val b = Relational.bloomPrefilteredJoin(fact, dim(), "fk", "dk",
+      expectedKeys = 500L).collect().toSet
+    assert(Relational.sketchBuilds.get() == before + 1,
+      "second identical call rebuilt the sketch — the memo missed")
+    assert(a == b)
+    // a DIFFERENT dim must NOT hit the memo (that would be the wrong
+    // sketch: false negatives silently dropping matching fact rows)
+    val other = Seq(40L, 50L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    val c = Relational.bloomPrefilteredJoin(fact, other, "fk", "dk",
+      expectedKeys = 500L)
+    assert(Relational.sketchBuilds.get() == before + 2)
+    assert(c.select($"fk").collect().map(_.getLong(0)).toSet ==
+      Set(40L, 50L))
+    Relational.clearBloomSketchCache()
+  }
+
   test("equiDepthHistogram reproduces ntile over a distributed rank") {
     // 10 rows into 4 buckets → sizes 3,3,2,2 by NTILE; values 1..10 with
     // shuffled ids so the rank really derives from value order
