@@ -59,4 +59,38 @@ object StreamGraph {
         Seq("node"), "left_outer")
       .withColumn("is_known", col("label").isNotNull)
       .withColumn("is_bridge", coalesce(col("is_bridge"), lit(false)))
+
+  /** Per-micro-batch k-core membership lookup: is each arriving row's
+    * `node` core or pendant evidence in the stored affinity graph —
+    * the curation weight [[StreamCuration]]'s gates read next to the
+    * community label ([[graft.operators.Graph.kcore]]'s output written
+    * as a lake table is the `core` argument). One broadcast-able
+    * equi-join per batch, O(batch), independent of graph size. The
+    * staleness contract matches [[membershipVsIndex]]: a node that
+    * entered the graph after the last peel misses (`is_known = false`,
+    * `in_core = false`) — it is never reported core on stale evidence. */
+  def coreMembershipVsIndex(
+      rows: DataFrame,
+      core: DataFrame,
+      sink: DataFrame => Unit): StreamingQuery =
+    rows.writeStream
+      .queryName("graft-core-membership")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchCoreMembership(batch, core)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Batch twin of [[coreMembershipVsIndex]]'s per-batch body. `core` is
+    * the stored kcore table (supp, degree, core_degree, in_core); the
+    * batch carries a `node` column in the same id namespace. Left join:
+    * unknown nodes survive with `is_known = false`. */
+  def batchCoreMembership(batch: DataFrame, core: DataFrame): DataFrame =
+    batch
+      .join(core.select(col("supp").as("node"), col("degree"),
+        col("core_degree"), col("in_core")), Seq("node"), "left_outer")
+      .withColumn("is_known", col("degree").isNotNull)
+      .withColumn("in_core", coalesce(col("in_core"), lit(false)))
+      .withColumn("core_degree", coalesce(col("core_degree"), lit(0L)))
 }

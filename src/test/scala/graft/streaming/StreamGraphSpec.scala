@@ -56,6 +56,54 @@ class StreamGraphSpec extends SparkSpec {
       Set(7L, 8L, 9L))
   }
 
+  test("coreMembershipVsIndex: per-batch core lookups equal the batch " +
+    "twin through a parquet round-trip") {
+    // the GraphSpec triangle + pendant: suppliers {1,2,3} form the
+    // 2-core, 4 hangs off 1 — kcore's output written as a lake table
+    val lineitem = Seq((100L, 1L), (100L, 2L), (100L, 3L), (110L, 1L),
+      (110L, 4L)).toDF("l_orderkey", "l_suppkey")
+    val orders = Seq((100L, 10L), (110L, 11L))
+      .toDF("o_orderkey", "o_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sgc-")
+    Graph.kcore(lineitem, orders).write.parquet(s"$dir/core")
+    val core = spark.read.parquet(s"$dir/core")
+
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Boolean, Boolean, Long, Long)]()
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamGraph.coreMembershipVsIndex(
+      input.toDF().toDF("node", "payload"), core,
+      df => df.collect().foreach(r => rows.add((
+        r.getLong(r.fieldIndex("node")),
+        r.getBoolean(r.fieldIndex("in_core")),
+        r.getBoolean(r.fieldIndex("is_known")),
+        r.getLong(r.fieldIndex("core_degree")),
+        r.getLong(r.fieldIndex("batch_id"))))))
+    try {
+      input.addData(Seq((1L, 7L), (4L, 8L)))
+      q.processAllAvailable()
+      input.addData(Seq((99L, 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.asScala.toSet
+    def twin(batch: Seq[(Long, Long)], id: Long) =
+      StreamGraph.batchCoreMembership(
+          batch.toDF("node", "payload"), core)
+        .collect().map(r => (
+          r.getLong(r.fieldIndex("node")),
+          r.getBoolean(r.fieldIndex("in_core")),
+          r.getBoolean(r.fieldIndex("is_known")),
+          r.getLong(r.fieldIndex("core_degree")), id))
+    val want = (twin(Seq((1L, 7L), (4L, 8L)), 0L) ++
+      twin(Seq((99L, 9L)), 1L)).toSet
+    assert(got == want, s"stream rows must equal batch twin:\n$got\n$want")
+    // core member, pendant, and post-build node all classified
+    assert(got.exists(r => r._1 == 1L && r._2 && r._3 && r._4 == 2L))
+    assert(got.exists(r => r._1 == 4L && !r._2 && r._3))
+    assert(got.exists(r => r._1 == 99L && !r._2 && !r._3))
+  }
+
   test("membershipVsIndex emits the batch-twin rows per micro-batch") {
     val idx = index
     val dir = java.nio.file.Files.createTempDirectory("graft-sg2-")
