@@ -927,218 +927,10 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     }
   }
-
-  /** Duplication-rate trend (d29): exact-duplicate fraction per
-    * `bucketDocs`-doc ingest bucket — a doc counts as a duplicate when its
-    * content hash was first seen in an EARLIER doc ([[exactDedup]]'s
-    * keep-minimum rule read as a time series). The governance curve next
-    * to [[LlmText.vocabGrowth]]: a crawl whose dup_frac climbs bucket
-    * over bucket is re-fetching what it already has (frontier collapse,
-    * syndication storm), visible long before corpus-total dedup numbers
-    * move. One hash aggregate + one join + one bucket aggregate —
-    * the x30/x31 introducer shape at whole-doc granularity. */
-  def dupTrend(documents: DataFrame, bucketDocs: Long = 100L): DataFrame =
-    dupTrendFromFingerprints(dupFingerprints(documents), bucketDocs)
-
-  /** ONE text scan computing both duplication fingerprints — the full-text
-    * hash [[dupTrend]] buckets on AND the opening-words hash
-    * [[syndication]] pairs on: (doc_id, source, full_h, head_h). The
-    * governance report (tools/DataCard) persists this once and feeds both
-    * sections from it, instead of re-scanning (and re-hashing) the corpus
-    * per section — at 100 TB the text scan IS the cost and everything
-    * downstream is hash-sized. */
-  def dupFingerprints(documents: DataFrame, headWords: Int = 8): DataFrame = {
-    // trend-only corpora may carry no source column; syndication needs it,
-    // but the shared pass shouldn't force it on every caller
-    val src =
-      if (documents.columns.contains("source")) col("source")
-      else lit(null).cast("string")
-    documents.select(col("doc_id"), src.as("source"),
-      md5(col("text").cast("binary")).as("full_h"),
-      md5(array_join(
-        slice(LlmText.words(col("text")), 1, headWords), " ")
-        .cast("binary")).as("head_h"))
-  }
-
-  /** [[dupTrend]]'s body over a precomputed [[dupFingerprints]] frame. */
-  def dupTrendFromFingerprints(fp: DataFrame,
-      bucketDocs: Long = 100L): DataFrame = {
-    val h = fp.select(col("doc_id"), col("full_h").as("h"))
-    val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    h.join(first, "h")
-      .groupBy(floor(col("doc_id") / bucketDocs).as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
-          .as("n_dup_docs"))
-      .select(col("bucket"), col("n_docs"), col("n_dup_docs"),
-        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
-  }
-
-  /** Cross-source syndication matrix (d30): for every source pair, how
-    * many EXACT-duplicate document pairs straddle it and how many distinct
-    * texts they share — the content-level "who republishes whom" table
-    * next to [[sourceOverlap]]'s approximate shingle-sketch estimate (d11
-    * answers "similar vocabulary?", this answers "literally the same
-    * documents?"). The shared key is the md5 of the OPENING `headWords`
-    * words — the headline fingerprint real syndication shares even when
-    * feeds append their own boilerplate tails; set `headWords` large to
-    * approach exact-text matching. The mixture-governance input for
-    * collapsing syndicated feeds before they double-count in training
-    * weights.
-    *
-    * Scale shape: one (hash, source) count aggregate (map-side combined),
-    * then a self-join ON THE HASH whose per-key fanout is bounded by the
-    * source count — a few hundred rows per hash at worst, no doc-level
-    * pair blowup no matter how many copies exist (counts multiply,
-    * n_a·n_b, instead of rows joining). */
-  def syndication(documents: DataFrame, headWords: Int = 8): DataFrame =
-    syndicationFromFingerprints(dupFingerprints(documents, headWords))
-
-  /** Per-source duplicate contribution (d32): [[dupTrend]]'s first-copy
-    * rule grouped by source instead of ingest bucket — which FEED is
-    * re-posting content the corpus already holds. The mixture-governance
-    * number next to [[syndication]]'s pair matrix: syndication says who
-    * copies whom, this says how much of each source is copies (of
-    * anything, including itself). Same cost shape as d29: one hash
-    * projection, one min-per-hash aggregate, one join, one per-source
-    * aggregate. */
-  /** Within-vs-cross-source duplicate split (d37): for every duplicate
-    * document (non-keeper of its exact-hash group, the d32 convention),
-    * does its keeper live in the SAME source or a different one — the
-    * shuffle-planning gauge for dedup at 100 TB: a corpus whose
-    * duplication is overwhelmingly within-source can dedup SHARDED BY
-    * SOURCE (each shard fits its partition, zero cross-shard shuffle)
-    * and only run the expensive global pass on the small cross-source
-    * residue; a high cross fraction says the global pass is
-    * load-bearing and cannot be skipped. Duplicate identity is the
-    * 8-word OPENING fingerprint (the d29/d30 syndication convention —
-    * re-posts keep openings and drift in the tail; full-hash identity
-    * is d32's stricter rule). One fingerprint pass + one keeper
-    * aggregate + one keeper-source lookup join — the d32 chain plus a
-    * single |groups|-row join. */
-  def dupSourceSplit(documents: DataFrame): DataFrame = {
-    val fp = dupFingerprints(documents)
-    Caching.withPersisted(fp)(dupSourceSplitFromFingerprints(fp))
-  }
-
-  /** [[dupSourceSplit]] over an already-computed (and persisted)
-    * [[dupFingerprints]] frame — the d29/d30 one-pass sharing shape the
-    * data card uses so all three duplication sections ride one text
-    * scan. */
-  def dupSourceSplitFromFingerprints(fp: DataFrame): DataFrame = {
-    val h = fp.select(col("doc_id"), col("source"), col("head_h").as("h"))
-    val first = h.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    val firstSrc = h.select(col("doc_id").as("first_doc"),
-      col("source").as("first_source"))
-    h.join(first, "h")
-      .filter(col("doc_id") =!= col("first_doc"))
-      .join(firstSrc, "first_doc")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_dup_docs"),
-        sum(when(col("source") === col("first_source"), 1L)
-          .otherwise(0L)).as("n_within_source"),
-        sum(when(col("source") =!= col("first_source"), 1L)
-          .otherwise(0L)).as("n_cross_source"))
-      .select(col("source"), col("n_dup_docs"), col("n_within_source"),
-        col("n_cross_source"),
-        (col("n_cross_source").cast("double") /
-          col("n_dup_docs").cast("double")).as("cross_frac"))
-  }
-
-  def dupBySource(documents: DataFrame): DataFrame = {
-    val h = dupFingerprints(documents)
-      .select(col("doc_id"), col("source"), col("full_h").as("h"))
-    val first = h.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    h.join(first, "h")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
-          .as("n_dup_docs"))
-      .select(col("source"), col("n_docs"), col("n_dup_docs"),
-        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
-  }
-
-  /** [[syndication]]'s body over a precomputed [[dupFingerprints]] frame. */
-  def syndicationFromFingerprints(fp: DataFrame): DataFrame = {
-    val h = fp
-      .select(col("source"), col("head_h").as("h"))
-      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
-    h.as("a")
-      .join(h.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"),
-        col("b.source").as("source_b"))
-      .agg(sum(col("a.n") * col("b.n")).as("n_dup_pairs"),
-        count(lit(1)).as("n_shared_texts"))
-  }
-
-  /** Corpus-level bottom-k sketch per source (d6): the k smallest distinct
-    * shingle hashes per group via the typed BottomKSketch Aggregator —
-    * partial aggregation keeps the shuffle at k values per group, the
-    * scalable way to estimate cross-source overlap without pairwise work. */
-  def sourceSketch(documents: DataFrame, k: Int = 4): DataFrame = {
-    val sketch = udaf(graft.functions.BottomKSketch(k))
-    documents
-      .transform(Partitioning.spread(_, col("doc_id")))
-      .filter(size(LlmText.words(col("text"))) >= 3)
-      // pre-reduce to the per-DOC bottom-k before exploding: any hash in a
-      // source's bottom-k must be in its document's bottom-k, so this is
-      // exact and the aggregate sees k rows per doc instead of every
-      // shingle (~30× less input at this corpus's shingle counts)
-      .select(col("source"),
-        explode(slice(array_sort(transform(LlmText.shingles(col("text")),
-          s => md5(concat(lit("f:"), s).cast("binary")))), 1, k)).as("h"))
-      .groupBy(col("source"))
-      .agg(sketch(col("h")).as("sketch"))
-  }
-
-  /** Corpus-overlap matrix (d11): estimated Jaccard between every pair of
-    * sources from their bottom-k shingle-hash sketches — the diagnostic
-    * that tells a mixing pipeline which crawls/dumps duplicate each other
-    * BEFORE paying for document-level dedup between them. Estimation is
-    * |sketchA ∩ sketchB| / |sketchA ∪ sketchB| over the bottom-k sets (a
-    * consistent MinHash-style estimator; k bounds both cost and variance).
-    *
-    * Scale shape: per-source distinct hashing map-side combines; bottom-k
-    * per source runs on the heap TopK operator (k values of state per
-    * source); the pair join touches k·#sources rows — independent of
-    * corpus size. Pairs sharing no sketch hash are omitted (their estimate
-    * is 0). */
-  def sourceOverlap(documents: DataFrame, k: Int = 16): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    val hashes = documents
-      .transform(Partitioning.spread(_, col("doc_id")))
-      .filter(size(LlmText.words(col("text"))) >= 3)
-      // per-doc pre-reduction as in sourceSketch: exact for bottom-k
-      .select(col("source"),
-        explode(slice(array_sort(transform(LlmText.shingles(col("text")),
-          s => md5(concat(lit("f:"), s).cast("binary")))), 1, k)).as("h"))
-      .distinct()
-    val bottomK = graft.plans.TopK.perKey(hashes,
-      Seq(col("source")), Seq(col("h")), k)
-    Caching.withPersisted(bottomK) {
-      val sizes = bottomK.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val common = bottomK.as("a")
-        .join(bottomK.as("b"),
-          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"),
-          col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(broadcast(sizes.select(col("source").as("source_a"),
-          col("n").as("na"))), "source_a")
-        .join(broadcast(sizes.select(col("source").as("source_b"),
-          col("n").as("nb"))), "source_b")
-        .select(col("source_a"), col("source_b"), col("n_common"),
-          (col("n_common").cast("double") /
-            (col("na") + col("nb") - col("n_common"))).as("jaccard_est"))
-    }
-  }
-
   /** Salt fan-out for the label-blocked join below: parallelism becomes
     * #labels × SaltBuckets instead of #labels. */
   val SaltBuckets = 8
+
 
   /** Embedding-cosine near-dup pairs (d5): label-blocked self-join (the
     * cluster-id analog of ANN bucketing — at 100 TB the block key would come

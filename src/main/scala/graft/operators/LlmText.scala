@@ -1117,118 +1117,6 @@ object LlmText {
           .as("entropy_nats"))
   }
 
-  def bigramLm(documents: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val bigrams = zip_with(
-      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-      (x, y) => concat(x, lit(" "), y))
-    val docBi = documents
-      .transform(Partitioning.spread(_, col("doc_id")))
-      .filter(size(ws) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-    Caching.withPersisted(docBi) {
-      val biCnt = docBi.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
-      val ctxCnt = docBi
-        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
-        .agg(count(lit(1)).as("cw"))
-      val vocab = ctxCnt.agg(count(lit(1)).as("vsz"))
-      val lp = round(
-        log((col("cb") + lit(1.0)) / (col("cw") + col("vsz")).cast("double")),
-        5).cast(org.apache.spark.sql.types.DecimalType(18, 6))
-      docBi
-        .join(biCnt, Seq("bigram"))
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
-        .join(ctxCnt, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp_sum"))
-        .select(col("doc_id"), col("n_bigrams"),
-          (col("lp_sum").cast("double") / col("n_bigrams"))
-            .as("avg_logprob"))
-    }
-  }
-
-  /** Held-out-reference LM scoring (x37): every document's average bigram
-    * log-probability under an add-1-smoothed LM trained ONLY on the
-    * reference split (`doc_id % refMod != 0`) — the CCNet-style quality
-    * filter next to x17's self-trained gauge: x17 says "how typical is
-    * this doc of THIS corpus", this says "how plausible is it under a
-    * CLEAN reference model", which is the score a crawl-filtering
-    * pipeline actually thresholds (docs the reference LM finds
-    * improbable are gibberish, boilerplate, or off-distribution).
-    * Unseen events stay inside the smoothing: an unseen bigram scores
-    * ln(1/(cw+V)), an unseen CONTEXT word ln(1/V) — both finite, no
-    * NULL poison (left joins coalesce to 0 before the arithmetic).
-    * Same engine-exact recipe as x17: per-event ln rounded to 5 dp as
-    * DECIMAL(18,6), summed exactly, one double division at the end.
-    *
-    * Scale shape: counts are vocabulary-sized aggregates off one
-    * persisted bigram explode; scoring is two equi-joins against them
-    * (broadcast-able at any corpus size — vocabularies grow sublinearly)
-    * plus the 1-row vocab scalar. Nothing scales beyond the explode. */
-  def bigramLmVsRef(documents: DataFrame, refMod: Int = 10): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val ws = words(col("text"))
-    val bigrams = zip_with(
-      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-      (x, y) => concat(x, lit(" "), y))
-    val docBi = documents
-      .transform(Partitioning.spread(_, col("doc_id")))
-      .filter(size(ws) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-    Caching.withPersisted(docBi) {
-      val ref = docBi.filter(col("doc_id") % refMod =!= 0)
-      val biCnt = ref.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
-      val ctxCnt = ref
-        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
-        .agg(count(lit(1)).as("cw"))
-      scoreBigramsVsRef(docBi, biCnt, ctxCnt)
-        .select(col("doc_id"),
-          (col("doc_id") % refMod =!= 0).as("in_ref"),
-          col("n_bigrams"), col("avg_logprob"))
-    }
-  }
-
-  /** The x37 scoring body over PRECOMPUTED reference LM tables — shared
-    * with the per-batch streaming serve path
-    * ([[graft.streaming.StreamCuration.lmScoreVsRef]]) so stream and
-    * batch cannot drift: `docBi` is (doc_id, bigram) exploded rows,
-    * `refBigramCounts` (bigram, cb), `refContextCounts` (w1, cw) —
-    * at snapshot-build time these are lake tables. Returns (doc_id,
-    * n_bigrams, avg_logprob). */
-  private[graft] def scoreBigramsVsRef(docBi: DataFrame,
-      refBigramCounts: DataFrame,
-      refContextCounts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val vocab = refContextCounts.agg(count(lit(1)).as("vsz"))
-    val lp = round(
-      log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
-        (coalesce(col("cw"), lit(0L)) + col("vsz")).cast("double")),
-      5).cast(DecimalType(18, 6))
-    docBi
-      .join(refBigramCounts, Seq("bigram"), "left_outer")
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .join(refContextCounts, Seq("w1"), "left_outer")
-      .crossJoin(broadcast(vocab))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp_sum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("lp_sum").cast("double") / col("n_bigrams"))
-          .as("avg_logprob"))
-  }
-
-  /** The (doc_id, bigram) explode [[scoreBigramsVsRef]] consumes —
-    * exposed so streaming batches build the identical rows. */
-  private[graft] def docBigrams(documents: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val bigrams = zip_with(
-      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-      (x, y) => concat(x, lit(" "), y))
-    documents
-      .filter(size(ws) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-  }
-
   /** PMI collocation mining (x29): the top-k word bigrams by pointwise
     * mutual information, PMI(a,b) = ln(p(ab)) − ln(p(a)) − ln(p(b)) with
     * p(ab) = c_ab/B and p(w) = c_w/N over exact corpus counts — the
@@ -1474,206 +1362,6 @@ object LlmText {
         (col("max_count").cast("double") / col("n_tokens"))
           .as("dominance"))
   }
-
-  /** The BPE training table: distinct words with corpus counts, each word
-    * expanded to its space-separated character symbols plus the
-    * end-of-word marker. This groupBy is the scale pivot of the whole BPE
-    * family — after it, everything operates on the Zipf-bounded
-    * distinct-word table (vocabulary-sized, corpus-size-independent), the
-    * same reduction the original subword-nmt trainer makes before its
-    * merge loop. `w` is carried through untouched so the trained state
-    * doubles as a word→tokenization dictionary ([[bpeDocStats]]). */
-  private[operators] def bpeWordTable(documents: DataFrame): DataFrame =
-    documents
-      .select(explode(words(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"), col("cnt"),
-        concat(trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" </w>"))
-          .as("sym"))
-
-  /** One BPE merge rewrite: every ` lhs rhs ` symbol bigram in the padded
-    * symbol string becomes ` lhsrhs `. `replace` scans left-to-right
-    * non-overlapping (identical semantics in Spark's UTF8String.replace
-    * and DuckDB's replace — pinned by a tricky-overlap spec fixture), and
-    * because each replacement consumes its trailing space, one pass can
-    * miss every second occurrence of a chained pair (` l r l r ` → only
-    * the first merges). Exactly three passes are applied — a FIXED count,
-    * not a fixpoint, so both engines run the same arithmetic; residual
-    * unmerged occurrences (only possible in 8+ repeats of one pair) are
-    * simply counted again next step. */
-  private def bpeMergeOnce(sym: Column, lhs: String, rhs: String): Column = {
-    val pat = lit(s" $lhs $rhs ")
-    val rep = lit(s" $lhs$rhs ")
-    def r(c: Column) = call_function("replace", c, pat, rep)
-    trim(r(r(r(concat(lit(" "), sym, lit(" "))))))
-  }
-
-  /** Trained BPE state after `nMerges` greedy merge steps: the merge table
-    * (step, lhs, rhs, pair_count) and the final word table. Each step is
-    * one aggregation over the persisted vocabulary table — adjacent
-    * symbol pairs (overlapping, like subword-nmt) weighted by word count,
-    * argmax with a deterministic tie-break (count desc, then lexicographic
-    * pair) — followed by the merge rewrite. The single collected row per
-    * step is bounded driver state (the chosen pair), the two-phase-exact
-    * pattern of [[graft.operators.VectorOps.kmeansStep]]. Each rewritten
-    * table is computed eagerly before its parent unpersists, so lineage
-    * never re-runs the corpus scan; every `checkpointEvery` steps the
-    * table additionally routes through [[Caching.materialize]] (lineage
-    * truncation), so a production vocabulary's thousands of merges never
-    * grow an unbounded plan/persist chain — without the cadence, step N's
-    * plan references all N parents and analysis cost + task-binary size
-    * climb without bound. The rewrite arithmetic is cadence-independent
-    * (pinned by spec), so the default 50 is purely a plan-depth knob. */
-  private[operators] def bpeTrainState(
-      documents: DataFrame,
-      nMerges: Int,
-      checkpointEvery: Int = 50): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var cur = bpeWordTable(documents).persist()
-    cur.count()
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (step <- 1 to nMerges) {
-      val ss = split(col("sym"), " ")
-      val m = size(ss) - 1
-      val prs = zip_with(slice(ss, lit(1), m), slice(ss, lit(2), m),
-        (a, b) => struct(a.as("lhs"), b.as("rhs")))
-      val best = cur
-        .select(col("cnt"), explode(prs).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, c))
-        val rewritten = cur.select(col("w"), col("cnt"),
-          bpeMergeOnce(col("sym"), l, r).as("sym"))
-        val next =
-          if (step % checkpointEvery == 0) {
-            // lineage truncation: materialize owns its blocks (no extra
-            // persist — localCheckpoint already stores them), and the
-            // plan chain resets to a checkpoint scan
-            Caching.materialize(rewritten)
-          } else {
-            val n = rewritten.persist()
-            n.count()
-            n
-          }
-        // a no-op for a just-materialized cur (its blocks are owned by the
-        // checkpoint RDD and reclaimed by the ContextCleaner once the loop
-        // drops the reference), a real uncache for a persisted one
-        cur.unpersist()
-        cur = next
-      }
-    }
-    (merges.toSeq, cur)
-  }
-
-  /** BPE tokenizer training (x25): the learned merge table after
-    * `nMerges` greedy steps — (step, lhs, rhs, pair_count), the artifact a
-    * tokenizer trainer ships. See [[bpeTrainState]] for the scale shape:
-    * corpus-sized work is ONE word-count aggregation; every merge step is
-    * vocabulary-sized. */
-  def bpeTrain(documents: DataFrame, nMerges: Int = 6): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    val (merges, state) = bpeTrainState(documents, nMerges)
-    state.unpersist()
-    merges.toDF("step", "lhs", "rhs", "pair_count")
-  }
-
-  /** BPE-induced corpus vocabulary (x26): token frequencies after applying
-    * the trained merges — explode the final word table's symbols weighted
-    * by word counts. The output is the subword vocabulary with corpus
-    * frequencies, the input to vocabulary-size / coverage decisions. */
-  def bpeVocab(documents: DataFrame, nMerges: Int = 6): DataFrame = {
-    val (_, state) = bpeTrainState(documents, nMerges)
-    // materialize (lineage-truncated) off the persisted state BEFORE
-    // releasing it, or a later action would re-run the whole merge chain
-    val out = Caching.materialize(state
-      .select(col("cnt"), explode(split(col("sym"), " ")).as("token"))
-      .groupBy(col("token")).agg(sum(col("cnt")).as("freq")))
-    state.unpersist()
-    out
-  }
-
-  /** Per-document BPE tokenization stats (x27): tokens-per-doc and the
-    * char→token compression ratio, computed by joining each doc's words
-    * against the trained word→token-count dictionary — the scalable apply
-    * path (docs are never re-segmented through the merge loop; the
-    * vocabulary-sized dictionary broadcasts). Docs whose every word is in
-    * the dictionary by construction (trained on the same corpus) join
-    * totally; n_tokens sums the per-word token counts over word
-    * occurrences. */
-  def bpeDocStats(documents: DataFrame, nMerges: Int = 6): DataFrame = {
-    val (_, state) = bpeTrainState(documents, nMerges)
-    val dict = state.select(col("w"),
-      size(split(col("sym"), " ")).cast("long").as("ntok"))
-    val out = Caching.materialize(bpeDocStatsVsDict(documents, dict))
-    state.unpersist()
-    out
-  }
-
-  /** The trained word→token-count dictionary as a standalone artifact
-    * (w, ntok) — the storable/shippable form of the tokenizer: train once
-    * ([[bpeTrainState]]), land as a lake table, and every later ingest
-    * tokenizes against it via [[bpeDocStatsVsDict]] without re-running a
-    * single merge step — the same train-once/apply-forever split as the
-    * materialized near-dup index (d20). */
-  def bpeDictionary(documents: DataFrame, nMerges: Int = 6): DataFrame = {
-    val (_, state) = bpeTrainState(documents, nMerges)
-    val out = Caching.materialize(state.select(col("w"),
-      size(split(col("sym"), " ")).cast("long").as("ntok")))
-    state.unpersist()
-    out
-  }
-
-  /** x27's apply body against a PREBUILT dictionary (x28): one broadcast
-    * join per ingest batch, zero training work. Unknown words (absent
-    * from the dictionary) drop out of the join — production deployments
-    * union a char-fallback row per OOV word; the corpus-trained path here
-    * has none by construction. */
-  /** Tokenizer fertility by language (x38): tokens-per-word under the
-    * induced BPE vocabulary, rolled up per declared language — the
-    * budget-planning number next to UniMax's language allocation (c18):
-    * a language whose fertility is 2× pays 2× the context-window cost
-    * per word, so token budgets, packing estimates, and per-language
-    * sampling weights all mis-price it if planned from word counts.
-    * Same chain as [[bpeDocStats]] (train once, broadcast the word→token
-    * dictionary, one explode+join) with the rollup keyed by lang instead
-    * of doc — integers everywhere, one final IEEE division. */
-  def tokenizerFertility(documents: DataFrame, nMerges: Int = 6): DataFrame = {
-    val (_, state) = bpeTrainState(documents, nMerges)
-    val dict = state.select(col("w"),
-      size(split(col("sym"), " ")).cast("long").as("ntok"))
-    val out = Caching.materialize(documents
-      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(broadcast(dict), "w")
-      .groupBy(col("lang"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_words"),
-        sum(col("ntok")).as("n_tokens"))
-      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
-        (col("n_tokens").cast("double") / col("n_words").cast("double"))
-          .as("tokens_per_word")))
-    state.unpersist()
-    out
-  }
-
-  def bpeDocStatsVsDict(documents: DataFrame, dict: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), col("n_chars"), explode(words(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(broadcast(dict), "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("ntok")).as("n_tokens"),
-        first(col("n_chars")).as("n_chars"))
-      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
-        (col("n_chars").cast("double") / col("n_tokens"))
-          .as("chars_per_token"))
 
   /** Per-source character-class / encoding-sanity profile (x35): counts
     * of lowercase, uppercase, digit and space characters per source with

@@ -12,7 +12,7 @@ object TextOracles {
     * then per step i: overlapping adjacent-pair counts (pi), the argmax
     * pair with deterministic tie-break (bi), and the 3-pass space-padded
     * replace rewrite (wi) — the exact arithmetic of
-    * `LlmText.bpeTrainState`, unrolled because the per-step argmax makes
+    * `LlmBpe.bpeTrainState`, unrolled because the per-step argmax makes
     * a recursive CTE reference its own table twice. */
   private def bpeCtes(n: Int): String = {
     val steps = (1 to n).map { i =>
@@ -198,7 +198,7 @@ object TextOracles {
         |FROM (SELECT * FROM best UNION ALL SELECT * FROM und) u
         |GROUP BY 1, 2""".stripMargin,
     // BPE tokenizer family: the unrolled merge-step CTE chain (bpeCtes)
-    // mirrors LlmText.bpeTrainState step for step — overlapping pair
+    // mirrors LlmBpe.bpeTrainState step for step — overlapping pair
     // counts, argmax with (count desc, lhs, rhs) tie-break, 3-pass
     // space-padded replace rewrite (Spark UTF8String.replace and DuckDB
     // replace share left-to-right non-overlapping scan semantics).

@@ -85,12 +85,12 @@ object StreamCuration {
       .start()
 
   /** Batch twin of [[lmScoreVsRef]]'s per-batch body — the exact x37
-    * scoring arithmetic ([[graft.operators.LlmText.scoreBigramsVsRef]]),
+    * scoring arithmetic ([[graft.operators.LlmLm.scoreBigramsVsRef]]),
     * so the stream cannot drift from the batch gauge. */
   def batchLmScore(batch: DataFrame, refBigramCounts: DataFrame,
       refContextCounts: DataFrame): DataFrame =
-    graft.operators.LlmText.scoreBigramsVsRef(
-      graft.operators.LlmText.docBigrams(batch),
+    graft.operators.LlmLm.scoreBigramsVsRef(
+      graft.operators.LlmLm.docBigrams(batch),
       refBigramCounts, refContextCounts)
 
   /** Batch twin of [[divergenceVsAccepted]]'s per-batch body, exposed so
@@ -134,7 +134,7 @@ object StreamCuration {
   }
 
   /** Per-micro-batch tokenizer-fertility gate: each batch is tokenized
-    * against the TRAINED dictionary ([[graft.operators.LlmText.bpeDictionary]],
+    * against the TRAINED dictionary ([[graft.operators.LlmBpe.bpeDictionary]],
     * a stored lake table — never retrained here) and its corpus-level
     * chars-per-token is compared to the training baseline. Rising
     * fertility (more tokens per character budget) is the canonical signal

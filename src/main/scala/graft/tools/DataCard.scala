@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{Curation, Dedup, LlmText, Multimodal, Tables}
+import graft.operators.{Curation, Dedup, DedupSources, LlmBpe, LlmLm, LlmText, Multimodal, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,12 +69,12 @@ object DataCard {
     // (d29 trend + d30 syndication + d37 within/cross split); the frames
     // are materialized (lineage truncated) off the persisted pass so the
     // later section-collects can't silently re-run it
-    val fp = Dedup.dupFingerprints(docs)
+    val fp = DedupSources.dupFingerprints(docs)
     val (trendRaw, syndRaw, splitRaw) =
       graft.operators.Caching.withPersisted3(fp)((
-        Dedup.dupTrendFromFingerprints(fp),
-        Dedup.syndicationFromFingerprints(fp),
-        Dedup.dupSourceSplitFromFingerprints(fp)))
+        DedupSources.dupTrendFromFingerprints(fp),
+        DedupSources.syndicationFromFingerprints(fp),
+        DedupSources.dupSourceSplitFromFingerprints(fp)))
     val trend = trendRaw.orderBy(col("bucket"))
     val dupSplit = splitRaw.orderBy(col("source"))
     val growth = LlmText.vocabGrowth(docs).orderBy(col("bucket"))
@@ -93,7 +93,7 @@ object DataCard {
     val media = mediaRaw.orderBy(col("source"), col("format")).limit(12)
     val silence = silenceRaw.orderBy(col("source"))
     val phashAdv = phashRaw.orderBy(col("source"))
-    val merges = LlmText.bpeTrain(docs)
+    val merges = LlmBpe.bpeTrain(docs)
     val clusters = graft.operators.VectorOps.clusterQuality(embs)
       .orderBy(col("margin"))
     // motion summary rides its own frame pass (frame RMS needs the raw
@@ -102,7 +102,7 @@ object DataCard {
     // the x37 clean-model fluency gate's worst offenders: the docs the
     // held-out reference LM finds least plausible — the review queue a
     // curation pass reads before tightening the score threshold
-    val lmWorst = LlmText.bigramLmVsRef(docs)
+    val lmWorst = LlmLm.bigramLmVsRef(docs)
       .orderBy(col("avg_logprob"), col("doc_id")).limit(10)
     val motion = Multimodal.motionProfile(docs)
       .agg(count(lit(1)).as("n_media"),

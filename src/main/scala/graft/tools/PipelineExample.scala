@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Curation, Dedup, LlmText, Similarity, Tables}
+import graft.operators.{Curation, Dedup, DedupSources, LlmText, Similarity, Tables}
 
 import org.apache.spark.sql.SparkSession
 
@@ -40,7 +40,7 @@ object PipelineExample {
     val redacted = LlmText.piiRedact(docs)
     val chunks = Curation.chunkOverlap(docs)
     val report = Curation.sourceReport(docs)
-    val overlap = Dedup.sourceOverlap(docs)
+    val overlap = DedupSources.sourceOverlap(docs)
 
     // nightly-ingest shape: the newest batch dedups against the ingested
     // corpus (cross-set band join), never corpus × corpus
@@ -56,7 +56,7 @@ object PipelineExample {
     // exact-recall family + audit sampling + governance trends (round 8)
     val exactPairs = Dedup.prefixFilterPairs(docs)
     val audit = Curation.weightedSample(docs, k = 25)
-    val trend = Dedup.dupTrend(docs)
+    val trend = DedupSources.dupTrend(docs)
     val growth = LlmText.vocabGrowth(docs)
 
     println(s"docs=${docs.count()}")

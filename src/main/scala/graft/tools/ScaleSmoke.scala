@@ -208,7 +208,7 @@ object ScaleSmoke {
     // query's probed cells hold `factor` copies, not factor² pairs).
     import graft.operators.{Multimodal, Similarity}
     val embBase = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
     // epoch 1 keeps the BASE ids: the PQ codebook's deterministic seed
     // gate (`vec_id % 61 == 0 AND vec_id < 61·256`) must see its seed
     // rows, or the codebook trains EMPTY and every ADC search returns
@@ -218,7 +218,7 @@ object ScaleSmoke {
     // the same fixed-size-codebook regime a real corpus has.
     def embEpoch(e: Int): DataFrame = embBase.select(
       (col("vec_id") + lit((e - 1).toLong * 10_000_000L)).as("vec_id"),
-      col("embedding"))
+      col("embedding"), col("label"))
     def embExpand(epochs: Range): DataFrame =
       epochs.map(embEpoch).reduce(_.unionByName(_)).repartition(32).persist()
     val emb1 = embExpand(1 to 1)
@@ -278,6 +278,17 @@ object ScaleSmoke {
     // per-batch cost, must not track graph size
     val lIdx1 = graft.operators.Graph.labelIndex(li1, ord1)
     val lIdxN = graft.operators.Graph.labelIndex(liN, ordN)
+    // g11: the fixpoint peel SERVED from the stored neighbor index (the
+    // round-12 stored/serve split) — the build is measured separately by
+    // g9 in graphOps; the peel's per-round shuffles must track edge
+    // count (near-linear), with round count set by peel depth, not size
+    val nIdx1 = graft.operators.Graph.neighborIndex(li1, ord1)
+    val nIdxN = graft.operators.Graph.neighborIndex(liN, ordN)
+    graft.operators.Graph.kcore(nIdx1, 2, 64).count() // warm
+    val (core1, kc1) = timedAction(
+      graft.operators.Graph.kcore(nIdx1, 2, 64).count())
+    val (coreN, kcN) = timedAction(
+      graft.operators.Graph.kcore(nIdxN, 2, 64).count())
     val (bridges1, bridgesN) = (
       graft.operators.Caching.materialize(
         graft.operators.Graph.bridgeNodes(lIdx1)),
@@ -296,17 +307,17 @@ object ScaleSmoke {
     // count tables built from the 1x and factor-x corpora — the count
     // tables are vocabulary-sized, so the join cost tracks the batch
     val refBi1 = graft.operators.Caching.materialize(
-      graft.operators.LlmText.docBigrams(one)
+      graft.operators.LlmLm.docBigrams(one)
         .groupBy(col("bigram")).agg(count(lit(1)).as("cb")))
     val refCtx1 = graft.operators.Caching.materialize(
-      graft.operators.LlmText.docBigrams(one)
+      graft.operators.LlmLm.docBigrams(one)
         .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
         .agg(count(lit(1)).as("cw")))
     val refBiN = graft.operators.Caching.materialize(
-      graft.operators.LlmText.docBigrams(many)
+      graft.operators.LlmLm.docBigrams(many)
         .groupBy(col("bigram")).agg(count(lit(1)).as("cb")))
     val refCtxN = graft.operators.Caching.materialize(
-      graft.operators.LlmText.docBigrams(many)
+      graft.operators.LlmLm.docBigrams(many)
         .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
         .agg(count(lit(1)).as("cw")))
     val docBatch = epoch(base, factor + 3).limit(500)
@@ -338,6 +349,14 @@ object ScaleSmoke {
       Similarity.adcErrorBySubspace(emb1, idx1).count())
     val (gSubN, gsN) = timedAction(
       Similarity.adcErrorBySubspace(embN, idxN).count())
+    // s22 filtered serve: the allow-predicate is semi-joined into the
+    // stored codes BEFORE scoring, so cost tracks the probed candidate
+    // set (~linear with corpus here: query count scales too), never the
+    // filter's complement
+    val (gFil1, gl1) = timedAction(
+      Similarity.filteredVsIndex(emb1, idx1).count())
+    val (gFilN, glN) = timedAction(
+      Similarity.filteredVsIndex(embN, idxN).count())
     val lifecycle = Seq(
       ("s13_index_build", build1, buildN, 0L, 0L, buildN / math.max(build1, 1e-9)),
       ("s18_adc_error", gErr1, gErrN, ge1, geN,
@@ -348,6 +367,10 @@ object ScaleSmoke {
         gBalN / math.max(gBal1, 1e-9)),
       ("s21_adc_err_sub", gSub1, gSubN, gs1, gsN,
         gSubN / math.max(gSub1, 1e-9)),
+      ("s22_filtered_serve", gFil1, gFilN, gl1, glN,
+        gFilN / math.max(gFil1, 1e-9)),
+      ("g11_kcore_peel", core1, coreN, kc1, kcN,
+        coreN / math.max(core1, 1e-9)),
       ("s13_index_search", search1, searchN, sr1, srN,
         searchN / math.max(search1, 1e-9)),
       ("s15_append_batch", append1, appendN, batch.count(), batch.count(),

@@ -220,7 +220,7 @@ class AqeInvarianceSpec extends SparkSpec {
       .map(_.toSeq).map(_.toString).sorted.toSeq
     def g7() = Graph.modularity(li, ord).collect()
       .map(_.toSeq).map(_.toString).sorted.toSeq
-    def x37() = LlmText.bigramLmVsRef(docs, refMod = 2).collect()
+    def x37() = LlmLm.bigramLmVsRef(docs, refMod = 2).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
         r.getDouble(3))).sorted.toSeq
     // multi-frame payloads (>= 2 × 64-byte frames) so deltas exist

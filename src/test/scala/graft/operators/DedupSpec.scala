@@ -358,7 +358,7 @@ class DedupSpec extends SparkSpec {
       (1L, text, "en", "srcA"), (2L, text, "en", "srcB"),   // identical
       (3L, other, "en", "srcC"))                            // disjoint
       .toDF("doc_id", "text", "lang", "source")
-    val out = Dedup.sourceOverlap(d, k = 8).collect()
+    val out = DedupSources.sourceOverlap(d, k = 8).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     // srcA and srcB share every sketch hash → Jaccard estimate 1.0
@@ -573,7 +573,7 @@ class DedupSpec extends SparkSpec {
       (3L, "a b c", "B"),   // B re-posts A's doc 1
       (4L, "x y z", "B"))
       .toDF("doc_id", "text", "source")
-    val out = Dedup.dupBySource(corpus).collect()
+    val out = DedupSources.dupBySource(corpus).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out("A") == ((2L, 0L, 0.0)), s"${out("A")}")
@@ -591,7 +591,7 @@ class DedupSpec extends SparkSpec {
       (6L, "q r s", "A"),   // cross dup: keeper lives in B
       (7L, "u v w", "C"))   // unique source → absent from the report
       .toDF("doc_id", "text", "source")
-    val out = Dedup.dupSourceSplit(corpus).collect()
+    val out = DedupSources.dupSourceSplit(corpus).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
       .toMap
@@ -622,7 +622,7 @@ class DedupSpec extends SparkSpec {
     val corpus = docs(
       1L -> "aaa", 2L -> "bbb", 3L -> "aaa",
       4L -> "aaa", 5L -> "ccc", 6L -> "bbb")
-    val out = Dedup.dupTrend(corpus, bucketDocs = 2L).collect()
+    val out = DedupSources.dupTrend(corpus, bucketDocs = 2L).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out(0L) == (1L, 0L, 0.0), s"$out")
@@ -641,7 +641,7 @@ class DedupSpec extends SparkSpec {
       (4L, "bbb other head", "s1"), (5L, "bbb other head", "s3"),
       (6L, "ccc unshared text", "s2"))
       .toDF("doc_id", "text", "source")
-    val out = Dedup.syndication(corpus, headWords = 3).collect()
+    val out = DedupSources.syndication(corpus, headWords = 3).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     assert(out == Map(

@@ -28,9 +28,9 @@ class EmptyInputSpec extends SparkSpec {
     "ngramJaccard" -> (() => Dedup.ngramJaccard(docs)),
     "containment" -> (() => Dedup.containment(docs)),
     "prefixFilterPairs" -> (() => Dedup.prefixFilterPairs(docs)),
-    "sourceSketch" -> (() => Dedup.sourceSketch(docs)),
-    "sourceOverlap" -> (() => Dedup.sourceOverlap(docs)),
-    "dupSourceSplit" -> (() => Dedup.dupSourceSplit(docs)),
+    "sourceSketch" -> (() => DedupSources.sourceSketch(docs)),
+    "sourceOverlap" -> (() => DedupSources.sourceOverlap(docs)),
+    "dupSourceSplit" -> (() => DedupSources.dupSourceSplit(docs)),
     "urlDedup" -> (() => Dedup.urlDedup(docs)),
     "nearDupComponents" -> (() => Dedup.nearDupComponents(docs)),
     "keepBestInCluster" -> (() => Dedup.keepBestInCluster(docs)),
@@ -72,11 +72,11 @@ class EmptyInputSpec extends SparkSpec {
     // round-9 additions
     "readability" -> (() => LlmText.readability(docs)),
     "curriculumOrder" -> (() => Curation.curriculumOrder(docs)),
-    "tokenizerFertility" -> (() => LlmText.tokenizerFertility(docs)),
+    "tokenizerFertility" -> (() => LlmBpe.tokenizerFertility(docs)),
     "dedupWeightedMix" -> (() => Curation.dedupWeightedMix(docs)),
-    "dupFingerprints" -> (() => Dedup.dupFingerprints(docs)),
-    "dupTrend" -> (() => Dedup.dupTrend(docs)),
-    "syndication" -> (() => Dedup.syndication(docs)),
+    "dupFingerprints" -> (() => DedupSources.dupFingerprints(docs)),
+    "dupTrend" -> (() => DedupSources.dupTrend(docs)),
+    "syndication" -> (() => DedupSources.syndication(docs)),
     "phashPairs" -> (() => Multimodal.phashPairs(docs)),
     "phashVsIndex" -> (() =>
       Multimodal.phashVsIndex(docs, Multimodal.phashIndex(docs))),
@@ -89,7 +89,7 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
     // round-11 additions
-    "bigramLmVsRef" -> (() => LlmText.bigramLmVsRef(docs)),
+    "bigramLmVsRef" -> (() => LlmLm.bigramLmVsRef(docs)),
     "motionProfile" -> (() => Multimodal.motionProfile(docs)),
     "clippingReport" -> (() => Multimodal.clippingReport(docs)),
     "coPurchasePairs" -> (() => Graph.coPurchasePairs(

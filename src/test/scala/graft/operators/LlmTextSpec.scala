@@ -346,7 +346,7 @@ class LlmTextSpec extends SparkSpec {
   test("bigramLm: add-one smoothed corpus model, single-token docs excluded") {
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
       .toDF("doc_id", "text")
-    val out = LlmText.bigramLm(docs).collect()
+    val out = LlmLm.bigramLm(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // corpus bigrams: "a b"x3, "b a"x1; ctx a=3, b=1; V=2
     // p(a b)=(3+1)/(3+2)=0.8 -> round(ln,5)=-0.22314
@@ -365,7 +365,7 @@ class LlmTextSpec extends SparkSpec {
       (2L, "a b"),    // held out, fully in-distribution
       (4L, "q r"))    // held out, NOTHING seen by the ref LM
       .toDF("doc_id", "text")
-    val out = LlmText.bigramLmVsRef(docs, refMod = 2).collect()
+    val out = LlmLm.bigramLmVsRef(docs, refMod = 2).collect()
       .map(r => r.getLong(0) ->
         ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out(1L)._1 && out(3L)._1 && !out(2L)._1 && !out(4L)._1)
@@ -518,7 +518,7 @@ class LlmTextSpec extends SparkSpec {
     .toDF("doc_id", "text", "n_chars")
 
   test("bpeTrain: greedy merges with deterministic tie-break") {
-    val merges = LlmText.bpeTrain(bpeDocs, nMerges = 6).collect()
+    val merges = LlmBpe.bpeTrain(bpeDocs, nMerges = 6).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     // overlapping pair counts: 'aaaaa' contributes (a,a) 4×; two 'lrlr'
     // words contribute (l,r) 2× each
@@ -555,7 +555,7 @@ class LlmTextSpec extends SparkSpec {
     // invisible to the arithmetic — identical merge table, identical final
     // word table vs the never-checkpointing run
     def run(every: Int) = {
-      val (merges, state) = LlmText.bpeTrainState(bpeDocs, 7, every)
+      val (merges, state) = LlmBpe.bpeTrainState(bpeDocs, 7, every)
       val words = state.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
       state.unpersist()
@@ -568,7 +568,7 @@ class LlmTextSpec extends SparkSpec {
   }
 
   test("bpeVocab: 3-pass replace is non-overlapping left-to-right") {
-    val vocab = LlmText.bpeVocab(bpeDocs, nMerges = 6).collect()
+    val vocab = LlmBpe.bpeVocab(bpeDocs, nMerges = 6).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // 'a a a a a </w>' merged with (a,a) leaves 'aa a aa </w>': replace
     // scans left-to-right non-overlapping and the trailing space of a hit
@@ -580,7 +580,7 @@ class LlmTextSpec extends SparkSpec {
   }
 
   test("bpeDocStats: dictionary-join apply, token totals reconcile") {
-    val stats = LlmText.bpeDocStats(bpeDocs, nMerges = 6).collect()
+    val stats = LlmBpe.bpeDocStats(bpeDocs, nMerges = 6).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toMap
     // doc 1: 'aaaaa' → [aa, a, aa, </w>] = 4 tokens
@@ -589,7 +589,7 @@ class LlmTextSpec extends SparkSpec {
     assert(stats(2L) == (3L, 3L, 12L, 12.0 / 3))
     assert(stats(3L) == (2L, 2L, 5L, 5.0 / 2))
     // corpus reconciliation: per-doc token totals == vocab frequency mass
-    val vocabMass = LlmText.bpeVocab(bpeDocs, nMerges = 6)
+    val vocabMass = LlmBpe.bpeVocab(bpeDocs, nMerges = 6)
       .agg(sum(col("freq"))).head().getLong(0)
     assert(stats.values.map(_._2).sum == vocabMass)
   }
@@ -646,7 +646,7 @@ class LlmTextSpec extends SparkSpec {
     val prop = forAll(corpus) { texts =>
       val df = texts.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val engine = LlmText.bpeTrain(df, nMerges = 4).collect()
+      val engine = LlmBpe.bpeTrain(df, nMerges = 4).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSeq
       Prop(engine == bpeRef(texts, 4))
@@ -657,9 +657,9 @@ class LlmTextSpec extends SparkSpec {
   }
 
   test("bpeTrain is partition-invariant (order-independent pair counts)") {
-    val base = LlmText.bpeTrain(bpeDocs, nMerges = 6).collect().toSeq
+    val base = LlmBpe.bpeTrain(bpeDocs, nMerges = 6).collect().toSeq
     for (p <- Seq(1, 3, 7)) {
-      val alt = LlmText.bpeTrain(bpeDocs.repartition(p), nMerges = 6)
+      val alt = LlmBpe.bpeTrain(bpeDocs.repartition(p), nMerges = 6)
         .collect().toSeq
       assert(alt == base, s"partitions=$p drifted")
     }
@@ -671,7 +671,7 @@ class LlmTextSpec extends SparkSpec {
     // the same corpus the per-doc stats run on
     val docs = bpeDocs.withColumn("lang",
       when(col("doc_id") === 1L, lit("aa")).otherwise(lit("xx")))
-    val out = LlmText.tokenizerFertility(docs, nMerges = 6).collect()
+    val out = LlmBpe.tokenizerFertility(docs, nMerges = 6).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4)))).toMap
     // from the bpeDocStats hand values: doc1 = 1 word / 4 tokens;
@@ -679,7 +679,7 @@ class LlmTextSpec extends SparkSpec {
     assert(out("aa") == ((1L, 1L, 4L, 4.0)), s"$out")
     assert(out("xx") == ((2L, 5L, 5L, 1.0)), s"$out")
     // reconciliation against the per-doc rollup
-    val perDoc = LlmText.bpeDocStats(bpeDocs, nMerges = 6).collect()
+    val perDoc = LlmBpe.bpeDocStats(bpeDocs, nMerges = 6).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out("aa")._3 == perDoc(1L))
     assert(out("xx")._3 == perDoc(2L) + perDoc(3L))
@@ -690,12 +690,12 @@ class LlmTextSpec extends SparkSpec {
     // identically to the retrain-per-call path (x27 vs x28 parity)
     val dir = java.nio.file.Files
       .createTempDirectory("bpe-dict-").toString + "/dict"
-    LlmText.bpeDictionary(bpeDocs, nMerges = 6).write.parquet(dir)
+    LlmBpe.bpeDictionary(bpeDocs, nMerges = 6).write.parquet(dir)
     val stored = spark.read.parquet(dir)
-    val viaDict = LlmText.bpeDocStatsVsDict(bpeDocs, stored).collect()
+    val viaDict = LlmBpe.bpeDocStatsVsDict(bpeDocs, stored).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).sortBy(_._1).toSeq
-    val retrain = LlmText.bpeDocStats(bpeDocs, nMerges = 6).collect()
+    val retrain = LlmBpe.bpeDocStats(bpeDocs, nMerges = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).sortBy(_._1).toSeq
     assert(viaDict == retrain)

@@ -100,8 +100,8 @@ class StreamCurationSpec extends SparkSpec {
     val train = Seq(
       (100L, "aaaa aaaa bb", 12L), (101L, "aaaa bb bb", 10L))
       .toDF("doc_id", "text", "n_chars")
-    val dict = graft.operators.LlmText.bpeDictionary(train, nMerges = 4)
-    val baseline = graft.operators.LlmText
+    val dict = graft.operators.LlmBpe.bpeDictionary(train, nMerges = 4)
+    val baseline = graft.operators.LlmBpe
       .bpeDocStatsVsDict(train, dict)
       .agg(org.apache.spark.sql.functions
         .sum(col("n_chars")).cast("double") /

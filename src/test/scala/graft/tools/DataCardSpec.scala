@@ -1,6 +1,7 @@
 package graft.tools
 
 import graft.SparkSpec
+import graft.operators.DedupSources
 
 /** The datasheet generator renders every governance section from the
   * sample corpus — the compiled guarantee that the card's operators stay
@@ -53,7 +54,7 @@ class DataCardSpec extends SparkSpec {
   }
 
   test("media sections derive from ONE shared catalog scan") {
-    import graft.operators.{Caching, Multimodal, Tables}
+    import graft.operators.{Caching, DedupSources, Multimodal, Tables}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // the card's shape: one persisted media-catalog scan, all three media
     // sections (mm8 mix, mm10 silence, mm6/mm9 phash advisory) off it
@@ -85,15 +86,15 @@ class DataCardSpec extends SparkSpec {
     import graft.operators.{Caching, Dedup, Tables}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // the card's shape: one persisted fingerprint scan, both sections off it
-    val fp = Dedup.dupFingerprints(docs)
+    val fp = DedupSources.dupFingerprints(docs)
     val (trend, synd) = Caching.withPersisted2(fp)((
-      Dedup.dupTrendFromFingerprints(fp),
-      Dedup.syndicationFromFingerprints(fp)))
+      DedupSources.dupTrendFromFingerprints(fp),
+      DedupSources.syndicationFromFingerprints(fp)))
     // identical to the standalone oracle-pinned operators
     assert(trend.collect().map(_.toSeq).toSet ==
-      Dedup.dupTrend(docs).collect().map(_.toSeq).toSet)
+      DedupSources.dupTrend(docs).collect().map(_.toSeq).toSet)
     assert(synd.collect().map(_.toSeq).toSet ==
-      Dedup.syndication(docs).collect().map(_.toSeq).toSet)
+      DedupSources.syndication(docs).collect().map(_.toSeq).toSet)
     // and the SECOND section's executed plan read the persisted pass, not
     // the corpus: a cached-scan leaf, zero parquet leaves — the compiled
     // guarantee that the card never re-runs the text scan per section
