@@ -649,6 +649,10 @@ object SparkEntry {
     // into the stored codes BEFORE candidate scoring (filtered ANN).
     "s22_filtered_vs_index" -> ((s, d) =>
       Similarity.filteredVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
+    // s23: per-query recall of the s22 filtered serve vs the exact
+    // filtered brute-force top-k — the s17-for-s16 gauge, for s22.
+    "s23_filtered_recall" -> ((s, d) =>
+      Similarity.filteredRecall(T.embeddings(s, d), storedIvfIndex(s, d))),
     "s14_ivf_adc_vs_index" -> ((s, d) =>
       Similarity.ivfAdcVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
     // s15: the index LIFECYCLE path — build on the vec_id % 7 != 3 split,
@@ -865,6 +869,11 @@ object SparkEntry {
     // candidate set (pre-filter, the filtered-vector-search form).
     ("s22_filtered_vs_index" ->
       filteredVsIndexOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // s23 is s22's chain with the served top-k lifted into a CTE plus
+    // the exact filtered brute-force side and the per-query recall agg.
+    ("s23_filtered_recall" ->
+      filteredRecallOracle(
+        filteredVsIndexOracle(oracleSqlBase("s13_ivf_adc")))) +
     // d37 is d32's fingerprint/keeper chain + the keeper-source lookup.
     ("d37_dup_source_split" ->
       dupSourceSplitOracle(oracleSqlBase("d32_dup_by_source")))

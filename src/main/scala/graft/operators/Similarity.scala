@@ -817,14 +817,65 @@ object Similarity {
       probeK: Int = 30): DataFrame = {
     val vc = vecs(corpus)
     Caching.withPersisted(vc) {
+      filteredBody(corpus, vc, index, k, probeK)
+    }
+  }
+
+  /** The s22 serve body over a caller-persisted prepared corpus — shared
+    * with [[filteredRecall]] so the gauge audits exactly the serve path
+    * it scores, off one corpus prep. */
+  private def filteredBody(corpus: DataFrame, vc: DataFrame,
+      index: IvfAdcIndex, k: Int, probeK: Int): DataFrame = {
+    val allowed = corpus.filter(col("label") % 2 === 0)
+      .select(col("vec_id"))
+    val fCodes = index.codes.join(allowed, Seq("vec_id"), "left_semi")
+    val qsub = defaultQueries(
+      VectorOps.pqSubspaces(corpus, index.subspaces, index.subDim))
+    ivfAdcSearch(vc, defaultQueries(vc), qsub,
+      index.centroids, index.cells, fCodes,
+      index.codebook, k, probeK, excludeSelf = true)
+  }
+
+  /** Top-k recall of the filtered serve (s23): [[filteredVsIndex]]'s
+    * served neighbors scored against the exact filtered brute-force
+    * top-k over the SAME allow-predicate — the quality gauge for
+    * filtered ANN, where recall losses are sneakier than in the
+    * unfiltered form (a probe set tuned for the full corpus can cover
+    * the allowed subset badly when the predicate correlates with cell
+    * geometry; this number is what says whether NProbe must grow for
+    * filtered traffic). The s17 recall shape: exact side left-joins the
+    * served set, per-query hit fraction; queries with an empty exact
+    * top-k drop out (no 0/0 rows). Both sides rank (cos DESC,
+    * neighbor_id) over IEEE-identical cosines, so the oracle — the s22
+    * chain + an exact filtered scan — matches bit-for-bit. */
+  def filteredRecall(corpus: DataFrame, index: IvfAdcIndex, k: Int = 10,
+      probeK: Int = 30): DataFrame = {
+    val vc = vecs(corpus)
+    Caching.withPersisted(vc) {
+      val served = Caching.materialize(
+        filteredBody(corpus, vc, index, k, probeK)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(1L).as("hit")))
       val allowed = corpus.filter(col("label") % 2 === 0)
         .select(col("vec_id"))
-      val fCodes = index.codes.join(allowed, Seq("vec_id"), "left_semi")
-      val qsub = defaultQueries(
-        VectorOps.pqSubspaces(corpus, index.subspaces, index.subDim))
-      ivfAdcSearch(vc, defaultQueries(vc), qsub,
-        index.centroids, index.cells, fCodes,
-        index.codebook, k, probeK, excludeSelf = true)
+      val va = vc.join(allowed, Seq("vec_id"), "left_semi")
+      val q = Caching.materialize(defaultQueries(vc)
+        .select(col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm")))
+      val scored = broadcast(q)
+        .join(va, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      val exact = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id")), k)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(served, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
     }
   }
 

@@ -311,6 +311,47 @@ object DerivedOracles {
         joinAnchor + "\n    JOIN alw w ON w.vec_id = cc.neighbor_id")
   }
 
+  /** Derive the s23 oracle from s22's: lift the served top-k tail into
+    * a CTE, add the exact filtered brute-force side (every allowed
+    * corpus vector scored per query — the s11 semantics with the s22
+    * allow-list), rank both (cos DESC, neighbor_id), and aggregate the
+    * per-query recall (the s17 left-join shape; queries with no exact
+    * neighbor drop out — no 0/0 rows). */
+  private[graft] def filteredRecallOracle(s22: String): String = {
+    val anchor = "SELECT query_id, neighbor_id, cos, rank FROM (\n" +
+      "  SELECT query_id, neighbor_id, cos,\n" +
+      "    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank\n" +
+      "  FROM fx) WHERE rank <= 10"
+    require(s22.endsWith(anchor), "s22 oracle SQL lost the s23 anchor")
+    s22.dropRight(anchor.length).stripSuffix("\n") + ",\n" +
+      """srv AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM fx) WHERE rank <= 10),
+        |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        |  JOIN alw w ON w.vec_id = c.vec_id
+        |  WHERE q.vec_id % 100 = 0),
+        |exh AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM ex) WHERE rank <= 10)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN s.neighbor_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM exh e LEFT JOIN srv s
+        |  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+        |GROUP BY e.query_id""".stripMargin
+  }
+
   /** Derive the g11 oracle from g9's: keep the projection/knn/und CTEs
     * byte-identical and unroll `rounds` degree-peel rounds (drop nodes
     * of degree < 2, induce, recount) — all-integer. The Spark side peels

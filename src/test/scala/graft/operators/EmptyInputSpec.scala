@@ -121,6 +121,7 @@ class EmptyInputSpec extends SparkSpec {
     "participationRatio" -> (() => VectorOps.participationRatio(embs)),
     "knnBruteForce" -> (() => Similarity.knnBruteForce(embs)),
     "rangeSearch" -> (() => Similarity.rangeSearch(embs)),
+    "filteredKnn" -> (() => Similarity.filteredKnn(embs)),
     "groupCentroids" -> (() => VectorOps.groupCentroids(embs)),
     "int8Quantize" -> (() => VectorOps.int8Quantize(embs)),
     "zscoreNormalize" -> (() => VectorOps.zscoreNormalize(embs)),
