@@ -272,6 +272,10 @@ object SparkEntry {
     // x38: tokenizer fertility (tokens/word under the induced BPE) by lang.
     "x38_tokenizer_fertility" -> ((s, d) =>
       LlmBpe.tokenizerFertility(T.documents(s, d))),
+    // x39: the x37 reference-LM score pooled per source (exact decimal
+    // sums, one division — not a mean of per-doc means).
+    "x39_lm_by_source" -> ((s, d) =>
+      LlmLm.lmScoreBySource(T.documents(s, d))),
     // c28: per-source curriculum ranks + training-phase tags.
     "c28_curriculum" -> ((s, d) =>
       Curation.curriculumOrder(T.documents(s, d))),
@@ -712,6 +716,10 @@ object SparkEntry {
     // e21: effective dimensionality (participation ratio off e8's Gram).
     "e21_participation_ratio" -> ((s, d) =>
       graft.operators.VectorOps.participationRatio(T.embeddings(s, d))),
+    // e22: spectral gap λ1/λ2 of the covariance — a fold over e13's
+    // two power-iteration eigenvalues.
+    "e22_spectral_gap" -> ((s, d) =>
+      graft.operators.VectorOps.spectralGap(T.embeddings(s, d))),
     "e16_dim_stats" -> ((s, d) =>
       graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     // e18: whitening z-scores off e16's grid-exact per-dim moments.
@@ -766,6 +774,10 @@ object SparkEntry {
     // mm14: per-media clipping gauge (full-scale sample pileup).
     "mm14_clipping_report" -> ((s, d) =>
       Multimodal.clippingReport(T.documents(s, d))),
+    // mm15: mm6's verified pairs bucketed by Hamming distance — the
+    // phash threshold-tuning histogram.
+    "mm15_hamming_histogram" -> ((s, d) =>
+      Multimodal.phashHammingHistogram(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -876,7 +888,16 @@ object SparkEntry {
         filteredVsIndexOracle(oracleSqlBase("s13_ivf_adc")))) +
     // d37 is d32's fingerprint/keeper chain + the keeper-source lookup.
     ("d37_dup_source_split" ->
-      dupSourceSplitOracle(oracleSqlBase("d32_dup_by_source")))
+      dupSourceSplitOracle(oracleSqlBase("d32_dup_by_source"))) +
+    // x39 is x37's scoring chain + the per-source pooled rollup.
+    ("x39_lm_by_source" -> lmBySourceOracle(oracleSqlBase("x37_lm_vs_ref"))) +
+    // e22 is e13's recursive power-iteration chain + the λ1/λ2 fold.
+    ("e22_spectral_gap" ->
+      spectralGapOracle(oracleSqlBase("e13_top2_power"))) +
+    // mm15 is mm6's signature/band/candidate chain + the distance
+    // histogram aggregate.
+    ("mm15_hamming_histogram" ->
+      hammingHistogramOracle(oracleSqlBase("mm6_phash_pairs")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

@@ -92,6 +92,18 @@ object LlmLm {
     * n_bigrams, avg_logprob). */
   private[graft] def scoreBigramsVsRef(docBi: DataFrame,
       refBigramCounts: DataFrame,
+      refContextCounts: DataFrame): DataFrame =
+    scoreBigramSums(docBi, refBigramCounts, refContextCounts)
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_sum").cast("double") / col("n_bigrams"))
+          .as("avg_logprob"))
+
+  /** The x37 per-doc score table BEFORE the final division — lp_sum
+    * stays DECIMAL so [[lmScoreBySource]] can pool docs exactly (summing
+    * per-doc AVERAGES would weight a 3-bigram doc like a 3,000-bigram
+    * one; pooling the exact sums is the corpus-level perplexity). */
+  private def scoreBigramSums(docBi: DataFrame,
+      refBigramCounts: DataFrame,
       refContextCounts: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val vocab = refContextCounts.agg(count(lit(1)).as("vsz"))
@@ -106,9 +118,42 @@ object LlmLm {
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("lp_sum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("lp_sum").cast("double") / col("n_bigrams"))
-          .as("avg_logprob"))
+  }
+
+  /** Reference-LM score rolled up per source (x39): each source's doc
+    * count, bigram mass, and POOLED average log-probability under the
+    * x37 held-out reference model — the per-feed quality dial next to
+    * x23's vocabulary divergence: a source whose pooled logprob sits
+    * well below the rest is off-distribution wholesale (machine
+    * translation, boilerplate farms, wrong language), and the mix
+    * weights (c2/c10) read this before admitting it. Pooled, not
+    * mean-of-means: the per-doc DECIMAL sums are summed exactly and
+    * divided once, so big docs weigh their size. Same scale shape as
+    * x37 plus one doc-keyed join to the documents table for the source
+    * column and a #sources-cardinality aggregate. */
+  def lmScoreBySource(documents: DataFrame, refMod: Int = 10): DataFrame = {
+    val ws = LlmText.words(col("text"))
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (x, y) => concat(x, lit(" "), y))
+    val docBi = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    Caching.withPersisted(docBi) {
+      val ref = docBi.filter(col("doc_id") % refMod =!= 0)
+      val biCnt = ref.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      val ctxCnt = ref
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(count(lit(1)).as("cw"))
+      scoreBigramSums(docBi, biCnt, ctxCnt)
+        .join(documents.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          (sum(col("lp_sum")).cast("double") /
+            sum(col("n_bigrams")).cast("double")).as("avg_logprob"))
+    }
   }
 
   /** The (doc_id, bigram) explode [[scoreBigramsVsRef]] consumes —

@@ -218,6 +218,19 @@ object Multimodal {
     }
   }
 
+  /** Near-dup distance histogram (mm15): mm6's verified pairs bucketed
+    * by Hamming distance — the threshold-tuning telemetry for the phash
+    * detector: a bimodal histogram (mass at 0-2 and a tail at the cap)
+    * says the cutoff is safe; mass piling AT the cap says the band
+    * stage is surfacing near-misses and `maxHamming` is clipping real
+    * duplicates (raise it or add bands). One integer aggregate over the
+    * pair table; same chain as mm6, so the two cannot drift. */
+  def phashHammingHistogram(documents: DataFrame, stride: Int = 4,
+      maxHamming: Int = 6): DataFrame =
+    phashPairs(documents, stride, maxHamming)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Per-document 60-bit gradient perceptual hash (doc_id, phash) —
     * the ONE copy of mm6's signature arithmetic, shared by the self-join
     * and the stored-index path so the two cannot drift. */

@@ -567,6 +567,28 @@ object VectorOps {
     rows.toSeq.toDF("component", "dim", "loading", "eigenvalue")
   }
 
+  /** Spectral gap of the embedding covariance (e22): λ₁/λ₂ of the top
+    * two grid-stabilized eigenvalues from [[top2PowerIteration]], plus
+    * λ₁'s share of the top-2 mass — the one-number "how 1-dimensional
+    * are these embeddings" gauge read next to e20's anisotropy and
+    * e21's participation ratio: a large gap means one rogue direction
+    * dominates (e10's removal will help retrieval), a gap near 1 means
+    * the top of the spectrum is soft and e17's 2-D map axes are
+    * unstable. A pure fold over e13's output — two 1-row aggregates and
+    * one broadcast cross join; both divisions are IEEE doubles in the
+    * identical shape on both engines. */
+  def spectralGap(embeddings: DataFrame): DataFrame = {
+    val t = top2PowerIteration(embeddings)
+    def lam(c: Int, as: String) = t.filter(col("component") === c)
+      .groupBy(lit(true).as("all"))
+      .agg(max(col("eigenvalue")).as(as)).drop("all")
+    lam(1, "lambda1").crossJoin(broadcast(lam(2, "lambda2")))
+      .select(col("lambda1"), col("lambda2"),
+        (col("lambda1") / col("lambda2")).as("spectral_gap"),
+        (col("lambda1") / (col("lambda1") + col("lambda2")))
+          .as("top2_share"))
+  }
+
   /** Principal-component projection (e17): every embedding's coordinates
     * on the top-2 grid-stabilized principal directions from
     * [[top2PowerIteration]] — the 2-D embedding map a corpus QA review

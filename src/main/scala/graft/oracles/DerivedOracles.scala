@@ -311,6 +311,58 @@ object DerivedOracles {
         joinAnchor + "\n    JOIN alw w ON w.vec_id = cc.neighbor_id")
   }
 
+  /** Derive the x39 oracle from x37's: keep the bigram/count/score CTEs
+    * byte-identical and swap the per-doc projection for the per-source
+    * POOLED rollup (exact decimal sums summed, one division). */
+  private[graft] def lmBySourceOracle(x37: String): String = {
+    val anchor = "SELECT doc_id, doc_id % 10 <> 0 AS in_ref, count(*) AS n_bigrams,\n" +
+      "  CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob\n" +
+      "FROM lp GROUP BY doc_id"
+    require(x37.endsWith(anchor), "x37 oracle SQL lost the x39 anchor")
+    x37.dropRight(anchor.length) +
+      """SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(s.n) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s.slp) AS DOUBLE) / CAST(CAST(SUM(s.n) AS BIGINT)
+        |    AS DOUBLE) AS avg_logprob
+        |FROM (SELECT doc_id, count(*) AS n, sum(lp) AS slp
+        |      FROM lp GROUP BY doc_id) s
+        |JOIN documents d USING (doc_id)
+        |GROUP BY d.source""".stripMargin
+  }
+
+  /** Derive the e22 oracle from e13's: keep the recursive chain and swap
+    * the loading dump for the one-row λ1/λ2 fold (constant-group
+    * aggregates so empty in → empty out; both divisions IEEE). */
+  private[graft] def spectralGapOracle(e13: String): String = {
+    val anchor = "SELECT 1 AS component, CAST(d AS INT) AS dim, vv AS loading,\n" +
+      "  lam AS eigenvalue FROM pw WHERE it = 24\n" +
+      "UNION ALL\n" +
+      "SELECT 2, CAST(d AS INT), vv, lam FROM pw2 WHERE it = 24"
+    require(e13.endsWith(anchor), "e13 oracle SQL lost the e22 anchor")
+    e13.dropRight(anchor.length) +
+      """SELECT lambda1, lambda2,
+        |  lambda1 / lambda2 AS spectral_gap,
+        |  lambda1 / (lambda1 + lambda2) AS top2_share
+        |FROM (SELECT max(lam) AS lambda1 FROM pw WHERE it = 24
+        |      GROUP BY (1=1))
+        |CROSS JOIN (SELECT max(lam) AS lambda2 FROM pw2 WHERE it = 24
+        |      GROUP BY (1=1))""".stripMargin
+  }
+
+  /** Derive the mm15 oracle from mm6's: keep the signature/band/candidate
+    * chain byte-identical and swap the pair projection for the Hamming-
+    * distance histogram. */
+  private[graft] def hammingHistogramOracle(mm6: String): String = {
+    val anchor = "SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming\n" +
+      "FROM cand WHERE bit_count(xor(pa, pb)) <= 6"
+    require(mm6.endsWith(anchor), "mm6 oracle SQL lost the mm15 anchor")
+    mm6.dropRight(anchor.length) +
+      """SELECT bit_count(xor(pa, pb)) AS hamming,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+        |GROUP BY 1""".stripMargin
+  }
+
   /** Derive the s23 oracle from s22's: lift the served top-k tail into
     * a CTE, add the exact filtered brute-force side (every allowed
     * corpus vector scored per query — the s11 semantics with the s22

@@ -383,6 +383,34 @@ class LlmTextSpec extends SparkSpec {
       "identical text must score identically regardless of split side")
   }
 
+  test("lmScoreBySource pools exact sums, not per-doc means") {
+    import spark.implicits._
+    // refMod=2: docs 1,3 train the LM; source A holds a long doc and a
+    // short one so pooled-vs-mean-of-means actually differ
+    val docs = Seq(
+      (1L, "a b a b a", "A"), (3L, "a b", "B"),
+      (2L, "a b a b a b a b", "A"), (4L, "q r", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = LlmLm.lmScoreBySource(docs, refMod = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("A", "B"))
+    // per-doc twin: pooled source average = Σ lp_sum / Σ n over its docs
+    val perDoc = LlmLm.bigramLmVsRef(docs, refMod = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def pooled(ids: Seq[Long]): (Long, Double) = {
+      val n = ids.map(perDoc(_)._1).sum
+      // per-doc avg * n recovers the exact 5-dp grid sum (n is exact)
+      val sum = ids.map(i => perDoc(i)._2 * perDoc(i)._1).sum
+      (n, sum / n)
+    }
+    val (na, va) = pooled(Seq(1L, 2L))
+    assert(out("A")._1 == 2L && out("A")._2 == na)
+    assert(math.abs(out("A")._3 - va) < 1e-9, s"${out("A")} vs $va")
+    val (nb, vb) = pooled(Seq(3L, 4L))
+    assert(out("B")._2 == nb && math.abs(out("B")._3 - vb) < 1e-9)
+  }
+
   test("gopherRules reports per-rule verdicts and the conjunction") {
     val docs = Seq(
       // 5 words, mwl=4.2, no symbols, all alpha, no dups, 2 stopwords

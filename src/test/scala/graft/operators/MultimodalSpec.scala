@@ -136,6 +136,21 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.values.forall(_ <= 6))
   }
 
+  test("phashHammingHistogram buckets the verified pairs by distance") {
+    import spark.implicits._
+    val base = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)
+      .mkString
+    val docs = Seq((1L, base), (2L, base), (3L, base))
+      .toDF("doc_id", "text")
+    // three identical payloads → C(3,2) = 3 pairs, all at hamming 0
+    val hist = Multimodal.phashHammingHistogram(docs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0 -> 3L), s"$hist")
+    // histogram mass equals the pair count for any fixture
+    val pairs = Multimodal.phashPairs(docs).count()
+    assert(hist.values.sum == pairs)
+  }
+
   test("phashVsIndex: cross-set hits via a parquet-stored signature table") {
     import spark.implicits._
     val base = (0 until 300).map(i => ('a' + (i * 7 + i / 3) % 26).toChar)

@@ -233,6 +233,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.size == 2 * 64)
   }
 
+  test("spectralGap folds the two planted eigenvalues into one row") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // the top2PowerIteration fixture: spectrum diag(160, 20) → gap 8
+    val embs = ((0L until 10L).map(i => (i, vec(0 -> 4f))) ++
+      (10L until 15L).map(i => (i, vec(1 -> 2f))))
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.spectralGap(embs).collect()
+    assert(r.length == 1)
+    val (l1, l2) = (r.head.getDouble(0), r.head.getDouble(1))
+    assert(math.abs(l1 - 160.0) < 1.0 && math.abs(l2 - 20.0) < 1.0)
+    assert(r.head.getDouble(2) == l1 / l2)
+    assert(r.head.getDouble(3) == l1 / (l1 + l2))
+  }
+
   test("pcProject: per-vector coordinates on the two planted directions") {
     import spark.implicits._
     def vec(parts: (Int, Float)*): Array[Float] = {
