@@ -128,8 +128,23 @@ object DataCard {
     val labelIdx = graft.operators.Graph.labelIndex(li, ord)
     val modularity = graft.operators.Graph.modularity(labelIdx)
     val copurchase = graft.operators.Graph.coPurchaseGovernance(li, ord)
-    // g10: one-row clustering readout next to g7's modularity
-    val transitivity = graft.operators.Graph.transitivity(li, ord)
+    // ONE neighbor-edge build feeds the whole triangle/core/component
+    // family (the round-12 stored/serve split, exercised here the way a
+    // nightly card job would): g10's transitivity fold and g12's
+    // component table read the same stored edges
+    val nIdx = graft.operators.Graph.neighborIndex(li, ord)
+    val transitivity = graft.operators.Graph.transitivityOf(
+      graft.operators.Graph.triangleStats(nIdx))
+    val components = graft.operators.Graph.componentSizes(nIdx)
+      .orderBy(col("n_nodes").desc, col("component")).limit(10)
+    // x39: the per-feed off-distribution dial, worst source first
+    val lmBySource = LlmLm.lmScoreBySource(docs)
+      .orderBy(col("avg_logprob"), col("source"))
+    // e22: one-row spectrum shape next to e20's anisotropy
+    val gap = graft.operators.VectorOps.spectralGap(embs)
+    // mm15: is the phash cutoff clipping real duplicates?
+    val hammingHist = Multimodal.phashHammingHistogram(docs)
+      .orderBy(col("hamming"))
 
     val sb = new StringBuilder
     sb ++= "# Data card\n\n"
@@ -169,17 +184,26 @@ object DataCard {
     sb ++= section(
       "Least-plausible docs under the reference LM (x37: review queue)",
       lmWorst)
+    sb ++= section(
+      "Reference-LM score by source (x39: pooled, worst feed first)",
+      lmBySource)
     sb ++= section("Motion / scene-cut profile (mm13: summary)", motion)
     sb ++= section("Tokenizer merge table (x25: first BPE merges)", merges)
     sb ++= section(
       "Embedding cluster quality (e14: cohesion vs separation, worst first)",
       clusters)
     sb ++= section("Embedding geometry (e20: corpus anisotropy)", aniso)
+    sb ++= section("Embedding spectrum shape (e22: spectral gap)", gap)
     sb ++= section("Purchase-graph community quality (g7: Newman Q)",
       modularity)
     sb ++= section("Co-purchase clustering (g10: transitivity of the " +
       "top-k affinity graph)", transitivity)
     sb ++= section("Co-purchase hub-cap accounting (g6)", copurchase)
+    sb ++= section("Affinity-graph components (g12: largest first)",
+      components)
+    sb ++= section(
+      "Perceptual-hash distance histogram (mm15: cutoff tuning)",
+      hammingHist)
     sb.result()
   }
 

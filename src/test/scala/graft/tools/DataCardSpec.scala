@@ -37,7 +37,11 @@ class DataCardSpec extends SparkSpec {
         "## Purchase-graph community quality (g7: Newman Q)",
         "## Co-purchase clustering (g10: transitivity of the top-k " +
           "affinity graph)",
-        "## Co-purchase hub-cap accounting (g6)"))
+        "## Co-purchase hub-cap accounting (g6)",
+        "## Reference-LM score by source (x39: pooled, worst feed first)",
+        "## Embedding spectrum shape (e22: spectral gap)",
+        "## Affinity-graph components (g12: largest first)",
+        "## Perceptual-hash distance histogram (mm15: cutoff tuning)"))
       assert(card.contains(section), s"missing section: $section\n$card")
     // overview numbers are real
     assert("- documents: (\\d+)".r.findFirstMatchIn(card)
