@@ -330,6 +330,10 @@ object SparkEntry {
       Curation.materializePacks(T.documents(s, d))),
     "c5_curation_pipeline" -> ((s, d) =>
       Curation.curationPipeline(T.documents(s, d))),
+    // c29: cumulative survivor funnel through c5's gate chain — which
+    // gate is doing the cutting.
+    "c29_gate_funnel" -> ((s, d) =>
+      Curation.gateFunnel(T.documents(s, d))),
     "c7_group_sample" -> ((s, d) => Curation.groupSample(T.documents(s, d))),
     "c9_chunk_overlap" -> ((s, d) => Curation.chunkOverlap(T.documents(s, d))),
     "c10_temperature_mix" -> ((s, d) =>
@@ -720,6 +724,10 @@ object SparkEntry {
     // two power-iteration eigenvalues.
     "e22_spectral_gap" -> ((s, d) =>
       graft.operators.VectorOps.spectralGap(T.embeddings(s, d))),
+    // e23: TwoNN intrinsic dimension — local-manifold dimensionality
+    // next to e21's covariance-based participation ratio.
+    "e23_intrinsic_dim" -> ((s, d) =>
+      Similarity.intrinsicDimension(T.embeddings(s, d))),
     "e16_dim_stats" -> ((s, d) =>
       graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     // e18: whitening z-scores off e16's grid-exact per-dim moments.
@@ -897,7 +905,10 @@ object SparkEntry {
     // mm15 is mm6's signature/band/candidate chain + the distance
     // histogram aggregate.
     ("mm15_hamming_histogram" ->
-      hammingHistogramOracle(oracleSqlBase("mm6_phash_pairs")))
+      hammingHistogramOracle(oracleSqlBase("mm6_phash_pairs"))) +
+    // c29 is c5's gate chain with the filters lifted into per-doc flags
+    // and the cumulative funnel aggregate.
+    ("c29_gate_funnel" -> gateFunnelOracle(oracleSqlBase("c5_curation_pipeline")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

@@ -180,6 +180,53 @@ object Curation {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Curation-gate funnel (c29): cumulative survivor counts and char
+    * mass through c5's gate chain — all docs → quality ≥ 0.5 → AND not
+    * repetitive → AND near-dup keeper — the accounting table that says
+    * WHICH gate is doing the cutting (a funnel that collapses at the
+    * quality stage needs threshold work; one that collapses at dedup
+    * needs a syndication look), read before c5's per-language survivor
+    * summary. ONE corpus pass: per-doc gate flags, one constant-group
+    * conditional aggregate (empty in → empty out), and a 4-arm explode
+    * over the materialized 1-row result — the arms read checkpoint
+    * blocks, never recompute the pass. */
+  def gateFunnel(documents: DataFrame): DataFrame = {
+    val drops = Dedup.nearDupComponents(documents)
+      .filter(!col("keep"))
+      .select(col("doc_id"), lit(true).as("dropped"))
+    val flags = documents
+      .select(col("doc_id"), col("n_chars"),
+        (LlmText.qualityScoreExpr(col("text")) >= 0.5).as("q"),
+        (!LlmText.isRepetitiveExpr(col("text"))).as("r"))
+      .join(drops, Seq("doc_id"), "left_outer")
+      .select(col("n_chars"), col("q"), col("r"),
+        col("dropped").isNull.as("kd"))
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    def chars(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, col("n_chars"))), lit(0L))
+    val agg = Caching.materialize(flags
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n0"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("c0"),
+        cnt(col("q")).as("n1"), chars(col("q")).as("c1"),
+        cnt(col("q") && col("r")).as("n2"),
+        chars(col("q") && col("r")).as("c2"),
+        cnt(col("q") && col("r") && col("kd")).as("n3"),
+        chars(col("q") && col("r") && col("kd")).as("c3")))
+    def arm(stage: Int, gate: String, n: String, c: String) =
+      struct(lit(stage).as("stage"), lit(gate).as("gate"),
+        col(n).as("n_docs"), col(c).as("total_chars"))
+    agg.select(explode(array(
+        arm(1, "all", "n0", "c0"),
+        arm(2, "quality", "n1", "c1"),
+        arm(3, "quality+repetition", "n2", "c2"),
+        arm(4, "quality+repetition+dedup", "n3", "c3"))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"),
+        col("s.total_chars").as("total_chars"))
+  }
+
   /** Deterministic per-group sample (c7): the k documents with the
     * smallest sampling hash per group — the distributed, re-runnable
     * analog of per-group reservoir sampling (a uniform hash order is a

@@ -1038,6 +1038,57 @@ object Similarity {
     }
   }
 
+  /** TwoNN intrinsic-dimension estimate (e23, Facco et al. 2017): over
+    * the standard query sample, each point's two nearest EUCLIDEAN
+    * neighbors give μ = r₂/r₁, and the MLE intrinsic dimension is
+    * n / Σ ln μ — the "how many dimensions do these embeddings really
+    * use" number next to e21's participation ratio: PR reads the global
+    * covariance (linear structure), TwoNN reads local neighborhood
+    * scaling (manifold structure), and a corpus whose TwoNN dimension
+    * is far below the ambient 64 can be matryoshka-truncated (e6) or
+    * PQ-coded (e5) much harder than its variance spectrum suggests.
+    *
+    * Parity: distances are the SAME left-fold Σ(qᵢ−cᵢ)² grid shape as
+    * s18's exact side, then sqrt (IEEE); ln is grid-rounded to 5 dp as
+    * DECIMAL(18,6) (the libm rule) and summed exactly; queries whose
+    * nearest neighbor is an exact duplicate (r₁ = 0) are excluded and
+    * counted. Per-query work is one scan + heap top-2 — composes with
+    * any candidate tier at scale exactly like s1. */
+  def intrinsicDimension(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = vecs(embeddings)
+    Caching.withPersisted(v) {
+      val q = Caching.materialize(defaultQueries(v)
+        .select(col("vec_id").as("query_id"), col("x").as("qx")))
+      val dists = broadcast(q)
+        .join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          sqrt(VectorOps.pqD2(col("qx"), col("x"))).as("dist"))
+      val top2 = graft.plans.TopK.perKey(dists, Seq(col("query_id")),
+        Seq(col("dist"), col("neighbor_id")), 2)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("neighbor_id"))
+      val ranked = top2.withColumn("rn", row_number().over(w))
+      val mu = ranked.filter(col("rn") === 1)
+        .select(col("query_id"), col("dist").as("r1"))
+        .join(ranked.filter(col("rn") === 2)
+          .select(col("query_id"), col("dist").as("r2")), "query_id")
+      val lmu = round(log(col("r2") / col("r1")), 5)
+        .cast(DecimalType(18, 6))
+      mu.groupBy(lit(true).as("all"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("r1") > 0.0, 1L).otherwise(0L)).as("n_used"),
+          sum(when(col("r1") > 0.0, lmu)
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 6))))
+            .as("slm"))
+        .select(col("n_queries"), col("n_used"),
+          col("slm").cast("double").as("sum_log_ratio"),
+          when(col("slm") > 0,
+            col("n_used").cast("double") / col("slm").cast("double"))
+            .otherwise(0.0).as("intrinsic_dim"))
+    }
+  }
+
   /** Exact full-dimension cosine re-rank shared by the tiered ANN paths:
     * score every (query_id, neighbor_id) candidate with the true cosine
     * from the prepared frame `vc` and keep top `k` per query. The query

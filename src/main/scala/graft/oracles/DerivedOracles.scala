@@ -363,6 +363,44 @@ object DerivedOracles {
         |GROUP BY 1""".stripMargin
   }
 
+  /** Derive the c29 oracle from c5's: keep the shingle/LSH/metric CTEs
+    * byte-identical, lift the three gate predicates into per-doc flags,
+    * and emit the cumulative funnel (4 arms over one constant-group
+    * aggregate — empty in → empty out). */
+  private[graft] def gateFunnelOracle(c5: String): String = {
+    val anchor = "sel AS (SELECT doc_id, lang, n_chars FROM m\n" +
+      "  WHERE (0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0)) >= 0.5\n" +
+      "    AND NOT (dw > 0.30 OR d2f > 0.20 OR d3f > 0.18)\n" +
+      "    AND doc_id NOT IN (SELECT doc FROM drops))\n" +
+      "SELECT lang, count(*) AS n_docs,\n" +
+      "  CAST(sum(n_chars) AS BIGINT) AS total_chars\n" +
+      "FROM sel GROUP BY lang"
+    require(c5.endsWith(anchor), "c5 oracle SQL lost the c29 anchor")
+    c5.dropRight(anchor.length) +
+      """fl AS (SELECT doc_id, n_chars,
+        |  (0.4 * sr + 0.3 * (1.0 - pr) + 0.3 * (least(mwl, 8.0) / 8.0)) >= 0.5 AS q,
+        |  NOT (dw > 0.30 OR d2f > 0.20 OR d3f > 0.18) AS r,
+        |  doc_id NOT IN (SELECT doc FROM drops) AS kd
+        |  FROM m),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS c0,
+        |  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(COALESCE(SUM(CASE WHEN q THEN n_chars END), 0) AS BIGINT) AS c1,
+        |  CAST(SUM(CASE WHEN q AND r THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(COALESCE(SUM(CASE WHEN q AND r THEN n_chars END), 0)
+        |    AS BIGINT) AS c2,
+        |  CAST(SUM(CASE WHEN q AND r AND kd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n3,
+        |  CAST(COALESCE(SUM(CASE WHEN q AND r AND kd THEN n_chars END), 0)
+        |    AS BIGINT) AS c3
+        |  FROM fl GROUP BY (1=1))
+        |SELECT 1 AS stage, 'all' AS gate, n0 AS n_docs, c0 AS total_chars
+        |FROM ag
+        |UNION ALL SELECT 2, 'quality', n1, c1 FROM ag
+        |UNION ALL SELECT 3, 'quality+repetition', n2, c2 FROM ag
+        |UNION ALL SELECT 4, 'quality+repetition+dedup', n3, c3 FROM ag""".stripMargin
+  }
+
   /** Derive the s23 oracle from s22's: lift the served top-k tail into
     * a CTE, add the exact filtered brute-force side (every allowed
     * corpus vector scored per query — the s11 semantics with the s22

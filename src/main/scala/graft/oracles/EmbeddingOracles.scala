@@ -7,6 +7,34 @@ package graft.oracles
   * exact substrings of these strings. */
 object EmbeddingOracles {
   val sql: Map[String, String] = Map(
+    // e23: TwoNN intrinsic dimension (Facco et al.) over the standard
+    // query sample — exact 2-NN Euclidean distances (the s18 left-fold
+    // grid shape + sqrt), ln grid-rounded to 5 dp as DECIMAL(18,6) and
+    // summed exactly, zero-r1 duplicates excluded and counted.
+    "e23_intrinsic_dim" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  sqrt(list_reduce(list_transform(range(1,65),
+        |    i -> (q.x[i] - c.x[i]) * (q.x[i] - c.x[i])), (a,b) -> a + b))
+        |    AS dist
+        | FROM v q JOIN v c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+        |nn AS (SELECT query_id, dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, neighbor_id) AS rn
+        |  FROM p),
+        |tw AS (SELECT a.query_id, a.dist AS r1, b.dist AS r2
+        |  FROM nn a JOIN nn b ON b.query_id = a.query_id
+        |    AND a.rn = 1 AND b.rn = 2),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN r1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+        |  SUM(CASE WHEN r1 > 0
+        |    THEN CAST(round(ln(r2 / r1), 5) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS slm
+        | FROM tw GROUP BY (1=1))
+        |SELECT n_queries, n_used, CAST(slm AS DOUBLE) AS sum_log_ratio,
+        |  CASE WHEN slm > 0 THEN CAST(n_used AS DOUBLE) / CAST(slm AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS intrinsic_dim
+        |FROM ag""".stripMargin,
     "e2_int8_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
         |m AS (SELECT vec_id, x,

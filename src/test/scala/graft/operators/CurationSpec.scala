@@ -104,6 +104,32 @@ class CurationSpec extends SparkSpec {
     assert(out("en")._2 == good.length.toLong)
   }
 
+  test("gateFunnel: cumulative survivors through each gate, hand-checked") {
+    val good = "the cat and the dog of a house is that one there now"
+    // stopword-rich (passes quality) but a 4x-repeated phrase (fails
+    // the dup-n-gram repetition gate) — so each gate cuts its OWN doc
+    val loop = Seq.fill(4)("the cat and the dog").mkString(" ")
+    val d = docs(
+      (1L, good, "en", "a"),
+      (2L, good, "en", "b"),       // near-dup of 1: dedup cut
+      (3L, loop, "en", "a"),       // repetition cut
+      (4L, "zz qq ww", "fr", "a")) // quality cut
+    val out = Curation.gateFunnel(d).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) == (("all", 4L,
+      good.length * 2L + loop.length + "zz qq ww".length)))
+    // quality drops doc 4; repetition then drops doc 3; dedup drops 2
+    assert(out(2)._2 == 3L && out(2)._1 == "quality", s"$out")
+    assert(out(3)._2 == 2L && out(3)._1 == "quality+repetition", s"$out")
+    assert(out(4) == (("quality+repetition+dedup", 1L,
+      good.length.toLong)), s"$out")
+    // the funnel is monotone non-increasing in both columns
+    val stages = (1 to 4).map(out)
+    assert(stages.sliding(2).forall(p => p(0)._2 >= p(1)._2 &&
+      p(0)._3 >= p(1)._3))
+  }
+
   test("decontaminate counts shared shingles against the benchmark union") {
     val corpus = docs(
       (1L, "alpha beta gamma delta epsilon", "en", "a"), // 3 shingles, all shared

@@ -649,4 +649,34 @@ class SimilaritySpec extends SparkSpec {
     assert(s18MeanAll <= bySumMean + 1e-9,
       s"s18 mean $s18MeanAll exceeds per-subspace sum $bySumMean")
   }
+
+  test("intrinsicDimension: hand-checked TwoNN ratio on a line") {
+    def vec(t: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = t; a
+    }
+    // only id 0 is a query (vec_id % 100 == 0); its neighbors on the
+    // line sit at distances 1 and 3 -> mu = 3
+    val embs = Seq((0L, vec(0f)), (1L, vec(1f)), (2L, vec(3f)),
+      (3L, vec(7f))).toDF("vec_id", "embedding")
+    val r = Similarity.intrinsicDimension(embs).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 1L)
+    val ln3 = math.rint(math.log(3.0) * 1e5) / 1e5
+    assert(r.head.getDouble(2) == ln3, s"${r.head}")
+    assert(math.abs(r.head.getDouble(3) - 1.0 / ln3) < 1e-12)
+  }
+
+  test("intrinsicDimension excludes exact-duplicate nearest neighbors") {
+    def vec(t: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = t; a
+    }
+    // the query's nearest neighbor is an exact copy: r1 = 0 -> the
+    // query is counted but not used, and the estimate guards to 0.0
+    val embs = Seq((0L, vec(2f)), (1L, vec(2f)), (2L, vec(5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.intrinsicDimension(embs).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+    assert(r.getDouble(3) == 0.0)
+  }
+
 }
