@@ -387,6 +387,9 @@ object SparkEntry {
     "q25_salted_join" -> ((s, d) =>
       R.saltedSegmentRevenue(T.events(s, d), T.customer(s, d))),
     "q26_salted_distinct" -> ((s, d) => R.saltedDistinctAgg(T.events(s, d))),
+    // q67: the key-skew head that DECIDES the q25/q26 salting factor.
+    "q67_key_skew" -> ((s, d) =>
+      R.keySkewReport(T.events(s, d), "user_id")),
     "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),

@@ -589,6 +589,40 @@ object Relational {
     * skew-join split handles sort-merge skew when statistics surface it);
     * explicit salting is the deterministic fallback that works even where
     * AQE cannot see the skew, e.g. under a user-specified partitioning. */
+  /** Join-key skew report (q67): the top-k heaviest keys of a column
+    * with their row share and the running share of the head — the
+    * measurement that DECIDES the q25/q26 salting factor and the AQE
+    * skew-join expectations before a big join runs, instead of guessing
+    * (a head whose top key holds 10%% of the rows needs salting; one
+    * whose top-20 cumulative share is ~20/N doesn't). One hash aggregate
+    * over the fact column + a TakeOrdered head + a window over the
+    * k-row head only (never the key universe); counts are exact longs,
+    * shares two IEEE divisions. */
+  def keySkewReport(df: DataFrame, keyCol: String,
+      topK: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    Caching.withPersisted(counts) {
+      val totals = Caching.materialize(counts
+        .groupBy(lit(true).as("all"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys")))
+      val head = counts
+        .orderBy(col("n").desc, col("key")).limit(topK)
+      val w = Window.orderBy(col("n").desc, col("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      head
+        .crossJoin(broadcast(totals.drop("all")))
+        .select(
+          row_number().over(
+            Window.orderBy(col("n").desc, col("key"))).as("rank"),
+          col("key"), col("n"), col("n_keys"), col("total"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (sum(col("n")).over(w).cast("double") /
+            col("total").cast("double")).as("cum_share"))
+    }
+  }
+
   def saltedSegmentRevenue(events: DataFrame, customer: DataFrame,
       buckets: Int = 8): DataFrame = {
     val fact = events.withColumn("salt", pmod(col("event_id"), lit(buckets)))

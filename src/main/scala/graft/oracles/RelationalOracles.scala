@@ -7,6 +7,22 @@ package graft.oracles
   * exact substrings of these strings. */
 object RelationalOracles {
   val sql: Map[String, String] = Map(
+    // q67: join-key skew head over events.user_id — exact counts, two
+    // IEEE share divisions, the window only over the 20-row head.
+    "q67_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM c GROUP BY (1=1)),
+        |h AS (SELECT key, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+        |  FROM c QUALIFY rank <= 20)
+        |SELECT h.rank, h.key, h.n, t.n_keys, t.total,
+        |  CAST(h.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  CAST(SUM(h.n) OVER (ORDER BY h.n DESC, h.key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) AS cum_share
+        |FROM h CROSS JOIN t""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,

@@ -236,6 +236,30 @@ class AqeInvarianceSpec extends SparkSpec {
       "fixtures actually produce rows")
   }
 
+  test("round-12 surface is AQE-invariant (peel, components, skew head)") {
+    // g11's semi-join peel rounds and g12's star-contraction CC may both
+    // flip join strategies per round under AQE; q67's head is a
+    // TakeOrdered + window over 20 rows — none may move a value
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L), (110L, 1L),
+      (110L, 4L), (200L, 7L), (200L, 8L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (110L, 11L), (200L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    def g11() = Graph.kcore(li, ord).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    def g12() = Graph.componentSizes(li, ord).collect()
+      .map(_.toSeq).map(_.toString).sorted.toSeq
+    val ev = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) 7L else i)).toDF("event_id", "user_id")
+    def q67() = Relational.keySkewReport(ev, "user_id", topK = 5)
+      .collect().map(_.toSeq).map(_.toString).sorted.toSeq
+    val on = withAqe(true) { (g11(), g12(), q67()) }
+    val off = withAqe(false) { (g11(), g12(), q67()) }
+    assert(on == off, s"round-12 ops moved under AQE:\n$on\n$off")
+    assert(on._1.nonEmpty && on._2.size == 2 && on._3.size == 5,
+      "fixtures actually produce rows")
+  }
+
   test("late round-11 surface is AQE-invariant (triangles, gauges, ranks)") {
     // g9/g10 (projection + top-k + wedge self-joins — the most
     // join-shaped chain of the family), the e20/e21 geometry folds, the

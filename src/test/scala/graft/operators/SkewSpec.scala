@@ -226,6 +226,25 @@ class SkewSpec extends SparkSpec {
       "hot run must produce exactly the rank-window pairs")
   }
 
+  test("keySkewReport surfaces the planted heavy key with exact shares") {
+    // key 7 holds 60 of 100 rows; keys 1..40 hold one each
+    val rows = (1L to 60L).map(i => (i, 7L)) ++
+      (1L to 40L).map(i => (60L + i, i + 100L))
+    val out = Relational.keySkewReport(
+        rows.toDF("event_id", "user_id"), "user_id", topK = 3)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(out.size == 3)
+    // rank 1: the hub, 60% share
+    assert(out(1) == ((7L, 60L, 41L, 100L, 0.6, 0.6)), s"$out")
+    // ranks 2-3: ties broken by key ascending; cumulative share grows
+    assert(out(2)._1 == 101L && out(2)._2 == 1L, s"$out")
+    assert(out(2)._6 == 0.61 && out(3)._6 == (61.0 + 1.0) / 100.0,
+      s"$out")
+  }
+
   test("saltedDistinctAgg equals plain count-distinct for any bucket count") {
     val plain = events.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("n_users"),
