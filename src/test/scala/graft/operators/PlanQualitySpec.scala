@@ -55,6 +55,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q31_latest_upsert").contains("TopKPerKey"))
   }
 
+  test("q67: the skew head is a TakeOrdered, never a full sort of keys") {
+    // the cache bracket materializes the result (lineage truncated), so
+    // the executed shape lives in lastMaterializedPlan (the house pin)
+    plan("q67_key_skew")
+    val p = Caching.lastMaterializedPlan
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered head over the key counts:\n$p")
+  }
+
+  test("g11: the kcore query plans off the stored edge table, not the " +
+    "fact tables") {
+    // the serve path reads the parquet neighbor-edge table: the final
+    // plan joins degree tables derived from checkpoint/parquet scans —
+    // a regression that re-inlined g5's projection would drag the
+    // lineitem/orders scans (and their join) back into every call
+    val p = plan("g11_kcore")
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      s"kcore must serve from the stored neighbor index:\n$p")
+  }
+
   test("q3: two dimension joins broadcast under one TakeOrdered") {
     val p = plan("q3_join_topn")
     assert(p.contains("TakeOrderedAndProject"), p)
