@@ -529,6 +529,13 @@ object SparkEntry {
     // star-contraction CC, per-component node/edge counts.
     "g12_components" -> ((s, d) =>
       Graph.componentSizes(storedNeighborIndex(s, d))),
+    // g13: churn of the stored neighbor index vs a fresh build —
+    // yesterday's facts are the o_orderkey % 10 != 0 split (the d13
+    // split convention); the staleness contract, measured.
+    "g13_index_churn" -> ((s, d) => Graph.neighborChurn(
+      Graph.neighborIndex(T.lineitem(s, d), T.orders(s, d)),
+      Graph.neighborIndex(T.lineitem(s, d),
+        T.orders(s, d).filter(col("o_orderkey") % 10 =!= 0)))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     // q66: per-user EWMA (α = ½ — dyadic weights, bit-exact, no grid).
     "q66_ewma" -> ((s, d) => Temporal.ewma(T.events(s, d))),
@@ -911,7 +918,10 @@ object SparkEntry {
       hammingHistogramOracle(oracleSqlBase("mm6_phash_pairs"))) +
     // c29 is c5's gate chain with the filters lifted into per-doc flags
     // and the cumulative funnel aggregate.
-    ("c29_gate_funnel" -> gateFunnelOracle(oracleSqlBase("c5_curation_pipeline")))
+    ("c29_gate_funnel" -> gateFunnelOracle(oracleSqlBase("c5_curation_pipeline"))) +
+    // g13 is g9's projection/knn chain TWICE (fresh + a renamed copy
+    // with the stored split's order filter) + the churn aggregate.
+    ("g13_index_churn" -> indexChurnOracle(oracleSqlBase("g9_triangle_lcc")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

@@ -452,6 +452,33 @@ object Graph {
         .distinct())
   }
 
+  /** Neighbor-index churn report (g13): the stored edge table (built
+    * from yesterday's facts) full-outer-joined against a fresh build —
+    * kept/added/removed edge counts and the churn fraction. This is the
+    * staleness CONTRACT of the whole stored/serve family measured
+    * instead of asserted: every index (labels, triangles, IVF, phash)
+    * quotes "lookups lag until the next build"; this row says how much
+    * actually lags, and a churn fraction trending up is the signal to
+    * shorten the rebuild cadence (or switch the consumer to the
+    * append path). One equi-keyed full outer join of two bounded edge
+    * tables (≤ 2k·|V| rows each) + one constant-group aggregate —
+    * empty inputs → empty report. */
+  def neighborChurn(fresh: NeighborIndex,
+      stored: NeighborIndex): DataFrame = {
+    val f = fresh.edges.select(col("u"), col("v"), lit(true).as("f"))
+    val s = stored.edges.select(col("u"), col("v"), lit(true).as("s"))
+    f.join(s, Seq("u", "v"), "full_outer")
+      .groupBy(lit(true).as("all"))
+      .agg(
+        sum(when(col("f").isNotNull && col("s").isNotNull, 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("f").isNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("n_kept"), col("n_added"), col("n_removed"),
+        ((col("n_added") + col("n_removed")).cast("double") /
+          (col("n_kept") + col("n_added")).cast("double")).as("churn"))
+  }
+
   /** (degree, node) lexicographic order — the degree-ordered orientation
     * triangle counting hangs on (Ortmann & Brandes 2014; the compact-
     * forward algorithm): orienting every edge from the order-smaller to

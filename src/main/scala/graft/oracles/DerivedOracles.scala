@@ -401,6 +401,46 @@ object DerivedOracles {
         |UNION ALL SELECT 4, 'quality+repetition+dedup', n3, c3 FROM ag""".stripMargin
   }
 
+  /** Derive the g13 oracle from g9's: the projection/knn/und chain runs
+    * TWICE — once verbatim (the fresh build) and once as a renamed copy
+    * whose order join carries the stored split's filter (yesterday's
+    * facts) — then a full outer join on the canonical edge and the
+    * kept/added/removed churn aggregate. The copy is string-derived
+    * with whole-word CTE renames so an edit to g9's chain flows into
+    * BOTH sides or fails the anchors loudly. */
+  private[graft] def indexChurnOracle(g9: String): String = {
+    val anchor = "deg AS (SELECT node,"
+    val joinAnchor = "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    require(g9.contains(anchor) && g9.contains(joinAnchor),
+      "g9 oracle SQL lost the g13 anchors")
+    val prefix = g9.substring(0, g9.indexOf(anchor))
+    // the chain between WITH and the cut, as CTE definitions text
+    require(prefix.startsWith("WITH "), "g9 oracle lost its WITH head")
+    val chain = prefix.stripPrefix("WITH ").stripSuffix("\n")
+      .reverse.dropWhile(c => c == ',' || c == '\n').reverse
+    val renamed = Seq("pair", "capped", "cop", "dir", "knn", "und")
+      .foldLeft(chain) { (sql, cte) =>
+        sql.replaceAll("\\b" + cte + "\\b", cte + "2")
+      }
+      .replace(joinAnchor,
+        joinAnchor + " AND o_orderkey % 10 <> 0")
+    "WITH " + chain + ",\n" + renamed + ",\n" +
+      """ch AS (SELECT f.u AS fu, o.u AS ou
+        |  FROM und f FULL OUTER JOIN und2 o ON o.u = f.u AND o.v = f.v)
+        |SELECT
+        |  CAST(SUM(CASE WHEN fu IS NOT NULL AND ou IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN ou IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN fu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(SUM(CASE WHEN ou IS NULL OR fu IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN fu IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS churn
+        |FROM ch GROUP BY (1=1)""".stripMargin
+  }
+
   /** Derive the s23 oracle from s22's: lift the served top-k tail into
     * a CTE, add the exact filtered brute-force side (every allowed
     * corpus vector scored per query — the s11 semantics with the s22

@@ -366,6 +366,31 @@ class GraphSpec extends SparkSpec {
       "stored triangleStats drifted from inline")
   }
 
+  test("neighborChurn: kept/added/removed edges between builds") {
+    // stored build saw only customer 10's clique {1,2,3}; the fresh
+    // build adds customer 20's pair {7,8} — 3 kept, 1 added, 0 removed
+    val liOld = Seq((100L, 1L), (100L, 2L), (100L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val liNew = liOld.unionByName(
+      Seq((200L, 7L), (200L, 8L)).toDF("l_orderkey", "l_suppkey"))
+    val ordOld = Seq((100L, 10L)).toDF("o_orderkey", "o_custkey")
+    val ordNew = Seq((100L, 10L), (200L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val r = Graph.neighborChurn(
+      Graph.neighborIndex(liNew, ordNew),
+      Graph.neighborIndex(liOld, ordOld)).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 3L && r.head.getLong(1) == 1L &&
+      r.head.getLong(2) == 0L, s"${r.head}")
+    assert(r.head.getDouble(3) == 1.0 / 4.0, s"${r.head}")
+    // identical builds churn zero
+    val same = Graph.neighborChurn(
+      Graph.neighborIndex(liNew, ordNew),
+      Graph.neighborIndex(liNew, ordNew)).collect().head
+    assert(same.getLong(1) == 0L && same.getLong(2) == 0L &&
+      same.getDouble(3) == 0.0)
+  }
+
   test("componentSizes: two disjoint affinity cliques, hand-checked") {
     // two disjoint purchase stars that project to two disjoint supplier
     // cliques: {1,2,3} (customer 10) and {7,8} (customer 20)
