@@ -650,11 +650,19 @@ object Graph {
     * ([[Dedup.connectedComponents]] — converged min-label propagation,
     * no driver graph state), served from the stored [[NeighborIndex]].
     * Integers end to end. */
+  /** Per-node component assignment over the stored neighbor graph —
+    * g12's underlying table, exposed so the nightly build can write it
+    * as a lake table for the streaming membership twin
+    * ([[graft.streaming.StreamGraph.componentMembershipVsIndex]]).
+    * Materialized (converged star-contraction CC). */
+  def componentMembers(index: NeighborIndex): DataFrame =
+    Caching.materialize(Dedup.connectedComponents(
+        index.edges.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc").as("node"), col("lab").as("component")))
+
   def componentSizes(index: NeighborIndex): DataFrame = {
     val und = index.edges
-    val comps = Dedup.connectedComponents(
-      und.select(col("u").as("doc_a"), col("v").as("doc_b")))
-      .select(col("doc").as("node"), col("lab").as("component"))
+    val comps = componentMembers(index)
     Caching.withPersisted(comps) {
       val nodes = comps.groupBy(col("component"))
         .agg(count(lit(1)).as("n_nodes"))

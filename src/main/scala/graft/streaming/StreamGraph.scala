@@ -93,4 +93,38 @@ object StreamGraph {
       .withColumn("is_known", col("degree").isNotNull)
       .withColumn("in_core", coalesce(col("in_core"), lit(false)))
       .withColumn("core_degree", coalesce(col("core_degree"), lit(0L)))
+
+  /** Per-micro-batch component lookup: which affinity-graph component
+    * does each arriving row's `node` belong to, and how big is it — the
+    * shard-routing input ([[graft.operators.Graph.componentSizes]]'s
+    * stored output joined to the stored per-node component table): rows
+    * of one component can be curated on one shard. Completes the
+    * stored-graph serve family (labels, bridges, core, components).
+    * Same staleness contract: post-build nodes miss loudly. */
+  def componentMembershipVsIndex(
+      rows: DataFrame,
+      components: DataFrame,
+      sizes: DataFrame,
+      sink: DataFrame => Unit): StreamingQuery =
+    rows.writeStream
+      .queryName("graft-component-membership")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchComponentMembership(batch, components, sizes)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Batch twin of [[componentMembershipVsIndex]]'s per-batch body.
+    * `components` is the stored (node, component) table (the CC engine's
+    * per-node output); `sizes` the stored [[graft.operators.Graph
+    * .componentSizes]] rollup (component, n_nodes, n_edges). */
+  def batchComponentMembership(batch: DataFrame, components: DataFrame,
+      sizes: DataFrame): DataFrame =
+    batch
+      .join(components.select(col("node"), col("component")),
+        Seq("node"), "left_outer")
+      .join(sizes.select(col("component"), col("n_nodes"),
+        col("n_edges")), Seq("component"), "left_outer")
+      .withColumn("is_known", col("component").isNotNull)
 }

@@ -104,6 +104,56 @@ class StreamGraphSpec extends SparkSpec {
     assert(got.exists(r => r._1 == 99L && !r._2 && !r._3))
   }
 
+  test("componentMembershipVsIndex: per-batch component lookups equal " +
+    "the batch twin through a parquet round-trip") {
+    // two disjoint cliques: {1,2,3} (cust 10) and {7,8} (cust 20)
+    val lineitem = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 7L), (200L, 8L)).toDF("l_orderkey", "l_suppkey")
+    val orders = Seq((100L, 10L), (200L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val nIdx = Graph.neighborIndex(lineitem, orders)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sgm-")
+    Graph.componentMembers(nIdx).write.parquet(s"$dir/members")
+    Graph.componentSizes(nIdx).write.parquet(s"$dir/sizes")
+    val members = spark.read.parquet(s"$dir/members")
+    val sizes = spark.read.parquet(s"$dir/sizes")
+
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Option[Long], Boolean, Long)]()
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamGraph.componentMembershipVsIndex(
+      input.toDF().toDF("node", "payload"), members, sizes,
+      df => df.collect().foreach(r => rows.add((
+        r.getLong(r.fieldIndex("node")),
+        if (r.isNullAt(r.fieldIndex("component"))) None
+        else Some(r.getLong(r.fieldIndex("component"))),
+        r.getBoolean(r.fieldIndex("is_known")),
+        r.getLong(r.fieldIndex("batch_id"))))))
+    try {
+      input.addData(Seq((2L, 1L), (8L, 2L)))
+      q.processAllAvailable()
+      input.addData(Seq((99L, 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.asScala.toSet
+    def twin(batch: Seq[(Long, Long)], id: Long) =
+      StreamGraph.batchComponentMembership(
+          batch.toDF("node", "payload"), members, sizes)
+        .collect().map(r => (
+          r.getLong(r.fieldIndex("node")),
+          if (r.isNullAt(r.fieldIndex("component"))) None
+          else Some(r.getLong(r.fieldIndex("component"))),
+          r.getBoolean(r.fieldIndex("is_known")), id))
+    val want = (twin(Seq((2L, 1L), (8L, 2L)), 0L) ++
+      twin(Seq((99L, 3L)), 1L)).toSet
+    assert(got == want, s"stream rows must equal batch twin:\n$got\n$want")
+    // nodes land in their own components; the post-build node misses
+    assert(got.exists(r => r._1 == 2L && r._2 == Some(1L) && r._3))
+    assert(got.exists(r => r._1 == 8L && r._2 == Some(7L) && r._3))
+    assert(got.exists(r => r._1 == 99L && r._2.isEmpty && !r._3))
+  }
+
   test("membershipVsIndex emits the batch-twin rows per micro-batch") {
     val idx = index
     val dir = java.nio.file.Files.createTempDirectory("graft-sg2-")
