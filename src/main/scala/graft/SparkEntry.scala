@@ -671,6 +671,15 @@ object SparkEntry {
     // filtered brute-force top-k — the s17-for-s16 gauge, for s22.
     "s23_filtered_recall" -> ((s, d) =>
       Similarity.filteredRecall(T.embeddings(s, d), storedIvfIndex(s, d))),
+    // s24: cell-assignment churn between the stored (split-trained,
+    // the s15 convention) and fresh full-corpus quantizers — does a
+    // retrain move vectors across cells (version the index, don't
+    // swap in place). Building the split index IS part of the query,
+    // like s15.
+    "s24_cell_churn" -> ((s, d) => Similarity.cellChurn(
+      storedIvfIndex(s, d),
+      Similarity.ivfAdcIndex(
+        T.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) =!= 3)))),
     "s14_ivf_adc_vs_index" -> ((s, d) =>
       Similarity.ivfAdcVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
     // s15: the index LIFECYCLE path — build on the vec_id % 7 != 3 split,
@@ -921,7 +930,10 @@ object SparkEntry {
     ("c29_gate_funnel" -> gateFunnelOracle(oracleSqlBase("c5_curation_pipeline"))) +
     // g13 is g9's projection/knn chain TWICE (fresh + a renamed copy
     // with the stored split's order filter) + the churn aggregate.
-    ("g13_index_churn" -> indexChurnOracle(oracleSqlBase("g9_triangle_lcc")))
+    ("g13_index_churn" -> indexChurnOracle(oracleSqlBase("g9_triangle_lcc"))) +
+    // s24 is s13's kmeans/assignment chain TWICE (fresh + a renamed
+    // copy whose base corpus is the stored split) + the churn join.
+    ("s24_cell_churn" -> cellChurnOracle(oracleSqlBase("s13_ivf_adc")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

@@ -1038,6 +1038,30 @@ object Similarity {
     }
   }
 
+  /** Cell-assignment churn after quantizer retraining (s24): the fresh
+    * full-corpus index's cell table inner-joined to the stored
+    * split-trained index's on vec_id — how many vectors a retrain MOVES
+    * to a different coarse cell. The IVF analog of the neighbor-graph
+    * churn report (g13): s20's balance says whether the cells are even,
+    * this says whether they are STABLE — a retrain that moves a large
+    * fraction invalidates cached probe routing and any cell-local
+    * statistics downstream, and is the signal to version the index
+    * rather than swap it in place. One equi-join of two |corpus|-row
+    * tables + a constant-group aggregate; empty inputs → empty report. */
+  def cellChurn(fresh: IvfAdcIndex, stored: IvfAdcIndex): DataFrame = {
+    val f = fresh.cells.select(col("vec_id"), col("cent_id").as("cf"))
+    val o = stored.cells.select(col("vec_id"), col("cent_id").as("cs"))
+    f.join(o, "vec_id")
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(when(col("cf") === col("cs"), 1L).otherwise(0L)).as("n_same"),
+        sum(when(col("cf") =!= col("cs"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("n_common"), col("n_same"), col("n_moved"),
+        (col("n_moved").cast("double") / col("n_common").cast("double"))
+          .as("moved_frac"))
+  }
+
   /** TwoNN intrinsic-dimension estimate (e23, Facco et al. 2017): over
     * the standard query sample, each point's two nearest EUCLIDEAN
     * neighbors give μ = r₂/r₁, and the MLE intrinsic dimension is

@@ -441,6 +441,46 @@ object DerivedOracles {
         |FROM ch GROUP BY (1=1)""".stripMargin
   }
 
+  /** Derive the s24 oracle from s13's: the k-means/assignment chain
+    * runs TWICE — once verbatim (the fresh full-corpus quantizer) and
+    * once as a whole-word-renamed copy whose base corpus CTE carries
+    * the stored split's filter (training AND assignment both restrict,
+    * exactly ivfAdcIndex over the split) — then the two cell tables
+    * join on vec_id for the moved/same churn aggregate. */
+  private[graft] def cellChurnOracle(s13: String): String = {
+    val anchor = "probes AS (SELECT vec_id AS query_id"
+    val i = s13.indexOf(anchor)
+    require(i >= 0, "s13 oracle SQL lost the asg anchor for s24")
+    val prefix = s13.substring(0, i)
+    require(prefix.startsWith("WITH "), "s13 oracle lost its WITH head")
+    val chain = prefix.stripPrefix("WITH ").stripSuffix("\n")
+      .reverse.dropWhile(c => c == ',' || c == '\n').reverse
+    val ctes = Seq("v", "dims", "samp", "c0", "a0", "g0", "m1", "c1",
+      "a1", "g1", "m2", "cent", "ac", "asg")
+    ctes.foreach(n => require(chain.contains(n + " AS ("),
+      s"s13 oracle lost the $n CTE for s24"))
+    val renamed = ctes.foldLeft(chain) { (sql, cte) =>
+      sql.replaceAll("\\b" + cte + "\\b", cte + "2")
+    }
+    val vAnchor = "v2 AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)"
+    require(renamed.contains(vAnchor),
+      "s13 oracle lost the corpus CTE for s24")
+    val split = renamed.replace(vAnchor,
+      "v2 AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings" +
+        "\n  WHERE vec_id % 7 <> 3)")
+    "WITH " + chain + ",\n" + split + "\n" +
+      """SELECT CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(SUM(CASE WHEN f.cent_id = o.cent_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_same,
+        |  CAST(SUM(CASE WHEN f.cent_id <> o.cent_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  CAST(SUM(CASE WHEN f.cent_id <> o.cent_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS moved_frac
+        |FROM asg f JOIN asg2 o ON o.vec_id = f.vec_id
+        |GROUP BY (1=1)""".stripMargin
+  }
+
   /** Derive the s23 oracle from s22's: lift the served top-k tail into
     * a CTE, add the exact filtered brute-force side (every allowed
     * corpus vector scored per query — the s11 semantics with the s22

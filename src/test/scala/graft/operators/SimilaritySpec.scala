@@ -650,6 +650,22 @@ class SimilaritySpec extends SparkSpec {
       s"s18 mean $s18MeanAll exceeds per-subspace sum $bySumMean")
   }
 
+  test("cellChurn: identical quantizers move nothing; split-only join") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val full = Similarity.ivfAdcIndex(emb)
+    // identical indexes: every common vector keeps its cell
+    val same = Similarity.cellChurn(full, full).collect().head
+    assert(same.getLong(0) == 5L && same.getLong(1) == 5L &&
+      same.getLong(2) == 0L && same.getDouble(3) == 0.0, s"$same")
+    // split-trained stored index: the churn join covers only the
+    // vectors BOTH indexes know (the split), never the arrivals
+    val stored = Similarity.ivfAdcIndex(
+      emb.filter(pmod(col("vec_id"), lit(7)) =!= 3))
+    val churn = Similarity.cellChurn(full, stored).collect().head
+    assert(churn.getLong(0) == 4L, s"$churn")
+    assert(churn.getLong(1) + churn.getLong(2) == churn.getLong(0))
+  }
+
   test("intrinsicDimension: hand-checked TwoNN ratio on a line") {
     def vec(t: Float): Array[Float] = {
       val a = Array.fill(64)(0f); a(0) = t; a
