@@ -184,7 +184,8 @@ object Bench {
       val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes",
         "g7_modularity")
       val triangleConsumers = Set("g10_transitivity")
-      val neighborConsumers = Set("g11_kcore", "g12_components")
+      val neighborConsumers = Set("g11_kcore", "g12_components",
+        "g13_index_churn")
       SparkEntry.primeStoredIndexes(spark, sfDir,
         ivf = selected.keys.exists(ivfConsumers),
         labels = selected.keys.exists(labelConsumers),

@@ -529,11 +529,12 @@ object SparkEntry {
     // star-contraction CC, per-component node/edge counts.
     "g12_components" -> ((s, d) =>
       Graph.componentSizes(storedNeighborIndex(s, d))),
-    // g13: churn of the stored neighbor index vs a fresh build —
-    // yesterday's facts are the o_orderkey % 10 != 0 split (the d13
-    // split convention); the staleness contract, measured.
+    // g13: churn of the stored neighbor index vs yesterday's build —
+    // the fresh side IS the stored lake artifact (the same edges g11/
+    // g12 serve from); only yesterday's split (o_orderkey % 10 != 0,
+    // the d13 convention) builds inline.
     "g13_index_churn" -> ((s, d) => Graph.neighborChurn(
-      Graph.neighborIndex(T.lineitem(s, d), T.orders(s, d)),
+      storedNeighborIndex(s, d),
       Graph.neighborIndex(T.lineitem(s, d),
         T.orders(s, d).filter(col("o_orderkey") % 10 =!= 0)))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),

@@ -97,9 +97,12 @@ object Similarity {
   /** s1's body over an already-prepared (and persisted) vector frame —
     * shared with [[annRecall]] so the evaluation preps the corpus once. */
   private def knnWithVc(v: DataFrame, k: Int): DataFrame = {
-    val q = defaultQueries(v)
+    // materialized for the kmeansCentroids-seeds reason: the scan query
+    // otherwise builds lazily-persisted `v`'s cache from two concurrent
+    // stages (this broadcast build + the corpus scan)
+    val q = Caching.materialize(defaultQueries(v)
       .select(col("vec_id").as("query_id"), col("x").as("qx"),
-        col("nrm").as("qnrm"))
+        col("nrm").as("qnrm")))
     val scored = broadcast(q)
       .join(v, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -167,9 +170,13 @@ object Similarity {
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("x"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
     Caching.withPersisted(v) {
-      val q = defaultQueries(v)
+      // materialized for the kmeansCentroids-seeds reason: the first
+      // mmrCore query otherwise scans lazily-persisted `v` from two
+      // concurrent stages (this broadcast build + the corpus scan),
+      // racing v's cache build (BlockManager "already exists" WARN)
+      val q = Caching.materialize(defaultQueries(v)
         .select(col("vec_id").as("query_id"), col("x").as("qx"),
-          col("nrm").as("qnrm"))
+          col("nrm").as("qnrm")))
       mmrCore(q, v, k, poolK, lambda)
     }
   }
@@ -1020,9 +1027,10 @@ object Similarity {
       .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
       .transform(Partitioning.spread(_, col("vec_id")))
     Caching.withPersisted(v) {
-      val anchors = defaultQueries(v)
+      // materialized for the kmeansCentroids-seeds reason (see there)
+      val anchors = Caching.materialize(defaultQueries(v)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("x").as("qx"), col("nrm").as("qnrm"))
+          col("x").as("qx"), col("nrm").as("qnrm")))
       val scored = broadcast(anchors)
         .join(v, col("vec_id") =!= col("query_id") &&
           col("label") =!= col("qlabel"))
@@ -1192,9 +1200,17 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     GraftFunctions.register(v.sparkSession)
     val samp = v.filter(col("vec_id") % KMeansSampleEvery === 0)
-    val seeds = v.filter(col("vec_id") % CentroidEvery === 0)
-      .select(col("vec_id").as("cent_id"), col("x").as("cx"),
-        col("nrm").as("cnrm"))
+    // seeds are MATERIALIZED before the round loop: the first round's
+    // query otherwise scans the caller's lazily-persisted `v` from TWO
+    // concurrent stages (the seeds broadcast-exchange build and the
+    // samp scan), racing its cache build (the BlockManager "already
+    // exists, not re-adding" WARN — deterministic in the bench's
+    // priming phase). The materialize action is a single sequential
+    // scan, so v's cache exists before any concurrent consumer plans.
+    val seeds = Caching.materialize(
+      v.filter(col("vec_id") % CentroidEvery === 0)
+        .select(col("vec_id").as("cent_id"), col("x").as("cx"),
+          col("nrm").as("cnrm")))
     (1 to KMeansIters).foldLeft(seeds) { (cent, _) =>
       val scored = samp.join(broadcast(cent))
         .select(col("vec_id"), col("cent_id"),

@@ -137,6 +137,10 @@ object DataCard {
       graft.operators.Graph.triangleStats(nIdx))
     val components = graft.operators.Graph.componentSizes(nIdx)
       .orderBy(col("n_nodes").desc, col("component")).limit(10)
+    // g13: how much of the stored index yesterday's build would miss
+    val churn = graft.operators.Graph.neighborChurn(nIdx,
+      graft.operators.Graph.neighborIndex(li,
+        ord.filter(col("o_orderkey") % 10 =!= 0)))
     // x39: the per-feed off-distribution dial, worst source first
     val lmBySource = LlmLm.lmScoreBySource(docs)
       .orderBy(col("avg_logprob"), col("source"))
@@ -201,6 +205,8 @@ object DataCard {
     sb ++= section("Co-purchase hub-cap accounting (g6)", copurchase)
     sb ++= section("Affinity-graph components (g12: largest first)",
       components)
+    sb ++= section(
+      "Neighbor-index churn (g13: stored split vs fresh build)", churn)
     sb ++= section(
       "Perceptual-hash distance histogram (mm15: cutoff tuning)",
       hammingHist)

@@ -41,7 +41,8 @@ class DataCardSpec extends SparkSpec {
         "## Reference-LM score by source (x39: pooled, worst feed first)",
         "## Embedding spectrum shape (e22: spectral gap)",
         "## Affinity-graph components (g12: largest first)",
-        "## Perceptual-hash distance histogram (mm15: cutoff tuning)"))
+        "## Perceptual-hash distance histogram (mm15: cutoff tuning)",
+        "## Neighbor-index churn (g13: stored split vs fresh build)"))
       assert(card.contains(section), s"missing section: $section\n$card")
     // overview numbers are real
     assert("- documents: (\\d+)".r.findFirstMatchIn(card)
