@@ -186,11 +186,13 @@ object Bench {
       val triangleConsumers = Set("g10_transitivity")
       val neighborConsumers = Set("g11_kcore", "g12_components",
         "g13_index_churn")
+      val componentConsumers = Set("g12_components")
       SparkEntry.primeStoredIndexes(spark, sfDir,
         ivf = selected.keys.exists(ivfConsumers),
         labels = selected.keys.exists(labelConsumers),
         triangles = selected.keys.exists(triangleConsumers),
-        neighbors = selected.keys.exists(neighborConsumers))
+        neighbors = selected.keys.exists(neighborConsumers),
+        components = selected.keys.exists(componentConsumers))
     }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the

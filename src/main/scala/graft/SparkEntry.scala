@@ -41,21 +41,19 @@ object SparkEntry {
     * scan RDDs — no cross-query re-persist of a shared RDD (the
     * BlockManager "already exists, not re-adding" notice). The temp dirs
     * are deleted by a JVM shutdown hook. */
+  /** Builds route through [[graft.sources.IndexStore]] — the versioned
+    * publish-then-flip registry (VERDICT r12 #7) — so every stored
+    * family is versioned uniformly; this map only memoizes "the suite
+    * needs ONE build per (family, sf) per JVM". A caller wanting
+    * version lifecycle (pin build N across a batch window while N+1
+    * lands) uses IndexStore directly; IndexStoreSpec pins that
+    * coexistence contract. */
   private val storedIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def storedTempDir(key: String)(
       write: String => Unit): String =
-    storedIndexDirs.computeIfAbsent(key, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-idx-")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          java.nio.file.Files.walk(tmp)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-        } catch { case _: Throwable => () }))
-      write(tmp.toString)
-      tmp.toString
-    })
+    storedIndexDirs.computeIfAbsent(key,
+      _ => graft.sources.IndexStore.publish(key)(write).dir)
 
   /** Bench hook: build + store the shared indexes UNTIMED. In the
     * deployment story these are nightly-build lake tables, not query
@@ -66,11 +64,12 @@ object SparkEntry {
     * train inline, and ScaleSmoke times `s13_index_build` explicitly. */
   def primeStoredIndexes(s: SparkSession, d: String,
       ivf: Boolean, labels: Boolean, triangles: Boolean = false,
-      neighbors: Boolean = false): Unit = {
+      neighbors: Boolean = false, components: Boolean = false): Unit = {
     if (ivf) { storedIvfIndex(s, d); () }
     if (labels) { storedLabelIndex(s, d); () }
     if (triangles) { storedTriangleStats(s, d); () }
     if (neighbors) { storedNeighborIndex(s, d); () }
+    if (components) { storedComponentMembers(s, d); () }
   }
 
   private def storedIvfIndex(s: SparkSession, d: String): Similarity.IvfAdcIndex = {
@@ -127,6 +126,23 @@ object SparkEntry {
         .write.parquet(s"$tmp/pernode")
     }
     s.read.parquet(s"$dir/pernode")
+  }
+
+  /** ONE stored per-node component-membership table per scale factor
+    * (VERDICT r12 #3 — labels, edges, and triangles had `storedTempDir`
+    * artifacts; components didn't, so g12 re-ran star-contraction CC
+    * per call, a rebuild-per-consumer at 100 TB): the nightly build
+    * derives it from the stored neighbor edges, and g12's rollup plus
+    * the streaming membership twin serve from it — a join + fold over
+    * stored tables, zero CC work at read time. CC label arithmetic is
+    * integer-deterministic, so stored ≡ inline (GraphSpec pins it
+    * through a parquet round-trip) and the g12 oracle is unchanged. */
+  private def storedComponentMembers(s: SparkSession, d: String): DataFrame = {
+    val dir = storedTempDir(s"cc:$d") { tmp =>
+      Graph.componentMembers(storedNeighborIndex(s, d))
+        .write.parquet(s"$tmp/members")
+    }
+    s.read.parquet(s"$dir/members")
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.8 extension
@@ -526,9 +542,11 @@ object SparkEntry {
     "g11_kcore" -> ((s, d) => Graph.kcore(storedNeighborIndex(s, d),
       k = 2, maxRounds = 64)),
     // g12: connected components of the same stored neighbor graph —
-    // star-contraction CC, per-component node/edge counts.
-    "g12_components" -> ((s, d) =>
-      Graph.componentSizes(storedNeighborIndex(s, d))),
+    // SERVED from the stored per-node membership table (the nightly CC
+    // build's lake artifact): a join + fold over stored tables, zero
+    // star-contraction work at read time (VERDICT r12 #3).
+    "g12_components" -> ((s, d) => Graph.componentSizesFrom(
+      storedNeighborIndex(s, d).edges, storedComponentMembers(s, d))),
     // g13: churn of the stored neighbor index vs yesterday's build —
     // the fresh side IS the stored lake artifact (the same edges g11/
     // g12 serve from); only yesterday's split (o_orderkey % 10 != 0,

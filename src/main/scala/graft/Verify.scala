@@ -54,6 +54,33 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Over-unroll invariant (ADVICE r12): the g2/g11 oracles unroll a
+    // FIXED number of rounds while the engine runs to fixpoint under a
+    // larger safety cap. Rounds past the fixpoint are no-ops, so the two
+    // sides agree iff the engine's last CHANGING round fell within the
+    // oracle's unroll — a dataset whose fixpoint depth lands between the
+    // unroll and the cap would converge cleanly on the Spark side (no
+    // warning) yet diverge from the oracle, a loud but confusing parity
+    // failure. Check it against THIS dump's recorded telemetry instead
+    // of assuming it: fail the whole dump so the gap is named before the
+    // driver's DuckDB compare turns it into a hash mismatch.
+    def lastChangingRound(changes: Seq[Long]): Int =
+      changes.lastIndexWhere(_ != 0L) + 1
+    import graft.operators.Graph
+    if (Graph.lastLpaRoundChanges.nonEmpty)
+      require(lastChangingRound(Graph.lastLpaRoundChanges) <=
+        graft.oracles.GraphOracles.lpaUnrolledRounds,
+        s"LPA's last changing round " +
+          s"(${Graph.lastLpaRoundChanges.mkString(",")}) exceeds the " +
+          s"${graft.oracles.GraphOracles.lpaUnrolledRounds}-round oracle " +
+          "unroll — raise lpaUnrolledRounds or the g2 oracle diverges")
+    if (Graph.lastKcorePeeled.nonEmpty)
+      require(lastChangingRound(Graph.lastKcorePeeled) <=
+        graft.oracles.DerivedOracles.kcoreUnrolledRounds,
+        s"kcore's last changing peel round " +
+          s"(${Graph.lastKcorePeeled.mkString(",")}) exceeds the " +
+          s"${graft.oracles.DerivedOracles.kcoreUnrolledRounds}-round " +
+          "oracle unroll — raise kcoreUnrolledRounds or g11 diverges")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

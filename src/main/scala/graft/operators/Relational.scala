@@ -663,10 +663,19 @@ object Relational {
     * prints without its rows, so two same-schema literal frames would
     * string-collide and serve the WRONG sketch — false negatives
     * silently dropping matching fact rows. Plan equality includes the
-    * data, so a hit is exact by construction; a miss only costs a
-    * rebuild. Entries of a stopped context are unreachable (the app id
-    * changes) and bounded by distinct dim plans per context;
-    * [[clearBloomSketchCache]] destroys them explicitly. */
+    * data ONLY for relation types whose canonicalized leaves pin it —
+    * file-source reads (the FileIndex rides the canonicalized
+    * `LogicalRelation`, so a file-set change forces a miss) and
+    * `LocalRelation` (rows are part of the node) — so memoization is
+    * RESTRICTED to plans all of whose leaves are those types. Any other
+    * leaf (a catalog/Hive table whose files can change under unchanged
+    * metadata, a DSv2 source, a streaming relation) builds a fresh
+    * sketch every call: correctness first, reuse only where a hit is
+    * provably exact (ADVICE r12 — the previous doc overclaimed "exact
+    * by construction" for every relation type). Entries of a stopped
+    * context are unreachable (the app id changes) and bounded by
+    * distinct dim plans per context; [[clearBloomSketchCache]] destroys
+    * them explicitly. */
   private final case class SketchKey(appId: String,
       canon: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       dimKey: String, expectedKeys: Long, numBits: Long)
@@ -688,6 +697,28 @@ object Relational {
     sketchCache.clear()
   }
 
+  /** A dim plan qualifies for sketch memoization only when EVERY leaf
+    * pins its data in the canonicalized plan: file-source scans (the
+    * FileIndex is compared by reference — new files → new index → cache
+    * miss) and literal in-memory relations (rows are node state). A
+    * catalog/DSv2/streaming leaf can re-read different data under a
+    * canonically-equal plan, and a stale bloom hit yields FALSE
+    * NEGATIVES — silently dropped matching fact rows — so those plans
+    * rebuild per call instead. */
+  private def memoizableDim(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Boolean =
+    plan.collectLeaves().forall {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation =>
+        true
+      case _ => false
+    }
+
   def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedKeys: Long = 1L << 20, fpp: Double = 0.03): DataFrame = {
@@ -697,10 +728,10 @@ object Relational {
     val spark = dim.sparkSession
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedKeys, fpp)
+    val analyzed = dim.queryExecution.analyzed
     val cacheKey = SketchKey(spark.sparkContext.applicationId,
-      dim.queryExecution.analyzed.canonicalized, dimKey, expectedKeys,
-      numBits)
-    val bc = sketchCache.computeIfAbsent(cacheKey, _ => {
+      analyzed.canonicalized, dimKey, expectedKeys, numBits)
+    def build(): org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
       sketchBuilds.incrementAndGet()
       // The bloom is built and probed over a TOTAL hash of the key, not
       // a cast: cast("long") yields null for non-numeric key types and
@@ -716,7 +747,11 @@ object Relational {
       val bytes = dim.select(Bridge.column(agg)).head()
         .getAs[Array[Byte]](0)
       spark.sparkContext.broadcast(bytes)
-    })
+    }
+    val bc =
+      if (memoizableDim(analyzed))
+        sketchCache.computeIfAbsent(cacheKey, _ => build())
+      else build()
     val might = Bridge.column(graft.functions.BloomProbeBc(
       bc, Bridge.expr(spark, xxhash64(col(factKey)))))
     fact.filter(might).join(dim, col(factKey) === col(dimKey))

@@ -1056,6 +1056,49 @@ object Similarity {
     * statistics downstream, and is the signal to version the index
     * rather than swap it in place. One equi-join of two |corpus|-row
     * tables + a constant-group aggregate; empty inputs → empty report. */
+  /** Assign caller-supplied vectors to their nearest coarse cell of a
+    * STORED centroid table — the serve-side quantizer step alone (no
+    * training): one broadcast of the ≤|cells| centroid rows against the
+    * batch, per-row top-1. The per-batch body of the streaming churn
+    * gauge and of any ingest path that routes arrivals into an existing
+    * index ([[appendToIndex]]'s assignment stage as a standalone). */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    bestCells(centroids)(vecs(embeddings), 1)
+
+  /** Per-batch cell-assignment churn gauge — the STREAMING twin of
+    * [[cellChurn]] (VERDICT r12 #8: s24 measures retrain churn
+    * batch-only, nightly; this is the same signal LIVE): for each
+    * arriving vector, its STORED assignment (the build-N cells lake
+    * table) vs a fresh local assignment against build-N+1's centroid
+    * table. The emitted fraction is the rebuild-cadence signal — a
+    * batch stream whose moved_frac jumps after a retrain says "flip
+    * consumers to the new build and invalidate cell-local caches NOW",
+    * without waiting for the nightly batch report. One broadcast-able
+    * equi-join against the stored cells + one ≤|centroids| broadcast
+    * scan per batch, O(batch); vectors unknown to the stored build are
+    * counted (`n_unknown`) but excluded from the fraction — they have
+    * no stored assignment to churn against. Empty batch → empty report
+    * (constant-group contract). */
+  def batchCellChurn(batch: DataFrame, storedCells: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val fresh = assignCells(batch, centroids)
+      .select(col("vec_id"), col("cent_id").as("cf"))
+    fresh
+      .join(storedCells.select(col("vec_id"), col("cent_id").as("cs")),
+        Seq("vec_id"), "left_outer")
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cs").isNull, 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(col("cs").isNotNull && col("cf") =!= col("cs"), 1L)
+          .otherwise(0L)).as("n_moved"),
+        sum(when(col("cs").isNotNull, 1L).otherwise(0L)).as("n_known"))
+      .select(col("n_rows"), col("n_known"), col("n_unknown"),
+        col("n_moved"),
+        when(col("n_known") > 0,
+          col("n_moved").cast("double") / col("n_known").cast("double"))
+          .otherwise(lit(0.0)).as("moved_frac"))
+  }
+
   def cellChurn(fresh: IvfAdcIndex, stored: IvfAdcIndex): DataFrame = {
     val f = fresh.cells.select(col("vec_id"), col("cent_id").as("cf"))
     val o = stored.cells.select(col("vec_id"), col("cent_id").as("cs"))

@@ -436,8 +436,7 @@ object DerivedOracles {
         |    AS n_removed,
         |  CAST(SUM(CASE WHEN ou IS NULL OR fu IS NULL THEN 1 ELSE 0 END)
         |      AS DOUBLE)
-        |    / CAST(SUM(CASE WHEN fu IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS DOUBLE) AS churn
+        |    / CAST(COUNT(*) AS DOUBLE) AS churn
         |FROM ch GROUP BY (1=1)""".stripMargin
   }
 
@@ -528,8 +527,15 @@ object DerivedOracles {
     * to FIXPOINT; peeling past the fixpoint is a no-op (the kept set
     * stops changing), so any unroll ≥ the data's fixpoint depth matches.
     * 12 rounds is 2× the measured depth at sf0.1 (and 3× sf0.01's) —
-    * GraphSpec pins the no-op-past-fixpoint algebra on a fixture. */
-  private[graft] def kcoreOracle(g9: String, rounds: Int = 12): String = {
+    * GraphSpec pins the no-op-past-fixpoint algebra on a fixture, and
+    * Verify asserts after every dump that the engine's LAST CHANGING
+    * peel round fell within this unroll (the over-unroll invariant is
+    * CHECKED per run, not assumed — ADVICE r12: a dataset whose
+    * fixpoint depth lands past the unroll would otherwise converge
+    * cleanly on the Spark side yet diverge from the oracle). */
+  private[graft] final val kcoreUnrolledRounds = 12
+  private[graft] def kcoreOracle(g9: String,
+      rounds: Int = kcoreUnrolledRounds): String = {
     val anchor = "deg AS (SELECT node,"
     require(g9.contains(anchor), "g9 oracle SQL lost the g11 anchor")
     // MATERIALIZED: DuckDB inlines CTEs by default, and each round

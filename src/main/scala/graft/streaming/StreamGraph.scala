@@ -127,4 +127,56 @@ object StreamGraph {
       .join(sizes.select(col("component"), col("n_nodes"),
         col("n_edges")), Seq("component"), "left_outer")
       .withColumn("is_known", col("component").isNotNull)
+
+  /** Streaming membership-churn gauge (g13's twin — VERDICT r12 #8):
+    * for each micro-batch of arriving rows, how many of its nodes sit
+    * in a DIFFERENT component under the newly-landed build than under
+    * the build consumers are still pinned to — the live "is the new
+    * graph build a relabel or a restructure" readout, emitted per batch
+    * while the nightly g13 report measures the whole index. One row per
+    * batch: rows seen, nodes known to both builds, known to only one
+    * (arrivals the old build predates, departures the new build
+    * dropped), and the moved fraction over the both-known set. Two
+    * broadcast-able equi-joins per batch, O(batch). Spec pins stream
+    * output == [[batchMembershipChurn]] on the same frames. */
+  def membershipChurnGauge(
+      rows: DataFrame,
+      membersOld: DataFrame,
+      membersNew: DataFrame,
+      sink: DataFrame => Unit): StreamingQuery =
+    rows.writeStream
+      .queryName("graft-membership-churn-gauge")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batchMembershipChurn(batch, membersOld, membersNew)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
+  /** Batch twin of [[membershipChurnGauge]]'s per-batch body. `moved`
+    * compares component REPRESENTATIVES across builds: star-contraction
+    * labels each component by its minimum node id, so two nodes moved
+    * apart or together always shows up as a representative change for
+    * at least one of them, and a pure relabel cannot occur (min-id is
+    * canonical). Empty batch → empty report. */
+  def batchMembershipChurn(batch: DataFrame, membersOld: DataFrame,
+      membersNew: DataFrame): DataFrame =
+    batch
+      .join(membersOld.select(col("node"), col("component").as("c_old")),
+        Seq("node"), "left_outer")
+      .join(membersNew.select(col("node"), col("component").as("c_new")),
+        Seq("node"), "left_outer")
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_old").isNotNull && col("c_new").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("c_old").isNull =!= col("c_new").isNull, 1L)
+          .otherwise(0L)).as("n_one_side"),
+        sum(when(col("c_old").isNotNull && col("c_new").isNotNull &&
+          col("c_old") =!= col("c_new"), 1L).otherwise(0L)).as("n_moved"))
+      .select(col("n_rows"), col("n_both"), col("n_one_side"),
+        col("n_moved"),
+        when(col("n_both") > 0,
+          col("n_moved").cast("double") / col("n_both").cast("double"))
+          .otherwise(lit(0.0)).as("moved_frac"))
 }

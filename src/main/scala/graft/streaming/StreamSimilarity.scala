@@ -132,6 +132,33 @@ object StreamSimilarity {
       Seq(col("cos").desc, col("neighbor_id")), k)
   }
 
+  /** Streaming cell-churn gauge (s24's twin — VERDICT r12 #8): each
+    * micro-batch of arriving vectors is compared STORED assignment
+    * (build N's cells lake table) vs a fresh local assignment against
+    * build N+1's centroid table, emitting one churn row per batch —
+    * the rebuild-cadence signal LIVE instead of nightly. The sink
+    * receives (n_rows, n_known, n_unknown, n_moved, moved_frac,
+    * batch_id); an operator watching moved_frac spike after a retrain
+    * flips consumers to the new build and invalidates cell-local
+    * caches without waiting for the batch report. Per-batch cost is
+    * one equi-join against the stored cells + one ≤|centroids|
+    * broadcast scan — O(batch), independent of corpus size. Spec pins
+    * stream output == `Similarity.batchCellChurn` on the same rows. */
+  def cellChurnGauge(
+      arrivals: DataFrame,
+      storedCells: DataFrame,
+      centroids: DataFrame,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .queryName("graft-cell-churn-gauge")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Similarity
+          .batchCellChurn(batch, storedCells, centroids)
+          .withColumn("batch_id", lit(batchId)))
+        ()
+      }
+      .start()
+
   /** Streaming MMR serving (s12's twin): each micro-batch of query
     * vectors is diversity-ranked against the static index with
     * `Similarity.mmrVsCorpus` — the retrieval endpoint shape (query

@@ -389,6 +389,72 @@ class GraphSpec extends SparkSpec {
       Graph.neighborIndex(liNew, ordNew)).collect().head
     assert(same.getLong(1) == 0L && same.getLong(2) == 0L &&
       same.getDouble(3) == 0.0)
+    // removal-heavy direction (ADVICE r12): the union denominator keeps
+    // churn in [0,1] — fresh=old vs stored=new reads 3 kept, 0 added,
+    // 1 removed → 1/4 (a fresh-size denominator would say 1/3, and
+    // 100% removals would exceed 1.0)
+    val rev = Graph.neighborChurn(
+      Graph.neighborIndex(liOld, ordOld),
+      Graph.neighborIndex(liNew, ordNew)).collect().head
+    assert(rev.getLong(0) == 3L && rev.getLong(1) == 0L &&
+      rev.getLong(2) == 1L, s"$rev")
+    assert(rev.getDouble(3) == 1.0 / 4.0, s"$rev")
+    // empty fresh vs nonempty stored: every edge removed → churn exactly
+    // 1.0, not Infinity (the old fresh-size denominator divided by zero)
+    val emptyIdx = Graph.NeighborIndex(
+      Seq.empty[(Long, Long)].toDF("u", "v"), maxSupp = 100, k = 10)
+    val gone = Graph.neighborChurn(
+      emptyIdx, Graph.neighborIndex(liNew, ordNew)).collect().head
+    assert(gone.getLong(0) == 0L && gone.getLong(1) == 0L &&
+      gone.getLong(2) == 4L, s"$gone")
+    assert(gone.getDouble(3) == 1.0, s"$gone")
+    // both sides empty: empty report (the empty-input contract)
+    assert(Graph.neighborChurn(emptyIdx, emptyIdx).collect().isEmpty)
+  }
+
+  test("componentSizesFrom: stored members table serves g12 ≡ inline") {
+    val (li, ord) = triangleFixture
+    val idx = Graph.neighborIndex(li, ord)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-spec-")
+    Graph.componentMembers(idx).write.parquet(s"$dir/members")
+    idx.edges.write.parquet(s"$dir/edges")
+    val served = Graph.componentSizesFrom(
+      spark.read.parquet(s"$dir/edges"),
+      spark.read.parquet(s"$dir/members"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sorted(served) == sorted(Graph.componentSizes(li, ord)),
+      "stored-members componentSizes drifted from inline")
+  }
+
+  test("convergenceReport: cap-hit surfaces as converged=false data") {
+    val (li, ord) = triangleFixture
+    // a full-cap run converges: both ops report converged=true
+    Graph.labelPropagation(li, ord)
+    Graph.kcore(li, ord)
+    val ok = Graph.convergenceReport(spark).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(ok == Map("lpa" -> true, "kcore" -> true), s"$ok")
+    // an 8-node path needs 4 peel rounds; a 2-round cap must surface
+    // converged=false AS DATA (not just the log warning) so a downstream
+    // job can refuse the artifact
+    val liPath = (1L to 7L).flatMap(i =>
+      Seq((i * 10, i), (i * 10, i + 1))).toDF("l_orderkey", "l_suppkey")
+    val ordPath = (1L to 7L).map(i => (i * 10, 100 + i))
+      .toDF("o_orderkey", "o_custkey")
+    Graph.kcore(liPath, ordPath, k = 2, maxRounds = 2)
+    val capped = Graph.convergenceReport(spark).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(4)))
+      .filter(_._1 == "kcore").toSeq
+    assert(capped == Seq(("kcore", 2, false)), s"$capped")
+    // and LPA under a 1-round cap cannot prove the two-zero fixpoint
+    Graph.labelPropagation(li, ord, maxIters = 1)
+    val lpaCapped = Graph.convergenceReport(spark).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(lpaCapped("lpa") == false, s"$lpaCapped")
+    // restore converged state for any later spec reading the globals
+    Graph.labelPropagation(li, ord)
+    Graph.kcore(li, ord)
   }
 
   test("componentSizes: two disjoint affinity cliques, hand-checked") {

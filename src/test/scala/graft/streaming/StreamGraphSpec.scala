@@ -195,4 +195,54 @@ class StreamGraphSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "c:99" && !r._3),
       "post-build node must be flagged unknown")
   }
+
+  test("membershipChurnGauge: per-batch moved fraction between two " +
+    "builds equals the batch twin, hand-checked") {
+    // build N: components {1,2,3} (rep 1) and {7,8} (rep 7), plus a
+    // node 4 the new build dropped; build N+1: 3 moved in with {7,8}
+    // (rep 3), {1,2} stays rep 1
+    val membersOld = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L),
+      (8L, 7L), (4L, 4L)).toDF("node", "component")
+    val membersNew = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 3L),
+      (8L, 3L)).toDF("node", "component")
+
+    implicit val sqlCtx = spark.sqlContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long, Double, Long)]()
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamGraph.membershipChurnGauge(
+      input.toDF().toDF("node", "payload"), membersOld, membersNew,
+      df => df.collect().foreach(r => rows.add((
+        r.getLong(r.fieldIndex("n_rows")),
+        r.getLong(r.fieldIndex("n_both")),
+        r.getLong(r.fieldIndex("n_one_side")),
+        r.getLong(r.fieldIndex("n_moved")),
+        r.getDouble(r.fieldIndex("moved_frac")),
+        r.getLong(r.fieldIndex("batch_id"))))))
+    try {
+      // arrivals: 2 (rep 1→1, same), 3 (1→3, moved), 8 (7→3, moved —
+      // the representative change is canonical even though 8 "stayed
+      // with" 7), 4 (old build only), 99 (unknown to both)
+      input.addData(Seq((2L, 0L), (3L, 0L), (8L, 0L), (4L, 0L),
+        (99L, 0L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 0L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.asScala.toSet
+    assert(got.size == 2, s"$got")
+    assert(got.contains((5L, 3L, 1L, 2L, 2.0 / 3.0, 0L)), s"$got")
+    assert(got.contains((1L, 1L, 0L, 0L, 0.0, 1L)), s"$got")
+    // stream body == batch twin on the same frames
+    val twin = StreamGraph.batchMembershipChurn(
+      Seq((2L, 0L), (3L, 0L), (8L, 0L), (4L, 0L), (99L, 0L))
+        .toDF("node", "payload"), membersOld, membersNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(twin == Seq((5L, 3L, 1L, 2L, 2.0 / 3.0)), s"$twin")
+    // empty batch → empty report
+    assert(StreamGraph.batchMembershipChurn(
+      Seq.empty[(Long, Long)].toDF("node", "payload"),
+      membersOld, membersNew).collect().isEmpty)
+  }
 }

@@ -181,4 +181,63 @@ class StreamSimilaritySpec extends SparkSpec {
         s"stored duplicate found at cosine 1: $rows")
     } finally q.stop()
   }
+
+  test("cellChurnGauge: per-batch stored-vs-fresh assignment churn, " +
+    "hand-checked and equal to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def axis(i: Int): Seq[Double] =
+      Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    // build N's centroids: cell 1 along e0, cell 2 along e1; build N+1
+    // SWAPS them — every vector's nearest cell flips
+    val centOld = Seq((1L, axis(0), 1.0), (2L, axis(1), 1.0))
+      .toDF("cent_id", "cx", "cnrm")
+    val centNew = Seq((1L, axis(1), 1.0), (2L, axis(0), 1.0))
+      .toDF("cent_id", "cx", "cnrm")
+    // build N's stored assignments (consistent with centOld)
+    val storedCells = Seq((1L, 1L), (2L, 2L)).toDF("vec_id", "cent_id")
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long, Double, Long)]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamSimilarity.cellChurnGauge(
+      input.toDF().toDF("vec_id", "embedding"), storedCells, centNew,
+      df => df.collect().foreach(r => got.add((
+        r.getLong(r.fieldIndex("n_rows")),
+        r.getLong(r.fieldIndex("n_known")),
+        r.getLong(r.fieldIndex("n_unknown")),
+        r.getLong(r.fieldIndex("n_moved")),
+        r.getDouble(r.fieldIndex("moved_frac")),
+        r.getLong(r.fieldIndex("batch_id"))))))
+    try {
+      // arrivals: vec 1 (e0, stored cell 1 → fresh cell 2 under the
+      // swap), vec 2 (e1, stored 2 → fresh 1), vec 99 (no stored row)
+      input.addData(Seq((1L, vec(0 -> 1f)), (2L, vec(1 -> 1f)),
+        (99L, vec(0 -> 1f))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, vec(0 -> 1f))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = got
+      .toArray(Array.empty[(Long, Long, Long, Long, Double, Long)]).toSet
+    assert(rows == Set(
+      (3L, 2L, 1L, 2L, 1.0, 0L),
+      (1L, 1L, 0L, 1L, 1.0, 1L)), s"$rows")
+    // batch twin on the same frames agrees
+    val twin = graft.operators.Similarity.batchCellChurn(
+        Seq((1L, vec(0 -> 1f)), (2L, vec(1 -> 1f)), (99L, vec(0 -> 1f)))
+          .toDF("vec_id", "embedding"), storedCells, centNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(twin == Seq((3L, 2L, 1L, 2L, 1.0)), s"$twin")
+    // same-build assignment (centOld) moves nothing
+    val calm = graft.operators.Similarity.batchCellChurn(
+        Seq((1L, vec(0 -> 1f)), (2L, vec(1 -> 1f)))
+          .toDF("vec_id", "embedding"), storedCells, centOld)
+      .collect().map(r => (r.getLong(3), r.getDouble(4))).toSeq
+    assert(calm == Seq((0L, 0.0)), s"$calm")
+    // empty batch → empty report
+    assert(graft.operators.Similarity.batchCellChurn(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      storedCells, centOld).collect().isEmpty)
+  }
 }
