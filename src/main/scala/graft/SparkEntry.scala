@@ -292,6 +292,8 @@ object SparkEntry {
     // sums, one division — not a mean of per-doc means).
     "x39_lm_by_source" -> ((s, d) =>
       LlmLm.lmScoreBySource(T.documents(s, d))),
+    // x40: per-source hapax share — the corpus-frequency-tail QC gauge.
+    "x40_hapax" -> ((s, d) => LlmText.hapaxBySource(T.documents(s, d))),
     // c28: per-source curriculum ranks + training-phase tags.
     "c28_curriculum" -> ((s, d) =>
       Curation.curriculumOrder(T.documents(s, d))),
@@ -406,6 +408,9 @@ object SparkEntry {
     // q67: the key-skew head that DECIDES the q25/q26 salting factor.
     "q67_key_skew" -> ((s, d) =>
       R.keySkewReport(T.events(s, d), "user_id")),
+    // q68: per-user modal event type — the MODE aggregate with a
+    // deterministic tie-break (count DESC, type ASC on both engines).
+    "q68_mode" -> ((s, d) => R.modalEventType(T.events(s, d))),
     "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
@@ -555,6 +560,11 @@ object SparkEntry {
       storedNeighborIndex(s, d),
       Graph.neighborIndex(T.lineitem(s, d),
         T.orders(s, d).filter(col("o_orderkey") % 10 =!= 0)))),
+    // g14: the LPA convergence profile as data — one row per changing
+    // round, so the engine's fixpoint stop and the oracle's over-unroll
+    // agree by construction (trailing/extra rounds change nothing).
+    "g14_lpa_profile" -> ((s, d) =>
+      Graph.lpaProfile(T.lineitem(s, d), T.orders(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     // q66: per-user EWMA (α = ½ — dyadic weights, bit-exact, no grid).
     "q66_ewma" -> ((s, d) => Temporal.ewma(T.events(s, d))),
@@ -766,6 +776,10 @@ object SparkEntry {
     // next to e21's covariance-based participation ratio.
     "e23_intrinsic_dim" -> ((s, d) =>
       Similarity.intrinsicDimension(T.embeddings(s, d))),
+    // e24: per-label norm-band histogram — the pre-cosine embedding QC
+    // gate (dead vectors, un-normalized stragglers, per-class drift).
+    "e24_norm_bands" -> ((s, d) =>
+      graft.operators.VectorOps.normBands(T.embeddings(s, d))),
     "e16_dim_stats" -> ((s, d) =>
       graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     // e18: whitening z-scores off e16's grid-exact per-dim moments.

@@ -64,11 +64,19 @@ object Graph {
     val rawEdges = custSuppEdges(lineitem, orders)
     val outW = rawEdges.groupBy(col("src"))
       .agg(sum(col("w")).as("wout"))
+    // materialize ONLY — no persist() on top: the frames are already
+    // storage-backed (checkpoint blocks exist before any consumer
+    // plans), and layering a lazy CacheManager persist over them
+    // re-introduces exactly the cache-build race the materialization
+    // exists to prevent — the first round's join scans the unbuilt
+    // InMemoryRelation from two concurrent stages and both compute it
+    // (the BlockManager "already exists, not re-adding" WARN the r12
+    // driver bench tail recorded; reproduced 3/3 in the bench priming
+    // phase and gone with the redundant layer removed).
     val edges = Caching.materialize(rawEdges.join(outW, "src"))
     val nodes = Caching.materialize(
       edges.select(col("src").as("node")).distinct())
-    edges.persist(); nodes.persist()
-    try {
+    locally {
       val n = nodes.count()
       val base = (1.0 - damp) / n.toDouble
       var pr = Caching.materialize(
@@ -90,7 +98,7 @@ object Graph {
               .as("pr")))
       }
       pr
-    } finally { edges.unpersist(false); nodes.unpersist(false) }
+    }
   }
 
   /** Semi-synchronous weighted label propagation (g2) over the same
@@ -123,11 +131,12 @@ object Graph {
     * materialized per round for lineage truncation (the g1/CC policy). */
   def labelPropagation(lineitem: DataFrame, orders: DataFrame,
       maxIters: Int = 24): DataFrame = {
+    // materialize only — see pageRank: a lazy persist() atop the
+    // checkpointed frame races its cache build across round-1's
+    // concurrent stages (the priming-phase BlockManager re-add WARN)
     val edges = Caching.materialize(custSuppEdges(lineitem, orders))
-    edges.persist()
-    try lpaLabels(edges, maxIters)
+    lpaLabels(edges, maxIters)
       .select(col("node"), col("lab").as("label"))
-    finally edges.unpersist(false)
   }
 
   /** A MATERIALIZED community-label index — the graph family's stored/
@@ -150,11 +159,10 @@ object Graph {
     * semi-synchronous LPA, both materialized. */
   def labelIndex(lineitem: DataFrame, orders: DataFrame,
       maxIters: Int = 24): LabelIndex = {
+    // materialize only — see pageRank for why there is no persist()
     val edges = Caching.materialize(custSuppEdges(lineitem, orders))
-    edges.persist()
-    try LabelIndex(
+    LabelIndex(
       Caching.materialize(lpaLabels(edges, maxIters)), edges, maxIters)
-    finally edges.unpersist(false)
   }
 
   /** Per-round changed-label counts of the LAST [[lpaLabels]] run —
@@ -256,6 +264,30 @@ object Graph {
           s"${lastLpaRoundChanges.mkString(", ")}) — communities have " +
           "NOT stabilized; downstream must not read labels as converged")
     lab
+  }
+
+  /** LPA convergence profile AS A QUERY (g14): run the semi-synchronous
+    * propagation to fixpoint and emit one row per CHANGING round —
+    * (round, n_changed) — the shape of convergence itself as data. A
+    * healthy profile decays fast (most labels settle in the first
+    * side-pair of rounds); a fat tail says the community structure is
+    * ambiguous and the labels are order-sensitive — the curation
+    * pre-check before trusting g2's output, and the measured basis for
+    * choosing the oracle unroll and the `maxIters` cap. Emitting only
+    * changing rounds makes the row set INDEPENDENT of where the loop
+    * stops: the engine's trailing zero-change rounds and the oracle's
+    * over-unrolled no-op rounds both contribute nothing, so both sides
+    * agree whatever round each stops at (the same algebra that makes
+    * the over-unrolled g2 oracle exact). Integer counts end to end. */
+  def lpaProfile(lineitem: DataFrame, orders: DataFrame,
+      maxIters: Int = 24): DataFrame = {
+    val spark = lineitem.sparkSession
+    val edges = Caching.materialize(custSuppEdges(lineitem, orders))
+    lpaLabels(edges, maxIters)
+    import spark.implicits._
+    lastLpaRoundChanges.zipWithIndex
+      .collect { case (n, i) if n != 0L => (i + 1, n) }
+      .toDF("round", "n_changed")
   }
 
   /** Per-community governance readout (g3) over [[labelPropagation]]'s

@@ -923,6 +923,41 @@ object LlmText {
     }
   }
 
+  /** Per-source hapax-legomena report (x40): how much of each source's
+    * vocabulary occurs exactly ONCE in the whole corpus — the classic
+    * lexical-richness / noise gauge (a source whose hapax share is far
+    * above its peers is usually OCR debris, random ids, or genuinely
+    * novel vocabulary — either way, the place token-budget and quality
+    * gates look first), and the corpus-frequency tail readout next to
+    * x7's head (tf-idf) and x16's Zipf slope. A hapax is counted in the
+    * one source that contains it, so per-source hapax counts partition
+    * the corpus-wide hapax set exactly.
+    *
+    * Scale shape: token explode → map-side-combined (source, term) and
+    * corpus term counts off ONE persisted token frame, then a join on
+    * term (vocabulary-sized, AQE handles the stopword head) and a
+    * per-source fold — output is |sources| rows. Integers until the
+    * final share division (exact small ints over doubles). */
+  def hapaxBySource(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("source"), explode(words(col("text"))).as("term"))
+    Caching.withPersisted(toks) {
+      val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val st = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("n"))
+      st.join(cf, Seq("term"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_share"))
+    }
+  }
+
   /** Per-language n-gram profile (x20): the top-k bigrams of each language
     * by corpus frequency — the reference profile an n-gram language
     * identifier is trained against (x2 consumes exactly this artifact

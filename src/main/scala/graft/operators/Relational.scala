@@ -623,6 +623,37 @@ object Relational {
     }
   }
 
+  /** Per-user modal event type (q68): each user's most frequent event
+    * type with a deterministic tie-break (count DESC, type ASC) plus
+    * the mode's share of the user's events — the per-entity MODE
+    * aggregate (SQL's missing aggregate; `mode()` exists in DuckDB but
+    * with engine-defined ties, so both sides spell out the window
+    * form). The behavioral-profile primitive: "what does this user
+    * mostly do" keys session segmentation the way c13's dominant
+    * source keys corpus reports.
+    *
+    * Scale shape: one map-side-combined (user, type) count — the type
+    * alphabet is tiny so partial aggregation absorbs almost everything
+    * before the shuffle — then the heap top-1 per user
+    * ([[graft.plans.TopK.perKey]], no global sort) joined to the
+    * per-user total. Integers until the final share division. */
+  def modalEventType(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val counts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    Caching.withPersisted(counts) {
+      val top = graft.plans.TopK.perKey(counts, Seq(col("user_id")),
+        Seq(col("n").desc, col("event_type")), 1)
+      val totals = counts.groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"))
+      top.join(totals, Seq("user_id"))
+        .select(col("user_id"), col("event_type").as("modal_type"),
+          col("n").as("n_modal"), col("n_events"),
+          (col("n").cast("double") / col("n_events").cast("double"))
+            .as("modal_share"))
+    }
+  }
+
   def saltedSegmentRevenue(events: DataFrame, customer: DataFrame,
       buckets: Int = 8): DataFrame = {
     val fact = events.withColumn("salt", pmod(col("event_id"), lit(buckets)))

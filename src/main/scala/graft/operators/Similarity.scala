@@ -733,17 +733,22 @@ object Similarity {
     * so storing them is a plain write. */
   def ivfAdcIndex(embeddings: DataFrame, subspaces: Int = 4,
       subDim: Int = 16): IvfAdcIndex = {
-    val vc = vecs(embeddings)
-    val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
-    Seq(vc, sub).foreach(_.persist())
-    try {
-      val cent = Caching.materialize(kmeansCentroids(vc))
-      val cells = Caching.materialize(bestCells(cent)(vc, 1))
-      val codebook = Caching.materialize(VectorOps.pqCodebook(sub))
-      val codes = Caching.materialize(VectorOps.pqNearest(sub, codebook)
-        .select(col("vec_id"), col("s"), col("code")))
-      IvfAdcIndex(cent, cells, codes, codebook, subspaces, subDim)
-    } finally Seq(vc, sub).foreach(_.unpersist(false))
+    // vc/sub are MATERIALIZED (blocks exist before any consumer plans),
+    // not lazily persisted: pqCodebook's first action joins two
+    // derivations of `sub` (seeds ⋈ one-Lloyd-step means), and a lazy
+    // cache's first build races across those concurrent stages — the
+    // deterministic BlockManager "already exists, not re-adding" WARN
+    // the r12 driver bench tail recorded during IVF priming (reproduced
+    // on rdd_149 with the lazy persist, gone with materialization).
+    val vc = Caching.materialize(vecs(embeddings))
+    val sub = Caching.materialize(
+      VectorOps.pqSubspaces(embeddings, subspaces, subDim))
+    val cent = Caching.materialize(kmeansCentroids(vc))
+    val cells = Caching.materialize(bestCells(cent)(vc, 1))
+    val codebook = Caching.materialize(VectorOps.pqCodebook(sub))
+    val codes = Caching.materialize(VectorOps.pqNearest(sub, codebook)
+      .select(col("vec_id"), col("s"), col("code")))
+    IvfAdcIndex(cent, cells, codes, codebook, subspaces, subDim)
   }
 
   /** IVF-ADC serving form: CALLER-SUPPLIED queries against the stored

@@ -53,6 +53,39 @@ object VectorOps {
         (col("v") / col("nrm")).as("mval"))
   }
 
+  /** Per-label norm-band histogram (e24): vectors bucketed by L2 norm
+    * into 0.5-wide bands, per label — the embedding-QC gate that runs
+    * BEFORE any cosine math: un-normalized stragglers (a band far from
+    * the cluster), near-zero vectors (band 0 — dead inputs, failed
+    * encodes), and label-conditional norm drift (one class embedding
+    * systematically longer) all show up as band rows a threshold can
+    * refuse, the cheap first look next to e16's per-dimension moments.
+    *
+    * Parity: the norm is the index-order Σx² fold + sqrt (IEEE), then
+    * GRID-ROUNDED to 5 dp as DECIMAL(18,6) before banding — ×2 and
+    * floor happen in exact decimal arithmetic, so a norm landing on a
+    * band boundary buckets identically on both engines (the libm grid
+    * rule applied to bucketing, same reason q38's equi-depth ranks are
+    * computed on rounded keys). Min/max surface the band's actual norm
+    * range; integers elsewhere.
+    *
+    * Scale shape: one projection + one (label, band) hash aggregate
+    * with map-side combine — no shuffle wider than labels × bands. */
+  def normBands(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = round(sqrt(norm2(asDouble(col(vecCol)))), 5)
+      .cast(DecimalType(18, 6))
+    embeddings
+      .select(col("label"), g.as("nrm_g"))
+      .select(col("label"),
+        floor(col("nrm_g") * 2).cast("long").as("band"), col("nrm_g"))
+      .groupBy(col("label"), col("band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm_g")).cast("double").as("min_nrm"),
+        max(col("nrm_g")).cast("double").as("max_nrm"))
+  }
+
   /** Exact distributed per-group vector mean (e1): centroid of the
     * embedding column per group, in long form (group, dim, centroid value,
     * member count) — the aggregation at the heart of IVF training,

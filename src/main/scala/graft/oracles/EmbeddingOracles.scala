@@ -435,5 +435,20 @@ object EmbeddingOracles {
         |SELECT label, n_vecs, mean_cos_own, mean_cos_other,
         |  mean_cos_own - mean_cos_other AS margin
         |FROM agg""".stripMargin,
+    // e24: per-label norm-band histogram. The norm is the index-order
+    // Σx² fold + sqrt (IEEE), grid-rounded to 5 dp as DECIMAL(18,6)
+    // BEFORE banding so the ×2 and floor happen in exact decimal
+    // arithmetic — boundary norms bucket identically on both engines.
+    "e24_norm_bands" ->
+      """WITH v AS (SELECT label,
+        |  CAST(round(sqrt(list_reduce(list_transform(range(1,65),
+        |    i -> x[i] * x[i]), (a,b) -> a + b)), 5) AS DECIMAL(18,6))
+        |    AS nrm_g
+        |  FROM (SELECT label, embedding::DOUBLE[] AS x FROM embeddings))
+        |SELECT label, CAST(FLOOR(nrm_g * 2) AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(MIN(nrm_g) AS DOUBLE) AS min_nrm,
+        |  CAST(MAX(nrm_g) AS DOUBLE) AS max_nrm
+        |FROM v GROUP BY 1, 2""".stripMargin,
   )
 }

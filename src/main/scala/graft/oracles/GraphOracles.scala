@@ -180,6 +180,9 @@ object GraphOracles {
     // one twice — an inlined 12-round unroll re-opens the base parquet
     // 2^12 times ("Too many open files").
     "g2_label_prop" -> lpaSql,
+    // g14: per-round changed-label counts over g2's unrolled chain —
+    // convergence telemetry as a first-class query (see lpaProfileSql).
+    "g14_lpa_profile" -> lpaProfileSql,
   )
 
   /** Rounds unrolled in the g2 oracle — 1.5x the measured fixpoint
@@ -192,7 +195,9 @@ object GraphOracles {
   def lpaFinalSelect: String =
     s"SELECT node, lab AS label FROM $lpaFinalTable"
 
-  private def lpaSql: String = {
+  /** The shared WITH chain of the unrolled LPA oracles (g2 and g14):
+    * edge CTEs + `lpaUnrolledRounds` materialized label rounds. */
+  private def lpaWith: String = {
     val rounds = (1 to lpaUnrolledRounds).map { i =>
       val side = if (i % 2 == 1) "c:%" else "s:%"
       s"""v$i AS (SELECT e.dst, l.lab, SUM(e.w) AS vw
@@ -215,7 +220,25 @@ object GraphOracles {
        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
        |nd AS (SELECT DISTINCT src AS node FROM e),
        |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nd),
-       |$rounds
-       |$lpaFinalSelect""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private def lpaSql: String = s"$lpaWith\n$lpaFinalSelect"
+
+  /** g14: per-round changed-label counts over the SAME unrolled chain —
+    * only rounds with changes emit a row, so the engine's trailing
+    * zero-change rounds and the oracle's over-unrolled no-op rounds
+    * both contribute nothing and the two sides agree whatever round
+    * each stops at (the g2/g11 over-unroll algebra, applied to the
+    * convergence telemetry itself). */
+  def lpaProfileSql: String = {
+    val diffs = (1 to lpaUnrolledRounds).map { i =>
+      s"""SELECT $i AS round, CAST(count(*) AS BIGINT) AS n_changed
+         |FROM l$i a JOIN l${i - 1} b ON a.node = b.node
+         |WHERE a.lab <> b.lab""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$lpaWith,
+       |chg AS ($diffs)
+       |SELECT round, n_changed FROM chg WHERE n_changed > 0""".stripMargin
   }
 }

@@ -678,5 +678,22 @@ object TextOracles {
         |    (a, v) -> a * 16 + v) AS BIGINT) % 64 AS bucket FROM t)
         |SELECT doc_id, bucket, COUNT(*) AS tf
         |FROM h GROUP BY doc_id, bucket""".stripMargin,
+    // x40: per-source hapax-legomena report. A hapax (corpus frequency
+    // exactly 1) lives in exactly one source, so the per-source hapax
+    // counts partition the corpus-wide hapax set. Integers until the
+    // final share division.
+    "x40_hapax" ->
+      """WITH toks AS (SELECT source,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY 1),
+        |st AS (SELECT source, term, count(*) AS n
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT st.source, CAST(SUM(st.n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN cf.cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(SUM(CASE WHEN cf.cf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS hapax_share
+        |FROM st JOIN cf ON cf.term = st.term GROUP BY 1""".stripMargin,
   )
 }

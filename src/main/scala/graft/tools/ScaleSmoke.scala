@@ -138,6 +138,39 @@ object ScaleSmoke {
       (name, t1, tN, r1, rN, ratio)
     }
 
+    // d28 phase accounting (VERDICT r12 #4: its 10× ratio reads 4.5 with
+    // no named cause). The pipeline is pairs → CC → apply; timing the
+    // phases against a MATERIALIZED pairs frame names which phase grows
+    // superlinearly and how the candidate-pair count itself scales —
+    // the g6/d16 accounting posture applied to the ratio.
+    def d28Phases(d: DataFrame): (Double, Double, Double, Long) = {
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Caching.materialize(
+        Dedup.prefixFilterPairs(d, 0.7).select(col("doc_a"), col("doc_b")))
+      val nPairs = pairs.count()
+      val t1 = System.nanoTime()
+      val comps = Dedup.connectedComponents(pairs)
+        .select(col("doc").as("doc_id"),
+          (col("doc") === col("lab")).as("keep"))
+      comps.count()
+      val t2 = System.nanoTime()
+      Dedup.dedupApply(d, comps).count()
+      val t3 = System.nanoTime()
+      ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, nPairs)
+    }
+    val (p1a, c1a, a1a, np1) = d28Phases(one)
+    val (p1b, c1b, a1b, _) = d28Phases(one)
+    val (pNa, cNa, aNa, npN) = d28Phases(many)
+    val (pNb, cNb, aNb, _) = d28Phases(many)
+    val d28Acct = Seq(
+      ("d28_pairs", math.min(p1a, p1b), math.min(pNa, pNb), np1, npN),
+      ("d28_cc", math.min(c1a, c1b), math.min(cNa, cNb), np1, npN),
+      ("d28_apply", math.min(a1a, a1b), math.min(aNa, aNb), nOne, nMany))
+    d28Acct.foreach { case (name, t1, tN, r1, rN) =>
+      System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
+        f"${factor}x=$tN%7.1fs ($rN rows)  ratio=${tN / math.max(t1, 1e-9)}%5.2f")
+    }
+
     // cap accounting at the stressed scale: the drop mass the hot-key cap
     // excludes must stay a bounded fraction of all (doc,key) entries
     val cap = Dedup.bandCapReport(many).collect()
@@ -357,6 +390,25 @@ object ScaleSmoke {
       Similarity.filteredVsIndex(emb1, idx1).count())
     val (gFilN, glN) = timedAction(
       Similarity.filteredVsIndex(embN, idxN).count())
+    // s24/g13 churn reports (VERDICT r12 #4: the two most expensive
+    // round-12 queries had no stress row): each builds its SECOND index
+    // inline BY DESIGN (the s15/d13 convention — the build is the
+    // benchmark), so the expected ratio tracks the corpus like
+    // s13_index_build does, NOT the batch; the churn fold itself is one
+    // equi-join + constant-group aggregate on top. The row exists so
+    // the next scale-up reads a measured number instead of a guess.
+    val (chS1, cs1) = timedAction(Similarity.cellChurn(idx1,
+      Similarity.ivfAdcIndex(
+        emb1.filter(pmod(col("vec_id"), lit(7)) =!= 3))).count())
+    val (chSN, csN) = timedAction(Similarity.cellChurn(idxN,
+      Similarity.ivfAdcIndex(
+        embN.filter(pmod(col("vec_id"), lit(7)) =!= 3))).count())
+    val (chG1, cg1) = timedAction(graft.operators.Graph.neighborChurn(
+      nIdx1, graft.operators.Graph.neighborIndex(li1,
+        ord1.filter(col("o_orderkey") % 10 =!= 0))).count())
+    val (chGN, cgN) = timedAction(graft.operators.Graph.neighborChurn(
+      nIdxN, graft.operators.Graph.neighborIndex(liN,
+        ordN.filter(col("o_orderkey") % 10 =!= 0))).count())
     val lifecycle = Seq(
       ("s13_index_build", build1, buildN, 0L, 0L, buildN / math.max(build1, 1e-9)),
       ("s18_adc_error", gErr1, gErrN, ge1, geN,
@@ -382,7 +434,11 @@ object ScaleSmoke {
       ("g_member_serve", member1, memberN, mb1, mbN,
         memberN / math.max(member1, 1e-9)),
       ("x37_lm_serve", lm1, lmN, ls1, lsN,
-        lmN / math.max(lm1, 1e-9)))
+        lmN / math.max(lm1, 1e-9)),
+      ("s24_cell_churn", chS1, chSN, cs1, csN,
+        chSN / math.max(chS1, 1e-9)),
+      ("g13_index_churn", chG1, chGN, cg1, cgN,
+        chGN / math.max(chG1, 1e-9)))
     lifecycle.foreach { case (name, t1, tN, r1, rN, ratio) =>
       System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
         f"${factor}x=$tN%7.1fs ($rN rows)  ratio=$ratio%5.2f")
@@ -409,9 +465,14 @@ object ScaleSmoke {
         s""""$n":{"sec1":${f"$t1%.3f"},"secN":${f"$tN%.3f"},""" +
         s""""rows1":$r1,"rowsN":$rN,"ratio":${f"$ratio%.3f"}}"""
       }.mkString(",")
+    val d28AcctJson = d28Acct.map { case (n, t1, tN, r1, rN) =>
+      s""""$n":{"sec1":${f"$t1%.3f"},"secN":${f"$tN%.3f"},""" +
+      s""""rows1":$r1,"rowsN":$rN,"ratio":${f"${tN / math.max(t1, 1e-9)}%.3f"}}"""
+    }.mkString(",")
     val json =
       s"""{"sf":"$sfDir","factor":$factor,"docs1":$nOne,"docsN":$nMany,""" +
       s""""ops":{${opsJson(results)}},""" +
+      s""""accounting":{$d28AcctJson},""" +
       s""""graphOps":{${opsJson(graphResults)}},""" +
       s""""lifecycle":{${opsJson(lifecycle)}},""" +
       s""""cap":{${cap.map { case (fam, keys, hot, dropped) =>
