@@ -180,7 +180,8 @@ object Bench {
       val ivfConsumers = Set("s14_ivf_adc_vs_index", "s16_range_vs_index",
         "s17_range_recall", "s18_adc_error", "s19_probe_fanout",
         "s20_cell_balance", "s21_adc_error_subspace",
-        "s22_filtered_vs_index", "s23_filtered_recall")
+        "s22_filtered_vs_index", "s23_filtered_recall",
+        "s25_centroid_drift")
       val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes",
         "g7_modularity")
       val triangleConsumers = Set("g10_transitivity")

@@ -352,6 +352,13 @@ object SparkEntry {
     // gate is doing the cutting.
     "c29_gate_funnel" -> ((s, d) =>
       Curation.gateFunnel(T.documents(s, d))),
+    // c30: per-source doc AND token budget before/after the near-dup
+    // keeper decision — one LSH+CC pass feeds dedup, accounting, and
+    // the training-mix budget (the d8b precomputed-components shape).
+    "c30_dedup_budget" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.dedupTokenBudget(docs, Dedup.nearDupComponents(docs, 0.7))
+    }),
     "c7_group_sample" -> ((s, d) => Curation.groupSample(T.documents(s, d))),
     "c9_chunk_overlap" -> ((s, d) => Curation.chunkOverlap(T.documents(s, d))),
     "c10_temperature_mix" -> ((s, d) =>
@@ -408,9 +415,9 @@ object SparkEntry {
     // q67: the key-skew head that DECIDES the q25/q26 salting factor.
     "q67_key_skew" -> ((s, d) =>
       R.keySkewReport(T.events(s, d), "user_id")),
-    // q68: per-user modal event type — the MODE aggregate with a
-    // deterministic tie-break (count DESC, type ASC on both engines).
-    "q68_mode" -> ((s, d) => R.modalEventType(T.events(s, d))),
+    // q68: per-user event-type entropy — the behavioral-diversity gauge
+    // next to q52's mode (x21's grid-exact ln recipe on the histogram).
+    "q68_user_entropy" -> ((s, d) => R.userEventEntropy(T.events(s, d))),
     "q27_sliding_window" -> ((s, d) => R.slidingEventCounts(T.events(s, d))),
     "q28_grouping_sets" -> ((s, d) => R.groupingSetsSummary(T.orders(s, d))),
     "q29_scalar_subquery" -> ((s, d) => R.aboveBrandAverage(T.part(s, d))),
@@ -444,8 +451,15 @@ object SparkEntry {
     // (every true near-dup pair reaches the component step; no LSH miss)
     "d28_exact_pipeline" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val pairs = Dedup.prefixFilterPairs(docs, 0.7)
-        .select(col("doc_a"), col("doc_b"))
+      // pairs are MATERIALIZED before CC: connectedComponents' first
+      // action computes its symmetrized edges union, and with a lazy
+      // pairs plan each union arm re-plans the whole prefix-filter
+      // join (exchange reuse is unreliable for this self-join shape)
+      // — the r13 stress accounting measured the as-written pipeline
+      // ~40% over the sum of its phases at 10× from exactly this.
+      val pairs = graft.operators.Caching.materialize(
+        Dedup.prefixFilterPairs(docs, 0.7)
+          .select(col("doc_a"), col("doc_b")))
       val comps = Dedup.connectedComponents(pairs)
         .select(col("doc").as("doc_id"),
           (col("doc") === col("lab")).as("keep"))
@@ -632,6 +646,16 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
         Dedup.nearDupIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
     }),
+    // d38: LSH dirty-bucket report — today's band buckets vs yesterday's
+    // split build (the d13/d20 convention); dirty_frac sizes tonight's
+    // incremental re-pair before it runs. The dedup-family staleness
+    // gauge beside g13 (edges) and s24 (cells).
+    "d38_dirty_buckets" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.dirtyBucketReport(
+        Dedup.nearDupIndex(docs),
+        Dedup.nearDupIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    }),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "d13_incremental_dedup" -> ((s, d) => {
       val docs = T.documents(s, d)
@@ -708,6 +732,13 @@ object SparkEntry {
     "s24_cell_churn" -> ((s, d) => Similarity.cellChurn(
       storedIvfIndex(s, d),
       Similarity.ivfAdcIndex(
+        T.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) =!= 3)))),
+    // s25: per-centroid drift between the stored build and a split
+    // retrain — the geometry readout under s24's assignment churn. Only
+    // the coarse quantizer trains inline (no PQ tail).
+    "s25_centroid_drift" -> ((s, d) => Similarity.centroidDrift(
+      storedIvfIndex(s, d).centroids,
+      Similarity.coarseCentroids(
         T.embeddings(s, d).filter(pmod(col("vec_id"), lit(7)) =!= 3)))),
     "s14_ivf_adc_vs_index" -> ((s, d) =>
       Similarity.ivfAdcVsIndex(T.embeddings(s, d), storedIvfIndex(s, d))),
@@ -838,6 +869,15 @@ object SparkEntry {
     // phash threshold-tuning histogram.
     "mm15_hamming_histogram" -> ((s, d) =>
       Multimodal.phashHammingHistogram(T.documents(s, d))),
+    // mm16: phash dirty-bucket report — today's band buckets vs
+    // yesterday's split build; the multimodal member of the d38 family.
+    "mm16_phash_dirty" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Multimodal.phashDirtyBuckets(
+        Multimodal.phashIndex(docs),
+        Multimodal.phashIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    }),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -966,7 +1006,19 @@ object SparkEntry {
     ("g13_index_churn" -> indexChurnOracle(oracleSqlBase("g9_triangle_lcc"))) +
     // s24 is s13's kmeans/assignment chain TWICE (fresh + a renamed
     // copy whose base corpus is the stored split) + the churn join.
-    ("s24_cell_churn" -> cellChurnOracle(oracleSqlBase("s13_ivf_adc")))
+    ("s24_cell_churn" -> cellChurnOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // d38 is d2's shingle/minhash/band chain TWICE (fresh + a renamed
+    // copy with yesterday's split filter) + the bucket-class fold.
+    ("d38_dirty_buckets" -> dirtyBucketsOracle(oracleSqlBase("d2_minhash_lsh"))) +
+    // s25 is s13's k-means chain TWICE (cut at the cent/ac boundary;
+    // fresh + the split-renamed copy) + the per-centroid distance fold.
+    ("s25_centroid_drift" -> centroidDriftOracle(oracleSqlBase("s13_ivf_adc"))) +
+    // mm16 is mm6's hex/phash/bands chain + the bucket-class fold (the
+    // stored side is a pure filter of the same bands CTE).
+    ("mm16_phash_dirty" ->
+      phashDirtyBucketsOracle(oracleSqlBase("mm6_phash_pairs"))) +
+    // c30 is d8's LSH/CC keeper chain + the per-source token-budget fold.
+    ("c30_dedup_budget" -> dedupBudgetOracle(oracleSqlBase("d8_dedup_apply")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

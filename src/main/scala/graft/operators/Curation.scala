@@ -234,6 +234,35 @@ object Curation {
     * Runs on the heap-based [[graft.plans.TopK.perKey]] operator:
     * O(k) state per group per partition with map-side pre-reduction, no
     * full sort, no per-group shuffle of losers. */
+  /** Dedup-aware token budget (c30): per source, document and TOKEN
+    * counts before and after the near-dup keeper decision — the number
+    * a training-mix plan actually budgets with (c11 counts raw tokens;
+    * epochs are scheduled over the DEDUPED corpus, and a source that
+    * loses half its tokens to duplication contributes half the
+    * training signal its raw size suggests). Composes the d-family's
+    * component decisions with the c-family's budget view through the
+    * same precomputed-components overload d8b/d16 use, so one LSH+CC
+    * pass feeds dedup, accounting, AND the budget. Docs outside every
+    * near-dup pair keep by default (the dedupApply contract). One left
+    * join + a map-side-combined per-source fold; integers until the
+    * final fraction. */
+  def dedupTokenBudget(documents: DataFrame,
+      components: DataFrame): DataFrame = {
+    val keep = components.select(col("doc_id"), col("keep"))
+    documents.join(keep, Seq("doc_id"), "left_outer")
+      .select(col("source"), coalesce(col("keep"), lit(true)).as("k"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("k"), col("tok")).otherwise(0L)).as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("n_tokens"), col("n_tokens_kept"),
+        (col("n_tokens_kept").cast("double") /
+          col("n_tokens").cast("double")).as("token_frac"))
+  }
+
   def groupSample(documents: DataFrame, k: Int = 10,
       by: String = "lang"): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)

@@ -363,6 +363,56 @@ object Dedup {
             element_at(col("mhs"), j * BandRows + 3))).as("bkeys"))
   }
 
+  /** LSH dirty-bucket report (d38): today's [[nearDupIndex]] band
+    * buckets compared to yesterday's build — per bucket class, how many
+    * are unchanged / grown / brand-new / shrunk / removed, and the
+    * dirty fraction. This is the WORK ESTIMATE of incremental dedup
+    * maintenance: a bucket whose membership did not change cannot
+    * produce new candidate pairs, so the nightly re-pair only needs to
+    * touch dirty buckets — dirty_frac × bucket count sizes tonight's
+    * job before it runs, the dedup-family twin of g13's edge churn and
+    * s24's cell churn (every stored index family now has its staleness
+    * measured, not asserted). Under pure ingest (stored ⊆ fresh)
+    * shrunk/removed read 0; they exist for the retention/deletion
+    * regime where yesterday's docs can leave.
+    *
+    * One band-key explode + count per side (distinct-key scale, not
+    * corpus scale), one full outer equi-join of two bucket tables, one
+    * constant-group fold — empty inputs → empty report. Integers until
+    * the final fraction. */
+  def dirtyBucketReport(fresh: DataFrame, stored: DataFrame): DataFrame = {
+    def buckets(idx: DataFrame) = idx
+      .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("c"))
+    bucketClassFold(
+      buckets(fresh).withColumnRenamed("c", "cf"),
+      buckets(stored).withColumnRenamed("c", "cs"),
+      Seq("band", "bkey"))
+  }
+
+  /** The bucket-class fold shared by every dirty-bucket gauge (d38's LSH
+    * bands, mm16's phash bands): full outer join two keyed count frames
+    * (`cf` fresh, `cs` stored) and classify each bucket as unchanged /
+    * new / grown / shrunk / removed, plus the dirty fraction. Null
+    * comparisons are three-valued — a bucket missing on one side counts
+    * ONLY in its new/removed class, never in grown/shrunk. */
+  private[operators] def bucketClassFold(f: DataFrame, s: DataFrame,
+      keys: Seq[String]): DataFrame =
+    f.join(s, keys, "full_outer")
+      .groupBy(lit(true).as("all"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("cf") === col("cs"), 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("cs").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cf") > col("cs"), 1L).otherwise(0L)).as("n_grown"),
+        sum(when(col("cf") < col("cs"), 1L).otherwise(0L)).as("n_shrunk"),
+        sum(when(col("cf").isNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("n_buckets"), col("n_unchanged"), col("n_new"),
+        col("n_grown"), col("n_shrunk"), col("n_removed"),
+        ((col("n_buckets") - col("n_unchanged")).cast("double") /
+          col("n_buckets").cast("double")).as("dirty_frac"))
+
   /** [[incrementalDedup]] against a PREBUILT [[nearDupIndex]] — per call,
     * only the incoming batch is shingled and banded; the stored side
     * contributes an explode of its 4 band keys (narrow, no hashing) and

@@ -270,6 +270,26 @@ object Multimodal {
   def phashIndex(documents: DataFrame, stride: Int = 4): PhashIndex =
     PhashIndex(Caching.materialize(phashSigs(documents, stride)))
 
+  /** Phash dirty-bucket report (mm16): today's [[phashIndex]] band
+    * buckets vs yesterday's build, classified unchanged / grown / new /
+    * shrunk / removed with the dirty fraction — the multimodal member
+    * of the dirty-bucket family ([[Dedup.dirtyBucketReport]] for LSH
+    * text bands, this for phash image bands; with g13 edges and s24
+    * cells, every stored index family now carries a measured staleness
+    * gauge). A phash is a pure function of its payload, so under pure
+    * ingest only new/grown appear; shrunk/removed surface deletions.
+    * dirty_frac × bucket count sizes tonight's incremental re-pair.
+    * Band explode + count per side, one full outer join at distinct-
+    * bucket scale, one fold — empty inputs → empty report. */
+  def phashDirtyBuckets(fresh: PhashIndex, stored: PhashIndex): DataFrame = {
+    def buckets(idx: PhashIndex) = phashBands(idx.sigs)
+      .groupBy(col("j"), col("bv")).agg(count(lit(1)).as("c"))
+    Dedup.bucketClassFold(
+      buckets(fresh).withColumnRenamed("c", "cf"),
+      buckets(stored).withColumnRenamed("c", "cs"),
+      Seq("j", "bv"))
+  }
+
   /** Cross-set perceptual near-dup check (mm9): each INCOMING medium's
     * band keys probe the stored index's bands; survivors get the exact
     * 60-bit Hamming check. Per-ingest cost scales with the batch (its

@@ -623,35 +623,34 @@ object Relational {
     }
   }
 
-  /** Per-user modal event type (q68): each user's most frequent event
-    * type with a deterministic tie-break (count DESC, type ASC) plus
-    * the mode's share of the user's events — the per-entity MODE
-    * aggregate (SQL's missing aggregate; `mode()` exists in DuckDB but
-    * with engine-defined ties, so both sides spell out the window
-    * form). The behavioral-profile primitive: "what does this user
-    * mostly do" keys session segmentation the way c13's dominant
-    * source keys corpus reports.
-    *
-    * Scale shape: one map-side-combined (user, type) count — the type
-    * alphabet is tiny so partial aggregation absorbs almost everything
-    * before the shuffle — then the heap top-1 per user
-    * ([[graft.plans.TopK.perKey]], no global sort) joined to the
-    * per-user total. Integers until the final share division. */
-  def modalEventType(events: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(events.sparkSession)
-    val counts = events.groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    Caching.withPersisted(counts) {
-      val top = graft.plans.TopK.perKey(counts, Seq(col("user_id")),
-        Seq(col("n").desc, col("event_type")), 1)
-      val totals = counts.groupBy(col("user_id"))
-        .agg(sum(col("n")).as("n_events"))
-      top.join(totals, Seq("user_id"))
-        .select(col("user_id"), col("event_type").as("modal_type"),
-          col("n").as("n_modal"), col("n_events"),
-          (col("n").cast("double") / col("n_events").cast("double"))
-            .as("modal_share"))
-    }
+  /** Per-user event-type Shannon entropy (q68): H = ln(n) − Σ cnt·
+    * ln(cnt)/n over each user's event-type histogram, plus the type
+    * count — the behavioral-DIVERSITY gauge that reads next to q52's
+    * mode (typicality): entropy ≈ 0 is a single-action account (bot,
+    * scraper, broken client), entropy near ln(n_types) is uniform
+    * exploration, and segmentation keys on the two together. The x21
+    * char-entropy recipe applied to the (user, event_type) histogram:
+    * ln of each INTEGER count grid-rounds to 5 decimals and sums
+    * through DECIMAL, so the result is partition-order independent and
+    * engine-exact. One map-side-combined (user, type) count — the type
+    * alphabet is tiny, so partial aggregation absorbs nearly all rows
+    * before the shuffle — then a user-keyed fold; output is |users|
+    * rows. */
+  def userEventEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cnts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val lc = round(log(col("cnt").cast("double")), 5)
+      .cast(DecimalType(18, 6))
+    cnts.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_events"),
+        sum(col("cnt") * lc).as("clog_sum"))
+      .select(col("user_id"), col("n_types"), col("n_events"),
+        (round(log(col("n_events").cast("double")), 5)
+          .cast(DecimalType(18, 6)).cast("double")
+          - col("clog_sum").cast("double") / col("n_events"))
+          .as("entropy_nats"))
   }
 
   def saltedSegmentRevenue(events: DataFrame, customer: DataFrame,

@@ -1104,6 +1104,37 @@ object Similarity {
           .otherwise(lit(0.0)).as("moved_frac"))
   }
 
+  /** The coarse-quantizer training pass ALONE — k-means centroids off a
+    * corpus, materialized, without the PQ codebook/codes/cells the full
+    * [[ivfAdcIndex]] build pays for. The cheap input for centroid-level
+    * diagnostics (s25 drift) and for pre-flighting a retrain before
+    * committing to a full index build. */
+  def coarseCentroids(embeddings: DataFrame): DataFrame = {
+    val v = vecs(embeddings)
+    Caching.withPersisted(v) { Caching.materialize(kmeansCentroids(v)) }
+  }
+
+  /** Centroid drift after retraining (s25): per centroid id, the
+    * euclidean distance between its fresh and stored positions — the
+    * GEOMETRY readout under s24's assignment churn: s24 says how many
+    * vectors a retrain moves, this says how far the cells themselves
+    * moved, and the two disagree in a useful way (large drift with low
+    * churn = cells translated together, caches fine; small drift with
+    * high churn = boundary vectors flipped, cell-local stats are
+    * stale). Centroid ids align across builds because seeding is
+    * deterministic (vec_id gates); ids trained in only one build drop
+    * out of the inner join. One ≤|cells|-row equi-join + an in-order
+    * 64-dim fold — driver/exec cost is centroid-count-bounded, never
+    * corpus-bounded. Distances are IEEE-exact: both engines fold the
+    * identical grid-derived centroid doubles in index order. */
+  def centroidDrift(fresh: DataFrame, stored: DataFrame): DataFrame = {
+    val f = fresh.select(col("cent_id"), col("cx").as("fx"))
+    val o = stored.select(col("cent_id"), col("cx").as("ox"))
+    f.join(o, "cent_id")
+      .select(col("cent_id"),
+        sqrt(VectorOps.pqD2(col("fx"), col("ox"))).as("drift"))
+  }
+
   def cellChurn(fresh: IvfAdcIndex, stored: IvfAdcIndex): DataFrame = {
     val f = fresh.cells.select(col("vec_id"), col("cent_id").as("cf"))
     val o = stored.cells.select(col("vec_id"), col("cent_id").as("cs"))

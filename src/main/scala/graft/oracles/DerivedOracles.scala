@@ -11,6 +11,113 @@ package graft.oracles
 object DerivedOracles {
 
 
+  /** Derive the d38 oracle from d2's: keep the shingle/minhash/band
+    * chain byte-identical up to the hot-key cap, run it TWICE — once
+    * verbatim (today's full corpus) and once as a whole-word-renamed
+    * copy whose base table carries yesterday's split filter (the d13/
+    * d20 convention) — then count per-(band, bkey) bucket populations
+    * on each side and fold the full outer join into the bucket-class
+    * report. The rename also renames the `band` COLUMN alias inside
+    * the copy (whole-word), so the stored side re-aliases `band2 AS
+    * band` when selecting. The cap CTE is NOT reused: the report
+    * counts distinct buckets, which is linear without any cap. */
+  private[graft] def dirtyBucketsOracle(d2: String): String = {
+    val cut = "bandk AS"
+    val fromAnchor = "FROM documents"
+    require(d2.startsWith("WITH ") && d2.contains(cut) &&
+      d2.contains(fromAnchor), "d2 oracle SQL lost the d38 anchors")
+    val prefix = d2.substring(0, d2.indexOf(cut))
+    val chain = prefix.stripPrefix("WITH ")
+      .reverse.dropWhile(c => c == ',' || c == '\n').reverse
+    val renamed = Seq("ws", "sh", "tok", "hx", "base", "mh", "band")
+      .foldLeft(chain) { (sql, cte) =>
+        sql.replaceAll("\\b" + cte + "\\b", cte + "2")
+      }
+      .replace(fromAnchor, fromAnchor + " WHERE doc_id % 10 <> 0")
+    "WITH " + chain + ",\n" + renamed + ",\n" +
+      """fk AS (SELECT band, bkey, count(*) AS cf FROM band GROUP BY 1, 2),
+        |sk AS (SELECT band2 AS band, bkey, count(*) AS cs
+        |  FROM band2 GROUP BY 1, 2),
+        |ch AS (SELECT fk.cf, sk.cs FROM fk FULL OUTER JOIN sk
+        |  ON sk.band = fk.band AND sk.bkey = fk.bkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CASE WHEN cf = cs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  CAST(SUM(CASE WHEN cs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN cf > cs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_grown,
+        |  CAST(SUM(CASE WHEN cf < cs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shrunk,
+        |  CAST(SUM(CASE WHEN cf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(count(*) - SUM(CASE WHEN cf = cs THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dirty_frac
+        |FROM ch GROUP BY (1=1)""".stripMargin
+  }
+
+  /** Derive the c30 oracle from d8's: keep the LSH/CC keeper chain
+    * byte-identical and swap the kept-count tail for the per-source
+    * token-budget fold — raw vs kept docs AND tokens (len of the space
+    * split, the corpus's token yardstick) with the kept-token fraction.
+    * Exact integers until the one final double division. */
+  private[graft] def dedupBudgetOracle(d8: String): String = {
+    val anchor = "SELECT d.source, count(*) AS n_docs_kept\n" +
+      "FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc\n" +
+      "WHERE drops.doc IS NULL\n" +
+      "GROUP BY d.source"
+    require(d8.endsWith(anchor), "d8 oracle SQL lost the c30 anchor")
+    d8.dropRight(anchor.length) +
+      """SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN drops.doc IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN drops.doc IS NULL
+        |    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_kept,
+        |  CAST(SUM(CASE WHEN drops.doc IS NULL
+        |      THEN len(string_split(d.text, ' ')) ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(len(string_split(d.text, ' '))) AS DOUBLE)
+        |    AS token_frac
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
+        |GROUP BY d.source""".stripMargin
+  }
+
+  /** Derive the mm16 oracle from mm6's: keep the hex/phash/bands chain
+    * byte-identical, then count per-(j, bv) bucket populations for the
+    * full corpus and for yesterday's split — a phash is a pure function
+    * of its payload, so the stored side is a FILTER of the same bands
+    * CTE (no renamed second chain needed) — and fold the full outer
+    * join into the d38 bucket-class report. */
+  private[graft] def phashDirtyBucketsOracle(mm6: String): String = {
+    val cut = "cand AS (SELECT DISTINCT a.doc_id AS doc_a"
+    val i = mm6.indexOf(cut)
+    require(i >= 0 && mm6.startsWith("WITH "),
+      "mm6 oracle SQL lost the mm16 anchor")
+    mm6.substring(0, i) +
+      """fb AS (SELECT j, bv, count(*) AS cf FROM bands GROUP BY 1, 2),
+        |sb AS (SELECT j, bv, count(*) AS cs FROM bands
+        |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |ch AS (SELECT fb.cf, sb.cs FROM fb FULL OUTER JOIN sb
+        |  ON sb.j = fb.j AND sb.bv = fb.bv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CASE WHEN cf = cs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  CAST(SUM(CASE WHEN cs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN cf > cs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_grown,
+        |  CAST(SUM(CASE WHEN cf < cs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shrunk,
+        |  CAST(SUM(CASE WHEN cf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(count(*) - SUM(CASE WHEN cf = cs THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dirty_frac
+        |FROM ch GROUP BY (1=1)""".stripMargin
+  }
+
   /** Derive the d35 oracle from d2's: keep the shingle/minhash/band/
     * candidate CTEs byte-identical, drop the jaccard threshold, and set
     * the estimate (matching components / 12) next to the exact value. */
@@ -446,6 +553,42 @@ object DerivedOracles {
     * the stored split's filter (training AND assignment both restrict,
     * exactly ivfAdcIndex over the split) — then the two cell tables
     * join on vec_id for the moved/same churn aggregate. */
+  /** Derive the s25 oracle from s13's: the k-means chain (v…cent) runs
+    * TWICE — verbatim and as a whole-word-renamed copy whose corpus CTE
+    * carries the stored split's filter (the s24 mechanics, cut at the
+    * cent/ac boundary so neither side drags the PQ tail along) — then
+    * the two centroid tables join on cent_id and the in-order 64-dim
+    * euclidean fold gives the per-centroid drift. Distances are
+    * IEEE-exact: both engines fold identical grid-derived doubles in
+    * index order. */
+  private[graft] def centroidDriftOracle(s13: String): String = {
+    val cut = ",\nac AS ("
+    val i = s13.indexOf(cut)
+    require(i >= 0, "s13 oracle lost the cent/ac boundary for s25")
+    val prefix = s13.substring(0, i)
+    require(prefix.startsWith("WITH "), "s13 oracle lost its WITH head")
+    val chain = prefix.stripPrefix("WITH ")
+    val ctes = Seq("v", "dims", "samp", "c0", "a0", "g0", "m1", "c1",
+      "a1", "g1", "m2", "cent")
+    ctes.foreach(n => require(chain.contains(n + " AS ("),
+      s"s13 oracle lost the $n CTE for s25"))
+    val renamed = ctes.foldLeft(chain) { (sql, cte) =>
+      sql.replaceAll("\\b" + cte + "\\b", cte + "2")
+    }
+    val vAnchor = "v2 AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)"
+    require(renamed.contains(vAnchor),
+      "s13 oracle lost the corpus CTE for s25")
+    val split = renamed.replace(vAnchor,
+      "v2 AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings" +
+        "\n  WHERE vec_id % 7 <> 3)")
+    "WITH " + chain + ",\n" + split + "\n" +
+      """SELECT f.cent_id,
+        |  sqrt(list_reduce(list_transform(range(1,65), i ->
+        |    (f.cx[i] - o.cx[i]) * (f.cx[i] - o.cx[i])), (a,b) -> a + b))
+        |    AS drift
+        |FROM cent f JOIN cent2 o ON o.cent_id = f.cent_id""".stripMargin
+  }
+
   private[graft] def cellChurnOracle(s13: String): String = {
     val anchor = "probes AS (SELECT vec_id AS query_id"
     val i = s13.indexOf(anchor)

@@ -792,21 +792,20 @@ object RelationalOracles {
         |    (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))),
         |    (x, y) -> x | y) AS zv
         |FROM d""".stripMargin,
-    // q68: per-user modal event type. The window form (count DESC, type
-    // ASC) is spelled out on both sides — DuckDB's mode() has
-    // engine-defined tie behavior, so it is NOT used.
-    "q68_mode" ->
-      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+    // q68: per-user event-type Shannon entropy — x21's decimal-grid log
+    // recipe over the (user, event_type) histogram.
+    "q68_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events
-        |  FROM c GROUP BY 1),
-        |m AS (SELECT user_id, event_type AS modal_type, n AS n_modal
-        |  FROM (SELECT user_id, event_type, n, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
-        |  FROM c) WHERE rn = 1)
-        |SELECT m.user_id, m.modal_type,
-        |  CAST(m.n_modal AS BIGINT) AS n_modal, t.n_events,
-        |  CAST(m.n_modal AS DOUBLE) / t.n_events AS modal_share
-        |FROM m JOIN t ON t.user_id = m.user_id""".stripMargin,
+        |ag AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)), 5)
+        |    AS DECIMAL(18,6))) AS clog_sum
+        | FROM c GROUP BY 1)
+        |SELECT user_id, n_types, n_events,
+        |  CAST(CAST(round(ln(CAST(n_events AS DOUBLE)), 5)
+        |    AS DECIMAL(18,6)) AS DOUBLE)
+        |    - CAST(clog_sum AS DOUBLE) / n_events AS entropy_nats
+        |FROM ag""".stripMargin,
   )
 }

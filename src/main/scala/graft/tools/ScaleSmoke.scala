@@ -108,8 +108,12 @@ object ScaleSmoke {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "d26_prefix_filter" -> (d => Dedup.prefixFilterPairs(d, 0.7)),
       "d28_exact_pipeline" -> { d =>
-        val pairs = Dedup.prefixFilterPairs(d, 0.7)
-          .select(col("doc_a"), col("doc_b"))
+        // mirrors the SparkEntry registration: pairs MATERIALIZED before
+        // CC (the phase accounting below showed the as-written lazy
+        // pipeline re-planning the prefix join in CC's union arms)
+        val pairs = graft.operators.Caching.materialize(
+          Dedup.prefixFilterPairs(d, 0.7)
+            .select(col("doc_a"), col("doc_b")))
         val comps = Dedup.connectedComponents(pairs)
           .select(col("doc").as("doc_id"),
             (col("doc") === col("lab")).as("keep"))

@@ -570,4 +570,22 @@ class CurationSpec extends SparkSpec {
     // a single-doc source is all warmup, rank 1 of 1
     assert(out(4L) == (("B", 1L, 1L, 0.0, "warmup")), s"$out")
   }
+
+  test("dedupTokenBudget: the duplicate's tokens drop from the kept " +
+    "budget; untouched sources keep everything") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today", "web"),
+      (2L, "the cat sat on the mat today", "web"),
+      (3L, "entirely different text content here now", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.dedupTokenBudget(docs,
+        Dedup.nearDupComponents(docs, 0.7)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // web: two 7-token duplicates; the non-representative drops → half
+    // the tokens survive
+    assert(out("web") == ((2L, 1L, 14L, 7L, 0.5)), s"$out")
+    // books: outside every near-dup pair — keep defaults true
+    assert(out("books") == ((1L, 1L, 6L, 6L, 1.0)), s"$out")
+  }
 }

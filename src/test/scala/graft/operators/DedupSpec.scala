@@ -841,4 +841,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - (est - 68.0) / 68.0) < 1e-12)
     assert(est > 30.0 && est < 140.0, s"KMV estimate implausible: $est")
   }
+
+  test("dirtyBucketReport: bucket classes hand-checked (pure ingest and " +
+    "membership change)") {
+    def idx(rows: (Long, Seq[String])*) =
+      rows.toSeq.map { case (id, ks) => (id, Seq("s"), ks) }
+        .toDF("doc_id", "sh", "bkeys")
+    // pure ingest: C arrives, A/B unchanged — 7 unchanged buckets, 4 new
+    val fresh = idx(1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "x", "y", "z"), 3L -> Seq("q", "r", "s", "t"))
+    val stored = idx(1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "x", "y", "z"))
+    val r = Dedup.dirtyBucketReport(fresh, stored).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5)) == ((11L, 7L, 4L, 0L, 0L, 0L)),
+      s"$row")
+    assert(row.getDouble(6) == 4.0 / 11.0, s"$row")
+    // membership change: stored B duplicated A's keys, fresh B moved
+    // away — (0,a) stays at 2, bands 1-3 of the old shared key shrink
+    val storedDup = idx(1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "b", "c", "d"))
+    val r2 = Dedup.dirtyBucketReport(fresh, storedDup).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getLong(4), r2.getLong(5)) == ((11L, 1L, 7L, 0L, 3L, 0L)),
+      s"$r2")
+    assert(r2.getDouble(6) == 10.0 / 11.0, s"$r2")
+    // empty inputs → empty report
+    assert(Dedup.dirtyBucketReport(idx(), idx()).collect().isEmpty)
+  }
 }

@@ -413,4 +413,21 @@ class RelationalSpec extends SparkSpec {
     assert(out("2024-04-01") == (150.0, 1L, Some(300.0), Some(-0.5)))
     assert(!out.contains("2024-03-01"))
   }
+
+  test("userEventEntropy: single-type user reads exactly 0; uniform " +
+    "two-type user reads ~ln 2") {
+    val ev = Seq(
+      (1L, "click"), (1L, "click"), (1L, "click"),          // pure bot
+      (2L, "click"), (2L, "click"), (2L, "view"), (2L, "view"))
+      .toDF("user_id", "event_type")
+    val out = Relational.userEventEntropy(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // one type: ln(n)_g − n·ln(n)_g/n cancels EXACTLY on the grid
+    assert(out(1L)._1 == 1L && out(1L)._2 == 3L && out(1L)._3 == 0.0,
+      s"$out")
+    // uniform over 2 types: H = ln(4)_g − ln(2)_g ≈ ln 2
+    assert(out(2L)._1 == 2L && out(2L)._2 == 4L, s"$out")
+    assert(math.abs(out(2L)._3 - math.log(2.0)) < 1e-4, s"$out")
+  }
 }

@@ -695,4 +695,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
   }
 
+  test("centroidDrift: per-id euclidean distance; one-build-only ids " +
+    "drop out") {
+    import org.apache.spark.sql.functions.col
+    val fresh = Seq((1L, Seq(3.0, 0.0), 1.0), (2L, Seq(1.0, 1.0), 1.0))
+      .toDF("cent_id", "cx", "cnrm")
+    val stored = Seq((1L, Seq(0.0, 4.0), 1.0), (3L, Seq(9.0, 9.0), 1.0))
+      .toDF("cent_id", "cx", "cnrm")
+    val out = Similarity.centroidDrift(fresh, stored).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only the shared id survives; 3-4-5 triangle
+    assert(out == Map(1L -> 5.0), s"$out")
+    // identical builds drift zero
+    val same = Similarity.centroidDrift(fresh, fresh).collect()
+      .map(r => r.getDouble(1)).toSeq
+    assert(same == Seq(0.0, 0.0), s"$same")
+  }
 }
