@@ -133,9 +133,11 @@ object Similarity {
         VectorOps.asDouble(col("embedding")).as("x"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
     Caching.withPersisted(v) {
-      val q = defaultQueries(v)
+      // materialized for the kmeansCentroids-seeds reason (see
+      // rangeSearch): the broadcast build must not race v's cache build
+      val q = Caching.materialize(defaultQueries(v)
         .select(col("vec_id").as("query_id"), col("x").as("qx"),
-          col("nrm").as("qnrm"))
+          col("nrm").as("qnrm")))
       val allowed = v.filter(col("label") % 2 === 0)
       val scored = broadcast(q)
         .join(allowed, col("vec_id") =!= col("query_id"))
@@ -278,9 +280,13 @@ object Similarity {
   def rangeSearch(embeddings: DataFrame, minCos: Double = 0.3): DataFrame = {
     val v = vecs(embeddings)
     Caching.withPersisted(v) {
-      val q = v.filter(col("vec_id") % 100 === 0)
+      // materialized for the kmeansCentroids-seeds reason: the broadcast
+      // build and the corpus scan otherwise race v's cache build (the
+      // r13 seal run attributed a BlockManager re-add WARN to exactly
+      // this site); one sequential slice action builds v's cache first
+      val q = Caching.materialize(v.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("x").as("qx"),
-          col("nrm").as("qnrm"))
+          col("nrm").as("qnrm")))
       broadcast(q)
         .join(v, col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -325,7 +331,8 @@ object Similarity {
   /** s6's body over an already-prepared (and persisted) frame carrying the
     * coarse columns — shared with [[annRecall]]. */
   private def tieredWithVc(vc: DataFrame, k: Int, probeK: Int): DataFrame = {
-    val q = defaultQueries(vc)
+    // materialized for the kmeansCentroids-seeds reason (see rangeSearch)
+    val q = Caching.materialize(defaultQueries(vc))
     val coarse = broadcast(
         q.select(col("vec_id").as("query_id"), col("xc").as("qxc"),
           col("cnrm").as("qcnrm")))
@@ -336,7 +343,7 @@ object Similarity {
     val cands = graft.plans.TopK.perKey(coarse, Seq(col("query_id")),
       Seq(col("ccos").desc, col("neighbor_id")), probeK)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(vc, defaultQueries(vc), cands, k)
+    rerankExact(vc, q, cands, k)
   }
 
   /** Hamming-tier ANN (s7): candidates come from popcount(xor) over the
@@ -358,7 +365,8 @@ object Similarity {
       .withColumn("w0", VectorOps.signWord(col("x"), 0))
       .withColumn("w1", VectorOps.signWord(col("x"), 32))
     Caching.withPersisted(vc) {
-      val q = defaultQueries(vc)
+      // materialized for the kmeansCentroids-seeds reason (see rangeSearch)
+      val q = Caching.materialize(defaultQueries(vc))
       val ham = broadcast(
           q.select(col("vec_id").as("query_id"), col("w0").as("qw0"),
             col("w1").as("qw1")))
@@ -397,10 +405,15 @@ object Similarity {
     // LUT) — persist it alongside vc so the subspace explode runs once
     val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
     Caching.withPersisted(vc, sub) {
+      // sequential slice actions build the vc/sub caches BEFORE the
+      // multi-stage search job scans them from concurrent stages (the
+      // kmeansCentroids-seeds reason; see rangeSearch)
+      val qv = Caching.materialize(defaultQueries(vc))
+      val qsub = Caching.materialize(defaultQueries(sub))
       val codebook = VectorOps.pqCodebook(sub)
       val codes = VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code"))
-      val lut = defaultQueries(sub)
+      val lut = qsub
         .select(col("vec_id").as("query_id"), col("s"),
           col("sx").as("qsx"))
         .join(broadcast(codebook), "s")
@@ -415,7 +428,7 @@ object Similarity {
       val cands = graft.plans.TopK.perKey(approx, Seq(col("query_id")),
         Seq(col("adc_d2"), col("vec_id")), probeK)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      rerankExact(vc, defaultQueries(vc), cands, k)
+      rerankExact(vc, qv, cands, k)
     }
   }
 

@@ -141,6 +141,20 @@ object DataCard {
     val churn = graft.operators.Graph.neighborChurn(nIdx,
       graft.operators.Graph.neighborIndex(li,
         ord.filter(col("o_orderkey") % 10 =!= 0)))
+    // d38/mm16: tonight's incremental re-pair work estimate — which
+    // fraction of the LSH / phash bucket space yesterday's build left
+    // dirty (the dirty-bucket family, one row each)
+    val dirtyLsh = Dedup.dirtyBucketReport(
+      Dedup.nearDupIndex(docs),
+      Dedup.nearDupIndex(docs.filter(col("doc_id") % 10 =!= 0)))
+    val dirtyPhash = Multimodal.phashDirtyBuckets(
+      Multimodal.phashIndex(docs),
+      Multimodal.phashIndex(docs.filter(col("doc_id") % 10 =!= 0)))
+    // c30: the token budget a training-mix plan actually schedules —
+    // per source, before/after the near-dup keeper decision
+    val budget = Curation.dedupTokenBudget(
+        docs, Dedup.nearDupComponents(docs, 0.7))
+      .orderBy(col("token_frac"), col("source"))
     // x39: the per-feed off-distribution dial, worst source first
     val lmBySource = LlmLm.lmScoreBySource(docs)
       .orderBy(col("avg_logprob"), col("source"))
@@ -210,6 +224,21 @@ object DataCard {
     sb ++= section(
       "Perceptual-hash distance histogram (mm15: cutoff tuning)",
       hammingHist)
+    sb ++= section(
+      "LSH dirty buckets (d38: tonight's incremental re-pair estimate)",
+      dirtyLsh)
+    sb ++= section(
+      "Phash dirty buckets (mm16: the multimodal twin)", dirtyPhash)
+    sb ++= section(
+      "Post-dedup token budget by source (c30: worst retention first)",
+      budget)
+    // the graph sections above ran the to-fixpoint builds; their
+    // convergence accounting ships ON the card so a release sign-off
+    // reads converged=true next to the numbers it certifies
+    sb ++= section(
+      "Iterative-op convergence accounting (lpa/kcore: must all read " +
+        "converged=true)",
+      graft.operators.Graph.convergenceReport(spark))
     sb.result()
   }
 

@@ -42,7 +42,13 @@ class DataCardSpec extends SparkSpec {
         "## Embedding spectrum shape (e22: spectral gap)",
         "## Affinity-graph components (g12: largest first)",
         "## Perceptual-hash distance histogram (mm15: cutoff tuning)",
-        "## Neighbor-index churn (g13: stored split vs fresh build)"))
+        "## Neighbor-index churn (g13: stored split vs fresh build)",
+        "## LSH dirty buckets (d38: tonight's incremental re-pair " +
+          "estimate)",
+        "## Phash dirty buckets (mm16: the multimodal twin)",
+        "## Post-dedup token budget by source (c30: worst retention " +
+          "first)",
+        "## Iterative-op convergence accounting"))
       assert(card.contains(section), s"missing section: $section\n$card")
     // overview numbers are real
     assert("- documents: (\\d+)".r.findFirstMatchIn(card)
