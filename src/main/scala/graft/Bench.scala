@@ -60,6 +60,25 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // BlockManager's "Block rdd_N already exists on this machine; not
+    // re-adding it" is the benign tail of the lazy-persist cache-build
+    // race (two concurrent stages of ONE query compute the same cached
+    // partition; the first copy is kept, the duplicate put is refused —
+    // results unaffected). The r13 audit closed every DETERMINISTIC
+    // member of the class at the source (priming-phase label/IVF builds,
+    // the broadcast-query slices in s1/s4/s6/s7/s8/s10/s12) and measured
+    // the only full fix for the residual scheduling-luck members —
+    // eagerly count()-building every cache bracket — at +0.9-1.0 s per
+    // shingle-heavy query (~3% suite-wide), a worse steady-state trade
+    // than an occasionally-recomputed partition (~1-3 occurrences per
+    // ~500 measured queries, attributed per query via
+    // SPARK_GRAFT_PROGRESS=1; see COVERAGE.md's cache-race paragraph).
+    // Silenced for this measurement JVM only, exactly like the rdd and
+    // window classes above: the record should carry the measurements,
+    // not a known-benign scheduler coin flip.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
     // Timed action: write to the noop sink, which consumes every row and
     // every column. A bare count() would let Catalyst prune all projections
     // under Aggregate(count(1)) and measure scan+count instead of operator

@@ -150,8 +150,27 @@ object Caching {
     finally df.unpersist(false)
   }
 
-  /** Persist `intermediates`, evaluate `result`, eagerly materialize it with
-    * lineage truncation, release the intermediates. */
+  /** Intermediates persist LAZILY by design — their cache builds inside
+    * the body's first action, FUSED with that action's own compute (no
+    * separate pass, no columnar read-back for the first consumer). The
+    * price is a benign race: when the first action scans the frame from
+    * two concurrent stages (a band/wedge self-join, a broadcast build
+    * racing the probe scan), both may compute the same partition, one
+    * put is rejected, and the BlockManager logs "already exists, not
+    * re-adding" — correctness unaffected (the kept copy is the one
+    * everyone reads), cost = the raced partition computed twice,
+    * OCCASIONALLY (scheduling-dependent; ~1-3 occurrences per ~500
+    * measured queries in the r13 audits). The alternative was measured
+    * and REJECTED (r13): eagerly count()-building every bracket's cache
+    * kills the race class but swaps the first consumer's fused compute
+    * for a cache decode — +0.9-1.0 s per shingle-heavy query (d2/d26),
+    * ~3% suite-wide, a worse steady-state trade than an intermittent
+    * duplicated partition. Sites whose first action RELIABLY races
+    * (deterministic, not scheduling-luck) instead materialize the small
+    * slice that seeds the race (kmeansCentroids seeds; the s1/s4/s6/s7/
+    * s8/s10/s12 broadcast-query slices; ivfAdcIndex's vc/sub; the Graph
+    * label/rank edge frames) — one cheap sequential action, no decode
+    * tax on the big frame. */
   def withPersisted(intermediates: DataFrame*)(result: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     try materialize(result)

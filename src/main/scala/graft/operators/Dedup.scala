@@ -390,6 +390,33 @@ object Dedup {
       Seq("band", "bkey"))
   }
 
+  /** Per-batch dirty-bucket gauge — the STREAMING-twin body of
+    * [[dirtyBucketReport]] (d38 measures a whole build nightly; this
+    * says which buckets ONE arriving batch touches, live): the batch is
+    * shingled and banded (its own cost only — the d13 contract), its
+    * distinct band keys split into brand-new buckets vs hits on the
+    * stored index's key set. A rising new_frac means arrivals are
+    * opening fresh bucket space (novel content — the index append stays
+    * cheap); a low one means arrivals pile into existing buckets
+    * (duplication pressure — tonight's re-pair grows). One explode +
+    * distinct per side and one equi-join at batch-bucket scale; empty
+    * batch → empty report. */
+  def batchDirtyBuckets(incoming: DataFrame, index: DataFrame): DataFrame = {
+    def keys(idx: DataFrame) = idx
+      .select(posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .distinct()
+    keys(nearDupIndex(incoming))
+      .join(keys(index).withColumn("s", lit(true)),
+        Seq("band", "bkey"), "left_outer")
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_touched"),
+        sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("s").isNotNull, 1L).otherwise(0L)).as("n_existing"))
+      .select(col("n_touched"), col("n_new"), col("n_existing"),
+        (col("n_new").cast("double") / col("n_touched").cast("double"))
+          .as("new_frac"))
+  }
+
   /** The bucket-class fold shared by every dirty-bucket gauge (d38's LSH
     * bands, mm16's phash bands): full outer join two keyed count frames
     * (`cf` fresh, `cs` stored) and classify each bucket as unchanged /

@@ -79,6 +79,28 @@ object StreamDedup {
       }
       .start()
 
+  /** Streaming dirty-bucket gauge (d38's live twin — the VERDICT r12 #8
+    * pattern applied to the dedup family): per micro-batch, which LSH
+    * buckets the arrivals touch, split into brand-new bucket space vs
+    * hits on the stored index's keys — the duplication-pressure dial an
+    * ingest watches between nightly d38 reports. The sink receives
+    * (n_touched, n_new, n_existing, new_frac, batch_id); per-batch cost
+    * is the batch's own shingling + a bucket-scale equi-join. Spec pins
+    * stream output == `Dedup.batchDirtyBuckets` on the same frames. */
+  def dirtyBucketGauge(
+      docs: DataFrame,
+      index: DataFrame,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-dirty-bucket-gauge")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Dedup.batchDirtyBuckets(batch, index)
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId)))
+        ()
+      }
+      .start()
+
   /** Streaming EXACT-recall dedup against a stored prefix-filter index
     * (d27's streaming twin): each arriving batch ranks its tokens by the
     * index's frozen frequency order and joins its prefixes against the

@@ -228,4 +228,48 @@ class StreamDedupSpec extends SparkSpec {
         s"re-upload found at hamming 0: $got")
     } finally q.stop()
   }
+
+  test("dirtyBucketGauge: per-batch new-vs-existing bucket split equals " +
+    "the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog"
+    val index = graft.operators.Dedup.nearDupIndex(
+      Seq((100L, base)).toDF("doc_id", "text"))
+    index.count()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Double, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.dirtyBucketGauge(
+      input.toDF().toDF("doc_id", "text"), index,
+      sink = df => df.collect().foreach(r => rows.add((
+        r.getLong(r.fieldIndex("n_touched")),
+        r.getLong(r.fieldIndex("n_new")),
+        r.getLong(r.fieldIndex("n_existing")),
+        r.getDouble(r.fieldIndex("new_frac")),
+        r.getLong(r.fieldIndex("batch_id"))))))
+    try {
+      // batch 1: an exact copy of the known doc — every touched bucket
+      // already exists (pure duplication pressure, new_frac 0)
+      input.addData(Seq((1L, base)))
+      q.processAllAvailable()
+      // batch 2: unrelated content — every bucket is new space
+      input.addData(Seq(
+        (2L, "completely different words forming another document here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.toArray(Array.empty[(Long, Long, Long, Double, Long)])
+      .toSet
+    assert(got.contains((4L, 0L, 4L, 0.0, 0L)), s"$got")
+    assert(got.contains((4L, 4L, 0L, 1.0, 1L)), s"$got")
+    // stream body == batch twin on the same frames
+    val twin = graft.operators.Dedup.batchDirtyBuckets(
+        Seq((1L, base)).toDF("doc_id", "text"), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(twin == Seq((4L, 0L, 4L, 0.0)), s"$twin")
+    // empty batch → empty report
+    assert(graft.operators.Dedup.batchDirtyBuckets(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), index)
+      .collect().isEmpty)
+  }
 }
