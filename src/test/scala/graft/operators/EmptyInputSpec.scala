@@ -113,7 +113,20 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
     "kcore" -> (() => Graph.kcore(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
-      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))))
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    // round-13 additions
+    "lpaProfile" -> (() => Graph.lpaProfile(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "hapaxBySource" -> (() => LlmText.hapaxBySource(docs)),
+    "dirtyBucketReport" -> (() => Dedup.dirtyBucketReport(
+      Dedup.nearDupIndex(docs), Dedup.nearDupIndex(docs))),
+    "batchDirtyBuckets" -> (() =>
+      Dedup.batchDirtyBuckets(docs, Dedup.nearDupIndex(docs))),
+    "phashDirtyBuckets" -> (() => Multimodal.phashDirtyBuckets(
+      Multimodal.phashIndex(docs), Multimodal.phashIndex(docs))),
+    "dedupTokenBudget" -> (() => Curation.dedupTokenBudget(
+      docs, Dedup.nearDupComponents(docs))))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
     "embeddingDedup" -> (() => Dedup.embeddingDedup(embs)),
@@ -137,7 +150,15 @@ class EmptyInputSpec extends SparkSpec {
     "standardize" -> (() => VectorOps.standardize(embs)),
     "pqWorstVectors" -> (() => VectorOps.pqWorstVectors(embs)),
     "clusterSizeHistogram" -> (() => Dedup.clusterSizeHistogram(docs)),
-    "silenceReport" -> (() => Multimodal.silenceReport(docs)))
+    "silenceReport" -> (() => Multimodal.silenceReport(docs)),
+    // round-13 additions
+    "normBands" -> (() => VectorOps.normBands(embs)),
+    "coarseCentroids" -> (() => Similarity.coarseCentroids(embs)),
+    "centroidDrift" -> (() => Similarity.centroidDrift(
+      Similarity.coarseCentroids(embs), Similarity.coarseCentroids(embs))),
+    "batchCellChurn" -> (() => Similarity.batchCellChurn(
+      embs, Seq.empty[(Long, Long)].toDF("vec_id", "cent_id"),
+      Similarity.coarseCentroids(embs))))
 
   test("documents operators return empty on an empty corpus, never throw") {
     val bad = (docOps ++ embOps).flatMap { case (name, op) =>
