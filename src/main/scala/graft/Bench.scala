@@ -207,12 +207,16 @@ object Bench {
       val neighborConsumers = Set("g11_kcore", "g12_components",
         "g13_index_churn")
       val componentConsumers = Set("g12_components")
+      val ndupConsumers = Set("d38_dirty_buckets")
+      val phashConsumers = Set("mm16_phash_dirty")
       SparkEntry.primeStoredIndexes(spark, sfDir,
         ivf = selected.keys.exists(ivfConsumers),
         labels = selected.keys.exists(labelConsumers),
         triangles = selected.keys.exists(triangleConsumers),
         neighbors = selected.keys.exists(neighborConsumers),
-        components = selected.keys.exists(componentConsumers))
+        components = selected.keys.exists(componentConsumers),
+        ndup = selected.keys.exists(ndupConsumers),
+        phash = selected.keys.exists(phashConsumers))
     }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the

@@ -64,12 +64,15 @@ object SparkEntry {
     * train inline, and ScaleSmoke times `s13_index_build` explicitly. */
   def primeStoredIndexes(s: SparkSession, d: String,
       ivf: Boolean, labels: Boolean, triangles: Boolean = false,
-      neighbors: Boolean = false, components: Boolean = false): Unit = {
+      neighbors: Boolean = false, components: Boolean = false,
+      ndup: Boolean = false, phash: Boolean = false): Unit = {
     if (ivf) { storedIvfIndex(s, d); () }
     if (labels) { storedLabelIndex(s, d); () }
     if (triangles) { storedTriangleStats(s, d); () }
     if (neighbors) { storedNeighborIndex(s, d); () }
     if (components) { storedComponentMembers(s, d); () }
+    if (ndup) { storedNearDupIndex(s, d); () }
+    if (phash) { storedPhashIndex(s, d); () }
   }
 
   private def storedIvfIndex(s: SparkSession, d: String): Similarity.IvfAdcIndex = {
@@ -143,6 +146,31 @@ object SparkEntry {
         .write.parquet(s"$tmp/members")
     }
     s.read.parquet(s"$dir/members")
+  }
+
+  /** ONE stored full-corpus near-dup index per scale factor (the
+    * [[storedNeighborIndex]] pattern for the LSH family): d38's FRESH
+    * side reads it — the g13 convention: the fresh side IS the stored
+    * lake artifact every other consumer serves from; only yesterday's
+    * split builds inline. Signatures are a pure function of the docs,
+    * so stored ≡ inline (DedupSpec pins it through a parquet
+    * round-trip) and the oracle is unchanged. */
+  private def storedNearDupIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = storedTempDir(s"ndup:$d") { tmp =>
+      Dedup.nearDupIndex(T.documents(s, d)).write.parquet(s"$tmp/index")
+    }
+    s.read.parquet(s"$dir/index")
+  }
+
+  /** ONE stored full-corpus phash signature table per scale factor —
+    * mm16's fresh side (same convention as [[storedNearDupIndex]]). */
+  private def storedPhashIndex(s: SparkSession,
+      d: String): Multimodal.PhashIndex = {
+    val dir = storedTempDir(s"ph:$d") { tmp =>
+      Multimodal.phashIndex(T.documents(s, d)).sigs
+        .write.parquet(s"$tmp/sigs")
+    }
+    Multimodal.PhashIndex(s.read.parquet(s"$dir/sigs"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.8 extension
@@ -650,12 +678,12 @@ object SparkEntry {
     // split build (the d13/d20 convention); dirty_frac sizes tonight's
     // incremental re-pair before it runs. The dedup-family staleness
     // gauge beside g13 (edges) and s24 (cells).
-    "d38_dirty_buckets" -> ((s, d) => {
-      val docs = T.documents(s, d)
-      Dedup.dirtyBucketReport(
-        Dedup.nearDupIndex(docs),
-        Dedup.nearDupIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
-    }),
+    // The fresh side is the STORED lake artifact (the g13 convention);
+    // only yesterday's split builds inline.
+    "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(
+      storedNearDupIndex(s, d),
+      Dedup.nearDupIndex(
+        T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0)))),
     "d12_cc_star" -> ((s, d) => Dedup.nearDupComponentsStar(T.documents(s, d))),
     "d13_incremental_dedup" -> ((s, d) => {
       val docs = T.documents(s, d)
@@ -871,13 +899,10 @@ object SparkEntry {
       Multimodal.phashHammingHistogram(T.documents(s, d))),
     // mm16: phash dirty-bucket report — today's band buckets vs
     // yesterday's split build; the multimodal member of the d38 family.
-    "mm16_phash_dirty" -> ((s, d) => {
-      val docs = T.documents(s, d)
-      Multimodal.phashDirtyBuckets(
-        Multimodal.phashIndex(docs),
-        Multimodal.phashIndex(
-          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
-    }),
+    "mm16_phash_dirty" -> ((s, d) => Multimodal.phashDirtyBuckets(
+      storedPhashIndex(s, d),
+      Multimodal.phashIndex(
+        T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0)))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are

@@ -870,5 +870,15 @@ class DedupSpec extends SparkSpec {
     assert(r2.getDouble(6) == 10.0 / 11.0, s"$r2")
     // empty inputs → empty report
     assert(Dedup.dirtyBucketReport(idx(), idx()).collect().isEmpty)
+    // the fresh side served from a parquet lake table (the d38
+    // registration's stored artifact) is identical to inline
+    val dir = java.nio.file.Files.createTempDirectory("graft-d38-")
+    fresh.write.parquet(s"$dir/index")
+    val storedFresh = spark.read.parquet(s"$dir/index")
+    assert(Dedup.dirtyBucketReport(storedFresh, stored).collect()
+      .map(_.toSeq).toSeq ==
+      Dedup.dirtyBucketReport(fresh, stored).collect()
+        .map(_.toSeq).toSeq,
+      "parquet-stored fresh index drifted from inline")
   }
 }

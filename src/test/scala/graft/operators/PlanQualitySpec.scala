@@ -342,4 +342,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(joins <= 3, s"expected wedge+closing+leftouter only, got " +
       s"$joins joins:\n$p")
   }
+
+  test("q68/e24: entropy and norm-band folds are pure aggregates — " +
+    "no window, no join, no sort") {
+    for (q <- Seq("q68_user_entropy", "e24_norm_bands")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("Join") &&
+        !p.contains("SortExec"),
+        s"$q must be map-side-combined aggregates only:\n$p")
+    }
+  }
+
+  test("round-13 queries: no cartesian product, no nested-loop join " +
+    "anywhere in the executed plans") {
+    // the anti-pattern sweep codified for the new surface: the frames
+    // these queries materialize internally are audited through
+    // lastMaterializedPlan (the caller-visible plan is the checkpoint
+    // scan after lineage truncation)
+    for (q <- Seq("g14_lpa_profile", "d38_dirty_buckets",
+        "mm16_phash_dirty", "s25_centroid_drift", "c30_dedup_budget",
+        "x40_hapax")) {
+      val visible = plan(q)
+      val internal = Caching.lastMaterializedPlan
+      for ((tag, p) <- Seq("visible" -> visible, "internal" -> internal))
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoop"),
+          s"$q has an unbounded join shape ($tag):\n$p")
+    }
+  }
 }
