@@ -405,11 +405,13 @@ object Similarity {
     // LUT) — persist it alongside vc so the subspace explode runs once
     val sub = VectorOps.pqSubspaces(embeddings, subspaces, subDim)
     Caching.withPersisted(vc, sub) {
-      // sequential slice actions build the vc/sub caches BEFORE the
-      // multi-stage search job scans them from concurrent stages (the
-      // kmeansCentroids-seeds reason; see rangeSearch)
-      val qv = Caching.materialize(defaultQueries(vc))
-      val qsub = Caching.materialize(defaultQueries(sub))
+      // the query slices stay LAZY here: this site never reproduced the
+      // broadcast-build race, and a measured attempt to pre-materialize
+      // the slices (r13) cost +0.8 s — the slice action forces the full
+      // vc/sub cache builds as separate passes. The benign residual WARN
+      // class is handled by policy at Caching.withPersisted.
+      val qv = defaultQueries(vc)
+      val qsub = defaultQueries(sub)
       val codebook = VectorOps.pqCodebook(sub)
       val codes = VectorOps.pqNearest(sub, codebook)
         .select(col("vec_id"), col("s"), col("code"))
