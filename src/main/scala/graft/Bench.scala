@@ -202,7 +202,7 @@ object Bench {
         "s22_filtered_vs_index", "s23_filtered_recall",
         "s25_centroid_drift")
       val labelConsumers = Set("g3_community_stats", "g4_bridge_nodes",
-        "g7_modularity")
+        "g7_modularity", "g14_lpa_profile")
       val triangleConsumers = Set("g10_transitivity")
       val neighborConsumers = Set("g11_kcore", "g12_components",
         "g13_index_churn")

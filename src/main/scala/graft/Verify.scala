@@ -64,21 +64,25 @@ object Verify {
     // failure. Check it against THIS dump's recorded telemetry instead
     // of assuming it: fail the whole dump so the gap is named before the
     // driver's DuckDB compare turns it into a hash mismatch.
-    def lastChangingRound(changes: Seq[Long]): Int =
-      changes.lastIndexWhere(_ != 0L) + 1
+    // Assert on the per-JVM HIGH-WATER mark, not the last run's sequence
+    // (ADVICE r13: last-writer-wins globals mask an earlier over-deep run
+    // if a later shallower run overwrites them — g2 and the stored label
+    // build both run LPA in this JVM, so the gate must see the max).
     import graft.operators.Graph
-    if (Graph.lastLpaRoundChanges.nonEmpty)
-      require(lastChangingRound(Graph.lastLpaRoundChanges) <=
+    if (Graph.lpaLastChangingHighWater > 0)
+      require(Graph.lpaLastChangingHighWater <=
         graft.oracles.GraphOracles.lpaUnrolledRounds,
-        s"LPA's last changing round " +
-          s"(${Graph.lastLpaRoundChanges.mkString(",")}) exceeds the " +
+        s"LPA's deepest last-changing round this JVM " +
+          s"(${Graph.lpaLastChangingHighWater}; last run: " +
+          s"${Graph.lastLpaRoundChanges.mkString(",")}) exceeds the " +
           s"${graft.oracles.GraphOracles.lpaUnrolledRounds}-round oracle " +
           "unroll — raise lpaUnrolledRounds or the g2 oracle diverges")
-    if (Graph.lastKcorePeeled.nonEmpty)
-      require(lastChangingRound(Graph.lastKcorePeeled) <=
+    if (Graph.kcoreLastChangingHighWater > 0)
+      require(Graph.kcoreLastChangingHighWater <=
         graft.oracles.DerivedOracles.kcoreUnrolledRounds,
-        s"kcore's last changing peel round " +
-          s"(${Graph.lastKcorePeeled.mkString(",")}) exceeds the " +
+        s"kcore's deepest last-changing peel round this JVM " +
+          s"(${Graph.kcoreLastChangingHighWater}; last run: " +
+          s"${Graph.lastKcorePeeled.mkString(",")}) exceeds the " +
           s"${graft.oracles.DerivedOracles.kcoreUnrolledRounds}-round " +
           "oracle unroll — raise kcoreUnrolledRounds or g11 diverges")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -183,6 +183,13 @@ object Graph {
     * logs (VERDICT r12 #6). */
   @volatile var lastLpaConverged: Boolean = true
 
+  /** Per-JVM HIGH-WATER MARK of the last changing LPA round across ALL
+    * runs (ADVICE r13: [[lastLpaRoundChanges]] is last-writer-wins, so
+    * an invariant read off it checks only the FINAL run — an earlier
+    * run that exceeded the oracle unroll would be masked by a later
+    * shallower one). Verify's over-unroll gate asserts on this. */
+  @volatile var lpaLastChangingHighWater: Int = 0
+
   /** [[lastLpaConverged]]'s k-core twin: whether the LAST [[kcore]]
     * peel proved stability (a zero-peel round) before `maxRounds`. */
   @volatile var lastKcoreConverged: Boolean = true
@@ -256,6 +263,8 @@ object Graph {
       lab = round.drop("chg")
     }
     lastLpaRoundChanges = roundChanges.result()
+    lpaLastChangingHighWater = math.max(lpaLastChangingHighWater,
+      lastLpaRoundChanges.lastIndexWhere(_ != 0L) + 1)
     lastLpaConverged = prevChanged == 0L && changed == 0L
     if (!(prevChanged == 0L && changed == 0L))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -284,10 +293,38 @@ object Graph {
     val spark = lineitem.sparkSession
     val edges = Caching.materialize(custSuppEdges(lineitem, orders))
     lpaLabels(edges, maxIters)
+    lpaProfileFrame(spark)
+  }
+
+  /** The (round, n_changed) profile of the LAST [[lpaLabels]] run in
+    * this JVM as a frame — the table [[writeLabelArtifacts]] publishes
+    * NEXT TO the label index it profiles (VERDICT r13 #5: g14 re-ran
+    * the full LPA loop to recompute numbers the nightly build had just
+    * produced as a side effect; recording them WITH the build makes
+    * g14 a stored-table read). Same stop-point-independent row set as
+    * [[lpaProfile]]: only changing rounds emit rows. */
+  def lpaProfileFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
     lastLpaRoundChanges.zipWithIndex
       .collect { case (n, i) if n != 0L => (i + 1, n) }
       .toDF("round", "n_changed")
+  }
+
+  /** Publish one label-index build's FULL artifact set into `dir`:
+    * labels, edges, the convergence profile of the build's own LPA run,
+    * and its one-row convergence verdict (VERDICT r13 #8: the
+    * session-global [[convergenceReport]] can't tell a consumer whether
+    * THIS stored build converged — publishing the row next to the index
+    * tables makes a cap-hit build refusable by data, per build). Call
+    * immediately after [[labelIndex]] on the same thread — the profile
+    * and verdict read the run telemetry that build just wrote. */
+  def writeLabelArtifacts(spark: SparkSession, idx: LabelIndex,
+      dir: String): Unit = {
+    idx.labels.write.parquet(s"$dir/labels")
+    idx.edges.write.parquet(s"$dir/edges")
+    lpaProfileFrame(spark).write.parquet(s"$dir/profile")
+    convergenceReport(spark).filter(col("op") === "lpa")
+      .write.parquet(s"$dir/convergence")
   }
 
   /** Per-community governance readout (g3) over [[labelPropagation]]'s
@@ -643,6 +680,10 @@ object Graph {
     * peels, and the peel count is bounded by |V|). */
   @volatile var lastKcorePeeled: Seq[Long] = Seq.empty
 
+  /** [[lpaLastChangingHighWater]]'s k-core twin: max last-changing peel
+    * round across every [[kcore]] run in this JVM. */
+  @volatile var kcoreLastChangingHighWater: Int = 0
+
   /** k-core membership (g11): iteratively remove nodes of degree < k
     * from the [[neighborIndex]] graph — TO FIXPOINT, not a fixed budget
     * — and report, per node, its original degree, whether it survived
@@ -701,6 +742,8 @@ object Graph {
       prevKept = n
     }
     lastKcorePeeled = peels.result()
+    kcoreLastChangingHighWater = math.max(kcoreLastChangingHighWater,
+      lastKcorePeeled.lastIndexWhere(_ != 0L) + 1)
     lastKcoreConverged = converged
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

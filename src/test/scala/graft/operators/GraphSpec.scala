@@ -457,6 +457,43 @@ class GraphSpec extends SparkSpec {
     Graph.kcore(li, ord)
   }
 
+  test("label build publishes its own profile + convergence row; a " +
+    "pinned cap-hit build is refusable by data") {
+    import graft.sources.IndexStore
+    val (li, ord) = fixture
+    val family = "spec:lpa-artifacts"
+    // a healthy build: full cap, converges
+    val b1 = IndexStore.publish(family) { dir =>
+      Graph.writeLabelArtifacts(spark, Graph.labelIndex(li, ord), dir)
+    }
+    // the stored profile is the same stop-point-independent row set the
+    // inline lpaProfile form produces (g14's stored-serve equivalence)
+    val stored = spark.read.parquet(s"${b1.dir}/profile").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val inline = Graph.lpaProfile(li, ord).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(stored == inline, s"stored profile drifted:\n$stored\n$inline")
+    val conv1 = spark.read.parquet(s"${b1.dir}/convergence").collect()
+    assert(conv1.length == 1 && conv1(0).getString(0) == "lpa" &&
+      conv1(0).getBoolean(4), s"healthy build's row: ${conv1.toSeq}")
+    // a cap-hit build (maxIters=1 cannot prove the two-zero fixpoint):
+    // ITS convergence row says false, per build, not session-global
+    val b2 = IndexStore.publish(family) { dir =>
+      Graph.writeLabelArtifacts(spark,
+        Graph.labelIndex(li, ord, maxIters = 1), dir)
+    }
+    assert(IndexStore.pin(family, b2.buildId))
+    val conv2 = spark.read.parquet(s"${b2.dir}/convergence").collect()
+    assert(conv2.length == 1 && !conv2(0).getBoolean(4),
+      s"cap-hit build must be refusable by data: ${conv2.toSeq}")
+    // the healthy build's row is untouched by the cap-hit build landing
+    assert(spark.read.parquet(s"${b1.dir}/convergence").collect()(0)
+      .getBoolean(4), "build 1's convergence row was overwritten")
+    IndexStore.unpin(family, b2.buildId)
+    // restore converged globals for any later spec reading them
+    Graph.labelPropagation(li, ord)
+  }
+
   test("componentSizes: two disjoint affinity cliques, hand-checked") {
     // two disjoint purchase stars that project to two disjoint supplier
     // cliques: {1,2,3} (customer 10) and {7,8} (customer 20)
