@@ -73,12 +73,16 @@ object Bench {
     // than an occasionally-recomputed partition (~1-3 occurrences per
     // ~500 measured queries, attributed per query via
     // SPARK_GRAFT_PROGRESS=1; see COVERAGE.md's cache-race paragraph).
-    // Silenced for this measurement JVM only, exactly like the rdd and
-    // window classes above: the record should carry the measurements,
-    // not a known-benign scheduler coin flip.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
+    // VERDICT r13 #2 + ADVICE: do NOT silence the whole logger (that
+    // would also hide failed disk writes / eviction problems — exactly
+    // the signals that explain an anomalous number). Instead a
+    // message-matching filter DENIES just this one notice and COUNTS
+    // it; the count lands in the bench record as benignCacheRaces per
+    // pass, so the claim is "N=0" when true and honest data when not.
+    // Every other BlockManager WARN/ERROR still reaches the log.
+    val benignRaces = graft.tools.LogCounters.countingSuppression(
       "org.apache.spark.storage.BlockManager",
-      org.apache.logging.log4j.Level.ERROR)
+      "already exists on this machine")
     // Timed action: write to the noop sink, which consumes every row and
     // every column. A bare count() would let Catalyst prune all projections
     // under Aggregate(count(1)) and measure scan+count instead of operator
@@ -245,8 +249,10 @@ object Bench {
     // emitted them. Off by default — the driver keeps only the log tail and
     // these lines would push the JSON record's context out of it.
     val progress = sys.env.get("SPARK_GRAFT_PROGRESS").contains("1")
-    def measurePass(): Map[String, Telemetry] =
-      selected.map { case (name, fn) =>
+    final case class PassResult(q: Map[String, Telemetry], races: Long)
+    def measurePass(): PassResult = {
+      val races0 = benignRaces.get
+      val qs = selected.map { case (name, fn) =>
         if (progress) System.err.println(s"[bench:q] $name")
         val storageAtStart = storageUsedBytes
         taskGcMs.set(0); peakExecMem.set(0); spillBytes.set(0)
@@ -268,13 +274,26 @@ object Bench {
         assertNoBlockLeak(name)
         name -> tel
       }
+      PassResult(qs, benignRaces.get - races0)
+    }
     val allPasses = (1 to passes).map(_ => measurePass())
     // The stdout record (and round-over-round comparisons) use the FIRST
     // pass — that is what a driver run with passes=1 measures. Every pass
     // total still lands in the record via the passTotals field.
     val results: Map[String, Double] =
-      allPasses.head.map { case (n, t) => n -> t.sec }
-    val passTotals = allPasses.map(_.values.map(_.sec).sum)
+      allPasses.head.q.map { case (n, t) => n -> t.sec }
+    val passTotals = allPasses.map(_.q.values.map(_.sec).sum)
+    // The load signature, in the DRIVER-VISIBLE record (VERDICT r13 #1:
+    // this round's 430s-vs-358.7s confusion needed BENCH_LOCAL.json
+    // exhumed from git history — one taskGcSec field per pass makes the
+    // record self-explaining: ~100-110s/pass is this box quiet, 165s+ is
+    // ambient pressure, and the wall-clock number should be read
+    // accordingly). spillMb and the counted benign cache races ride
+    // along; all three live in the FIXED part of the line, so the
+    // precision step-down drops fast-query digits first, never these.
+    val passTaskGc = allPasses.map(_.q.values.map(_.taskGcSec).sum)
+    val passSpillMb = allPasses.map(_.q.values.map(_.spillMb).sum)
+    val passRaces = allPasses.map(_.races)
     // The harness that collects this output keeps only the last ~2000 chars
     // of the run log and the JSON line must fit there INTACT (sbt appends a
     // ~80-char "[success] Total time..." line after it → ~1900 usable).
@@ -293,14 +312,14 @@ object Bench {
       val qs = subset
         .map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf","passTotals":[${passTotals.map(fmt(3, _)).mkString(",")}]}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf","passTotals":[${passTotals.map(fmt(3, _)).mkString(",")}],"taskGcSec":[${passTaskGc.map(fmt(1, _)).mkString(",")}],"spillMb":[${passSpillMb.mkString(",")}],"benignCacheRaces":[${passRaces.mkString(",")}]}"""
     }
     // BENCH_LOCAL.json keeps the compact driver-compatible fields PLUS the
     // per-query telemetry and per-pass totals (stdout budget is too tight
     // for these). tools/bench_diff.py compares two of these records
     // (or driver BENCH_r{N}.json files) round-over-round.
     val telemetryJson = allPasses.zipWithIndex.map { case (pass, i) =>
-      val qs = pass.toSeq.sortBy(_._1).map { case (n, t) =>
+      val qs = pass.q.toSeq.sortBy(_._1).map { case (n, t) =>
         "\"" + n + "\":{\"sec\":" + fmt(3, t.sec) +
           ",\"taskGcSec\":" + fmt(3, t.taskGcSec) +
           ",\"driverGcSec\":" + fmt(3, t.driverGcSec) +
@@ -314,6 +333,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec",""" +
       s""""queries":${results.map { case (k, v) => "\"" + k + "\":" + fmt(3, v) }.mkString("{", ",", "}")},""" +
       s""""sf":"$sfDir","passTotals":[${passTotals.map(fmt(3, _)).mkString(",")}],""" +
+      s""""taskGcSec":[${passTaskGc.map(fmt(3, _)).mkString(",")}],""" +
+      s""""spillMb":[${passSpillMb.mkString(",")}],""" +
+      s""""benignCacheRaces":[${passRaces.mkString(",")}],""" +
       s""""telemetry":$telemetryJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_LOCAL.json"), localLine + "\n")
