@@ -413,8 +413,47 @@ object ScaleSmoke {
     val (chGN, cgN) = timedAction(graft.operators.Graph.neighborChurn(
       nIdxN, graft.operators.Graph.neighborIndex(liN,
         ordN.filter(col("o_orderkey") % 10 =!= 0))).count())
+    // d38/mm16 stored-serve shapes (VERDICT r13 #6): since the post-seal
+    // rewire the FRESH side is the stored lake artifact (primed untimed —
+    // built here outside the timers, like the bench's priming phase);
+    // what the nightly actually pays is (a) yesterday's 90%-split build
+    // and (b) the distinct-bucket-scale fold. Timed as separate rows so
+    // the build-vs-fold split is visible: the split build legitimately
+    // tracks the corpus (it IS a rebuild of 90% of it); the fold must
+    // track distinct buckets (~linear here since epochs share no
+    // shingles/hashes), never corpus pairs.
+    import graft.operators.Caching
+    val ndStored1 = Caching.materialize(Dedup.nearDupIndex(one))
+    val ndStoredN = Caching.materialize(Dedup.nearDupIndex(many))
+    def ndSplit(d: DataFrame): DataFrame = Caching.materialize(
+      Dedup.nearDupIndex(d.filter(pmod(col("doc_id"), lit(10)) =!= 0)))
+    ndSplit(one).count() // warm
+    val (ndB1, ndSplit1) = timedAction(ndSplit(one))
+    val (ndBN, ndSplitN) = timedAction(ndSplit(many))
+    Dedup.dirtyBucketReport(ndStored1, ndSplit1).count() // warm
+    val (ndF1, nf1) = timedAction(
+      Dedup.dirtyBucketReport(ndStored1, ndSplit1).count())
+    val (ndFN, nfN) = timedAction(
+      Dedup.dirtyBucketReport(ndStoredN, ndSplitN).count())
+    def phSplit(d: DataFrame): Multimodal.PhashIndex =
+      Multimodal.phashIndex(d.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+    val (phB1, phSplit1) = timedAction(phSplit(one))
+    val (phBN, phSplitN) = timedAction(phSplit(many))
+    Multimodal.phashDirtyBuckets(pIdx1, phSplit1).count() // warm
+    val (phF1, pf1) = timedAction(
+      Multimodal.phashDirtyBuckets(pIdx1, phSplit1).count())
+    val (phFN, pfN) = timedAction(
+      Multimodal.phashDirtyBuckets(pIdxN, phSplitN).count())
     val lifecycle = Seq(
       ("s13_index_build", build1, buildN, 0L, 0L, buildN / math.max(build1, 1e-9)),
+      ("d38_split_build", ndB1, ndBN, 0L, 0L,
+        ndBN / math.max(ndB1, 1e-9)),
+      ("d38_bucket_fold", ndF1, ndFN, nf1, nfN,
+        ndFN / math.max(ndF1, 1e-9)),
+      ("mm16_split_build", phB1, phBN, 0L, 0L,
+        phBN / math.max(phB1, 1e-9)),
+      ("mm16_bucket_fold", phF1, phFN, pf1, pfN,
+        phFN / math.max(phF1, 1e-9)),
       ("s18_adc_error", gErr1, gErrN, ge1, geN,
         gErrN / math.max(gErr1, 1e-9)),
       ("s19_probe_fanout", gFan1, gFanN, gf1, gfN,
