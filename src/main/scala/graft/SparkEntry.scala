@@ -338,6 +338,8 @@ object SparkEntry {
       LlmLm.lmScoreBySource(T.documents(s, d))),
     // x40: per-source hapax share — the corpus-frequency-tail QC gauge.
     "x40_hapax" -> ((s, d) => LlmText.hapaxBySource(T.documents(s, d))),
+    "x41_crossdoc_ngrams" -> ((s, d) =>
+      LlmText.crossDocNgrams(T.documents(s, d))),
     // c28: per-source curriculum ranks + training-phase tags.
     "c28_curriculum" -> ((s, d) =>
       Curation.curriculumOrder(T.documents(s, d))),
@@ -402,6 +404,13 @@ object SparkEntry {
     "c30_dedup_budget" -> ((s, d) => {
       val docs = T.documents(s, d)
       Curation.dedupTokenBudget(docs, Dedup.nearDupComponents(docs, 0.7))
+    }),
+    "c31_anneal_mix" -> ((s, d) => Curation.annealMix(T.documents(s, d))),
+    // c32: the data-constrained-scaling accounting over the SAME keeper
+    // chain c30 budgets with (one LSH+CC pass feeds both reports).
+    "c32_effective_tokens" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      Curation.effectiveTokens(docs, Dedup.nearDupComponents(docs, 0.7))
     }),
     "c7_group_sample" -> ((s, d) => Curation.groupSample(T.documents(s, d))),
     "c9_chunk_overlap" -> ((s, d) => Curation.chunkOverlap(T.documents(s, d))),
@@ -641,6 +650,14 @@ object SparkEntry {
     "q36_bloom_join" -> ((s, d) =>
       R.urgentOrderRevenue(T.lineitem(s, d), T.orders(s, d))),
     "q37_snapshot_diff" -> ((s, d) => R.orderSnapshotDiff(T.orders(s, d))),
+    // q69: partial-state merge over a 90/10 orderkey split vs the
+    // oracle's full recompute — the hash-match IS the IVM contract.
+    "q69_ivm_merge" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      R.incrementalPricingSummary(
+        li.filter(pmod(col("l_orderkey"), lit(10)) =!= 0),
+        li.filter(pmod(col("l_orderkey"), lit(10)) === 0))
+    }),
     "q38_equidepth" -> ((s, d) => R.equiDepthHistogram(T.events(s, d))),
     "q39_funnel" -> ((s, d) => R.conversionFunnel(T.events(s, d))),
     "q41_transitions" -> ((s, d) => Temporal.eventTransitions(T.events(s, d))),
@@ -700,6 +717,8 @@ object SparkEntry {
     // gauge beside g13 (edges) and s24 (cells).
     // The fresh side is the STORED lake artifact (the g13 convention);
     // only yesterday's split builds inline.
+    "d39_chain_overlap" -> ((s, d) =>
+      DedupSources.chainOverlap(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(
       storedNearDupIndex(s, d),
       Dedup.nearDupIndex(
@@ -859,6 +878,8 @@ object SparkEntry {
     // gate (dead vectors, un-normalized stragglers, per-class drift).
     "e24_norm_bands" -> ((s, d) =>
       graft.operators.VectorOps.normBands(T.embeddings(s, d))),
+    "e25_align_uniformity" -> ((s, d) =>
+      graft.operators.VectorOps.alignmentUniformity(T.embeddings(s, d))),
     "e16_dim_stats" -> ((s, d) =>
       graft.operators.VectorOps.dimStats(T.embeddings(s, d))),
     // e18: whitening z-scores off e16's grid-exact per-dim moments.
@@ -923,6 +944,8 @@ object SparkEntry {
       storedPhashIndex(s, d),
       Multimodal.phashIndex(
         T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0)))),
+    "mm17_mix_allocation" -> ((s, d) =>
+      Multimodal.mixAllocation(T.documents(s, d))),
   )
 
   /** DuckDB twins. Arithmetic rules for exact comparison: double measures are
@@ -1063,7 +1086,11 @@ object SparkEntry {
     ("mm16_phash_dirty" ->
       phashDirtyBucketsOracle(oracleSqlBase("mm6_phash_pairs"))) +
     // c30 is d8's LSH/CC keeper chain + the per-source token-budget fold.
-    ("c30_dedup_budget" -> dedupBudgetOracle(oracleSqlBase("d8_dedup_apply")))
+    ("c30_dedup_budget" -> dedupBudgetOracle(oracleSqlBase("d8_dedup_apply"))) +
+    // c32 wraps c30's budget report (same keeper chain) in the
+    // Muennighoff effective-token fold.
+    ("c32_effective_tokens" -> effectiveTokensOracle(
+      dedupBudgetOracle(oracleSqlBase("d8_dedup_apply"))))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

@@ -946,4 +946,101 @@ object Curation {
           .when(progress < 0.66, "main")
           .otherwise("polish").as("phase"))
   }
+
+  /** Largest-remainder integerization of a token-mass-proportional budget
+    * — the c22 Hamilton-apportionment shape shared by [[annealMix]]'s two
+    * phases: floor the raw shares, hand the leftover units to the largest
+    * fractional remainders (ties by source name), so the allocations sum
+    * to EXACTLY `budget` even when the masses don't divide it. Degrades
+    * to doc-count-proportional when the phase's whole token mass is zero
+    * (every source gated out), never to 0/0 NaN. */
+  private[operators] def remainderAlloc(tokens: Column, nDocs: Column,
+      budget: Long, ord: Seq[Column]): Column = {
+    val all = Window.partitionBy()
+    val tTotal = sum(tokens).over(all).cast("double")
+    val w = when(tTotal > 0, tokens.cast("double") / tTotal)
+      .otherwise(nDocs.cast("double") / sum(nDocs).over(all).cast("double"))
+    val raw = lit(budget.toDouble) * w
+    val base = floor(raw)
+    val rem = lit(budget) - sum(base).over(all).cast("long")
+    val rn = row_number().over(
+      Window.partitionBy().orderBy((raw - base).desc +: ord: _*))
+    (base.cast("long") + when(rn <= rem, 1L).otherwise(0L))
+  }
+
+  /** Two-phase training-mix budgets (c31): per-source token allocations
+    * for the MAIN pretraining phase and a smaller high-quality ANNEAL
+    * phase (mid-training / learning-rate-anneal data, the practice of
+    * ending pretraining on the best data — MiniCPM, Llama-3-style
+    * two-stage mixes). Main phase draws from everything above the broad
+    * quality gate (`qualityScoreExpr ≥ 0.4`, c5's floor); the anneal
+    * phase from the strict gate (≥ 0.6). Each phase's budget splits
+    * across sources proportional to that phase's ELIGIBLE token mass,
+    * integerized largest-remainder so each phase sums exactly to its
+    * budget ([[remainderAlloc]]).
+    *
+    * Scale shape: one corpus scan (quality score + token count are
+    * per-row expressions), one per-source aggregate, then the
+    * apportionment runs on the |sources|-row aggregate under an
+    * unpartitioned window — bounded driver-free work, the c22 shape. At
+    * 100 TB the scan dominates and it's a single pass; nothing joins
+    * back to the corpus. */
+  def annealMix(documents: DataFrame, budget: Long = 1000000L,
+      annealPermille: Int = 100): DataFrame = {
+    val annealBudget = budget * annealPermille / 1000L
+    val mainBudget = budget - annealBudget
+    val tok = size(split(col("text"), " ")).cast("long")
+    val q = LlmText.qualityScoreExpr(col("text"))
+    val per = documents
+      .select(col("source"), tok.as("tok"), q.as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= 0.4, col("tok")).otherwise(0L))
+          .as("main_tokens"),
+        sum(when(col("q") >= 0.6, col("tok")).otherwise(0L))
+          .as("anneal_tokens"))
+    per.select(col("source"), col("n_docs"),
+      col("main_tokens"), col("anneal_tokens"),
+      remainderAlloc(col("main_tokens"), col("n_docs"),
+        mainBudget, Seq(col("source"))).as("main_alloc"),
+      remainderAlloc(col("anneal_tokens"), col("n_docs"),
+        annealBudget, Seq(col("source"))).as("anneal_alloc"))
+  }
+
+  /** Data-constrained-scaling effective-token accounting (c32): per
+    * source, how many FRESH-data-equivalent tokens the source really
+    * contributes when a fixed token budget forces repeating it. Unique
+    * mass U = tokens surviving the near-dup keeper decision (the same
+    * components c30 budgets with), raw mass T = everything, epochs
+    * k = T/U, and the effective mass follows Muennighoff et al. 2023
+    * (arXiv:2305.16264, "Scaling Data-Constrained Language Models"):
+    * repeated epochs decay exponentially with half-value constant
+    * R* ≈ 15, D' = U + U·R*·(1 − e^(−(k−1)/R*)) — k=1 is exactly U,
+    * k→∞ saturates at U·(1+R*). This is the number a 100 TB mix plan
+    * compares across sources when deciding whether to re-epoch a clean
+    * small source or ingest a duplicate-ridden large one.
+    *
+    * Parity contract: T and U are exact integer sums ([[dedupTokenBudget]]
+    * semantics); k is one IEEE division; the single libm exp is snapped
+    * to the 5-decimal grid (x21's ln precedent) so both engines agree
+    * bit-exactly; the rest is plain IEEE arithmetic on snapped values.
+    *
+    * Scale shape: the keeper decision is the LSH+CC pass the dedup
+    * family already prices (d8b's precomputed-components shape — pass
+    * the stored component table, don't rebuild it per consumer); this
+    * operator adds one corpus scan + a |sources|-row fold. */
+  def effectiveTokens(documents: DataFrame, components: DataFrame,
+      rStar: Double = 15.0): DataFrame = {
+    val base = dedupTokenBudget(documents, components)
+    val u = col("n_tokens_kept").cast("double")
+    val k = col("n_tokens").cast("double") / u
+    val decay = round(exp((lit(1.0) - k) / lit(rStar)), 5)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+    val eff = u + u * lit(rStar) * (lit(1.0) - decay)
+    base.select(col("source"), col("n_docs"),
+      col("n_tokens").as("raw_tokens"),
+      col("n_tokens_kept").as("unique_tokens"),
+      k.as("epochs"), eff.as("effective_tokens"),
+      (eff / col("n_tokens").cast("double")).as("efficiency"))
+  }
 }

@@ -52,7 +52,7 @@ object Dedup {
     * the capped table itself is never reshuffled. `Partitioning.spread`
     * fixes partition skew; this fixes candidate-pair blowup — different
     * failure modes, both needed. */
-  private def capHotKeys(t: DataFrame, keys: Seq[String],
+  private[operators] def capHotKeys(t: DataFrame, keys: Seq[String],
       cap: Int): DataFrame = {
     if (cap == Int.MaxValue) t
     else {

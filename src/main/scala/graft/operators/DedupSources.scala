@@ -219,4 +219,51 @@ object DedupSources {
     }
   }
 
+  /** Crawl-split chain detection (d39): find ordered doc pairs (a, b)
+    * where a's text ENDS with the tokens b's text STARTS with — the
+    * signature of one logical document split across fetches (pagination,
+    * chunked re-crawls, article continuations). d10/d18 find REPEATED
+    * interior spans; this finds the boundary stitch, the structure a
+    * reassembly or drop-continuation pass consumes.
+    *
+    * Two stages, the LSH discipline applied to boundaries: (1) CANDIDATES
+    * by equi-joining a's last word-3-gram against b's first word-3-gram
+    * — a hash join on a corpus-linear key table, never all-pairs, with
+    * the d2 hot-key cap (agg + broadcast anti-join) so a boilerplate
+    * opening ("subscribe to our newsletter …") cannot quadratically
+    * explode one bucket; (2) VERIFY by exact token comparison, scoring
+    * the longest suffix-prefix overlap up to 8 tokens — slice equality
+    * on the two token arrays already in the joined row, no re-scan.
+    * Emits pairs with overlap ≥ 3 tokens (the candidate key length, so
+    * verification can only confirm or lengthen, never invent).
+    *
+    * Scale shape: one scan to build (doc, boundary-key, tokens), one
+    * capped equi-join whose output is O(boundary collisions), per-row
+    * verification arithmetic — the d2/d8 candidate/verify split, so it
+    * survives 100× with the same plan. */
+  def chainOverlap(documents: DataFrame, cap: Int = 100): DataFrame = {
+    val t = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .filter(col("n") >= 3)
+    val keyed = t.select(col("doc_id"), col("w"), col("n"),
+      concat_ws(" ", slice(col("w"), 1, 3)).as("pre"),
+      concat_ws(" ", slice(col("w"), -3, 3)).as("suf"))
+    val a = Dedup.capHotKeys(
+      keyed.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+        col("n").as("na"), col("suf")), Seq("suf"), cap)
+    val b = Dedup.capHotKeys(
+      keyed.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+        col("n").as("nb"), col("pre")), Seq("pre"), cap)
+    val cand = a.join(b,
+      col("suf") === col("pre") && col("doc_a") =!= col("doc_b"))
+    val overlap = greatest((3 to 8).map { k =>
+      when(col("na") >= k && col("nb") >= k &&
+        (slice(col("wa"), -k, k) === slice(col("wb"), 1, k)), k.toLong)
+        .otherwise(0L)
+    }: _*)
+    cand.select(col("doc_a"), col("doc_b"), overlap.as("overlap_len"))
+      .filter(col("overlap_len") >= 3L)
+  }
 }

@@ -1481,4 +1481,47 @@ object LlmText {
             .as("coverage"))
     }
   }
+
+  /** Cross-document duplicate n-gram mass per source (x41): of each
+    * source's distinct-per-doc word-3-gram occurrences, how many are
+    * shingles that appear in MORE THAN ONE document corpus-wide — the
+    * "dedup pressure" gauge next to d16's dropped-mass report. x8/x18
+    * measure WITHIN-doc repetition; d11 measures pairwise SOURCE overlap
+    * by sketch; this is the per-source scalar that says how much of the
+    * source's n-gram surface is shared text (syndication, boilerplate,
+    * crawl echoes) before any dedup decision is made — the number that
+    * predicts how hard d2/d8 will hit a source.
+    *
+    * Scale shape: one shingle explode (the d2 cost, off one persisted
+    * token frame), a map-side-combined per-shingle doc count, a join
+    * back on the shingle key (the SAME key the count shuffled on — one
+    * partitioning reused), then a |sources|-row fold; the affected-doc
+    * count is an exact distinct on (source, doc) pairs that survive the
+    * cnt>1 filter — O(duplicated surface), not O(corpus). Integers
+    * until the final share division. */
+  def crossDocNgrams(documents: DataFrame): DataFrame = {
+    val u = documents
+      .transform(Partitioning.spread(_, col("doc_id")))
+      .select(col("doc_id"), col("source"),
+        explode(shingles(col("text"))).as("sh"))
+    Caching.withPersisted(u) {
+      val cnt = u.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+      val perSrc = u.join(cnt, Seq("sh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_shingles"),
+          countDistinct(when(col("nd") > 1, col("doc_id")))
+            .as("n_docs_affected"))
+      documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(perSrc, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+          when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            col("n_dup_shingles").cast("double") /
+              col("n_shingles").cast("double"))
+            .otherwise(lit(0.0)).as("dup_frac"))
+    }
+  }
 }

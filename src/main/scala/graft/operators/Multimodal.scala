@@ -483,6 +483,25 @@ object Multimodal {
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"))
 
+  /** Modality-balanced inspection budgets (mm17): split a fixed audit /
+    * human-labeling budget across (source, format) cells proportional to
+    * each cell's BYTE mass ([[mediaMix]]'s accounting), integerized
+    * largest-remainder (ties by source then format) so the allocations
+    * sum to exactly `budget` — c22's Hamilton apportionment applied to
+    * the media catalog. Byte mass, not item count: inspection cost for
+    * media scales with payload size (frames to look at, seconds to
+    * listen to), so per-byte audit rates come out uniform — the same
+    * argument c23 makes for per-token inspection of text.
+    *
+    * Scale shape: one catalog scan → the mm8 aggregate, then the
+    * apportionment runs on the |sources×formats|-row aggregate under an
+    * unpartitioned window — bounded, driver-free (c22's shape). */
+  def mixAllocation(documents: DataFrame, budget: Long = 10000L): DataFrame =
+    mediaMix(documents).select(
+      col("source"), col("format"), col("n_items"), col("total_bytes"),
+      Curation.remainderAlloc(col("total_bytes"), col("n_items"),
+        budget, Seq(col("source"), col("format"))).as("alloc"))
+
   /** The ONE media-catalog scan the data card's media sections share (the
     * d29/d30 fingerprint-pass pattern): (doc_id, source, text-payload).
     * [[mediaMix]], [[silenceSummaryFromCatalog]] and

@@ -1095,4 +1095,56 @@ object Relational {
           .as("revenue"),
         count(lit(1)).as("n_lineitems"),
         count_distinct(col("o_custkey")).as("n_customers"))
+
+  /** Incremental-view-maintenance merge (q69): the q1 pricing summary
+    * computed as MERGEABLE PARTIAL STATES over two table slices — the
+    * standing snapshot (90%) and today's delta (10%) — then merged by
+    * state addition, NEVER by rescanning the union of raw rows. The
+    * oracle recomputes the summary over the whole table directly, so
+    * the hash-match IS the IVM contract: merge(partial(A), partial(B))
+    * ≡ full(A ∪ B), bit-exactly. This is the operation that turns a
+    * 100 TB nightly full-recompute into an incremental one: keep the
+    * DECIMAL sum + count state per group in the lake, fold each day's
+    * delta partials in, and emit the derived doubles only at read time.
+    *
+    * Exactness argument: every per-row term (qty, price, disc, charge)
+    * is computed in the SAME expression shape on both slices, cast to
+    * DECIMAL(38,6) per row, and summed — decimal addition is exact and
+    * associative, so the split point cannot change the merged state;
+    * the single lossy step (DECIMAL→DOUBLE, and the avg divisions)
+    * happens once, AFTER the merge, on identical state.
+    *
+    * Plan shape: two scans (at 100 TB the snapshot "scan" is a read of
+    * the stored state table, not a rescan — the slice here stands in
+    * for it), each with map-side partial aggregation into 6 groups,
+    * then a 12-row union + re-aggregate. No raw-row union ever forms. */
+  def incrementalPricingSummary(snapshot: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    def partial(df: DataFrame): DataFrame = df
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(38, 6))).as("s_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(38, 6))).as("s_price"),
+        sum(disc.cast(DecimalType(38, 6))).as("s_disc"),
+        sum(charge.cast(DecimalType(38, 6))).as("s_charge"),
+        count(lit(1)).as("s_n"))
+    partial(snapshot).unionByName(partial(delta))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("s_qty")).as("m_qty"),
+        sum(col("s_price")).as("m_price"),
+        sum(col("s_disc")).as("m_disc"),
+        sum(col("s_charge")).as("m_charge"),
+        sum(col("s_n")).as("m_n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m_qty").cast("double").as("sum_qty"),
+        col("m_price").cast("double").as("sum_base_price"),
+        col("m_disc").cast("double").as("sum_disc_price"),
+        col("m_charge").cast("double").as("sum_charge"),
+        (col("m_qty").cast("double") / col("m_n")).as("avg_qty"),
+        (col("m_price").cast("double") / col("m_n")).as("avg_price"),
+        col("m_n").as("count_order"))
+  }
 }

@@ -111,6 +111,50 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Scalar-quantized serve tier (s26): brute-force cosine top-k with the
+    * CORPUS side stored as int8 (e2's symmetric max-abs grid, dequantized
+    * at score time) and the QUERY side raw float — the asymmetric-distance
+    * convention (queries arrive uncompressed; only the billion stored
+    * vectors pay for compression). This is the 4× memory tier between s1
+    * (full float) and s7 (binary hamming): SQ8 keeps ~cosine-faithful
+    * ordering at a quarter of the footprint, the default first compression
+    * step production vector stores take before PQ.
+    *
+    * Parity: dequantized values qv·(maxabs/127) are exact IEEE doubles
+    * reproduced verbatim by the oracle (e2's expression shape), and the
+    * cosine is the same fixed-order fold as s1 — no tolerance needed.
+    *
+    * Scale shape: s1's broadcast-queries × corpus-scan plan over the
+    * dequantized frame; quantization itself is a pure per-row projection
+    * (at 100 TB the int8 codes + per-vector scale ARE the stored index —
+    * the scan reads a quarter of the bytes, which is the entire point). */
+  def sq8Serve(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val raw = embeddings.transform(Partitioning.spread(_, col("vec_id")))
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("x"))
+    val pre = raw.select(col("vec_id"), col("x"),
+      array_max(transform(col("x"), abs(_))).as("maxabs"))
+    val up = lit(127.0) / col("maxabs")
+    val down = col("maxabs") / lit(127.0)
+    val deq = when(col("maxabs") === 0.0,
+      transform(col("x"), _ => lit(0.0)))
+      .otherwise(transform(col("x"), v => floor(v * up + 0.5) * down))
+    val v = pre.select(col("vec_id"), deq.as("x"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("x"))))
+    Caching.withPersisted(v) {
+      val q = Caching.materialize(defaultQueries(
+        raw.withColumn("nrm", sqrt(VectorOps.norm2(col("x")))))
+        .select(col("vec_id").as("query_id"), col("x").as("qx"),
+          col("nrm").as("qnrm")))
+      val scored = broadcast(q)
+        .join(v, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (GraftFunctions.dot(col("qx"), col("x")) /
+            (col("qnrm") * col("nrm"))).as("cos"))
+      topKPerQuery(scored, k)
+    }
+  }
+
   /** Metadata-filtered exact top-k (s11): nearest neighbors among only the
     * corpus rows passing an attribute predicate (here: even `label`, the
     * stand-in for license/language/domain filters) — filtered vector

@@ -864,4 +864,51 @@ object VectorOps {
           .as("cos_drift"))
       .withColumn("drifted", col("cos_drift") < cosBar)
   }
+
+  /** Alignment/uniformity QC (e25) — Wang & Isola (ICML 2020)'s two
+    * contrastive-embedding health numbers, per label, over a
+    * DETERMINISTIC linear pair sample: each vector pairs with the next
+    * vec_id of its own label. Alignment = mean pairwise cosine (how
+    * tight same-label points sit — want high); uniformity =
+    * ln(mean e^(−2·d²)) over the same pairs with d² taken on the
+    * normalized sphere (how spread the label's region is — want LOW,
+    * i.e. more negative; a label whose alignment AND uniformity are
+    * both ≈ 1/0 has collapsed to a point, the failure mode this gauge
+    * exists to catch). On unit vectors d² = 2 − 2cos, so the pair term
+    * is e^(4cos−4) — one cosine serves both numbers.
+    *
+    * Parity: cosine is the fixed-shape index-order fold; alignment
+    * accumulates on the 1e-9 grid as DECIMAL(38,0); the one libm exp
+    * snaps to the 5-decimal grid per pair and sums as DECIMAL(18,6)
+    * (exact), with the final ln snapped the same way (x21 precedent).
+    *
+    * Scale shape: consecutive-id pairing is one window per label (the
+    * per-label sort any per-group QC pays) yielding exactly n−1 pairs
+    * per label — linear, never the quadratic all-pairs expectation the
+    * paper defines (a uniform-random pair sample has the same mean in
+    * expectation; this one is replayable). Output is |labels| rows. */
+  def alignmentUniformity(embeddings: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val v = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("x"))
+    val paired = v
+      .select(col("label"), col("x"),
+        lead(col("x"), 1).over(
+          W.partitionBy(col("label")).orderBy(col("vec_id"))).as("y"))
+      .filter(col("y").isNotNull)
+    val cs = cosine(col("x"), col("y"))
+    paired
+      .select(col("label"),
+        round(cs * lit(1.0e9)).cast(DecimalType(38, 0)).as("g"),
+        round(exp(lit(4.0) * cs - lit(4.0)), 5)
+          .cast(DecimalType(18, 6)).as("u"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("g")).as("gs"), sum(col("u")).as("us"))
+      .select(col("label"), col("n_pairs"),
+        (col("gs").cast("double") / lit(1.0e9) / col("n_pairs"))
+          .as("alignment"),
+        round(log(col("us").cast("double") / col("n_pairs")), 5)
+          .cast(DecimalType(18, 6)).cast("double").as("uniformity"))
+  }
 }

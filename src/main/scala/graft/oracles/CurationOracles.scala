@@ -556,5 +556,50 @@ object CurationOracles {
         |  FROM v)
         |SELECT doc_id, weight, skey FROM k
         |ORDER BY skey, doc_id LIMIT 100""".stripMargin,
+    // c31: two-phase (main/anneal) budgets — c12's quality expression,
+    // per-source phase token masses, then TWO c22 largest-remainder
+    // apportionments (main 900000, anneal 100000), each summing exactly
+    // to its phase budget.
+    "c31_anneal_mix" ->
+      """WITH t AS (SELECT source, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT source, CAST(n AS BIGINT) AS tok,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0) AS qs
+        | FROM t),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN qs >= 0.4 THEN tok ELSE 0 END) AS BIGINT)
+        |      AS main_tokens,
+        |    CAST(SUM(CASE WHEN qs >= 0.6 THEN tok ELSE 0 END) AS BIGINT)
+        |      AS anneal_tokens
+        |  FROM m GROUP BY source),
+        |a1 AS (SELECT *,
+        |    CASE WHEN CAST(SUM(main_tokens) OVER () AS DOUBLE) > 0
+        |      THEN CAST(900000 AS DOUBLE) * CAST(main_tokens AS DOUBLE)
+        |        / CAST(SUM(main_tokens) OVER () AS DOUBLE)
+        |      ELSE CAST(900000 AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |        / CAST(SUM(n_docs) OVER () AS DOUBLE) END AS raw1,
+        |    CASE WHEN CAST(SUM(anneal_tokens) OVER () AS DOUBLE) > 0
+        |      THEN CAST(100000 AS DOUBLE) * CAST(anneal_tokens AS DOUBLE)
+        |        / CAST(SUM(anneal_tokens) OVER () AS DOUBLE)
+        |      ELSE CAST(100000 AS DOUBLE) * CAST(n_docs AS DOUBLE)
+        |        / CAST(SUM(n_docs) OVER () AS DOUBLE) END AS raw2
+        |  FROM per),
+        |a2 AS (SELECT *, floor(raw1) AS b1, raw1 - floor(raw1) AS f1,
+        |    floor(raw2) AS b2, raw2 - floor(raw2) AS f2 FROM a1),
+        |a3 AS (SELECT *,
+        |    900000 - CAST(SUM(b1) OVER () AS BIGINT) AS rem1,
+        |    row_number() OVER (ORDER BY f1 DESC, source) AS rn1,
+        |    100000 - CAST(SUM(b2) OVER () AS BIGINT) AS rem2,
+        |    row_number() OVER (ORDER BY f2 DESC, source) AS rn2 FROM a2)
+        |SELECT source, n_docs, main_tokens, anneal_tokens,
+        |  CAST(b1 AS BIGINT) + (CASE WHEN rn1 <= rem1 THEN 1 ELSE 0 END)
+        |    AS main_alloc,
+        |  CAST(b2 AS BIGINT) + (CASE WHEN rn2 <= rem2 THEN 1 ELSE 0 END)
+        |    AS anneal_alloc
+        |FROM a3""".stripMargin,
   )
 }

@@ -84,6 +84,36 @@ object DerivedOracles {
         |GROUP BY d.source""".stripMargin
   }
 
+  /** Derive the c32 oracle from c30's: wrap its per-source budget
+    * report (raw vs keeper token masses over the SAME keeper chain) as
+    * a CTE, then apply the Muennighoff data-constrained-scaling fold —
+    * epochs = T/U, one 5-decimal-grid-snapped exp (x21's ln precedent),
+    * D' = U + U·15·(1 − e^((1−k)/15)) — all literals CAST to DOUBLE
+    * (the g1 DuckDB-decimal-literal rule). */
+  private[graft] def effectiveTokensOracle(c30: String): String = {
+    val anchor = "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,"
+    val i = c30.lastIndexOf(anchor)
+    require(i >= 0, "c30 oracle SQL lost the c32 anchor")
+    // `base` is already a CTE of the d2 minhash chain — use c32base
+    c30.substring(0, i).stripSuffix("\n") + ",\nc32base AS (\n" +
+      c30.substring(i) + "),\n" +
+      """e AS (SELECT source, n_docs, n_tokens, n_tokens_kept,
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_tokens_kept AS DOUBLE)
+        |      AS epochs
+        |  FROM c32base),
+        |f AS (SELECT *, CAST(n_tokens_kept AS DOUBLE)
+        |    + CAST(n_tokens_kept AS DOUBLE) * CAST(15.0 AS DOUBLE)
+        |    * (CAST(1.0 AS DOUBLE) - CAST(CAST(round(
+        |        exp((CAST(1.0 AS DOUBLE) - epochs) / CAST(15.0 AS DOUBLE)),
+        |        5) AS DECIMAL(18,6)) AS DOUBLE)) AS eff
+        |  FROM e)
+        |SELECT source, n_docs, n_tokens AS raw_tokens,
+        |  n_tokens_kept AS unique_tokens, epochs,
+        |  eff AS effective_tokens,
+        |  eff / CAST(n_tokens AS DOUBLE) AS efficiency
+        |FROM f""".stripMargin
+  }
+
   /** Derive the mm16 oracle from mm6's: keep the hex/phash/bands chain
     * byte-identical, then count per-(j, bv) bucket populations for the
     * full corpus and for yesterday's split — a phash is a pure function

@@ -450,5 +450,27 @@ object EmbeddingOracles {
         |  CAST(MIN(nrm_g) AS DOUBLE) AS min_nrm,
         |  CAST(MAX(nrm_g) AS DOUBLE) AS max_nrm
         |FROM v GROUP BY 1, 2""".stripMargin,
+    // e25: consecutive-id pairs per label (lead window), s1's cosine
+    // shape, 1e-9-grid alignment sum, 5-decimal-snapped exp/ln for
+    // uniformity (x21 precedent).
+    "e25_align_uniformity" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+        |p AS (SELECT label, x,
+        |    lead(x) OVER (PARTITION BY label ORDER BY vec_id) AS y FROM v),
+        |c AS (SELECT label,
+        |  list_reduce(list_transform(range(1,65), i -> x[i] * y[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> x[i] * x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> y[i] * y[i]), (a,b) -> a + b))) AS cos
+        |  FROM p WHERE y IS NOT NULL),
+        |g AS (SELECT label,
+        |    CAST(round(cos * 1.0e9) AS DECIMAL(38,0)) AS gg,
+        |    CAST(round(exp(CAST(4.0 AS DOUBLE) * cos - CAST(4.0 AS DOUBLE)), 5)
+        |      AS DECIMAL(18,6)) AS u
+        |  FROM c)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(gg) AS DOUBLE) / 1.0e9 / count(*) AS alignment,
+        |  CAST(CAST(round(ln(CAST(SUM(u) AS DOUBLE) / count(*)), 5)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS uniformity
+        |FROM g GROUP BY label""".stripMargin,
   )
 }

@@ -93,6 +93,30 @@ object MultimodalOracles {
         |  CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // mm17: mm8's catalog aggregate + the c22 largest-remainder
+    // apportionment over byte mass (ties by source, format).
+    "mm17_mix_allocation" ->
+      """WITH per AS (SELECT source,
+        |    ['png', 'jpeg', 'wav', 'mp4'][CAST(doc_id % 4 + 1 AS INT)]
+        |      AS format,
+        |    CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |  FROM documents GROUP BY 1, 2),
+        |a1 AS (SELECT *,
+        |    CASE WHEN CAST(SUM(total_bytes) OVER () AS DOUBLE) > 0
+        |      THEN CAST(10000 AS DOUBLE) * CAST(total_bytes AS DOUBLE)
+        |        / CAST(SUM(total_bytes) OVER () AS DOUBLE)
+        |      ELSE CAST(10000 AS DOUBLE) * CAST(n_items AS DOUBLE)
+        |        / CAST(SUM(n_items) OVER () AS DOUBLE) END AS raw
+        |  FROM per),
+        |a2 AS (SELECT *, floor(raw) AS b, raw - floor(raw) AS f FROM a1),
+        |a3 AS (SELECT *, 10000 - CAST(SUM(b) OVER () AS BIGINT) AS rem,
+        |    row_number() OVER (ORDER BY f DESC, source, format) AS rn
+        |  FROM a2)
+        |SELECT source, format, n_items, total_bytes,
+        |  CAST(b AS BIGINT) + (CASE WHEN rn <= rem THEN 1 ELSE 0 END)
+        |    AS alloc
+        |FROM a3""".stripMargin,
     // PCM-at-128 read of the payload bytes via the hex dump; energy is
     // exact integer math, RMS one IEEE division + correctly-rounded sqrt.
     "mm7_frame_energy" ->

@@ -695,5 +695,32 @@ object TextOracles {
         |  CAST(SUM(CASE WHEN cf.cf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) AS hapax_share
         |FROM st JOIN cf ON cf.term = st.term GROUP BY 1""".stripMargin,
+    // x41: d11's distinct-per-doc shingle chain, a per-shingle doc
+    // count, and the per-source duplicate-mass fold (integers until the
+    // final share).
+    "x41_crossdoc_ngrams" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |u AS (SELECT doc_id, source, unnest(s) AS sh FROM sh),
+        |c AS (SELECT sh, count(*) AS nd FROM u GROUP BY sh),
+        |j AS (SELECT u.doc_id, u.source, c.nd FROM u JOIN c ON u.sh = c.sh),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_shingles,
+        |    CAST(count(DISTINCT CASE WHEN nd > 1 THEN doc_id END) AS BIGINT)
+        |      AS n_docs_affected
+        |  FROM j GROUP BY source),
+        |nd2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source)
+        |SELECT nd2.source, n_docs,
+        |  COALESCE(n_shingles, 0) AS n_shingles,
+        |  COALESCE(n_dup_shingles, 0) AS n_dup_shingles,
+        |  COALESCE(n_docs_affected, 0) AS n_docs_affected,
+        |  CASE WHEN COALESCE(n_shingles, 0) > 0
+        |    THEN CAST(n_dup_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+        |FROM nd2 LEFT JOIN agg ON nd2.source = agg.source""".stripMargin,
   )
 }
