@@ -636,6 +636,12 @@ object SparkEntry {
     // stored-table read — VERDICT r13 #5). Inline form pinned equal in
     // GraphSpec.
     "g14_lpa_profile" -> ((s, d) => storedLpaProfile(s, d)),
+    "g15_ppr" -> ((s, d) =>
+      Graph.personalizedPageRank(T.lineitem(s, d), T.orders(s, d))),
+    // g16: neighbor feature propagation SERVED from the stored kNN edge
+    // table (the same artifact g9/g11/g12 read).
+    "g16_feature_prop" -> ((s, d) =>
+      Graph.featureProp(storedNeighborIndex(s, d), T.supplier(s, d))),
     "q57_group_mad" -> ((s, d) => Temporal.groupMad(T.events(s, d))),
     // q66: per-user EWMA (α = ½ — dyadic weights, bit-exact, no grid).
     "q66_ewma" -> ((s, d) => Temporal.ewma(T.events(s, d))),
@@ -803,6 +809,7 @@ object SparkEntry {
     // s25: per-centroid drift between the stored build and a split
     // retrain — the geometry readout under s24's assignment churn. Only
     // the coarse quantizer trains inline (no PQ tail).
+    "s26_sq8_serve" -> ((s, d) => Similarity.sq8Serve(T.embeddings(s, d))),
     "s25_centroid_drift" -> ((s, d) => Similarity.centroidDrift(
       storedIvfIndex(s, d).centroids,
       Similarity.coarseCentroids(
@@ -1090,7 +1097,10 @@ object SparkEntry {
     // c32 wraps c30's budget report (same keeper chain) in the
     // Muennighoff effective-token fold.
     ("c32_effective_tokens" -> effectiveTokensOracle(
-      dedupBudgetOracle(oracleSqlBase("d8_dedup_apply"))))
+      dedupBudgetOracle(oracleSqlBase("d8_dedup_apply")))) +
+    // g16 is g9's kNN-edge chain + the two grid-exact feature hops.
+    ("g16_feature_prop" ->
+      featurePropOracle(oracleSqlBase("g9_triangle_lcc")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

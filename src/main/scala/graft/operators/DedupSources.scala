@@ -227,43 +227,53 @@ object DedupSources {
     * reassembly or drop-continuation pass consumes.
     *
     * Two stages, the LSH discipline applied to boundaries: (1) CANDIDATES
-    * by equi-joining a's last word-3-gram against b's first word-3-gram
-    * — a hash join on a corpus-linear key table, never all-pairs, with
+    * by equi-joining a's LAST word-3-gram against b's leading 3-gram
+    * POSITIONS 1..6 — an overlap of L ∈ [3, 8] tokens puts a's final
+    * 3-gram at exactly position L−2 of b, so the position-exploded key
+    * (≤ 6 rows per doc, corpus-linear) catches every admissible length,
+    * where a prefix-only key would catch L = 3 alone. Both sides carry
     * the d2 hot-key cap (agg + broadcast anti-join) so a boilerplate
-    * opening ("subscribe to our newsletter …") cannot quadratically
-    * explode one bucket; (2) VERIFY by exact token comparison, scoring
-    * the longest suffix-prefix overlap up to 8 tokens — slice equality
-    * on the two token arrays already in the joined row, no re-scan.
-    * Emits pairs with overlap ≥ 3 tokens (the candidate key length, so
-    * verification can only confirm or lengthen, never invent).
+    * boundary ("subscribe to our newsletter …") cannot quadratically
+    * explode one bucket. (2) VERIFY the exact candidate length: the
+    * match at position j claims L = j+2, confirmed by slice equality of
+    * a's last L tokens against b's first L on the arrays already in the
+    * joined row — then keep each pair's longest confirmed overlap.
     *
     * Scale shape: one scan to build (doc, boundary-key, tokens), one
     * capped equi-join whose output is O(boundary collisions), per-row
-    * verification arithmetic — the d2/d8 candidate/verify split, so it
-    * survives 100× with the same plan. */
+    * verification arithmetic, one (doc_a, doc_b) max-fold — the d2/d8
+    * candidate/verify split, so it survives 100× with the same plan. */
   def chainOverlap(documents: DataFrame, cap: Int = 100): DataFrame = {
     val t = documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .filter(col("n") >= 3)
-    val keyed = t.select(col("doc_id"), col("w"), col("n"),
-      concat_ws(" ", slice(col("w"), 1, 3)).as("pre"),
-      concat_ws(" ", slice(col("w"), -3, 3)).as("suf"))
     val a = Dedup.capHotKeys(
-      keyed.select(col("doc_id").as("doc_a"), col("w").as("wa"),
-        col("n").as("na"), col("suf")), Seq("suf"), cap)
-    val b = Dedup.capHotKeys(
-      keyed.select(col("doc_id").as("doc_b"), col("w").as("wb"),
-        col("n").as("nb"), col("pre")), Seq("pre"), cap)
+      t.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+        col("n").as("na"),
+        concat_ws(" ", slice(col("w"), -3, 3)).as("bkey")),
+      Seq("bkey"), cap)
+    val bexp = t
+      .select(col("doc_id").as("doc_b"), col("w").as("wb"),
+        col("n").as("nb"),
+        explode(filter(
+          transform(sequence(lit(1), lit(6)), j =>
+            struct(j.as("j"),
+              concat_ws(" ", slice(col("w"), j, lit(3))).as("k"))),
+          s => col("n") >= s.getField("j") + 2)).as("e"))
+      .select(col("doc_b"), col("wb"), col("nb"),
+        col("e.j").as("j"), col("e.k").as("bkey"))
+    val b = Dedup.capHotKeys(bexp, Seq("bkey"), cap)
     val cand = a.join(b,
-      col("suf") === col("pre") && col("doc_a") =!= col("doc_b"))
-    val overlap = greatest((3 to 8).map { k =>
-      when(col("na") >= k && col("nb") >= k &&
-        (slice(col("wa"), -k, k) === slice(col("wb"), 1, k)), k.toLong)
-        .otherwise(0L)
-    }: _*)
-    cand.select(col("doc_a"), col("doc_b"), overlap.as("overlap_len"))
+      Seq("bkey")).filter(col("doc_a") =!= col("doc_b"))
+    val l = (col("j") + 2).cast("long")
+    val confirmed = when(col("na") >= l && col("nb") >= l &&
+      (slice(col("wa"), -col("j") - 2, col("j") + 2) ===
+        slice(col("wb"), lit(1), col("j") + 2)), l).otherwise(0L)
+    cand.select(col("doc_a"), col("doc_b"), confirmed.as("l"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("l")).as("overlap_len"))
       .filter(col("overlap_len") >= 3L)
   }
 }

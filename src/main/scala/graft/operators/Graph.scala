@@ -878,4 +878,105 @@ object Graph {
           (col("excluded_edge_w") + col("kept_edge_w")).cast("double"))
           .as("excluded_frac"))
   }
+
+  /** Personalized PageRank (g15) over the same customer↔supplier graph
+    * [[pageRank]] walks, with the teleport mass restricted to a SEED SET
+    * (suppliers whose key ≡ 0 mod 10 — the stand-in for "trusted
+    * domains" / "quality-verified entities"): rank becomes proximity to
+    * the seeds instead of global centrality. On a doc-link graph this is
+    * TrustRank-style quality propagation — the crawl/curation primitive
+    * that scores pages by how reachable they are from a vetted core —
+    * and the recommendation form ("rank items near THESE") when seeded
+    * per entity class.
+    *
+    * Same determinism contract and per-round data flow as g1 (1e-9-grid
+    * DECIMAL contribution sums, per-round materialization, |E| join +
+    * |V| aggregate per iteration — no driver graph state beyond the one
+    * seed count the uniform restart vector needs); the only difference
+    * is the restart term: seeds get (1−d)/|S|, non-seeds 0, so rank
+    * drains from regions the seeds cannot reach. */
+  def personalizedPageRank(lineitem: DataFrame, orders: DataFrame,
+      iters: Int = 3, damp: Double = 0.85): DataFrame = {
+    val rawEdges = custSuppEdges(lineitem, orders)
+    val outW = rawEdges.groupBy(col("src"))
+      .agg(sum(col("w")).as("wout"))
+    val edges = Caching.materialize(rawEdges.join(outW, "src"))
+    val isSeed = col("node").startsWith("s:") &&
+      (substring(col("node"), 3, 100).cast("long") % 10 === 0)
+    val nodes = Caching.materialize(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), isSeed.as("seed")))
+    locally {
+      val nS = nodes.filter(col("seed")).count()
+      val base = (1.0 - damp) / nS.toDouble
+      var pr = Caching.materialize(nodes.select(col("node"), col("seed"),
+        when(col("seed"), lit(1.0) / nS.toDouble)
+          .otherwise(lit(0.0)).as("pr")))
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(pr.select(col("node").as("src"), col("pr")), "src")
+          .select(col("dst"),
+            round((col("pr") * (col("w").cast("double") /
+              col("wout").cast("double"))) * lit(1.0e9))
+              .cast(DecimalType(38, 0)).as("g"))
+          .groupBy(col("dst")).agg(sum(col("g")).as("gs"))
+        pr = Caching.materialize(nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"),
+            "left_outer")
+          .select(col("node"), col("seed"),
+            (when(col("seed"), lit(base)).otherwise(lit(0.0)) +
+              lit(damp) *
+              (coalesce(col("gs"), lit(0L)).cast("double") / lit(1.0e9)))
+              .as("pr")))
+      }
+      pr.select(col("node"), col("pr"))
+    }
+  }
+
+  /** GraphSAGE-style neighbor feature aggregation (g16) over the STORED
+    * kNN affinity edges ([[neighborIndex]]'s nightly-build artifact —
+    * the same table g9/g11/g12 serve from): for each supplier node, the
+    * grid-exact mean of its neighbors' feature (account balance — the
+    * stand-in for any per-entity numeric embedding/score) and the
+    * two-hop form, the mean of neighbors' one-hop means. This is the
+    * feature-propagation primitive under GNN pre-processing (SGC / "SIGN"
+    * -style precomputed hops), label-free smoothing for cold-start
+    * scoring, and neighborhood-context features for ranking models — at
+    * 100 TB it runs as K successive (edge-join + aggregate) passes over
+    * a lake edge table, exactly like the PageRank loop but with the
+    * feature column in place of rank mass.
+    *
+    * Parity: each hop snaps the summand to the 1e-9 grid and sums as
+    * DECIMAL(38,0) (g1's contract), divides once in IEEE; hop 2
+    * consumes hop 1's already-deterministic doubles. Scale shape: two
+    * bounded shuffles (one per hop) on the node key; |V|-row output;
+    * the one-row-per-direction edge expansion is the stored table read
+    * twice, never recomputed projection work. */
+  def featureProp(index: NeighborIndex, supplier: DataFrame): DataFrame = {
+    val und = index.edges
+    val nb = und.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+    val f = supplier.select(col("s_suppkey").as("node"),
+      col("s_acctbal").as("fv"))
+    val h1 = Caching.materialize(nb
+      .join(f.select(col("node").as("nb"), col("fv")), "nb")
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"),
+        sum(round(col("fv") * lit(1.0e9)).cast(DecimalType(38, 0)))
+          .as("g"))
+      .select(col("node"), col("degree"),
+        (col("g").cast("double") / lit(1.0e9) / col("degree"))
+          .as("h1")))
+    val h2 = nb
+      .join(h1.select(col("node").as("nb"), col("h1").as("h1b")), "nb")
+      .groupBy(col("node"))
+      .agg(sum(round(col("h1b") * lit(1.0e9)).cast(DecimalType(38, 0)))
+          .as("g2"),
+        count(lit(1)).as("c2"))
+      .select(col("node"),
+        (col("g2").cast("double") / lit(1.0e9) / col("c2")).as("h2"))
+    h1.join(h2, "node").join(f, "node")
+      .select(col("node"), col("fv").as("f"), col("degree"),
+        col("h1"), col("h2"))
+  }
 }

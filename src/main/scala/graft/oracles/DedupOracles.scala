@@ -837,30 +837,31 @@ object DedupOracles {
         |  CAST(levenshtein(a.title, b.title) AS INT) AS edit_dist
         |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 10
         |WHERE levenshtein(a.title, b.title) <= 5""".stripMargin,
-    // d39: boundary-shingle candidates (last-3 == first-3, QUALIFY =
-    // the agg+anti-join hot-key cap) + exact suffix-prefix verify up
-    // to 8 tokens — all-integer.
+    // d39: a's last-3-gram joined against b's leading 3-gram positions
+    // 1..6 (an L-token overlap puts it at position L-2), QUALIFY = the
+    // agg+anti-join hot-key cap on both sides, then exact slice verify
+    // of the claimed length and a per-pair max — all-integer.
     "d39_chain_overlap" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-        |k AS (SELECT doc_id, w, len(w) AS n,
-        |    array_to_string(w[1:3],' ') AS pre,
-        |    array_to_string(w[-3:],' ') AS suf
-        |  FROM t WHERE len(w) >= 3),
-        |a AS (SELECT doc_id AS doc_a, w AS wa, n AS na, suf FROM k
-        |  QUALIFY count(*) OVER (PARTITION BY suf) <= 100),
-        |b AS (SELECT doc_id AS doc_b, w AS wb, n AS nb, pre FROM k
-        |  QUALIFY count(*) OVER (PARTITION BY pre) <= 100),
-        |cand AS (SELECT doc_a, doc_b, wa, na, wb, nb FROM a JOIN b
-        |  ON a.suf = b.pre AND a.doc_a <> b.doc_b),
-        |ol AS (SELECT doc_a, doc_b, greatest(
-        |    CASE WHEN na >= 3 AND nb >= 3 AND wa[-3:] = wb[1:3] THEN 3 ELSE 0 END,
-        |    CASE WHEN na >= 4 AND nb >= 4 AND wa[-4:] = wb[1:4] THEN 4 ELSE 0 END,
-        |    CASE WHEN na >= 5 AND nb >= 5 AND wa[-5:] = wb[1:5] THEN 5 ELSE 0 END,
-        |    CASE WHEN na >= 6 AND nb >= 6 AND wa[-6:] = wb[1:6] THEN 6 ELSE 0 END,
-        |    CASE WHEN na >= 7 AND nb >= 7 AND wa[-7:] = wb[1:7] THEN 7 ELSE 0 END,
-        |    CASE WHEN na >= 8 AND nb >= 8 AND wa[-8:] = wb[1:8] THEN 8 ELSE 0 END
-        |  ) AS overlap_len FROM cand)
-        |SELECT doc_a, doc_b, CAST(overlap_len AS BIGINT) AS overlap_len
-        |FROM ol WHERE overlap_len >= 3""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |t2 AS (SELECT doc_id, w, n FROM t WHERE n >= 3),
+        |a AS (SELECT doc_id AS doc_a, w AS wa, n AS na,
+        |    array_to_string(w[-3:],' ') AS bkey FROM t2
+        |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 100),
+        |b0 AS (SELECT doc_id AS doc_b, w AS wb, n AS nb,
+        |    UNNEST(range(1, 7)) AS j FROM t2),
+        |bx AS (SELECT doc_b, wb, nb, j,
+        |    array_to_string(wb[j:j+2],' ') AS bkey
+        |  FROM b0 WHERE nb >= j + 2),
+        |b AS (SELECT * FROM bx
+        |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 100),
+        |cand AS (SELECT doc_a, doc_b, wa, na, wb, nb, j
+        |  FROM a JOIN b USING (bkey) WHERE doc_a <> doc_b),
+        |ol AS (SELECT doc_a, doc_b,
+        |    CASE WHEN na >= j + 2 AND nb >= j + 2
+        |      AND wa[-(j+2):] = wb[1:j+2] THEN j + 2 ELSE 0 END AS l
+        |  FROM cand)
+        |SELECT doc_a, doc_b, CAST(max(l) AS BIGINT) AS overlap_len
+        |FROM ol GROUP BY 1, 2 HAVING max(l) >= 3""".stripMargin,
   )
 }

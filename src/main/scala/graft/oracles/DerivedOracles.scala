@@ -84,6 +84,32 @@ object DerivedOracles {
         |GROUP BY d.source""".stripMargin
   }
 
+  /** Derive the g16 oracle from g9's: keep the pair/capped/cop/dir/knn/
+    * und kNN-edge chain byte-identical (cut where g9's triangle work
+    * starts), then run the two grid-exact feature-propagation hops —
+    * neighbor mean of s_acctbal, then neighbor mean of those means. */
+  private[graft] def featurePropOracle(g9: String): String = {
+    val cut = "deg AS"
+    val i = g9.indexOf(cut)
+    require(i >= 0 && g9.startsWith("WITH "),
+      "g9 oracle SQL lost the g16 anchor")
+    g9.substring(0, i) +
+      """nb AS (SELECT u AS node, v AS nb FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |f AS (SELECT s_suppkey AS node, s_acctbal AS fv FROM supplier),
+        |h1 AS (SELECT nb.node, CAST(count(*) AS BIGINT) AS degree,
+        |    CAST(SUM(CAST(round(f.fv * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
+        |      / 1.0e9 / count(*) AS h1
+        |  FROM nb JOIN f ON nb.nb = f.node GROUP BY nb.node),
+        |h2 AS (SELECT nb.node,
+        |    CAST(SUM(CAST(round(h1.h1 * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
+        |      / 1.0e9 / count(*) AS h2
+        |  FROM nb JOIN h1 ON nb.nb = h1.node GROUP BY nb.node)
+        |SELECT h1.node, f.fv AS f, h1.degree, h1.h1 AS h1, h2.h2 AS h2
+        |FROM h1 JOIN h2 ON h1.node = h2.node
+        |  JOIN f ON f.node = h1.node""".stripMargin
+  }
+
   /** Derive the c32 oracle from c30's: wrap its per-source budget
     * report (raw vs keeper token masses over the SAME keeper chain) as
     * a CTE, then apply the Muennighoff data-constrained-scaling fold —

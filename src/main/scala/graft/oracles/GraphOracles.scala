@@ -54,6 +54,63 @@ object GraphOracles {
         |      (CAST(COALESCE(c3.gs, 0) AS DOUBLE) / 1.0e9) AS pr
         |  FROM nd CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nd.node)
         |SELECT node, pr FROM p3""".stripMargin,
+    // g15: g1's unrolled grid PageRank with the teleport mass restricted
+    // to the seed set (suppliers ≡ 0 mod 10): p0 uniform over seeds,
+    // restart term (1−d)/|S| on seeds and 0 elsewhere.
+    "g15_ppr" ->
+      """WITH pairc AS (SELECT o_custkey AS cust, l_suppkey AS supp,
+        |    count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS (SELECT 'c:' || cust AS src, 's:' || supp AS dst, w FROM pairc
+        |  UNION ALL
+        |  SELECT 's:' || supp, 'c:' || cust, w FROM pairc),
+        |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, ed.w, ow.wout
+        |  FROM ed JOIN ow ON ed.src = ow.src),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |sd AS (SELECT node, CASE WHEN node LIKE 's:%'
+        |    AND CAST(substr(node, 3) AS BIGINT) % 10 = 0
+        |    THEN 1 ELSE 0 END AS seed FROM nd),
+        |ns AS (SELECT CAST(sum(seed) AS BIGINT) AS s FROM sd),
+        |p0 AS (SELECT node, seed,
+        |    CASE WHEN seed = 1 THEN CAST(1.0 AS DOUBLE) / s
+        |         ELSE CAST(0.0 AS DOUBLE) END AS pr
+        |  FROM sd CROSS JOIN ns),
+        |c1 AS (SELECT e.dst, SUM(CAST(round(p0.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p0 ON e.src = p0.node GROUP BY e.dst),
+        |p1 AS (SELECT sd.node, sd.seed,
+        |    (CASE WHEN sd.seed = 1
+        |      THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s
+        |      ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c1.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM sd CROSS JOIN ns LEFT JOIN c1 ON c1.dst = sd.node),
+        |c2 AS (SELECT e.dst, SUM(CAST(round(p1.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p1 ON e.src = p1.node GROUP BY e.dst),
+        |p2 AS (SELECT sd.node, sd.seed,
+        |    (CASE WHEN sd.seed = 1
+        |      THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s
+        |      ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c2.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM sd CROSS JOIN ns LEFT JOIN c2 ON c2.dst = sd.node),
+        |c3 AS (SELECT e.dst, SUM(CAST(round(p2.pr *
+        |    (CAST(e.w AS DOUBLE) / CAST(e.wout AS DOUBLE)) * 1.0e9)
+        |    AS DECIMAL(38,0))) AS gs
+        |  FROM e JOIN p2 ON e.src = p2.node GROUP BY e.dst),
+        |p3 AS (SELECT sd.node, sd.seed,
+        |    (CASE WHEN sd.seed = 1
+        |      THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s
+        |      ELSE CAST(0.0 AS DOUBLE) END)
+        |    + CAST(0.85 AS DOUBLE) *
+        |      (CAST(COALESCE(c3.gs, 0) AS DOUBLE) / 1.0e9) AS pr
+        |  FROM sd CROSS JOIN ns LEFT JOIN c3 ON c3.dst = sd.node)
+        |SELECT node, pr FROM p3""".stripMargin,
     // g5: supplier pairs sharing customers, hub-capped at 100 suppliers
     // per customer (QUALIFY mirrors the agg+anti-join), min-weight
     // affinity — integers end to end.

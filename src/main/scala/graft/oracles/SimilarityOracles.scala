@@ -213,6 +213,27 @@ object SimilarityOracles {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM p) WHERE rank <= 10""".stripMargin,
+    // s26: s1's query/top-k shape with the CORPUS side dequantized from
+    // e2's int8 grid (queries stay raw float — asymmetric distance).
+    "s26_sq8_serve" ->
+      """WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |m AS (SELECT vec_id, x,
+        |  list_max(list_transform(x, a -> abs(a))) AS maxabs FROM v0),
+        |dq AS (SELECT vec_id,
+        |  CASE WHEN maxabs = 0 THEN list_transform(x, a -> 0.0)
+        |       ELSE list_transform(x, a ->
+        |         floor(a * (127.0 / maxabs) + 0.5) * (maxabs / 127.0))
+        |  END AS x
+        | FROM m),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1,65), i -> q.x[i] * c.x[i]), (a,b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(1,65), i -> q.x[i] * q.x[i]), (a,b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(1,65), i -> c.x[i] * c.x[i]), (a,b) -> a + b))) AS cos
+        | FROM v0 q JOIN dq c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cos, rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM p) WHERE rank <= 10""".stripMargin,
     // s1 with the metadata predicate on the corpus side (pre-filter).
     "s11_filtered_knn" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x

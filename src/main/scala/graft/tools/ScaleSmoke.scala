@@ -121,6 +121,11 @@ object ScaleSmoke {
       },
       "d2_minhash_lsh" -> (d => Dedup.minhashLsh(d)),
       "d12_cc_star" -> (d => Dedup.nearDupComponentsStar(d)),
+      // d39: boundary-shingle candidate join — the epoch suffix makes
+      // boundary keys epoch-disjoint, so candidates (and wall time)
+      // must scale linearly like d26's
+      "d39_chain_overlap" -> (d =>
+        graft.operators.DedupSources.chainOverlap(d)),
       // d35: estimator-vs-exact over the LSH candidate set only — must
       // track the candidate count (linear here), never go all-pairs
       "d35_minhash_calib" -> (d => Dedup.minhashCalibration(d)),

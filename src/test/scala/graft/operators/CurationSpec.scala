@@ -588,4 +588,58 @@ class CurationSpec extends SparkSpec {
     // books: outside every near-dup pair — keep defaults true
     assert(out("books") == ((1L, 1L, 6L, 6L, 1.0)), s"$out")
   }
+
+  test("annealMix: phase allocations sum exactly to their budgets and " +
+    "follow each phase's eligible token mass") {
+    // "the ... that" stopword-heavy text scores high; punctuation soup
+    // scores low — srcA contributes to both phases, srcB to neither
+    val hi = "the cat is that of a good and clean stopword heavy " +
+      "sentence that is of the kind quality gates like to keep around"
+    val lo = "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: ~~ ``"
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, if (i % 3 == 0) lo else hi,
+        if (i % 2 == 0) "srcA" else "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.annealMix(docs, budget = 1000L,
+        annealPermille = 100).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val mainSum = out.values.map(_._3).sum
+    val annealSum = out.values.map(_._4).sum
+    assert(mainSum == 900L, s"main allocs must sum to budget: $out")
+    assert(annealSum == 100L, s"anneal allocs must sum to budget: $out")
+    // both sources carry the same hi-quality token mass → equal shares
+    assert(out("srcA")._1 == out("srcB")._1, s"$out")
+    assert(math.abs(out("srcA")._3 - out("srcB")._3) <= 1, s"$out")
+    // partition invariance (window ranks + IEEE shares are deterministic)
+    val alt = Curation.annealMix(docs.repartition(7), budget = 1000L,
+        annealPermille = 100).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(alt == out, s"partitioning changed allocations:\n$alt\n$out")
+  }
+
+  test("effectiveTokens: a duplicate-ridden source is worth its unique " +
+    "mass scaled by the repeat-decay curve") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today", "web"),
+      (2L, "the cat sat on the mat today", "web"),
+      (3L, "entirely different text content here now", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.effectiveTokens(docs,
+        Dedup.nearDupComponents(docs, 0.7)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // books: epochs = 1 → effective == unique exactly (e^0 snap = 1)
+    assert(out("books")._1 == 6L && out("books")._2 == 6L)
+    assert(out("books")._3 == 1.0 && out("books")._4 == 6.0, s"$out")
+    // web: 14 raw / 7 unique → 2 epochs; replicate the snapped formula
+    val decay = BigDecimal(math.exp((1.0 - 2.0) / 15.0))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = 7.0 + 7.0 * 15.0 * (1.0 - decay)
+    assert(out("web")._3 == 2.0, s"$out")
+    assert(out("web")._4 == expected, s"got ${out("web")._4} want $expected")
+    // repeats are worth less than fresh: effective < raw, > unique
+    assert(out("web")._4 > 7.0 && out("web")._4 < 14.0, s"$out")
+  }
 }

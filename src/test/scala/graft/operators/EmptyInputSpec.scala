@@ -126,13 +126,36 @@ class EmptyInputSpec extends SparkSpec {
     "phashDirtyBuckets" -> (() => Multimodal.phashDirtyBuckets(
       Multimodal.phashIndex(docs), Multimodal.phashIndex(docs))),
     "dedupTokenBudget" -> (() => Curation.dedupTokenBudget(
-      docs, Dedup.nearDupComponents(docs))))
+      docs, Dedup.nearDupComponents(docs))),
+    // round-14 additions
+    "annealMix" -> (() => Curation.annealMix(docs)),
+    "effectiveTokens" -> (() => Curation.effectiveTokens(
+      docs, Dedup.nearDupComponents(docs))),
+    "crossDocNgrams" -> (() => LlmText.crossDocNgrams(docs)),
+    "chainOverlap" -> (() => DedupSources.chainOverlap(docs)),
+    "mixAllocation" -> (() => Multimodal.mixAllocation(docs)),
+    "personalizedPageRank" -> (() => Graph.personalizedPageRank(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),
+      Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey"))),
+    "featureProp" -> (() => Graph.featureProp(
+      Graph.NeighborIndex(
+        Seq.empty[(Long, Long)].toDF("u", "v"), 100, 10),
+      Seq.empty[(Long, Double)].toDF("s_suppkey", "s_acctbal"))),
+    "incrementalPricingSummary" -> (() => {
+      val li = Seq.empty[(Long, String, String, Double, Double, Double,
+        Double, java.sql.Timestamp)]
+        .toDF("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      Relational.incrementalPricingSummary(li, li)
+    }))
 
   private val embOps: Seq[(String, () => DataFrame)] = Seq(
     "embeddingDedup" -> (() => Dedup.embeddingDedup(embs)),
     "anisotropy" -> (() => VectorOps.anisotropy(embs)),
     "participationRatio" -> (() => VectorOps.participationRatio(embs)),
     "knnBruteForce" -> (() => Similarity.knnBruteForce(embs)),
+    "sq8Serve" -> (() => Similarity.sq8Serve(embs)),
+    "alignmentUniformity" -> (() => VectorOps.alignmentUniformity(embs)),
     "rangeSearch" -> (() => Similarity.rangeSearch(embs)),
     "filteredKnn" -> (() => Similarity.filteredKnn(embs)),
     "groupCentroids" -> (() => VectorOps.groupCentroids(embs)),

@@ -524,6 +524,47 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("personalizedPageRank: mass stays near seeds, totals 1, invariant") {
+    // suppliers 10 (seed: 10 % 10 == 0) and 3 (non-seed); connected graph
+    val li = Seq((100L, 10L), (100L, 10L), (101L, 10L), (102L, 10L),
+      (100L, 3L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (102L, 12L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.personalizedPageRank(li, ord).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("c:10", "c:11", "c:12", "s:10", "s:3"))
+    // teleport goes only to the seed; total mass stays 1 (connected
+    // undirected graph, grid slack)
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, s"mass: $out")
+    // proximity-to-seed ordering: s:3 sits two hops from the seed and
+    // hangs off one weak edge — it must rank strictly last, far below
+    // the seed and the seed's direct heavy neighbor
+    assert(out("s:3") == out.values.min, s"far node not last: $out")
+    assert(out("s:3") > 0.0 && out("s:3") < out("s:10") / 5, s"$out")
+    assert(out("c:10") > out("c:11"), // heavier edge to the seed
+      s"edge weight must matter: $out")
+    val alt = Graph.personalizedPageRank(li.repartition(7),
+      ord.repartition(3)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(alt == out, s"partitioning changed PPR:\n$alt\n$out")
+  }
+
+  test("featureProp: one- and two-hop neighbor means, hand-checked") {
+    // path graph 1 — 2 — 3 with balances 10.0, 20.0, 40.0
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val supplier = Seq((1L, 10.0), (2L, 20.0), (3L, 40.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val out = Graph.featureProp(Graph.NeighborIndex(edges, 100, 10),
+      supplier).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // h1: node 1 sees {20}, node 2 sees {10,40} -> 25, node 3 sees {20}
+    assert(out(1L) == ((10.0, 1L, 20.0, 25.0)), s"node1: $out")
+    assert(out(2L) == ((20.0, 2L, 25.0, 20.0)), s"node2: $out")
+    // h2(3) = mean of h1(2) = 25
+    assert(out(3L) == ((40.0, 1L, 20.0, 25.0)), s"node3: $out")
+  }
+
   test("pageRank is partition- and AQE-invariant (grid-exact sums)") {
     val (li, ord) = fixture
     def run(parts: Int) =

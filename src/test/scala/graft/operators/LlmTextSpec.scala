@@ -888,4 +888,29 @@ class LlmTextSpec extends SparkSpec {
     assert(one == Seq((2, 5L, 5.0 / 7.0)), s"$one")
     assert(run(7) == one, "partitioning changed the tie-broken head")
   }
+
+  test("crossDocNgrams: shared shingle mass counted per source, " +
+    "singleton shingles don't count, short docs still counted in n_docs") {
+    val docs = Seq(
+      // doc 1 and 2 share the shingle "a b c" (cross-source)
+      (1L, "a b c x y", "web"),
+      (2L, "a b c p q", "wiki"),
+      // unique content — contributes shingles but none duplicated
+      (3L, "m n o r s", "web"),
+      // under 3 words: zero shingles, still a doc of its source
+      (4L, "hi there", "wiki"))
+      .toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")).cast("long"))
+    val out = LlmText.crossDocNgrams(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // web: docs 1+3 → 3+3 = 6 shingle occurrences, 1 duplicated ("a b c"),
+    // 1 affected doc
+    assert(out("web") == ((2L, 6L, 1L, 1L, 1.0 / 6.0)), s"$out")
+    // wiki: doc 2 has 3 occurrences (1 dup) and doc 4 has none
+    assert(out("wiki") == ((2L, 3L, 1L, 1L, 1.0 / 3.0)), s"$out")
+  }
 }

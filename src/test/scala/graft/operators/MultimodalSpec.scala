@@ -305,4 +305,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out("mp4") == ((1L, 0L, 0.0)), s"$out")
     assert(out("png") == ((1L, 0L, 0.0)), s"$out")
   }
+
+  test("mixAllocation: byte-proportional budgets sum exactly to the " +
+    "budget; bigger cells get proportionally more") {
+    import spark.implicits._
+    // doc_id % 4 picks the format; text length is the byte mass
+    val docs = Seq(
+      (0L, "x" * 100, "a"),   // png, 100 bytes
+      (1L, "x" * 300, "a"),   // jpeg, 300 bytes
+      (4L, "x" * 100, "b"))   // png, 100 bytes
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.mixAllocation(docs, budget = 500L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.values.map(_._3).sum == 500L, s"$out")
+    // masses 100/300/100 of 500 total → exact fifths of the budget
+    assert(out(("a", "png")) == ((1L, 100L, 100L)), s"$out")
+    assert(out(("a", "jpeg")) == ((1L, 300L, 300L)), s"$out")
+    assert(out(("b", "png")) == ((1L, 100L, 100L)), s"$out")
+  }
 }

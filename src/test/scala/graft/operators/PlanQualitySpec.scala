@@ -370,4 +370,31 @@ class PlanQualitySpec extends SparkSpec {
           s"$q has an unbounded join shape ($tag):\n$p")
     }
   }
+
+  test("round-14 queries: no cartesian product, no nested-loop join " +
+    "anywhere in the executed plans") {
+    for (q <- Seq("q69_ivm_merge", "c31_anneal_mix",
+        "c32_effective_tokens", "d39_chain_overlap", "x41_crossdoc_ngrams",
+        "mm17_mix_allocation", "e25_align_uniformity", "s26_sq8_serve",
+        "g15_ppr", "g16_feature_prop")) {
+      val visible = plan(q)
+      val internal = Caching.lastMaterializedPlan
+      for ((tag, p) <- Seq("visible" -> visible, "internal" -> internal))
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoop"),
+          s"$q has an unbounded join shape ($tag):\n$p")
+    }
+  }
+
+  test("q69: the merge re-aggregates 12 partial rows — no union of raw " +
+    "row scans above the first aggregate") {
+    // two partial HashAggregates (one per slice) + one merge aggregate;
+    // the union must sit BETWEEN aggregates, not below them
+    val p = plan("q69_ivm_merge")
+    assert(!p.contains("CartesianProduct") && p.contains("Union"),
+      s"expected a union of partial aggregates:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 6, // 2 slices x (partial+final) + merge (partial+final)
+      s"expected partial aggregation on both slices plus a merge:\n$p")
+  }
 }

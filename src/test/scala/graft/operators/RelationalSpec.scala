@@ -430,4 +430,24 @@ class RelationalSpec extends SparkSpec {
     assert(out(2L)._1 == 2L && out(2L)._2 == 4L, s"$out")
     assert(math.abs(out(2L)._3 - math.log(2.0)) < 1e-4, s"$out")
   }
+
+  test("incrementalPricingSummary: merged partial states equal the full " +
+    "recompute bit-for-bit, for every split point") {
+    val ts = Timestamp.valueOf("1998-01-01 00:00:00")
+    val li = Seq.tabulate(40) { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "N", "O",
+        1.0 + i * 0.25, 1000.0 + i * 3.17, 0.01 * (i % 7), 0.04, ts)
+    }.toDF("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val full = Relational.pricingSummary(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    for (m <- Seq(2L, 5L)) {
+      val merged = Relational.incrementalPricingSummary(
+        li.filter($"l_orderkey" % m =!= 0L),
+        li.filter($"l_orderkey" % m === 0L)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+      assert(merged == full,
+        s"split mod $m drifted from the full recompute:\n$merged\n$full")
+    }
+  }
 }

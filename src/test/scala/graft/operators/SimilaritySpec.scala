@@ -711,4 +711,21 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getDouble(1)).toSeq
     assert(same == Seq(0.0, 0.0), s"$same")
   }
+
+  test("sq8Serve: quantized corpus keeps the exact order of the axis " +
+    "fixture (its vectors are int8-grid-exact), queries stay float") {
+    val out = Similarity.sq8Serve(emb, k = 10).collect()
+      .map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("cos"))))
+      .sortBy(_._2)
+    // every fixture vector has coordinates in {-1, 0, 1, 2} → the
+    // max-abs grid reproduces them exactly (qv·scale == value), so the
+    // SQ8 tier returns s1's exact ranks AND cosines
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), s"${out.toSeq}")
+    assert(out.head._3 == 1.0)
+    assert(math.abs(out(1)._3 - math.sqrt(0.5)) < 1e-12)
+    assert(out(2)._3 == 0.0)
+    assert(out(3)._3 == -1.0)
+  }
 }

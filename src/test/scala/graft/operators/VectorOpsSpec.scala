@@ -485,4 +485,29 @@ class VectorOpsSpec extends SparkSpec {
       assert(math.abs(out((1L, d)) + out((2L, d))) < 1e-9, s"dim $d")
     }
   }
+
+  test("alignmentUniformity: a collapsed label reads (1, 0); an " +
+    "orthogonal one reads (0, -4); pairing is consecutive-by-id") {
+    // label 0: three identical vectors → 2 pairs, cos = 1 each →
+    //   alignment 1, uniformity ln(e^(4·1−4)) = ln(1) = 0 (collapse!)
+    // label 1: two orthogonal vectors → 1 pair, cos = 0 →
+    //   alignment 0, uniformity ln(e^−4) = −4 (well spread)
+    val ex = Array.fill(4)(0.0f); ex(0) = 1.0f
+    val ey = Array.fill(4)(0.0f); ey(1) = 1.0f
+    val e = Seq(
+      (1L, ex, 0), (2L, ex, 0), (3L, ex, 0),
+      (10L, ex, 1), (11L, ey, 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.alignmentUniformity(e).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out(0) == ((2L, 1.0, 0.0)), s"$out")
+    assert(out(1)._1 == 1L && out(1)._2 == 0.0, s"$out")
+    assert(math.abs(out(1)._3 - -4.0) < 1e-3, s"$out")
+    // deterministic under repartitioning (window pairing is by id)
+    val alt = VectorOps.alignmentUniformity(e.repartition(5)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(alt == out)
+  }
 }
