@@ -209,10 +209,11 @@ object Bench {
         "g7_modularity", "g14_lpa_profile")
       val triangleConsumers = Set("g10_transitivity")
       val neighborConsumers = Set("g11_kcore", "g12_components",
-        "g13_index_churn")
+        "g13_index_churn", "g16_feature_prop")
       val componentConsumers = Set("g12_components")
       val ndupConsumers = Set("d38_dirty_buckets")
       val phashConsumers = Set("mm16_phash_dirty")
+      val ndcompConsumers = Set("c30_dedup_budget", "c32_effective_tokens")
       SparkEntry.primeStoredIndexes(spark, sfDir,
         ivf = selected.keys.exists(ivfConsumers),
         labels = selected.keys.exists(labelConsumers),
@@ -220,7 +221,8 @@ object Bench {
         neighbors = selected.keys.exists(neighborConsumers),
         components = selected.keys.exists(componentConsumers),
         ndup = selected.keys.exists(ndupConsumers),
-        phash = selected.keys.exists(phashConsumers))
+        phash = selected.keys.exists(phashConsumers),
+        ndcomp = selected.keys.exists(ndcompConsumers))
     }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the

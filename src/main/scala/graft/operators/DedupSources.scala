@@ -243,17 +243,39 @@ object DedupSources {
     * capped equi-join whose output is O(boundary collisions), per-row
     * verification arithmetic, one (doc_a, doc_b) max-fold — the d2/d8
     * candidate/verify split, so it survives 100× with the same plan. */
-  def chainOverlap(documents: DataFrame, cap: Int = 100): DataFrame = {
-    val t = documents
+  def chainOverlap(documents: DataFrame, cap: Int = 100): DataFrame =
+    chainOverlapVsIndex(documents, chainBoundaryIndex(documents, cap), cap)
+
+  private def boundaryTokens(documents: DataFrame): DataFrame =
+    documents
       .transform(Partitioning.spread(_, col("doc_id")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .filter(col("n") >= 3)
-    val a = Dedup.capHotKeys(
+
+  /** [[chainOverlap]]'s suffix side as a standalone table — each doc's
+    * capped boundary-suffix 3-gram key plus the tokens the verify stage
+    * needs. Written to the lake, this is the artifact arriving documents
+    * probe ("is this a continuation of something we already hold?") —
+    * the d13/mm9 stored-index convention for the chain family. */
+  def chainBoundaryIndex(documents: DataFrame, cap: Int = 100): DataFrame = {
+    val t = boundaryTokens(documents)
+    Dedup.capHotKeys(
       t.select(col("doc_id").as("doc_a"), col("w").as("wa"),
         col("n").as("na"),
         concat_ws(" ", slice(col("w"), -3, 3)).as("bkey")),
       Seq("bkey"), cap)
+  }
+
+  /** [[chainOverlap]]'s probe side against a (possibly parquet-stored)
+    * [[chainBoundaryIndex]]: the batch's leading 3-gram positions 1..6
+    * explode (capped), equi-join the index, and the claimed length gets
+    * the exact slice verify + per-pair max. Probe cost is O(batch ×
+    * collisions), never O(corpus) — the serve-path contract every
+    * vs-index member quotes. */
+  def chainOverlapVsIndex(batch: DataFrame, index: DataFrame,
+      cap: Int = 100): DataFrame = {
+    val t = boundaryTokens(batch)
     val bexp = t
       .select(col("doc_id").as("doc_b"), col("w").as("wb"),
         col("n").as("nb"),
@@ -265,7 +287,7 @@ object DedupSources {
       .select(col("doc_b"), col("wb"), col("nb"),
         col("e.j").as("j"), col("e.k").as("bkey"))
     val b = Dedup.capHotKeys(bexp, Seq("bkey"), cap)
-    val cand = a.join(b,
+    val cand = index.join(b,
       Seq("bkey")).filter(col("doc_a") =!= col("doc_b"))
     val l = (col("j") + 2).cast("long")
     val confirmed = when(col("na") >= l && col("nb") >= l &&

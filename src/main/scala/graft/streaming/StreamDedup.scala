@@ -164,4 +164,25 @@ object StreamDedup {
         ()
       }
       .start()
+
+  /** Streaming continuation detection against the stored boundary index
+    * (d39's live twin): each arriving document's leading 3-gram
+    * positions probe `DedupSources.chainBoundaryIndex`'s suffix keys, so
+    * a crawl-split continuation is flagged the batch it lands — the
+    * online "does this document continue one we already hold" gate next
+    * to [[prefixVsIndex]]'s whole-doc near-dup advisory. foreachBatch so
+    * every batch emits its complete verified stitches immediately. Spec
+    * pins stream output == `DedupSources.chainOverlapVsIndex` on the
+    * same rows through a parquet round-trip of the index. */
+  def chainVsIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .queryName("graft-chain-vs-index")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.DedupSources.chainOverlapVsIndex(batch, index))
+        ()
+      }
+      .start()
 }

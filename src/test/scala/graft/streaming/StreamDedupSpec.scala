@@ -272,4 +272,39 @@ class StreamDedupSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), index)
       .collect().isEmpty)
   }
+
+  test("chainVsIndex: arriving continuations probe the stored boundary " +
+    "index and equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val known = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    // lake round-trip like production
+    val dir = java.nio.file.Files.createTempDirectory("graft-cbi").toString
+    graft.operators.DedupSources.chainBoundaryIndex(known)
+      .write.parquet(s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.chainVsIndex(
+      input.toDF().toDF("doc_id", "text"), index,
+      sink = df => df.collect().foreach(r =>
+        hits.add((r.getLong(0), r.getLong(1), r.getLong(2)))))
+    try {
+      val b0 = Seq(
+        (1L, "zeta eta theta continues the stored document"), // 3-stitch
+        (2L, "totally unrelated arrival text here"))
+      input.addData(b0)
+      q.processAllAvailable()
+      val twin = graft.operators.DedupSources.chainOverlapVsIndex(
+        b0.toDF("doc_id", "text"), index).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = hits.toArray(Array.empty[(Long, Long, Long)]).toSet
+      assert(got == twin, s"stream must equal the batch twin:\n$got\n$twin")
+      assert(got.contains((100L, 1L, 3L)),
+        s"continuation of stored doc 100 found: $got")
+    } finally q.stop()
+  }
 }
