@@ -741,6 +741,11 @@ object SparkEntry {
     // only yesterday's split builds inline.
     "d39_chain_overlap" -> ((s, d) =>
       DedupSources.chainOverlap(T.documents(s, d))),
+    // d40: CC over d39's stitches — the reassembly plan.
+    "d40_chain_groups" -> ((s, d) =>
+      DedupSources.chainGroups(T.documents(s, d))),
+    "c33_gate_fairness" -> ((s, d) =>
+      Curation.gateFairness(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(
       storedNearDupIndex(s, d),
       Dedup.nearDupIndex(
@@ -1116,7 +1121,11 @@ object SparkEntry {
       dedupBudgetOracle(oracleSqlBase("d8_dedup_apply")))) +
     // g16 is g9's kNN-edge chain + the two grid-exact feature hops.
     ("g16_feature_prop" ->
-      featurePropOracle(oracleSqlBase("g9_triangle_lcc")))
+      featurePropOracle(oracleSqlBase("g9_triangle_lcc"))) +
+    // d40 is d39's candidate/verify chain + recursive CC + the
+    // per-chain fragment/token fold.
+    ("d40_chain_groups" ->
+      chainGroupsOracle(oracleSqlBase("d39_chain_overlap")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

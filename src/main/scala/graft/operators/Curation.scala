@@ -1007,6 +1007,35 @@ object Curation {
         annealBudget, Seq(col("source"))).as("anneal_alloc"))
   }
 
+  /** Quality-gate fairness audit (c33): per language, how the c5/c12
+    * quality gate actually lands — doc count, pass count/rate at the
+    * 0.5 floor, and the grid-exact mean score. The scoring features
+    * (English stopword hits, punctuation share, word length) are
+    * English-biased by construction, and this is the table that shows
+    * it: a gate that passes 80% of `en` and 30% of `zh` is reshaping
+    * the language mix silently — the fairness check every multilingual
+    * curation pipeline (CCNet, mC4, CulturaX postmortems) learned to
+    * publish next to its filters.
+    *
+    * One corpus scan, one |langs|-row aggregate; the mean accumulates
+    * round(q·1e9) as DECIMAL (exact, order-free) and divides once. */
+  def gateFairness(documents: DataFrame, floor: Double = 0.5): DataFrame = {
+    val q = LlmText.qualityScoreExpr(col("text"))
+    documents
+      .select(col("lang"),
+        round(q * lit(1.0e9))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("g"),
+        when(q >= floor, 1L).otherwise(0L).as("p"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass"),
+        sum(col("g")).as("gs"))
+      .select(col("lang"), col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"),
+        (col("gs").cast("double") / lit(1.0e9) / col("n_docs"))
+          .as("mean_quality"))
+  }
+
   /** Data-constrained-scaling effective-token accounting (c32): per
     * source, how many FRESH-data-equivalent tokens the source really
     * contributes when a fixed token budget forces repeating it. Unique

@@ -298,4 +298,32 @@ object DedupSources {
       .agg(max(col("l")).as("overlap_len"))
       .filter(col("overlap_len") >= 3L)
   }
+
+  /** Chain reassembly plan (d40): connected components over
+    * [[chainOverlap]]'s verified stitches — every group is one logical
+    * document the crawler delivered in fragments, reported with its
+    * fragment count, total token mass, and id span. This is the table a
+    * reassembly job (concatenate fragments back into whole documents
+    * before dedup/packing) or a drop-continuations policy consumes; the
+    * d7→d8 pairs→components→decision shape applied to the chain family.
+    *
+    * Scale shape: the stitch pairs are MATERIALIZED once (they feed the
+    * CC loop's repeated passes — the d28 lesson), star-contraction CC
+    * runs on the stitch graph (O(stitches), tiny next to the corpus),
+    * and one join back to per-doc token counts prices the groups.
+    * Chains are near-linear paths, so CC converges in a few rounds. */
+  def chainGroups(documents: DataFrame, cap: Int = 100): DataFrame = {
+    val pairs = Caching.materialize(
+      chainOverlap(documents, cap).select(col("doc_a"), col("doc_b")))
+    val mem = Dedup.connectedComponents(pairs)
+      .select(col("doc").as("doc_id"), col("lab").as("chain_id"))
+    val tok = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    mem.join(tok, "doc_id")
+      .groupBy(col("chain_id"))
+      .agg(count(lit(1)).as("n_fragments"),
+        sum(col("nt")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 }

@@ -601,5 +601,25 @@ object CurationOracles {
         |  CAST(b2 AS BIGINT) + (CASE WHEN rn2 <= rem2 THEN 1 ELSE 0 END)
         |    AS anneal_alloc
         |FROM a3""".stripMargin,
+    // c33: c12's quality expression folded per LANGUAGE — pass rate at
+    // the 0.5 floor + the 1e-9-grid exact mean score.
+    "c33_gate_fairness" ->
+      """WITH t AS (SELECT lang, text,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |m AS (SELECT lang,
+        |  0.4 * (CAST(len(list_filter(string_split(text,' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS DOUBLE) / n)
+        |  + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+        |      / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 1))
+        |  + 0.3 * (least(CAST(length(text) - (n - 1) AS DOUBLE) / n, 8.0) / 8.0) AS qs
+        | FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pass,
+        |  CAST(SUM(CASE WHEN qs >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pass_rate,
+        |  CAST(SUM(CAST(round(qs * 1.0e9) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1.0e9 / count(*) AS mean_quality
+        |FROM m GROUP BY lang""".stripMargin,
   )
 }

@@ -84,6 +84,33 @@ object DerivedOracles {
         |GROUP BY d.source""".stripMargin
   }
 
+  /** Derive the d40 oracle from d39's: keep the boundary-candidate/
+    * verify chain byte-identical, turn its final per-pair report into a
+    * pairs CTE, then run the d8 reach-style recursive CC and fold the
+    * membership into per-chain fragment/token stats. */
+  private[graft] def chainGroupsOracle(d39: String): String = {
+    val anchor = "SELECT doc_a, doc_b, CAST(max(l) AS BIGINT) AS overlap_len\n" +
+      "FROM ol GROUP BY 1, 2 HAVING max(l) >= 3"
+    require(d39.startsWith("WITH t AS") && d39.endsWith(anchor),
+      "d39 oracle SQL lost the d40 anchors")
+    "WITH RECURSIVE " + d39.stripPrefix("WITH ").dropRight(anchor.length)
+      .reverse.dropWhile(c => c == '\n').reverse + ",\n" +
+      """p AS (SELECT doc_a, doc_b FROM ol GROUP BY 1, 2 HAVING max(l) >= 3),
+        |ed2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach2(doc, lab) AS (
+        |  SELECT a, a FROM ed2
+        |  UNION
+        |  SELECT ed2.a, reach2.lab FROM ed2 JOIN reach2 ON ed2.b = reach2.doc),
+        |mem AS (SELECT doc, min(lab) AS chain_id FROM reach2 GROUP BY doc),
+        |tk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT)
+        |    AS nt FROM documents)
+        |SELECT chain_id, CAST(count(*) AS BIGINT) AS n_fragments,
+        |  CAST(SUM(tk.nt) AS BIGINT) AS n_tokens,
+        |  min(mem.doc) AS first_doc, max(mem.doc) AS last_doc
+        |FROM mem JOIN tk ON tk.doc_id = mem.doc GROUP BY chain_id""".stripMargin
+  }
+
   /** Derive the g16 oracle from g9's: keep the pair/capped/cop/dir/knn/
     * und kNN-edge chain byte-identical (cut where g9's triangle work
     * starts), then run the two grid-exact feature-propagation hops —

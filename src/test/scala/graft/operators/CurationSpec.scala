@@ -619,6 +619,26 @@ class CurationSpec extends SparkSpec {
     assert(alt == out, s"partitioning changed allocations:\n$alt\n$out")
   }
 
+  test("gateFairness: the stopword-biased gate passes the stopword-heavy " +
+    "language and fails the punctuation-heavy one — and says so") {
+    val hi = "the cat is that of a good and clean stopword heavy " +
+      "sentence that is of the kind quality gates like to keep around"
+    val lo = "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: ~~ ``"
+    val docs = (Seq.tabulate(4)(i => (i.toLong, hi, "en")) ++
+      Seq.tabulate(4)(i => (10L + i, lo, "zz")))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+    val out = Curation.gateFairness(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("en")._1 == 4L && out("en")._2 == 4L &&
+      out("en")._3 == 1.0, s"$out")
+    assert(out("zz")._1 == 4L && out("zz")._2 == 0L &&
+      out("zz")._3 == 0.0, s"$out")
+    assert(out("en")._4 > out("zz")._4,
+      s"mean quality must expose the bias: $out")
+  }
+
   test("effectiveTokens: a duplicate-ridden source is worth its unique " +
     "mass scaled by the repeat-decay curve") {
     val docs = Seq(

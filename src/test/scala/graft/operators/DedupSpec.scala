@@ -913,4 +913,27 @@ class DedupSpec extends SparkSpec {
     assert(DedupSources.chainOverlap(hot).count() == 0L,
       "hot boundary key must be capped, not exploded")
   }
+
+  test("chainGroups: a three-fragment chain and a two-fragment chain " +
+    "reassemble into their own groups with exact token mass") {
+    val corpus = Seq(
+      // chain A: 1 → 2 → 3 (each continues the previous)
+      (1L, "a1 a2 a3 a4 k1 k2 k3"),
+      (2L, "k1 k2 k3 b4 b5 m1 m2 m3"),
+      (3L, "m1 m2 m3 c4 c5"),
+      // chain B: 5 → 6
+      (5L, "p1 p2 p3 q1 q2 q3"),
+      (6L, "q1 q2 q3 r4 r5"),
+      // isolated doc — no group
+      (9L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val out = DedupSources.chainGroups(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // chain A: 7 + 8 + 5 = 20 tokens across docs 1..3
+    assert(out(1L) == ((3L, 20L, 1L, 3L)), s"$out")
+    // chain B: 6 + 5 = 11 tokens across docs 5..6
+    assert(out(5L) == ((2L, 11L, 5L, 6L)), s"$out")
+    assert(out.size == 2, s"isolated doc must not form a group: $out")
+  }
 }

@@ -133,6 +133,8 @@ class EmptyInputSpec extends SparkSpec {
       docs, Dedup.nearDupComponents(docs))),
     "crossDocNgrams" -> (() => LlmText.crossDocNgrams(docs)),
     "chainOverlap" -> (() => DedupSources.chainOverlap(docs)),
+    "chainGroups" -> (() => DedupSources.chainGroups(docs)),
+    "gateFairness" -> (() => Curation.gateFairness(docs)),
     "mixAllocation" -> (() => Multimodal.mixAllocation(docs)),
     "personalizedPageRank" -> (() => Graph.personalizedPageRank(
       Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey"),

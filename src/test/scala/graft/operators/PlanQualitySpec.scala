@@ -376,7 +376,8 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("q69_ivm_merge", "c31_anneal_mix",
         "c32_effective_tokens", "d39_chain_overlap", "x41_crossdoc_ngrams",
         "mm17_mix_allocation", "e25_align_uniformity", "s26_sq8_serve",
-        "g15_ppr", "g16_feature_prop")) {
+        "g15_ppr", "g16_feature_prop", "d40_chain_groups",
+        "c33_gate_fairness")) {
       val visible = plan(q)
       val internal = Caching.lastMaterializedPlan
       for ((tag, p) <- Seq("visible" -> visible, "internal" -> internal))
