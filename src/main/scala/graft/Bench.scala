@@ -214,6 +214,7 @@ object Bench {
       val ndupConsumers = Set("d38_dirty_buckets")
       val phashConsumers = Set("mm16_phash_dirty")
       val ndcompConsumers = Set("c30_dedup_budget", "c32_effective_tokens")
+      val chainConsumers = Set("d40_chain_groups")
       SparkEntry.primeStoredIndexes(spark, sfDir,
         ivf = selected.keys.exists(ivfConsumers),
         labels = selected.keys.exists(labelConsumers),
@@ -222,7 +223,8 @@ object Bench {
         components = selected.keys.exists(componentConsumers),
         ndup = selected.keys.exists(ndupConsumers),
         phash = selected.keys.exists(phashConsumers),
-        ndcomp = selected.keys.exists(ndcompConsumers))
+        ndcomp = selected.keys.exists(ndcompConsumers),
+        chain = selected.keys.exists(chainConsumers))
     }
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the

@@ -66,7 +66,7 @@ object SparkEntry {
       ivf: Boolean, labels: Boolean, triangles: Boolean = false,
       neighbors: Boolean = false, components: Boolean = false,
       ndup: Boolean = false, phash: Boolean = false,
-      ndcomp: Boolean = false): Unit = {
+      ndcomp: Boolean = false, chain: Boolean = false): Unit = {
     if (ivf) { storedIvfIndex(s, d); () }
     if (labels) { storedLabelIndex(s, d); () }
     if (triangles) { storedTriangleStats(s, d); () }
@@ -75,6 +75,7 @@ object SparkEntry {
     if (ndup) { storedNearDupIndex(s, d); () }
     if (phash) { storedPhashIndex(s, d); () }
     if (ndcomp) { storedNearDupComponents(s, d); () }
+    if (chain) { storedChainPairs(s, d); () }
   }
 
   private def storedIvfIndex(s: SparkSession, d: String): Similarity.IvfAdcIndex = {
@@ -195,6 +196,20 @@ object SparkEntry {
         .write.parquet(s"$tmp/components")
     }
     s.read.parquet(s"$dir/components")
+  }
+
+  /** ONE stored chain-stitch pair table per scale factor — d39's output
+    * as a lake artifact: d39 prices the candidate+verify build itself;
+    * d40's reassembly plan (CC + token fold) is the serve path reading
+    * the stored stitches, the d7→g12 build-vs-consume split applied to
+    * the chain family. Stitch arithmetic is integer-deterministic, so
+    * stored ≡ inline and the d40 oracle is unchanged. */
+  private def storedChainPairs(s: SparkSession, d: String): DataFrame = {
+    val dir = storedTempDir(s"chain:$d") { tmp =>
+      DedupSources.chainOverlap(T.documents(s, d))
+        .write.parquet(s"$tmp/pairs")
+    }
+    s.read.parquet(s"$dir/pairs")
   }
 
   /** ONE stored full-corpus phash signature table per scale factor —
@@ -741,9 +756,11 @@ object SparkEntry {
     // only yesterday's split builds inline.
     "d39_chain_overlap" -> ((s, d) =>
       DedupSources.chainOverlap(T.documents(s, d))),
-    // d40: CC over d39's stitches — the reassembly plan.
+    // d40: CC over d39's stitches — the reassembly plan, SERVED from
+    // the stored stitch table (d39 prices the candidate+verify build).
     "d40_chain_groups" -> ((s, d) =>
-      DedupSources.chainGroups(T.documents(s, d))),
+      DedupSources.chainGroupsFrom(storedChainPairs(s, d),
+        T.documents(s, d))),
     "c33_gate_fairness" -> ((s, d) =>
       Curation.gateFairness(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(

@@ -312,10 +312,18 @@ object DedupSources {
     * runs on the stitch graph (O(stitches), tiny next to the corpus),
     * and one join back to per-doc token counts prices the groups.
     * Chains are near-linear paths, so CC converges in a few rounds. */
-  def chainGroups(documents: DataFrame, cap: Int = 100): DataFrame = {
-    val pairs = Caching.materialize(
-      chainOverlap(documents, cap).select(col("doc_a"), col("doc_b")))
-    val mem = Dedup.connectedComponents(pairs)
+  def chainGroups(documents: DataFrame, cap: Int = 100): DataFrame =
+    chainGroupsFrom(
+      Caching.materialize(chainOverlap(documents, cap)), documents)
+
+  /** [[chainGroups]]' serve form over an ALREADY-BUILT (typically
+    * parquet-stored) stitch-pair table — the reassembly consumer reads
+    * the lake artifact d39 builds; zero candidate/verify work here. The
+    * pair frame must be materialized or storage-backed: the CC loop
+    * scans it repeatedly (the d28 lesson). */
+  def chainGroupsFrom(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    val mem = Dedup.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")))
       .select(col("doc").as("doc_id"), col("lab").as("chain_id"))
     val tok = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("nt"))
