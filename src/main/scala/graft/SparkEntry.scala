@@ -761,6 +761,11 @@ object SparkEntry {
     "d40_chain_groups" -> ((s, d) =>
       DedupSources.chainGroupsFrom(storedChainPairs(s, d),
         T.documents(s, d))),
+    // d41: the chain family's detection-bound gauge — overlap-length
+    // histogram with the censored ChainMaxOverlap row flagged, served
+    // from the same stored stitch table as d40.
+    "d41_chain_saturation" -> ((s, d) =>
+      DedupSources.chainSaturationFrom(storedChainPairs(s, d))),
     "c33_gate_fairness" -> ((s, d) =>
       Curation.gateFairness(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(
@@ -1142,7 +1147,10 @@ object SparkEntry {
     // d40 is d39's candidate/verify chain + recursive CC + the
     // per-chain fragment/token fold.
     ("d40_chain_groups" ->
-      chainGroupsOracle(oracleSqlBase("d39_chain_overlap")))
+      chainGroupsOracle(oracleSqlBase("d39_chain_overlap"))) +
+    // d41 is d39's verified-stitch chain + the at_cap histogram fold.
+    ("d41_chain_saturation" ->
+      chainSaturationOracle(oracleSqlBase("d39_chain_overlap")))
   private lazy val oracleSqlBase: Map[String, String] = 
     graft.oracles.CurationOracles.sql ++
     graft.oracles.DedupOracles.sql ++

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * array higher-order functions (no per-token shuffle); verification joins
   * repartition only the candidate pairs, which are O(near-dups), not O(n²).
   *
-  * All hashes are md5 hex strings so the DuckDB oracle can reproduce them
-  * exactly; min/sort over hex strings is a valid uniform min-hash.
+  * All hashes derive from md5 so the DuckDB oracle can reproduce them
+  * exactly — but the HOT paths never materialize hex strings: ids and
+  * join/group keys are the digest's leading 28 or 60 bits as longs
+  * ([[graft.functions.Md5Fold]], bit-equal to the oracle's hex-char
+  * fold), and band keys pack into two longs. Hex appears only where a
+  * report surfaces it (d1's content_md5, x4's fingerprints).
   */
 object Dedup {
 
@@ -75,10 +79,6 @@ object Dedup {
     86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
     198491317, 217645177)
 
-  /** 28-bit base hash from an ALREADY-COMPUTED md5("m:"+shingle) hex
-    * column — the shared [[PortableHash.nibbleFold7]] (hash in one
-    * transform pass, fold in the next; see that scaladoc). */
-  private def baseFromHex(hx: Column): Column = PortableHash.nibbleFold7(hx)
 
   /** The documents' distinct word-3-gram shingle sets, bracketed by two
     * doc_id exchanges that are both load-bearing: the one BELOW the
@@ -106,14 +106,24 @@ object Dedup {
     * Jaccard verify) reads. */
   private def shinglesWithBases(documents: DataFrame): DataFrame =
     docShingles(documents)
-      .withColumn("bases", transform(
-        transform(col("sh"), s => md5(concat(lit("m:"), s).cast("binary"))),
-        hx => baseFromHex(hx)))
+      .withColumn("bases",
+        transform(col("sh"), s => PortableHash.hash28("m:", s)))
 
-  /** LSH band table of a [[shinglesWithBases]] frame: (doc_id, band,
-    * bkey) — all 12 affine minimums in one native pass over the bases
+  /** A band's 3 minhash components packed into TWO longs — the band join
+    * and every bucket gauge shuffle/group on (bk1, bk2) instead of the
+    * pre-r15 `concat_ws("|", …)` VARCHAR (the r14 GC telemetry's largest
+    * allocation source after the hex intermediates). The packing is
+    * injective — each h < P < 2³⁰, so bk1 = band·2⁶⁰ + h1·2³⁰ + h2 < 2⁶²
+    * and (bk1, bk2=h3) partitions documents EXACTLY as (band, h1|h2|h3)
+    * did — candidate sets, bucket counts, and every oracle row are
+    * unchanged; the oracle keeps its string form of the same partition. */
+  private val Pow30 = 1073741824L
+  private val Pow60 = Pow30 * Pow30
+
+  /** LSH band table of a [[shinglesWithBases]] frame: (doc_id, bk1,
+    * bk2) — all 12 affine minimums in one native pass over the bases
     * (the HOF twin walks the array 12×; bit-equality pinned by
-    * MinHashSigSpec), grouped into MinHashK/BandRows band keys. */
+    * MinHashSigSpec), packed into MinHashK/BandRows two-long band keys. */
   private def bandTable(sh: DataFrame): DataFrame = {
     val siged = sh
       .select(col("doc_id"),
@@ -124,13 +134,13 @@ object Dedup {
     siged.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
-        struct(j.as("band"),
-          concat_ws("|",
-            element_at(col("mhs"), j * BandRows + 1),
-            element_at(col("mhs"), j * BandRows + 2),
-            element_at(col("mhs"), j * BandRows + 3)).as("bkey"))))
+        struct(
+          (j.cast("long") * Pow60 +
+            element_at(col("mhs"), j * BandRows + 1) * Pow30 +
+            element_at(col("mhs"), j * BandRows + 2)).as("bk1"),
+          element_at(col("mhs"), j * BandRows + 3).as("bk2"))))
         .as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .select(col("doc_id"), col("b.bk1").as("bk1"), col("b.bk2").as("bk2"))
   }
 
   def minhashLsh(documents: DataFrame, threshold: Double = 0.7,
@@ -171,10 +181,10 @@ object Dedup {
     * (doc_a, doc_b), capped and distinct; shared by [[lshPairs]] and the
     * d35 calibration gauge so both see the identical candidate set. */
   private def lshCandidates(sh: DataFrame, maxBandDocs: Int): DataFrame = {
-    val bands = capHotKeys(bandTable(sh), Seq("band", "bkey"), maxBandDocs)
+    val bands = capHotKeys(bandTable(sh), Seq("bk1", "bk2"), maxBandDocs)
     bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.bk1") === col("b.bk1") && col("a.bk2") === col("b.bk2") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -347,7 +357,9 @@ object Dedup {
     * built once and appended per ingest, and NO per-batch work ever
     * touches the corpus again (the r8 fix for [[incrementalDedup]]'s
     * recompute-the-known-side-every-call cost, which at 100 TB dominates
-    * every micro-batch). Schema: (doc_id, sh, bkeys[4]). */
+    * every micro-batch). Schema: (doc_id, sh, bkeys[4] of (bk1, bk2) —
+    * the packed two-long band keys, 16 bytes/band in parquet instead of
+    * a ~30-char string). */
   def nearDupIndex(documents: DataFrame): DataFrame = {
     val sh = shinglesWithBases(documents)
     sh.select(col("doc_id"), col("sh"),
@@ -357,10 +369,12 @@ object Dedup {
             HashA, HashB, HashP)).as("mhs"))
       .select(col("doc_id"), col("sh"),
         transform(sequence(lit(0), lit(MinHashK / BandRows - 1)), j =>
-          concat_ws("|",
-            element_at(col("mhs"), j * BandRows + 1),
-            element_at(col("mhs"), j * BandRows + 2),
-            element_at(col("mhs"), j * BandRows + 3))).as("bkeys"))
+          struct(
+            (j.cast("long") * Pow60 +
+              element_at(col("mhs"), j * BandRows + 1) * Pow30 +
+              element_at(col("mhs"), j * BandRows + 2)).as("bk1"),
+            element_at(col("mhs"), j * BandRows + 3).as("bk2")))
+          .as("bkeys"))
   }
 
   /** LSH dirty-bucket report (d38): today's [[nearDupIndex]] band
@@ -382,12 +396,13 @@ object Dedup {
     * the final fraction. */
   def dirtyBucketReport(fresh: DataFrame, stored: DataFrame): DataFrame = {
     def buckets(idx: DataFrame) = idx
-      .select(col("doc_id"), posexplode(col("bkeys")).as(Seq("band", "bkey")))
-      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), explode(col("bkeys")).as("e"))
+      .groupBy(col("e.bk1").as("bk1"), col("e.bk2").as("bk2"))
+      .agg(count(lit(1)).as("c"))
     bucketClassFold(
       buckets(fresh).withColumnRenamed("c", "cf"),
       buckets(stored).withColumnRenamed("c", "cs"),
-      Seq("band", "bkey"))
+      Seq("bk1", "bk2"))
   }
 
   /** Per-batch dirty-bucket gauge — the STREAMING-twin body of
@@ -403,11 +418,12 @@ object Dedup {
     * batch → empty report. */
   def batchDirtyBuckets(incoming: DataFrame, index: DataFrame): DataFrame = {
     def keys(idx: DataFrame) = idx
-      .select(posexplode(col("bkeys")).as(Seq("band", "bkey")))
+      .select(explode(col("bkeys")).as("e"))
+      .select(col("e.bk1").as("bk1"), col("e.bk2").as("bk2"))
       .distinct()
     keys(nearDupIndex(incoming))
       .join(keys(index).withColumn("s", lit(true)),
-        Seq("band", "bkey"), "left_outer")
+        Seq("bk1", "bk2"), "left_outer")
       .groupBy(lit(true).as("all"))
       .agg(count(lit(1)).as("n_touched"),
         sum(when(col("s").isNull, 1L).otherwise(0L)).as("n_new"),
@@ -453,14 +469,15 @@ object Dedup {
     // nearDupIndex(df) built on the fly — from re-shingling its corpus
     // per reference. A parquet-backed index pays one cheap cache fill.
     Caching.withPersisted(shI, index) {
-      val bandsI = capHotKeys(bandTable(shI), Seq("band", "bkey"), maxBandDocs)
+      val bandsI = capHotKeys(bandTable(shI), Seq("bk1", "bk2"), maxBandDocs)
       val bandsK = capHotKeys(
-        index.select(col("doc_id"),
-          posexplode(col("bkeys")).as(Seq("band", "bkey"))),
-        Seq("band", "bkey"), maxBandDocs)
+        index.select(col("doc_id"), explode(col("bkeys")).as("e"))
+          .select(col("doc_id"), col("e.bk1").as("bk1"),
+            col("e.bk2").as("bk2")),
+        Seq("bk1", "bk2"), maxBandDocs)
       val cand = bandsI.as("a")
         .join(bandsK.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          col("a.bk1") === col("b.bk1") && col("a.bk2") === col("b.bk2"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
         .distinct()
       cand.as("c")
@@ -492,11 +509,11 @@ object Dedup {
       // each side is capped on its OWN key frequency: a key hot in the
       // 100 TB index (the realistic blowup) is excluded even when the
       // incoming batch holds it only once, and vice versa
-      val cand = capHotKeys(bandTable(shI), Seq("band", "bkey"), maxBandDocs)
+      val cand = capHotKeys(bandTable(shI), Seq("bk1", "bk2"), maxBandDocs)
         .as("a")
-        .join(capHotKeys(bandTable(shK), Seq("band", "bkey"), maxBandDocs)
+        .join(capHotKeys(bandTable(shK), Seq("bk1", "bk2"), maxBandDocs)
           .as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          col("a.bk1") === col("b.bk1") && col("a.bk2") === col("b.bk2"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
         .distinct()
       cand.as("c")
@@ -750,7 +767,7 @@ object Dedup {
     * drift between the operators and the governance accounting. */
   private def bottom4Expr(shCol: Column): Column =
     slice(array_sort(transform(shCol,
-      s => md5(concat(lit("f:"), s).cast("binary")))), 1, 4)
+      s => PortableHash.hash60("f:", s))), 1, 4)
 
   /** The bottom-4 shingle-hash sketch rows (doc_id, h) d4/d15 block on —
     * content-based blocking that survives cross-source near-dups. */
@@ -891,7 +908,7 @@ object Dedup {
     Caching.withPersisted(sh) {
       val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(transform(col("sh"),
-          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+          s => PortableHash.hash60("f:", s))).as("h"))
       val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("freq"))
       val byRarity = Window.partitionBy(col("doc_id"))
         .orderBy(col("freq"), col("h"))
@@ -935,7 +952,7 @@ object Dedup {
     try {
       val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(transform(col("sh"),
-          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+          s => PortableHash.hash60("f:", s))).as("h"))
       val freq = Caching.materialize(
         tok.groupBy(col("h")).agg(count(lit(1)).as("freq")))
       val byRarity = Window.partitionBy(col("doc_id"))
@@ -974,7 +991,7 @@ object Dedup {
     Caching.withPersisted(shI, index.freq, index.docs) {
       val tokI = shI.select(col("doc_id"), size(col("sh")).as("n"),
         explode(transform(col("sh"),
-          s => md5(concat(lit("f:"), s).cast("binary")))).as("h"))
+          s => PortableHash.hash60("f:", s))).as("h"))
       val byRarity = Window.partitionBy(col("doc_id"))
         .orderBy(col("freq"), col("h"))
       val preI = capHotKeys(
@@ -1129,7 +1146,7 @@ object Dedup {
       val p = lshPairs(sh, threshold, MaxBandDocs)
         .select(col("doc_a"), col("doc_b"))
       val bandCounts = bandTable(sh)
-        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .groupBy(col("bk1"), col("bk2")).agg(count(lit(1)).as("n"))
       val sketchCounts = sh
         .select(col("doc_id"), explode(bottom4Expr(col("sh"))).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("n"))
@@ -1158,13 +1175,13 @@ object Dedup {
     * boilerplate, not near-dups") instead of a silent recall cliff.
     *
     * Families mirror the two candidate generators: `minhash_band` =
-    * [[bandTable]]'s (band,bkey) keys (d2/d7/d8/d12/d13/c3/c5),
+    * [[bandTable]]'s packed (bk1,bk2) keys (d2/d7/d8/d12/d13/c3/c5),
     * `bottom4_sketch` = [[bottom4Sketch]]'s h keys (d4/d15). Cost: the same
     * per-key counts [[capHotKeys]] computes, aggregated to ONE row per
     * family — map-side combined, no join. */
   def bandCapReport(documents: DataFrame, cap: Int = MaxBandDocs): DataFrame = {
     val bandCounts = bandTable(shinglesWithBases(documents))
-      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .groupBy(col("bk1"), col("bk2")).agg(count(lit(1)).as("n"))
     val sketchCounts = bottom4Sketch(documents)
       .groupBy(col("h")).agg(count(lit(1)).as("n"))
     capFamilyStats(bandCounts, "minhash_band", cap)
@@ -1191,10 +1208,10 @@ object Dedup {
   private[graft] def lshCandidatePairs(documents: DataFrame,
       cap: Int): DataFrame = {
     val bands = capHotKeys(bandTable(shinglesWithBases(documents)),
-      Seq("band", "bkey"), cap)
+      Seq("bk1", "bk2"), cap)
     bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.bk1") === col("b.bk1") && col("a.bk2") === col("b.bk2") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -228,21 +228,39 @@ object DedupSources {
     *
     * Two stages, the LSH discipline applied to boundaries: (1) CANDIDATES
     * by equi-joining a's LAST word-3-gram against b's leading 3-gram
-    * POSITIONS 1..6 — an overlap of L ∈ [3, 8] tokens puts a's final
-    * 3-gram at exactly position L−2 of b, so the position-exploded key
-    * (≤ 6 rows per doc, corpus-linear) catches every admissible length,
-    * where a prefix-only key would catch L = 3 alone. Both sides carry
-    * the d2 hot-key cap (agg + broadcast anti-join) so a boilerplate
-    * boundary ("subscribe to our newsletter …") cannot quadratically
-    * explode one bucket. (2) VERIFY the exact candidate length: the
-    * match at position j claims L = j+2, confirmed by slice equality of
-    * a's last L tokens against b's first L on the arrays already in the
+    * POSITIONS 1..[[ChainProbePositions]] — an overlap of L ∈
+    * [3, [[ChainMaxOverlap]]] tokens puts a's final 3-gram at exactly
+    * position L−2 of b, so the position-exploded key (≤ 14 rows per doc,
+    * corpus-linear) catches every admissible length, where a prefix-only
+    * key would catch L = 3 alone. Both sides carry the d2 hot-key cap
+    * (agg + broadcast anti-join) so a boilerplate boundary ("subscribe
+    * to our newsletter …") cannot quadratically explode one bucket.
+    * (2) VERIFY the exact candidate length: the match at position j
+    * claims L = j+2, confirmed by slice equality of a's last L tokens
+    * against b's first L on the fixed-width boundary slices in the
     * joined row — then keep each pair's longest confirmed overlap.
+    *
+    * Coverage contract: overlaps LONGER than [[ChainMaxOverlap]] tokens
+    * produce no candidate at all (a's final 3-gram sits past the probed
+    * positions) — they are invisible, not truncated. d41
+    * ([[chainSaturationFrom]]) surfaces the bound the way bandCapReport
+    * surfaces cap drops: pair mass AT overlap = [[ChainMaxOverlap]]
+    * says real stitches are saturating the window and the probe range
+    * needs widening.
     *
     * Scale shape: one scan to build (doc, boundary-key, tokens), one
     * capped equi-join whose output is O(boundary collisions), per-row
     * verification arithmetic, one (doc_a, doc_b) max-fold — the d2/d8
     * candidate/verify split, so it survives 100× with the same plan. */
+  /** Longest overlap the chain family can DETECT (r15: 8 → 16). Also the
+    * fixed row width of the boundary index and probe: both carry exactly
+    * this many boundary tokens, so index row size is independent of
+    * document length — at 100 TB the stitch index stays thin instead of
+    * re-shipping the corpus through the candidate shuffle. */
+  val ChainMaxOverlap = 16
+  /** b-side probed leading 3-gram positions: j ∈ [1, ChainMaxOverlap−2]. */
+  val ChainProbePositions: Int = ChainMaxOverlap - 2
+
   def chainOverlap(documents: DataFrame, cap: Int = 100): DataFrame =
     chainOverlapVsIndex(documents, chainBoundaryIndex(documents, cap), cap)
 
@@ -254,14 +272,22 @@ object DedupSources {
       .filter(col("n") >= 3)
 
   /** [[chainOverlap]]'s suffix side as a standalone table — each doc's
-    * capped boundary-suffix 3-gram key plus the tokens the verify stage
-    * needs. Written to the lake, this is the artifact arriving documents
-    * probe ("is this a continuation of something we already hold?") —
-    * the d13/mm9 stored-index convention for the chain family. */
+    * capped boundary-suffix 3-gram key plus the LAST [[ChainMaxOverlap]]
+    * tokens (all the verify stage ever reads — the full token array
+    * would make index row width scale with document length for zero
+    * recall). Written to the lake, this is the artifact arriving
+    * documents probe ("is this a continuation of something we already
+    * hold?") — the d13/mm9 stored-index convention for the chain
+    * family. */
   def chainBoundaryIndex(documents: DataFrame, cap: Int = 100): DataFrame = {
     val t = boundaryTokens(documents)
     Dedup.capHotKeys(
-      t.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+      // the negative start must be clamped to the doc length: Spark's
+      // slice returns EMPTY (not the whole array) when |start| > len
+      t.select(col("doc_id").as("doc_a"),
+        slice(col("w"),
+          -least(col("n"), lit(ChainMaxOverlap)),
+          lit(ChainMaxOverlap)).as("wa"),
         col("n").as("na"),
         concat_ws(" ", slice(col("w"), -3, 3)).as("bkey")),
       Seq("bkey"), cap)
@@ -277,10 +303,11 @@ object DedupSources {
       cap: Int = 100): DataFrame = {
     val t = boundaryTokens(batch)
     val bexp = t
-      .select(col("doc_id").as("doc_b"), col("w").as("wb"),
+      .select(col("doc_id").as("doc_b"),
+        slice(col("w"), 1, ChainMaxOverlap).as("wb"),
         col("n").as("nb"),
         explode(filter(
-          transform(sequence(lit(1), lit(6)), j =>
+          transform(sequence(lit(1), lit(ChainProbePositions)), j =>
             struct(j.as("j"),
               concat_ws(" ", slice(col("w"), j, lit(3))).as("k"))),
           s => col("n") >= s.getField("j") + 2)).as("e"))
@@ -328,6 +355,25 @@ object DedupSources {
     * sf0.1 on the same pairs (the residue is per-round materialization
     * overhead, constant in data size), identical labels (both emit the
     * component minimum). */
+  /** Chain-window saturation gauge (d41): the verified-overlap length
+    * histogram with the detection bound made explicit — `at_cap` marks
+    * the [[ChainMaxOverlap]] row, the only length whose mass is
+    * CENSORED (a true overlap of 20 tokens reports as nothing at all,
+    * not as 16 — see [[chainOverlap]]'s coverage contract; a detected
+    * 16 means "≥ 16"). Mass piling onto the at_cap row is the signal to
+    * widen [[ChainProbePositions]] before trusting d40's reassembly
+    * plan; spread mass below it says the window is sized right. The
+    * bandCapReport stance applied to the chain family: every bounded
+    * detector ships the gauge that says when its bound binds.
+    *
+    * Serve shape: one |pairs|-row aggregate over the STORED d39 stitch
+    * table — zero candidate/verify work. */
+  def chainSaturationFrom(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("overlap_len"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("overlap_len"), col("n_pairs"),
+        (col("overlap_len") === lit(ChainMaxOverlap.toLong)).as("at_cap"))
+
   def chainGroupsFrom(pairs: DataFrame, documents: DataFrame): DataFrame = {
     val mem = Dedup.connectedComponentsStar(
         pairs.select(col("doc_a"), col("doc_b")))

@@ -233,11 +233,6 @@ object LlmText {
   val RollP = 1000000007L
   val RollK = 4
 
-  /** 28-bit value from an ALREADY-COMPUTED md5 hex column — the shared
-    * [[PortableHash.nibbleFold7]] (hashing inside the fold would re-hash
-    * once per hex char in a HOF lambda; measured 7× on x5). */
-  private def hexVal7(hx: Column): Column = PortableHash.nibbleFold7(hx)
-
   /** Per-document Rabin–Karp window hashes: `(doc_id, roll)` where `roll`
     * is the array of 4-word rolling hashes in position order — the shared
     * span unit of [[rollingFingerprint]] (x5) and [[spanDedup]] (d10). */
@@ -245,13 +240,12 @@ object LlmText {
     val ws = words(col("text"))
     // word values materialized behind an exchange: the rolling combine
     // references the array via four shifted slices, which would otherwise
-    // re-inline the md5 chain 4× per row (see Dedup's shingle hashing).
+    // re-inline the hash chain 4× per row (see Dedup's shingle hashing).
+    // hash28 digests-and-folds natively — no per-word hex intermediate.
     val based = documents
       .filter(size(ws) >= RollK)
       .select(col("doc_id"),
-        transform(
-          transform(ws, w => md5(concat(lit("r:"), w).cast("binary"))),
-          hx => hexVal7(hx)).as("varr"))
+        transform(ws, w => PortableHash.hash28("r:", w)).as("varr"))
       .transform(Partitioning.spread(_, col("doc_id")))
     val m = size(col("varr")) - (RollK - 1)
     def shifted(i: Int): Column = slice(col("varr"), lit(i), m)

@@ -40,11 +40,33 @@ object PortableHash {
     (1 to 7).map(hv).reduce((acc, v) => acc * 16 + v).cast("long")
   }
 
-  /** Fold of md5(prefix + value-as-string). For use in per-row Projects
-    * (where codegen CSE deduplicates the md5), NOT inside HOF lambdas —
-    * there, hash first and fold via [[nibbleFold7]]. */
-  def hash28(prefix: String, v: Column): Column =
-    nibbleFold7(md5(concat(lit(prefix), v.cast("string")).cast("binary")))
+  /** The 15-char twin of [[nibbleFold7Reference]] — 60 bits, the widest
+    * fold a signed BIGINT carries positive on both engines. The prefix
+    * families (d26/d27/d28) and bottom-k sketches key on this width so a
+    * within-document id collision is a 2⁻⁶⁰ event instead of 2⁻²⁸. */
+  private[graft] def nibbleFold15Reference(hx: Column): Column = {
+    def hv(c: Int): Column = {
+      val a = ascii(hx.substr(lit(c), lit(1)))
+      when(a <= 57, a - 48).otherwise(a - 87).cast("long")
+    }
+    (1 to 15).map(hv).reduce((acc, v) => acc * 16 + v)
+  }
+
+  /** Fold of md5(prefix + value-as-string) — ONE native digest+fold per
+    * value ([[graft.functions.Md5Fold]]): no prefix-concat UTF8String, no
+    * 32-char hex intermediate. Bit-identical to the hex-chain form the
+    * oracle computes (Md5FoldSpec pins it); safe inside HOF lambdas. */
+  def hash28(prefix: String, v: Column): Column = md5Fold(prefix, v, 7)
+
+  /** 60-bit digest fold — [[hash28]] at 15 nibbles. */
+  def hash60(prefix: String, v: Column): Column = md5Fold(prefix, v, 15)
+
+  private def md5Fold(prefix: String, v: Column, nibbles: Int): Column =
+    org.apache.spark.sql.graftinternal.Bridge.column(
+      graft.functions.Md5Fold(
+        org.apache.spark.sql.graftinternal.Bridge.expression(
+          v.cast("string")),
+        prefix, nibbles))
 
   /** The SAME fold evaluated on the driver JVM — for seeded constants
     * (e.g. the e4 random-projection sign matrix) that the oracle re-derives

@@ -118,8 +118,15 @@ object DedupOracles {
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |sk AS (SELECT doc_id,
-        |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |skx AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |skh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM skx),
+        |sk AS (SELECT doc_id, unnest((list_sort(list(h)))[1:4]) AS h
+        |  FROM skh GROUP BY doc_id),
         |skk AS (SELECT s0.* FROM sk s0
         |  QUALIFY count(*) OVER (PARTITION BY s0.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -139,8 +146,15 @@ object DedupOracles {
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |sk AS (SELECT doc_id,
-        |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |skx AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |skh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM skx),
+        |sk AS (SELECT doc_id, unnest((list_sort(list(h)))[1:4]) AS h
+        |  FROM skh GROUP BY doc_id),
         |skk AS (SELECT s0.* FROM sk s0
         |  QUALIFY count(*) OVER (PARTITION BY s0.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -455,8 +469,15 @@ object DedupOracles {
         |dec AS (SELECT doc, min(lab) AS rep FROM reach GROUP BY doc),
         |drops AS (SELECT doc FROM dec WHERE doc <> rep),
         |bc AS (SELECT band, bkey, count(*) AS n FROM band GROUP BY 1, 2),
-        |sk AS (SELECT doc_id,
-        |  unnest(list_sort(list_transform(s, x -> md5('f:' || x)))[1:4]) AS h FROM sh),
+        |skx AS (SELECT doc_id, unnest(s) AS x FROM sh),
+        |skh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM skx),
+        |sk AS (SELECT doc_id, unnest((list_sort(list(h)))[1:4]) AS h
+        |  FROM skh GROUP BY doc_id),
         |sc AS (SELECT h, count(*) AS n FROM sk GROUP BY 1),
         |bstat AS (SELECT 'minhash_band' AS family,
         |  count(*) AS n_keys,
@@ -609,8 +630,14 @@ object DedupOracles {
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id, len(s) AS n,
-        |  unnest(list_transform(s, x -> md5('f:' || x))) AS h FROM sh),
+        |tokx AS (SELECT doc_id, len(s) AS n, unnest(s) AS x FROM sh),
+        |tok AS (SELECT doc_id, n,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM tokx),
         |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
         |rk AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
@@ -732,8 +759,14 @@ object DedupOracles {
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id, len(s) AS n,
-        |  unnest(list_transform(s, x -> md5('f:' || x))) AS h FROM sh),
+        |tokx AS (SELECT doc_id, len(s) AS n, unnest(s) AS x FROM sh),
+        |tok AS (SELECT doc_id, n,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM tokx),
         |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
         |rk AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
@@ -772,8 +805,14 @@ object DedupOracles {
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id, len(s) AS n,
-        |  unnest(list_transform(s, x -> md5('f:' || x))) AS h FROM sh),
+        |tokx AS (SELECT doc_id, len(s) AS n, unnest(s) AS x FROM sh),
+        |tok AS (SELECT doc_id, n,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM tokx),
         |freq AS (SELECT h, count(*) AS freq FROM tok
         |  WHERE doc_id % 10 <> 0 GROUP BY h),
         |rkk AS (SELECT t.doc_id, t.n, t.h,
@@ -849,7 +888,7 @@ object DedupOracles {
         |    array_to_string(w[-3:],' ') AS bkey FROM t2
         |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 100),
         |b0 AS (SELECT doc_id AS doc_b, w AS wb, n AS nb,
-        |    UNNEST(range(1, 7)) AS j FROM t2),
+        |    UNNEST(range(1, 15)) AS j FROM t2),
         |bx AS (SELECT doc_b, wb, nb, j,
         |    array_to_string(wb[j:j+2],' ') AS bkey
         |  FROM b0 WHERE nb >= j + 2),

@@ -88,6 +88,22 @@ object DerivedOracles {
     * verify chain byte-identical, turn its final per-pair report into a
     * pairs CTE, then run the d8 reach-style recursive CC and fold the
     * membership into per-chain fragment/token stats. */
+  /** Derive the d41 oracle from d39's: the verified-stitch chain
+    * byte-identical, then one histogram fold with the at_cap flag at the
+    * engine's ChainMaxOverlap bound. */
+  private[graft] def chainSaturationOracle(d39: String): String = {
+    val anchor = "SELECT doc_a, doc_b, CAST(max(l) AS BIGINT) AS overlap_len\n" +
+      "FROM ol GROUP BY 1, 2 HAVING max(l) >= 3"
+    require(d39.startsWith("WITH t AS") && d39.endsWith(anchor),
+      "d39 oracle SQL lost the d41 anchors")
+    d39.dropRight(anchor.length).reverse.dropWhile(_ == '\n').reverse +
+      ",\nst AS (" + anchor + ")\n" +
+      s"""SELECT overlap_len, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  overlap_len = ${graft.operators.DedupSources.ChainMaxOverlap}
+         |    AS at_cap
+         |FROM st GROUP BY 1""".stripMargin
+  }
+
   private[graft] def chainGroupsOracle(d39: String): String = {
     val anchor = "SELECT doc_a, doc_b, CAST(max(l) AS BIGINT) AS overlap_len\n" +
       "FROM ol GROUP BY 1, 2 HAVING max(l) >= 3"

@@ -844,14 +844,18 @@ class DedupSpec extends SparkSpec {
 
   test("dirtyBucketReport: bucket classes hand-checked (pure ingest and " +
     "membership change)") {
-    def idx(rows: (Long, Seq[String])*) =
-      rows.toSeq.map { case (id, ks) => (id, Seq("s"), ks) }
+    // band keys are the packed two-long form; the fixture keys are small
+    // distinct longs (bk1 = bk2 = k) — the report only reads equality
+    def idx(rows: (Long, Seq[Long])*) =
+      rows.toSeq.map { case (id, ks) => (id, Seq("s"), ks.map(k => (k, k))) }
         .toDF("doc_id", "sh", "bkeys")
+        .withColumn("bkeys", org.apache.spark.sql.functions.expr(
+          "transform(bkeys, e -> struct(e._1 AS bk1, e._2 AS bk2))"))
     // pure ingest: C arrives, A/B unchanged — 7 unchanged buckets, 4 new
-    val fresh = idx(1L -> Seq("a", "b", "c", "d"),
-      2L -> Seq("a", "x", "y", "z"), 3L -> Seq("q", "r", "s", "t"))
-    val stored = idx(1L -> Seq("a", "b", "c", "d"),
-      2L -> Seq("a", "x", "y", "z"))
+    val fresh = idx(1L -> Seq(1L, 2L, 3L, 4L),
+      2L -> Seq(1L, 24L, 25L, 26L), 3L -> Seq(17L, 18L, 19L, 20L))
+    val stored = idx(1L -> Seq(1L, 2L, 3L, 4L),
+      2L -> Seq(1L, 24L, 25L, 26L))
     val r = Dedup.dirtyBucketReport(fresh, stored).collect()
     assert(r.length == 1)
     val row = r.head
@@ -861,8 +865,8 @@ class DedupSpec extends SparkSpec {
     assert(row.getDouble(6) == 4.0 / 11.0, s"$row")
     // membership change: stored B duplicated A's keys, fresh B moved
     // away — (0,a) stays at 2, bands 1-3 of the old shared key shrink
-    val storedDup = idx(1L -> Seq("a", "b", "c", "d"),
-      2L -> Seq("a", "b", "c", "d"))
+    val storedDup = idx(1L -> Seq(1L, 2L, 3L, 4L),
+      2L -> Seq(1L, 2L, 3L, 4L))
     val r2 = Dedup.dirtyBucketReport(fresh, storedDup).collect().head
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
       r2.getLong(4), r2.getLong(5)) == ((11L, 1L, 7L, 0L, 3L, 0L)),
@@ -912,6 +916,45 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(DedupSources.chainOverlap(hot).count() == 0L,
       "hot boundary key must be capped, not exploded")
+  }
+
+  test("chainOverlap: a 12-token overlap (invisible pre-r15) is detected " +
+    "exactly; the boundary index carries only fixed-width slices") {
+    // a ends with the 12 tokens b starts with — the paginated-crawl
+    // stitch the old 1..6 probe window silently missed (ADVICE r14)
+    val ov = (1 to 12).map(i => s"o$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"h1 h2 h3 $ov"),
+      (2L, s"$ov t1 t2 t3")).toDF("doc_id", "text")
+    val out = DedupSources.chainOverlap(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 12L)), s"$out")
+    // the index row width is ChainMaxOverlap tokens regardless of doc
+    // length — the verify slices never need more (VERDICT r14 #3)
+    val long = Seq((7L, (1 to 500).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idxRow = DedupSources.chainBoundaryIndex(long).collect().head
+    assert(idxRow.getAs[scala.collection.Seq[String]]("wa").length ==
+      DedupSources.ChainMaxOverlap,
+      "boundary index must store the fixed-width suffix slice")
+    assert(idxRow.getAs[Int]("na") == 500,
+      "na must stay the true length")
+  }
+
+  test("chainSaturation: histogram flags only the censored " +
+    "ChainMaxOverlap row") {
+    val m = DedupSources.ChainMaxOverlap
+    val ov16 = (1 to m).map(i => s"s$i").mkString(" ")
+    val ov5 = (1 to 5).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"x1 x2 x3 $ov16"), (2L, s"$ov16 y1 y2 y3"),
+      (3L, s"z1 z2 z3 $ov5"), (4L, s"$ov5 u1 u2 u3"))
+      .toDF("doc_id", "text")
+    val out = DedupSources
+      .chainSaturationFrom(DedupSources.chainOverlap(corpus)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(m.toLong -> ((1L, true)), 5L -> ((1L, false))),
+      s"$out")
   }
 
   test("chainGroups: a three-fragment chain and a two-fragment chain " +

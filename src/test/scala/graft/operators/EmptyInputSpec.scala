@@ -134,6 +134,8 @@ class EmptyInputSpec extends SparkSpec {
     "crossDocNgrams" -> (() => LlmText.crossDocNgrams(docs)),
     "chainOverlap" -> (() => DedupSources.chainOverlap(docs)),
     "chainGroups" -> (() => DedupSources.chainGroups(docs)),
+    "chainSaturation" -> (() =>
+      DedupSources.chainSaturationFrom(DedupSources.chainOverlap(docs))),
     "gateFairness" -> (() => Curation.gateFairness(docs)),
     "mixAllocation" -> (() => Multimodal.mixAllocation(docs)),
     "personalizedPageRank" -> (() => Graph.personalizedPageRank(

@@ -200,6 +200,28 @@ class PlanQualitySpec extends SparkSpec {
       s"partition offsets must broadcast:\n$p")
   }
 
+  test("d2/d26: the shingle families hash natively and key on longs — " +
+    "no hex or concat_ws strings in the hot path (the r15 GC fix)") {
+    val p2 = materializedPlan("d2_minhash_lsh")
+    assert(p2.contains("graft_md5fold"),
+      s"shingle bases must use the native digest fold:\n$p2")
+    assert(!p2.contains("concat_ws"),
+      s"band keys must be packed longs, not strings:\n$p2")
+    assert(p2.contains("bk1") && p2.contains("bk2"), p2)
+    val p26 = materializedPlan("d26_prefix_filter")
+    assert(p26.contains("graft_md5fold"),
+      s"prefix token ids must use the native digest fold:\n$p26")
+    assert(!p26.contains("md5(concat"),
+      s"no hex-string intermediates in the prefix family:\n$p26")
+  }
+
+  test("d41: the saturation gauge is one aggregate over the stored " +
+    "stitch table — no shingle or candidate work in the plan") {
+    val p = plan("d41_chain_saturation")
+    assert(!p.contains("Join"),
+      s"d41 must serve from the stored pairs, not rebuild them:\n$p")
+  }
+
   test("e14: every vector scores against the broadcast centroid table") {
     val p = plan("e14_cluster_quality")
     // labels × vectors is intentionally a broadcast nested loop (the
