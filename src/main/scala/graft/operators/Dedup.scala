@@ -693,14 +693,15 @@ object Dedup {
     * a long by the native [[graft.functions.SimHashPack]] expression (one
     * generated loop; the HOF twin below built two 60-element arrays per
     * word). Integer-only arithmetic → bit-exact across engines; no shuffle
-    * at any scale. One md5 per word, hashed in a first transform pass. */
+    * at any scale. One native digest+fold per word (no hex
+    * intermediates), votes read from the fold's hex digits. */
   def simhash(documents: DataFrame): DataFrame = {
-    val hexes = transform(LlmText.words(col("text")),
-      w => md5(concat(lit("w:"), w).cast("binary")))
+    val bases = transform(LlmText.words(col("text")),
+      w => PortableHash.hash60("w:", w))
     documents.select(col("doc_id"),
       org.apache.spark.sql.graftinternal.Bridge.column(
         graft.functions.SimHashPack(
-          org.apache.spark.sql.graftinternal.Bridge.expression(hexes)))
+          org.apache.spark.sql.graftinternal.Bridge.expression(bases)))
         .as("simhash"))
   }
 
@@ -766,8 +767,14 @@ object Dedup {
     * (d4/d15/d16); one definition so the hash prefix and width can never
     * drift between the operators and the governance accounting. */
   private def bottom4Expr(shCol: Column): Column =
-    slice(array_sort(transform(shCol,
-      s => PortableHash.hash60("f:", s))), 1, 4)
+    slice(array_sort(transform(shCol, s => bottomKHash(s))), 1, 4)
+
+  /** The 60-bit "f:" shingle-hash every bottom-k sketch sorts and blocks
+    * on (d4/d6/d11/d15) — one definition so the prefix and fold width can
+    * never drift between the sketch operators. Numeric order over the
+    * fold equals lexicographic order over the hex it encodes. */
+  private[operators] def bottomKHash(s: Column): Column =
+    PortableHash.hash60("f:", s)
 
   /** The bottom-4 shingle-hash sketch rows (doc_id, h) d4/d15 block on —
     * content-based blocking that survives cross-source near-dups. */

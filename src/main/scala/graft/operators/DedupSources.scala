@@ -171,7 +171,7 @@ object DedupSources {
       // shingle (~30× less input at this corpus's shingle counts)
       .select(col("source"),
         explode(slice(array_sort(transform(LlmText.shingles(col("text")),
-          s => md5(concat(lit("f:"), s).cast("binary")))), 1, k)).as("h"))
+          s => Dedup.bottomKHash(s))), 1, k)).as("h"))
       .groupBy(col("source"))
       .agg(sketch(col("h")).as("sketch"))
   }
@@ -196,7 +196,7 @@ object DedupSources {
       // per-doc pre-reduction as in sourceSketch: exact for bottom-k
       .select(col("source"),
         explode(slice(array_sort(transform(LlmText.shingles(col("text")),
-          s => md5(concat(lit("f:"), s).cast("binary")))), 1, k)).as("h"))
+          s => Dedup.bottomKHash(s))), 1, k)).as("h"))
       .distinct()
     val bottomK = graft.plans.TopK.perKey(hashes,
       Seq(col("source")), Seq(col("h")), k)

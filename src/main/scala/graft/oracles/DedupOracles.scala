@@ -178,17 +178,32 @@ object DedupOracles {
         |sh AS (SELECT doc_id, source,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |h AS (SELECT DISTINCT source, md5('f:' || unnest(s)) AS h FROM sh),
+        |hx0 AS (SELECT source, unnest(s) AS x FROM sh),
+        |h AS (SELECT DISTINCT source,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM hx0),
         |r AS (SELECT source, h,
         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
-        |SELECT source, string_agg(h, '|' ORDER BY h) AS sketch
+        |SELECT source,
+        |  string_agg(CAST(h AS VARCHAR), '|' ORDER BY h) AS sketch
         |FROM r WHERE rn <= 4 GROUP BY source""".stripMargin,
     "d11_source_overlap" ->
       """WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, source,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
-        |h AS (SELECT DISTINCT source, md5('f:' || unnest(s)) AS h FROM sh),
+        |hx0 AS (SELECT source, unnest(s) AS x FROM sh),
+        |h AS (SELECT DISTINCT source,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM hx0),
         |r AS (SELECT source, h,
         |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
         |kk AS (SELECT source, h FROM r WHERE rn <= 16),
