@@ -766,6 +766,10 @@ object SparkEntry {
     // from the same stored stitch table as d40.
     "d41_chain_saturation" -> ((s, d) =>
       DedupSources.chainSaturationFrom(storedChainPairs(s, d))),
+    // d42: the fold-width collision audit — the empirical justification
+    // for keying every shingle operator on 28/60-bit digest folds.
+    "d42_fold_collisions" -> ((s, d) =>
+      Dedup.foldCollisions(T.documents(s, d))),
     "c33_gate_fairness" -> ((s, d) =>
       Curation.gateFairness(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(

@@ -1491,6 +1491,44 @@ object Dedup {
     * heap TopK operator (k values of state per source). The exact side
     * is one count-distinct per source — the calibration cost, paid by
     * the gauge so production sketches don't have to. */
+  /** Fold-width collision audit (d42): over the corpus's DISTINCT word
+    * shingles, how many 28-bit ("m:", the minhash base) and 60-bit
+    * ("f:", the prefix/sketch id) digest-fold values collide — the gauge
+    * that justifies (or retires) the fold widths this library keys every
+    * shingle operator on. A 28-bit collision merges two shingles in a
+    * minhash signature (harmless at d2's estimator granularity, which is
+    * why 28 bits suffice there); a 60-bit collision merges two token ids
+    * in the EXACT-recall prefix filter (d26/d28) — its measured frequency
+    * is the empirical distance-to-exact of the r15 key design, published
+    * next to the operators that rely on it (the d35/d36/d41 stance:
+    * every lossy design decision ships the gauge that measures it).
+    *
+    * One distinct-shingle pass and one 3-aggregate fold — n_shingles is
+    * corpus-vocabulary scale, nothing leaves the executors until the
+    * one-row report. Empty corpus → empty report (grouped on a constant,
+    * not a bare global aggregate). */
+  def foldCollisions(documents: DataFrame): DataFrame =
+    docShingles(documents)
+      .select(explode(col("sh")).as("s"))
+      .distinct()
+      .select(PortableHash.hash28("m:", col("s")).as("h7"),
+        PortableHash.hash60("f:", col("s")).as("h15"))
+      .groupBy(lit(true).as("all"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("h7")).as("n_fold7_values"),
+        countDistinct(col("h15")).as("n_fold15_values"))
+      .select(col("n_shingles"),
+        col("n_fold7_values"),
+        (col("n_shingles") - col("n_fold7_values"))
+          .as("n_fold7_collisions"),
+        ((col("n_shingles") - col("n_fold7_values")).cast("double") /
+          col("n_shingles")).as("fold7_collision_frac"),
+        col("n_fold15_values"),
+        (col("n_shingles") - col("n_fold15_values"))
+          .as("n_fold15_collisions"),
+        ((col("n_shingles") - col("n_fold15_values")).cast("double") /
+          col("n_shingles")).as("fold15_collision_frac"))
+
   def cardinalitySketch(documents: DataFrame, k: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val sh = documents

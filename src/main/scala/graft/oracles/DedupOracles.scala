@@ -895,6 +895,38 @@ object DedupOracles {
     // 1..6 (an L-token overlap puts it at position L-2), QUALIFY = the
     // agg+anti-join hot-key cap on both sides, then exact slice verify
     // of the claimed length and a per-pair max — all-integer.
+    // d42: distinct-shingle collision audit of the two fold widths —
+    // count(*) vs count(DISTINCT fold) over the same fold arithmetic.
+    "d42_fold_collisions" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |t AS (SELECT DISTINCT unnest(s) AS x FROM sh),
+        |h AS (SELECT
+        |  list_reduce(list_transform(range(1, 8), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('m:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('m:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('m:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h7,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h15
+        |  FROM t)
+        |SELECT count(*) AS n_shingles,
+        |  count(DISTINCT h7) AS n_fold7_values,
+        |  count(*) - count(DISTINCT h7) AS n_fold7_collisions,
+        |  CAST(count(*) - count(DISTINCT h7) AS DOUBLE) / count(*)
+        |    AS fold7_collision_frac,
+        |  count(DISTINCT h15) AS n_fold15_values,
+        |  count(*) - count(DISTINCT h15) AS n_fold15_collisions,
+        |  CAST(count(*) - count(DISTINCT h15) AS DOUBLE) / count(*)
+        |    AS fold15_collision_frac
+        |FROM h""".stripMargin,
     "d39_chain_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
         |    len(string_split(text,' ')) AS n FROM documents),

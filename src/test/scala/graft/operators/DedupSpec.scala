@@ -957,6 +957,24 @@ class DedupSpec extends SparkSpec {
       s"$out")
   }
 
+  test("foldCollisions: distinct shingles counted once; no collisions " +
+    "at toy scale; empty corpus yields an empty report") {
+    val corpus = Seq(
+      (1L, "a b c d"),       // shingles: "a b c", "b c d"
+      (2L, "a b c"),         // shingle "a b c" again — distinct-counted
+      (3L, "x y z w"))       // "x y z", "y z w"
+      .toDF("doc_id", "text")
+    val r = Dedup.foldCollisions(corpus).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 4L, s"4 distinct shingles expected: $row")
+    assert(row.getLong(1) == 4L && row.getLong(2) == 0L, s"$row")
+    assert(row.getDouble(3) == 0.0 && row.getDouble(6) == 0.0, s"$row")
+    assert(row.getLong(4) == 4L && row.getLong(5) == 0L, s"$row")
+    assert(Dedup.foldCollisions(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect().isEmpty)
+  }
+
   test("chainGroups: a three-fragment chain and a two-fragment chain " +
     "reassemble into their own groups with exact token mass") {
     val corpus = Seq(

@@ -136,6 +136,7 @@ class EmptyInputSpec extends SparkSpec {
     "chainGroups" -> (() => DedupSources.chainGroups(docs)),
     "chainSaturation" -> (() =>
       DedupSources.chainSaturationFrom(DedupSources.chainOverlap(docs))),
+    "foldCollisions" -> (() => Dedup.foldCollisions(docs)),
     "gateFairness" -> (() => Curation.gateFairness(docs)),
     "mixAllocation" -> (() => Multimodal.mixAllocation(docs)),
     "personalizedPageRank" -> (() => Graph.personalizedPageRank(
