@@ -815,6 +815,10 @@ object SparkEntry {
       graft.operators.VectorOps.clusterQuality(T.embeddings(s, d))),
     "e3_zscore_normalize" -> ((s, d) =>
       graft.operators.VectorOps.zscoreNormalize(T.embeddings(s, d))),
+    // e26: JL distortion audit of e4's 64→16 projection over the e25
+    // consecutive-id pairs — what the 4x cut does to pair distances.
+    "e26_projection_distortion" -> ((s, d) =>
+      graft.operators.VectorOps.projectionDistortion(T.embeddings(s, d))),
     "e4_random_projection" -> ((s, d) =>
       graft.operators.VectorOps.randomProjection(T.embeddings(s, d))),
     "e5_pq_encode" -> ((s, d) =>

@@ -294,6 +294,55 @@ object VectorOps {
   private def rpSign(j: Int, i: Int): Long =
     if (PortableHash.hash28Jvm(s"rp:$j:$i") % 2 == 0) 1L else -1L
 
+  /** Johnson–Lindenstrauss distortion audit of [[randomProjection]]
+    * (e26): for deterministic consecutive-id pairs (even vec with its
+    * successor — the e25 pairing convention), the squared distance in
+    * the original 64-d space next to the squared distance between the
+    * 16-d projections and their ratio normalized by the expectation
+    * (for a ±1 matrix, E‖R(x−y)‖² = m·‖x−y‖², so distortion =
+    * d²_proj / (m · d²_orig), 1.0 = perfectly preserved). This is the
+    * d42/d35/d41 stance applied to the e-family's lossy step: e4 SHIPS
+    * a 4× dimensionality cut; this row says what it does to the
+    * distances the downstream ANN/dedup consumers rank by — mean
+    * distortion far from 1, or heavy tails, means the m=16 budget needs
+    * raising before anyone trusts a projected distance.
+    *
+    * Parity: coordinates live on the 1e-9 grid (the e4 quantization),
+    * squared-diff terms are rounded to the 1e-12 grid and summed as
+    * DECIMAL(38,0) (the e15 idiom), and the final ratio divides two
+    * grid-exact doubles — bit-identical across engines. Scale shape:
+    * one 64-row-per-vector dim explode (e4/e15's regime), pair joins on
+    * vec_id+1 (co-partitioned equi-joins), per-pair fold — nothing
+    * corpus-quadratic anywhere. */
+  def projectionDistortion(embeddings: DataFrame, outDims: Int = 16,
+      inDims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def gridSq(a: Column, b: Column): Column =
+      (sum(round((a - b) * (a - b) * lit(1.0e12))
+        .cast(DecimalType(38, 0))).cast("double") / lit(1.0e12))
+    val xo = embeddings.select(col("vec_id"),
+      posexplode(transform(asDouble(col("embedding")),
+        v => round(v * lit(1.0e9)).cast("long").cast("double") / lit(1.0e9)))
+        .as(Seq("i", "xv")))
+    val po = randomProjection(embeddings, outDims, inDims)
+    val do2 = xo.as("a").filter(pmod(col("a.vec_id"), lit(2)) === 0)
+      .join(xo.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 1 && col("a.i") === col("b.i"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(gridSq(col("a.xv"), col("b.xv")).as("d2_orig"))
+    val dp2 = po.as("a").filter(pmod(col("a.vec_id"), lit(2)) === 0)
+      .join(po.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 1 &&
+          col("a.out_dim") === col("b.out_dim"))
+      .groupBy(col("a.vec_id").as("vec_a"))
+      .agg(gridSq(col("a.proj"), col("b.proj")).as("d2_proj"))
+    do2.join(dp2, "vec_a")
+      .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
+        when(col("d2_orig") > 0,
+          col("d2_proj") / (lit(outDims.toDouble) * col("d2_orig")))
+          .as("distortion"))
+  }
+
   /** Sign bits of dims [lo, lo+32) packed into one long: bit (i-lo) is set
     * iff x[i] ≥ 0. Two words cover a 64-dim embedding; built from
     * filter/aggregate HOFs so it stays inside codegen like everything else

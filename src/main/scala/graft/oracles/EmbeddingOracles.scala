@@ -263,6 +263,42 @@ object EmbeddingOracles {
         |  CAST(SUM(g * s) AS DOUBLE) / 1.0e9 AS proj
         |FROM e JOIN sgn ON e.i = sgn.i
         |GROUP BY vec_id, j""".stripMargin,
+    // e26: JL distortion of e4's projection — same sign matrix, same
+    // 1e-9 coordinate grid, squared-diff terms on the 1e-12 grid summed
+    // as DECIMAL (the e15 idiom), consecutive-id pairs (e25 convention).
+    "e26_projection_distortion" ->
+      """WITH sgn AS (SELECT j, i,
+        |  CASE WHEN CAST(list_reduce(list_transform(range(1, 8), c ->
+        |    CASE WHEN ascii(substr(md5('rp:' || j || ':' || i), c, 1)) <= 57
+        |         THEN ascii(substr(md5('rp:' || j || ':' || i), c, 1)) - 48
+        |         ELSE ascii(substr(md5('rp:' || j || ':' || i), c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM range(16) t1(j), range(64) t2(i)),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |e AS (SELECT vec_id, CAST(i AS INT) AS i,
+        |  CAST(round(x[i + 1] * 1.0e9) AS BIGINT) AS g
+        |  FROM v CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i)),
+        |p AS (SELECT vec_id, CAST(j AS INT) AS j,
+        |  CAST(SUM(g * s) AS DOUBLE) / 1.0e9 AS proj
+        |  FROM e JOIN sgn ON e.i = sgn.i GROUP BY vec_id, j),
+        |xo AS (SELECT vec_id, i, CAST(g AS DOUBLE) / 1.0e9 AS xv FROM e),
+        |do2 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(SUM(CAST(round((a.xv - b.xv) * (a.xv - b.xv) * 1.0e12)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12 AS d2_orig
+        |  FROM xo a JOIN xo b
+        |    ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1, 2),
+        |dp2 AS (SELECT a.vec_id AS vec_a,
+        |  CAST(SUM(CAST(round((a.proj - b.proj) * (a.proj - b.proj) * 1.0e12)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1.0e12 AS d2_proj
+        |  FROM p a JOIN p b
+        |    ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1)
+        |SELECT do2.vec_a, do2.vec_b, d2_orig, d2_proj,
+        |  CASE WHEN d2_orig > 0
+        |    THEN d2_proj / (CAST(16.0 AS DOUBLE) * d2_orig) END
+        |    AS distortion
+        |FROM do2 JOIN dp2 ON do2.vec_a = dp2.vec_a""".stripMargin,
     "e15_centroid_drift" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
         |  FROM embeddings),

@@ -169,6 +169,7 @@ class EmptyInputSpec extends SparkSpec {
     "binaryQuantize" -> (() => VectorOps.binaryQuantize(embs)),
     "matryoshkaTruncate" -> (() => VectorOps.matryoshkaTruncate(embs)),
     "randomProjection" -> (() => VectorOps.randomProjection(embs)),
+    "projectionDistortion" -> (() => VectorOps.projectionDistortion(embs)),
     "ivfRangeVsIndex" -> (() =>
       Similarity.ivfRangeVsIndex(embs, Similarity.ivfAdcIndex(embs))),
     "filteredVsIndex" -> (() =>

@@ -510,4 +510,24 @@ class VectorOpsSpec extends SparkSpec {
         r.getDouble(3)))).toMap
     assert(alt == out)
   }
+
+  test("projectionDistortion: a one-dimension difference has distortion " +
+    "exactly 1; an identical pair reads null") {
+    // pair (0,1) differs only in dim 0 by 0.5 → every projected
+    // coordinate differs by ±0.5, so d2_proj = 16·0.25 and the
+    // normalized distortion is exactly 1.0 (no cross-terms to cancel)
+    val a = Array.fill(64)(0.0f); a(0) = 1.0f
+    val b = Array.fill(64)(0.0f); b(0) = 0.5f
+    val c = Array.fill(64)(0.25f)
+    val e = Seq((0L, a, 0), (1L, b, 0), (2L, c, 0), (3L, c, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorOps.projectionDistortion(e).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p01 = out(0L)
+    assert(p01.getLong(1) == 1L)
+    assert(p01.getDouble(2) == 0.25 && p01.getDouble(3) == 4.0, s"$p01")
+    assert(p01.getDouble(4) == 1.0, s"$p01")
+    val p23 = out(2L)
+    assert(p23.getDouble(2) == 0.0 && p23.isNullAt(4), s"$p23")
+  }
 }
