@@ -199,6 +199,11 @@ object Bench {
     // so their one-time build doesn't land on the first consumer in
     // pass 1 (the r11 passTotals drift source). s13/s15 still measure
     // builds inline; ScaleSmoke times the build explicitly.
+    // primeSec: what the untimed stored-index build phase costs, as a
+    // first-class record field — priming is real work the deployment
+    // story pays nightly, and the record should say what it was rather
+    // than hide it between the warm-up and pass 1 (VERDICT r14 #7).
+    val primeStart = System.nanoTime()
     locally {
       val ivfConsumers = Set("s14_ivf_adc_vs_index", "s16_range_vs_index",
         "s17_range_recall", "s18_adc_error", "s19_probe_fanout",
@@ -226,6 +231,7 @@ object Bench {
         ndcomp = selected.keys.exists(ndcompConsumers),
         chain = selected.keys.exists(chainConsumers))
     }
+    val primeSec = (System.nanoTime() - primeStart) / 1e9
     val canonicalWarmups = Seq("q1_agg", "d3_simhash").filter(selected.contains)
     // If a SPARK_GRAFT_ONLY subset excludes both canonical warm-ups, run the
     // subset's own first query once untimed instead, so the first measurement
@@ -316,7 +322,7 @@ object Bench {
       val qs = subset
         .map { case (k, v) => "\"" + k + "\":" + fmt(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf","passTotals":[${passTotals.map(fmt(3, _)).mkString(",")}],"taskGcSec":[${passTaskGc.map(fmt(1, _)).mkString(",")}],"spillMb":[${passSpillMb.mkString(",")}],"benignCacheRaces":[${passRaces.mkString(",")}]}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sf","passTotals":[${passTotals.map(fmt(3, _)).mkString(",")}],"taskGcSec":[${passTaskGc.map(fmt(1, _)).mkString(",")}],"spillMb":[${passSpillMb.mkString(",")}],"benignCacheRaces":[${passRaces.mkString(",")}],"primeSec":${fmt(1, primeSec)}}"""
     }
     // BENCH_LOCAL.json keeps the compact driver-compatible fields PLUS the
     // per-query telemetry and per-pass totals (stdout budget is too tight
@@ -340,6 +346,7 @@ object Bench {
       s""""taskGcSec":[${passTaskGc.map(fmt(3, _)).mkString(",")}],""" +
       s""""spillMb":[${passSpillMb.mkString(",")}],""" +
       s""""benignCacheRaces":[${passRaces.mkString(",")}],""" +
+      s""""primeSec":${fmt(3, primeSec)},""" +
       s""""telemetry":$telemetryJson}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_LOCAL.json"), localLine + "\n")

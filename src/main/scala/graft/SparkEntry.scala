@@ -67,15 +67,27 @@ object SparkEntry {
       neighbors: Boolean = false, components: Boolean = false,
       ndup: Boolean = false, phash: Boolean = false,
       ndcomp: Boolean = false, chain: Boolean = false): Unit = {
-    if (ivf) { storedIvfIndex(s, d); () }
-    if (labels) { storedLabelIndex(s, d); () }
-    if (triangles) { storedTriangleStats(s, d); () }
-    if (neighbors) { storedNeighborIndex(s, d); () }
-    if (components) { storedComponentMembers(s, d); () }
-    if (ndup) { storedNearDupIndex(s, d); () }
-    if (phash) { storedPhashIndex(s, d); () }
-    if (ndcomp) { storedNearDupComponents(s, d); () }
-    if (chain) { storedChainPairs(s, d); () }
+    // Nightly-publisher discipline runs in the REAL path, not just the
+    // IndexStoreSpec fixture: after each family build, retention drops
+    // builds older than the newest 2 (a live pin refuses deletion). In
+    // this one-build-per-JVM bench the call is a cheap no-op sweep; in
+    // the deployment story it is what keeps a long-lived publisher's
+    // store bounded at two queryable generations per family.
+    def prime(flag: Boolean, family: String)(build: => Unit): Unit =
+      if (flag) {
+        build
+        graft.sources.IndexStore.retain(s"$family:$d", keep = 2)
+        ()
+      }
+    prime(ivf, "ivf")(storedIvfIndex(s, d))
+    prime(labels, "lpa")(storedLabelIndex(s, d))
+    prime(triangles, "tri")(storedTriangleStats(s, d))
+    prime(neighbors, "knn")(storedNeighborIndex(s, d))
+    prime(components, "cc")(storedComponentMembers(s, d))
+    prime(ndup, "ndup")(storedNearDupIndex(s, d))
+    prime(phash, "ph")(storedPhashIndex(s, d))
+    prime(ndcomp, "ndc")(storedNearDupComponents(s, d))
+    prime(chain, "chain")(storedChainPairs(s, d))
   }
 
   private def storedIvfIndex(s: SparkSession, d: String): Similarity.IvfAdcIndex = {

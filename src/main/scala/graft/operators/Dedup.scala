@@ -377,6 +377,24 @@ object Dedup {
           .as("bkeys"))
   }
 
+  /** Stored-layout guard for [[nearDupIndex]] consumers: r15 widened
+    * `bkeys` from array<string> (hex band keys) to the packed
+    * array<struct<bk1,bk2>>. A pre-r15 parquet index would otherwise
+    * fail deep inside the probe join with an unresolved-column analysis
+    * error (`e.bk1`) — detect the legacy layout up front and fail with
+    * the actionable rebuild message instead. */
+  private[operators] def requireBandStructIndex(index: DataFrame): Unit =
+    index.schema("bkeys").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        _: org.apache.spark.sql.types.StructType, _) => ()
+      case other => throw new IllegalStateException(
+        "near-dup index uses a legacy layout (bkeys: array<" +
+          other.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType.simpleString +
+          ">); this engine expects bkeys: array<struct<bk1,bk2>> — " +
+          "rebuild the stored index with Dedup.nearDupIndex")
+    }
+
   /** LSH dirty-bucket report (d38): today's [[nearDupIndex]] band
     * buckets compared to yesterday's build — per bucket class, how many
     * are unchanged / grown / brand-new / shrunk / removed, and the
@@ -395,6 +413,7 @@ object Dedup {
     * constant-group fold — empty inputs → empty report. Integers until
     * the final fraction. */
   def dirtyBucketReport(fresh: DataFrame, stored: DataFrame): DataFrame = {
+    requireBandStructIndex(fresh); requireBandStructIndex(stored)
     def buckets(idx: DataFrame) = idx
       .select(col("doc_id"), explode(col("bkeys")).as("e"))
       .groupBy(col("e.bk1").as("bk1"), col("e.bk2").as("bk2"))
@@ -417,6 +436,7 @@ object Dedup {
     * distinct per side and one equi-join at batch-bucket scale; empty
     * batch → empty report. */
   def batchDirtyBuckets(incoming: DataFrame, index: DataFrame): DataFrame = {
+    requireBandStructIndex(index)
     def keys(idx: DataFrame) = idx
       .select(explode(col("bkeys")).as("e"))
       .select(col("e.bk1").as("bk1"), col("e.bk2").as("bk2"))
@@ -463,6 +483,7 @@ object Dedup {
     * d13 (pinned equal by DedupSpec and by the shared oracle SQL). */
   def incrementalDedupVsIndex(incoming: DataFrame, index: DataFrame,
       threshold: Double = 0.7, maxBandDocs: Int = MaxBandDocs): DataFrame = {
+    requireBandStructIndex(index)
     val shI = shinglesWithBases(incoming)
     // the index is referenced three times (band explode, its hot-key
     // count, the verify join); persisting keeps a DERIVED index — e.g.
@@ -909,6 +930,26 @@ object Dedup {
   private def prefixLen(n: Column, threshold: Double): Column =
     floor((lit(1.0) - threshold) * n + lit(1e-9)) + 1
 
+  /** PPJoin positional filter (Xiao et al., WWW'08 §3.2): a pair with
+    * Jaccard ≥ t has overlap O ≥ t·(|A|+|B|)/(1+t), and at the FIRST
+    * common token (positions i in A, j in B under the shared rare-first
+    * total order) every other common token ranks after it in BOTH docs,
+    * so O ≤ 1 + min(|A|−i, |B|−j). The first common token of a
+    * qualifying pair lies inside both prefixes (the prefix theorem), so
+    * requiring the bound on each joined prefix-token row — the pair
+    * survives iff ANY of its shared prefix tokens passes — never drops
+    * a qualifying pair, while candidates seeded only by a LATE prefix
+    * position (the superlinear tail as bucket occupancy rises: the
+    * STRESS d28_pairs 3.0×-at-10× kernel) die before the
+    * array_intersect verify. The −1e-9 nudge errs ADMITTING (recall is
+    * never lost to fp rounding of t·(na+nb)/(1+t)); the DuckDB oracle
+    * twins carry the identical arithmetic. */
+  private[operators] def positionalBound(na: Column, ra: Column, nb: Column,
+      rb: Column, threshold: Double): Column =
+    (lit(1) + least(na - ra, nb - rb)).cast("double") >=
+      ceil(lit(threshold) * (na + nb).cast("double") /
+        lit(1.0 + threshold) - lit(1e-9))
+
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.7,
       maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
     val sh = docShingles(documents)
@@ -922,13 +963,15 @@ object Dedup {
       val prefix = tok.join(freq, "h")
         .withColumn("rn", row_number().over(byRarity))
         .filter(col("rn") <= prefixLen(col("n"), threshold))
-        .select(col("doc_id"), col("n"), col("h"))
+        .select(col("doc_id"), col("n"), col("h"), col("rn"))
       val pc = capHotKeys(prefix, Seq("h"), maxPrefixDocs)
       val cand = pc.as("a")
         .join(pc.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
             col("a.n").cast("double") >= lit(threshold) * col("b.n") &&
-            col("b.n").cast("double") >= lit(threshold) * col("a.n"))
+            col("b.n").cast("double") >= lit(threshold) * col("a.n") &&
+            positionalBound(col("a.n"), col("a.rn"),
+              col("b.n"), col("b.rn"), threshold))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
@@ -967,7 +1010,8 @@ object Dedup {
       val pre = tok.join(freq, "h")
         .withColumn("rn", row_number().over(byRarity))
         .filter(col("rn") <= prefixLen(col("n"), threshold))
-        .groupBy(col("doc_id")).agg(collect_list(col("h")).as("pre"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("h"), col("rn"))).as("pre"))
       val docs = Caching.materialize(sh.join(pre, "doc_id")
         .select(col("doc_id"), size(col("sh")).as("n"), col("sh"),
           col("pre")))
@@ -994,6 +1038,21 @@ object Dedup {
     * one). */
   def prefixFilterVsIndex(incoming: DataFrame, index: PrefixFilterIndex,
       threshold: Double = 0.7, maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
+    // Stored-layout guard: r16 widened `pre` from array<bigint> (token
+    // hashes only) to array<struct<h,rn>> (hash + prefix rank) for the
+    // PPJoin positional filter. A pre-r16 parquet index would otherwise
+    // die inside the join with an unresolved-column analysis error —
+    // fail fast with the actionable message instead.
+    index.docs.schema("pre").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        _: org.apache.spark.sql.types.StructType, _) => ()
+      case other => throw new IllegalStateException(
+        "prefix-filter index uses a legacy layout (pre: array<" +
+          other.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType.simpleString +
+          ">); this engine expects pre: array<struct<h,rn>> — rebuild " +
+          "the stored index with Dedup.prefixFilterIndex")
+    }
     val shI = docShingles(incoming)
     Caching.withPersisted(shI, index.freq, index.docs) {
       val tokI = shI.select(col("doc_id"), size(col("sh")).as("n"),
@@ -1006,17 +1065,21 @@ object Dedup {
           .withColumn("freq", coalesce(col("freq"), lit(0L)))
           .withColumn("rn", row_number().over(byRarity))
           .filter(col("rn") <= prefixLen(col("n"), threshold))
-          .select(col("doc_id"), col("n"), col("h")),
+          .select(col("doc_id"), col("n"), col("h"), col("rn")),
         Seq("h"), maxPrefixDocs)
       val preK = capHotKeys(
         index.docs.select(col("doc_id"), col("n"),
-          explode(col("pre")).as("h")),
+          explode(col("pre")).as("e"))
+          .select(col("doc_id"), col("n"),
+            col("e.h").as("h"), col("e.rn").as("rn")),
         Seq("h"), maxPrefixDocs)
       val cand = preI.as("a")
         .join(preK.as("b"),
           col("a.h") === col("b.h") &&
             col("a.n").cast("double") >= lit(threshold) * col("b.n") &&
-            col("b.n").cast("double") >= lit(threshold) * col("a.n"))
+            col("b.n").cast("double") >= lit(threshold) * col("a.n") &&
+            positionalBound(col("a.n"), col("a.rn"),
+              col("b.n"), col("b.rn"), threshold))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
         .distinct()
       cand.as("c")

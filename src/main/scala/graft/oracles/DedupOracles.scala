@@ -657,13 +657,15 @@ object DedupOracles {
         |rk AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
         |  FROM tok t JOIN freq f ON f.h = t.h),
-        |pre AS (SELECT doc_id, n, h FROM rk
+        |pre AS (SELECT doc_id, n, h, rn FROM rk
         |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
         |prec AS (SELECT p.* FROM pre p
         |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
         |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |    AND CAST(1 + least(a.n - a.rn, b.n - b.rn) AS DOUBLE)
+        |      >= ceil(0.7e0 * (a.n + b.n) / (1.0e0 + 0.7e0) - 1.0e-9)
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -786,13 +788,15 @@ object DedupOracles {
         |rk AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
         |  FROM tok t JOIN freq f ON f.h = t.h),
-        |pre AS (SELECT doc_id, n, h FROM rk
+        |pre AS (SELECT doc_id, n, h, rn FROM rk
         |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
         |prec AS (SELECT p0.* FROM pre p0
         |  QUALIFY count(*) OVER (PARTITION BY p0.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
         |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |    AND CAST(1 + least(a.n - a.rn, b.n - b.rn) AS DOUBLE)
+        |      >= ceil(0.7e0 * (a.n + b.n) / (1.0e0 + 0.7e0) - 1.0e-9)
         |  GROUP BY 1, 2),
         |jac AS (SELECT doc_a, doc_b,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -833,21 +837,23 @@ object DedupOracles {
         |rkk AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
         |  FROM tok t JOIN freq f ON f.h = t.h WHERE t.doc_id % 10 <> 0),
-        |prek AS (SELECT p.doc_id, p.n, p.h
-        |  FROM (SELECT doc_id, n, h FROM rkk
+        |prek AS (SELECT p.doc_id, p.n, p.h, p.rn
+        |  FROM (SELECT doc_id, n, h, rn FROM rkk
         |    WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1) p
         |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
         |rki AS (SELECT t.doc_id, t.n, t.h,
         |  row_number() OVER (PARTITION BY t.doc_id
         |    ORDER BY COALESCE(f.freq, 0), t.h) AS rn
         |  FROM tok t LEFT JOIN freq f ON f.h = t.h WHERE t.doc_id % 10 = 0),
-        |prei AS (SELECT p.doc_id, p.n, p.h
-        |  FROM (SELECT doc_id, n, h FROM rki
+        |prei AS (SELECT p.doc_id, p.n, p.h, p.rn
+        |  FROM (SELECT doc_id, n, h, rn FROM rki
         |    WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1) p
         |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
         |cand AS (SELECT a.doc_id AS doc_id, b.doc_id AS dup_of
         |  FROM prei a JOIN prek b ON a.h = b.h
         |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |    AND CAST(1 + least(a.n - a.rn, b.n - b.rn) AS DOUBLE)
+        |      >= ceil(0.7e0 * (a.n + b.n) / (1.0e0 + 0.7e0) - 1.0e-9)
         |  GROUP BY 1, 2),
         |jac AS (SELECT c.doc_id, c.dup_of,
         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -926,16 +932,20 @@ object DedupOracles {
         |  count(*) - count(DISTINCT h15) AS n_fold15_collisions,
         |  CAST(count(*) - count(DISTINCT h15) AS DOUBLE) / count(*)
         |    AS fold15_collision_frac
-        |FROM h""".stripMargin,
+        |FROM h
+        |HAVING count(*) > 0""".stripMargin,
+    // The probe range interpolates ChainProbePositions so a future
+    // widening of ChainMaxOverlap updates engine + oracle in lockstep
+    // (d41's oracle already interpolates the same constant).
     "d39_chain_overlap" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
         |    len(string_split(text,' ')) AS n FROM documents),
         |t2 AS (SELECT doc_id, w, n FROM t WHERE n >= 3),
         |a AS (SELECT doc_id AS doc_a, w AS wa, n AS na,
         |    array_to_string(w[-3:],' ') AS bkey FROM t2
         |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 100),
         |b0 AS (SELECT doc_id AS doc_b, w AS wb, n AS nb,
-        |    UNNEST(range(1, 15)) AS j FROM t2),
+        |    UNNEST(range(1, ${graft.operators.DedupSources.ChainProbePositions + 1})) AS j FROM t2),
         |bx AS (SELECT doc_b, wb, nb, j,
         |    array_to_string(wb[j:j+2],' ') AS bkey
         |  FROM b0 WHERE nb >= j + 2),

@@ -133,12 +133,22 @@ object ScaleSmoke {
       "mm14_clipping" -> (d =>
         graft.operators.Multimodal.clippingReport(d)))
 
+    // SPARK_GRAFT_STRESS_OPS=d26_prefix_filter,... runs only the named
+    // document-family ops (plus the d28 phase accounting iff d28 is
+    // named), prints the same JSON shape restricted to those rows, and
+    // writes STRESS_SUBSET_LOCAL.json instead of STRESS_LOCAL.json — the
+    // cheap re-measure / extra-factor path (a 30× point of ONE op should
+    // not pay for the whole lifecycle family).
+    val subsetSel = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val opsSel = subsetSel.fold(ops)(sel => ops.filter(p => sel(p._1)))
+
     // warm the JVM (codegen, shuffle machinery) so the first 1× timing
     // isn't charged startup cost — without this the 1× leg of the first
     // operator measured 1.8× its steady-state time
-    ops.foreach { case (_, fn) => fn(one).count() }
+    opsSel.foreach { case (_, fn) => fn(one).count() }
 
-    val results = ops.map { case (name, fn) =>
+    val results = opsSel.map { case (name, fn) =>
       val (t1, r1) = timed(fn)(one)
       val (tN, rN) = timed(fn)(many)
       val ratio = tN / math.max(t1, 1e-9)
@@ -152,6 +162,7 @@ object ScaleSmoke {
     // phases against a MATERIALIZED pairs frame names which phase grows
     // superlinearly and how the candidate-pair count itself scales —
     // the g6/d16 accounting posture applied to the ratio.
+    val doAcct = subsetSel.forall(_.contains("d28_exact_pipeline"))
     def d28Phases(d: DataFrame): (Double, Double, Double, Long) = {
       val t0 = System.nanoTime()
       val pairs = graft.operators.Caching.materialize(
@@ -167,17 +178,41 @@ object ScaleSmoke {
       val t3 = System.nanoTime()
       ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9, nPairs)
     }
-    val (p1a, c1a, a1a, np1) = d28Phases(one)
-    val (p1b, c1b, a1b, _) = d28Phases(one)
-    val (pNa, cNa, aNa, npN) = d28Phases(many)
-    val (pNb, cNb, aNb, _) = d28Phases(many)
-    val d28Acct = Seq(
-      ("d28_pairs", math.min(p1a, p1b), math.min(pNa, pNb), np1, npN),
-      ("d28_cc", math.min(c1a, c1b), math.min(cNa, cNb), np1, npN),
-      ("d28_apply", math.min(a1a, a1b), math.min(aNa, aNb), nOne, nMany))
+    val d28Acct: Seq[(String, Double, Double, Long, Long)] =
+      if (!doAcct) Seq.empty
+      else {
+        val (p1a, c1a, a1a, np1) = d28Phases(one)
+        val (p1b, c1b, a1b, _) = d28Phases(one)
+        val (pNa, cNa, aNa, npN) = d28Phases(many)
+        val (pNb, cNb, aNb, _) = d28Phases(many)
+        Seq(
+          ("d28_pairs", math.min(p1a, p1b), math.min(pNa, pNb), np1, npN),
+          ("d28_cc", math.min(c1a, c1b), math.min(cNa, cNb), np1, npN),
+          ("d28_apply", math.min(a1a, a1b), math.min(aNa, aNb), nOne, nMany))
+      }
     d28Acct.foreach { case (name, t1, tN, r1, rN) =>
       System.err.println(f"[stress] $name%-18s 1x=$t1%7.1fs ($r1 rows)  " +
         f"${factor}x=$tN%7.1fs ($rN rows)  ratio=${tN / math.max(t1, 1e-9)}%5.2f")
+    }
+
+    if (subsetSel.isDefined) {
+      def row(n: String, t1: Double, tN: Double, r1: Long, rN: Long) =
+        s""""$n":{"sec1":${f"$t1%.3f"},"secN":${f"$tN%.3f"},""" +
+          s""""rows1":$r1,"rowsN":$rN,""" +
+          s""""ratio":${f"${tN / math.max(t1, 1e-9)}%.3f"}}"""
+      val json =
+        s"""{"sf":"$sfDir","factor":$factor,"docs1":$nOne,""" +
+          s""""docsN":$nMany,""" +
+          s""""ops":{${results.map(r =>
+            row(r._1, r._2, r._3, r._4, r._5)).mkString(",")}},""" +
+          s""""accounting":{${d28Acct.map(r =>
+            row(r._1, r._2, r._3, r._4, r._5)).mkString(",")}}}"""
+      println(json)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Path.of("STRESS_SUBSET_LOCAL.json"), json + "\n")
+      catch { case _: Throwable => () }
+      one.unpersist(); many.unpersist()
+      return
     }
 
     // cap accounting at the stressed scale: the drop mass the hot-key cap

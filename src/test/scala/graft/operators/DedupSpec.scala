@@ -997,4 +997,54 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 11L, 5L, 6L)), s"$out")
     assert(out.size == 2, s"isolated doc must not form a group: $out")
   }
+
+  test("positionalBound: PPJoin arithmetic — first-common-token rows " +
+      "pass, late-position-only seeds die") {
+    import org.apache.spark.sql.functions._
+    // (na, ra, nb, rb) under t=0.7: α = ceil(0.7·(na+nb)/1.7 − 1e-9)
+    val rows = Seq(
+      (20, 1, 20, 1), // bound 1+19=20 ≥ α=17 → candidate survives
+      (20, 7, 20, 7), // prefix-tail seed: 1+13=14 < 17 → pruned
+      (20, 7, 20, 1), // min side governs: 1+min(13,19)=14 < 17 → pruned
+      (17, 1, 20, 4)) // 1+min(16,16)=17 ≥ α=ceil(15.23)=16 → survives
+      .toDF("na", "ra", "nb", "rb")
+    val got = rows.select(Dedup.positionalBound(col("na"), col("ra"),
+      col("nb"), col("rb"), 0.7).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, false, true), s"$got")
+    // overlap exactly at the bound is ADMITTED (recall-safe direction):
+    // na=nb=17, α=ceil(0.7·34/1.7)=14, first common token at ra=rb=4
+    // gives bound 1+13=14 — equality must pass.
+    val eq = Seq((17, 4, 17, 4)).toDF("na", "ra", "nb", "rb")
+      .select(Dedup.positionalBound(col("na"), col("ra"),
+        col("nb"), col("rb"), 0.7).as("ok")).collect().head.getBoolean(0)
+    assert(eq, "bound == α must remain a candidate")
+  }
+
+  test("legacy stored-index layouts fail fast with a rebuild message") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs(1L -> base)
+    // pre-r15 near-dup layout: bkeys as array<string> hex band keys
+    val legacyNdup = corpus.select(col("doc_id"),
+      array(lit("a b c"), lit("b c d")).as("sh"),
+      array(lit("0:aabb"), lit("1:ccdd")).as("bkeys"))
+    for (f <- Seq(
+        () => Dedup.incrementalDedupVsIndex(corpus, legacyNdup),
+        () => Dedup.batchDirtyBuckets(corpus, legacyNdup),
+        () => Dedup.dirtyBucketReport(legacyNdup, legacyNdup))) {
+      val e = intercept[IllegalStateException] { f() }
+      assert(e.getMessage.contains("rebuild") &&
+        e.getMessage.contains("array<string>"), e.getMessage)
+    }
+    // pre-r16 prefix-index layout: pre as array<bigint>, no prefix ranks
+    val legacyPre = Dedup.PrefixFilterIndex(
+      corpus.select(lit(1L).as("h"), lit(1L).as("freq")),
+      corpus.select(col("doc_id"), lit(3).as("n"),
+        array(lit("x y z")).as("sh"), array(lit(1L), lit(2L)).as("pre")))
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterVsIndex(corpus, legacyPre)
+    }
+    assert(e.getMessage.contains("rebuild") &&
+      e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
 }
