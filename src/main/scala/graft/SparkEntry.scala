@@ -782,6 +782,11 @@ object SparkEntry {
     // for keying every shingle operator on 28/60-bit digest folds.
     "d42_fold_collisions" -> ((s, d) =>
       Dedup.foldCollisions(T.documents(s, d))),
+    // d43: the PPJoin positional-filter audit — what fraction of d26's
+    // base candidate set the r16 bound prunes, and the exact-recall
+    // claim as a number (n_verified_pruned must read 0).
+    "d43_positional_audit" -> ((s, d) =>
+      Dedup.prefixFilterAudit(T.documents(s, d))),
     "c33_gate_fairness" -> ((s, d) =>
       Curation.gateFairness(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(

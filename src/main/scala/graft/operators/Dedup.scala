@@ -953,18 +953,33 @@ object Dedup {
   def prefixFilterPairs(documents: DataFrame, threshold: Double = 0.7,
       maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
     val sh = docShingles(documents)
-    Caching.withPersisted(sh) {
-      val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(transform(col("sh"),
-          s => PortableHash.hash60("f:", s))).as("h"))
-      val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("freq"))
-      val byRarity = Window.partitionBy(col("doc_id"))
-        .orderBy(col("freq"), col("h"))
-      val prefix = tok.join(freq, "h")
-        .withColumn("rn", row_number().over(byRarity))
-        .filter(col("rn") <= prefixLen(col("n"), threshold))
-        .select(col("doc_id"), col("n"), col("h"), col("rn"))
-      val pc = capHotKeys(prefix, Seq("h"), maxPrefixDocs)
+    val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(transform(col("sh"),
+        s => PortableHash.hash60("f:", s))).as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("h"))
+    val prefix = tok.join(freq, "h")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen(col("n"), threshold))
+      .select(col("doc_id"), col("n"), col("h"), col("rn"))
+    // pc feeds BOTH sides of the candidate self-join; as a bracket
+    // intermediate it is computed once and served from cache to the
+    // second side — without it, exchange reuse across the aliased
+    // window+join subplans is unreliable and the whole
+    // explode→freq→rank chain runs twice (measured: op-level d26 at
+    // 10× epochs ran ~1.7× its phase-sum before this persist).
+    val pc = capHotKeys(prefix, Seq("h"), maxPrefixDocs)
+    Caching.withPersisted(sh, pc) {
+      // Eager cache build — the exception to the lazy-persist default
+      // (r13 measured eager counts a bad trade suite-wide): a SELF-join
+      // puts pc's compute under two sibling stages of one job, which the
+      // scheduler launches concurrently, so the lazy build runs the
+      // whole explode→freq→rank chain TWICE deterministically (not the
+      // occasional scheduling-luck race the benign counter tracks) —
+      // measured 45s vs a 23s phase-sum at 30× epochs. One count() pays
+      // a cached-scan re-read instead.
+      pc.count()
       val cand = pc.as("a")
         .join(pc.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
@@ -980,6 +995,63 @@ object Dedup {
           (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
             size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
         .filter(col("jaccard") >= threshold)
+    }
+  }
+
+  /** Positional-filter effectiveness audit (d43): the PPJoin bound's
+    * effect measured AS DATA on the real corpus, the d42 idiom applied
+    * to r16's candidate-pruning change. One row: the distinct candidate
+    * count under the base prefix join (size-ratio only), the count
+    * surviving the positional bound, the pruned fraction, the verified
+    * near-dup pair count, and — the exact-recall claim as a number —
+    * how many VERIFIED pairs the bound would have pruned (must be 0;
+    * the spec and oracle both pin it). Costs one extra flag column over
+    * the pre-r16 d26 plan: every base candidate is verified here
+    * because the audit's subject is exactly the rows d26 no longer
+    * pays for. Empty corpus → empty report (grouped on a constant). */
+  def prefixFilterAudit(documents: DataFrame, threshold: Double = 0.7,
+      maxPrefixDocs: Int = MaxBandDocs): DataFrame = {
+    val sh = docShingles(documents)
+    val tok = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(transform(col("sh"),
+        s => PortableHash.hash60("f:", s))).as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("freq"), col("h"))
+    val prefix = tok.join(freq, "h")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen(col("n"), threshold))
+      .select(col("doc_id"), col("n"), col("h"), col("rn"))
+    val pc = capHotKeys(prefix, Seq("h"), maxPrefixDocs)
+    Caching.withPersisted(sh, pc) {
+      pc.count() // eager cache build — see prefixFilterPairs
+      val cand = pc.as("a")
+        .join(pc.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n").cast("double") >= lit(threshold) * col("b.n") &&
+            col("b.n").cast("double") >= lit(threshold) * col("a.n"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          when(positionalBound(col("a.n"), col("a.rn"),
+            col("b.n"), col("b.rn"), threshold), 1L).otherwise(0L)
+            .as("ok"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("ok")).as("pp_ok"))
+      cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("pp_ok"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+        .groupBy(lit(true).as("all"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("pp_ok")).as("n_after_positional"),
+          sum(when(col("j") >= threshold, 1L).otherwise(0L))
+            .as("n_verified"),
+          sum(when(col("j") >= threshold && col("pp_ok") === 0L, 1L)
+            .otherwise(0L)).as("n_verified_pruned"))
+        .select(col("n_candidates"), col("n_after_positional"),
+          ((col("n_candidates") - col("n_after_positional")).cast("double") /
+            col("n_candidates").cast("double")).as("pruned_frac"),
+          col("n_verified"), col("n_verified_pruned"))
     }
   }
 

@@ -934,6 +934,51 @@ object DedupOracles {
         |    AS fold15_collision_frac
         |FROM h
         |HAVING count(*) > 0""".stripMargin,
+    // d43: the PPJoin positional-filter audit — d26's candidate CTEs
+    // with the bound demoted from join predicate to measured flag;
+    // n_verified_pruned pins exact recall as a number (must be 0).
+    "d43_positional_audit" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tokx AS (SELECT doc_id, len(s) AS n, unnest(s) AS x FROM sh),
+        |tok AS (SELECT doc_id, n,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM tokx),
+        |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
+        |rk AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
+        |  FROM tok t JOIN freq f ON f.h = t.h),
+        |pre AS (SELECT doc_id, n, h, rn FROM rk
+        |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
+        |prec AS (SELECT p.* FROM pre p
+        |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    max(CASE WHEN CAST(1 + least(a.n - a.rn, b.n - b.rn) AS DOUBLE)
+        |      >= ceil(0.7e0 * (a.n + b.n) / (1.0e0 + 0.7e0) - 1.0e-9)
+        |      THEN 1 ELSE 0 END) AS pp_ok
+        |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT c.pp_ok,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.s, y.s))) AS j
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |    JOIN sh y ON y.doc_id = c.doc_b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(pp_ok) AS BIGINT) AS n_after_positional,
+        |  CAST(count(*) - SUM(pp_ok) AS DOUBLE) / count(*) AS pruned_frac,
+        |  CAST(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_verified,
+        |  CAST(SUM(CASE WHEN j >= 0.7 AND pp_ok = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_verified_pruned
+        |FROM jac
+        |HAVING count(*) > 0""".stripMargin,
     // The probe range interpolates ChainProbePositions so a future
     // widening of ChainMaxOverlap updates engine + oracle in lockstep
     // (d41's oracle already interpolates the same constant).

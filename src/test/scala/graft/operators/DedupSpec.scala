@@ -1021,6 +1021,34 @@ class DedupSpec extends SparkSpec {
     assert(eq, "bound == α must remain a candidate")
   }
 
+  test("prefixFilterAudit: counts reconcile with the pair join and no " +
+      "verified pair is ever pruned") {
+    import org.apache.spark.sql.functions._
+    val boiler = "terms of service apply all rights reserved contact us"
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("spark", "table", "scan", "filter", "join", "group",
+      "agg", "sort", "window", "batch", "stream", "merge", "hash", "value",
+      "key", "row", "column", "part", "order", "data")
+    val bodies = (1L to 24L).map { i =>
+      val body = Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, s"$body $boiler")
+    }
+    val corpus = docs(bodies ++ Seq(
+      25L -> bodies.head._2,
+      26L -> bodies.head._2.replace("data", "datum")): _*)
+    val row = Dedup.prefixFilterAudit(corpus, 0.7).collect().head
+    val (nCand, nAfter, nVerified, nPruned) =
+      (row.getLong(0), row.getLong(1), row.getLong(3), row.getLong(4))
+    assert(nAfter <= nCand, s"$row")
+    assert(nPruned == 0L, s"a verified pair was positionally pruned: $row")
+    // the verified count is exactly what prefixFilterPairs emits
+    assert(nVerified == Dedup.prefixFilterPairs(corpus, 0.7).count(), s"$row")
+    assert(row.getDouble(2) ==
+      (nCand - nAfter).toDouble / nCand.toDouble, s"$row")
+    // empty corpus → empty report, matching the oracle's HAVING shape
+    assert(Dedup.prefixFilterAudit(docs()).isEmpty)
+  }
+
   test("legacy stored-index layouts fail fast with a rebuild message") {
     import org.apache.spark.sql.functions._
     val corpus = docs(1L -> base)

@@ -28,6 +28,7 @@ class EmptyInputSpec extends SparkSpec {
     "ngramJaccard" -> (() => Dedup.ngramJaccard(docs)),
     "containment" -> (() => Dedup.containment(docs)),
     "prefixFilterPairs" -> (() => Dedup.prefixFilterPairs(docs)),
+    "prefixFilterAudit" -> (() => Dedup.prefixFilterAudit(docs)),
     "sourceSketch" -> (() => DedupSources.sourceSketch(docs)),
     "sourceOverlap" -> (() => DedupSources.sourceOverlap(docs)),
     "dupSourceSplit" -> (() => DedupSources.dupSourceSplit(docs)),
