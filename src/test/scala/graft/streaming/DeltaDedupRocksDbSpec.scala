@@ -121,10 +121,15 @@ class DeltaDedupRocksDbSpec extends SparkSpec {
       // trigger and synchronize on processed-input counts instead.
       // The TTL must comfortably exceed the trigger + poll cadence, or the
       // state can expire between batch 0 and the duplicate's batch and the
-      // "suppressed before expiry" half of the test races.
+      // "suppressed before expiry" half of the test races. 2000ms raced
+      // once on a cold RocksDB JVM (a first micro-batch was observed to
+      // take 4.5s, expiring key-1 before the duplicate arrived); 10s
+      // clears any cold-start batch by >2x while the lapse sleep below
+      // still bounds the test.
+      val ttlMs = 10000L
       val q = DeltaDedup.stream(input.toDS())(
           _.busKey, _.idx, (old, nw) => old.value.contains(nw.value),
-          ttlMs = 2000L)
+          ttlMs = ttlMs)
         .map { case (k, r) => (k, r.idx) }.toDF("key", "idx")
         .writeStream.format("memory").queryName("rocks_ttl_out")
         .outputMode("append")
@@ -147,7 +152,7 @@ class DeltaDedupRocksDbSpec extends SparkSpec {
 
         // let the TTL lapse; the paced empty batches fire the timeout and
         // remove key-1's state (drive one record through as a barrier)
-        Thread.sleep(5000L)
+        Thread.sleep(ttlMs + 3000L)
         input.addData(Seq(Rec(2, "key-other", "x")))
         awaitInputs(3)
 
