@@ -787,6 +787,14 @@ object SparkEntry {
     // claim as a number (n_verified_pruned must read 0).
     "d43_positional_audit" -> ((s, d) =>
       Dedup.prefixFilterAudit(T.documents(s, d))),
+    // d44: d23's S-curve measured — LSH recall per Jaccard decile
+    // against d26's exact ground truth.
+    "d44_lsh_vs_exact" -> ((s, d) =>
+      Dedup.lshVsExact(T.documents(s, d))),
+    // d45: the dedup operating-point table — pairs/docs/removals per
+    // Jaccard threshold off one exact base pass.
+    "d45_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(T.documents(s, d))),
     "c33_gate_fairness" -> ((s, d) =>
       Curation.gateFairness(T.documents(s, d))),
     "d38_dirty_buckets" -> ((s, d) => Dedup.dirtyBucketReport(

@@ -998,6 +998,34 @@ object Dedup {
     }
   }
 
+  /** Measured LSH recall against exact ground truth (d44): d23/d25
+    * PREDICT the banding S-curve p(candidate | jaccard); this measures
+    * it — [[prefixFilterPairs]] (exact recall by construction) is the
+    * ground-truth pair set, [[minhashLsh]] the probabilistic one, and
+    * the report buckets true pairs by Jaccard decile with the fraction
+    * LSH actually found. The measured recall column is directly
+    * comparable to d23's p_candidate at the bucket's similarity — the
+    * validation loop for the (bands, rows) choice d25 makes on paper.
+    * LSH output ⊆ exact output always (both verify exact Jaccard ≥ t;
+    * they differ only in candidate recall), so a left join from the
+    * truth side accounts every pair. Cost: both pipelines once —
+    * an audit row, not a serving path. Empty corpus → empty report. */
+  def lshVsExact(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val exact = prefixFilterPairs(documents, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val lsh = minhashLsh(documents, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left_outer")
+      .select(floor(col("jaccard") * lit(10)).cast("int").as("j_bucket"),
+        coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(col("found")).as("n_lsh_found"))
+      .select(col("j_bucket"), col("n_true_pairs"), col("n_lsh_found"),
+        (col("n_lsh_found").cast("double") /
+          col("n_true_pairs").cast("double")).as("lsh_recall"))
+  }
+
   /** Positional-filter effectiveness audit (d43): the PPJoin bound's
     * effect measured AS DATA on the real corpus, the d42 idiom applied
     * to r16's candidate-pruning change. One row: the distinct candidate
@@ -1053,6 +1081,50 @@ object Dedup {
             col("n_candidates").cast("double")).as("pruned_frac"),
           col("n_verified"), col("n_verified_pruned"))
     }
+  }
+
+  /** Dedup operating-point table (d45): what each Jaccard threshold
+    * actually REMOVES — pair count, docs touched, docs dropped (one
+    * keeper per connected component, d28's rule) and the removed
+    * fraction of the corpus, per threshold. [[prefixFilterPairs]] runs
+    * ONCE at the lowest threshold (exact recall there covers every
+    * higher cut — a pair at Jaccard ≥ t' ≥ t is in the base set by
+    * construction), then each threshold filters the verified pairs and
+    * runs [[connectedComponents]] on its surviving edge set; the base
+    * pair table is already materialized and lineage-truncated by the
+    * prefix operator's cache bracket, so the per-threshold legs re-read
+    * checkpoint blocks, never the shingle pipeline. This is the table
+    * that turns d44 (recall per decile) and d25 (predicted fp/fn mass)
+    * into a removal decision: what 0.8-vs-0.7 costs in kept tokens is
+    * read here, not estimated.
+    *
+    * 100 TB shape: cost is one d26 pass plus |thresholds| CC loops over
+    * verified-pair edge sets — the pair set is orders of magnitude
+    * smaller than the corpus (it fits broadcast range at any corpus
+    * size that dedup is sane for), so the sweep's marginal cost over
+    * d26 is near zero. Thresholds with zero surviving pairs produce no
+    * row (the grouped empty-shape convention); empty corpus → empty. */
+  def thresholdSweep(documents: DataFrame,
+      thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: need at least one threshold")
+    val nTotal = documents.count()
+    val pairs = prefixFilterPairs(documents, thresholds.min)
+    thresholds.sorted.map { t =>
+      val p = pairs.filter(col("jaccard") >= lit(t))
+      val comps = connectedComponents(p.select(col("doc_a"), col("doc_b")))
+      val np = p.select(lit(t).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      comps.select(lit(t).as("t"), col("doc"), col("lab"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_docs_in_pairs"),
+          sum(when(col("doc") =!= col("lab"), 1L).otherwise(0L))
+            .as("n_docs_removed"))
+        .join(np, "t")
+        .select(col("t").as("threshold"), col("n_pairs"),
+          col("n_docs_in_pairs"), col("n_docs_removed"),
+          (col("n_docs_removed").cast("double") / lit(nTotal.toDouble))
+            .as("frac_docs_removed"))
+    }.reduce(_.union(_))
   }
 
   /** The two stored tables of a materialized prefix-filter index (d27):

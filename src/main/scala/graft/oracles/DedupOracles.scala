@@ -934,6 +934,142 @@ object DedupOracles {
         |    AS fold15_collision_frac
         |FROM h
         |HAVING count(*) > 0""".stripMargin,
+    // d44: measured LSH recall vs exact ground truth — d2's banding
+    // CTEs and d26's prefix-filter CTEs side by side over one shared
+    // shingle pass; true pairs bucketed by Jaccard decile with the
+    // fraction the banding actually found (the d23 S-curve, measured).
+    "d44_lsh_vs_exact" ->
+      """WITH ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |ltok AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |hx AS (SELECT doc_id, md5('m:' || shingle) AS h FROM ltok),
+        |base AS (SELECT doc_id, CAST(list_reduce(
+        |    list_transform(range(1, 8), c ->
+        |      CASE WHEN ascii(substr(h, c, 1)) <= 57
+        |           THEN ascii(substr(h, c, 1)) - 48
+        |           ELSE ascii(substr(h, c, 1)) - 87 END),
+        |    (a, v) -> a * 16 + v) AS BIGINT) AS b FROM hx),
+        |mh AS (SELECT doc_id, k,
+        |  min(([1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841,
+        |        12195257, 13834103, 15485863, 17624813, 19654991][k + 1] * b +
+        |       [15487469, 32452843, 49979687, 67867967, 86028121, 104395301,
+        |        122949823, 141650939, 160481183, 179424673, 198491317,
+        |        217645177][k + 1]) % 1000000007) AS mh
+        |  FROM base, range(12) t(k) GROUP BY doc_id, k),
+        |band AS (SELECT doc_id, k // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY k) AS bkey
+        |  FROM mh GROUP BY doc_id, k // 3),
+        |bandk AS (SELECT b0.* FROM band b0
+        |  QUALIFY count(*) OVER (PARTITION BY b0.band, b0.bkey) <= 500),
+        |lcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandk a JOIN bandk b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ljac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM lcand JOIN sh x ON x.doc_id = doc_a
+        |    JOIN sh y ON y.doc_id = doc_b),
+        |lsh_pairs AS (SELECT doc_a, doc_b FROM ljac WHERE jaccard >= 0.7),
+        |tokx AS (SELECT doc_id, len(s) AS n, unnest(s) AS x FROM sh),
+        |tok AS (SELECT doc_id, n,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM tokx),
+        |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
+        |rk AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
+        |  FROM tok t JOIN freq f ON f.h = t.h),
+        |pre AS (SELECT doc_id, n, h, rn FROM rk
+        |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
+        |prec AS (SELECT p.* FROM pre p
+        |  QUALIFY count(*) OVER (PARTITION BY p.h) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |    AND CAST(1 + least(a.n - a.rn, b.n - b.rn) AS DOUBLE)
+        |      >= ceil(0.7e0 * (a.n + b.n) / (1.0e0 + 0.7e0) - 1.0e-9)
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |    JOIN sh y ON y.doc_id = doc_b),
+        |true_pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
+        |  WHERE jaccard >= 0.7),
+        |j AS (SELECT CAST(floor(t.jaccard * 10) AS INT) AS j_bucket,
+        |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+        |  FROM true_pairs t LEFT JOIN lsh_pairs l
+        |    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+        |SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(SUM(found) AS BIGINT) AS n_lsh_found,
+        |  CAST(SUM(found) AS DOUBLE) / count(*) AS lsh_recall
+        |FROM j GROUP BY j_bucket""".stripMargin,
+    // d45: the operating-point sweep — d28's CTE chain through the
+    // verified base pairs at the lowest threshold, then a
+    // threshold-keyed transitive closure: reach recurses over
+    // (t, doc, lab) so one recursion serves every cut, mirroring the
+    // engine's per-threshold connectedComponents legs exactly.
+    "d45_threshold_sweep" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
+        |  FROM ws WHERE len(w) >= 3),
+        |tokx AS (SELECT doc_id, len(s) AS n, unnest(s) AS x FROM sh),
+        |tok AS (SELECT doc_id, n,
+        |  list_reduce(list_transform(range(1, 16), c ->
+        |    CAST(CASE WHEN ascii(substr(md5('f:' || x), c, 1)) <= 57
+        |         THEN ascii(substr(md5('f:' || x), c, 1)) - 48
+        |         ELSE ascii(substr(md5('f:' || x), c, 1)) - 87 END
+        |      AS BIGINT)),
+        |    (a, v) -> a * 16 + v) AS h FROM tokx),
+        |freq AS (SELECT h, count(*) AS freq FROM tok GROUP BY h),
+        |rk AS (SELECT t.doc_id, t.n, t.h,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.freq, t.h) AS rn
+        |  FROM tok t JOIN freq f ON f.h = t.h),
+        |pre AS (SELECT doc_id, n, h, rn FROM rk
+        |  WHERE rn <= floor((1.0 - 0.7) * n + 1e-9) + 1),
+        |prec AS (SELECT p0.* FROM pre p0
+        |  QUALIFY count(*) OVER (PARTITION BY p0.h) <= 500),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prec a JOIN prec b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND a.n >= 0.7 * b.n AND b.n >= 0.7 * a.n
+        |    AND CAST(1 + least(a.n - a.rn, b.n - b.rn) AS DOUBLE)
+        |      >= ceil(0.7e0 * (a.n + b.n) / (1.0e0 + 0.7e0) - 1.0e-9)
+        |  GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |    JOIN sh y ON y.doc_id = doc_b),
+        |p AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7),
+        |th AS (SELECT CAST(v.x AS DOUBLE) AS t
+        |  FROM (VALUES (0.7), (0.8), (0.9)) v(x)),
+        |tp AS (SELECT th.t, p.doc_a, p.doc_b FROM p
+        |  JOIN th ON p.jaccard >= th.t),
+        |ed AS (SELECT t, doc_a AS a, doc_b AS b FROM tp
+        |  UNION SELECT t, doc_b, doc_a FROM tp),
+        |reach(t, doc, lab) AS (
+        |  SELECT t, a, a FROM ed
+        |  UNION
+        |  SELECT ed.t, ed.a, reach.lab FROM ed JOIN reach
+        |    ON ed.b = reach.doc AND ed.t = reach.t),
+        |dec AS (SELECT t, doc, min(lab) AS rep FROM reach GROUP BY t, doc),
+        |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM tp GROUP BY t)
+        |SELECT d.t AS threshold, np.n_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_docs_in_pairs,
+        |  CAST(SUM(CASE WHEN d.doc <> d.rep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_removed,
+        |  CAST(SUM(CASE WHEN d.doc <> d.rep THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (SELECT count(*) FROM documents) AS frac_docs_removed
+        |FROM dec d JOIN np ON np.t = d.t
+        |GROUP BY d.t, np.n_pairs""".stripMargin,
     // d43: the PPJoin positional-filter audit — d26's candidate CTEs
     // with the bound demoted from join predicate to measured flag;
     // n_verified_pruned pins exact recall as a number (must be 0).

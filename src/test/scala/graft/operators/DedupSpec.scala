@@ -1049,6 +1049,57 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.prefixFilterAudit(docs()).isEmpty)
   }
 
+  test("lshVsExact: truth mass reconciles with prefixFilterPairs, exact " +
+      "dups always found, recall bounded") {
+    import org.apache.spark.sql.functions._
+    val boiler = "terms of service apply all rights reserved contact us"
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("spark", "table", "scan", "filter", "join", "group",
+      "agg", "sort", "window", "batch", "stream", "merge", "hash", "value",
+      "key", "row", "column", "part", "order", "data")
+    val bodies = (1L to 24L).map { i =>
+      val body = Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, s"$body $boiler")
+    }
+    val corpus = docs(bodies ++ Seq(
+      25L -> bodies.head._2,
+      26L -> bodies.head._2.replace("data", "datum")): _*)
+    val rows = Dedup.lshVsExact(corpus, 0.7).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // truth mass: bucket counts sum to the exact pipeline's pair count
+    assert(rows.values.map(_._1).sum ==
+      Dedup.prefixFilterPairs(corpus, 0.7).count())
+    rows.foreach { case (b, (nTrue, nFound, recall)) =>
+      assert(nFound <= nTrue && recall >= 0.0 && recall <= 1.0,
+        s"bucket $b: $nTrue/$nFound/$recall")
+      assert(recall == nFound.toDouble / nTrue.toDouble)
+    }
+    // an exact duplicate (jaccard 1.0 → bucket 10) has identical minhash
+    // rows, so every band collides: bucket-10 recall is deterministic 1.0
+    assert(rows(10)._3 == 1.0, s"$rows")
+    assert(Dedup.lshVsExact(docs()).isEmpty)
+  }
+
+  test("thresholdSweep: hand-checked removal table per threshold, " +
+      "empty corpus yields an empty table") {
+    // 12 distinct words → 10 distinct shingles; b changes the last word,
+    // keeping 9 of 10 shingles → j(a,b) = 9/11 ≈ 0.818; c copies a.
+    val a = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12"
+    val b = a.replace("w12", "w13")
+    val rows = Dedup.thresholdSweep(docs(1L -> a, 2L -> b, 3L -> a))
+      .collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // 0.7/0.8 keep all three pairs {(1,2),(1,3),(2,3)}: one component,
+    // keeper 1, docs 2 and 3 removed; 0.9 keeps only the exact pair.
+    assert(rows(0.7) == ((3L, 3L, 2L, 2.0 / 3.0)), s"$rows")
+    assert(rows(0.8) == ((3L, 3L, 2L, 2.0 / 3.0)), s"$rows")
+    assert(rows(0.9) == ((1L, 2L, 1L, 1.0 / 3.0)), s"$rows")
+    assert(Dedup.thresholdSweep(docs()).isEmpty)
+  }
+
   test("legacy stored-index layouts fail fast with a rebuild message") {
     import org.apache.spark.sql.functions._
     val corpus = docs(1L -> base)

@@ -29,6 +29,8 @@ class EmptyInputSpec extends SparkSpec {
     "containment" -> (() => Dedup.containment(docs)),
     "prefixFilterPairs" -> (() => Dedup.prefixFilterPairs(docs)),
     "prefixFilterAudit" -> (() => Dedup.prefixFilterAudit(docs)),
+    "lshVsExact" -> (() => Dedup.lshVsExact(docs)),
+    "thresholdSweep" -> (() => Dedup.thresholdSweep(docs)),
     "sourceSketch" -> (() => DedupSources.sourceSketch(docs)),
     "sourceOverlap" -> (() => DedupSources.sourceOverlap(docs)),
     "dupSourceSplit" -> (() => DedupSources.dupSourceSplit(docs)),

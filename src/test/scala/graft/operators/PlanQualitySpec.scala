@@ -75,6 +75,21 @@ class PlanQualitySpec extends SparkSpec {
       s"kcore must serve from the stored neighbor index:\n$p")
   }
 
+  test("d44/d45: the audit tables serve from materialized base passes — " +
+      "no corpus rescan or rank chain in the public plan") {
+    // lshVsExact joins two already-checkpointed pair tables; the
+    // threshold sweep's legs filter one checkpointed base pass and join
+    // materialized component labels. A regression that re-inlined the
+    // shingle pipeline (explode → freq → window rank) into the public
+    // plan would re-pay it once per threshold leg at 100 TB.
+    for (q <- Seq("d44_lsh_vs_exact", "d45_threshold_sweep")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan"), s"$q must not rescan the corpus:\n$p")
+      assert(!p.contains("RowNumber") && !p.contains("Window"),
+        s"$q must not re-derive the rank chain:\n$p")
+    }
+  }
+
   test("q3: two dimension joins broadcast under one TakeOrdered") {
     val p = plan("q3_join_topn")
     assert(p.contains("TakeOrderedAndProject"), p)
