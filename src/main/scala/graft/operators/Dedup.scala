@@ -1104,8 +1104,16 @@ object Dedup {
     * size that dedup is sane for), so the sweep's marginal cost over
     * d26 is near zero. Thresholds with zero surviving pairs produce no
     * row (the grouped empty-shape convention); empty corpus → empty. */
+  /** The d45 sweep's default cuts — the oracle SQL interpolates this
+    * list (the d39/ChainProbePositions lesson: one source of truth, so
+    * widening the sweep updates engine and oracle in lockstep). The
+    * base prefix-filter CTEs in the oracle are written at 0.7: if a
+    * future edit drops `SweepThresholds.min` below that, the oracle's
+    * base-pass threshold must move with it. */
+  val SweepThresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)
+
   def thresholdSweep(documents: DataFrame,
-      thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
+      thresholds: Seq[Double] = SweepThresholds): DataFrame = {
     require(thresholds.nonEmpty, "thresholdSweep: need at least one threshold")
     val nTotal = documents.count()
     val pairs = prefixFilterPairs(documents, thresholds.min)

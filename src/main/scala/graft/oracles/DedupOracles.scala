@@ -1015,8 +1015,11 @@ object DedupOracles {
     // threshold-keyed transitive closure: reach recurses over
     // (t, doc, lab) so one recursion serves every cut, mirroring the
     // engine's per-threshold connectedComponents legs exactly.
+    // the VALUES list interpolates Dedup.SweepThresholds — engine and
+    // oracle widen in lockstep (the d39 lesson); the base CTEs stay at
+    // 0.7 = the list's minimum (see the constant's scaladoc)
     "d45_threshold_sweep" ->
-      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS s
         |  FROM ws WHERE len(w) >= 3),
@@ -1049,7 +1052,8 @@ object DedupOracles {
         |    JOIN sh y ON y.doc_id = doc_b),
         |p AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7),
         |th AS (SELECT CAST(v.x AS DOUBLE) AS t
-        |  FROM (VALUES (0.7), (0.8), (0.9)) v(x)),
+        |  FROM (VALUES ${graft.operators.Dedup.SweepThresholds
+             .map(t => s"($t)").mkString(", ")}) v(x)),
         |tp AS (SELECT th.t, p.doc_a, p.doc_b FROM p
         |  JOIN th ON p.jaccard >= th.t),
         |ed AS (SELECT t, doc_a AS a, doc_b AS b FROM tp

@@ -120,6 +120,11 @@ object ScaleSmoke {
         Dedup.dedupApply(d, comps)
       },
       "d2_minhash_lsh" -> (d => Dedup.minhashLsh(d)),
+      // d44/d45: the r16 audit queries — compositions of the stressed
+      // kernels above (d26 + d2 + CC), so their ratios must inherit the
+      // components' linearity; measured here rather than asserted
+      "d44_lsh_vs_exact" -> (d => Dedup.lshVsExact(d)),
+      "d45_threshold_sweep" -> (d => Dedup.thresholdSweep(d)),
       "d12_cc_star" -> (d => Dedup.nearDupComponentsStar(d)),
       // d39: boundary-shingle candidate join — the epoch suffix makes
       // boundary keys epoch-disjoint, so candidates (and wall time)
