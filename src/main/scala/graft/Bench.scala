@@ -87,8 +87,17 @@ object Bench {
     // every column. A bare count() would let Catalyst prune all projections
     // under Aggregate(count(1)) and measure scan+count instead of operator
     // compute for narrow queries.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Jobs are labelled with the query name (guide §1.5): every job a
+    // query triggers — including the eager materializations inside its
+    // operator — carries the name in the UI / event log, so a slow stage
+    // in a post-hoc analysis attributes to its query without needing the
+    // SPARK_GRAFT_PROGRESS stderr interleaving.
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      spark.sparkContext.setJobDescription(s"bench:$name")
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.setJobDescription(null)
+    }
     // Between queries, drop every block the previous query left pinned.
     // Operators bracket their own persists, but the eagerly-materialized
     // results (localCheckpoint) stay cached until the DRIVER garbage-
@@ -241,7 +250,7 @@ object Bench {
       else selected.keys.take(1).toSeq
     warmups.foreach(name =>
       SparkEntry.queries.get(name).foreach(fn =>
-        try run(fn) catch { case _: Throwable => () }))
+        try run(s"warmup:$name", fn) catch { case _: Throwable => () }))
     dropLeftoverBlocks()
     // SPARK_GRAFT_PASSES runs the whole selected suite that many times in
     // one JVM. If pass totals agree (±10%) the engine is deterministic and
@@ -268,7 +277,7 @@ object Bench {
         taskGcMs.set(0); peakExecMem.set(0); spillBytes.set(0)
         val gc0 = driverGcMs
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
+        try run(name, fn) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // Task-end events arrive on the ASYNC listener bus: drain it before
         // reading the accumulators, or late events are dropped from this

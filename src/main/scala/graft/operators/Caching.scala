@@ -38,6 +38,15 @@ object Caching {
     * while concurrent queries may materialize. */
   @volatile private[graft] var lastMaterializedPlan: String = ""
 
+  /** Plan-dump hook (ExplainMain): when enabled, every [[materialize]]
+    * call also appends its FORMATTED pre-truncation plan here, so a plan
+    * dump can show the real executed shape of operators whose public
+    * result frame is just a checkpoint scan. Off (and the buffer empty)
+    * in every normal run — Bench/Verify never set it. */
+  @volatile private[graft] var captureMaterializedPlans: Boolean = false
+  private[graft] val materializedPlans =
+    new scala.collection.mutable.ArrayBuffer[String]
+
   /** Eager materialization with lineage truncation, fault-tolerance chosen
     * by session posture: a RELIABLE `checkpoint()` when the session has a
     * checkpoint directory (the 100 TB cluster setting — a lost executor
@@ -61,6 +70,10 @@ object Caching {
     * — otherwise per-round checkpoints accumulate unboundedly. */
   def materialize(df: DataFrame): DataFrame = {
     lastMaterializedPlan = df.queryExecution.executedPlan.toString
+    if (captureMaterializedPlans) materializedPlans.synchronized {
+      materializedPlans += df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
     // SPARK_GRAFT_PLANSIZE=1: report what the DAGScheduler will serialize
     // for this materialization — the task-binary-bloat diagnostic (find
     // which plan node drags a ~MiB subtree into every task binary)

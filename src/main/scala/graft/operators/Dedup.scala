@@ -1127,7 +1127,12 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs_in_pairs"),
           sum(when(col("doc") =!= col("lab"), 1L).otherwise(0L))
             .as("n_docs_removed"))
-        .join(np, "t")
+        // both sides are single-row global aggregates; the join key is
+        // the folded constant t, so without the hint the planner emits a
+        // CartesianProduct (1×1 — harmless, but the broadcast makes it
+        // the same BNLJ shape as every other scalar join in the suite
+        // and keeps the plan audit's "no cartesian" invariant clean)
+        .join(broadcast(np), "t")
         .select(col("t").as("threshold"), col("n_pairs"),
           col("n_docs_in_pairs"), col("n_docs_removed"),
           (col("n_docs_removed").cast("double") / lit(nTotal.toDouble))

@@ -18,9 +18,26 @@ object ExplainMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // Materialized operators (Caching.materialize) return checkpoint-scan
+    // frames whose explain hides the executed shape; capture each
+    // intermediate's formatted plan as it materializes and print those too.
+    graft.operators.Caching.captureMaterializedPlans = true
     args.foreach { q =>
+      graft.operators.Caching.materializedPlans.synchronized {
+        graft.operators.Caching.materializedPlans.clear()
+      }
+      val df = graft.SparkEntry.queries(q)(spark, d)
       println(s"===== $q =====")
-      graft.SparkEntry.queries(q)(spark, d).explain("formatted")
+      val inner = graft.operators.Caching.materializedPlans.synchronized {
+        graft.operators.Caching.materializedPlans.toList
+      }
+      inner.zipWithIndex.foreach { case (p, i) =>
+        println(s"----- materialized intermediate ${i + 1}/${inner.size} " +
+          "(executed shape before lineage truncation) -----")
+        println(p)
+      }
+      println("----- final frame -----")
+      df.explain("formatted")
     }
     spark.stop()
   }
