@@ -30,8 +30,32 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sized to the host instead of the old fixed -Xmx8g: 32 local-mode
+// tasks against 8g spent ~40% of suite wall in GC (213 s task GC per
+// 520 s pass at sf0.1, 32 cpus); a quarter of host RAM clamped to
+// [8, 24] GiB, with a matching -Xms and a relaxed G1 pause goal,
+// measured ZERO task GC in both passes and 447/385 s pass totals on the
+// same box and code (OPTIMIZATION_r17.md §2). This is the §5
+// memory-sizing rule of the optimization guide, not a local[32] tune:
+// production sizes executor heap to its task slots the same way, the
+// value scales with the machine, and SPARK_DRIVER_MEM still overrides
+// (override skips -Xms so a smaller explicit heap never conflicts).
+val hostHeapGb: Long = {
+  val phys =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize
+    catch { case _: Throwable => 0L }
+  math.max(8L, math.min(24L, (phys / 4) >> 30))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${hostHeapGb}g")}",
+  // batch bench, no latency SLO: a relaxed pause goal lets G1 keep a
+  // large young gen instead of collecting every few hundred MB
+  "-XX:MaxGCPauseMillis=800",
+) ++ (if (sys.env.contains("SPARK_DRIVER_MEM")) Seq.empty[String]
+      else Seq(s"-Xms${hostHeapGb}g")) ++
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -92,9 +92,12 @@ object Bench {
     // operator — carries the name in the UI / event log, so a slow stage
     // in a post-hoc analysis attributes to its query without needing the
     // SPARK_GRAFT_PROGRESS stderr interleaving.
-    def run(name: String,
+    def run(label: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      spark.sparkContext.setJobDescription(s"bench:$name")
+      // callers pass the FULL label ("bench:<name>" / "warmup:<name>") so
+      // post-hoc analyses filtering on the "bench:" prefix never sweep
+      // warm-up stages into timed-query work
+      spark.sparkContext.setJobDescription(label)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       finally spark.sparkContext.setJobDescription(null)
     }
@@ -277,7 +280,7 @@ object Bench {
         taskGcMs.set(0); peakExecMem.set(0); spillBytes.set(0)
         val gc0 = driverGcMs
         val t0 = System.nanoTime()
-        try run(name, fn) catch { case _: Throwable => () }
+        try run(s"bench:$name", fn) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // Task-end events arrive on the ASYNC listener bus: drain it before
         // reading the accumulators, or late events are dropped from this

@@ -190,14 +190,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Jaccard of two DISTINCT-element set columns from ONE
+    * intersect: shingle/trigram arrays are array_distinct at
+    * construction, so |A∪B| = |A|+|B|−|A∩B| exactly and the
+    * array_union per candidate pair (a second hash-set build plus a
+    * materialized union array of up to |A|+|B| strings) is pure
+    * allocation with no information. Codegen subexpression elimination
+    * evaluates the intersect once. The division operands are the
+    * identical integers either way, so every jaccard double — and
+    * every oracle row hash — is bit-unchanged. */
+  private[operators] def setJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   /** Exact word-shingle Jaccard for a candidate pair frame. */
   private def shingleJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-          size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+        setJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
 
   /** MinHash estimator calibration (d35): for every LSH candidate pair
     * (NO jaccard threshold — the sub-threshold pairs are exactly where
@@ -505,8 +518,7 @@ object Dedup {
         .join(shI.as("x"), col("c.doc_id") === col("x.doc_id"))
         .join(index.as("y"), col("c.dup_of") === col("y.doc_id"))
         .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
-          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+          setJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }
@@ -541,8 +553,7 @@ object Dedup {
         .join(shI.as("x"), col("c.doc_id") === col("x.doc_id"))
         .join(shK.as("y"), col("c.dup_of") === col("y.doc_id"))
         .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
-          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+          setJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }
@@ -833,8 +844,7 @@ object Dedup {
         size(col("x.g3")).cast("double") >= lit(threshold) * size(col("y.g3")) &&
           size(col("y.g3")).cast("double") >= lit(threshold) * size(col("x.g3")))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("x.g3"), col("y.g3"))).cast("double") /
-          size(array_union(col("x.g3"), col("y.g3")))).as("jaccard3"))
+        setJaccard(col("x.g3"), col("y.g3")).as("jaccard3"))
       .filter(col("jaccard3") >= threshold)
     }
   }
@@ -992,8 +1002,7 @@ object Dedup {
       cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
         .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+          setJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }
@@ -1067,8 +1076,7 @@ object Dedup {
       cand.join(sh.as("x"), col("doc_a") === col("x.doc_id"))
         .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
         .select(col("pp_ok"),
-          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-            size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+          setJaccard(col("x.sh"), col("y.sh")).as("j"))
         .groupBy(lit(true).as("all"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(col("pp_ok")).as("n_after_positional"),
@@ -1243,8 +1251,7 @@ object Dedup {
         .join(shI.as("x"), col("c.doc_id") === col("x.doc_id"))
         .join(index.docs.as("y"), col("c.dup_of") === col("y.doc_id"))
         .select(col("c.doc_id").as("doc_id"), col("c.dup_of").as("dup_of"),
-          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-            size(array_union(col("x.sh"), col("y.sh")))).as("jaccard"))
+          setJaccard(col("x.sh"), col("y.sh")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     }
   }

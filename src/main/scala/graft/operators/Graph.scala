@@ -244,12 +244,18 @@ object Graph {
     val sideOf: String => DataFrame =
       if (!sideSplit) side => edges.filter(substring(col("dst"), 1, 2) === side)
       else {
-        val halves = Map(
-          "c:" -> Caching.materialize(
-            edges.filter(substring(col("dst"), 1, 2) === "c:")),
-          "s:" -> Caching.materialize(
-            edges.filter(substring(col("dst"), 1, 2) === "s:")))
-        halves(_)
+        // lazily materialize each half on first request (a 1-round call
+        // would otherwise checkpoint a half it never consumes), and fail
+        // with the side name instead of a bare NoSuchElementException if
+        // a caller ever passes something other than "c:"/"s:"
+        val halves =
+          scala.collection.mutable.Map.empty[String, DataFrame]
+        side => {
+          require(side == "c:" || side == "s:",
+            s"lpaLabels sideSplit: unexpected side '$side'")
+          halves.getOrElseUpdate(side, Caching.materialize(
+            edges.filter(substring(col("dst"), 1, 2) === side)))
+        }
       }
     val roundChanges = Seq.newBuilder[Long]
     var prevChanged = -1L // sentinel: round 0 proves nothing

@@ -47,8 +47,73 @@ object PlanAudit {
       "broadcast_exchanges", "bhj", "smj", "shj", "bnlj", "cartesian",
       "parquet_scans", "scans_with_pushed_filters", "codegen_spans",
       "err").mkString("\t"))
-    def count(txt: String, pat: String): Int =
-      pat.r.findAllMatchIn(txt).length
+    // Count operators from each formatted plan's FINAL tree section only
+    // (ADVICE r16: the old substring filter double-counted detail-section
+    // headers carrying "[codegen id : n]", missed subtree-root tree lines
+    // with no "+-" — e.g. "BroadcastHashJoin LeftAnti BuildRight (81)" —
+    // and AQE's "== Initial Plan ==" duplicate section inflated
+    // scan/codegen totals). A tree line is decoration ([ :+|-]*), an
+    // optional codegen marker (*), then the operator name; the detail
+    // section starts at the first "^(n) OpName" header. Pushed-filter
+    // scans are resolved per final-tree scan id against that id's detail
+    // block, so initial-plan duplicates are never counted.
+    final case class Shape(shuffleEx: Int, broadcastEx: Int, bhj: Int,
+        smj: Int, shj: Int, bnlj: Int, cartesian: Int, scans: Int,
+        pushedScans: Int, codegen: Int) {
+      def +(o: Shape): Shape = Shape(shuffleEx + o.shuffleEx,
+        broadcastEx + o.broadcastEx, bhj + o.bhj, smj + o.smj,
+        shj + o.shj, bnlj + o.bnlj, cartesian + o.cartesian,
+        scans + o.scans, pushedScans + o.pushedScans, codegen + o.codegen)
+    }
+    val emptyShape = Shape(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val detailHdr = """^\((\d+)\) """.r
+    val opId = """\((\d+)\)""".r
+    def shapeOf(plan: String): Shape = {
+      val lines = plan.linesIterator.toVector
+      val detailStart =
+        lines.indexWhere(l => detailHdr.findPrefixOf(l).isDefined)
+      val (treeAll, details) =
+        if (detailStart >= 0) lines.splitAt(detailStart)
+        else (lines, Vector.empty[String])
+      // keep only the final plan's tree: AQE appends an "== Initial
+      // Plan ==" duplicate after the final one
+      val initIdx = treeAll.indexWhere(_.contains("== Initial Plan =="))
+      val tree = if (initIdx >= 0) treeAll.take(initIdx) else treeAll
+      def deco(c: Char) =
+        c == ' ' || c == ':' || c == '+' || c == '-' || c == '|'
+      val stripped = tree.map(_.dropWhile(deco))
+      def cnt(op: String) = stripped.count(l =>
+        l.startsWith(op) || l.startsWith("* " + op))
+      val scanLines = stripped.filter(l => l.startsWith("Scan parquet") ||
+        l.startsWith("* Scan parquet"))
+      // resolve PushedFilters per final-tree scan id in the detail section
+      val scanIds = scanLines
+        .flatMap(l => opId.findAllMatchIn(l).toSeq.lastOption.map(_.group(1)))
+        .toSet
+      var pushed = 0
+      var i = 0
+      while (i < details.length) {
+        detailHdr.findFirstMatchIn(details(i)) match {
+          case Some(m) if scanIds(m.group(1)) &&
+              details(i).contains("Scan parquet") =>
+            var j = i + 1
+            while (j < details.length &&
+                detailHdr.findPrefixOf(details(j)).isEmpty) {
+              if ("""PushedFilters: \[(?!\])""".r
+                  .findFirstIn(details(j)).isDefined) pushed += 1
+              j += 1
+            }
+            i = j
+          case _ => i += 1
+        }
+      }
+      Shape(
+        cnt("Exchange"), cnt("BroadcastExchange"), cnt("BroadcastHashJoin"),
+        cnt("SortMergeJoin"), cnt("ShuffledHashJoin"),
+        cnt("BroadcastNestedLoopJoin"), cnt("CartesianProduct"),
+        scanLines.size, pushed,
+        tree.count(_.dropWhile(deco).startsWith("* ")))
+    }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       graft.operators.Caching.materializedPlans.synchronized {
         graft.operators.Caching.materializedPlans.clear()
@@ -62,7 +127,6 @@ object PlanAudit {
             graft.operators.Caching.materializedPlans.toList
           }
           val plans = inner :+ finalPlan
-          val all = plans.mkString("\n")
           fullDir.foreach { dir =>
             java.nio.file.Files.createDirectories(java.nio.file.Path.of(dir))
             java.nio.file.Files.writeString(
@@ -73,25 +137,17 @@ object PlanAudit {
                    else " (materialized intermediate)") + " -----\n" + p
               }.mkString("\n"))
           }
-          // tree-section lines only (the numbered operator tree prints each
-          // op once; the detail section repeats names in prose)
-          val tree = all.linesIterator
-            .filter(l => l.contains("+-") || l.startsWith("Exchange") ||
-              l.contains(": ")).mkString("\n")
+          val s = plans.map(shapeOf).foldLeft(emptyShape)(_ + _)
           Seq(name, plans.size,
-            count(tree, """(?m)[+:]- Exchange """),
-            count(tree, """(?m)[+:]- BroadcastExchange """),
-            count(tree, """BroadcastHashJoin"""),
-            count(tree, """SortMergeJoin"""),
-            count(tree, """ShuffledHashJoin"""),
-            count(tree, """BroadcastNestedLoopJoin"""),
-            count(tree, """CartesianProduct"""),
-            count(all, """(?m)\(\d+\) Scan parquet"""),
-            count(all, """(?m)PushedFilters: \[(?!\])"""),
-            // formatted mode annotates codegen per OPERATOR ("[codegen
-            // id : n]"); report covered-operator count — a low number on
-            // a big plan means interpreted gaps worth a look
-            count(all, """\[codegen id : """),
+            // "Exchange" (shuffle) and "BroadcastExchange" are distinct
+            // startsWith prefixes — no overlap between the two counters
+            s.shuffleEx, s.broadcastEx,
+            s.bhj, s.smj, s.shj, s.bnlj, s.cartesian,
+            s.scans, s.pushedScans,
+            // codegen-covered operator count over the FINAL tree ("*"
+            // marker) — a low number on a big plan means interpreted
+            // gaps worth a look
+            s.codegen,
             "").mkString("\t")
         } catch {
           case e: Throwable =>
