@@ -82,12 +82,22 @@ object PlanAudit {
       def deco(c: Char) =
         c == ' ' || c == ':' || c == '+' || c == '-' || c == '|'
       val stripped = tree.map(_.dropWhile(deco))
-      def cnt(op: String) = stripped.count(l =>
+      // dedupe tree lines by operator id: a self-join prints its reused
+      // scan/build subtree once per branch with the SAME id — count the
+      // operator, not the references to it (lines without an id, e.g.
+      // the "== Final Plan ==" header, can't name an operator)
+      val byId = stripped
+        .flatMap(l => opId.findAllMatchIn(l).toSeq.lastOption
+          .map(m => m.group(1) -> l))
+        .toMap.values.toVector
+      def cnt(op: String) = byId.count(l =>
         l.startsWith(op) || l.startsWith("* " + op))
-      val scanLines = stripped.filter(l => l.startsWith("Scan parquet") ||
+      val scanLines = byId.filter(l => l.startsWith("Scan parquet") ||
         l.startsWith("* Scan parquet"))
       // resolve PushedFilters per final-tree scan id in the detail section
-      val scanIds = scanLines
+      val scanIds = stripped
+        .filter(l => l.startsWith("Scan parquet") ||
+          l.startsWith("* Scan parquet"))
         .flatMap(l => opId.findAllMatchIn(l).toSeq.lastOption.map(_.group(1)))
         .toSet
       var pushed = 0
@@ -112,7 +122,7 @@ object PlanAudit {
         cnt("SortMergeJoin"), cnt("ShuffledHashJoin"),
         cnt("BroadcastNestedLoopJoin"), cnt("CartesianProduct"),
         scanLines.size, pushed,
-        tree.count(_.dropWhile(deco).startsWith("* ")))
+        byId.count(_.startsWith("* ")))
     }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       graft.operators.Caching.materializedPlans.synchronized {
