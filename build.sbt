@@ -46,7 +46,19 @@ val hostHeapGb: Long = {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       .getTotalMemorySize
     catch { case _: Throwable => 0L }
-  math.max(8L, math.min(24L, (phys / 4) >> 30))
+  // in a container the cgroup limit, not host RAM, is the real budget —
+  // a heap sized off the host would get the fork OOM-killed
+  def cgLimit(path: String): Long =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path))).trim
+      if (s == "max") Long.MaxValue else s.toLong
+    } catch { case _: Throwable => Long.MaxValue }
+  val budget = Seq(if (phys > 0) phys else Long.MaxValue,
+    cgLimit("/sys/fs/cgroup/memory.max"),
+    cgLimit("/sys/fs/cgroup/memory/memory.limit_in_bytes")).min
+  if (budget == Long.MaxValue) 8L
+  else math.max(8L, math.min(24L, (budget / 4) >> 30))
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
